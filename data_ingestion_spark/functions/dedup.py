@@ -1,0 +1,179 @@
+"""Deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The reference has no dedup (its idempotence story is 'skip index if it
+exists', website-ingestion-pipeline.py:116-118); these are the
+north-star extensions for LLM training-data pipelines, each designed
+around one bounded shuffle:
+
+- exact: fingerprint (md5) → groupBy — one shuffle on the hash.
+- MinHash-LSH: shingle → k min-hashes → band → bucket self-join —
+  the candidate-pair join is an equi join on the band hash, so cost
+  is Σ bucket² not n².
+- SimHash: per-token hash bit votes → hamming-comparable signature.
+- n-gram Jaccard: inverted-index self-join on shingles (pairs only
+  materialize when they share ≥1 shingle), then |∩|/|∪| filter.
+
+Hash choice: md5 (bit-identical in every engine) for the
+oracle-checked paths; ``xxhash64`` is the faster JVM-native swap-in
+when cross-engine determinism isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """T10 exact: content fingerprint → canonical id + copy count.
+    ``keep_id`` = min id per fingerprint (the survivor)."""
+    return (
+        df.withColumn("fp", F.md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (native SQL:
+    split → transform(sequence) → slice/concat → dedup)."""
+    words = F.split(col, " ")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def _seeded_min_hash(shingles: Column, prefix: str) -> Column:
+    # NB: the transform lambda must stay single-arg — a second
+    # parameter (even a defaulted one) makes PySpark treat it as an
+    # (element, index) lambda and bind the index Column to it.
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int, seed: str = "mh") -> list[Column]:
+    """k min-hashes of a shingle set: min over md5(seed|i|shingle).
+
+    Lexicographic min of hex digests ≡ min of 128-bit ints — portable
+    across engines without bigint hex parsing.
+    """
+    return [
+        _seeded_min_hash(shingles, f"{seed}|{i}|").alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """T10 near-dup: MinHash + banded LSH candidate pairs.
+
+    Bands of ``band_size`` signature slots are concatenated into a
+    band hash; docs sharing any band hash become candidate pairs via
+    an equi self-join (shuffle on band hash — never quadratic).
+    Output: (id_a, id_b, band) with id_a < id_b, distinct.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        *minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes),
+    )
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        one = sigs.select(
+            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "band")
+        .distinct()
+    )
+
+
+def simhash16(col: Column, seed: str = "sh") -> Column:
+    """T10: 16-bit SimHash as a bit-string.
+
+    Bit j's vote = Σ over words of ±1 by the top bit of hex digit j of
+    md5(seed|word); bit set iff vote > 0. 16 bits keeps the expression
+    tree small while preserving the hamming-distance semantics; widen
+    by stacking seeds. Portable: only md5 + substring + CASE.
+    """
+    words = F.split(col, " ")
+
+    def vote_at(j: int) -> Column:
+        # two-arg merge lambda only — see _seeded_min_hash arity note
+        return F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(
+                F.substring(F.md5(F.concat(F.lit(seed), w)), j + 1, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    bits = [
+        F.when(vote_at(j) > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)
+    ]
+    return F.concat(*bits)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """T10: n-gram Jaccard similarity via inverted-index self-join.
+
+    explode(shingles) → equi self-join on shingle → |∩| per pair →
+    |∪| = |A|+|B|−|∩| → filter. Hot-key guard at scale: very common
+    shingles (df > cap) should be dropped before the join (stopword
+    shingles create quadratic buckets); exposed via ``max_doc_freq``
+    in the caller when corpora demand it.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    a = inv.select(F.col("id").alias("id_a"), "s")
+    b = inv.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")

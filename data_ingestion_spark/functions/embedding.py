@@ -1,0 +1,112 @@
+"""Embedding stage: deterministic stand-in + the real-model plumbing.
+
+The reference embeds chunks with
+``HuggingFaceEmbeddings('nomic-ai/nomic-embed-text-v1')`` inside the
+vector-store ``add_documents`` call (ingestion-pipeline.py:334-349,
+768-dim) — batched, GPU-per-pod. Spark-first mapping:
+
+- ``embed_pandas_udf``: Arrow-vectorized scalar pandas UDF; the model
+  is a module-level singleton per executor (loaded once, reused across
+  batches) — the only physical decision that matters for throughput
+  (SURVEY.md §4.3). The HF model itself isn't installed in this
+  container, so the loader is gated: if ``sentence-transformers`` /
+  ``transformers`` is importable it is used; otherwise the
+  deterministic hash-projection stand-in below runs. The Spark-side
+  plumbing (Arrow batches, ArrayType(FloatType) schema, partition
+  sizing) is identical either way.
+- ``embed_deterministic``: seeded hash-projection embedding — a pure
+  function of the text, so similarity results are hash-checkable
+  (FIXTURES.md determinism rule 1). Implemented as native SQL
+  expressions (no Python) for the tested path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+DEFAULT_DIM = 64  # matches the synthetic embeddings table; nomic is 768
+
+
+def embed_deterministic(col: Column, dim: int = DEFAULT_DIM, seed: str = "emb") -> Column:
+    """Seeded hash-projection embedding, pure SQL.
+
+    Component i = (first-15-hex-digits of md5(seed|i|text) scaled to
+    [-1, 1]). Deterministic across engines and runs; cheap enough to
+    run at 100 TB (k md5 calls per row, all codegen'd).
+    """
+    comps = [
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|{i}|"), col)), 1, 15), 16, 10)
+            .cast("double")
+            / F.lit(float(16**15 - 1))
+            * F.lit(2.0)
+            - F.lit(1.0)
+        ).cast("float")
+        for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
+# ------------------------------------------------------- pandas-UDF path
+
+_MODEL = None  # per-executor singleton
+
+
+def _load_model():
+    global _MODEL
+    if _MODEL is None:
+        try:  # real model if the env has it (not in this container)
+            from sentence_transformers import SentenceTransformer
+
+            _MODEL = SentenceTransformer("nomic-ai/nomic-embed-text-v1")
+        except Exception:
+            _MODEL = "fallback"
+    return _MODEL
+
+
+def _fallback_embed(texts: pd.Series, dim: int) -> np.ndarray:
+    """Vectorized deterministic fallback (numpy, per Arrow batch)."""
+    import hashlib
+
+    out = np.empty((len(texts), dim), dtype=np.float32)
+    for r, t in enumerate(texts):
+        h = hashlib.md5((t or "").encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        out[r] = rng.uniform(-1, 1, dim).astype(np.float32)
+    return out
+
+
+def make_embed_udf(dim: int = DEFAULT_DIM):
+    """T6: Arrow-batched embedding UDF (iterator form → model loads
+    once per executor-python-worker, amortized across all batches)."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _load_model()
+        for texts in batches:
+            if model == "fallback":
+                mat = _fallback_embed(texts, dim)
+            else:
+                mat = model.encode(list(texts.fillna("")), batch_size=256)
+            yield pd.Series(list(mat))
+
+    return embed
+
+
+def embed_documents(df: DataFrame, text_col: str, dim: int = DEFAULT_DIM,
+                    deterministic: bool = True) -> DataFrame:
+    """Attach an ``embedding ARRAY<FLOAT>`` column.
+
+    ``deterministic=True`` (default, test path) uses the pure-SQL
+    projection; ``False`` routes through the pandas UDF (real model if
+    available, vectorized fallback otherwise).
+    """
+    if deterministic:
+        return df.withColumn("embedding", embed_deterministic(F.col(text_col), dim))
+    return df.withColumn("embedding", make_embed_udf(dim)(F.col(text_col)))

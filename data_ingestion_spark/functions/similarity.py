@@ -1,0 +1,121 @@
+"""Similarity search: brute-force cosine top-k + bucketed scale paths.
+
+The reference's query side is Weaviate ``near_vector`` + ``limit``
+(ingestion-pipeline-website-local.py:167-176, k=5 at 174). Spark-first
+re-expression (SURVEY.md §3.3): score every row with a higher-order
+cosine expression, then ``orderBy(desc).limit(k)`` which Catalyst
+plans as TakeOrderedAndProject — no global sort, no collect.
+
+Scale paths beyond ~10^7 vectors:
+- ``sign_bucket``: random-hyperplane-style LSH using the vector's own
+  leading-component signs (deterministic, engine-portable); candidates
+  restricted to the query's bucket before exact re-rank.
+- ``ivf_search``: IVF — vectors pre-assigned to coarse cells
+  (`cell_col`); probe only the query's cell. With a real k-means
+  assignment this is textbook IVF-Flat; the synthetic table's
+  ``label`` column stands in for the assignment here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity over two ARRAY<FLOAT/DOUBLE> columns, all
+    JVM-side higher-order functions: zip_with for the products,
+    aggregate with a DOUBLE accumulator (explicit cast so the
+    summation is float64 regardless of input width)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """T8/O2: exact top-k by cosine.
+
+    Score rounded to 6dp before ranking (float-order stability,
+    SURVEY.md §7.3); ties broken by id for full determinism.
+    """
+    scored = vectors.withColumn("score", F.round(cosine(F.col(vec_col), query_vec), 6))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 3) -> Column:
+    """LSH bucket id from the signs of the first ``bits`` components
+    (deterministic stand-in for random-hyperplane projections —
+    equivalent up to a fixed rotation for already-random embeddings)."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query_vec: Column,
+    k: int = 5,
+    bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: filter to the query's sign-bucket, then exact
+    re-rank. At scale the bucket filter is a partition-prunable
+    predicate (store bucketed by ``bucket``), so the scan itself
+    shrinks by ~2^bits."""
+    qb = sign_bucket(query_vec, bits)
+    cand = vectors.filter(sign_bucket(F.col(vec_col), bits) == qb)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_search(
+    vectors: DataFrame,
+    query_vec: Column,
+    query_cell: Column,
+    cell_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: restrict to the query's coarse cell, exact re-rank."""
+    cand = vectors.filter(F.col(cell_col) == query_cell)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def pairwise_near_dup(
+    vectors: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked.
+
+    Self-join restricted to ``block_col`` equality (an LSH bucket or
+    IVF cell in production) — the equi key keeps this a hash join;
+    the unblocked quadratic cross join is never planned.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    pairs = a.join(b, on="blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    return scored.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")

@@ -1,0 +1,191 @@
+"""Text operators: chunking, markdown splitting, analysis, fingerprints.
+
+Re-expresses the reference's text pipeline (SURVEY.md §2.9) in native
+Spark SQL expressions — no Python UDFs anywhere on these paths, so the
+whole stage stays inside whole-stage codegen and scales linearly:
+
+- T4 fixed-stride chunking (the reference uses
+  ``RecursiveCharacterTextSplitter(chunk_size=2048, chunk_overlap=256)``,
+  ingestion-pipeline.py:226-231): ``explode(sequence) + substring``.
+  The recursive separator-aware variant is semantically fuzzier; the
+  fixed-stride contract (every chunk ≤ size; consecutive chunks share
+  exactly ``overlap`` chars except at the tail) is declared and tested.
+- T3 markdown header split (``MarkdownHeaderTextSplitter``,
+  ingestion-pipeline.py:204-216): regex split on line-anchored
+  ``#{1,3}`` headings.
+- X1 content header prepend ("Section: … / …\\n\\nContent:\\n…",
+  ingestion-pipeline.py:234-240).
+- Text analysis extensions (language-ID, quality score, token count,
+  rolling fingerprint) mandated by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Reference constants (ingestion-pipeline.py:226-227)
+CHUNK_SIZE = 2048
+CHUNK_OVERLAP = 256
+
+
+def chunk_fixed_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """T4: fixed-stride chunking with overlap, pure SQL.
+
+    stride = size - overlap; chunk i covers [i*stride, i*stride+size).
+    n_chunks = max(1, ceil((len - overlap) / stride)) so the final
+    chunk is the only one shorter than ``size`` and no chunk starts
+    past the text. Explode of a tiny int sequence → substring: stays
+    in codegen, ~zero cost vs. the scan itself.
+    """
+    stride = size - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)),
+    ).cast("int")
+    return (
+        df.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n - F.lit(1))))
+        .withColumn("chunk_start", F.col("chunk_idx") * stride)
+        .withColumn(
+            "chunk_text",
+            F.substring(F.col(text_col), F.col("chunk_start") + F.lit(1), F.lit(size)),
+        )
+        .select(*id_cols, "chunk_idx", "chunk_start", "chunk_text")
+    )
+
+
+def split_markdown_headers(df: DataFrame, md_col: str, max_level: int = 3) -> DataFrame:
+    """T3: split markdown into header-delimited sections.
+
+    Regex split on line-anchored ATX headings up to ``max_level``
+    (the reference splits on #/##/### — ingestion-pipeline.py:205-209;
+    the website variant adds ####, website-ingestion-pipeline.py:147-152).
+    Returns ``sections ARRAY<STRING>`` + ``n_sections``; callers
+    explode and enrich as needed.
+    """
+    pat = rf"(?m)^#{{1,{max_level}}} "
+    sections = F.split(F.col(md_col), pat)
+    # a leading heading yields an empty first element — drop empties
+    sections = F.filter(sections, lambda s: F.length(F.trim(s)) > 0)
+    return df.withColumn("sections", sections).withColumn("n_sections", F.size("sections"))
+
+
+def content_header(title: Column, h1: Column, h2: Column, body: Column) -> Column:
+    """X1: the reference's chunk content header
+    (ingestion-pipeline.py:234-240): 'Section: {title} / {h1} / {h2}'
+    + blank line + 'Content:' + body."""
+    return F.concat(
+        F.lit("Section: "), title, F.lit(" / "), h1, F.lit(" / "), h2,
+        F.lit("\n\nContent:\n"), body,
+    )
+
+
+def normalize_index_name(col: Column) -> Column:
+    """X2/X3: index-name derivation — ``{product}_{language}_{version}``
+    with '-'/'.' → '_' (ingestion-pipeline.py:271) then lowercased for
+    the Elasticsearch sink (ingestion-pipeline-elastic.py:349)."""
+    return F.lower(F.translate(col, "-.", "__"))
+
+
+# ---------------------------------------------------------------- text analysis
+
+#: tiny per-language marker vocabularies for the n-gram/stopword
+#: heuristic language-ID (extension mandated by the north star; the
+#: reference pins language per product instead, ingestion-pipeline.py:18-38).
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "das"],
+}
+
+
+def _marker_score(text: Column, words: list[str]) -> Column:
+    score = F.lit(0)
+    for w in words:
+        score = score + F.regexp_count(text, F.lit(rf"\b{w}\b"))
+    return score
+
+
+def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID: stopword-marker votes per language, argmax wins.
+
+    Deterministic, pure-SQL (regexp_count is codegen'd JVM-side).
+    Ties broken by fixed language order en > es > de.
+    """
+    t = F.col(text_col)
+    scored = df.withColumn("score_en", _marker_score(t, LANG_MARKERS["en"]))
+    scored = scored.withColumn("score_es", _marker_score(t, LANG_MARKERS["es"]))
+    scored = scored.withColumn("score_de", _marker_score(t, LANG_MARKERS["de"]))
+    best = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es")) & (F.col("score_en") >= F.col("score_de")),
+            F.lit("en"),
+        )
+        .when(F.col("score_es") >= F.col("score_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.withColumn("predicted_lang", best)
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios.
+
+    Score = clipped blend of word count, mean word length sanity and
+    stopword presence — the standard cheap pre-filter for LLM corpus
+    construction. Rounded to 6dp for engine-stable comparison.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(t, " "))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_stop = F.regexp_count(t, F.lit(r"\b(the|a|of|and|to|in)\b"))
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))) * F.lit(0.1),
+        6,
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+#: BPE-ish pre-tokenization pattern: letter runs, digit runs, or a
+#: single non-space symbol — the standard GPT-2-style split classes
+#: minus unicode categories (kept regex-portable across engines).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column) -> Column:
+    """Token counting: whitespace words are ``size(split(...))``;
+    this is the BPE-ish regex count (JVM regexp_count, vectorized)."""
+    return F.regexp_count(col, F.lit(TOKEN_PATTERN))
+
+
+def fingerprint_rolling(col: Column, k: int = 8, step: int = 4) -> Column:
+    """Document fingerprint: min-of-k-gram-hashes (winnowing-style).
+
+    Hashes every ``step``-th ``k``-char gram with md5 and keeps the
+    lexicographic minimum — a deterministic content fingerprint robust
+    to small shifts, expressible identically in any SQL engine (md5 is
+    bit-exact everywhere, unlike xxhash64 whose seeds differ).
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(col) - F.lit(k - 1), F.lit(1)), F.lit(step)
+    )
+    grams = F.transform(starts, lambda i: F.md5(F.substring(col, i, F.lit(k))))
+    return F.array_min(grams)
+
+
+def with_fingerprint(df: DataFrame, text_col: str, k: int = 8, step: int = 4) -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_rolling(F.col(text_col), k, step))

@@ -1,0 +1,82 @@
+"""The flagship ingestion plan: the reference's whole pipeline as ONE
+lazy DataFrame program.
+
+Reference lifecycle (SURVEY.md §3.1): KFP stages
+load_documents → format_documents (fetch → clean → md-split →
+char-split → enrich) → ingest_documents (embed → vector-store upsert),
+with JSON artifacts between pods (ingestion-pipeline.py:280-309).
+
+Spark-first equivalent: no materialization barriers at all —
+documents → chunk (explode+substring, codegen) → broadcast dim enrich
+→ deterministic embed → partitioned write. Catalyst prunes columns
+into the scan; the only shuffle is the optional final
+``repartition(index_name)`` for the partitioned sink (S7 stand-in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.embedding import embed_deterministic
+from ..functions.textops import chunk_fixed_overlap, normalize_index_name, token_count
+from ..sources.catalog import lang_dim, load_table
+
+
+def ingestion_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    embed_dim: int = 8,
+) -> DataFrame:
+    """documents → chunks → enriched → embedded (lazy, end-to-end).
+
+    Chunk params default small because the synthetic docs are ≤ ~600
+    chars; the reference's production constants are 2048/256
+    (ingestion-pipeline.py:226-227).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_fixed_overlap(
+        docs.select("doc_id", "lang", "source", "text"),
+        text_col="text",
+        id_cols=("doc_id", "lang", "source"),
+        size=chunk_size,
+        overlap=overlap,
+    )
+    enriched = (
+        chunks.join(F.broadcast(lang_dim(spark)), on="lang", how="left")
+        .withColumn(
+            "index_name",
+            normalize_index_name(F.concat_ws("_", F.col("source"), F.col("lang"))),
+        )
+        .withColumn("n_tokens", token_count(F.col("chunk_text")))
+    )
+    return enriched.withColumn("embedding", embed_deterministic(F.col("chunk_text"), embed_dim))
+
+
+def write_vector_store(df: DataFrame, path: str) -> None:
+    """S7/S8 stand-in sink: the vector store as an index_name-
+    partitioned parquet table (the reference's Weaviate/ES upsert,
+    ingestion-pipeline.py:341-349; partitioning ≈ its per-collection
+    batching). ``repartition`` first so each partition writes one file
+    set — at scale this is the single shuffle of the pipeline."""
+    df.repartition("index_name").write.mode("overwrite").partitionBy("index_name").parquet(path)
+
+
+def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The ingestion report: chunks + token mass per collection.
+
+    scan → explode-chunk → broadcast-enrich → hash agg, exercising the
+    minimum end-to-end slice (SURVEY.md §7.1) plus the embed stage.
+    """
+    enriched = ingestion_pipeline(spark, sf_dir)
+    return (
+        enriched.groupBy("index_name", "language_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg(F.length("chunk_text")), 2).alias("avg_chunk_chars"),
+            F.round(F.sum("n_tokens").cast("double"), 2).alias("total_tokens"),
+            F.round(F.avg(F.element_at("embedding", 1)), 6).alias("emb_dim1_mean"),
+        )
+        .orderBy("index_name")
+    )

@@ -1,0 +1,752 @@
+"""Driver-checkable query registry: Spark query + DuckDB oracle pairs.
+
+Every operator from SURVEY.md §2 is registered here twice: once as a
+Spark DataFrame program (``SPARK_QUERIES[name]``, signature
+``(spark, sf_dir) -> DataFrame``) and once as the equivalent ANSI SQL
+string DuckDB runs on the same parquet tables (``ORACLE_SQL[name]``).
+The correctness driver compares row-count + schema + order-insensitive
+value-hash, so every computed column is:
+
+- aliased identically on both sides,
+- cast so Spark/DuckDB dtypes agree (DuckDB count()/len() are BIGINT,
+  Spark row_number/size are INT, etc.),
+- rounded (floats) or decimal-exact so value hashing is stable across
+  engines (float summation order differs; SURVEY.md §7.3).
+
+Queries marked in ``ROWS_ONLY`` have no SQL-expressible oracle
+(streaming/state, nondeterministic sources); the driver records the
+weaker rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions import dedup as DD
+from .functions import similarity as SIM
+from .functions import textops as T
+from .operators import relational as R
+from .sources.catalog import LANG_ROWS, PRODUCT_ROWS, lang_dim, load_table, product_dim
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+ROWS_ONLY: set[str] = set()
+
+
+def q(name: str, oracle: str | None = None):
+    """Register a Spark query, optionally with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is None:
+            ROWS_ONLY.add(name)
+        else:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# §2.1 scans / sources / catalogs
+# =====================================================================
+
+@q(
+    "scan_parquet",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def scan_parquet(spark, sf_dir):
+    """S5/S6: parquet scan with column pruning — only 4 of 5 columns
+    reach the scan (check ReadSchema in .explain)."""
+    return _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+_PRODUCT_VALUES = ", ".join(f"('{p}', '{f}', '{v}', '{L}')" for p, f, v, L in PRODUCT_ROWS)
+
+
+@q(
+    "scan_dim_inline",
+    "SELECT * FROM (VALUES "
+    + _PRODUCT_VALUES
+    + ") AS t(product, product_full_name, version, language)",
+)
+def scan_dim_inline(spark, sf_dir):
+    """S1: the reference's inline 4-row product catalog
+    (ingestion-pipeline.py:18-38) as a createDataFrame dim."""
+    return product_dim(spark)
+
+
+@q("distinct_collections", "SELECT DISTINCT lang AS collection FROM documents")
+def distinct_collections(spark, sf_dir):
+    """S11: collection listing = distinct partition keys
+    (ingestion-pipeline-website-local.py:74-92)."""
+    return _t(spark, sf_dir, "documents").select(F.col("lang").alias("collection")).distinct()
+
+
+# =====================================================================
+# §2.2 filters / projections
+# =====================================================================
+
+@q("filter_prefix", "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'")
+def filter_prefix(spark, sf_dir):
+    """F1: prefix predicate (url startswith, ingestion-pipeline.py:186)
+    — pushed to the parquet scan as StringStartsWith."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@q("filter_contains", "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%'")
+def filter_contains(spark, sf_dir):
+    """F2: contains predicate ('/html/' in link, ingestion-pipeline.py:187)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@q(
+    "project_replace",
+    "SELECT doc_id, replace(source, 'src', 'website_') AS source_norm FROM documents",
+)
+def project_replace(spark, sf_dir):
+    """F3: projection with rewrite (link.replace('/html/','/html-single/'),
+    ingestion-pipeline.py:188)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("source"), F.lit("src"), F.lit("website_")).alias("source_norm"),
+    )
+
+
+@q(
+    "filter_nonempty",
+    "SELECT doc_id, n_chars FROM documents WHERE text IS NOT NULL AND length(text) > 0",
+)
+def filter_nonempty(spark, sf_dir):
+    """F4: null/empty guard (website-ingestion-pipeline.py:42-44, 216-218)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        "doc_id", "n_chars"
+    )
+
+
+# =====================================================================
+# §2.8 scalar functions
+# =====================================================================
+
+@q(
+    "string_concat_header",
+    "SELECT doc_id, 'Section: ' || source || ' / ' || lang || chr(10) || chr(10) || "
+    "'Content:' || chr(10) || substr(text, 1, 64) AS content_out FROM documents",
+)
+def string_concat_header(spark, sf_dir):
+    """X1: the chunk content header (ingestion-pipeline.py:234-240)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Section: "),
+            F.col("source"),
+            F.lit(" / "),
+            F.col("lang"),
+            F.lit("\n\nContent:\n"),
+            F.substring("text", 1, 64),
+        ).alias("content_out"),
+    )
+
+
+@q(
+    "index_name_norm",
+    "SELECT doc_id, lower(translate(source || '_' || lang || '_' || 'v1.2', '-.', '__')) "
+    "AS index_name FROM documents",
+)
+def index_name_norm(spark, sf_dir):
+    """X2/X3: index-name derivation + ES lowercasing
+    (ingestion-pipeline.py:271, ingestion-pipeline-elastic.py:349)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.normalize_index_name(
+            F.concat_ws("_", F.col("source"), F.col("lang"), F.lit("v1.2"))
+        ).alias("index_name"),
+    )
+
+
+@q(
+    "map_concat_meta",
+    "SELECT doc_id, source AS meta_source, 'untitled' AS meta_title FROM documents",
+)
+def map_concat_meta(spark, sf_dir):
+    """X6: open-metadata dict merge + get-with-default
+    (``split.metadata |= doc.metadata``, ingestion-pipeline.py:218;
+    ``metadata.get('Header1','')``, website-ingestion-pipeline.py:163).
+    The oracle states the net scalar effect (DuckDB map syntax differs;
+    SURVEY.md §7.3)."""
+    d = _t(spark, sf_dir, "documents")
+    merged = F.map_concat(
+        F.create_map(F.lit("lang"), F.col("lang")),
+        F.create_map(F.lit("source"), F.col("source")),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(merged, "source").alias("meta_source"),
+        F.coalesce(F.element_at(merged, "title"), F.lit("untitled")).alias("meta_title"),
+    )
+
+
+@q(
+    "json_roundtrip",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "to_json(struct_pack(event_type := event_type)) AS j FROM events",
+)
+def json_roundtrip(spark, sf_dir):
+    """X7: JSON decode (artifact read, ingestion-pipeline.py:305-309)
+    and encode (artifact write, ingestion-pipeline.py:280-282)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.to_json(F.struct(F.col("event_type"))).alias("j"),
+    )
+
+
+@q(
+    "text_stats",
+    "SELECT doc_id, n_chars, CAST(length(text) AS INTEGER) AS c_len, "
+    "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words, "
+    f"CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS INTEGER) AS n_tokens "
+    "FROM documents",
+)
+def text_stats(spark, sf_dir):
+    """X8 + token-counting extension: char/word/BPE-ish token counts,
+    all JVM-side (length/split/regexp_count stay in codegen)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").alias("c_len"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        T.token_count(F.col("text")).cast("int").alias("n_tokens"),
+    )
+
+
+@q(
+    "array_explode_transform",
+    "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents) t "
+    "WHERE length(word) > 3 GROUP BY word",
+)
+def array_explode_transform(spark, sf_dir):
+    """X9: array build/explode (links list, ingestion-pipeline.py:183-190)
+    as the classic word-count: explode → filter → hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q(
+    "date_math_funcs",
+    "SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od, "
+    "date_trunc('month', o_orderdate) AS om, "
+    "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, "
+    "strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS od_plus3m "
+    "FROM orders",
+)
+def date_math_funcs(spark, sf_dir):
+    """X10: date arithmetic (absent in the reference; needed for the
+    testdata star schema)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("od"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_format(F.add_months(F.to_date("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "od_plus3m"
+        ),
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+@q(
+    "join_broadcast_enrich",
+    "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+)
+def join_broadcast_enrich(spark, sf_dir):
+    """J1: broadcast dim enrichment — the reference's product-metadata
+    denormalization (ingestion-pipeline.py:217-222) as an explicit
+    broadcast hash join (no shuffle of the fact side)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@q(
+    "join_inner_equi",
+    "SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+)
+def join_inner_equi(spark, sf_dir):
+    """J2: star-schema equi join chain + agg (Catalyst picks BHJ for
+    the dims, reorders freely)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@q(
+    "join_left_outer",
+    "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders FROM customer "
+    "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey",
+)
+def join_left_outer(spark, sf_dir):
+    """J3: left outer + count of non-null right keys (customers with
+    zero orders kept, n_orders = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "join_semi",
+    "SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_semi(spark, sf_dir):
+    """J4 semi: 'already ingested' check (skip-if-exists,
+    website-ingestion-pipeline.py:116-118) as LeftSemi."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey")
+
+
+@q(
+    "join_anti",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_anti(spark, sf_dir):
+    """J4 anti: 'not yet ingested' incremental-load diff."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey")
+
+
+@q(
+    "join_cross_theta",
+    "SELECT r_name, CAST(count(*) AS BIGINT) AS n FROM region CROSS JOIN nation "
+    "WHERE r_regionkey < n_regionkey GROUP BY r_name",
+)
+def join_cross_theta(spark, sf_dir):
+    """J5: cross join + theta filter (tiny dims only; the engine's
+    brute-force-similarity fallback uses the same shape)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("r_regionkey") < F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "join_range",
+    "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks FROM events p "
+    "LEFT JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' "
+    "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts "
+    "WHERE p.event_type = 'purchase' GROUP BY p.event_id",
+)
+def join_range(spark, sf_dir):
+    """J6 range: clicks within 1h before each purchase, same user.
+
+    The user_id equality is the hash-join key; the time range is a
+    join filter — never a nested loop (see operators.relational
+    .range_join_bounded for the scale rationale)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(F.count(F.col("c.event_id")).alias("n_clicks"))
+    )
+
+
+@q(
+    "join_asof",
+    "SELECT p.event_id, p.user_id, "
+    "(SELECT max(c.ts) FROM events c WHERE c.user_id = p.user_id "
+    "AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts "
+    "FROM events p WHERE p.event_type = 'purchase'",
+)
+def join_asof(spark, sf_dir):
+    """J6 as-of: most recent click at/before each purchase — the
+    union+window sort-merge (one shuffle on user_id), vs the oracle's
+    correlated subquery."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = R.asof_join(p, c, key="user_id", left_ts="ts", right_ts="ts",
+                      carry={"last_click_ts": "ts"})
+    return out.select("event_id", "user_id", "last_click_ts")
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+@q("groupby_count", "SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang")
+def groupby_count(spark, sf_dir):
+    """A1: count per collection — partial+final hash agg vs the
+    reference's fetch-all-then-len (ingestion-pipeline-website-local.py:94-118)."""
+    return R.group_count(_t(spark, sf_dir, "documents"), "lang")
+
+
+@q("agg_global_count", "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem")
+def agg_global_count(spark, sf_dir):
+    """A2: global count (len(pages)/len(all_splits), ingestion-pipeline.py:250,259)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@q(
+    "agg_collect_list",
+    "SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' "
+    "ORDER BY CAST(doc_id AS VARCHAR)) AS members FROM documents GROUP BY lang",
+)
+def agg_collect_list(spark, sf_dir):
+    """A3: per-group collect (DocumentSplit grouping,
+    ingestion-pipeline.py:255-278), emitted as sorted CSV for
+    engine-stable comparison."""
+    return R.collect_sorted_csv(_t(spark, sf_dir, "documents"), "lang", "doc_id")
+
+
+@q(
+    "agg_numeric_stats",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 6) AS avg_qty, "
+    "round(avg(l_extendedprice), 6) AS avg_price, "
+    "round(min(l_extendedprice), 2) AS min_price, "
+    "round(max(l_extendedprice), 2) AS max_price, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def agg_numeric_stats(spark, sf_dir):
+    """A4: TPC-H Q1-shaped numeric aggregate battery. Floats rounded
+    post-agg (summation-order stability across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "agg_count_distinct",
+    "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps FROM lineitem",
+)
+def agg_count_distinct(spark, sf_dir):
+    """A5: exact distinct counts (dedup cardinality reporting). The
+    approximate HLL twin is ``agg_approx_distinct`` (rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@q("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """A5 approx: HLL++ sketch — cross-engine sketch values differ by
+    construction, so this is rows-only checked."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+
+
+@q(
+    "agg_rollup",
+    "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+)
+def agg_rollup(spark, sf_dir):
+    """A6: rollup across report dimensions."""
+    return R.rollup_count(_t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@q(
+    "delete_partition_filter",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents "
+    "WHERE lang <> 'de' GROUP BY lang",
+)
+def delete_partition_filter(spark, sf_dir):
+    """S10/A7: collection delete expressed as anti-filter + overwrite
+    (delete_index, ingestion-pipeline-website-local.py:119-136); with a
+    lang-partitioned table this is partition pruning, not a scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("lang") != "de").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# =====================================================================
+# §2.5 windows / §2.6 sorts / §2.7 set ops
+# =====================================================================
+
+@q(
+    "window_row_number",
+    "SELECT l_orderkey, l_linenumber, CAST(row_number() OVER "
+    "(PARTITION BY l_orderkey ORDER BY l_linenumber) AS INTEGER) AS rn FROM lineitem",
+)
+def window_row_number(spark, sf_dir):
+    """W1: ordinal within partition (chunk ordinal within doc)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return R.row_number_in(li, "l_orderkey", ["l_linenumber"])
+
+
+@q(
+    "window_lag_frame",
+    "SELECT l_orderkey, l_linenumber, "
+    "lag(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS prev_qty, "
+    "round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll_qty FROM lineitem",
+)
+def window_lag_frame(spark, sf_dir):
+    """W3: lag + bounded frame rolling sum.
+
+    (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    l_quantity joins the ordering: remaining ties are then identical in
+    every referenced column, making the window outputs order-invariant.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.round(F.sum("l_quantity").over(w.rowsBetween(-2, 0)), 2).alias("roll_qty"),
+    )
+
+
+@q(
+    "top_n_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def top_n_limit(spark, sf_dir):
+    """O1/O2: top-n with total ordering → TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    return R.top_n(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@q(
+    "sort_global",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100",
+)
+def sort_global(spark, sf_dir):
+    """O3: global sort (range-partitioned) + unique-tiebreak limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@q(
+    "union_all",
+    "SELECT p_partkey, p_name FROM part WHERE p_type = 'ECONOMY' "
+    "UNION ALL SELECT p_partkey, p_name FROM part WHERE p_brand = 'Brand#5'",
+)
+def union_all(spark, sf_dir):
+    """U1: append across sources (all_splits.extend, ingestion-pipeline.py:255-258)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_type") == "ECONOMY").select("p_partkey", "p_name")
+    b = p.filter(F.col("p_brand") == "Brand#5").select("p_partkey", "p_name")
+    return a.unionByName(b)
+
+
+@q(
+    "set_except",
+    "SELECT DISTINCT c_custkey FROM customer EXCEPT SELECT DISTINCT o_custkey FROM orders",
+)
+def set_except(spark, sf_dir):
+    """U2: except — the re-ingestion diff (what's stored but no longer
+    ordered); Spark ``subtract`` = EXCEPT DISTINCT."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.subtract(o)
+
+
+# =====================================================================
+# §2.9/§2.10 text, chunking, sessionization
+# =====================================================================
+
+@q(
+    "chunk_fixed_overlap",
+    "WITH n AS (SELECT doc_id, text, CAST(greatest(1, ceil((length(text) - 32) / 96.0)) "
+    "AS INTEGER) AS nc FROM documents) "
+    "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, CAST(i * 96 AS INTEGER) AS chunk_start, "
+    "substr(text, CAST(i * 96 + 1 AS INTEGER), 128) AS chunk_text "
+    "FROM n, unnest(generate_series(0, nc - 1)) AS t(i)",
+)
+def chunk_fixed_overlap(spark, sf_dir):
+    """T4: fixed-stride chunking (reference: size 2048 / overlap 256,
+    ingestion-pipeline.py:226-231; scaled to 128/32 here because the
+    synthetic docs are ≤ ~600 chars — same semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    out = T.chunk_fixed_overlap(d, text_col="text", id_cols=("doc_id",), size=128, overlap=32)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        "chunk_text",
+    )
+
+
+_MD_PAT = r"(?m)^#{1,3} "
+
+
+@q(
+    "split_markdown_headers",
+    "WITH md AS (SELECT doc_id, '# Title ' || source || chr(10) || substr(text, 1, 100) || "
+    "chr(10) || '## Sub A' || chr(10) || substr(text, 101, 100) || chr(10) || "
+    "'### Sub B' || chr(10) || substr(text, 201, 100) AS md_text FROM documents), "
+    f"s AS (SELECT doc_id, list_filter(string_split_regex(md_text, '{_MD_PAT}'), "
+    "x -> length(trim(x)) > 0) AS sections FROM md) "
+    "SELECT doc_id, CAST(len(sections) AS INTEGER) AS n_sections, "
+    "sections[1] AS first_section FROM s",
+)
+def split_markdown_headers(spark, sf_dir):
+    """T3: markdown header splitting (MarkdownHeaderTextSplitter on
+    #/##/###, ingestion-pipeline.py:204-216). The synthetic docs carry
+    no headers, so a markdown doc is assembled from each row first —
+    the split operator itself is the thing under test."""
+    d = _t(spark, sf_dir, "documents")
+    md = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("# Title "), F.col("source"), F.lit("\n"),
+            F.substring("text", 1, 100), F.lit("\n"),
+            F.lit("## Sub A"), F.lit("\n"),
+            F.substring("text", 101, 100), F.lit("\n"),
+            F.lit("### Sub B"), F.lit("\n"),
+            F.substring("text", 201, 100),
+        ).alias("md_text"),
+    )
+    out = T.split_markdown_headers(md, "md_text", max_level=3)
+    return out.select(
+        "doc_id",
+        F.col("n_sections").cast("int").alias("n_sections"),
+        F.element_at("sections", 1).alias("first_section"),
+    )
+
+
+_LANG_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in LANG_ROWS)
+
+
+@q(
+    "metadata_enrich",
+    "SELECT d.doc_id, d.lang, m.language_name FROM documents d JOIN (VALUES "
+    + _LANG_VALUES
+    + ") AS m(lang, language_name) ON d.lang = m.lang",
+)
+def metadata_enrich(spark, sf_dir):
+    """T5/J1: constant + dim metadata onto every row
+    (ingestion-pipeline.py:217-222) — broadcast join, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return R.broadcast_enrich(d, lang_dim(spark), on="lang").select(
+        "doc_id", "lang", "language_name"
+    )
+
+
+@q(
+    "sessionize_batch",
+    "SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions FROM ("
+    "SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+    "SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 "
+    "THEN 1 ELSE 0 END AS is_new FROM events) t1) t2 GROUP BY user_id",
+)
+def sessionize_batch(spark, sf_dir):
+    """ST4 batch twin: session count per user via gap detection
+    (30-min gap); the streaming twin is F.session_window."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = R.sessionize(e, key="user_id", ts="ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(F.max("session_id").cast("bigint").alias("n_sessions"))
+
+
+@q(
+    "window_tumbling_batch",
+    "SELECT date_trunc('hour', ts) AS hour_ts, event_type, "
+    "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def window_tumbling_batch(spark, sf_dir):
+    """ST2 batch twin: tumbling 1h window agg via date_trunc (the
+    streaming twin uses F.window + watermark, streaming/pipeline.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -1,0 +1,332 @@
+"""Vector / dedup / text-analysis query registrations.
+
+Continues the registry in ``queries.py`` with the similarity-search,
+deduplication, text-analysis and multimodal operators — the reference's
+query side (ingestion-pipeline-website-local.py) plus the north-star
+LLM-pipeline extensions. Oracle parity notes:
+
+- md5 is the cross-engine hash everywhere (bit-identical in Spark and
+  DuckDB; xxhash64 seeds differ between engines).
+- cosine scores: both sides accumulate in float64 (Spark: explicit
+  double cast in the higher-order aggregate; DuckDB: vectors cast to
+  DOUBLE[] before list_cosine_similarity), rounded to 6dp pre-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .functions import dedup as DD
+from .functions import multimodal as MM
+from .functions import similarity as SIM
+from .functions import textops as T
+from .queries import _t, q
+
+# =====================================================================
+# similarity search (T8 / O2; reference query side Q:143-176)
+# =====================================================================
+
+_COS = (
+    "round(list_cosine_similarity("
+    "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6)"
+)
+
+
+@q(
+    "similarity_topk",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    f"SELECT e.vec_id, {_COS} AS score FROM embeddings e, q WHERE e.vec_id <> 0 "
+    "ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def similarity_topk(spark, sf_dir):
+    """T8: brute-force cosine top-k (k=5, the reference's
+    ``with_near_vector(...).with_limit(5)``,
+    ingestion-pipeline-website-local.py:167-176). Plans as
+    TakeOrderedAndProject — no global sort, no collect."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    return SIM.brute_force_topk(cand, F.col("qv"), k=5)
+
+
+@q(
+    "similarity_topk_lsh",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "bq AS (SELECT (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END) AS b, qv FROM q) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(bq.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings e, bq WHERE e.vec_id <> 0 AND "
+    "(CASE WHEN e.embedding[1] >= 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN e.embedding[2] >= 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN e.embedding[3] >= 0 THEN 4 ELSE 0 END) = bq.b "
+    "ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def similarity_topk_lsh(spark, sf_dir):
+    """T8 scale path: sign-bucket LSH prefilter (2^3 buckets here) +
+    exact re-rank — at 100 TB the bucket is a partition-prunable
+    storage key, shrinking the scan ~8x per probe."""
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    cand = cand.filter(
+        SIM.sign_bucket(F.col("embedding"), 3) == SIM.sign_bucket(F.col("qv"), 3)
+    )
+    return SIM.brute_force_topk(cand, F.col("qv"), k=5)
+
+
+@q(
+    "ann_ivf_search",
+    "WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0) "
+    f"SELECT e.vec_id, {_COS} AS score FROM embeddings e, q "
+    "WHERE e.vec_id <> 0 AND e.label = q.ql ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_ivf_search(spark, sf_dir):
+    """T8 scale path: IVF probe — coarse cell assignment (the synthetic
+    ``label`` stands in for a k-means centroid id), search only the
+    query's cell, exact re-rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("label").alias("ql")
+    )
+    cand = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    return SIM.ivf_search(cand, F.col("qv"), F.col("ql"), cell_col="label", k=5)
+
+
+@q(
+    "embed_near_dup",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.8",
+)
+def embed_near_dup(spark, sf_dir):
+    """T10: embedding-cosine near-duplicate pairs, blocked by the
+    coarse cell (label) so the join is equi-keyed, never quadratic."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.pairwise_near_dup(e, block_col="label", threshold=0.8)
+
+
+@q(
+    "rag_context_assemble",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    f"topk AS (SELECT e.vec_id, {_COS} AS score FROM embeddings e, q "
+    "WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id LIMIT 5) "
+    "SELECT 'Context:' || chr(10) || string_agg(CAST(vec_id AS VARCHAR), chr(10) "
+    "ORDER BY score DESC, vec_id) AS context FROM topk",
+)
+def rag_context_assemble(spark, sf_dir):
+    """T9: RAG context assembly — top-5 retrieve then ordered concat
+    (ingestion-pipeline-website-local.py:192-198); the LLM call itself
+    is an external service, out of correctness scope."""
+    topk = similarity_topk(spark, sf_dir)
+    ordered = topk.select(
+        F.struct((-F.col("score")).alias("neg"), F.col("vec_id").alias("vec_id")).alias("s")
+    )
+    return ordered.agg(
+        F.concat(
+            F.lit("Context:\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s.vec_id.cast("string")
+                ),
+                "\n",
+            ),
+        ).alias("context")
+    )
+
+
+# =====================================================================
+# deduplication (T10; north-star mandate)
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    "SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+    "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY fp",
+)
+def dedup_exact(spark, sf_dir):
+    """T10 exact: md5 fingerprint → groupBy; one shuffle on the hash
+    (X11; ``dropDuplicates`` is sugar over the same plan)."""
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _duck_shingles(text: str = "text") -> str:
+    """DuckDB expression for distinct word 3-shingles of ``text``."""
+    w = f"string_split({text}, ' ')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2, 1)), "
+        f"i -> array_to_string(list_slice({w}, i, i + 2), ' ')))"
+    )
+
+
+def _minhash_oracle() -> str:
+    mh = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> md5('mh|" + str(i) + "|' || s)), 'min')"
+        f" AS mh_{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id AS id, {_duck_shingles()} AS shingles FROM documents), "
+        f"sigs AS (SELECT id, {mh} FROM sh), bands AS ({bands}) "
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band AS band FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id"
+    )
+
+
+@q("dedup_minhash", _minhash_oracle())
+def dedup_minhash(spark, sf_dir):
+    """T10 near-dup: MinHash (8 hashes, md5-seeded) + banded LSH
+    (4 bands × 2) candidate pairs — candidate join is equi on the band
+    hash, cost Σ bucket², never n²."""
+    return DD.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3, num_hashes=8,
+        band_size=2,
+    )
+
+
+def _simhash_oracle() -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5('sh' || word), {j + 1}, 1) IN {hexhi} "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = ", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), "
+        f"v AS (SELECT doc_id, {votes} FROM w GROUP BY doc_id) "
+        f"SELECT doc_id, concat({bits}) AS simhash FROM v"
+    )
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """T10 near-dup: 16-bit SimHash signatures (hamming-comparable;
+    near-dups differ in ≤ a few bits). Token votes via md5 top-bit —
+    portable across engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"WITH sh AS (SELECT doc_id AS id, {_duck_shingles()} AS sh FROM documents), "
+    "sizes AS (SELECT id, len(sh) AS sz FROM sh), "
+    "inv AS (SELECT id, unnest(sh) AS s FROM sh), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter FROM inv a "
+    "JOIN inv b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
+    "WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """T10 near-dup: word-3-gram Jaccard via inverted-index self-join
+    (pairs only exist where ≥1 shingle is shared)."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3, threshold=0.15
+    )
+
+
+@q(
+    "doc_fingerprint",
+    "SELECT doc_id, list_aggregate(list_transform("
+    "generate_series(1, greatest(length(text) - 7, 1), 4), "
+    "i -> md5(substr(text, CAST(i AS INTEGER), 8))), 'min') AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Text-analysis mandate: winnowing-style rolling fingerprint —
+    min over md5 of every 4th 8-char gram."""
+    return T.with_fingerprint(
+        _t(spark, sf_dir, "documents"), "text", k=8, step=4
+    ).select("doc_id", "fingerprint")
+
+
+# =====================================================================
+# text analysis (north-star mandate)
+# =====================================================================
+
+def _lang_score(lang: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in T.LANG_MARKERS[lang]
+    )
+
+
+@q(
+    "lang_id_ngram",
+    f"WITH s AS (SELECT doc_id, CAST({_lang_score('en')} AS INTEGER) AS score_en, "
+    f"CAST({_lang_score('es')} AS INTEGER) AS score_es, "
+    f"CAST({_lang_score('de')} AS INTEGER) AS score_de FROM documents) "
+    "SELECT doc_id, score_en, score_es, score_de, "
+    "CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en' "
+    "WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS predicted_lang FROM s",
+)
+def lang_id_ngram(spark, sf_dir):
+    """Language-ID: stopword-marker voting (deterministic n-gram
+    heuristic; ties break en > es > de)."""
+    out = T.lang_id_scores(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id",
+        F.col("score_en").cast("int").alias("score_en"),
+        F.col("score_es").cast("int").alias("score_es"),
+        F.col("score_de").cast("int").alias("score_de"),
+        "predicted_lang",
+    )
+
+
+@q(
+    "text_quality_score",
+    "WITH b AS (SELECT doc_id, length(text) AS n_chars0, "
+    "len(string_split(text, ' ')) AS n_words, "
+    "len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, "
+    "len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS n_stop FROM documents), "
+    "r AS (SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, "
+    "round(n_stop / greatest(n_words, 1), 6) AS stop_ratio, "
+    "round(n_punct / greatest(n_chars0, 1), 6) AS punct_ratio FROM b) "
+    "SELECT doc_id, n_words, stop_ratio, punct_ratio, "
+    "round(least(1.0, n_words / 100.0) * 0.5 + least(1.0, stop_ratio * 5.0) * 0.4 + "
+    "(1.0 - least(1.0, punct_ratio * 10.0)) * 0.1, 6) AS quality_score FROM r",
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword blend, rounded 6dp."""
+    out = T.text_quality(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        "stop_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+# =====================================================================
+# multimodal (T11; north-star mandate)
+# =====================================================================
+
+@q(
+    "multimodal_binary_meta",
+    "SELECT doc_id, 'text/plain' AS mime, "
+    "CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, "
+    "sha256(text) AS payload_sha FROM documents",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """T11: opaque binary payload column + typed metadata — the
+    schema/plumbing layer for image/audio/video columns (decode UDFs
+    are stubbed per functions/multimodal.py; pypdf is installed-but-
+    unused in the reference, ingestion-pipeline.py:50)."""
+    d = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    return d.select(
+        "doc_id",
+        "mime",
+        F.octet_length("payload").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )

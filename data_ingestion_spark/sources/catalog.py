@@ -1,0 +1,93 @@
+"""Sources: parquet scans + inline dimension tables.
+
+Maps the reference's sources (SURVEY.md §2.1):
+- S1 inline product catalog (ingestion-pipeline.py:9-39) →
+  ``product_dim`` via ``spark.createDataFrame`` (broadcast-side dim).
+- S5/S6 JSON artifact write/read between KFP stages
+  (ingestion-pipeline.py:280-282, 305-309) → plain
+  ``spark.read.parquet`` — in Spark the inter-stage hop is simply one
+  lazy plan; parquet checkpoints are optional, not structural.
+
+At 100 TB these scans are where Catalyst's predicate pushdown /
+column pruning / partition pruning land; nothing here ever collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table, normalizing types for the engine.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which the
+    Spark reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    we read the int64 nanoseconds and convert to ``timestamp_ntz``.
+    The data is exactly microsecond-precision (verified), so integer
+    division by 1000 is lossless. The session timezone is pinned UTC
+    so the intermediate LTZ hop is the identity.
+    """
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, NOT `/`: double division loses precision for
+        # epoch-nanos > 2^53 and shifts timestamps by ±1 microsecond
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+#: Inline product catalog, the reference's only dimension table
+#: (ingestion-pipeline.py:18-38 lists 4 products; the NamedTuple shape
+#: is ingestion-pipeline.py:12-17). Generic names here — the engine is
+#: product-agnostic; the *shape* (4 cols, handful of rows, broadcast
+#: into every chunk, SURVEY J1) is what matters.
+PRODUCT_ROWS = [
+    ("alpha", "Alpha Platform", "1.0", "en-US"),
+    ("beta", "Beta Service", "2.4", "en-US"),
+    ("gamma", "Gamma Suite", "1.2", "en-US"),
+    ("delta", "Delta Toolkit", "3.1", "en-US"),
+]
+PRODUCT_SCHEMA = "product string, product_full_name string, version string, language string"
+
+
+def product_dim(spark: SparkSession) -> DataFrame:
+    """S1: the 4-row product dimension (SURVEY §2.1 S1)."""
+    return spark.createDataFrame(PRODUCT_ROWS, PRODUCT_SCHEMA)
+
+
+#: Language dimension for enriching the synthetic ``documents`` table
+#: (its ``lang`` column plays the reference's ``language`` metadata
+#: role, ingestion-pipeline.py:221). Broadcast-joined in
+#: plans/ingestion.py exactly like the product dim.
+LANG_ROWS = [
+    ("en", "English"),
+    ("de", "German"),
+    ("es", "Spanish"),
+    ("fr", "French"),
+    ("zh", "Chinese"),
+]
+
+
+def lang_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(LANG_ROWS, "lang string, language_name string")
