@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full computation,
+no driver-side collect cost for large results). JVM/session startup is
+excluded; per-query wall time includes Catalyst planning. Targets per
+BASELINE.md: relational suite well under 2x oracle wall; similarity
+and dedup headline ops < 10 s at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator family (scan+agg, join zoo, window,
+#: sessionization, chunk explode, text analysis, dedup x2, similarity,
+#: as-of). Names are queries() keys.
+HEADLINE = [
+    "agg_numeric_stats",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_range",
+    "join_asof",
+    "window_lag_frame",
+    "sessionize_batch",
+    "window_tumbling_batch",
+    "chunk_fixed_overlap",
+    "text_stats",
+    "text_quality_score",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "agg_rollup",
+    "sort_global",
+]
+
+
+def main() -> None:
+    from data_ingestion_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("engine-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers once (not timed per-query)
+    qs["agg_global_count"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

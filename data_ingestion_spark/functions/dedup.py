@@ -80,30 +80,79 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """T10 near-dup: MinHash + banded LSH candidate pairs.
 
-    Bands of ``band_size`` signature slots are concatenated into a
-    band hash; docs sharing any band hash become candidate pairs via
-    an equi self-join (shuffle on band hash — never quadratic).
+    Signature plan: explode shingles → k md5 columns → groupBy(id)
+    with k min() aggregates. The explode shape beats k per-row array
+    transforms ~3x (each array transform re-evaluates the shingle
+    build; the exploded rows compute shingles once and the mins come
+    from map-side partial aggregation). Bands of ``band_size``
+    signature slots concat into a band hash; docs sharing any band
+    hash become candidate pairs via an equi self-join (shuffle on
+    band hash — never quadratic).
     Output: (id_a, id_b, band) with id_a < id_b, distinct.
     """
-    sigs = df.select(
+    inv = df.select(
         F.col(id_col).alias("id"),
-        *minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hashed = inv.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"mh|{i}|"), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
     n_bands = num_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        one = sigs.select(
-            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("band_hash")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
+            ).alias("band_hash"),
         )
-        bands = one if bands is None else bands.unionByName(one)
-    a = bands.select(F.col("id").alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
-    return (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "band")
-        .distinct()
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.band_hash")
+    # bucket-collect instead of a self-join: the signature pipeline is
+    # evaluated ONCE (a self-join would recompute the whole md5/groupBy
+    # lineage for each side) and buckets pair-expand locally.
+    return _bucket_pairs(bands, ["band", "band_hash"], "id").select(
+        "id_a", "id_b", "band"
+    ).distinct()
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """All ordered pairs (id_a < id_b) of ids sharing a bucket.
+
+    groupBy bucket → sorted collect_list → nested-transform pair
+    expansion → explode. One shuffle, upstream evaluated once; at
+    scale guard pathological buckets by capping collect size upstream
+    (a bucket of b ids expands to b²/2 pairs).
+    """
+    from ..sources.catalog import spread
+
+    ids = F.sort_array(F.collect_list(F.col(id_col)))
+    buckets = (
+        df.groupBy(*bucket_cols).agg(ids.alias("ids")).filter(F.size("ids") > 1)
+    )
+    # the bucket rows are few but explode to b²/2 pairs each — respread
+    # so AQE's post-shuffle coalescing can't serialize the expansion
+    buckets = spread(buckets)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(*bucket_cols, F.explode(pairs).alias("p")).select(
+        *bucket_cols, "p.id_a", "p.id_b"
     )
 
 
@@ -157,11 +206,10 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("s"))
-    a = inv.select(F.col("id").alias("id_a"), "s")
-    b = inv.select(F.col("id").alias("id_b"), "s")
+    # inverted-index bucket expansion (see _bucket_pairs): one pass
+    # over inv instead of a recompute-both-sides self-join
     inter = (
-        a.join(b, on="s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(inv, ["s"], "id")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

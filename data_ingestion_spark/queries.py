@@ -28,7 +28,14 @@ from .functions import dedup as DD
 from .functions import similarity as SIM
 from .functions import textops as T
 from .operators import relational as R
-from .sources.catalog import LANG_ROWS, PRODUCT_ROWS, lang_dim, load_table, product_dim
+from .sources.catalog import (
+    LANG_ROWS,
+    PRODUCT_ROWS,
+    lang_dim,
+    load_table,
+    product_dim,
+    spread,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -53,6 +60,12 @@ def q(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned for compute-bound expression stages
+    (the synthetic file is a single split; see catalog.spread)."""
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # =====================================================================
@@ -231,7 +244,7 @@ def json_roundtrip(spark, sf_dir):
 def text_stats(spark, sf_dir):
     """X8 + token-counting extension: char/word/BPE-ish token counts,
     all JVM-side (length/split/regexp_count stay in codegen)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _d(spark, sf_dir)
     return d.select(
         "doc_id",
         "n_chars",
@@ -250,7 +263,7 @@ def text_stats(spark, sf_dir):
 def array_explode_transform(spark, sf_dir):
     """X9: array build/explode (links list, ingestion-pipeline.py:183-190)
     as the classic word-count: explode → filter → hash agg."""
-    d = _t(spark, sf_dir, "documents")
+    d = _d(spark, sf_dir)
     return (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.length("word") > 3)
@@ -651,7 +664,7 @@ def chunk_fixed_overlap(spark, sf_dir):
     """T4: fixed-stride chunking (reference: size 2048 / overlap 256,
     ingestion-pipeline.py:226-231; scaled to 128/32 here because the
     synthetic docs are ≤ ~600 chars — same semantics)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _d(spark, sf_dir)
     out = T.chunk_fixed_overlap(d, text_col="text", id_cols=("doc_id",), size=128, overlap=32)
     return out.select(
         "doc_id",
@@ -679,7 +692,7 @@ def split_markdown_headers(spark, sf_dir):
     #/##/###, ingestion-pipeline.py:204-216). The synthetic docs carry
     no headers, so a markdown doc is assembled from each row first —
     the split operator itself is the thing under test."""
-    d = _t(spark, sf_dir, "documents")
+    d = _d(spark, sf_dir)
     md = d.select(
         "doc_id",
         F.concat(

@@ -20,7 +20,7 @@ from .functions import dedup as DD
 from .functions import multimodal as MM
 from .functions import similarity as SIM
 from .functions import textops as T
-from .queries import _t, q
+from .queries import _d, _t, q
 
 # =====================================================================
 # similarity search (T8 / O2; reference query side Q:143-176)
@@ -153,7 +153,7 @@ def rag_context_assemble(spark, sf_dir):
 def dedup_exact(spark, sf_dir):
     """T10 exact: md5 fingerprint → groupBy; one shuffle on the hash
     (X11; ``dropDuplicates`` is sugar over the same plan)."""
-    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return DD.exact_dedup_groups(_d(spark, sf_dir), "text", "doc_id")
 
 
 def _duck_shingles(text: str = "text") -> str:
@@ -189,7 +189,7 @@ def dedup_minhash(spark, sf_dir):
     (4 bands × 2) candidate pairs — candidate join is equi on the band
     hash, cost Σ bucket², never n²."""
     return DD.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3, num_hashes=8,
+        _d(spark, sf_dir), "text", "doc_id", shingle_n=3, num_hashes=8,
         band_size=2,
     )
 
@@ -214,7 +214,7 @@ def dedup_simhash(spark, sf_dir):
     """T10 near-dup: 16-bit SimHash signatures (hamming-comparable;
     near-dups differ in ≤ a few bits). Token votes via md5 top-bit —
     portable across engines."""
-    d = _t(spark, sf_dir, "documents")
+    d = _d(spark, sf_dir)
     return d.select("doc_id", DD.simhash16(F.col("text")).alias("simhash"))
 
 
@@ -233,7 +233,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """T10 near-dup: word-3-gram Jaccard via inverted-index self-join
     (pairs only exist where ≥1 shingle is shared)."""
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3, threshold=0.15
+        _d(spark, sf_dir), "text", "doc_id", shingle_n=3, threshold=0.15
     )
 
 
@@ -247,7 +247,7 @@ def doc_fingerprint(spark, sf_dir):
     """Text-analysis mandate: winnowing-style rolling fingerprint —
     min over md5 of every 4th 8-char gram."""
     return T.with_fingerprint(
-        _t(spark, sf_dir, "documents"), "text", k=8, step=4
+        _d(spark, sf_dir), "text", k=8, step=4
     ).select("doc_id", "fingerprint")
 
 
@@ -273,7 +273,7 @@ def _lang_score(lang: str) -> str:
 def lang_id_ngram(spark, sf_dir):
     """Language-ID: stopword-marker voting (deterministic n-gram
     heuristic; ties break en > es > de)."""
-    out = T.lang_id_scores(_t(spark, sf_dir, "documents"), "text")
+    out = T.lang_id_scores(_d(spark, sf_dir), "text")
     return out.select(
         "doc_id",
         F.col("score_en").cast("int").alias("score_en"),
@@ -298,7 +298,7 @@ def lang_id_ngram(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     """Quality scoring: length/punctuation/stopword blend, rounded 6dp."""
-    out = T.text_quality(_t(spark, sf_dir, "documents"), "text")
+    out = T.text_quality(_d(spark, sf_dir), "text")
     return out.select(
         "doc_id",
         F.col("n_words").cast("int").alias("n_words"),
@@ -323,7 +323,7 @@ def multimodal_binary_meta(spark, sf_dir):
     schema/plumbing layer for image/audio/video columns (decode UDFs
     are stubbed per functions/multimodal.py; pypdf is installed-but-
     unused in the reference, ingestion-pipeline.py:50)."""
-    d = MM.attach_binary(_t(spark, sf_dir, "documents"), "text")
+    d = MM.attach_binary(_d(spark, sf_dir), "text")
     return d.select(
         "doc_id",
         "mime",

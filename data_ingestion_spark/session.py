@@ -28,6 +28,15 @@ RUNTIME_CONFS = {
     # timestamps in the testdata are naive; pin UTC so the
     # LTZ->NTZ conversion in the events loader is the identity
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate duplicates the full generator expression
+    # into an inferred size()>0 filter, which Catalyst then pushes below
+    # repartition barriers — for expensive array builds (shingling) that
+    # re-evaluates the whole expression on the unparallelized scan. The
+    # rule only adds redundant skip-filters; excluding it is semantics-
+    # preserving.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
@@ -45,6 +54,10 @@ def get_spark(app_name: str = "data-ingestion-spark", cpus: int | None = None) -
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # don't let AQE coalesce below core count: cheap-shuffle-then-
+        # expensive-expansion stages (LSH bucket pair explode) would
+        # otherwise run on one task
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(n))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

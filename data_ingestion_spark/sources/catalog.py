@@ -57,6 +57,21 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before a compute-bound stage.
+
+    Small parquet inputs arrive as one split (one task), which
+    serializes CPU-heavy expression stages (md5 shingling, hashing,
+    regex) onto a single core. A cheap row-count-agnostic repartition
+    restores parallelism. At 100 TB inputs are already thousands of
+    splits and the caller should pass ``partitions=None`` only when
+    the input is known-small; the shuffle cost here is the small
+    input itself, the win is every downstream core working.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 #: Inline product catalog, the reference's only dimension table
 #: (ingestion-pipeline.py:18-38 lists 4 products; the NamedTuple shape
 #: is ingestion-pipeline.py:12-17). Generic names here — the engine is
