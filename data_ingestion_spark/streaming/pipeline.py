@@ -1,0 +1,138 @@
+"""Structured Streaming surface (SURVEY.md §2.10 ST1-ST6).
+
+The reference has no streaming — re-ingestion is manual KFP re-runs
+(caching disabled, website-ingestion-pipeline.py:273). Spark-first,
+the incremental story is Structured Streaming with
+``Trigger.AvailableNow``: each invocation drains exactly the new
+files and stops — the same operational shape as a KFP re-run, but
+with exactly-once bookkeeping in the checkpoint instead of
+'skip index if exists' (website-ingestion-pipeline.py:116-118).
+
+Every transform here is the streaming twin of a batch query in
+queries.py (tumbling ↔ window_tumbling_batch, session ↔
+sessionize_batch, dedup ↔ dedup_exact), so correctness of the shared
+logic is oracle-checked on the batch side and the streaming tests
+assert batch-equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..session import ensure_engine_confs
+
+#: schema of the events stream (matches the synthetic events table
+#: after ns→µs normalization; see sources/catalog.py)
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events_from_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+    """ST1: incremental file source. New parquet files appearing in
+    ``input_dir`` are discovered per micro-batch; with AvailableNow
+    the query drains what exists and stops (KFP-re-run semantics).
+    ``maxFilesPerTrigger`` bounds batch size at scale."""
+    ensure_engine_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
+    # this cast is the identity on the naive values
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", late: str = "10 minutes") -> DataFrame:
+    """ST2+ST3: tumbling window agg with a watermark for late data.
+
+    State for a window is finalized (and emitted, in append mode) once
+    the watermark passes window.end + ``late``. Batch twin:
+    ``window_tumbling_batch`` (date_trunc ≡ tumbling window.start)."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes", late: str = "10 minutes"
+) -> DataFrame:
+    """ST2: sliding window variant (each event lands in width/slide
+    windows; state proportional to overlap factor)."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), F.col("w.end").alias("win_end"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", late: str = "10 minutes") -> DataFrame:
+    """ST4: session windows — dynamic-length windows closed by a gap
+    of inactivity per user. Batch twin: ``sessionize_batch`` (lag +
+    cumulative boundary sum)."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """ST5: stateful stream dedup on event_id, state bounded by the
+    watermark (exactly the LLM-pipeline 'seen this doc already?'
+    check, but with bounded memory). Batch twin: dedup_exact."""
+    return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_vector_store(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    partition_col: str = "event_type",
+) -> StreamingQuery:
+    """ST6: streaming sink via foreachBatch → the partitioned-parquet
+    vector-store stand-in (reuses the batch writer path, S7/S8).
+    AvailableNow: drain everything discoverable, then stop."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_query_availablenow(
+    df: DataFrame, checkpoint: str, sink_table: str
+) -> StreamingQuery:
+    """Drive any streaming transform to a memory sink until drained
+    (test/inspection harness; complete mode so windowed state is
+    visible without waiting for watermark finalization)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,181 @@
+"""Operator invariants (SURVEY.md §5.2 property checks) — the
+behavioral contracts that the oracle parity suite can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMALL
+
+from data_ingestion_spark.functions.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    simhash16,
+)
+from data_ingestion_spark.functions.embedding import embed_deterministic, make_embed_udf
+from data_ingestion_spark.functions.multimodal import (
+    attach_binary,
+    decode_media_meta,
+    frame_sample,
+)
+from data_ingestion_spark.functions.textops import chunk_fixed_overlap
+from data_ingestion_spark.operators.relational import asof_join, top_k_per_group
+from data_ingestion_spark.sources.catalog import load_table
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_invariants(spark):
+    """Every chunk ≤ size; consecutive chunks overlap exactly
+    ``overlap`` chars; stitching chunks minus overlaps reconstructs
+    the document (ingestion-pipeline.py:226-231 semantics)."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    size, overlap = 100, 30
+    chunks = chunk_fixed_overlap(docs, "text", ("doc_id",), size=size, overlap=overlap)
+    rows = chunks.orderBy("doc_id", "chunk_idx").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rs in by_doc.items():
+        full = texts[doc_id]
+        assert all(len(r.chunk_text) <= size for r in rs)
+        for a, b in zip(rs, rs[1:]):
+            assert len(a.chunk_text) == size  # only the tail may be short
+            assert a.chunk_text[-overlap:] == b.chunk_text[:overlap]
+        stitched = rs[0].chunk_text + "".join(r.chunk_text[overlap:] for r in rs[1:])
+        assert stitched == full
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    one = spark.createDataFrame([Row(doc_id=1, text="tiny")])
+    out = chunk_fixed_overlap(one, "text", ("doc_id",), size=100, overlap=30).collect()
+    assert len(out) == 1 and out[0].chunk_text == "tiny"
+
+
+# ------------------------------------------------------------- as-of join
+
+def test_asof_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=10, tag="a"), Row(k=1, t=20, tag="b"), Row(k=2, t=5, tag="c")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, t=10, v="r1"), Row(k=1, t=15, v="r2"), Row(k=1, t=25, v="r3"),
+         Row(k=2, t=9, v="r4")]
+    )
+    out = {
+        (r.k, r.t): r.asof_v
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="t", carry={"asof_v": "v"}
+        ).collect()
+    }
+    # ties match (<=): left t=10 sees right t=10
+    assert out == {(1, 10): "r1", (1, 20): "r2", (2, 5): None}
+
+
+def test_top_k_per_group(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    out = top_k_per_group(
+        li, "l_orderkey", [F.col("l_extendedprice").desc(), F.col("l_linenumber")], 2
+    )
+    counts = out.groupBy("l_orderkey").count().agg(F.max("count")).collect()[0][0]
+    assert counts <= 2
+
+
+# ------------------------------------------------------------- dedup
+
+def test_exact_dedup_finds_planted_dups(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(20)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(planted)
+    groups = exact_dedup_groups(both, "text", "doc_id")
+    assert groups.filter(F.col("n_copies") == 2).count() == 20
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == 40
+    # survivor is always the min id (the original)
+    assert groups.filter(F.col("keep_id") >= 100000).count() == 0
+
+
+def test_minhash_catches_exact_dups(spark):
+    """An exact duplicate shares every band → must appear as candidate."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(10)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(planted)
+    cands = minhash_lsh_candidates(both, "text", "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    for i in range(10):
+        assert any(a == i and b == i + 100000 for a, b in pairs), f"doc {i} pair missed"
+
+
+def test_simhash_identical_and_perturbed(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(5)
+    sig = docs.select("doc_id", simhash16(F.col("text")).alias("s1"))
+    again = docs.select("doc_id", simhash16(F.col("text")).alias("s2"))
+    j = sig.join(again, "doc_id")
+    assert j.filter(F.col("s1") != F.col("s2")).count() == 0
+    # appending one word flips at most a few of 16 bits
+    pert = docs.select(
+        "doc_id", simhash16(F.concat(F.col("text"), F.lit(" extraword"))).alias("s2")
+    )
+    rows = sig.join(pert, "doc_id").select("s1", "s2").collect()
+    for r in rows:
+        ham = sum(1 for a, b in zip(r.s1, r.s2) if a != b)
+        assert ham <= 8, f"perturbation flipped {ham}/16 bits"
+
+
+# ------------------------------------------------------------- embedding
+
+def test_embed_deterministic_stability(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(10)
+    a = docs.select("doc_id", embed_deterministic(F.col("text"), 8).alias("e")).collect()
+    b = docs.select("doc_id", embed_deterministic(F.col("text"), 8).alias("e")).collect()
+    assert {r.doc_id: r.e for r in a} == {r.doc_id: r.e for r in b}
+    vec = a[0].e
+    assert len(vec) == 8 and all(-1.0 <= x <= 1.0 for x in vec)
+
+
+def test_embed_pandas_udf_shape(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(10)
+    out = docs.select("doc_id", make_embed_udf(16)(F.col("text")).alias("e")).collect()
+    assert all(len(r.e) == 16 for r in out)
+    # fallback is deterministic too
+    out2 = docs.select("doc_id", make_embed_udf(16)(F.col("text")).alias("e")).collect()
+    assert {r.doc_id: r.e for r in out} == {r.doc_id: r.e for r in out2}
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_decode_plumbing(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(8)
+    media = attach_binary(docs, "text")
+    meta = decode_media_meta(media)
+    rows = meta.collect()
+    assert len(rows) == 8
+    assert {f.name for f in meta.schema.fields} == {
+        "doc_id", "mime", "byte_len", "width", "height", "n_frames"
+    }
+    assert all(r.byte_len > 0 and r.width >= 16 and r.n_frames >= 1 for r in rows)
+    # deterministic fake: same payload → same dims
+    rows2 = decode_media_meta(media).collect()
+    assert {r.doc_id: (r.width, r.height) for r in rows} == {
+        r.doc_id: (r.width, r.height) for r in rows2
+    }
+
+
+def test_multimodal_strict_raises(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(1)
+    media = attach_binary(docs, "text")
+    with pytest.raises(Exception):  # NotImplementedError inside the udf → task failure
+        decode_media_meta(media, strict=True).collect()
+
+
+def test_frame_sample_explode(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(8)
+    meta = decode_media_meta(attach_binary(docs, "text"))
+    frames = frame_sample(meta, every_n=2)
+    got = frames.groupBy("doc_id").count().collect()
+    expect = {r.doc_id: (r.n_frames + 1) // 2 for r in meta.collect()}
+    for r in got:
+        assert r["count"] == expect[r.doc_id]

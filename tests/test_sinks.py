@@ -1,0 +1,72 @@
+"""Vector-store sink tests: partition lifecycle + executor-side upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from data_ingestion_spark.plans.ingestion import ingestion_pipeline
+from data_ingestion_spark.sources.catalog import load_table
+from data_ingestion_spark.sources.sinks import (
+    FileBackedFakeClient,
+    ParquetVectorStore,
+    ServiceVectorStore,
+)
+
+
+def test_parquet_store_lifecycle(spark, tmp_path):
+    store = ParquetVectorStore(spark, str(tmp_path / "store"), key="lang")
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "n_chars")
+    store.upsert(docs)
+    assert store.list_collections() == ["de", "en", "es", "fr", "zh"]
+
+    back = store.read_collection("en")
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+    store.delete_collection("de")
+    assert "de" not in store.list_collections()
+    assert spark.read.parquet(str(tmp_path / "store")).filter("lang = 'de'").count() == 0
+
+
+def test_parquet_store_idempotent_reupsert(spark, tmp_path):
+    """Dynamic partition overwrite: re-ingesting a collection replaces
+    it instead of duplicating (the reference's skip-if-exists becomes
+    overwrite-partition)."""
+    store = ParquetVectorStore(spark, str(tmp_path / "store"), key="lang")
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "n_chars")
+    store.upsert(docs)
+    store.upsert(docs.filter(F.col("lang") == "en"))  # partial re-run
+    back = spark.read.parquet(str(tmp_path / "store"))
+    assert back.count() == docs.count()  # no duplication
+
+
+def test_service_sink_batches(spark, tmp_path):
+    out = tmp_path / "client"
+    os.makedirs(out)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").limit(137)
+    sink = ServiceVectorStore(lambda: FileBackedFakeClient(str(out)), batch_size=50)
+    sink.upsert(docs)
+    ids, batch_sizes = set(), []
+    for f in os.listdir(out):
+        for line in open(out / f, encoding="utf-8"):
+            rec = json.loads(line)
+            if "n" in rec:
+                batch_sizes.append(rec["n"])
+            else:
+                ids.add(rec["id"])
+    assert len(ids) == 137  # every row upserted exactly once
+    assert max(batch_sizes) <= 50  # bounded batches
+
+
+def test_full_ingestion_to_store(spark, tmp_path):
+    """Flagship plan → partitioned vector store, end-to-end lazy."""
+    enriched = ingestion_pipeline(spark, SF_SMALL)
+    store = ParquetVectorStore(spark, str(tmp_path / "vstore"))
+    store.upsert(enriched)
+    cols = set(spark.read.parquet(str(tmp_path / "vstore")).columns)
+    assert {"doc_id", "chunk_idx", "chunk_text", "embedding", "index_name"} <= cols
+    assert len(store.list_collections()) > 50  # source x lang combos

@@ -1,0 +1,124 @@
+"""Structured Streaming tests: batch-equivalence + incremental-drain.
+
+Strategy (SURVEY.md §2.10): every streaming transform has a batch twin
+that IS oracle-checked (test_parity). Here we run the streaming
+version over the same events (fed as files, in two incremental batches) and
+assert it converges to the batch answer — the strongest check
+available without a second streaming engine as oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from data_ingestion_spark.sources.catalog import load_table
+from data_ingestion_spark.streaming import pipeline as SP
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events split into two file-drops (simulates incremental arrival)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "drop1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "drop2"))
+    # flatten: move part files up so the dir is one flat file source
+    import shutil
+
+    flat = tmp_path_factory.mktemp("events_flat")
+    i = 0
+    for sub in ["drop1", "drop2"]:
+        for f in (d / sub).glob("*.parquet"):
+            shutil.copy(f, flat / f"{sub}_{i}.parquet")
+            i += 1
+    return str(flat)
+
+
+def _drain(df, checkpoint, name):
+    q = SP.run_query_availablenow(df, checkpoint, name)
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_tumbling_matches_batch(spark, events_dir, tmp_path):
+    stream = SP.stream_events_from_dir(spark, events_dir)
+    out = _drain(
+        SP.tumbling_counts(stream), str(tmp_path / "ckpt_tumble"), "tumble_sink"
+    ).toPandas()
+
+    import __spark_entry__ as E
+
+    batch = E.queries()["window_tumbling_batch"](spark, SF_SMALL).toPandas()
+    key = ["hour_ts", "event_type"]
+    out_s = out.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(out_s) == len(batch_s)
+    assert (out_s["n"].values == batch_s["n"].values).all()
+    assert (abs(out_s["sum_value"].values - batch_s["sum_value"].values) < 1e-9).all()
+
+
+def test_session_window_total_events(spark, events_dir, tmp_path):
+    stream = SP.stream_events_from_dir(spark, events_dir)
+    out = _drain(
+        SP.session_counts(stream), str(tmp_path / "ckpt_sess"), "sess_sink"
+    ).toPandas()
+    ev_count = load_table(spark, SF_SMALL, "events").count()
+    assert out["n_events"].sum() == ev_count  # every event in exactly one session
+    assert (out["session_end"] > out["session_start"]).all()
+    # batch twin agreement on per-user session counts
+    import __spark_entry__ as E
+
+    batch = E.queries()["sessionize_batch"](spark, SF_SMALL).toPandas()
+    stream_sessions = out.groupby("user_id").size().sort_index()
+    batch_sessions = batch.set_index("user_id")["n_sessions"].sort_index()
+    assert (stream_sessions.values == batch_sessions.values).all()
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    stream = SP.stream_events_from_dir(spark, events_dir)
+    deduped = SP.dedup_within_watermark(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_sink").toPandas()
+    assert out["event_id"].is_unique
+    assert len(out) == load_table(spark, SF_SMALL, "events").count()  # input had no dups
+
+
+def test_foreachbatch_sink_partitions(spark, events_dir, tmp_path):
+    import os
+
+    stream = SP.stream_events_from_dir(spark, events_dir)
+    out_path = str(tmp_path / "vstore")
+    q = SP.run_to_vector_store(stream, out_path, str(tmp_path / "ckpt_sink"))
+    q.awaitTermination(120)
+    parts = [p for p in os.listdir(out_path) if p.startswith("event_type=")]
+    assert sorted(parts) == sorted(
+        f"event_type={t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    back = spark.read.parquet(out_path)
+    assert back.count() == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_incremental_second_run_drains_nothing_new(spark, events_dir, tmp_path):
+    """ST1 exactly-once bookkeeping: a second AvailableNow run over the
+    same checkpoint must not re-ingest already-seen files."""
+    out_path = str(tmp_path / "vstore2")
+    ckpt = str(tmp_path / "ckpt_inc")
+    for _ in range(2):
+        q = SP.run_to_vector_store(
+            SP.stream_events_from_dir(spark, events_dir), out_path, ckpt
+        )
+        q.awaitTermination(120)
+    back = spark.read.parquet(out_path)
+    assert back.count() == load_table(spark, SF_SMALL, "events").count()
