@@ -1,0 +1,248 @@
+"""HTML ingestion: fetch, link discovery, clean, convert to Markdown.
+
+Re-expresses the reference's loader/cleaner stack (SURVEY.md §2.1
+S2-S4, §2.9 T1-T2) without LangChain/BeautifulSoup — a stdlib
+``html.parser`` state machine inside Arrow-batched ``mapInPandas``:
+
+- title extraction from the first <h1> (ingestion-pipeline.py:73)
+- drop unwanted container classes and "Legal Notice" anchors
+  (ingestion-pipeline.py:86-115, 149-151)
+- attribute stripping is inherent (the parser emits text, not markup)
+- <hr> dropped (ingestion-pipeline.py:113)
+- <dt> rendered as '-> ' items (ingestion-pipeline.py:117)
+- <pre class="programlisting|screen"> → fenced code blocks tagged
+  with the language class (ingestion-pipeline.py:122-147)
+- non-breaking spaces normalized (ingestion-pipeline.py:154)
+- h1..h6 → ATX headings, p/li/br → Markdown text (the
+  Html2TextTransformer role, ingestion-pipeline.py:201-202)
+
+Link discovery (the crawl frontier, ingestion-pipeline.py:166-191)
+stays fully JVM-side: ``regexp_extract_all`` over raw HTML + explode.
+Network fetch is injectable (no network in tests; at scale you want a
+rate-limited client per executor anyway).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: container classes dropped wholesale, mirroring the reference's
+#: decompose list (ingestion-pipeline.py:86-115; generic names — the
+#: *mechanism* is the operator, the list is config)
+DEFAULT_DROP_CLASSES = frozenset(
+    {"breadcrumb", "producttitle", "subtitle", "abstract", "legal-notice", "docs-metadata"}
+)
+
+#: pre classes rendered as fenced code with a language tag
+CODE_PRE_CLASSES = {"programlisting", "screen"}
+
+
+class _MarkdownConverter(HTMLParser):
+    """Single-pass HTML → Markdown with class-based pruning."""
+
+    BLOCK_BREAK = {"p", "div", "section", "article", "ul", "ol", "dl", "table", "tr"}
+
+    def __init__(self, drop_classes: frozenset[str] = DEFAULT_DROP_CLASSES):
+        super().__init__(convert_charrefs=True)
+        self.drop_classes = drop_classes
+        self.out: list[str] = []
+        self.title: str | None = None
+        self._skip_depth = 0
+        self._heading: int | None = None
+        self._in_title_h1 = False
+        self._fence: str | None = None
+        self._anchor_buf: list[str] | None = None
+
+    # -- helpers
+    def _classes(self, attrs) -> set[str]:
+        for k, v in attrs:
+            if k == "class" and v:
+                return set(v.split())
+        return set()
+
+    def _emit(self, text: str) -> None:
+        if self._skip_depth:
+            return
+        self.out.append(text)
+
+    # -- parser hooks
+    def handle_starttag(self, tag, attrs):
+        classes = self._classes(attrs)
+        if self._skip_depth or (classes & self.drop_classes) or tag == "hr":
+            if tag not in ("br", "hr", "img", "input", "meta", "link"):
+                self._skip_depth += 1
+            return
+        if tag in {"script", "style"}:
+            self._skip_depth += 1
+            return
+        if tag in {"h1", "h2", "h3", "h4", "h5", "h6"}:
+            level = int(tag[1])
+            self._heading = level
+            self._in_title_h1 = tag == "h1" and self.title is None
+            self._emit("\n\n" + "#" * level + " ")
+        elif tag == "pre":
+            lang = next(iter(classes & CODE_PRE_CLASSES), None)
+            self._fence = lang or ""
+            self._emit(f"\n\n```{self._fence}\n")
+        elif tag == "li":
+            self._emit("\n- ")
+        elif tag == "dt":
+            self._emit("\n-> ")
+        elif tag == "br":
+            self._emit("\n")
+        elif tag == "a":
+            self._anchor_buf = []
+        elif tag in self.BLOCK_BREAK:
+            self._emit("\n\n")
+
+    def handle_endtag(self, tag):
+        if tag in {"script", "style"} or (self._skip_depth and tag not in ("br", "hr")):
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag in {"h1", "h2", "h3", "h4", "h5", "h6"}:
+            self._heading = None
+            self._in_title_h1 = False
+            self._emit("\n")
+        elif tag == "pre" and self._fence is not None:
+            self._fence = None
+            self._emit("\n```\n")
+        elif tag == "a" and self._anchor_buf is not None:
+            text = "".join(self._anchor_buf)
+            self._anchor_buf = None
+            # drop boilerplate anchors (ingestion-pipeline.py:149-151)
+            if text.strip().lower() != "legal notice":
+                self._emit(text)
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        text = data.replace("\xa0", " ")
+        if self._fence is None:
+            text = text.replace("\r", "")
+        if self._in_title_h1:
+            self.title = (self.title or "") + text
+        if self._anchor_buf is not None:
+            self._anchor_buf.append(text)
+        else:
+            self._emit(text)
+
+    # -- result
+    def result(self) -> tuple[str, str]:
+        md = "".join(self.out)
+        lines = [ln.rstrip() for ln in md.split("\n")]
+        cleaned: list[str] = []
+        blank = 0
+        fenced = False
+        for ln in lines:
+            if ln.startswith("```"):
+                fenced = not fenced
+            if not fenced and not ln.strip():
+                blank += 1
+                if blank > 1:
+                    continue
+            else:
+                blank = 0
+            cleaned.append(ln if fenced else ln.strip())
+        return (self.title or "").strip(), "\n".join(cleaned).strip()
+
+
+def html_to_markdown(
+    html: str, drop_classes: frozenset[str] = DEFAULT_DROP_CLASSES
+) -> tuple[str, str]:
+    """T1+T2 kernel: clean HTML and convert to Markdown. Returns
+    (title, markdown)."""
+    conv = _MarkdownConverter(drop_classes)
+    conv.feed(html or "")
+    conv.close()
+    return conv.result()
+
+
+CLEAN_SCHEMA = StructType(
+    [StructField("title", StringType()), StructField("page_content", StringType())]
+)
+
+
+def clean_html(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """S4/T1/T2 stage: HTML → (title, page_content markdown), Arrow-
+    batched. Pure Python is unavoidable here (a real parser state
+    machine); batches keep the interpreter crossing amortized."""
+    passthrough = [c for c in df.columns if c != html_col]
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != html_col] + list(CLEAN_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [html_to_markdown(h) for h in pdf[html_col]]
+            out = pdf[passthrough].copy()
+            out["title"] = [t for t, _ in res]
+            out["page_content"] = [m for _, m in res]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+#: href extraction pattern (crawl frontier, ingestion-pipeline.py:183-190)
+HREF_PATTERN = r'href="([^"]+)"'
+
+
+def extract_links(html_col: Column) -> Column:
+    """S3: link discovery — fully JVM-side regexp_extract_all; callers
+    explode + filter (F1/F2) + rewrite (F3)."""
+    return F.regexp_extract_all(html_col, F.lit(HREF_PATTERN), 1)
+
+
+def discover_frontier(
+    df: DataFrame,
+    html_col: str = "html",
+    prefix: str = "/en/documentation",
+    contains: str = "/html/",
+    rewrite: tuple[str, str] = ("/html/", "/html-single/"),
+    base_url: str = "https://docs.example.com",
+) -> DataFrame:
+    """The reference's get_pages composition (ingestion-pipeline.py:
+    166-191): extract → explode → prefix filter → contains filter →
+    single-page rewrite → absolute URL."""
+    links = df.select(F.explode(extract_links(F.col(html_col))).alias("url"))
+    return (
+        links.filter(F.col("url").startswith(prefix))
+        .filter(F.col("url").contains(contains))
+        .select(
+            F.concat(
+                F.lit(base_url), F.replace(F.col("url"), F.lit(rewrite[0]), F.lit(rewrite[1]))
+            ).alias("url")
+        )
+        .distinct()
+    )
+
+
+Fetcher = Callable[[str], str]
+
+
+def fetch_pages(df: DataFrame, url_col: str = "url", fetcher: Fetcher | None = None) -> DataFrame:
+    """S2: page fetch as a mapInPandas stage with an injectable
+    fetcher (tests inject a fake; production injects a rate-limited
+    session). Using the default urllib fetcher requires network."""
+
+    def default_fetch(url: str) -> str:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=30) as r:  # pragma: no cover
+            return r.read().decode("utf-8", "replace")
+
+    fetch = fetcher or default_fetch
+    passthrough = [c for c in df.columns]
+    schema = StructType(list(df.schema.fields) + [StructField("html", StringType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[passthrough].copy()
+            out["html"] = [fetch(u) for u in pdf[url_col]]
+            yield out
+
+    return df.mapInPandas(run, schema)

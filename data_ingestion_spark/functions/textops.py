@@ -59,6 +59,99 @@ def chunk_fixed_overlap(
     )
 
 
+DEFAULT_SEPARATORS = ("\n\n", "\n", " ", "")
+
+
+def recursive_character_split(
+    text: str,
+    chunk_size: int = CHUNK_SIZE,
+    chunk_overlap: int = CHUNK_OVERLAP,
+    separators: tuple[str, ...] = DEFAULT_SEPARATORS,
+) -> list[str]:
+    """T4 compat kernel: separator-aware recursive splitting.
+
+    Semantics of the reference's RecursiveCharacterTextSplitter
+    (ingestion-pipeline.py:226-231): try the coarsest separator whose
+    pieces fit ``chunk_size``; recurse into oversized pieces with the
+    next separator; greedily merge adjacent pieces up to ``chunk_size``
+    keeping ~``chunk_overlap`` trailing characters between chunks.
+    Unlike ``chunk_fixed_overlap`` (exact fixed stride, SQL-native,
+    oracle-checked) this variant respects natural boundaries — chunks
+    are ≤ chunk_size but of varying length. Documented differences:
+    whitespace-only pieces are dropped; separators are kept attached
+    to the preceding piece.
+    """
+    sep = next((s for s in separators if s and s in text), separators[-1])
+
+    def base_split(t: str, s: str) -> list[str]:
+        if not s:
+            return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size)]
+        parts = t.split(s)
+        return [p + s for p in parts[:-1]] + [parts[-1]]
+
+    pieces: list[str] = []
+    for p in base_split(text, sep):
+        if not p.strip():
+            continue
+        if len(p) <= chunk_size:
+            pieces.append(p)
+        else:
+            nxt = separators[separators.index(sep) + 1 :] or ("",)
+            pieces.extend(recursive_character_split(p, chunk_size, 0, nxt))
+
+    # greedy merge with trailing overlap
+    chunks: list[str] = []
+    window: list[str] = []
+    total = 0
+    for p in pieces:
+        if window and total + len(p) > chunk_size:
+            chunks.append("".join(window).strip())
+            while window and (total > chunk_overlap or total + len(p) > chunk_size):
+                total -= len(window.pop(0))
+        window.append(p)
+        total += len(p)
+    if window:
+        chunks.append("".join(window).strip())
+    return [c for c in chunks if c]
+
+
+def chunk_recursive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """T4 compat mode: the recursive splitter as an Arrow-batched
+    stage (kernel above; one row in → many chunks out). Prefer
+    ``chunk_fixed_overlap`` when exact-stride semantics suffice — it
+    stays in codegen; this path exists for reference parity."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in id_cols]
+        + [StructField("chunk_idx", IntegerType()), StructField("chunk_text", StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for i, c in enumerate(
+                    recursive_character_split(row[text_col], size, overlap)
+                ):
+                    rows.append(tuple(row[k] for k in id_cols) + (i, c))
+            yield pd.DataFrame(rows, columns=[*id_cols, "chunk_idx", "chunk_text"])
+
+    return df.select(*id_cols, text_col).mapInPandas(run, schema)
+
+
 def split_markdown_headers(df: DataFrame, md_col: str, max_level: int = 3) -> DataFrame:
     """T3: split markdown into header-delimited sections.
 

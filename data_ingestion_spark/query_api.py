@@ -1,0 +1,136 @@
+"""Query-side facade: the reference's inspection/search/RAG API.
+
+Mirrors the utility surface of
+``ingestion-pipeline-website-local.py`` one-for-one, so a user of the
+reference can switch call-by-call (SURVEY.md §3.3):
+
+| reference (Q)                  | here                          |
+|--------------------------------|-------------------------------|
+| list_collections   Q:74-92     | EngineQuery.list_collections  |
+| get_record_count   Q:94-118    | EngineQuery.get_record_count  |
+| get_top_records    Q:32-71     | EngineQuery.get_top_records   |
+| get_sample_records Q:203-230   | EngineQuery.get_sample_records|
+| delete_index       Q:119-136   | EngineQuery.delete_index      |
+| search_weaviate    Q:167-176   | EngineQuery.search_by_vector  |
+| search_weaviate_query Q:143-164| EngineQuery.similarity_search |
+| rag_query          Q:178-200   | EngineQuery.rag_query         |
+
+Where the reference round-trips GraphQL to Weaviate and len()s the
+response client-side, every method here is one lazy DataFrame plan:
+counts are pushed-down aggregates, top-k is TakeOrderedAndProject,
+and the store is the partitioned table from sources/sinks.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.embedding import embed_deterministic
+from .functions.similarity import brute_force_topk, cosine
+from .sources.sinks import ParquetVectorStore
+
+
+class EngineQuery:
+    """Query interface over an ingested vector store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: ParquetVectorStore,
+        embed_dim: int = 8,
+        embed_fn: Callable[[F.Column], F.Column] | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.embed_dim = embed_dim
+        self._embed = embed_fn or (lambda c: embed_deterministic(c, embed_dim))
+
+    # ---- catalog / inspection --------------------------------------
+    def list_collections(self) -> list[str]:
+        """Q:74-92 — collection names from partition metadata (no scan)."""
+        return self.store.list_collections()
+
+    def get_record_count(self, index_name: str) -> int:
+        """Q:94-118 — the reference fetches every record and len()s it;
+        here the count aggregates scan-side under partition pruning."""
+        return self.store.read_collection(index_name).count()
+
+    def get_top_records(self, index_name: str, limit: int = 10) -> DataFrame:
+        """Q:32-71 — first ``limit`` records by chunk order."""
+        return (
+            self.store.read_collection(index_name)
+            .orderBy("doc_id", "chunk_idx")
+            .limit(limit)
+        )
+
+    def get_sample_records(self, index_name: str, limit: int = 10) -> DataFrame:
+        """Q:203-230 — deterministic sample (seeded hash order, not
+        storage order, so samples are stable across runs)."""
+        return (
+            self.store.read_collection(index_name)
+            .orderBy(F.xxhash64("doc_id", "chunk_idx"))
+            .limit(limit)
+        )
+
+    def delete_index(self, index_name: str) -> None:
+        """Q:119-136 — drop the collection partition."""
+        self.store.delete_collection(index_name)
+
+    # ---- search / RAG ----------------------------------------------
+    def search_by_vector(
+        self, index_name: str, vector: list[float], k: int = 5
+    ) -> DataFrame:
+        """Q:167-176 — near_vector top-k (k=5 default per Q:174)."""
+        chunks = self.store.read_collection(index_name)
+        qv = F.array(*[F.lit(float(x)) for x in vector])
+        scored = chunks.withColumn(
+            "score", F.round(cosine(F.col("embedding"), qv), 6)
+        )
+        return (
+            scored.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+            .limit(k)
+            .select("doc_id", "chunk_idx", "chunk_text", "score")
+        )
+
+    def similarity_search(self, index_name: str, query: str, k: int = 5) -> DataFrame:
+        """Q:143-164 — embed the query text, then vector top-k. The
+        query embeds through the same stage as documents (T7 ≡ T6)."""
+        qrow = self.spark.createDataFrame([(query,)], "q string").select(
+            self._embed(F.col("q")).alias("qv")
+        )
+        chunks = self.store.read_collection(index_name)
+        scored = chunks.crossJoin(F.broadcast(qrow)).withColumn(
+            "score", F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+        )
+        return (
+            scored.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+            .limit(k)
+            .select("doc_id", "chunk_idx", "chunk_text", "score")
+        )
+
+    def rag_context(self, index_name: str, query: str, k: int = 5) -> str:
+        """Q:192-198 — top-k retrieval concatenated into the prompt
+        context block."""
+        rows = self.similarity_search(index_name, query, k).collect()
+        return "\n\n".join(r.chunk_text for r in rows)
+
+    def rag_query(
+        self,
+        index_name: str,
+        query: str,
+        llm: Callable[[str], str] | None = None,
+        k: int = 5,
+    ) -> str:
+        """Q:178-200 — retrieve + generate. The LLM is an injected
+        callable (the reference calls VLLMOpenAI, Q:183-188 — an
+        external service, out of engine scope)."""
+        context = self.rag_context(index_name, query, k)
+        prompt = (
+            "Answer based on the context below.\n\n"
+            f"Context:\n{context}\n\nQuestion: {query}\nAnswer:"
+        )
+        if llm is None:
+            return prompt  # prompt assembly is the engine's contract
+        return llm(prompt)

@@ -1,0 +1,99 @@
+"""HTML clean/convert/crawl tests (reference behaviors, SURVEY §2.9 T1-T2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_ingestion_spark.functions.html import (
+    clean_html,
+    discover_frontier,
+    fetch_pages,
+    html_to_markdown,
+)
+
+SAMPLE = """
+<html><body>
+  <div class="breadcrumb">Home &gt; Docs</div>
+  <h1 class="title">Install&nbsp;Guide</h1>
+  <p>Welcome to the <a href="/intro">introduction</a> page.</p>
+  <h2>Prerequisites</h2>
+  <ul><li>CPU</li><li>RAM</li></ul>
+  <dl><dt>option</dt><dd>what it does</dd></dl>
+  <pre class="programlisting">x = 1
+print(x)</pre>
+  <hr/>
+  <a href="/legal">Legal Notice</a>
+  <h3>Next steps</h3>
+  <p>Read <a href="/en/documentation/pkg/html/install">this</a>.</p>
+</body></html>
+"""
+
+
+def test_html_to_markdown_kernel():
+    title, md = html_to_markdown(SAMPLE)
+    assert title == "Install Guide"  # nbsp normalized, h1 extracted
+    assert "# Install Guide" in md
+    assert "## Prerequisites" in md
+    assert "### Next steps" in md
+    assert "- CPU" in md and "- RAM" in md
+    assert "-> option" in md
+    assert "```programlisting\nx = 1\nprint(x)\n```" in md
+    assert "Home > Docs" not in md  # breadcrumb class dropped
+    assert "Legal Notice" not in md  # boilerplate anchor dropped
+    assert "introduction" in md  # normal anchor text kept
+
+
+def test_clean_html_stage(spark):
+    df = spark.createDataFrame([Row(doc_id=1, html=SAMPLE), Row(doc_id=2, html="<p>hi</p>")])
+    out = clean_html(df).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].title == "Install Guide"
+    assert by_id[1].page_content.startswith("# Install Guide")
+    assert by_id[2].title == "" and by_id[2].page_content == "hi"
+
+
+def test_discover_frontier(spark):
+    html = (
+        '<a href="/en/documentation/pkg/html/install">a</a>'
+        '<a href="/en/documentation/pkg/html/config">b</a>'
+        '<a href="/en/documentation/pkg/pdf/other">no-html</a>'
+        '<a href="/fr/documentation/pkg/html/x">wrong-prefix</a>'
+    )
+    df = spark.createDataFrame([Row(html=html)])
+    urls = sorted(r.url for r in discover_frontier(df).collect())
+    assert urls == [
+        "https://docs.example.com/en/documentation/pkg/html-single/config",
+        "https://docs.example.com/en/documentation/pkg/html-single/install",
+    ]
+
+
+def test_fetch_pages_injectable(spark):
+    df = spark.createDataFrame([Row(url="u1"), Row(url="u2")])
+    out = fetch_pages(df, fetcher=lambda u: f"<h1>{u}</h1>").collect()
+    assert {r.url: r.html for r in out} == {"u1": "<h1>u1</h1>", "u2": "<h1>u2</h1>"}
+
+
+def test_web_pipeline_end_to_end(spark):
+    """S2→T1/T2→T3/T4 composition: fake-fetch → clean → markdown split
+    → chunk (the website-ingestor flow, website-ingestion-pipeline.py:230-245)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.textops import (
+        chunk_fixed_overlap,
+        split_markdown_headers,
+    )
+
+    urls = spark.createDataFrame([Row(url=f"https://x/{i}") for i in range(4)])
+    pages = fetch_pages(urls, fetcher=lambda u: SAMPLE.replace("Install", u.split("/")[-1]))
+    docs = clean_html(pages)
+    sections = split_markdown_headers(docs, "page_content")
+    chunks = chunk_fixed_overlap(
+        sections.select("url", F.explode("sections").alias("sec")),
+        text_col="sec",
+        id_cols=("url",),
+        size=64,
+        overlap=16,
+    )
+    out = chunks.collect()
+    assert len(out) >= 4 * 3  # ≥3 sections per page
+    assert all(len(r.chunk_text) <= 64 for r in out)

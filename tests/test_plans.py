@@ -1,0 +1,95 @@
+"""Physical-plan quality gates (SURVEY.md §4.2, BASELINE.md targets).
+
+The engine's scale story depends on specific plan shapes; these tests
+pin them so a refactor can't silently regress to a worse plan:
+filter/column pushdown into parquet scans, broadcast joins for dims,
+TakeOrderedAndProject for top-k, no cartesian products in the blocked
+similarity ops, whole-stage codegen on the hot text paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_SMALL)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_prefix(spark):
+    plan = _formatted(spark, "filter_prefix")
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(p_name,small)" in plan
+
+
+def test_column_pruning_scan(spark):
+    plan = _formatted(spark, "scan_parquet")
+    # 4 of 5 columns read; `text` (the wide one) must not reach the scan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_broadcast_join_for_dims(spark):
+    for name in ["join_broadcast_enrich", "metadata_enrich", "join_inner_equi"]:
+        assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_topk_is_take_ordered(spark):
+    # top-k must not materialize a global sort
+    for name in ["top_n_limit", "similarity_topk", "sort_global"]:
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_range_join_has_equi_anchor(spark):
+    """The time-range join must plan as a hash join keyed on user_id
+    (range as join filter), never a nested-loop cross product."""
+    plan = _plan(spark, "join_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_near_dup_is_equi_join(spark):
+    plan = _plan(spark, "embed_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_stays_in_codegen(spark):
+    """The chunk explode path must be pure codegen — no Python eval,
+    no UDF boundary (BASELINE.md: no UDF on this path)."""
+    df = entrymod.queries()["chunk_fixed_overlap"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_text_analysis_stays_jvm_side(spark):
+    for name in ["text_stats", "text_quality_score", "lang_id_ngram", "dedup_minhash"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy count must partial-aggregate map-side (the reference
+    fetches everything and len()s it client-side instead)."""
+    plan = _plan(spark, "groupby_count")
+    assert plan.count("HashAggregate") >= 2  # partial + final

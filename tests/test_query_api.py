@@ -1,0 +1,67 @@
+"""Query-facade tests: the reference's Q-module surface over the store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from data_ingestion_spark.plans.ingestion import ingestion_pipeline
+from data_ingestion_spark.query_api import EngineQuery
+from data_ingestion_spark.sources.sinks import ParquetVectorStore
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("qstore"))
+    store = ParquetVectorStore(spark, path)
+    store.upsert(ingestion_pipeline(spark, SF_SMALL))
+    return EngineQuery(spark, store, embed_dim=8)
+
+
+def test_catalog_surface(engine):
+    cols = engine.list_collections()
+    assert len(cols) > 50
+    n = engine.get_record_count(cols[0])
+    assert n > 0
+    top = engine.get_top_records(cols[0], limit=3).collect()
+    assert 0 < len(top) <= 3
+    # sample is deterministic across calls
+    s1 = [r.chunk_text for r in engine.get_sample_records(cols[0], 5).collect()]
+    s2 = [r.chunk_text for r in engine.get_sample_records(cols[0], 5).collect()]
+    assert s1 == s2
+
+
+def test_similarity_and_rag(engine):
+    col = engine.list_collections()[0]
+    hits = engine.similarity_search(col, "spark filter join", k=3).collect()
+    assert len(hits) == 3
+    assert all(-1.0 <= r.score <= 1.0 for r in hits)
+    assert hits[0].score >= hits[1].score >= hits[2].score
+
+    # self-retrieval sanity: querying with an ingested chunk's exact
+    # text must return that chunk at rank 1 (embedding is a pure
+    # function of text)
+    probe = hits[0].chunk_text
+    again = engine.similarity_search(col, probe, k=1).collect()[0]
+    assert again.chunk_text == probe and again.score == 1.0
+
+    ctx = engine.rag_context(col, "spark filter join", k=2)
+    assert len(ctx) > 0
+    prompt = engine.rag_query(col, "what is spark?")
+    assert prompt.startswith("Answer based on the context")
+    answer = engine.rag_query(col, "what is spark?", llm=lambda p: f"LLM({len(p)})")
+    assert answer.startswith("LLM(")
+
+
+def test_delete_index(engine):
+    col = engine.list_collections()[-1]
+    engine.delete_index(col)
+    assert col not in engine.list_collections()
+
+
+def test_search_by_vector(engine):
+    col = engine.list_collections()[0]
+    hits = engine.search_by_vector(col, [0.1] * 8, k=4).collect()
+    assert len(hits) == 4

@@ -1,0 +1,60 @@
+"""Recursive splitter compat mode (T4): kernel + Spark stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_ingestion_spark.functions.textops import (
+    chunk_recursive,
+    recursive_character_split,
+)
+
+
+def test_kernel_respects_size_and_boundaries():
+    text = "para one is short.\n\npara two is a bit longer than one.\n\n" + (
+        "word " * 100
+    ).strip()
+    chunks = recursive_character_split(text, chunk_size=60, chunk_overlap=15)
+    assert all(len(c) <= 60 for c in chunks)
+    assert chunks[0].startswith("para one")
+    # paragraph boundary respected: chunk 1 doesn't split a word
+    for c in chunks:
+        assert not c.startswith(" ")
+
+
+def test_kernel_overlap_continuity():
+    text = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 20).strip()
+    chunks = recursive_character_split(text, chunk_size=80, chunk_overlap=30)
+    assert len(chunks) > 3
+    joined = " ".join(chunks)
+    for w in ["alpha", "juliet"]:
+        assert w in joined
+    # consecutive chunks share trailing/leading content (overlap)
+    for a, b in zip(chunks, chunks[1:]):
+        tail_words = a.split()[-2:]
+        assert any(w in b for w in tail_words)
+
+
+def test_kernel_tiny_and_oversized_tokens():
+    assert recursive_character_split("tiny", 100, 20) == ["tiny"]
+    # a single 'word' longer than chunk_size falls back to hard cuts
+    big = "x" * 250
+    chunks = recursive_character_split(big, chunk_size=100, chunk_overlap=0)
+    assert all(len(c) <= 100 for c in chunks)
+    assert "".join(chunks) == big
+
+
+def test_spark_stage(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}. " + ("lorem ipsum dolor sit amet. " * 30))
+         for i in range(6)]
+    )
+    out = chunk_recursive(df, size=100, overlap=20)
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == set(range(6))
+    assert all(len(r.chunk_text) <= 100 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.chunk_idx)
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense ordinals
