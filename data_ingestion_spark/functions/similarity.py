@@ -119,3 +119,66 @@ def pairwise_near_dup(
     pairs = a.join(b, on="blk").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
     return scored.filter(F.col("score") >= threshold).select("id_a", "id_b", "score")
+
+
+def mllib_lsh_model(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+):
+    """T8 100 TB path via MLlib: BucketedRandomProjectionLSH.
+
+    Euclidean-LSH over the embedding column (converted to MLlib
+    vectors JVM-side with ``array_to_vector`` — no Python round-trip).
+    For cosine search, L2-normalize first: euclidean distance on unit
+    vectors is monotone in cosine similarity (d² = 2 − 2cos), so LSH
+    neighbors under L2 are cosine neighbors. Returns (model,
+    transformed_df) — at scale you persist the transformed (hashed)
+    table bucketed by hash so probes prune partitions.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    df = vectors.withColumn("__vec_raw", array_to_vector(F.col(vec_col).cast("array<double>")))
+    df = Normalizer(inputCol="__vec_raw", outputCol="__vec", p=2.0).transform(df)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__vec",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=42,
+    )
+    model = lsh.fit(df)
+    return model, model.transform(df)
+
+
+def mllib_lsh_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via the MLlib LSH model (approxNearestNeighbors).
+
+    Complements the SQL-native ``lsh_topk``/``ivf_search``: this path
+    gives multi-table LSH with tunable recall at the cost of the fit
+    step; the SQL paths are zero-fit and partition-prunable. Returns
+    (id, approx cosine score) — distCol is euclidean on unit vectors,
+    mapped back to cosine via cos = 1 − d²/2.
+    """
+    import math
+
+    from pyspark.ml.linalg import Vectors
+
+    model, hashed = mllib_lsh_model(vectors, vec_col)
+    norm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    key = Vectors.dense([x / norm for x in query_vec])
+    nn = model.approxNearestNeighbors(hashed, key, k, distCol="__dist")
+    return nn.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - F.col("__dist") * F.col("__dist") / F.lit(2.0), 6).alias(
+            "approx_score"
+        ),
+    )

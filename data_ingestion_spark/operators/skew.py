@@ -1,0 +1,43 @@
+"""Skew-mitigation operators (SURVEY.md §7.3: one product dominates).
+
+The reference's corpus is skewed by construction — one product's docs
+dwarf the others (ingestion-pipeline.py:18-38) — and at 100 TB a
+single hot key (one collection, one ubiquitous shingle) turns a
+groupBy into one straggler task. Two standard remedies, both plain
+DataFrame composition:
+
+- ``salted_group_count``: two-stage aggregation — salt the key into
+  ``buckets`` sub-keys, partial-count per (key, salt), then re-agg per
+  key. The result is bit-identical to a plain groupBy count (the
+  oracle for the driver check IS the plain count), but the first
+  shuffle spreads each hot key over ``buckets`` reducers.
+- ``salted_broadcast_left``: for joins where the build side is small
+  but the probe side has hot keys, broadcasting already avoids
+  shuffling the skewed side; included as the decision rule — salt the
+  *aggregation*, broadcast the *join*, and let AQE's skew-join
+  handling cover sort-merge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_group_count(
+    df: DataFrame, key: str, buckets: int = 16, alias: str = "cnt"
+) -> DataFrame:
+    """Two-stage (salted) count per key; result ≡ plain
+    ``groupBy(key).count()`` with the hot-key shuffle fanned out."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias(alias))
+
+
+def salted_group_sum(
+    df: DataFrame, key: str, value: Column, buckets: int = 16, alias: str = "total"
+) -> DataFrame:
+    """Salted two-stage sum (same shape; any algebraic aggregate
+    decomposes this way — partial per salt, merge per key)."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias(alias))

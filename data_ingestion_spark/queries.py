@@ -763,3 +763,70 @@ def window_tumbling_batch(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# =====================================================================
+# additional join/set coverage + skew-safe aggregation
+# =====================================================================
+
+@q(
+    "join_full_outer",
+    "SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, "
+    "CAST(count(o.o_orderkey) AS BIGINT) AS n_orders, "
+    "CAST(max(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END) AS INTEGER) AS has_customer "
+    "FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey "
+    "GROUP BY coalesce(c.c_custkey, o.o_custkey)",
+)
+def join_full_outer(spark, sf_dir):
+    """J3 completion: full outer join — customers without orders AND
+    orders whose customer is missing both survive."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    o = _t(spark, sf_dir, "orders").alias("o")
+    j = c.join(o, F.col("o.o_custkey") == F.col("c.c_custkey"), "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("c.c_custkey"), F.col("o.o_custkey")).alias("custkey")
+    ).agg(
+        F.count(F.col("o.o_orderkey")).alias("n_orders"),
+        F.max(F.when(F.col("c.c_custkey").isNull(), 0).otherwise(1))
+        .cast("int")
+        .alias("has_customer"),
+    )
+
+
+@q(
+    "set_intersect",
+    "SELECT DISTINCT c_custkey AS custkey FROM customer "
+    "INTERSECT SELECT DISTINCT o_custkey FROM orders",
+)
+def set_intersect(spark, sf_dir):
+    """U2: intersect — keys present on both sides (re-ingestion overlap)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@q(
+    "union_distinct",
+    "SELECT p_partkey, p_name FROM part WHERE p_type = 'ECONOMY' "
+    "UNION SELECT p_partkey, p_name FROM part WHERE p_brand = 'Brand#5'",
+)
+def union_distinct(spark, sf_dir):
+    """U1 variant: UNION with dedup (vs union_all's multiset append)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_type") == "ECONOMY").select("p_partkey", "p_name")
+    b = p.filter(F.col("p_brand") == "Brand#5").select("p_partkey", "p_name")
+    return a.unionByName(b).distinct()
+
+
+@q(
+    "agg_salted_count",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def agg_salted_count(spark, sf_dir):
+    """Skew-safe two-stage aggregation (operators/skew.py): result is
+    bit-identical to the plain groupBy count — which IS the oracle —
+    while the hot key fans out over 16 salt buckets in stage one."""
+    from .operators.skew import salted_group_count
+
+    return salted_group_count(_t(spark, sf_dir, "orders"), "o_orderpriority", buckets=16)

@@ -179,3 +179,27 @@ def test_frame_sample_explode(spark):
     expect = {r.doc_id: (r.n_frames + 1) // 2 for r in meta.collect()}
     for r in got:
         assert r["count"] == expect[r.doc_id]
+
+
+# ------------------------------------------------------------- MLlib LSH
+
+def test_mllib_lsh_topk_recall(spark):
+    """The MLlib ANN path must put the exact top-1 (excluding self)
+    in its approximate top-5, and score the self-match ~1.0."""
+    from data_ingestion_spark.functions.similarity import brute_force_topk, mllib_lsh_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    query = list(qrow.embedding)
+
+    approx = mllib_lsh_topk(emb, query, k=5).collect()
+    ids = [r.vec_id for r in approx]
+    assert 0 in ids  # self-match found
+    self_score = next(r.approx_score for r in approx if r.vec_id == 0)
+    assert abs(self_score - 1.0) < 1e-4
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv)), F.col("qv"), k=1
+    ).collect()
+    assert exact[0].vec_id in ids  # exact top-1 within approx top-5
