@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_spark import queries as _q
+from data_ingestion_spark import queries_extra as _qe  # noqa: F401  (registers on import)
 from data_ingestion_spark import queries_vector as _qv  # noqa: F401  (registers on import)
 from data_ingestion_spark.plans.ingestion import flagship_query
 

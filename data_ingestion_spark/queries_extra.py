@@ -1,0 +1,165 @@
+"""Additional oracle-checked coverage: native session windows, exact
+percentiles, corpus-statistics quality scoring, null semantics,
+positional explode, and a string-function battery.
+
+Same parity rules as queries.py (aliases, casts, rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _d, _t, q
+
+
+@q(
+    "session_window_native",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+    "SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM s GROUP BY user_id, sid",
+)
+def session_window_native(spark, sf_dir):
+    """ST4 in batch: Spark's native ``session_window`` (30-min gap)
+    checked against a first-principles lag+cumsum oracle. Window END
+    differs by definition (Spark pads the gap), so the comparison key
+    is (user, session_start, n_events)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return out
+
+
+@q(
+    "agg_percentiles",
+    "SELECT l_returnflag, "
+    "round(median(l_extendedprice), 4) AS med_price, "
+    "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, "
+    "round(quantile_cont(l_quantity, 0.5), 4) AS med_qty "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def agg_percentiles(spark, sf_dir):
+    """A4 extension: exact median / interpolated percentiles (both
+    engines compute exact order statistics — deterministic, unlike the
+    approx sketch variants)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
+    )
+
+
+@q(
+    "quality_unigram_logprob",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), "
+    "freq AS (SELECT word, count(*) AS c FROM w GROUP BY word), "
+    "tot AS (SELECT sum(c) AS t FROM freq) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+    "round(avg(ln(freq.c / tot.t)), 6) AS avg_logprob "
+    "FROM w JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id",
+)
+def quality_unigram_logprob(spark, sf_dir):
+    """Text-analysis: corpus-statistics quality score — average
+    unigram log-probability per document (the classic cheap fluency
+    proxy). Two-pass: corpus frequency table (one agg), then
+    broadcast-join back to the exploded words. At 100 TB the freq
+    table of a natural-language corpus is ~millions of rows — still
+    broadcastable after a min-count floor."""
+    d = _d(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        w.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@q(
+    "null_semantics",
+    "SELECT c.c_custkey, "
+    "coalesce(CAST(o.o_orderkey AS BIGINT), -1) AS order_or_default, "
+    "CAST(o.o_orderkey IS NOT DISTINCT FROM NULL AS INTEGER) AS is_unmatched, "
+    "nullif(c.c_mktsegment, 'MACHINERY') AS seg_nullified "
+    "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "AND o.o_totalprice > 400000",
+)
+def null_semantics(spark, sf_dir):
+    """Null-handling battery over outer-join nulls: coalesce default,
+    null-safe equality (<=> ↔ IS NOT DISTINCT FROM), nullif."""
+    c = _t(spark, sf_dir, "customer").alias("c")
+    o = _t(spark, sf_dir, "orders").alias("o")
+    j = c.join(
+        o,
+        (F.col("o.o_custkey") == F.col("c.c_custkey"))
+        & (F.col("o.o_totalprice") > 400000),
+        "left",
+    )
+    return j.select(
+        F.col("c.c_custkey"),
+        F.coalesce(F.col("o.o_orderkey"), F.lit(-1).cast("bigint")).alias(
+            "order_or_default"
+        ),
+        F.col("o.o_orderkey").eqNullSafe(F.lit(None).cast("bigint")).cast("int").alias(
+            "is_unmatched"
+        ),
+        F.nullif(F.col("c.c_mktsegment"), F.lit("MACHINERY")).alias("seg_nullified"),
+    )
+
+
+@q(
+    "array_posexplode",
+    "SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, d.words[t.i] AS word FROM ("
+    "SELECT doc_id, string_split(text, ' ') AS words FROM documents) d, "
+    "unnest(generate_series(1, len(d.words))) AS t(i) WHERE length(d.words[t.i]) > 5",
+)
+def array_posexplode(spark, sf_dir):
+    """X9 extension: positional explode (token index survives the
+    flatten — needed for positional n-grams / winnowing offsets)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
+        .filter(F.length("word") > 5)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+    )
+
+
+@q(
+    "string_funcs_battery",
+    "SELECT doc_id, upper(lang) AS lang_up, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad, "
+    "split_part(source, 'c', 1) AS src_head, reverse(lang) AS lang_rev, "
+    "repeat('-', 5) AS rule, trim(' x ' ) AS trimmed, "
+    "CAST(strpos(text, 'spark') AS INTEGER) AS spark_pos, "
+    "left(text, 10) AS head10, right(text, 10) AS tail10 "
+    "FROM documents",
+)
+def string_funcs_battery(spark, sf_dir):
+    """X-battery: the common scalar string zoo in one checked query."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(1)).alias("src_head"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.repeat(F.lit("-"), 5).alias("rule"),
+        F.trim(F.lit(" x ")).alias("trimmed"),
+        F.instr(F.col("text"), "spark").cast("int").alias("spark_pos"),
+        F.substring(F.col("text"), 1, 10).alias("head10"),
+        F.col("text").substr(F.length("text") - 9, F.lit(10)).alias("tail10"),
+    )
