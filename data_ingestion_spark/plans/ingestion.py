@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.embedding import embed_deterministic
-from ..functions.textops import chunk_fixed_overlap, normalize_index_name, token_count
+from ..functions.textops import (
+    chunk_fixed_overlap,
+    content_header,
+    normalize_index_name,
+    token_count,
+)
 from ..sources.catalog import lang_dim, load_table, spread
 
 
@@ -48,6 +53,16 @@ def ingestion_pipeline(
         .withColumn(
             "index_name",
             normalize_index_name(F.concat_ws("_", F.col("source"), F.col("lang"))),
+        )
+        # X1: every chunk carries its section-path header
+        # (ingestion-pipeline.py:234-240) — embedded text includes it,
+        # exactly as the reference embeds header+content
+        .withColumn(
+            "chunk_text",
+            content_header(
+                F.col("source"), F.col("lang"), F.col("chunk_idx").cast("string"),
+                F.col("chunk_text"),
+            ),
         )
         .withColumn("n_tokens", token_count(F.col("chunk_text")))
     )

@@ -41,11 +41,19 @@ class EngineQuery:
         store: ParquetVectorStore,
         embed_dim: int = 8,
         embed_fn: Callable[[F.Column], F.Column] | None = None,
+        id_cols: tuple[str, ...] = ("doc_id", "url", "section_idx", "chunk_idx"),
     ):
         self.spark = spark
         self.store = store
         self.embed_dim = embed_dim
         self._embed = embed_fn or (lambda c: embed_deterministic(c, embed_dim))
+        #: candidate tiebreak/identity columns; whichever exist in the
+        #: ingested schema are used (product-doc and website pipelines
+        #: key chunks differently)
+        self.id_cols = id_cols
+
+    def _ids(self, df) -> list[str]:
+        return [c for c in self.id_cols if c in df.columns]
 
     # ---- catalog / inspection --------------------------------------
     def list_collections(self) -> list[str]:
@@ -59,20 +67,14 @@ class EngineQuery:
 
     def get_top_records(self, index_name: str, limit: int = 10) -> DataFrame:
         """Q:32-71 — first ``limit`` records by chunk order."""
-        return (
-            self.store.read_collection(index_name)
-            .orderBy("doc_id", "chunk_idx")
-            .limit(limit)
-        )
+        chunks = self.store.read_collection(index_name)
+        return chunks.orderBy(*self._ids(chunks)).limit(limit)
 
     def get_sample_records(self, index_name: str, limit: int = 10) -> DataFrame:
         """Q:203-230 — deterministic sample (seeded hash order, not
         storage order, so samples are stable across runs)."""
-        return (
-            self.store.read_collection(index_name)
-            .orderBy(F.xxhash64("doc_id", "chunk_idx"))
-            .limit(limit)
-        )
+        chunks = self.store.read_collection(index_name)
+        return chunks.orderBy(F.xxhash64(*self._ids(chunks))).limit(limit)
 
     def delete_index(self, index_name: str) -> None:
         """Q:119-136 — drop the collection partition."""
@@ -88,10 +90,11 @@ class EngineQuery:
         scored = chunks.withColumn(
             "score", F.round(cosine(F.col("embedding"), qv), 6)
         )
+        ids = self._ids(chunks)
         return (
-            scored.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+            scored.orderBy(F.col("score").desc(), *ids)
             .limit(k)
-            .select("doc_id", "chunk_idx", "chunk_text", "score")
+            .select(*ids, "chunk_text", "score")
         )
 
     def similarity_search(self, index_name: str, query: str, k: int = 5) -> DataFrame:
@@ -104,10 +107,11 @@ class EngineQuery:
         scored = chunks.crossJoin(F.broadcast(qrow)).withColumn(
             "score", F.round(cosine(F.col("embedding"), F.col("qv")), 6)
         )
+        ids = self._ids(chunks)
         return (
-            scored.orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+            scored.orderBy(F.col("score").desc(), *ids)
             .limit(k)
-            .select("doc_id", "chunk_idx", "chunk_text", "score")
+            .select(*ids, "chunk_text", "score")
         )
 
     def rag_context(self, index_name: str, query: str, k: int = 5) -> str:

@@ -1,0 +1,59 @@
+"""Website-ingestor pipeline: env config → fetch → clean → split →
+chunk → embed → store, end to end (reference W flow)."""
+
+from __future__ import annotations
+
+from data_ingestion_spark.plans.config import IngestionConfig
+from data_ingestion_spark.plans.web_ingestion import run_website_ingestion
+from data_ingestion_spark.query_api import EngineQuery
+from data_ingestion_spark.sources.sinks import ParquetVectorStore
+
+PAGE = """
+<html><body>
+<h1>Product&nbsp;Guide</h1>
+<p>{intro}</p>
+<h2>Install</h2><p>{body}</p>
+<h3>Verify</h3><pre class="screen">cmd --check</pre>
+</body></html>
+""".format(intro="Welcome. " * 30, body="Run the installer. " * 60)
+
+
+def test_config_from_env(monkeypatch):
+    monkeypatch.setenv("WEBSITE_URL", "https://site/x")
+    monkeypatch.setenv("VECTORDB_INDEX", "My-Index.v2")
+    monkeypatch.setenv("CHUNK_SIZE", "256")
+    cfg = IngestionConfig.from_env(store_path="/tmp/s")
+    assert cfg.website_url == "https://site/x"
+    assert cfg.index_name == "My-Index.v2"
+    assert cfg.chunk_size == 256 and cfg.store_path == "/tmp/s"
+
+
+def test_website_ingestion_end_to_end(spark, tmp_path):
+    cfg = IngestionConfig(
+        index_name="Site-Docs.v1",
+        website_url="https://site/docs",
+        store_path=str(tmp_path / "store"),
+        chunk_size=200,
+        chunk_overlap=40,
+        md_split_depth=4,
+        embed_dim=8,
+    )
+    n = run_website_ingestion(spark, cfg, fetcher=lambda u: PAGE)
+    assert n > 3  # several sections x chunks
+
+    store = ParquetVectorStore(spark, cfg.store_path)
+    assert store.list_collections() == ["site_docs_v1"]  # name normalized
+
+    rows = store.read_collection("site_docs_v1").collect()
+    assert all(r.title == "Product Guide" for r in rows)  # nbsp handled
+    assert all(len(r.embedding) == 8 for r in rows)
+    assert all(r.chunk_text.startswith("Section: Product Guide /") for r in rows)
+
+    # the ingested store is queryable through the reference-shaped API
+    eq = EngineQuery(spark, store, embed_dim=8)
+    hits = eq.similarity_search("site_docs_v1", "run the installer", k=2).collect()
+    assert len(hits) == 2 and "installer" in hits[0].chunk_text.lower()
+
+    # idempotent re-run (the reference's skip-if-exists semantics)
+    n2 = run_website_ingestion(spark, cfg, fetcher=lambda u: PAGE)
+    assert n2 == n
