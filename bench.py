@@ -72,6 +72,28 @@ def main() -> None:
     ingestion_pipeline(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings["pipeline_ingest_e2e"] = round(time.perf_counter() - t0, 3)
 
+    # embedding stand-in via the Arrow pandas-UDF path, isolated
+    # (BASELINE.md target: >=10k chunks/s through the Arrow boundary)
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.embedding import make_embed_udf
+    from data_ingestion_spark.functions.textops import chunk_fixed_overlap
+    from data_ingestion_spark.sources.catalog import load_table, spread
+
+    chunks = chunk_fixed_overlap(
+        spread(load_table(spark, SF_DIR, "documents")), "text", ("doc_id",), 128, 32
+    )
+    n_chunks = chunks.count()
+    embedded = chunks.withColumn("embedding", make_embed_udf(64)(F.col("chunk_text")))
+    # first run spawns the executor python workers; time the warm run
+    # (steady-state throughput is the capacity-planning number)
+    embedded.write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    embedded.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    timings["embed_udf_stage"] = round(dt, 3)
+    throughput = {"embed_chunks_per_sec": round(n_chunks / dt, 1)}
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -85,6 +107,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": sf_val,
             }
         )

@@ -71,14 +71,23 @@ def _load_model():
 
 
 def _fallback_embed(texts: pd.Series, dim: int) -> np.ndarray:
-    """Vectorized deterministic fallback (numpy, per Arrow batch)."""
+    """Deterministic fallback: hash-chain digests → uint32 → [-1, 1].
+
+    Per row: ceil(dim/8) blake2b calls and one frombuffer — no RNG
+    object construction (a per-row ``default_rng`` costs more than the
+    hashing itself and capped the Arrow stage at ~3.5k rows/s)."""
     import hashlib
 
+    n_blocks = (dim * 4 + 31) // 32  # 32-byte digests → 8 float32 each
     out = np.empty((len(texts), dim), dtype=np.float32)
     for r, t in enumerate(texts):
-        h = hashlib.md5((t or "").encode()).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-        out[r] = rng.uniform(-1, 1, dim).astype(np.float32)
+        raw = (t or "").encode()
+        buf = b"".join(
+            hashlib.blake2b(raw + bytes([k]), digest_size=32).digest()
+            for k in range(n_blocks)
+        )
+        ints = np.frombuffer(buf, dtype=np.uint32)[:dim].astype(np.float64)
+        out[r] = (ints / np.float64(2**32 - 1) * 2.0 - 1.0).astype(np.float32)
     return out
 
 

@@ -330,3 +330,34 @@ def multimodal_binary_meta(spark, sf_dir):
         F.octet_length("payload").alias("byte_len"),
         F.sha2(F.col("payload"), 256).alias("payload_sha"),
     )
+
+
+_SIGN_BUCKET_SQL = (
+    "(CASE WHEN {e}.embedding[1] >= 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN {e}.embedding[2] >= 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN {e}.embedding[3] >= 0 THEN 4 ELSE 0 END)"
+)
+
+
+@q(
+    "embed_near_dup_lsh",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings a JOIN embeddings b ON "
+    + _SIGN_BUCKET_SQL.format(e="a")
+    + " = "
+    + _SIGN_BUCKET_SQL.format(e="b")
+    + " AND a.vec_id < b.vec_id "
+    "WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.5",
+)
+def embed_near_dup_lsh(spark, sf_dir):
+    """T10 label-free variant: near-dup pairs blocked by the sign-
+    bucket LSH key instead of a precomputed cell — the shape you use
+    when no clustering exists yet. Same equi-join guarantee (cost
+    Σ bucket², never n²); recall rises with multiple rotated bucket
+    seeds at scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    blocked = e.withColumn("bucket", SIM.sign_bucket(F.col("embedding"), 3))
+    return SIM.pairwise_near_dup(blocked, block_col="bucket", threshold=0.5)
