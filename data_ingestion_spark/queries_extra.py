@@ -163,3 +163,83 @@ def string_funcs_battery(spark, sf_dir):
         F.substring(F.col("text"), 1, 10).alias("head10"),
         F.col("text").substr(F.length("text") - 9, F.lit(10)).alias("tail10"),
     )
+
+
+@q(
+    "split_markdown_sections",
+    "WITH md AS (SELECT doc_id, '# T ' || source || chr(10) || substr(text, 1, 80) || chr(10) "
+    "|| '## A' || chr(10) || substr(text, 81, 80) || chr(10) || '### A1' || chr(10) "
+    "|| substr(text, 161, 80) || chr(10) || '## B' || chr(10) || substr(text, 241, 80) "
+    "AS md_text FROM documents), "
+    "l AS (SELECT doc_id, i - 1 AS ln, lines[i] AS line, "
+    "CASE WHEN starts_with(lines[i], '### ') THEN 3 WHEN starts_with(lines[i], '## ') THEN 2 "
+    "WHEN starts_with(lines[i], '# ') THEN 1 ELSE 0 END AS lvl "
+    "FROM (SELECT doc_id, string_split(md_text, chr(10)) AS lines FROM md) t, "
+    "unnest(generate_series(1, len(lines))) AS u(i)), "
+    "s AS (SELECT *, sum(CASE WHEN lvl > 0 THEN 1 ELSE 0 END) OVER wp AS section_id, "
+    "sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) OVER wp AS h1_id, "
+    "sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) OVER wp AS h2_id, "
+    "last_value(CASE WHEN lvl = 1 THEN substr(line, 3) END IGNORE NULLS) OVER wp AS h1 "
+    "FROM l WINDOW wp AS (PARTITION BY doc_id ORDER BY ln ROWS UNBOUNDED PRECEDING)), "
+    "s2 AS (SELECT *, last_value(CASE WHEN lvl = 2 THEN substr(line, 4) END IGNORE NULLS) "
+    "OVER (PARTITION BY doc_id, h1_id ORDER BY ln ROWS UNBOUNDED PRECEDING) AS h2 FROM s), "
+    "s3 AS (SELECT *, last_value(CASE WHEN lvl = 3 THEN substr(line, 5) END IGNORE NULLS) "
+    "OVER (PARTITION BY doc_id, h1_id, h2_id ORDER BY ln ROWS UNBOUNDED PRECEDING) AS h3 FROM s2) "
+    "SELECT doc_id, CAST(section_id AS BIGINT) AS section_id, h1, h2, h3, "
+    "string_agg(line, chr(10) ORDER BY ln) AS section_text "
+    "FROM s3 WHERE lvl = 0 AND length(trim(line)) > 0 "
+    "GROUP BY doc_id, section_id, h1, h2, h3",
+)
+def split_markdown_sections(spark, sf_dir):
+    """T3 full form: header-aware split with Header1..3 metadata and
+    shallower-header resets (ingestion-pipeline.py:204-216), pure SQL
+    on both engines. Markdown assembled from each doc (the synthetic
+    corpus has no headers of its own)."""
+    from .functions.textops import split_markdown_sections as split_md
+
+    d = _d(spark, sf_dir)
+    md = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("# T "), F.col("source"), F.lit("\n"),
+            F.substring("text", 1, 80), F.lit("\n"),
+            F.lit("## A"), F.lit("\n"), F.substring("text", 81, 80), F.lit("\n"),
+            F.lit("### A1"), F.lit("\n"), F.substring("text", 161, 80), F.lit("\n"),
+            F.lit("## B"), F.lit("\n"), F.substring("text", 241, 80),
+        ).alias("md_text"),
+    )
+    out = split_md(md, "md_text")
+    return out.select(
+        "doc_id", F.col("section_id").cast("bigint").alias("section_id"),
+        "h1", "h2", "h3", "section_text",
+    )
+
+
+@q("streaming_tumbling_availablenow")
+def streaming_tumbling_availablenow(spark, sf_dir):
+    """ST1+ST2 executed for real (rows-only check: streaming state is
+    not SQL-oracle-able, SURVEY.md §2.10): stage the events table as a
+    file-stream input, drain it with Trigger.AvailableNow through a
+    watermarked tumbling-window aggregation into a memory sink, and
+    return the final batch result. Equivalence with the batch twin
+    (window_tumbling_batch, which IS oracle-checked) is asserted in
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from .sources.catalog import load_table
+    from .streaming.pipeline import (
+        run_query_availablenow,
+        stream_events_from_dir,
+        tumbling_counts,
+    )
+
+    staging = tempfile.mkdtemp(prefix="dq_stream_in_")
+    ckpt = tempfile.mkdtemp(prefix="dq_stream_ckpt_")
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
+    sink = f"dq_stream_sink_{uuid.uuid4().hex[:8]}"
+    q_handle = run_query_availablenow(
+        tumbling_counts(stream_events_from_dir(spark, staging)), ckpt, sink
+    )
+    q_handle.awaitTermination(300)
+    return spark.table(sink)
