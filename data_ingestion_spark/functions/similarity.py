@@ -182,3 +182,50 @@ def mllib_lsh_topk(
             "approx_score"
         ),
     )
+
+
+def kmeans_ivf_build(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Real IVF coarse quantizer: MLlib k-means over the corpus.
+
+    Returns (model, assigned) where ``assigned`` carries an
+    ``ivf_cell`` column. At 100 TB: fit on a sample
+    (``vectors.sample``), assign the full corpus with the fitted model
+    (a narrow map), and write the table partitioned by ``ivf_cell`` so
+    probes prune partitions. Complements the label-column stand-in
+    used by the ``ann_ivf_search`` DQ.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = vectors.withColumn(
+        "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell").fit(df)
+    return model, model.transform(df).drop("__vec")
+
+
+def kmeans_ivf_search(
+    assigned: DataFrame,
+    model,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe with multi-probe: rank centroids by distance to the
+    query, search the ``n_probe`` nearest cells, exact re-rank."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=float)
+    centers = model.clusterCenters()
+    order = sorted(range(len(centers)), key=lambda i: float(np.linalg.norm(centers[i] - q)))
+    probe_cells = order[:n_probe]
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    return brute_force_topk(cand, qv, k, id_col, vec_col)

@@ -95,3 +95,56 @@ def flagship_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") 
         )
         .orderBy("index_name")
     )
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    store,
+    new_docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    **pipeline_kwargs,
+) -> int:
+    """Incremental re-ingestion: only docs not yet in the store.
+
+    The reference's idempotence is collection-granular skip-if-exists
+    (website-ingestion-pipeline.py:116-118); at 100 TB you want
+    document-granular increments: left-anti join the incoming docs
+    against stored doc ids (J4), run the ingestion stages on the
+    remainder only, append. The stored-ids side reduces to a
+    doc_id-only column scan (column pruning), and the anti join keys
+    on doc_id — one shuffle of the (small) increment.
+
+    Returns the number of newly ingested chunks.
+    """
+    from ..functions.embedding import embed_deterministic
+    from ..functions.textops import chunk_fixed_overlap, token_count
+
+    try:
+        seen = store.spark.read.parquet(store.path).select(doc_id_col).distinct()
+        fresh = new_docs.join(seen, on=doc_id_col, how="left_anti")
+    except Exception:  # empty store: nothing ingested yet
+        fresh = new_docs
+    chunks = chunk_fixed_overlap(
+        fresh.select(doc_id_col, "lang", "source", "text"),
+        text_col="text",
+        id_cols=(doc_id_col, "lang", "source"),
+        size=pipeline_kwargs.get("chunk_size", 128),
+        overlap=pipeline_kwargs.get("overlap", 32),
+    )
+    enriched = (
+        chunks.withColumn(
+            "index_name",
+            normalize_index_name(F.concat_ws("_", F.col("source"), F.col("lang"))),
+        )
+        .withColumn("n_tokens", token_count(F.col("chunk_text")))
+        .withColumn(
+            "embedding",
+            embed_deterministic(F.col("chunk_text"), pipeline_kwargs.get("embed_dim", 8)),
+        )
+    )
+    cnt = enriched.count()
+    if cnt:
+        enriched.repartition(F.col("index_name")).write.mode("append").partitionBy(
+            "index_name"
+        ).parquet(store.path)
+    return cnt

@@ -912,3 +912,40 @@ def tpch_q5_local_supplier(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+@q(
+    "tpch_q10_returns",
+    "SELECT c_custkey, c_name, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS revenue, n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1996-01-01' "
+    "AND o_orderdate < DATE '1996-07-01' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): 4-table join,
+    selective date + flag filters, top-20 by revenue. Via the SQL
+    interface; decimal-exact revenue for cross-engine hashing."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """
+    )

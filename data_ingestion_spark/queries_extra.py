@@ -243,3 +243,26 @@ def streaming_tumbling_availablenow(spark, sf_dir):
     )
     q_handle.awaitTermination(300)
     return spark.table(sink)
+
+
+@q(
+    "window_sliding_batch",
+    "WITH b AS (SELECT *, date_trunc('minute', ts) - "
+    "to_minutes(CAST(extract(minute FROM ts) % 30 AS BIGINT)) AS w0 FROM events) "
+    "SELECT t.win_start, CAST(count(*) AS BIGINT) AS n, round(sum(e.value), 4) AS sum_value "
+    "FROM b e, unnest([e.w0, e.w0 - INTERVAL 30 MINUTE]) AS t(win_start) "
+    "WHERE e.ts >= t.win_start AND e.ts < t.win_start + INTERVAL 1 HOUR "
+    "GROUP BY t.win_start",
+)
+def window_sliding_batch(spark, sf_dir):
+    """ST2 sliding twin in batch: width 1h, slide 30m — every event
+    lands in exactly width/slide windows via a 2-element explode of
+    candidate window starts (the generalization Spark's F.window does
+    natively; expressed here so DuckDB can oracle it)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+    return out

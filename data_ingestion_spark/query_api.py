@@ -55,6 +55,15 @@ class EngineQuery:
     def _ids(self, df) -> list[str]:
         return [c for c in self.id_cols if c in df.columns]
 
+    def _require(self, index_name: str) -> None:
+        """Weaviate/ES error on a missing class/index; mirror that
+        instead of silently returning an empty scan."""
+        cols = self.store.list_collections()
+        if index_name not in cols:
+            raise KeyError(
+                f"collection {index_name!r} does not exist; available: {cols}"
+            )
+
     # ---- catalog / inspection --------------------------------------
     def list_collections(self) -> list[str]:
         """Q:74-92 — collection names from partition metadata (no scan)."""
@@ -63,16 +72,19 @@ class EngineQuery:
     def get_record_count(self, index_name: str) -> int:
         """Q:94-118 — the reference fetches every record and len()s it;
         here the count aggregates scan-side under partition pruning."""
+        self._require(index_name)
         return self.store.read_collection(index_name).count()
 
     def get_top_records(self, index_name: str, limit: int = 10) -> DataFrame:
         """Q:32-71 — first ``limit`` records by chunk order."""
+        self._require(index_name)
         chunks = self.store.read_collection(index_name)
         return chunks.orderBy(*self._ids(chunks)).limit(limit)
 
     def get_sample_records(self, index_name: str, limit: int = 10) -> DataFrame:
         """Q:203-230 — deterministic sample (seeded hash order, not
         storage order, so samples are stable across runs)."""
+        self._require(index_name)
         chunks = self.store.read_collection(index_name)
         return chunks.orderBy(F.xxhash64(*self._ids(chunks))).limit(limit)
 
@@ -85,6 +97,7 @@ class EngineQuery:
         self, index_name: str, vector: list[float], k: int = 5
     ) -> DataFrame:
         """Q:167-176 — near_vector top-k (k=5 default per Q:174)."""
+        self._require(index_name)
         chunks = self.store.read_collection(index_name)
         qv = F.array(*[F.lit(float(x)) for x in vector])
         scored = chunks.withColumn(
@@ -100,6 +113,7 @@ class EngineQuery:
     def similarity_search(self, index_name: str, query: str, k: int = 5) -> DataFrame:
         """Q:143-164 — embed the query text, then vector top-k. The
         query embeds through the same stage as documents (T7 ≡ T6)."""
+        self._require(index_name)
         qrow = self.spark.createDataFrame([(query,)], "q string").select(
             self._embed(F.col("q")).alias("qv")
         )

@@ -203,3 +203,28 @@ def test_mllib_lsh_topk_recall(spark):
         emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv)), F.col("qv"), k=1
     ).collect()
     assert exact[0].vec_id in ids  # exact top-1 within approx top-5
+
+
+def test_kmeans_ivf_recall(spark):
+    """Real IVF (k-means cells, 2-probe) must contain the exact top-1."""
+    from data_ingestion_spark.functions.similarity import (
+        brute_force_topk,
+        kmeans_ivf_build,
+        kmeans_ivf_search,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    model, assigned = kmeans_ivf_build(emb, n_cells=8)
+    assert assigned.select("ivf_cell").distinct().count() <= 8
+
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    hits = kmeans_ivf_search(assigned, model, list(qrow.embedding), k=5).collect()
+    ids = [r.vec_id for r in hits]
+    assert 0 in ids  # self-match in its own cell
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = brute_force_topk(
+        emb.crossJoin(F.broadcast(qv)), F.col("qv"), k=2
+    ).collect()
+    # exact top-2 (self + nearest) should be recalled with 2 probes
+    assert exact[0].vec_id in ids

@@ -65,3 +65,12 @@ def test_search_by_vector(engine):
     col = engine.list_collections()[0]
     hits = engine.search_by_vector(col, [0.1] * 8, k=4).collect()
     assert len(hits) == 4
+
+
+def test_missing_collection_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="does not exist"):
+        engine.get_record_count("no_such_collection")
+    with _pytest.raises(KeyError):
+        engine.similarity_search("no_such_collection", "q", k=1)

@@ -70,3 +70,30 @@ def test_full_ingestion_to_store(spark, tmp_path):
     cols = set(spark.read.parquet(str(tmp_path / "vstore")).columns)
     assert {"doc_id", "chunk_idx", "chunk_text", "embedding", "index_name"} <= cols
     assert len(store.list_collections()) > 50  # source x lang combos
+
+
+def test_incremental_ingest_document_granular(spark, tmp_path):
+    """Second run with overlapping docs ingests only the new ones."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.plans.ingestion import incremental_ingest
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    store = ParquetVectorStore(spark, str(tmp_path / "inc"))
+
+    first = incremental_ingest(spark, store, docs.filter(F.col("doc_id") < 100))
+    assert first > 0
+    total_after_first = spark.read.parquet(store.path).count()
+
+    # overlap: docs 50..149 — only 100..149 are new
+    second = incremental_ingest(
+        spark, store, docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150))
+    )
+    back = spark.read.parquet(store.path)
+    assert back.count() == total_after_first + second
+    assert back.select("doc_id").distinct().count() == 150
+    # no duplicated chunks for the overlapping docs
+    dup = (
+        back.groupBy("doc_id", "chunk_idx").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
