@@ -65,6 +65,19 @@ def ingestion_pipeline(
             ),
         )
         .withColumn("n_tokens", token_count(F.col("chunk_text")))
+        # canonical chunk model (SURVEY.md §1.3): known metadata keys
+        # live as real columns (prunable/pushable); the open long-tail
+        # dict the reference accumulates by |= merge
+        # (ingestion-pipeline.py:218-222) rides as MAP<STRING,STRING>
+        .withColumn(
+            "metadata",
+            F.map_from_arrays(
+                F.array(F.lit("source"), F.lit("language"), F.lit("chunk")),
+                F.array(
+                    F.col("source"), F.col("lang"), F.col("chunk_idx").cast("string")
+                ),
+            ),
+        )
     )
     return enriched.withColumn("embedding", embed_deterministic(F.col("chunk_text"), embed_dim))
 

@@ -122,3 +122,17 @@ def test_incremental_second_run_drains_nothing_new(spark, events_dir, tmp_path):
         q.awaitTermination(120)
     back = spark.read.parquet(out_path)
     assert back.count() == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_sliding_matches_batch(spark, events_dir, tmp_path):
+    stream = SP.stream_events_from_dir(spark, events_dir)
+    out = _drain(
+        SP.sliding_counts(stream), str(tmp_path / "ckpt_slide"), "slide_sink"
+    ).toPandas()
+    import __spark_entry__ as E
+
+    batch = E.queries()["window_sliding_batch"](spark, SF_SMALL).toPandas()
+    out_s = out.sort_values("win_start").reset_index(drop=True)
+    batch_s = batch.sort_values("win_start").reset_index(drop=True)
+    assert len(out_s) == len(batch_s)
+    assert (out_s["n"].values == batch_s["n"].values).all()
