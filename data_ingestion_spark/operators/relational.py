@@ -66,6 +66,60 @@ def range_join_bounded(
     return left.join(right, on=equi & range_cond, how="inner")
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lo_offset_s: int,
+    hi_offset_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """J6 without a natural equi key: manufacture one by bucketing.
+
+    For ``right.ts BETWEEN left.ts + lo AND left.ts + hi``: pick a
+    bucket width ≥ the range span, explode each left row into the
+    2 candidate buckets its window can touch, equi-join on bucket,
+    then apply the exact range as a filter. Cost: |left|·2 rows into a
+    hash join instead of a nested loop over |left|·|right| — the
+    standard interval-join decomposition when Spark would otherwise
+    plan BroadcastNestedLoopJoin.
+    """
+    span = hi_offset_s - lo_offset_s
+    w = bucket_s or max(span, 1)
+    l_sec = F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp")) / F.lit(1_000_000.0)
+    r_sec = F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp")) / F.lit(1_000_000.0)
+    lt = left.alias("l").withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor((l_sec + lo_offset_s) / w),
+                F.floor((l_sec + hi_offset_s) / w),
+            )
+        ),
+    ).dropDuplicates(left.columns + ["__bucket"])
+    rt = right.alias("r").withColumn("__bucket", F.floor(r_sec / w))
+    joined = lt.join(rt, on="__bucket", how="inner")
+    l_sec_j = F.unix_micros(F.col(f"l.{left_ts}").cast("timestamp")) / F.lit(1_000_000.0)
+    r_sec_j = F.unix_micros(F.col(f"r.{right_ts}").cast("timestamp")) / F.lit(1_000_000.0)
+    return joined.filter(
+        (r_sec_j >= l_sec_j + lo_offset_s) & (r_sec_j <= l_sec_j + hi_offset_s)
+    ).drop("__bucket")
+
+
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """MERGE INTO semantics without a table format: updated rows
+    replace matches, unmatched updates insert, everything else
+    persists — expressed as anti-join + union (one shuffle on the
+    key). With Delta/Iceberg available this becomes a real MERGE with
+    file-level pruning; the logical contract is identical."""
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = current.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates.select(current.columns))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

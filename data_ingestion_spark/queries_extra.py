@@ -266,3 +266,66 @@ def window_sliding_batch(spark, sf_dir):
         .select(F.col("w.start").alias("win_start"), "n", "sum_value")
     )
     return out
+
+
+@q(
+    "join_range_bucketed",
+    "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_any_clicks "
+    "FROM events p LEFT JOIN events c ON c.event_type = 'click' "
+    "AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts "
+    "WHERE p.event_type = 'purchase' GROUP BY p.event_id",
+)
+def join_range_bucketed(spark, sf_dir):
+    """J6 without an equi anchor: clicks (any user) within 10 minutes
+    before each purchase. Spark plans a pure time-range join as a
+    nested loop; operators.relational.bucketed_range_join manufactures
+    a time-bucket equi key instead (left outer emulated by counting
+    over the inner result unioned with zero rows)."""
+    from .operators.relational import bucketed_range_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("ts").alias("c_ts")
+    )
+    inner = bucketed_range_join(
+        p, c, left_ts="ts", right_ts="c_ts", lo_offset_s=-600, hi_offset_s=0
+    )
+    counts = inner.groupBy("event_id").agg(
+        F.count(F.col("c_event_id")).alias("n_any_clicks")
+    )
+    # left-outer completion: purchases with zero clicks in range
+    return (
+        p.select("event_id")
+        .join(counts, on="event_id", how="left")
+        .select(
+            "event_id", F.coalesce("n_any_clicks", F.lit(0)).cast("bigint").alias("n_any_clicks")
+        )
+    )
+
+
+@q(
+    "agg_grouped_pandas_iqr",
+    "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.75) - "
+    "quantile_cont(l_extendedprice, 0.25), 4) AS iqr_price FROM lineitem "
+    "GROUP BY l_returnflag",
+)
+def agg_grouped_pandas_iqr(spark, sf_dir):
+    """§2.11 UDAF surface: a pandas GROUPED_AGG UDF (inter-quartile
+    range). pandas' linear-interpolation quantile matches DuckDB's
+    quantile_cont, so even the Python aggregation path is oracle-
+    checked. Arrow moves each group as one series; at scale pair with
+    a salting pre-agg if a single group outgrows executor memory."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: postponed annotations (PEP 563) in this
+    # module turn the type hints into strings, which defeats inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def iqr(v: pd.Series) -> float:
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(iqr(F.col("l_extendedprice")), 4).alias("iqr_price")
+    )

@@ -228,3 +228,49 @@ def test_kmeans_ivf_recall(spark):
     ).collect()
     # exact top-2 (self + nearest) should be recalled with 2 probes
     assert exact[0].vec_id in ids
+
+
+# ------------------------------------------------------------- UDTF / merge
+
+def test_python_udtf_chunker(spark):
+    """§2.11 UDTF surface: one doc in → many chunk rows out as a real
+    Python UDTF (Spark 4), the table-function twin of explode(udf())."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string")
+    class ChunkUdtf:
+        def eval(self, text: str, size: int, overlap: int):
+            if text is None:
+                return
+            stride = max(size - overlap, 1)
+            n = max(1, -(-(len(text) - overlap) // stride))
+            for i in range(n):
+                yield i, text[i * stride : i * stride + size]
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    docs.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text "
+        "FROM udtf_docs d, LATERAL chunk_udtf(d.text, 100, 30) c"
+    ).collect()
+    assert len(out) >= 5
+    assert all(len(r.chunk_text) <= 100 for r in out)
+    # agrees with the SQL-native chunker
+    from data_ingestion_spark.functions.textops import chunk_fixed_overlap
+
+    native = chunk_fixed_overlap(docs, "text", ("doc_id",), 100, 30).collect()
+    assert {(r.doc_id, r.chunk_idx, r.chunk_text) for r in out} == {
+        (r.doc_id, r.chunk_idx, r.chunk_text) for r in native
+    }
+
+
+def test_merge_upsert(spark):
+    from data_ingestion_spark.operators.relational import merge_upsert
+
+    cur = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    upd = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="d")])
+    out = {r.k: r.v for r in merge_upsert(cur, upd, "k").collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}

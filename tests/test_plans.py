@@ -110,7 +110,9 @@ CROSS_OK = {
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
-PYTHON_OK: set[str] = set()
+PYTHON_OK: set[str] = {
+    "agg_grouped_pandas_iqr",  # deliberate GROUPED_AGG pandas UDAF (§2.11)
+}
 
 #: executes a live streaming job on call — excluded from plan lint
 SKIP = {"streaming_tumbling_availablenow"}
@@ -130,8 +132,13 @@ def test_plan_lint_all_queries(spark):
             bad.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
-        if (
-            "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
-        ) and name not in PYTHON_OK:
+        python_markers = (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "AggregateInPandas",
+            "FlatMapGroupsInPandas",
+        )
+        if any(m in plan for m in python_markers) and name not in PYTHON_OK:
             bad.append((name, "python-eval"))
     assert not bad, f"plan lint failures: {bad}"
