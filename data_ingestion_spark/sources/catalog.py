@@ -115,3 +115,34 @@ LANG_ROWS = [
 
 def lang_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(LANG_ROWS, "lang string, language_name string")
+
+
+def write_json_artifact(df: DataFrame, path: str) -> None:
+    """S5: inter-stage artifact as JSON lines — the reference
+    serializes whole split-sets to JSON artifact files between KFP
+    pods (ingestion-pipeline.py:280-282). Parquet is the engine
+    default; JSON exists for interchange with non-columnar consumers."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json_artifact(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S6: artifact read with schema-on-read (the reference's
+    ``json.loads`` + implicit dict schema, ingestion-pipeline.py:305-309).
+    Pass ``schema`` in production — inference scans the data twice and
+    silently widens types."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """T11 source: opaque media files as rows — Spark's binaryFile
+    source yields (path, modificationTime, length, content BINARY);
+    feed ``content`` to the multimodal decode stage. Partition count
+    follows file count; repartition by size before heavy decodes."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

@@ -30,15 +30,18 @@ EVENTS_SCHEMA = (
 )
 
 
-def stream_events_from_dir(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_events_from_dir(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
     """ST1: incremental file source. New parquet files appearing in
     ``input_dir`` are discovered per micro-batch; with AvailableNow
     the query drains what exists and stops (KFP-re-run semantics).
-    ``maxFilesPerTrigger`` bounds batch size at scale."""
+    ``max_files_per_trigger`` bounds batch size at scale (and pins
+    one-file-per-batch in the cross-batch state tests)."""
     ensure_engine_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so

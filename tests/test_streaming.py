@@ -136,3 +136,50 @@ def test_sliding_matches_batch(spark, events_dir, tmp_path):
     batch_s = batch.sort_values("win_start").reset_index(drop=True)
     assert len(out_s) == len(batch_s)
     assert (out_s["n"].values == batch_s["n"].values).all()
+
+
+def test_stateful_ewma_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches —
+    events arrive in two TIME-ORDERED file drops, one file per
+    trigger, so the second batch must continue the first batch's
+    state. Final counters equal the batch ground truth; EWMA matches
+    a pandas replay of the same time order."""
+    from data_ingestion_spark.streaming.stateful import ewma_per_user
+
+    ev = load_table(spark, SF_SMALL, "events")
+    d = tmp_path / "ewma_in"
+    import shutil
+
+    for name, part in [
+        ("drop1", ev.filter(F.col("ts") < "2024-01-15")),
+        ("drop2", ev.filter(F.col("ts") >= "2024-01-15")),
+    ]:
+        tmp_out = tmp_path / f"__{name}"
+        part.coalesce(1).write.parquet(str(tmp_out))
+        d.mkdir(exist_ok=True)
+        for f in tmp_out.glob("*.parquet"):
+            shutil.copy(f, d / f"{name}.parquet")
+
+    q = (
+        ewma_per_user(SP.stream_events_from_dir(spark, str(d), max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("ewma_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("ewma_sink").toPandas()
+    # two batches -> up to two emits per user; multi-emit proves the
+    # query really ran more than one micro-batch
+    assert out.groupby("user_id").size().max() == 2
+    final = out.groupby("user_id").last()
+
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    for user, grp in pdf.sort_values("ts").groupby("user_id"):
+        ewma = None
+        for v in grp["value"]:
+            ewma = v if ewma is None else 0.3 * v + 0.7 * ewma
+        assert final.loc[user, "n_events"] == len(grp)
+        assert abs(final.loc[user, "ewma_value"] - round(ewma, 6)) < 1e-4, user
