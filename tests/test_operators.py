@@ -274,3 +274,16 @@ def test_merge_upsert(spark):
     upd = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="d")])
     out = {r.k: r.v for r in merge_upsert(cur, upd, "k").collect()}
     assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_minhash_fast_catches_exact_dups(spark):
+    """The xxhash64 fast path must recall planted exact duplicates
+    just like the md5 oracle path."""
+    from data_ingestion_spark.functions.dedup import minhash_lsh_candidates_fast
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(10)
+    planted = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    cands = minhash_lsh_candidates_fast(docs.unionByName(planted), "text", "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    for i in range(10):
+        assert any(a == i and b == i + 100000 for a, b in pairs), f"doc {i} missed"
