@@ -329,3 +329,73 @@ def agg_grouped_pandas_iqr(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.round(iqr(F.col("l_extendedprice")), 4).alias("iqr_price")
     )
+
+
+_SOURCES = [f"src{i}" for i in range(20)]
+_PIVOT_ORACLE_COLS = ", ".join(
+    f"CAST(count(*) FILTER (WHERE source = '{s}') AS BIGINT) AS {s}" for s in _SOURCES
+)
+
+
+@q(
+    "pivot_counts",
+    f"SELECT lang, {_PIVOT_ORACLE_COLS} FROM documents GROUP BY lang",
+)
+def pivot_counts(spark, sf_dir):
+    """A-extension: pivot (long→wide) — docs per (lang, source) as a
+    source-column matrix. Spark's pivot with an explicit value list
+    (one pass; without the list it runs a distinct pre-query)."""
+    d = _t(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").pivot("source", _SOURCES).agg(F.count(F.lit(1)))
+    # absent (lang, source) groups surface as nulls AFTER the pivot
+    return wide.select(
+        "lang",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s) for s in _SOURCES],
+    )
+
+
+@q(
+    "agg_cube",
+    "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+)
+def agg_cube(spark, sf_dir):
+    """A6 completion: cube — all 4 grouping-set combinations."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q(
+    "window_rank_navigation",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(ntile(4) OVER w AS INTEGER) AS quartile, "
+    "first_value(l_quantity) OVER w AS first_qty, "
+    "round(l_quantity - first_value(l_quantity) OVER w, 2) AS qty_vs_first, "
+    "CAST(dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS INTEGER) AS qty_rank "
+    "FROM lineitem WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+def window_rank_navigation(spark, sf_dir):
+    """W-extension: navigation/ranking battery — ntile, first_value,
+    dense_rank. Ordering includes l_quantity so ties are value-
+    identical (order-invariant outputs, same rule as window_lag_frame)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")).cast("int").alias("quartile"),
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.round(F.col("l_quantity") - F.first("l_quantity").over(w), 2).alias("qty_vs_first"),
+        F.dense_rank().over(wr).cast("int").alias("qty_rank"),
+    )
