@@ -94,6 +94,57 @@ def main() -> None:
     timings["embed_udf_stage"] = round(dt, 3)
     throughput = {"embed_chunks_per_sec": round(n_chunks / dt, 1)}
 
+    # ANN quality: recall@5 of the sign-bucket LSH and IVF probes vs
+    # exact brute force, averaged over 20 query vectors
+    from data_ingestion_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_search,
+        lsh_topk,
+        sign_bucket,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    qrows = emb.filter(F.col("vec_id") < 20).collect()
+    hits_lsh = hits_ivf = 0
+    for qr in qrows:
+        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+        exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+        lsh = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
+        ivf = {
+            r.vec_id
+            for r in ivf_search(emb, qv, F.lit(qr.label), cell_col="label", k=5).collect()
+        }
+        hits_lsh += len(exact & lsh)
+        hits_ivf += len(exact & ivf)
+    throughput["ann_lsh_recall_at_5"] = round(hits_lsh / (5 * len(qrows)), 3)
+    throughput["ann_ivf_recall_at_5"] = round(hits_ivf / (5 * len(qrows)), 3)
+
+    # the real IVF path: k-means cells + 4-probe (the label column and
+    # 3-bit sign bucket above are weak on near-random vectors; a
+    # fitted coarse quantizer with multi-probe is the honest scale
+    # design — see SCALE.md)
+    from data_ingestion_spark.functions.similarity import (
+        kmeans_ivf_build,
+        kmeans_ivf_search,
+    )
+
+    model, assigned = kmeans_ivf_build(emb, n_cells=16)
+    assigned = assigned.cache()
+    hits_km = 0
+    for qr in qrows:
+        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+        exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+        km = {
+            r.vec_id
+            for r in kmeans_ivf_search(
+                assigned, model, list(qr.embedding), k=5, n_probe=4
+            ).collect()
+        }
+        hits_km += len(exact & km)
+    throughput["ann_kmeans_ivf4_recall_at_5"] = round(hits_km / (5 * len(qrows)), 3)
+    assigned.unpersist()
+    emb.unpersist()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -399,3 +399,80 @@ def window_rank_navigation(spark, sf_dir):
         F.round(F.col("l_quantity") - F.first("l_quantity").over(w), 2).alias("qty_vs_first"),
         F.dense_rank().over(wr).cast("int").alias("qty_rank"),
     )
+
+
+@q(
+    "zscore_grouped_pandas",
+    "SELECT doc_id, lang, round((n_chars - avg(n_chars) OVER (PARTITION BY lang)) / "
+    "stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z_chars FROM documents",
+)
+def zscore_grouped_pandas(spark, sf_dir):
+    """§2.11 grouped-map surface: per-language z-score normalization
+    via ``applyInPandas`` (each group arrives as one pandas frame —
+    the whole-partition model-inference shape, SURVEY §2.11). The
+    oracle recomputes the same statistic with window functions, so the
+    Python path is value-checked. At scale: groups must fit executor
+    memory — key by a bounded-cardinality column or pre-split."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf[["doc_id", "lang"]].copy()
+        out["z_chars"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return out
+
+    return d.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id bigint, lang string, z_chars double"
+    )
+
+
+@q(
+    "corpus_report",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "round(avg(n_chars), 4) AS avg_chars, "
+    "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+    "CAST(max(n_chars) AS BIGINT) AS max_chars, "
+    "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts "
+    "FROM documents",
+)
+def corpus_report(spark, sf_dir):
+    """The ingestion report in one multi-aggregate pass: volumes,
+    dimension cardinalities, length stats, exact-dup cardinality —
+    what the reference eyeballs via get_record_count per collection
+    (ingestion-pipeline-website-local.py:94-118), as a single scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+
+
+@q(
+    "top_words_zipf",
+    "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents) t "
+    "GROUP BY word ORDER BY cnt DESC, word LIMIT 50",
+)
+def top_words_zipf(spark, sf_dir):
+    """Corpus vocabulary head (Zipf check): explode → count → top-50
+    with lexicographic tiebreak. TakeOrderedAndProject over the agg."""
+    d = _d(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(50)
+    )

@@ -112,6 +112,7 @@ CROSS_OK = {
 #: queries that intentionally cross the Python boundary (Arrow stages)
 PYTHON_OK: set[str] = {
     "agg_grouped_pandas_iqr",  # deliberate GROUPED_AGG pandas UDAF (§2.11)
+    "zscore_grouped_pandas",   # deliberate applyInPandas grouped map (§2.11)
 }
 
 #: executes a live streaming job on call — excluded from plan lint
