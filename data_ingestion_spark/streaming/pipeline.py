@@ -139,3 +139,42 @@ def run_query_availablenow(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_attribution(
+    events: DataFrame, window: str = "1 hour", late: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream join: purchases joined to same-user clicks within
+    the preceding ``window`` — the streaming twin of the batch
+    ``join_range`` DQ (which is oracle-checked).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both inputs, so Spark can expire join state (otherwise a
+    stream-stream join buffers forever). Inner join: purchases with at
+    least one attributable click."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", late)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", late)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "p_event_id", "c_event_id", "p_user", "p_ts", "c_ts"
+    )

@@ -143,3 +143,26 @@ def test_plan_lint_all_queries(spark):
         if any(m in plan for m in python_markers) and name not in PYTHON_OK:
             bad.append((name, "python-eval"))
     assert not bad, f"plan lint failures: {bad}"
+
+
+def test_partition_pruning_on_store(spark, tmp_path):
+    """Collection-scoped reads over the partitioned vector store must
+    prune partitions at plan time (PartitionFilters in the scan) —
+    the property that makes count/search/delete per-collection O(one
+    collection), SCALE.md §2."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.sources.catalog import load_table
+    from data_ingestion_spark.sources.sinks import ParquetVectorStore
+
+    store = ParquetVectorStore(spark, str(tmp_path / "pstore"), key="lang")
+    store.upsert(
+        load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "n_chars")
+    )
+    df = store.read_collection("en")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() > 0

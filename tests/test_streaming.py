@@ -183,3 +183,29 @@ def test_stateful_ewma_across_batches(spark, tmp_path):
             ewma = v if ewma is None else 0.3 * v + 0.7 * ewma
         assert final.loc[user, "n_events"] == len(grp)
         assert abs(final.loc[user, "ewma_value"] - round(ewma, 6)) < 1e-4, user
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream range join converges to the batch join_range
+    result (pairs with >=1 click; counts per purchase match)."""
+    s1 = SP.stream_events_from_dir(spark, events_dir)
+    joined = SP.stream_stream_attribution(s1)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("ss_sink").toPandas()
+    import __spark_entry__ as E
+
+    batch = E.queries()["join_range"](spark, SF_SMALL).toPandas()
+    batch_nonzero = batch[batch["n_clicks"] > 0].set_index("event_id")["n_clicks"]
+    stream_counts = out.groupby("p_event_id").size()
+    assert len(stream_counts) == len(batch_nonzero)
+    assert (
+        stream_counts.sort_index().values == batch_nonzero.sort_index().values
+    ).all()
