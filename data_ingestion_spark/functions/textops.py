@@ -81,25 +81,32 @@ def recursive_character_split(
     whitespace-only pieces are dropped; separators are kept attached
     to the preceding piece.
     """
-    sep = next((s for s in separators if s and s in text), separators[-1])
-
     def base_split(t: str, s: str) -> list[str]:
         if not s:
             return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size)]
         parts = t.split(s)
         return [p + s for p in parts[:-1]] + [parts[-1]]
 
-    pieces: list[str] = []
-    for p in base_split(text, sep):
-        if not p.strip():
-            continue
-        if len(p) <= chunk_size:
-            pieces.append(p)
-        else:
-            nxt = separators[separators.index(sep) + 1 :] or ("",)
-            pieces.extend(recursive_character_split(p, chunk_size, 0, nxt))
+    def gather_pieces(t: str, seps: tuple[str, ...]) -> list[str]:
+        """Recursively split to pieces ≤ chunk_size, separators kept
+        attached. No merging here — merging inside the recursion used
+        to strip trailing separators, fabricating glued-together
+        chunks ('0 ' + '3' → '03'); hypothesis caught it."""
+        sep = next((s for s in seps if s and s in t), "")
+        out: list[str] = []
+        for p in base_split(t, sep):
+            if not p.strip():
+                continue
+            if len(p) <= chunk_size:
+                out.append(p)
+            else:
+                nxt = seps[seps.index(sep) + 1 :] if sep else ("",)
+                out.extend(gather_pieces(p, nxt or ("",)))
+        return out
 
-    # greedy merge with trailing overlap
+    pieces = gather_pieces(text, separators)
+
+    # greedy merge with trailing overlap (strip only at emit)
     chunks: list[str] = []
     window: list[str] = []
     total = 0

@@ -58,3 +58,13 @@ def test_spark_stage(spark):
         per_doc.setdefault(r.doc_id, []).append(r.chunk_idx)
     for idxs in per_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense ordinals
+
+
+def test_kernel_no_fabricated_content_regression():
+    """Regression (hypothesis find): an oversized token followed by a
+    short one must not glue into content absent from the input — the
+    in-recursion merge used to strip the separator ('0 '+'3' → '03')."""
+    text = "000000000000000000000 3"
+    chunks = recursive_character_split(text, chunk_size=20, chunk_overlap=0)
+    for c in chunks:
+        assert c.strip() in text or all(p in text for p in c.split()), c
