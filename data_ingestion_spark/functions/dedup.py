@@ -286,3 +286,52 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over candidate-duplicate pairs → cluster
+    labels (cluster_id = min doc id in the component; everything else
+    in the component is a drop candidate).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors, until a fixpoint.
+    Duplicate clusters have tiny diameter (usually cliques from LSH
+    bands), so convergence is 2-3 rounds; ``max_iters`` bounds
+    adversarial chains. Each round is one join + one aggregate, all
+    keyed — at 100 TB this is the standard alternating-star CC
+    shape. Input: (id_a, id_b[, ...]); output: (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

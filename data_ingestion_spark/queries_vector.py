@@ -361,3 +361,40 @@ def embed_near_dup_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     blocked = e.withColumn("bucket", SIM.sign_bucket(F.col("embedding"), 3))
     return SIM.pairwise_near_dup(blocked, block_col="bucket", threshold=0.5)
+
+
+def _dup_clusters_oracle() -> str:
+    # reuse the minhash-candidate CTEs, then transitive closure via
+    # recursive CTE: cluster_id = min reachable id (incl. self)
+    mh = _minhash_oracle()
+    body = mh[len("WITH ") :]
+    return (
+        "WITH RECURSIVE "
+        + body.replace(
+            "SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band AS band FROM bands a "
+            "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id",
+            "",
+        ).rstrip()
+        + ", cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM cand "
+        "UNION SELECT id_b, id_a FROM cand), "
+        "reach(a, b) AS (SELECT a, b FROM edges "
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+        "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY a"
+    )
+
+
+@q("dedup_clusters", _dup_clusters_oracle())
+def dedup_clusters(spark, sf_dir):
+    """T10 capstone: candidate pairs → connected components → cluster
+    labels (keep min-id per cluster, drop the rest). Spark side:
+    iterative min-label propagation (functions.dedup.dup_clusters);
+    oracle: transitive closure via recursive CTE. This is the step
+    that turns pairwise similarity into an actionable dedup decision
+    at corpus scale."""
+    cands = DD.minhash_lsh_candidates(
+        _d(spark, sf_dir), "text", "doc_id", shingle_n=3, num_hashes=8, band_size=2
+    )
+    return DD.dup_clusters(cands)

@@ -287,3 +287,15 @@ def test_minhash_fast_catches_exact_dups(spark):
     pairs = {(r.id_a, r.id_b) for r in cands.collect()}
     for i in range(10):
         assert any(a == i and b == i + 100000 for a, b in pairs), f"doc {i} missed"
+
+
+def test_dup_clusters_components(spark):
+    from data_ingestion_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),   # chain {1,2,3}
+         Row(id_a=10, id_b=11),                      # pair {10,11}
+         Row(id_a=20, id_b=21), Row(id_a=21, id_b=22), Row(id_a=20, id_b=22)]  # clique
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
