@@ -100,23 +100,27 @@ def main() -> None:
         brute_force_topk,
         ivf_search,
         lsh_topk,
+        lsh_topk_multi,
         sign_bucket,
     )
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     qrows = emb.filter(F.col("vec_id") < 20).collect()
-    hits_lsh = hits_ivf = 0
+    hits_lsh = hits_lsh6 = hits_ivf = 0
     for qr in qrows:
         qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
         exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
         lsh = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
+        lsh6 = {r.vec_id for r in lsh_topk_multi(emb, qv, k=5, n_tables=6).collect()}
         ivf = {
             r.vec_id
             for r in ivf_search(emb, qv, F.lit(qr.label), cell_col="label", k=5).collect()
         }
         hits_lsh += len(exact & lsh)
+        hits_lsh6 += len(exact & lsh6)
         hits_ivf += len(exact & ivf)
     throughput["ann_lsh_recall_at_5"] = round(hits_lsh / (5 * len(qrows)), 3)
+    throughput["ann_lsh6_recall_at_5"] = round(hits_lsh6 / (5 * len(qrows)), 3)
     throughput["ann_ivf_recall_at_5"] = round(hits_ivf / (5 * len(qrows)), 3)
 
     # the real IVF path: k-means cells + 4-probe (the label column and

@@ -229,3 +229,33 @@ def kmeans_ivf_search(
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
     return brute_force_topk(cand, qv, k, id_col, vec_col)
+
+
+def lsh_topk_multi(
+    vectors: DataFrame,
+    query_vec: Column,
+    k: int = 5,
+    bits: int = 3,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH: each table hashes a different component
+    triplet (dims 3t+1..3t+3); a row is a candidate if it matches the
+    query's bucket in ANY table. Recall compounds per table
+    (1-(1-p)^t) at the cost of scanning t buckets — the standard LSH
+    recall/cost knob. Candidate predicate is a disjunction of equi
+    comparisons, still partition-prunable per table at rest."""
+
+    def bucket(vec: Column, table: int) -> Column:
+        b = F.lit(0)
+        for i in range(bits):
+            comp = table * bits + i + 1
+            b = b + F.when(F.element_at(vec, comp) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return b
+
+    cond = None
+    for t in range(n_tables):
+        c = bucket(F.col(vec_col), t) == bucket(query_vec, t)
+        cond = c if cond is None else (cond | c)
+    return brute_force_topk(vectors.filter(cond), query_vec, k, id_col, vec_col)

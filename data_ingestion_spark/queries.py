@@ -949,3 +949,71 @@ def tpch_q10_returns(spark, sf_dir):
         ORDER BY revenue DESC, c_custkey LIMIT 20
         """
     )
+
+
+@q(
+    "tpch_q18_large_orders",
+    "SELECT c_custkey, o_orderkey, "
+    "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 260) "
+    "GROUP BY c_custkey, o_orderkey",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery over an aggregate
+    (large-volume orders). Catalyst rewrites the IN to a left-semi
+    join against the pre-aggregated subquery."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 260)
+        GROUP BY c_custkey, o_orderkey
+        """
+    )
+
+
+@q(
+    "tpch_q7_nation_volume",
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) "
+    "AS DOUBLE) AS revenue "
+    "FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2 "
+    "WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey "
+    "AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey "
+    "AND c.c_nationkey = n2.n_nationkey "
+    "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+    "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+    "GROUP BY n1.n_name, n2.n_name, extract(year FROM l.l_shipdate)",
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation shipping volume — 6-table join with
+    a disjunctive cross-nation predicate and per-year rollup."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        """
+    )

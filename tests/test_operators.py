@@ -299,3 +299,26 @@ def test_dup_clusters_components(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_multi_table_lsh_beats_single(spark):
+    """Recall compounds across hash tables: 6-table sign-LSH must
+    dominate the single-table probe (and contain the self-match)."""
+    from data_ingestion_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multi,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    h1 = hm = 0
+    for vid in range(5):
+        qr = emb.filter(F.col("vec_id") == vid).collect()[0]
+        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+        exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+        one = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
+        multi = {r.vec_id for r in lsh_topk_multi(emb, qv, k=5, n_tables=6).collect()}
+        assert vid in multi  # self always matches every table
+        h1 += len(exact & one)
+        hm += len(exact & multi)
+    assert hm >= h1
