@@ -242,7 +242,14 @@ def streaming_tumbling_availablenow(spark, sf_dir):
         tumbling_counts(stream_events_from_dir(spark, staging)), ckpt, sink
     )
     q_handle.awaitTermination(300)
-    return spark.table(sink)
+    result = spark.table(sink)
+    # the memory sink holds the materialized result; the staged input
+    # and checkpoint are no longer needed (driver runs this per round)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 @q(
