@@ -301,13 +301,21 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     keyed — at 100 TB this is the standard alternating-star CC
     shape. Input: (id_a, id_b[, ...]); output: (doc_id, cluster_id).
     """
+    # localCheckpoint: iterative algorithms MUST truncate lineage —
+    # otherwise every round re-evaluates the entire upstream candidate
+    # pipeline (measured 42s → ~3s at sf0.1) and the plan doubles per
+    # iteration. Edges materialize once; labels re-materialize per round.
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -323,6 +331,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
