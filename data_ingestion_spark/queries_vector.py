@@ -398,3 +398,36 @@ def dedup_clusters(spark, sf_dir):
         _d(spark, sf_dir), "text", "doc_id", shingle_n=3, num_hashes=8, band_size=2
     )
     return DD.dup_clusters(cands)
+
+
+@q(
+    "dedup_decision",
+    _dup_clusters_oracle().replace(
+        "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY a",
+        ", comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+        "FROM reach GROUP BY a) "
+        "SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id "
+        "THEN 1 ELSE 0 END AS INTEGER) AS keep "
+        "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id",
+    ),
+)
+def dedup_decision(spark, sf_dir):
+    """T10 end state: the actionable verdict for EVERY document —
+    cluster label + keep/drop flag (keep = canonical min-id member, or
+    untouched by any candidate pair). This is the row-level filter an
+    LLM-data pipeline applies before training-set export."""
+    docs = _d(spark, sf_dir).select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir)
+    return docs.join(clusters, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        F.when(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )
