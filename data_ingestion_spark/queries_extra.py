@@ -483,3 +483,112 @@ def top_words_zipf(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(50)
     )
+
+
+@q(
+    "scalar_subquery",
+    "SELECT c_custkey, CAST((SELECT count(*) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders, "
+    "round((SELECT coalesce(max(o_totalprice), 0.0) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey), 2) AS max_spent "
+    "FROM customer c",
+)
+def scalar_subquery(spark, sf_dir):
+    """Correlated scalar subqueries in the SELECT list — Catalyst
+    de-correlates them into left-outer aggregate joins (no per-row
+    re-execution, unlike the reference's per-collection count loop)."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+               round((SELECT coalesce(max(o_totalprice), 0.0) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_spent
+        FROM customer c
+        """
+    )
+
+
+@q(
+    "lateral_join_topn",
+    "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c, "
+    "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t",
+)
+def lateral_join_topn(spark, sf_dir):
+    """LATERAL correlated subquery: top-2 orders per customer — the
+    per-key-top-n idiom as SQL text (the DataFrame twin is
+    operators.relational.top_k_per_group's rank-filter)."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@q(
+    "explode_outer_semantics",
+    "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN [] "
+    "ELSE string_split(substr(text, 1, 20), ' ') END AS words FROM documents) "
+    "SELECT doc_id, CASE WHEN len(words) = 0 THEN NULL ELSE unnest(words) END AS word "
+    "FROM t WHERE len(words) > 0 "
+    "UNION ALL SELECT doc_id, NULL AS word FROM t WHERE len(words) = 0",
+)
+def explode_outer_semantics(spark, sf_dir):
+    """X9: explode_outer — rows with empty arrays survive with NULL
+    (plain explode would drop them; the distinction matters when a
+    splitter yields nothing for a document but the doc must persist)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.substring("text", 1, 20), " "))
+        .alias("words"),
+    )
+    return t.select("doc_id", F.explode_outer("words").alias("word"))
+
+
+@q(
+    "normalize_unicode",
+    "SELECT doc_id, lower(nfc_normalize(text || ' Cafe' || chr(769))) AS norm_text "
+    "FROM documents",
+)
+def normalize_unicode(spark, sf_dir):
+    """Text-cleaning: Unicode NFC normalization + case fold — the
+    first stage of any multilingual LLM corpus pipeline (combining
+    marks collapse so 'é' == 'é'). Spark has no builtin normalizer, so
+    this crosses to Python via Arrow batches (unicodedata implements
+    the same Unicode standard DuckDB's nfc_normalize does); a
+    combining-accent suffix is appended to prove the collapse."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["norm_text"] = [
+                unicodedata.normalize("NFC", t + " Cafe\u0301").lower()
+                .replace("café", "café")  # guard: already-NFC input
+                for t in pdf["text"]
+            ]
+            yield out
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("norm_text", StringType())]
+    )
+    return d.mapInPandas(run, schema)

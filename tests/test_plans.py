@@ -113,6 +113,7 @@ CROSS_OK = {
 PYTHON_OK: set[str] = {
     "agg_grouped_pandas_iqr",  # deliberate GROUPED_AGG pandas UDAF (§2.11)
     "zscore_grouped_pandas",   # deliberate applyInPandas grouped map (§2.11)
+    "normalize_unicode",       # unicodedata NFC has no Spark builtin
 }
 
 #: executes a live streaming job on call — excluded from plan lint
