@@ -592,3 +592,31 @@ def normalize_unicode(spark, sf_dir):
         [StructField("doc_id", LongType()), StructField("norm_text", StringType())]
     )
     return d.mapInPandas(run, schema)
+
+
+_RCTE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reachable,
+       CAST(max(dst) AS BIGINT) AS run_end
+FROM reach GROUP BY src
+"""
+
+
+@q("recursive_cte_closure", _RCTE_SQL)
+def recursive_cte_closure(spark, sf_dir):
+    """WITH RECURSIVE in Spark SQL (4.x): transitive closure over the
+    same-language consecutive-id DAG — the IDENTICAL SQL text runs on
+    both engines (the only DQ where oracle and query are one string).
+    Iterative DataFrame twins (dup_clusters) remain the scale path;
+    this pins the language-feature parity."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL)
