@@ -57,6 +57,12 @@ def main() -> None:
     # warm the JVM + parquet footers once (not timed per-query)
     qs["agg_global_count"](spark, SF_DIR).collect()
 
+    # one untimed pass first: codegen JIT and python-worker spawn land
+    # once, so the timed pass measures steady-state plans (the number
+    # that predicts cluster throughput), not first-compile latency
+    for name in HEADLINE:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, SF_DIR)

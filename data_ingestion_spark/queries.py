@@ -1017,3 +1017,36 @@ def tpch_q7_nation_volume(spark, sf_dir):
         GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
         """
     )
+
+
+@q(
+    "tpch_q15_top_supplier",
+    "WITH rev AS (SELECT l_suppkey, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "AS total_revenue FROM lineitem "
+    "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01' "
+    "GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — a derived
+    revenue view consumed twice (join + scalar max subquery); Catalyst
+    plans the max as a subquery-scalar over the reused aggregate."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """
+    )

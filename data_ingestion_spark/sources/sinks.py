@@ -146,3 +146,33 @@ class FileBackedFakeClient:
 
     def close(self) -> None:
         self._fh.close()
+
+
+def compact_collections(
+    store: ParquetVectorStore, target_files: int = 1, collections: list[str] | None = None
+) -> dict[str, int]:
+    """Small-files compaction: rewrite each collection partition into
+    ``target_files`` files (streaming sinks and incremental appends
+    accumulate per-batch files; parquet scan efficiency degrades with
+    file count). Per-collection dynamic-partition overwrite keeps the
+    operation collection-atomic. Returns files-before per collection.
+    At 100 TB: run per-partition on a schedule, sized by bytes not
+    file count (coalesce(bytes / 512MB))."""
+    import os
+
+    before: dict[str, int] = {}
+    names = collections or store.list_collections()
+    store.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for name in names:
+        part_dir = os.path.join(store.path, f"{store.key}={name}")
+        before[name] = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+        if before[name] <= target_files:
+            continue
+        df = store.read_collection(name)
+        (
+            df.coalesce(target_files)
+            .write.mode("overwrite")
+            .partitionBy(store.key)
+            .parquet(store.path)
+        )
+    return before

@@ -137,3 +137,26 @@ def test_binary_dir_source(spark, tmp_path):
     )
     meta = decode_media_meta(shaped).collect()
     assert len(meta) == 4 and all(r.byte_len > 0 for r in meta)
+
+
+def test_compact_collections(spark, tmp_path):
+    from data_ingestion_spark.sources.sinks import compact_collections
+
+    store = ParquetVectorStore(spark, str(tmp_path / "cstore"), key="lang")
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "n_chars")
+    # simulate incremental appends: many small files per collection
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).repartition(3).write.mode(
+            "append"
+        ).partitionBy("lang").parquet(store.path)
+    total_before = store.read_collection("en").count()
+
+    before = compact_collections(store, target_files=1)
+    assert before["en"] > 1  # really was fragmented
+    import os
+
+    files_after = [
+        f for f in os.listdir(tmp_path / "cstore" / "lang=en") if f.endswith(".parquet")
+    ]
+    assert len(files_after) == 1
+    assert store.read_collection("en").count() == total_before  # lossless
