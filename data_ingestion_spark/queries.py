@@ -1050,3 +1050,62 @@ def tpch_q15_top_supplier(spark, sf_dir):
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         """
     )
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    "SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) "
+    "AS DOUBLE) AS revenue FROM lineitem "
+    "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
+    "AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single aggregate — the
+    pushdown-everything query (all three predicates reach the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q14_promo_share",
+    "SELECT round(100.0 * "
+    "CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+    "ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) / "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) "
+    "AS promo_share FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'",
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue share over a fact-dim join
+    (both sums decimal-exact; the ratio divides as double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0).cast("decimal(18,6)"))
+            .cast("double")
+            / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("promo_share")
+    )
