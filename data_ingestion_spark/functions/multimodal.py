@@ -109,3 +109,43 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def extract_frames(df: DataFrame, every_n: int = 1, strict: bool = False) -> DataFrame:
+    """Frame-byte extraction: one row per sampled frame with its raw
+    bytes — the video analogue of chunk explode, as an Arrow-batched
+    stage (payloads never cross row-by-row).
+
+    Real extraction needs ffmpeg (absent here); the DETERMINISTIC FAKE
+    slices the payload into n_frames equal byte ranges (from the same
+    hash-derived n_frames as decode_media_meta), so downstream
+    partitioning/batching behavior is real and testable. Heavy rows:
+    repartition by byte size before this stage at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""
+                if strict:
+                    raise NotImplementedError("frame extraction requires ffmpeg")
+                _, _, n_frames = _fake_dims(payload)
+                step = max(len(payload) // max(n_frames, 1), 1)
+                for i in range(0, n_frames, every_n):
+                    fb = payload[i * step : (i + 1) * step] or b"\x00"
+                    rows.append((doc_id, i, fb, len(fb)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

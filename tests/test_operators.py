@@ -322,3 +322,22 @@ def test_multi_table_lsh_beats_single(spark):
         h1 += len(exact & one)
         hm += len(exact & multi)
     assert hm >= h1
+
+
+def test_extract_frames_bytes(spark):
+    from data_ingestion_spark.functions.multimodal import (
+        decode_media_meta,
+        extract_frames,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(6)
+    media = attach_binary(docs, "text")
+    frames = extract_frames(media, every_n=1).collect()
+    meta = {r.doc_id: r.n_frames for r in decode_media_meta(media).collect()}
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+        assert isinstance(r.frame_bytes, bytearray | bytes) and r.frame_len >= 1
+    for doc_id, rs in per_doc.items():
+        assert len(rs) == meta[doc_id]  # one row per fake frame
+        assert sorted(r.frame_idx for r in rs) == list(range(len(rs)))
