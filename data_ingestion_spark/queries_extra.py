@@ -620,3 +620,22 @@ def recursive_cte_closure(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_RCTE_SQL)
+
+
+@q(
+    "agg_argminmax",
+    "SELECT o_custkey, CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS biggest_order, "
+    "CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS smallest_order, "
+    "round(max(o_totalprice), 2) AS max_price FROM orders GROUP BY o_custkey",
+)
+def agg_argminmax(spark, sf_dir):
+    """A-extension: argmax/argmin aggregates (which order was the
+    biggest?) — max_by/min_by ↔ arg_max/arg_min. Deterministic on this
+    data (verified tie-free per customer); with ties you'd wrap the
+    ordering value in a struct with a unique tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
