@@ -129,13 +129,19 @@ def incremental_ingest(
 
     Returns the number of newly ingested chunks.
     """
+    from pyspark.errors import AnalysisException
+
     from ..functions.embedding import embed_deterministic
     from ..functions.textops import chunk_fixed_overlap, token_count
 
     try:
         seen = store.spark.read.parquet(store.path).select(doc_id_col).distinct()
         fresh = new_docs.join(seen, on=doc_id_col, how="left_anti")
-    except Exception:  # empty store: nothing ingested yet
+    except AnalysisException:
+        # ONLY a missing/empty store path means "nothing ingested yet".
+        # Any other failure (corrupt footer, permissions, transient IO)
+        # must fail loudly — silently skipping the anti-join here would
+        # re-ingest duplicate chunks into a store that actually has data.
         fresh = new_docs
     chunks = chunk_fixed_overlap(
         fresh.select(doc_id_col, "lang", "source", "text"),
@@ -155,9 +161,17 @@ def incremental_ingest(
             embed_deterministic(F.col("chunk_text"), pipeline_kwargs.get("embed_dim", 8)),
         )
     )
-    cnt = enriched.count()
-    if cnt:
-        enriched.repartition(F.col("index_name")).write.mode("append").partitionBy(
-            "index_name"
-        ).parquet(store.path)
+    # persist before count+write: without it the count() and the write
+    # each evaluate the whole chunk+embed pipeline (2x the embed cost
+    # per increment). The increment is small by construction (it's the
+    # *new* docs), so MEMORY_AND_DISK is safe at scale.
+    enriched = enriched.persist()
+    try:
+        cnt = enriched.count()
+        if cnt:
+            enriched.repartition(F.col("index_name")).write.mode("append").partitionBy(
+                "index_name"
+            ).parquet(store.path)
+    finally:
+        enriched.unpersist()
     return cnt

@@ -90,12 +90,63 @@ ClientFactory = Callable[[], "ServiceClient"]
 
 
 class ServiceClient(Protocol):
-    def index(self, batch: list[dict]) -> None: ...
+    def index(self, batch: list[dict], batch_id: str | None = None) -> None: ...
     def close(self) -> None: ...
 
 
+def _stable_batch_id(batch: list[dict]) -> str:
+    """Content-derived idempotency key for one upsert batch.
+
+    md5 over the sorted row keys: the SAME rows always yield the SAME
+    key, across client retries AND across Spark task re-attempts (a
+    re-run partition re-forms identical batches from identical rows).
+    A server that upserts by ``batch_id`` (or per-doc primary key —
+    the rows carry their ids) therefore converges to exactly-once
+    EFFECT even under at-least-once delivery — the posture the
+    reference leaves implicit in LangChain ``add_documents`` ids."""
+    import hashlib
+
+    keys = sorted(
+        str(d.get("doc_id", d.get("chunk_id", d.get("vec_id", "")))) for d in batch
+    )
+    return hashlib.md5(("|".join(keys)).encode("utf-8")).hexdigest()
+
+
+def _send_with_retry(
+    client: "ServiceClient",
+    batch: list[dict],
+    max_retries: int,
+    backoff_s: float,
+    sleep: Callable[[float], None],
+) -> None:
+    """Bounded exponential-backoff retry around one index() call.
+
+    The batch is re-sent verbatim with the same ``batch_id``, so a
+    duplicate delivery after a mid-flight failure is idempotent
+    server-side. After ``max_retries`` failures the error propagates —
+    Spark then fails/retries the TASK, which re-sends the partition's
+    batches with the same ids (safe for the same reason)."""
+    bid = _stable_batch_id(batch)
+    attempt = 0
+    while True:
+        try:
+            client.index(batch, batch_id=bid)
+            return
+        except Exception:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            sleep(backoff_s * (2 ** (attempt - 1)))
+
+
 def _upsert_partition(
-    rows: Iterator, cols: list[str], factory: ClientFactory, batch_size: int
+    rows: Iterator,
+    cols: list[str],
+    factory: ClientFactory,
+    batch_size: int,
+    max_retries: int,
+    backoff_s: float,
+    sleep: Callable[[float], None],
 ) -> None:
     client = factory()
     batch: list[dict] = []
@@ -103,10 +154,10 @@ def _upsert_partition(
         for row in rows:
             batch.append(dict(zip(cols, row)))
             if len(batch) >= batch_size:
-                client.index(batch)
+                _send_with_retry(client, batch, max_retries, backoff_s, sleep)
                 batch = []
         if batch:
-            client.index(batch)
+            _send_with_retry(client, batch, max_retries, backoff_s, sleep)
     finally:
         client.close()
 
@@ -114,17 +165,35 @@ def _upsert_partition(
 class ServiceVectorStore:
     """Remote-service sink shape: one client per executor partition,
     bounded batches (the library-default batching of ``add_documents``
-    made explicit, ingestion-pipeline.py:349). Rate limits/retries
-    belong in the injected client."""
+    made explicit, ingestion-pipeline.py:349), bounded exponential-
+    backoff retries per batch, and content-stable batch ids so retries
+    and Spark task re-attempts are idempotent (mirrors the reference's
+    ``request_timeout=30`` resilience posture,
+    ingestion-pipeline-elastic.py:348-355). ``sleep`` is injectable so
+    tests exercise the backoff schedule without wall-clock waits."""
 
-    def __init__(self, factory: ClientFactory, batch_size: int = 500):
+    def __init__(
+        self,
+        factory: ClientFactory,
+        batch_size: int = 500,
+        max_retries: int = 3,
+        backoff_s: float = 0.5,
+        sleep: Callable[[float], None] | None = None,
+    ):
+        import time
+
         self.factory, self.batch_size = factory, batch_size
+        self.max_retries, self.backoff_s = max_retries, backoff_s
+        self.sleep = sleep if sleep is not None else time.sleep
 
     def upsert(self, df: DataFrame) -> None:
         cols = df.columns
         factory, batch_size = self.factory, self.batch_size
+        max_retries, backoff_s, sleep = self.max_retries, self.backoff_s, self.sleep
         df.foreachPartition(
-            lambda rows: _upsert_partition(rows, cols, factory, batch_size)
+            lambda rows: _upsert_partition(
+                rows, cols, factory, batch_size, max_retries, backoff_s, sleep
+            )
         )
 
 
@@ -139,13 +208,37 @@ class FileBackedFakeClient:
         self.path = os.path.join(out_dir, f"upserts-{uuid.uuid4().hex}.jsonl")
         self._fh = open(self.path, "a", encoding="utf-8")
 
-    def index(self, batch: list[dict]) -> None:
-        self._fh.write(json.dumps({"n": len(batch)}) + "\n")
+    def index(self, batch: list[dict], batch_id: str | None = None) -> None:
+        self._fh.write(json.dumps({"n": len(batch), "batch_id": batch_id}) + "\n")
         for doc in batch:
             self._fh.write(json.dumps({"id": doc.get("doc_id", doc.get("chunk_id"))}) + "\n")
 
     def close(self) -> None:
         self._fh.close()
+
+
+class FlakyFakeClient(FileBackedFakeClient):
+    """Fault-injecting test double: fails the first ``fail_first``
+    index() attempts per batch_id (tracked in a shared directory so
+    the count survives client re-creation across retries/tasks)."""
+
+    def __init__(self, out_dir: str, fail_first: int = 2):
+        super().__init__(out_dir)
+        self.fail_dir = os.path.join(out_dir, "failures")
+        os.makedirs(self.fail_dir, exist_ok=True)
+        self.fail_first = fail_first
+
+    def index(self, batch: list[dict], batch_id: str | None = None) -> None:
+        marker = os.path.join(self.fail_dir, f"{batch_id}.attempts")
+        attempts = 0
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                attempts = int(fh.read().strip() or 0)
+        if attempts < self.fail_first:
+            with open(marker, "w", encoding="utf-8") as fh:
+                fh.write(str(attempts + 1))
+            raise ConnectionError(f"injected transient failure #{attempts + 1}")
+        super().index(batch, batch_id=batch_id)
 
 
 def compact_collections(

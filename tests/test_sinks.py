@@ -62,6 +62,70 @@ def test_service_sink_batches(spark, tmp_path):
     assert max(batch_sizes) <= 50  # bounded batches
 
 
+def test_service_sink_retries_flaky_transport(spark, tmp_path):
+    """Transient failures are retried with backoff and every row still
+    lands exactly once; batch ids are content-stable so the re-sends
+    are idempotent."""
+    from data_ingestion_spark.sources.sinks import FlakyFakeClient
+
+    out = tmp_path / "flaky"
+    os.makedirs(out)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").limit(120)
+    sink = ServiceVectorStore(
+        lambda: FlakyFakeClient(str(out), fail_first=2),
+        batch_size=50,
+        max_retries=3,
+        sleep=lambda s: None,  # no wall-clock waits in tests
+    )
+    sink.upsert(docs)
+
+    ids, batch_ids = set(), []
+    for f in os.listdir(out):
+        if f == "failures":
+            continue
+        for line in open(out / f, encoding="utf-8"):
+            rec = json.loads(line)
+            if "n" in rec:
+                batch_ids.append(rec["batch_id"])
+            else:
+                ids.add(rec["id"])
+    assert len(ids) == 120  # all rows delivered despite 2 failures/batch
+    assert len(batch_ids) == len(set(batch_ids))  # each batch landed once
+    # every delivered batch really did fail (and retry) first
+    failed = {f[: -len(".attempts")] for f in os.listdir(out / "failures")}
+    assert set(batch_ids) <= failed
+
+
+def test_service_sink_retry_exhaustion_raises(spark, tmp_path):
+    """More consecutive failures than max_retries -> the upsert fails
+    loudly (Spark task failure), never silently drops a batch."""
+    import pytest
+
+    from data_ingestion_spark.sources.sinks import FlakyFakeClient
+
+    out = tmp_path / "dead"
+    os.makedirs(out)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").limit(10)
+    sink = ServiceVectorStore(
+        lambda: FlakyFakeClient(str(out), fail_first=99),
+        batch_size=50,
+        max_retries=2,
+        sleep=lambda s: None,
+    )
+    with pytest.raises(Exception):
+        sink.upsert(docs)
+
+
+def test_stable_batch_id_is_content_derived():
+    from data_ingestion_spark.sources.sinks import _stable_batch_id
+
+    a = [{"doc_id": 1, "x": "a"}, {"doc_id": 2, "x": "b"}]
+    b = [{"doc_id": 2, "x": "b"}, {"doc_id": 1, "x": "a"}]  # order-insensitive
+    c = [{"doc_id": 3}]
+    assert _stable_batch_id(a) == _stable_batch_id(b)
+    assert _stable_batch_id(a) != _stable_batch_id(c)
+
+
 def test_full_ingestion_to_store(spark, tmp_path):
     """Flagship plan → partitioned vector store, end-to-end lazy."""
     enriched = ingestion_pipeline(spark, SF_SMALL)
@@ -97,6 +161,69 @@ def test_incremental_ingest_document_granular(spark, tmp_path):
         back.groupBy("doc_id", "chunk_idx").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_incremental_ingest_single_evaluation(spark, tmp_path, monkeypatch):
+    """The chunk+embed pipeline runs ONCE per increment (persist before
+    count+write), not once for the count and again for the write.
+
+    Proof via accumulator: a counting UDF column is injected into the
+    chunk stage; after an increment of n chunks the accumulator must be
+    exactly n — a double evaluation would show 2n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from data_ingestion_spark.functions import textops
+    from data_ingestion_spark.plans.ingestion import incremental_ingest
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(v):
+        acc.add(1)
+        return 1
+
+    count_udf = F.udf(counting, IntegerType())
+    real_chunker = textops.chunk_fixed_overlap
+
+    def instrumented(df, text_col, id_cols, size, overlap):
+        return real_chunker(df, text_col, id_cols, size, overlap).withColumn(
+            "__evals", count_udf(F.col("chunk_text"))
+        )
+
+    monkeypatch.setattr(textops, "chunk_fixed_overlap", instrumented)
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 50)
+    store = ParquetVectorStore(spark, str(tmp_path / "once"))
+    n_chunks = incremental_ingest(spark, store, docs)
+    assert n_chunks > 0
+    assert acc.value == n_chunks  # 2x here means the pipeline ran twice
+
+
+def test_incremental_ingest_missing_vs_broken_store(spark, tmp_path):
+    """Missing store path = fresh start; a BROKEN store (unreadable
+    parquet) must raise, not silently re-ingest duplicates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.plans.ingestion import incremental_ingest
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 20)
+
+    # missing path: treated as empty store, ingest proceeds
+    store = ParquetVectorStore(spark, str(tmp_path / "fresh"))
+    assert incremental_ingest(spark, store, docs) > 0
+
+    # corrupt store: a non-parquet file where the store should be.
+    # Schema inference fails with a SparkException (NOT AnalysisException,
+    # verified), so the narrowed except re-raises instead of silently
+    # re-ingesting duplicates into a store that has data.
+    broken_path = tmp_path / "broken"
+    broken_path.mkdir()
+    (broken_path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    broken = ParquetVectorStore(spark, str(broken_path))
+    with pytest.raises(Exception) as exc_info:
+        incremental_ingest(spark, broken, docs)
+    assert type(exc_info.value).__name__ != "AnalysisException"
 
 
 def test_json_artifact_roundtrip(spark, tmp_path):
