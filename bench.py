@@ -106,28 +106,32 @@ def main() -> None:
         brute_force_topk,
         ivf_search,
         lsh_topk,
-        lsh_topk_multi,
-        sign_bucket,
     )
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()
     qrows = emb.filter(F.col("vec_id") < 20).collect()
-    hits_lsh = hits_lsh6 = hits_ivf = 0
+    hits_lsh1 = hits_default = hits_ivf = 0
     for qr in qrows:
         qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
         exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
-        lsh = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
-        lsh6 = {r.vec_id for r in lsh_topk_multi(emb, qv, k=5, n_tables=6).collect()}
+        lsh1 = {r.vec_id for r in lsh_topk(emb, qv, k=5, n_tables=1).collect()}
+        # DEFAULT ANN path (multi-table): the number a naive caller gets
+        dflt = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
         ivf = {
             r.vec_id
             for r in ivf_search(emb, qv, F.lit(qr.label), cell_col="label", k=5).collect()
         }
-        hits_lsh += len(exact & lsh)
-        hits_lsh6 += len(exact & lsh6)
+        hits_lsh1 += len(exact & lsh1)
+        hits_default += len(exact & dflt)
         hits_ivf += len(exact & ivf)
-    throughput["ann_lsh_recall_at_5"] = round(hits_lsh / (5 * len(qrows)), 3)
-    throughput["ann_lsh6_recall_at_5"] = round(hits_lsh6 / (5 * len(qrows)), 3)
+    throughput["ann_lsh1_recall_at_5"] = round(hits_lsh1 / (5 * len(qrows)), 3)
+    throughput["ann_lsh_default_recall_at_5"] = round(hits_default / (5 * len(qrows)), 3)
     throughput["ann_ivf_recall_at_5"] = round(hits_ivf / (5 * len(qrows)), 3)
+    # contract: the default ANN entry point must stay high-recall
+    assert throughput["ann_lsh_default_recall_at_5"] >= 0.8, (
+        "default ANN recall regressed below 0.8: "
+        f"{throughput['ann_lsh_default_recall_at_5']}"
+    )
 
     # the real IVF path: k-means cells + 4-probe (the label column and
     # 3-bit sign bucket above are weak on near-random vectors; a

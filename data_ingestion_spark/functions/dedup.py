@@ -232,21 +232,31 @@ def simhash16(col: Column, seed: str = "sh") -> Column:
     return F.concat(*bits)
 
 
+#: production default for the hot-shingle cap: a shingle present in b
+#: docs expands to b²/2 candidate pairs, so an uncapped 'stopword
+#: shingle' is quadratic in corpus size. 256 keeps any single bucket
+#: ≤ ~32k pairs regardless of corpus size while touching only
+#: ubiquitous (hence discrimination-free) shingles.
+DEFAULT_MAX_DOC_FREQ = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.2,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """T10: n-gram Jaccard similarity via inverted-index self-join.
 
     explode(shingles) → equi self-join on shingle → |∩| per pair →
-    |∪| = |A|+|B|−|∩| → filter. Hot-key guard at scale: very common
-    shingles (df > cap) should be dropped before the join (stopword
-    shingles create quadratic buckets); exposed via ``max_doc_freq``
-    in the caller when corpora demand it.
+    |∪| = |A|+|B|−|∩| → filter. Hot-key guard ON BY DEFAULT: shingles
+    in more than ``max_doc_freq`` docs are dropped before pairing
+    (each would cost b²/2 pairs — the quadratic scale-killer). This
+    slightly undercounts intersections for pairs sharing ubiquitous
+    shingles (documented approximation); pass ``max_doc_freq=None``
+    for the exact, oracle-checkable form on bounded corpora.
     """
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")

@@ -24,7 +24,7 @@ from ..functions.textops import (
     normalize_index_name,
     token_count,
 )
-from ..sources.catalog import lang_dim, load_table, spread
+from ..sources.catalog import lang_dim, load_table, spread_scan
 
 
 def ingestion_pipeline(
@@ -40,7 +40,7 @@ def ingestion_pipeline(
     chars; the reference's production constants are 2048/256
     (ingestion-pipeline.py:226-227).
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     chunks = chunk_fixed_overlap(
         docs.select("doc_id", "lang", "source", "text"),
         text_col="text",

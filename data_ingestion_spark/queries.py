@@ -34,7 +34,7 @@ from .sources.catalog import (
     lang_dim,
     load_table,
     product_dim,
-    spread,
+    spread_scan,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -64,8 +64,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, repartitioned for compute-bound expression stages
-    (the synthetic file is a single split; see catalog.spread)."""
-    return spread(load_table(spark, sf_dir, "documents"))
+    ONLY when the scan is under-split (the synthetic file is a single
+    split locally; at scale the scan is already parallel and
+    spread_scan is the identity — see catalog.spread_scan)."""
+    return spread_scan(load_table(spark, sf_dir, "documents"))
 
 
 # =====================================================================

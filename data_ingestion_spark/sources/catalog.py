@@ -81,6 +81,25 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Conditional ``spread`` for SCAN-stage DataFrames: repartition
+    ONLY when the scan yields fewer splits than cores.
+
+    At 100 TB a scan is already thousands of splits and a blind
+    ``repartition(defaultParallelism)`` is a needless full shuffle of
+    the entire input; locally the synthetic single-row-group files
+    arrive as one split and DO need the respread. The split count
+    comes from the RDD lineage (driver-side split planning, no job) —
+    safe here because scan-only plans have no shuffle stages for AQE
+    to materialize. Do NOT use on post-shuffle DataFrames: ``df.rdd``
+    under AQE can trigger eager stage execution there — use ``spread``.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 #: Inline product catalog, the reference's only dimension table
 #: (ingestion-pipeline.py:18-38 lists 4 products; the NamedTuple shape
 #: is ingestion-pipeline.py:12-17). Generic names here — the engine is

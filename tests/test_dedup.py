@@ -1,0 +1,42 @@
+
+
+def test_jaccard_hot_shingle_cap_default_on(spark):
+    """Production entry point caps hot shingles BY DEFAULT: a shingle
+    shared by every doc (a 'stopword shingle') must not create pairs
+    on its own, while genuinely similar pairs survive capping."""
+    from pyspark.sql import Row
+
+    from data_ingestion_spark.functions.dedup import (
+        DEFAULT_MAX_DOC_FREQ,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "the quick brown"  # one 3-gram every doc shares
+    rows = [Row(doc_id=i, text=f"{hot} tail{i} unique{i} words{i} here{i}") for i in range(12)]
+    # docs 100/101: real near-duplicates (share many shingles)
+    rows += [
+        Row(doc_id=100, text=f"{hot} alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=101, text=f"{hot} alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    # cap of 4 < 14 docs: the ubiquitous shingle is dropped
+    capped = ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_n=3, threshold=0.1, max_doc_freq=4
+    ).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in capped_pairs  # real near-dups survive
+    assert all({a, b} == {100, 101} for a, b in capped_pairs)  # hot-only pairs gone
+
+    # uncapped: the shared shingle alone creates pairs between unrelated docs
+    uncapped = ngram_jaccard_pairs(
+        df, "text", "doc_id", shingle_n=3, threshold=0.1, max_doc_freq=None
+    ).collect()
+    assert len(uncapped) > len(capped)
+
+    # and the default IS capped (not None)
+    assert DEFAULT_MAX_DOC_FREQ is not None
+    import inspect
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default == DEFAULT_MAX_DOC_FREQ

@@ -316,7 +316,7 @@ def test_multi_table_lsh_beats_single(spark):
         qr = emb.filter(F.col("vec_id") == vid).collect()[0]
         qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
         exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
-        one = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
+        one = {r.vec_id for r in lsh_topk(emb, qv, k=5, n_tables=1).collect()}
         multi = {r.vec_id for r in lsh_topk_multi(emb, qv, k=5, n_tables=6).collect()}
         assert vid in multi  # self always matches every table
         h1 += len(exact & one)

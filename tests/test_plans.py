@@ -167,3 +167,28 @@ def test_partition_pruning_on_store(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "lang" in plan.split("PartitionFilters")[1][:200]
     assert df.count() > 0
+
+
+def test_spread_scan_no_exchange_on_many_split_input(spark, tmp_path):
+    """spread_scan must be the identity on an already-parallel scan —
+    at 100 TB a blind repartition(defaultParallelism) would be a full
+    shuffle of the entire input for nothing. On an under-split local
+    file it still restores parallelism."""
+    from data_ingestion_spark.sources.catalog import spread_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many_splits")
+    spark.range(100_000).repartition(cores * 2).write.parquet(many)
+
+    scan = spark.read.parquet(many)
+    df = spread_scan(scan)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # identity: no shuffle encoded
+
+    # under-split input (single file, one split) still gets the respread
+    one = str(tmp_path / "one_split")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    df2 = spread_scan(spark.read.parquet(one))
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2
+    assert df2.rdd.getNumPartitions() == cores
