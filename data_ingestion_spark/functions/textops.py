@@ -292,18 +292,20 @@ def with_fingerprint(df: DataFrame, text_col: str, k: int = 8, step: int = 4) ->
 
 
 def split_markdown_sections(df: DataFrame, md_col: str, id_col: str = "doc_id") -> DataFrame:
-    """T3 full form: header-aware section split with Header1..Header3
+    """T3 full form: header-aware section split with Header1..Header4
     metadata, all native SQL (no UDF).
 
     The reference's MarkdownHeaderTextSplitter attaches the active
     #/##/### header path to each section's metadata and resets deeper
-    headers when a shallower one appears (ingestion-pipeline.py:204-216).
+    headers when a shallower one appears (ingestion-pipeline.py:204-216);
+    the website pipeline splits one level deeper, on #### too
+    (website-ingestion-pipeline.py:147-152) — this covers both.
     Plan: explode lines → classify heading level → running section id
-    → scoped `last()` windows for h1/h2/h3 (h2 scoped within the
-    current h1's span, h3 within h2's) → re-assemble section text with
-    an ordered aggregate. Shuffles: one per window partition spec on
-    (id), then the final group — all keyed by document, so partitions
-    stay document-sized at any corpus scale.
+    → scoped `last()` windows for h1..h4 (h2 scoped within the
+    current h1's span, h3 within h2's, h4 within h3's) → re-assemble
+    section text with an ordered aggregate. Shuffles: one per window
+    partition spec on (id), then the final group — all keyed by
+    document, so partitions stay document-sized at any corpus scale.
     """
     from pyspark.sql import Window
 
@@ -311,7 +313,8 @@ def split_markdown_sections(df: DataFrame, md_col: str, id_col: str = "doc_id") 
         F.col(id_col), F.posexplode(F.split(F.col(md_col), "\n")).alias("ln", "line")
     )
     level = (
-        F.when(F.col("line").startswith("### "), 3)
+        F.when(F.col("line").startswith("#### "), 4)
+        .when(F.col("line").startswith("### "), 3)
         .when(F.col("line").startswith("## "), 2)
         .when(F.col("line").startswith("# "), 1)
         .otherwise(0)
@@ -322,6 +325,7 @@ def split_markdown_sections(df: DataFrame, md_col: str, id_col: str = "doc_id") 
         lines.withColumn("section_id", F.sum((F.col("lvl") > 0).cast("int")).over(w))
         .withColumn("h1_id", F.sum((F.col("lvl") == 1).cast("int")).over(w))
         .withColumn("h2_id", F.sum((F.col("lvl") == 2).cast("int")).over(w))
+        .withColumn("h3_id", F.sum((F.col("lvl") == 3).cast("int")).over(w))
     )
     strip = lambda n: F.substring(F.col("line"), n, 100000)  # noqa: E731
     lines = lines.withColumn(
@@ -344,10 +348,18 @@ def split_markdown_sections(df: DataFrame, md_col: str, id_col: str = "doc_id") 
         "h3",
         F.last(F.when(F.col("lvl") == 3, strip(5)), ignorenulls=True).over(w_h2),
     )
+    w_h3 = (
+        Window.partitionBy(id_col, "h1_id", "h2_id", "h3_id").orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lines = lines.withColumn(
+        "h4",
+        F.last(F.when(F.col("lvl") == 4, strip(6)), ignorenulls=True).over(w_h3),
+    )
     body = lines.filter((F.col("lvl") == 0) & (F.length(F.trim("line")) > 0))
     # ordered re-assembly: sort (ln, line) structs then join — engine-
     # portable deterministic alternative to an ordered string_agg
-    sec = body.groupBy(id_col, "section_id", "h1", "h2", "h3").agg(
+    sec = body.groupBy(id_col, "section_id", "h1", "h2", "h3", "h4").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("ln", "line"))), lambda s: s.line

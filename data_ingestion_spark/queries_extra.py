@@ -169,32 +169,41 @@ def string_funcs_battery(spark, sf_dir):
     "split_markdown_sections",
     "WITH md AS (SELECT doc_id, '# T ' || source || chr(10) || substr(text, 1, 80) || chr(10) "
     "|| '## A' || chr(10) || substr(text, 81, 80) || chr(10) || '### A1' || chr(10) "
-    "|| substr(text, 161, 80) || chr(10) || '## B' || chr(10) || substr(text, 241, 80) "
+    "|| substr(text, 161, 80) || chr(10) || '#### A1a' || chr(10) || substr(text, 321, 80) "
+    "|| chr(10) || '## B' || chr(10) || substr(text, 241, 80) "
     "AS md_text FROM documents), "
     "l AS (SELECT doc_id, i - 1 AS ln, lines[i] AS line, "
-    "CASE WHEN starts_with(lines[i], '### ') THEN 3 WHEN starts_with(lines[i], '## ') THEN 2 "
+    "CASE WHEN starts_with(lines[i], '#### ') THEN 4 "
+    "WHEN starts_with(lines[i], '### ') THEN 3 WHEN starts_with(lines[i], '## ') THEN 2 "
     "WHEN starts_with(lines[i], '# ') THEN 1 ELSE 0 END AS lvl "
     "FROM (SELECT doc_id, string_split(md_text, chr(10)) AS lines FROM md) t, "
     "unnest(generate_series(1, len(lines))) AS u(i)), "
     "s AS (SELECT *, sum(CASE WHEN lvl > 0 THEN 1 ELSE 0 END) OVER wp AS section_id, "
     "sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) OVER wp AS h1_id, "
     "sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) OVER wp AS h2_id, "
+    "sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) OVER wp AS h3_id, "
     "last_value(CASE WHEN lvl = 1 THEN substr(line, 3) END IGNORE NULLS) OVER wp AS h1 "
     "FROM l WINDOW wp AS (PARTITION BY doc_id ORDER BY ln ROWS UNBOUNDED PRECEDING)), "
     "s2 AS (SELECT *, last_value(CASE WHEN lvl = 2 THEN substr(line, 4) END IGNORE NULLS) "
     "OVER (PARTITION BY doc_id, h1_id ORDER BY ln ROWS UNBOUNDED PRECEDING) AS h2 FROM s), "
     "s3 AS (SELECT *, last_value(CASE WHEN lvl = 3 THEN substr(line, 5) END IGNORE NULLS) "
-    "OVER (PARTITION BY doc_id, h1_id, h2_id ORDER BY ln ROWS UNBOUNDED PRECEDING) AS h3 FROM s2) "
-    "SELECT doc_id, CAST(section_id AS BIGINT) AS section_id, h1, h2, h3, "
+    "OVER (PARTITION BY doc_id, h1_id, h2_id ORDER BY ln ROWS UNBOUNDED PRECEDING) AS h3 FROM s2), "
+    "s4 AS (SELECT *, last_value(CASE WHEN lvl = 4 THEN substr(line, 6) END IGNORE NULLS) "
+    "OVER (PARTITION BY doc_id, h1_id, h2_id, h3_id ORDER BY ln ROWS UNBOUNDED PRECEDING) AS h4 FROM s3) "
+    "SELECT doc_id, CAST(section_id AS BIGINT) AS section_id, h1, h2, h3, h4, "
     "string_agg(line, chr(10) ORDER BY ln) AS section_text "
-    "FROM s3 WHERE lvl = 0 AND length(trim(line)) > 0 "
-    "GROUP BY doc_id, section_id, h1, h2, h3",
+    "FROM s4 WHERE lvl = 0 AND length(trim(line)) > 0 "
+    "GROUP BY doc_id, section_id, h1, h2, h3, h4",
 )
 def split_markdown_sections(spark, sf_dir):
-    """T3 full form: header-aware split with Header1..3 metadata and
-    shallower-header resets (ingestion-pipeline.py:204-216), pure SQL
-    on both engines. Markdown assembled from each doc (the synthetic
-    corpus has no headers of its own)."""
+    """T3 full form: header-aware split with Header1..4 metadata and
+    shallower-header resets (ingestion-pipeline.py:204-216; the
+    website pipeline's splitter goes to #### —
+    website-ingestion-pipeline.py:147-152), pure SQL on both engines.
+    Markdown assembled from each doc (the synthetic corpus has no
+    headers of its own); the H4 section draws from a distinct text
+    span so its body is non-empty for long docs and empty (hence
+    absent, both engines) for short ones."""
     from .functions.textops import split_markdown_sections as split_md
 
     d = _d(spark, sf_dir)
@@ -205,13 +214,14 @@ def split_markdown_sections(spark, sf_dir):
             F.substring("text", 1, 80), F.lit("\n"),
             F.lit("## A"), F.lit("\n"), F.substring("text", 81, 80), F.lit("\n"),
             F.lit("### A1"), F.lit("\n"), F.substring("text", 161, 80), F.lit("\n"),
+            F.lit("#### A1a"), F.lit("\n"), F.substring("text", 321, 80), F.lit("\n"),
             F.lit("## B"), F.lit("\n"), F.substring("text", 241, 80),
         ).alias("md_text"),
     )
     out = split_md(md, "md_text")
     return out.select(
         "doc_id", F.col("section_id").cast("bigint").alias("section_id"),
-        "h1", "h2", "h3", "section_text",
+        "h1", "h2", "h3", "h4", "section_text",
     )
 
 

@@ -97,3 +97,39 @@ def test_web_pipeline_end_to_end(spark):
     out = chunks.collect()
     assert len(out) >= 4 * 3  # ≥3 sections per page
     assert all(len(r.chunk_text) <= 64 for r in out)
+
+
+def test_split_markdown_sections_h4_scoping(spark):
+    """T3 depth parity with the website pipeline (splits on #### too,
+    website-ingestion-pipeline.py:147-152): h4 attaches to bodies under
+    the #### header, stays scoped to its h3 span, and RESETS when any
+    shallower header appears."""
+    from pyspark.sql import Row
+
+    from data_ingestion_spark.functions.textops import split_markdown_sections
+
+    md = "\n".join(
+        [
+            "# Top",
+            "intro",
+            "### Deep",
+            "## Mid",          # h2 after h3: h3/h4 must reset
+            "### S1",
+            "#### S1a",
+            "body-a",
+            "#### S1b",
+            "body-b",
+            "## Next",         # resets h3 AND h4
+            "body-c",
+        ]
+    )
+    df = spark.createDataFrame([Row(doc_id=1, md_text=md)])
+    rows = {r.section_text: r for r in split_markdown_sections(df, "md_text").collect()}
+
+    assert rows["intro"].h1 == "Top" and rows["intro"].h4 is None
+    a = rows["body-a"]
+    assert (a.h1, a.h2, a.h3, a.h4) == ("Top", "Mid", "S1", "S1a")
+    b = rows["body-b"]
+    assert (b.h1, b.h2, b.h3, b.h4) == ("Top", "Mid", "S1", "S1b")
+    c = rows["body-c"]
+    assert (c.h2, c.h3, c.h4) == ("Next", None, None)
