@@ -1111,3 +1111,83 @@ def tpch_q14_promo_share(spark, sf_dir):
             6,
         ).alias("promo_share")
     )
+
+
+#: Q2/Q11 shapes share one SQL text between the Spark query and the
+#: DuckDB oracle — identical ANSI, so the two engines run the same
+#: statement by construction. The testdata has no partsupp table; the
+#: lineitem fact stands in as the part-supplier relation, preserving
+#: the plan shapes (correlated min subquery / fraction-of-total
+#: scalar subquery in HAVING) that the suite lacked.
+_TPCH_Q2_SQL = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size <= 10
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@q("tpch_q2_min_cost_supplier", _TPCH_Q2_SQL)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region
+    — a correlated scalar MIN subquery over the same 4-table join as
+    the outer query. Catalyst decorrelates it into an aggregate keyed
+    by l_partkey joined back to the outer side; the dims (supplier/
+    nation/region) broadcast, so at scale the cost is two passes over
+    the fact, not a per-row re-scan. Equality is on raw
+    l_extendedprice values (no arithmetic), so cross-engine bit-exact;
+    the ORDER BY is total (s_name + p_partkey determine the row after
+    DISTINCT), making LIMIT 100 deterministic."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q2_SQL)
+
+
+_TPCH_Q11_SQL = """
+SELECT l_partkey,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(18,6))), 2) AS DOUBLE) AS part_value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7')
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(18,6))) AS DOUBLE) >
+  (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE)
+   FROM lineitem
+   JOIN supplier ON s_suppkey = l_suppkey
+   JOIN nation ON s_nationkey = n_nationkey
+   WHERE n_name IN ('NATION_3', 'NATION_7')) * 0.001
+"""
+
+
+@q("tpch_q11_important_stock", _TPCH_Q11_SQL)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value share above a fraction of the
+    grand total — an uncorrelated scalar subquery consumed in HAVING.
+    The threshold sum is one extra aggregate over the same filtered
+    join (Catalyst plans it as a broadcast scalar), so at scale this
+    is two shuffle-free-dim joins + two partial/final aggregations.
+    Both sums are decimal(18,6)-exact before the double cast; the
+    0.001 multiply happens in double on identical inputs, so the
+    HAVING cut is engine-stable."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q11_SQL)
