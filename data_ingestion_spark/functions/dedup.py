@@ -125,13 +125,28 @@ def minhash_lsh_candidates(
     ).distinct()
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+#: production default for the LSH bucket-size guard: a bucket of b ids
+#: expands to b²/2 pairs, so one degenerate band value (all-identical
+#: docs, constant-ish text) turns the pair stage quadratic. 1024 bounds
+#: any single bucket to ≤ ~524k pairs. Buckets past the cap carry no
+#: discrimination (the band collided for thousands of docs) — identical
+#: docs belong to the EXACT dedup pass (hash groupBy), which runs first
+#: in the production chain (scripts/stress_dedup.py measures both).
+DEFAULT_MAX_BUCKET = 1024
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """All ordered pairs (id_a < id_b) of ids sharing a bucket.
 
     groupBy bucket → sorted collect_list → nested-transform pair
-    expansion → explode. One shuffle, upstream evaluated once; at
-    scale guard pathological buckets by capping collect size upstream
-    (a bucket of b ids expands to b²/2 pairs).
+    expansion → explode. One shuffle, upstream evaluated once. A
+    bucket of b ids expands to b²/2 pairs — ``max_bucket`` drops
+    buckets above the cap before expansion (see DEFAULT_MAX_BUCKET).
     """
     from ..sources.catalog import spread
 
@@ -139,6 +154,8 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFra
     buckets = (
         df.groupBy(*bucket_cols).agg(ids.alias("ids")).filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     # the bucket rows are few but explode to b²/2 pairs each — respread
     # so AQE's post-shuffle coalescing can't serialize the expansion
     buckets = spread(buckets)
@@ -163,6 +180,7 @@ def minhash_lsh_candidates_fast(
     shingle_n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Production-speed MinHash-LSH: xxhash64 instead of md5.
 
@@ -172,7 +190,10 @@ def minhash_lsh_candidates_fast(
     ~8 longs per shingle instead of 8×32-char strings — less CPU and
     a much smaller shuffle payload. Not oracle-checkable (DuckDB's
     hash() is a different function), so the md5 twin carries the
-    correctness gate and this one carries the throughput.
+    correctness gate and this one carries the throughput. The bucket
+    guard is ON here (``max_bucket``): flooded bands (identical docs)
+    are the exact-dedup pass's job, not a quadratic pair expansion —
+    pass None to disable on bounded corpora.
     """
     inv = df.select(
         F.col(id_col).alias("id"),
@@ -197,7 +218,7 @@ def minhash_lsh_candidates_fast(
     bands = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "bb.band", "bb.band_hash"
     )
-    return _bucket_pairs(bands, ["band", "band_hash"], "id").select(
+    return _bucket_pairs(bands, ["band", "band_hash"], "id", max_bucket).select(
         "id_a", "id_b", "band"
     ).distinct()
 

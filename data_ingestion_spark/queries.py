@@ -1191,3 +1191,101 @@ def tpch_q11_important_stock(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q11_SQL)
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@q("tpch_q4_priority_check", _TPCH_Q4_SQL)
+def tpch_q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS consumed as a left-semi join
+    (returned-lineitem stands in for the late-delivery predicate —
+    the testdata has no commit/receipt dates). Catalyst plans the
+    EXISTS as a shuffle-key semi join on orderkey: one pass over each
+    fact, no row multiplication, then a 5-group aggregate."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q4_SQL)
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+@q("tpch_q13_order_distribution", _TPCH_Q13_SQL)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — left outer
+    join with a join-condition filter (customers with zero qualifying
+    orders must survive as c_count = 0), then a second aggregation
+    over the first's result. Two shuffles total: (custkey), then
+    (c_count); both partial-aggregated map-side."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q13_SQL)
+
+
+_TPCH_Q17_SQL = """
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+       AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@q("tpch_q17_small_quantity", _TPCH_Q17_SQL)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated AVG subquery (small-quantity
+    revenue). Decorrelates to a per-partkey avg aggregate joined back
+    to the fact. The double avg is engine-stable here because
+    l_quantity is integral (exact double sums below 2^53), so the
+    0.2*avg threshold is the same IEEE value on both engines; the
+    revenue sum itself is decimal-exact before the final divide."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q17_SQL)
+
+
+_TPCH_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                          AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@q("tpch_q22_global_sales_opportunity", _TPCH_Q22_SQL)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance customers above the average
+    balance with NO orders (anti join + uncorrelated scalar-avg
+    threshold; c_mktsegment stands in for the country-code
+    substring). The threshold is a decimal-exact sum cast to double
+    then divided by an exact count — identical IEEE arithmetic on
+    both engines, so the > cut cannot flap."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q22_SQL)

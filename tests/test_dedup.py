@@ -40,3 +40,36 @@ def test_jaccard_hot_shingle_cap_default_on(spark):
 
     sig = inspect.signature(ngram_jaccard_pairs)
     assert sig.parameters["max_doc_freq"].default == DEFAULT_MAX_DOC_FREQ
+
+
+def test_minhash_bucket_cap_default_on(spark):
+    """LSH bucket guard: a flooded band bucket (many identical docs)
+    must not expand to b²/2 pairs in the production fast path; small
+    near-dup groups still pair up. Uncapped form recovers everything."""
+    from pyspark.sql import Row
+
+    from data_ingestion_spark.functions.dedup import (
+        DEFAULT_MAX_BUCKET,
+        minhash_lsh_candidates_fast,
+    )
+
+    hot = "all these documents share exactly the same words forever"
+    rows = [Row(doc_id=i, text=hot) for i in range(30)]
+    rows += [
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    capped = minhash_lsh_candidates_fast(df, "text", "doc_id", max_bucket=8).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in capped_pairs
+    assert all({a, b} == {100, 101} for a, b in capped_pairs)  # hot bucket dropped
+
+    uncapped = minhash_lsh_candidates_fast(df, "text", "doc_id", max_bucket=None).collect()
+    assert len({(r.id_a, r.id_b) for r in uncapped}) >= 30 * 29 // 2  # b²/2 blowup is real
+
+    import inspect
+
+    sig = inspect.signature(minhash_lsh_candidates_fast)
+    assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
