@@ -1272,7 +1272,9 @@ FROM customer
 WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
                           AS DOUBLE) / count(*)
                    FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """
 
@@ -1280,11 +1282,13 @@ GROUP BY c_mktsegment
 @q("tpch_q22_global_sales_opportunity", _TPCH_Q22_SQL)
 def tpch_q22_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 shape: positive-balance customers above the average
-    balance with NO orders (anti join + uncorrelated scalar-avg
-    threshold; c_mktsegment stands in for the country-code
-    substring). The threshold is a decimal-exact sum cast to double
-    then divided by an exact count — identical IEEE arithmetic on
-    both engines, so the > cut cannot flap."""
+    balance with no URGENT orders (anti join + uncorrelated scalar-avg
+    threshold; c_mktsegment stands in for the country-code substring,
+    and 'no urgent order' for 'no order' — every synthetic customer
+    has at least one order, so the literal form would be structurally
+    empty and exercise nothing). The threshold is a decimal-exact sum
+    cast to double then divided by an exact count — identical IEEE
+    arithmetic on both engines, so the > cut cannot flap."""
     from .sources.catalog import register_views
 
     register_views(spark, sf_dir)
