@@ -297,3 +297,80 @@ def lsh_topk_multi(
     """Back-compat alias: multi-table sign-LSH is now the ``lsh_topk``
     default — both names hit the same predicate builder."""
     return lsh_topk(vectors, query_vec, k, bits, n_tables, id_col, vec_col)
+
+
+class AnnStore:
+    """Multi-table sign-LSH index AT REST: the bucket is a partition
+    key, so a probe prunes the scan instead of filtering it.
+
+    ``write`` explodes each vector into its ``n_tables`` (table,
+    bucket) assignments and writes parquet partitioned by both — the
+    standard multi-table LSH storage trade (t pointer copies buy
+    1-(1-p)^t recall). ``probe`` computes the query's bucket per table
+    DRIVER-side (the query vector is a literal; 3 sign tests per
+    table), builds the (table=t AND bucket=b_t) disjunction, and lets
+    Spark partition-prune: of t×2^bits partitions only t are read —
+    at 10^9 vectors a probe touches t/2^bits of the store (~6/8ths of
+    1/8th here) before the exact re-rank. Pruning is asserted in
+    tests/test_plans.py (PartitionFilters + inputFiles count).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        bits: int = 3,
+        n_tables: int = DEFAULT_LSH_TABLES,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark, self.path = spark, path
+        self.bits, self.n_tables = bits, n_tables
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def write(self, vectors: DataFrame) -> None:
+        assignments = [
+            F.struct(
+                F.lit(t).alias("table"),
+                table_sign_bucket(F.col(self.vec_col), t, self.bits).alias("bucket"),
+            )
+            for t in range(self.n_tables)
+        ]
+        (
+            vectors.select(
+                self.id_col,
+                self.vec_col,
+                F.explode(F.array(*assignments)).alias("tb"),
+            )
+            .select(self.id_col, self.vec_col, "tb.table", "tb.bucket")
+            .repartition("table", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("table", "bucket")
+            .parquet(self.path)
+        )
+
+    def _query_buckets(self, qv: list[float]) -> list[int]:
+        out = []
+        for t in range(self.n_tables):
+            b = 0
+            for i in range(self.bits):
+                if qv[t * self.bits + i] >= 0:
+                    b |= 1 << i
+            out.append(b)
+        return out
+
+    def probe_candidates(self, qv: list[float]) -> DataFrame:
+        """The pruned scan only — one partition per table."""
+        store = self.spark.read.parquet(self.path)
+        cond = None
+        for t, b in enumerate(self._query_buckets(qv)):
+            c = (F.col("table") == t) & (F.col("bucket") == b)
+            cond = c if cond is None else (cond | c)
+        return store.filter(cond)
+
+    def probe(self, qv: list[float], k: int = 5) -> DataFrame:
+        """Pruned scan → dedup ids (a vector can match in several
+        tables) → exact cosine re-rank."""
+        cand = self.probe_candidates(qv).select(self.id_col, self.vec_col).distinct()
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        return brute_force_topk(cand, qcol, k, self.id_col, self.vec_col)

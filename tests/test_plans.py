@@ -192,3 +192,34 @@ def test_spread_scan_no_exchange_on_many_split_input(spark, tmp_path):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan2
     assert df2.rdd.getNumPartitions() == cores
+
+
+def test_ann_store_probe_prunes_partitions(spark, tmp_path):
+    """The ANN claim made concrete: with the LSH bucket as a partition
+    key, a probe PRUNES the store scan (PartitionFilters, only the
+    probed table-partitions' files read) instead of filtering rows."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import AnnStore
+    from data_ingestion_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = AnnStore(spark, str(tmp_path / "ann"), bits=3, n_tables=6)
+    store.write(emb)
+
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    cand = store.probe_candidates(qv)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # files actually read under the partition filter (inputFiles() lists
+    # pre-pruning): 6 of 48 table-partitions
+    all_store = spark.read.parquet(str(tmp_path / "ann"))
+    total_files = all_store.select(F.input_file_name()).distinct().count()
+    probed_files = cand.select(F.input_file_name()).distinct().count()
+    assert 0 < probed_files < total_files / 4
+
+    # end-to-end: probe returns k rows and contains the query itself
+    top = store.probe(qv, k=5).collect()
+    assert len(top) == 5
+    assert abs(top[0].score - 1.0) < 1e-6  # self-match ranks first
