@@ -368,3 +368,79 @@ def split_markdown_sections(df: DataFrame, md_col: str, id_col: str = "doc_id") 
         ).alias("section_text")
     )
     return sec
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Gopher/Dolma-style repetition quality signals per document:
+
+    - ``n_words``, ``mean_word_len``, ``frac_alpha_words`` — basic
+      composition (array expressions, zero shuffles);
+    - ``top_2gram_frac`` — fraction of word-2-grams taken by the most
+      frequent one (repetition marker; 'the most common 2-gram
+      character fraction' family from the Gopher filters);
+    - ``dup_3gram_frac`` — fraction of word-3-grams that are repeats
+      of an earlier one in the same doc.
+
+    Plan: the scalar signals are pure expressions; the two gram
+    signals explode → count per (doc, gram) → re-aggregate per doc —
+    everything keyed by document, so the shuffles scale linearly and
+    partitions stay bounded by document size at any corpus scale.
+    """
+
+    def grams(n: int) -> Column:
+        make = F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.get(F.col("ws"), i + F.lit(j)) for j in range(n)]
+            ),
+        )
+        # sequence(0, negative) would generate a DESCENDING range —
+        # short docs must yield no grams, as DuckDB's generate_series does
+        return F.when(F.size("ws") >= n, make).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    ).select(
+        id_col,
+        "ws",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform("ws", lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("ws"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("ws", lambda x: x.rlike("^[A-Za-z]+$")))
+            / F.size("ws").cast("double"),
+            6,
+        ).alias("frac_alpha_words"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+    def gram_stats(col: str, out_expr, out_name: str) -> DataFrame:
+        counts = (
+            base.select(id_col, F.explode(col).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.groupBy(id_col).agg(out_expr.alias(out_name))
+
+    top2 = gram_stats(
+        "g2", F.round(F.max("c") / F.sum("c").cast("double"), 6), "top_2gram_frac"
+    )
+    dup3 = gram_stats(
+        "g3",
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c").cast("double"), 6),
+        "dup_3gram_frac",
+    )
+    return (
+        base.select(id_col, "n_words", "mean_word_len", "frac_alpha_words")
+        .join(top2, id_col)
+        .join(dup3, id_col)
+    )

@@ -649,3 +649,36 @@ def agg_argminmax(spark, sf_dir):
         F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@q(
+    "quality_repetition_signals",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+    "round(list_aggregate(list_transform(ws, x -> CAST(length(x) AS DOUBLE)), 'sum') "
+    "/ len(ws), 6) AS mean_word_len, "
+    "round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+'))) "
+    "/ CAST(len(ws) AS DOUBLE), 6) AS frac_alpha_words FROM w), "
+    "g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g "
+    "FROM w, unnest(generate_series(1, len(ws) - 1)) u(i)), "
+    "c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, g), "
+    "t2 AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) "
+    "AS top_2gram_frac FROM c2 GROUP BY doc_id), "
+    "g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g "
+    "FROM w, unnest(generate_series(1, len(ws) - 2)) u(i)), "
+    "c3 AS (SELECT doc_id, count(*) AS c FROM g3 GROUP BY doc_id, g), "
+    "d3 AS (SELECT doc_id, round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) "
+    "AS dup_3gram_frac FROM c3 GROUP BY doc_id) "
+    "SELECT base.doc_id, n_words, mean_word_len, frac_alpha_words, "
+    "top_2gram_frac, dup_3gram_frac "
+    "FROM base JOIN t2 USING (doc_id) JOIN d3 USING (doc_id)",
+)
+def quality_repetition_signals(spark, sf_dir):
+    """Gopher/Dolma-family repetition filters: per-doc top-2-gram
+    fraction and duplicate-3-gram fraction alongside word-composition
+    basics — the standard 'repetitious document' kill signals for LLM
+    corpus cleaning, all JVM-side (array exprs + two doc-keyed
+    gram aggregations)."""
+    from .functions.textops import repetition_signals
+
+    return repetition_signals(_d(spark, sf_dir), "text", "doc_id")
