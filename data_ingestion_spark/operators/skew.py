@@ -41,3 +41,32 @@ def salted_group_sum(
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
     partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias(alias))
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_cols: list[str],
+    n_salt: int = 8,
+) -> DataFrame:
+    """Explicit salt-replicate equi join for pathologically skewed
+    fact keys (the remedy when the dim is too big to broadcast and
+    AQE's skew split is unavailable — e.g. a forced shuffle-hash
+    plan or a stream-static join).
+
+    The fact side derives a deterministic salt from ``salt_cols`` (a
+    unique-ish row identity — deterministic so retries and oracle
+    comparisons see the same assignment); the dim side replicates
+    each row ``n_salt`` times. The join key becomes (key, salt), so a
+    hot key's rows land on ``n_salt`` reducers instead of one
+    straggler. Cost: dim side inflated ×n_salt — use for
+    mid-size dims; broadcast remains the answer for small ones.
+    Result is row-identical to the plain join by construction.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt))
+    f = fact.withColumn("_salt", salt.cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

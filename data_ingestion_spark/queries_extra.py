@@ -682,3 +682,31 @@ def quality_repetition_signals(spark, sf_dir):
     from .functions.textops import repetition_signals
 
     return repetition_signals(_d(spark, sf_dir), "text", "doc_id")
+
+
+@q(
+    "join_salted_skew",
+    "SELECT s_name, "
+    "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) "
+    "AS DOUBLE) AS revenue, CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_name",
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew remedy as a first-class operator: the fact side salts its
+    join key deterministically (xxhash64 of the row identity mod 8),
+    the dim side replicates 8x, and the join runs on (key, salt) so a
+    hot supplier spreads over 8 reducers. The oracle is the PLAIN
+    join+aggregate — salting must be result-invisible."""
+    from .operators.skew import salted_skew_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_suppkey", "s_suppkey")
+    su = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = salted_skew_join(
+        li, su, "s_suppkey", salt_cols=["l_orderkey", "l_linenumber"], n_salt=8
+    )
+    return j.groupBy("s_name").agg(
+        F.round(F.sum(rev.cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
