@@ -710,3 +710,109 @@ def join_salted_skew(spark, sf_dir):
         F.round(F.sum(rev.cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@q(
+    "pii_scrub",
+    "WITH p AS (SELECT doc_id, 'contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) "
+    "|| '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS raw FROM documents) "
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INTEGER) AS n_emails, "
+    "CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones, "
+    "substr(regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'), "
+    "'[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 1, 120) AS scrubbed_head "
+    "FROM p",
+)
+def pii_scrub(spark, sf_dir):
+    """Dolma-style PII redaction: email/phone regex scrub with
+    per-document redaction counts. PII is synthesized deterministically
+    per doc (the corpus has none), then removed — both the detector
+    (regexp_count) and the scrubber (regexp_replace) are JVM
+    expressions; patterns are kept to portable character-class regex
+    so Java and RE2 agree. At 100 TB this is a pure map stage."""
+    d = _d(spark, sf_dir)
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.lit("contact "),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    p = d.select("doc_id", raw.alias("raw"))
+    return p.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone)).cast("int").alias("n_phones"),
+        F.substring(
+            F.regexp_replace(
+                F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+            ),
+            1,
+            120,
+        ).alias("scrubbed_head"),
+    )
+
+
+@q(
+    "scan_csv_roundtrip",
+    "SELECT n.n_name, r.r_name, CAST(count(*) AS BIGINT) AS n FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY n.n_name, r.r_name",
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """S5/S6 format breadth: the dims round-trip through CSV (header,
+    explicit schema on read — never inferSchema at scale: it is a
+    full extra pass) before the join. The oracle reads the original
+    parquet, so any quoting/typing loss in the CSV hop fails the
+    hash."""
+    import tempfile
+
+    from .sources.catalog import load_table
+
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    out = {}
+    for t in ["nation", "region"]:
+        df = load_table(spark, sf_dir, t)
+        path = f"{tmp}/{t}"
+        df.write.mode("overwrite").option("header", True).csv(path)
+        out[t] = spark.read.schema(df.schema).option("header", True).csv(path)
+    j = out["nation"].join(
+        out["region"],
+        out["nation"].n_regionkey == out["region"].r_regionkey,
+    )
+    return j.groupBy("n_name", "r_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "scan_jsonl_roundtrip",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def scan_jsonl_roundtrip(spark, sf_dir):
+    """S5/S6 format breadth: the orders fact round-trips through
+    JSON-lines (the interchange format of most crawl/corpus drops)
+    with an explicit schema on read. Doubles survive JSON exactly
+    (Spark prints round-trippable repr); the decimal-sum oracle on
+    the original parquet catches any loss."""
+    import tempfile
+
+    from .sources.catalog import load_table
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    df.write.mode("overwrite").json(tmp + "/orders")
+    back = spark.read.schema(df.schema).json(tmp + "/orders")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
