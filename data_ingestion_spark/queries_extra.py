@@ -816,3 +816,58 @@ def scan_jsonl_roundtrip(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "rollup_time_cascade",
+    "SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket, event_type, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY date_trunc('minute', ts), event_type "
+    "UNION ALL "
+    "SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type, "
+    "CAST(count(*) AS BIGINT), "
+    "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "FROM events GROUP BY date_trunc('hour', ts), event_type "
+    "UNION ALL "
+    "SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type, "
+    "CAST(count(*) AS BIGINT), "
+    "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) "
+    "FROM events GROUP BY date_trunc('day', ts), event_type",
+)
+def rollup_time_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: the minute
+    rollup is computed from raw events ONCE; hour re-aggregates the
+    minute rollup and day re-aggregates hour — at 100 TB the coarser
+    grains cost ~nothing (input is already ~1/1000th the raw size)
+    where the naive form scans raw three times. Bit-identical to the
+    oracle's direct per-grain aggregation because decimal addition is
+    associative (a double sum would NOT survive the regrouping)."""
+    e = _t(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+
+    def finalize(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("s"), 2).cast("double").alias("total_value"),
+        )
+
+    return (
+        finalize(minute, "minute")
+        .unionByName(finalize(hour, "hour"))
+        .unionByName(finalize(day, "day"))
+    )
