@@ -126,15 +126,16 @@ def run_to_vector_store(
 
 
 def run_query_availablenow(
-    df: DataFrame, checkpoint: str, sink_table: str
+    df: DataFrame, checkpoint: str, sink_table: str, output_mode: str = "complete"
 ) -> StreamingQuery:
     """Drive any streaming transform to a memory sink until drained
-    (test/inspection harness; complete mode so windowed state is
-    visible without waiting for watermark finalization)."""
+    (test/inspection harness; default complete mode so windowed state
+    is visible without waiting for watermark finalization — pass
+    ``append`` for non-aggregated streams, which reject complete)."""
     return (
         df.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -178,3 +179,15 @@ def stream_stream_attribution(
     return purchases.join(clicks, cond, "inner").select(
         "p_event_id", "c_event_id", "p_user", "p_ts", "c_ts"
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static dimension enrich — the most common production
+    streaming join: each micro-batch broadcast-joins the static dim
+    (re-read per batch for slowly-changing dims; no state store, no
+    watermark requirement on the static side). At scale the dim stays
+    on the driver/executors as a broadcast; the stream side never
+    shuffles for the join."""
+    return events.join(F.broadcast(dim), on, "left")

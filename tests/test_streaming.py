@@ -209,3 +209,36 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     assert (
         stream_counts.sort_index().values == batch_nonzero.sort_index().values
     ).all()
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static broadcast enrich drains to the same rows as the
+    batch join (no state store involved — each micro-batch joins the
+    static side directly)."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        ["event_type", "weight"],
+    )
+    stream = SP.stream_events_from_dir(spark, events_dir)
+    enriched = SP.stream_static_enrich(stream, dim).select(
+        "event_id", "event_type", "weight"
+    )
+    q = SP.run_query_availablenow(
+        enriched, str(tmp_path / "ckpt_ss_enrich"), "ss_enrich_sink", "append"
+    )
+    q.awaitTermination(120)
+    out = spark.table("ss_enrich_sink").toPandas()
+
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .join(F.broadcast(dim), "event_type", "left")
+        .select("event_id", "event_type", "weight")
+        .toPandas()
+    )
+    out_s = out.sort_values("event_id").reset_index(drop=True)
+    batch_s = batch.sort_values("event_id").reset_index(drop=True)
+    assert len(out_s) == len(batch_s)
+    assert (out_s["event_type"].values == batch_s["event_type"].values).all()
+    w_out = out_s["weight"].fillna(-1).values
+    w_bat = batch_s["weight"].fillna(-1).values
+    assert (w_out == w_bat).all()
