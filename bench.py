@@ -43,6 +43,13 @@ HEADLINE = [
     "similarity_topk_lsh",
     "agg_rollup",
     "sort_global",
+    # round-2 additions: subquery decorrelation, repetition quality
+    # signals, cascading time rollup, salted skew join
+    "tpch_q2_min_cost_supplier",
+    "tpch_q17_small_quantity",
+    "quality_repetition_signals",
+    "rollup_time_cascade",
+    "join_salted_skew",
 ]
 
 
@@ -91,12 +98,16 @@ def main() -> None:
     )
     n_chunks = chunks.count()
     embedded = chunks.withColumn("embedding", make_embed_udf(64)(F.col("chunk_text")))
-    # first run spawns the executor python workers; time the warm run
-    # (steady-state throughput is the capacity-planning number)
+    # first run spawns the executor python workers; best-of-2 warm
+    # runs (steady-state throughput is the capacity-planning number,
+    # and a single warm pass still catches occasional worker-respawn
+    # hiccups measured at 3-4x)
     embedded.write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    embedded.write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        embedded.write.format("noop").mode("overwrite").save()
+        dt = min(dt, time.perf_counter() - t0)
     timings["embed_udf_stage"] = round(dt, 3)
     throughput = {"embed_chunks_per_sec": round(n_chunks / dt, 1)}
 
