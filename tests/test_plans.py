@@ -223,3 +223,43 @@ def test_ann_store_probe_prunes_partitions(spark, tmp_path):
     top = store.probe(qv, k=5).collect()
     assert len(top) == 5
     assert abs(top[0].score - 1.0) < 1e-6  # self-match ranks first
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join at rest: both facts written bucketBy(8, key) —
+    the bucketed scans report the hash partitioning, so the sort-merge
+    join needs NO Exchange on either side. At 100 TB this is the
+    difference between joining in place and shuffling both tables."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b")).mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "or_b")).mode("overwrite")
+        .saveAsTable("or_bucketed")
+    )
+    try:
+        j = (
+            spark.table("li_bucketed")
+            .hint("merge")  # forbid broadcast: the point is the SMJ shape
+            .join(
+                spark.table("or_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "o_orderpriority", "l_quantity")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS or_bucketed")
