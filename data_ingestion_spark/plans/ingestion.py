@@ -161,17 +161,15 @@ def incremental_ingest(
             embed_deterministic(F.col("chunk_text"), pipeline_kwargs.get("embed_dim", 8)),
         )
     )
-    # persist before count+write: without it the count() and the write
-    # each evaluate the whole chunk+embed pipeline (2x the embed cost
-    # per increment). The increment is small by construction (it's the
-    # *new* docs), so MEMORY_AND_DISK is safe at scale.
-    enriched = enriched.persist()
-    try:
-        cnt = enriched.count()
-        if cnt:
-            enriched.repartition(F.col("index_name")).write.mode("append").partitionBy(
-                "index_name"
-            ).parquet(store.path)
-    finally:
-        enriched.unpersist()
-    return cnt
+    # Observation: the row count rides along with the ONE write job
+    # (metrics collected per-task, merged on the driver) — no second
+    # evaluation of the chunk+embed pipeline and no persist() memory
+    # footprint. An empty increment writes no files and reports 0.
+    from pyspark.sql import Observation
+
+    obs = Observation("incremental_ingest")
+    enriched = enriched.observe(obs, F.count(F.lit(1)).alias("n_chunks"))
+    enriched.repartition(F.col("index_name")).write.mode("append").partitionBy(
+        "index_name"
+    ).parquet(store.path)
+    return obs.get["n_chunks"]
