@@ -871,3 +871,39 @@ def rollup_time_cascade(spark, sf_dir):
         .unionByName(finalize(hour, "hour"))
         .unionByName(finalize(day, "day"))
     )
+
+
+@q(
+    "variant_json_tolerant",
+    "WITH j AS (SELECT event_type, CASE WHEN event_id % 7 = 0 "
+    "THEN ']garbage' || props ELSE props END AS js FROM events) "
+    "SELECT event_type, "
+    "CAST(sum(CASE WHEN json_valid(js) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt, "
+    "CAST(sum(CASE WHEN json_valid(js) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, "
+    "CAST(sum(CASE WHEN json_valid(js) THEN CAST(json_extract(js, '$.k') AS BIGINT) "
+    "END) AS BIGINT) AS sum_k "
+    "FROM j GROUP BY event_type",
+)
+def variant_json_tolerant(spark, sf_dir):
+    """Semi-structured ingestion with Spark 4 VARIANT: try_parse_json
+    yields NULL for malformed payloads (corruption synthesized by
+    prepending garbage to every 7th event; trailing garbage would be
+    ambiguous — Spark's parser tolerates it, DuckDB's does not) instead of failing the batch — the
+    bad-records-quarantine posture a crawl pipeline needs — and
+    variant_get extracts typed fields from the open-schema rest.
+    Oracle twin via DuckDB json_valid/json_extract."""
+    e = _t(spark, sf_dir, "events")
+    js = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("]garbage"), F.col("props"))
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(js)
+    parsed = e.select(
+        "event_type",
+        v.isNull().cast("int").alias("corrupt"),
+        F.variant_get(v, "$.k", "long").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("corrupt").cast("bigint").alias("n_corrupt"),
+        F.sum(1 - F.col("corrupt")).cast("bigint").alias("n_valid"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
