@@ -907,3 +907,52 @@ def variant_json_tolerant(spark, sf_dir):
         F.sum(1 - F.col("corrupt")).cast("bigint").alias("n_valid"),
         F.sum("k").cast("bigint").alias("sum_k"),
     )
+
+
+_RANGE_FRAME_SQL = """
+SELECT user_id, ts, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+           AS val_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@q("window_range_frame", _RANGE_FRAME_SQL.replace("INTERVAL '1' HOUR", "INTERVAL 1 HOUR"))
+def window_range_frame(spark, sf_dir):
+    """W3 extension: value-based (RANGE) frame over a timestamp order
+    key — 'events in the trailing hour' per user. Unlike a ROWS frame
+    this is tie-stable by definition (all ts peers share the frame),
+    and the interval bound needs no epoch conversion on either
+    engine, so TIMESTAMP_NTZ never round-trips through a session
+    timezone. Decimal sums keep the frame aggregates bit-exact."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_FRAME_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@q("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark, sf_dir):
+    """A6 completion: arbitrary GROUPING SETS (fine, per-flag, grand
+    total in one pass — rollup/cube are the special cases already
+    covered) with grouping() indicators disambiguating real NULLs
+    from subtotal rows. One expand + one aggregate exchange."""
+    from .sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
