@@ -956,3 +956,60 @@ def agg_grouping_sets(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@q(
+    "corpus_filter_pipeline",
+    "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents), "
+    "base AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words, "
+    "round(len(list_filter(ws, x -> regexp_full_match(x, '[A-Za-z]+'))) "
+    "/ CAST(len(ws) AS DOUBLE), 6) AS frac_alpha FROM w), "
+    "g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g "
+    "FROM w, unnest(generate_series(1, len(ws) - 1)) u(i)), "
+    "c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, g), "
+    "t2 AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top2 "
+    "FROM c2 GROUP BY doc_id), "
+    "sig AS (SELECT base.*, top2 FROM base JOIN t2 USING (doc_id)) "
+    "SELECT doc_id, concat_ws(',', "
+    "CASE WHEN n_words < 30 THEN 'too_short' END, "
+    "CASE WHEN frac_alpha < 0.5 THEN 'low_alpha' END, "
+    "CASE WHEN top2 > 0.1 THEN 'repetitive' END, "
+    "CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'lang_excluded' END) "
+    "AS drop_reasons, "
+    "CAST(CASE WHEN n_words >= 30 AND frac_alpha >= 0.5 AND top2 <= 0.1 "
+    "AND lang IN ('en', 'de', 'es', 'fr') THEN 1 ELSE 0 END AS INTEGER) AS keep "
+    "FROM sig",
+)
+def corpus_filter_pipeline(spark, sf_dir):
+    """The Dolma/Gopher-style cleaning pipeline as ONE declared plan:
+    composition signals (word count, alphabetic fraction), repetition
+    (top-2-gram fraction) and a language allowlist produce a per-doc
+    keep/drop verdict with named reasons (concat_ws skips the NULL
+    CASE arms identically on both engines). At 100 TB this whole
+    filter is the scalar expressions plus one doc-keyed gram
+    aggregation — no UDF, no collect, one pass over the corpus."""
+    from .functions.textops import repetition_signals
+
+    d = _d(spark, sf_dir)
+    sig = repetition_signals(d, "text", "doc_id").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    lang_ok = F.col("lang").isin("en", "de", "es", "fr")
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < 30, "too_short"),
+        F.when(F.col("frac_alpha_words") < 0.5, "low_alpha"),
+        F.when(F.col("top_2gram_frac") > 0.1, "repetitive"),
+        F.when(~lang_ok, "lang_excluded"),
+    )
+    keep = (
+        (F.col("n_words") >= 30)
+        & (F.col("frac_alpha_words") >= 0.5)
+        & (F.col("top_2gram_frac") <= 0.1)
+        & lang_ok
+    )
+    return sig.select(
+        "doc_id",
+        reasons.alias("drop_reasons"),
+        keep.cast("int").alias("keep"),
+    )
