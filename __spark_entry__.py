@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_spark import queries as _q
 from data_ingestion_spark import queries_extra as _qe  # noqa: F401  (registers on import)
+from data_ingestion_spark import queries_tpch as _qt  # noqa: F401  (registers on import)
 from data_ingestion_spark import queries_vector as _qv  # noqa: F401  (registers on import)
 from data_ingestion_spark.plans.ingestion import flagship_query
 
