@@ -439,8 +439,14 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str = "doc_id") -> 
         F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c").cast("double"), 6),
         "dup_3gram_frac",
     )
+    # LEFT joins: a doc with <2 (resp. <3) words yields no gram rows at
+    # all, and an inner join would silently drop it from the output —
+    # exactly the short docs a downstream corpus filter most needs to
+    # see. No grams means no repetition: coalesce to 0.0.
     return (
         base.select(id_col, "n_words", "mean_word_len", "frac_alpha_words")
-        .join(top2, id_col)
-        .join(dup3, id_col)
+        .join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+        .withColumn("top_2gram_frac", F.coalesce("top_2gram_frac", F.lit(0.0)))
+        .withColumn("dup_3gram_frac", F.coalesce("dup_3gram_frac", F.lit(0.0)))
     )

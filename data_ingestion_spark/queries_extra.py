@@ -670,8 +670,9 @@ def agg_argminmax(spark, sf_dir):
     "d3 AS (SELECT doc_id, round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) "
     "AS dup_3gram_frac FROM c3 GROUP BY doc_id) "
     "SELECT base.doc_id, n_words, mean_word_len, frac_alpha_words, "
-    "top_2gram_frac, dup_3gram_frac "
-    "FROM base JOIN t2 USING (doc_id) JOIN d3 USING (doc_id)",
+    "coalesce(top_2gram_frac, 0.0) AS top_2gram_frac, "
+    "coalesce(dup_3gram_frac, 0.0) AS dup_3gram_frac "
+    "FROM base LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)",
 )
 def quality_repetition_signals(spark, sf_dir):
     """Gopher/Dolma-family repetition filters: per-doc top-2-gram
@@ -969,7 +970,8 @@ def agg_grouping_sets(spark, sf_dir):
     "c2 AS (SELECT doc_id, count(*) AS c FROM g2 GROUP BY doc_id, g), "
     "t2 AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top2 "
     "FROM c2 GROUP BY doc_id), "
-    "sig AS (SELECT base.*, top2 FROM base JOIN t2 USING (doc_id)) "
+    "sig AS (SELECT base.*, coalesce(top2, 0.0) AS top2 "
+    "FROM base LEFT JOIN t2 USING (doc_id)) "
     "SELECT doc_id, concat_ws(',', "
     "CASE WHEN n_words < 30 THEN 'too_short' END, "
     "CASE WHEN frac_alpha < 0.5 THEN 'low_alpha' END, "

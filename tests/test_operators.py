@@ -392,3 +392,24 @@ def test_multimodal_search_end_to_end(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError):
         embed_media(media, strict=True)
+
+
+def test_repetition_signals_keeps_short_docs(spark):
+    """Docs with <2 (or <3) words produce no gram rows; they must still
+    get a signal row (grams coalesced to 0.0), not vanish — downstream
+    corpus filters need a verdict for exactly those docs."""
+    from data_ingestion_spark.functions.textops import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one"),
+            Row(doc_id=2, text="two words"),
+            Row(doc_id=3, text="three little words"),
+            Row(doc_id=4, text="a a a a a a a a"),
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_signals(df, "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].top_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+    assert out[2].dup_3gram_frac == 0.0  # one 2-gram, no 3-grams
+    assert out[4].top_2gram_frac == 1.0 and out[4].dup_3gram_frac > 0.8
