@@ -44,6 +44,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_clusters",
     "dedup_decision",
     "doc_fingerprint",
@@ -99,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "array_posexplode",
     "string_funcs_battery",
     "rollup_time_cascade",
-    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -256,6 +256,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_ngram_jaccard_capped",
+    f"WITH sh AS (SELECT doc_id AS id, {_duck_shingles()} AS sh FROM documents), "
+    "sizes AS (SELECT id, len(sh) AS sz FROM sh), "
+    "inv AS (SELECT id, unnest(sh) AS s FROM sh), "
+    "kept AS (SELECT inv.id, inv.s FROM inv WHERE inv.s IN "
+    "(SELECT s FROM inv GROUP BY s HAVING count(*) <= 5)), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter FROM kept a "
+    "JOIN kept b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b "
+    "WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.15",
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """T10 near-dup, the SCALE-SAFE plan: same inverted-index Jaccard
+    as ``dedup_ngram_jaccard`` but with the hot-shingle doc-frequency
+    cap active — the production default (a shingle in b docs expands to
+    b²/2 pairs, so uncapped stopword shingles are quadratic in corpus
+    size). The oracle applies the identical doc-frequency filter on the
+    DuckDB inverted index (``HAVING count(*) <= cap``); union sizes
+    stay uncapped on both sides, exactly like the Spark plan. The cap
+    here is 5 (not DEFAULT_MAX_DOC_FREQ=256) so the guard path
+    actually *bites* at driver scale — sf0.01's max shingle doc-freq
+    is 7; a 256 cap would verify nothing about the drop path."""
+    return DD.ngram_jaccard_pairs(
+        _d(spark, sf_dir), "text", "doc_id", shingle_n=3, threshold=0.15,
+        max_doc_freq=5,
+    )
+
+
+@q(
     "doc_fingerprint",
     "SELECT doc_id, list_aggregate(list_transform("
     "generate_series(1, greatest(length(text) - 7, 1), 4), "
