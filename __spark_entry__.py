@@ -57,6 +57,7 @@ DRIVER_WINDOW: list[str] = [
     "rag_context_assemble",
     # -- multimodal (T11) --
     "multimodal_binary_meta",
+    "multimodal_header_decode",
     # -- text analysis / corpus quality --
     "lang_id_ngram",
     "text_quality_score",
@@ -98,7 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "join_salted_skew",
     # -- misc never-checked --
     "array_posexplode",
-    "string_funcs_battery",
     "rollup_time_cascade",
 ]
 

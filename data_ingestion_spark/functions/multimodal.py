@@ -18,6 +18,8 @@ NotImplementedError instead of faking.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -60,7 +62,88 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG start-of-frame markers carry the image dimensions; C4 (DHT),
+#: C8 (JPG extension) and CC (DAC) share the 0xC0-0xCF range but are
+#: not frame headers.
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes | None) -> tuple[str, int, int, int] | None:
+    """REAL (non-stub) header decode for PNG and JPEG — pure ``struct``
+    parsing of a few header bytes, no PIL/ffmpeg needed.
+
+    PNG: 8-byte signature, then the IHDR chunk (always first): length,
+    b'IHDR', width/height as big-endian u32, bit depth u8.
+    JPEG: SOI then a marker walk; the SOF segment holds precision u8,
+    height/width as big-endian u16.
+
+    Returns ``(format, width, height, bit_depth)`` or None for
+    anything unrecognized/truncated (callers fall back to the library
+    decode or the documented fake).
+    """
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] == PNG_SIG and len(b) >= 29 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, b[24])
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None  # lost marker sync — not a clean stream
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 9 > len(b):
+                    return None
+                depth = b[i + 4]
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h, depth)
+            i += 2 + seg_len
+    return None
+
+
+def png_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal structurally-valid PNG (signature + IHDR + IEND with
+    real CRCs) — the deterministic synthesis half of the header
+    roundtrip DQ."""
+    ihdr = struct.pack(">II", width, height) + bytes([bit_depth, 6, 0, 0, 0])
+    return (
+        PNG_SIG
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 0) + b"IEND"
+        + struct.pack(">I", zlib.crc32(b"IEND"))
+    )
+
+
+def jpeg_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Minimal JPEG header stream: SOI, APP0/JFIF (so the parser's
+    marker walk is exercised), SOF0 with the dimensions, EOI."""
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([bit_depth])
+        + struct.pack(">HH", height, width) + bytes([1, 0x11, 0])
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
 def _decode_real(payload: bytes, mime: str) -> tuple[int, int, int]:
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        _, w, h, _ = parsed
+        return w, h, 1
     try:
         from PIL import Image  # not in this container
         import io
@@ -99,6 +182,60 @@ def decode_media_meta(df: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload", "mime").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+IMAGE_HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+    ]
+)
+
+
+def attach_synthetic_image(df: DataFrame) -> DataFrame:
+    """Deterministic synthetic media: encode each row as REAL PNG or
+    JPEG header bytes (even doc_id → PNG, odd → JPEG) with
+    width = 1 + n_chars % 512 and height = 1 + doc_id % 512. Arrow
+    scalar UDF — payload bytes are produced batch-wise, never row-by-
+    row through the driver. The arithmetic is the oracle-checkable
+    contract: a SQL twin recomputes the expected dims directly."""
+
+    @F.pandas_udf(BinaryType())
+    def _synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for d, n in zip(doc_id, n_chars):
+            w, h = 1 + int(n) % 512, 1 + int(d) % 512
+            out.append(png_bytes(w, h) if int(d) % 2 == 0 else jpeg_bytes(w, h))
+        return pd.Series(out)
+
+    return df.withColumn("payload", _synth(F.col("doc_id"), F.col("n_chars")))
+
+
+def decode_image_headers(df: DataFrame) -> DataFrame:
+    """Parse real PNG IHDR / JPEG SOF headers from payload bytes via
+    Arrow-batched mapInPandas — the un-stubbed half of T11: no media
+    libraries involved, pure struct parsing (parse_image_header).
+    Unrecognized payloads yield NULL dims rather than failing the
+    batch (corrupt files are data, not exceptions, at corpus scale)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_image_header(payload)
+                if parsed is None:
+                    rows.append((doc_id, None, None, None, None))
+                else:
+                    fmt, w, h, depth = parsed
+                    rows.append((doc_id, fmt, w, h, depth))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_HEADER_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, IMAGE_HEADER_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
@@ -153,12 +290,15 @@ def extract_frames(df: DataFrame, every_n: int = 1, strict: bool = False) -> Dat
 
 def embed_media(df: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame:
     """Media → embedding column (the CLIP-style feature-extract slot
-    in a multimodal search pipeline). Kernel resolution as elsewhere
-    in this module: a real vision/audio encoder if the env has one,
-    else the deterministic hash fake — the Spark-side contract
-    (BINARY in, ARRAY<FLOAT> out, Arrow-batched, one pass) is real
-    and tested either way; downstream ANN (similarity.AnnStore /
-    brute_force_topk) consumes the column unchanged."""
+    in a multimodal search pipeline). Unlike the decode kernels in
+    this module there is NO runtime encoder resolution: the
+    deterministic hash fake is the only implemented kernel (no public
+    pure-Python vision/audio encoder exists to resolve to), and
+    ``strict=True`` always raises. The Spark-side contract (BINARY in,
+    ARRAY<FLOAT> out, Arrow-batched, one pass) is real and tested;
+    downstream ANN (similarity.AnnStore / brute_force_topk) consumes
+    the column unchanged — swap ``_embed`` for a real encoder UDF to
+    go live."""
     import numpy as np
     from pyspark.sql.types import ArrayType, FloatType
 

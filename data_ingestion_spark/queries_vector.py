@@ -380,6 +380,28 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_header_decode",
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
+    "CAST(1 + n_chars % 512 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 512 AS INTEGER) AS height, "
+    "CAST(8 AS INTEGER) AS bit_depth FROM documents",
+)
+def multimodal_header_decode(spark, sf_dir):
+    """T11, un-stubbed: REAL image decode without media libraries.
+    Each doc is encoded as actual PNG (IHDR, real CRCs) or JPEG
+    (SOI/APP0/SOF0) header bytes with dims derived from doc columns,
+    then parsed back by the pure-struct header parser
+    (multimodal.parse_image_header) in an Arrow-batched stage. The
+    oracle recomputes the expected dims arithmetically — so the DQ
+    verifies the full binary encode→decode roundtrip, not the
+    arithmetic."""
+    d = _d(spark, sf_dir).select("doc_id", "n_chars")
+    media = MM.attach_synthetic_image(d)
+    return MM.decode_image_headers(media)
+
+
 _SIGN_BUCKET_SQL = (
     "(CASE WHEN {e}.embedding[1] >= 0 THEN 1 ELSE 0 END) + "
     "(CASE WHEN {e}.embedding[2] >= 0 THEN 2 ELSE 0 END) + "

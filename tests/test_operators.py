@@ -413,3 +413,45 @@ def test_repetition_signals_keeps_short_docs(spark):
     assert out[1].top_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
     assert out[2].dup_3gram_frac == 0.0  # one 2-gram, no 3-grams
     assert out[4].top_2gram_frac == 1.0 and out[4].dup_3gram_frac > 0.8
+
+
+def test_image_header_roundtrip(spark):
+    """PNG IHDR / JPEG SOF parse is REAL (pure struct, no PIL): dims
+    synthesized into actual header bytes come back exactly; garbage
+    and truncated streams yield None instead of raising."""
+    from data_ingestion_spark.functions.multimodal import (
+        attach_synthetic_image,
+        decode_image_headers,
+        jpeg_bytes,
+        parse_image_header,
+        png_bytes,
+    )
+
+    assert parse_image_header(png_bytes(640, 480)) == ("png", 640, 480, 8)
+    assert parse_image_header(jpeg_bytes(1920, 1080)) == ("jpeg", 1920, 1080, 8)
+    assert parse_image_header(b"not an image") is None
+    assert parse_image_header(png_bytes(640, 480)[:12]) is None
+    assert parse_image_header(jpeg_bytes(64, 64)[:6]) is None
+    assert parse_image_header(None) is None
+
+    df = spark.createDataFrame(
+        [Row(doc_id=2, n_chars=100), Row(doc_id=3, n_chars=700)]
+    )
+    out = {r.doc_id: r for r in decode_image_headers(attach_synthetic_image(df)).collect()}
+    assert (out[2].format, out[2].width, out[2].height) == ("png", 101, 3)
+    assert (out[3].format, out[3].width, out[3].height) == ("jpeg", 189, 4)
+
+
+def test_decode_media_meta_real_for_png(spark):
+    """decode_media_meta prefers the real header parse over the fake:
+    a PNG payload decodes to its true dims, not hash-derived ones."""
+    from data_ingestion_spark.functions.multimodal import (
+        decode_media_meta,
+        png_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(png_bytes(33, 44)), mime="image/png")]
+    )
+    row = decode_media_meta(df).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (33, 44, 1)
