@@ -52,6 +52,7 @@ DRIVER_WINDOW: list[str] = [
     "similarity_topk",
     "similarity_topk_lsh",
     "ann_ivf_search",
+    "ann_store_probe",
     "embed_near_dup",
     "embed_near_dup_lsh",
     "rag_context_assemble",
@@ -99,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "join_salted_skew",
     # -- misc never-checked --
     "array_posexplode",
-    "rollup_time_cascade",
 ]
 
 

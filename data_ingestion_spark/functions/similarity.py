@@ -327,8 +327,27 @@ class AnnStore:
         self.spark, self.path = spark, path
         self.bits, self.n_tables = bits, n_tables
         self.id_col, self.vec_col = id_col, vec_col
+        #: each table reads a disjoint bits-wide component slice, so
+        #: vectors (and query vectors) need at least this many dims —
+        #: validated up front; past-the-end element_at under Spark 4
+        #: ANSI mode would otherwise throw an opaque
+        #: INVALID_ARRAY_INDEX mid-write.
+        self.min_dim = bits * n_tables
 
     def write(self, vectors: DataFrame) -> None:
+        guard = F.assert_true(
+            F.size(F.col(self.vec_col)) >= self.min_dim,
+            F.lit(
+                f"AnnStore requires vectors with >= {self.min_dim} "
+                f"components (bits={self.bits} x n_tables={self.n_tables})"
+            ),
+        )
+        # thread the assert through the vector column itself (a
+        # dropped helper column would just be pruned by Catalyst):
+        # assert_true returns NULL on success, throws otherwise.
+        vectors = vectors.withColumn(
+            self.vec_col, F.when(guard.isNull(), F.col(self.vec_col))
+        )
         assignments = [
             F.struct(
                 F.lit(t).alias("table"),
@@ -350,6 +369,12 @@ class AnnStore:
         )
 
     def _query_buckets(self, qv: list[float]) -> list[int]:
+        if len(qv) < self.min_dim:
+            raise ValueError(
+                f"query vector has {len(qv)} components; AnnStore with "
+                f"bits={self.bits} x n_tables={self.n_tables} needs >= "
+                f"{self.min_dim}"
+            )
         out = []
         for t in range(self.n_tables):
             b = 0
@@ -361,9 +386,10 @@ class AnnStore:
 
     def probe_candidates(self, qv: list[float]) -> DataFrame:
         """The pruned scan only — one partition per table."""
+        buckets = self._query_buckets(qv)  # validate qv before any IO
         store = self.spark.read.parquet(self.path)
         cond = None
-        for t, b in enumerate(self._query_buckets(qv)):
+        for t, b in enumerate(buckets):
             c = (F.col("table") == t) & (F.col("bucket") == b)
             cond = c if cond is None else (cond | c)
         return store.filter(cond)

@@ -93,6 +93,43 @@ def similarity_topk_lsh(spark, sf_dir):
 
 
 @q(
+    "ann_store_probe",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings e, q WHERE e.vec_id <> 0 AND ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ") ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_store_probe(spark, sf_dir):
+    """T8 at rest: the AnnStore index — vectors exploded into
+    (table, bucket) partition keys at write, probe = partition-pruned
+    scan of one bucket per table + exact re-rank (pruning asserted in
+    tests/test_plans.py). Same candidate set as the in-flight
+    multi-table predicate, so similarity_topk_lsh's oracle applies
+    verbatim. The store is (re)written at setup under the Spark
+    warehouse dir — in production it's written once and probed many
+    times; the write is the indexing cost, the probe is the query."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    path = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        ),
+        f"ann_store_dq_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    store = SIM.AnnStore(spark, path, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    store.write(e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"))
+    return store.probe(qv, k=5)
+
+
+@q(
     "ann_ivf_search",
     "WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0) "
     f"SELECT e.vec_id, {_COS} AS score FROM embeddings e, q "

@@ -455,3 +455,17 @@ def test_decode_media_meta_real_for_png(spark):
     )
     row = decode_media_meta(df).collect()[0]
     assert (row.width, row.height, row.n_frames) == (33, 44, 1)
+
+
+def test_ann_store_rejects_short_vectors(spark, tmp_path):
+    """Dim guard: bits*n_tables components required; short vectors
+    fail fast with a clear message instead of ANSI INVALID_ARRAY_INDEX
+    mid-write, and short query vectors raise ValueError driver-side."""
+    from data_ingestion_spark.functions.similarity import AnnStore
+
+    store = AnnStore(spark, str(tmp_path / "ann"), bits=3, n_tables=6)
+    short = spark.createDataFrame([Row(vec_id=1, embedding=[0.1] * 4)])
+    with pytest.raises(Exception, match="18"):
+        store.write(short)
+    with pytest.raises(ValueError, match="18"):
+        store.probe([0.1] * 4)

@@ -114,6 +114,7 @@ PYTHON_OK: set[str] = {
     "agg_grouped_pandas_iqr",  # deliberate GROUPED_AGG pandas UDAF (§2.11)
     "zscore_grouped_pandas",   # deliberate applyInPandas grouped map (§2.11)
     "normalize_unicode",       # unicodedata NFC has no Spark builtin
+    "multimodal_header_decode",  # struct-parse of binary headers is the point
 }
 
 #: executes a live streaming job on call — excluded from plan lint
