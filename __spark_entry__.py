@@ -83,6 +83,7 @@ DRIVER_WINDOW: list[str] = [
     "scan_jsonl_roundtrip",
     # -- streaming (rows-only by design) --
     "streaming_tumbling_availablenow",
+    "streaming_session_availablenow",
     # -- windows / sessions --
     "session_window_native",
     "window_sliding_batch",
@@ -98,8 +99,6 @@ DRIVER_WINDOW: list[str] = [
     # -- joins long tail --
     "join_range_bucketed",
     "join_salted_skew",
-    # -- misc never-checked --
-    "array_posexplode",
 ]
 
 

@@ -39,6 +39,7 @@ HEADLINE = [
     "text_quality_score",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "similarity_topk",
     "similarity_topk_lsh",
     "agg_rollup",
@@ -65,25 +66,40 @@ def main() -> None:
     qs["agg_global_count"](spark, SF_DIR).collect()
 
     # one untimed pass first: codegen JIT and python-worker spawn land
-    # once, so the timed pass measures steady-state plans (the number
+    # once, so the timed passes measure steady-state plans (the number
     # that predicts cluster throughput), not first-compile latency
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # median of 3 INTERLEAVED passes: all queries share one JVM, so a
+    # single-pass timing couples each query to whatever GC/compilation
+    # pressure the suite built up before it — that coupling is what
+    # made round-over-round times drift on unchanged plans (r1→r2:
+    # +27..90% on identical code). Interleaving spreads suite-position
+    # effects across passes; the median drops one-off stalls.
+    from statistics import median
+
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {
+        name: round(median(ts), 3) for name, ts in samples.items()
+    }
 
     # BASELINE.md proxy targets: end-to-end ingestion plan, and the
     # embedding stand-in stage in isolation (chunks/s)
     from data_ingestion_spark.plans.ingestion import ingestion_pipeline
 
-    t0 = time.perf_counter()
-    ingestion_pipeline(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    timings["pipeline_ingest_e2e"] = round(time.perf_counter() - t0, 3)
+    e2e: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ingestion_pipeline(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        e2e.append(time.perf_counter() - t0)
+    timings["pipeline_ingest_e2e"] = round(median(e2e), 3)
 
     # embedding stand-in via the Arrow pandas-UDF path, isolated
     # (BASELINE.md target: >=10k chunks/s through the Arrow boundary)
@@ -182,6 +198,7 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "timing": "median_of_3_interleaved",
                 "queries": timings,
                 "throughput": throughput,
                 "sf": sf_val,

@@ -262,6 +262,42 @@ def streaming_tumbling_availablenow(spark, sf_dir):
     return result
 
 
+@q("streaming_session_availablenow")
+def streaming_session_availablenow(spark, sf_dir):
+    """ST4 executed for real (rows-only): the STATEFUL session-window
+    path under the driver — file-stream the events table, drain with
+    Trigger.AvailableNow through a watermarked session_window
+    aggregation (dynamic-length windows closed by a 30-min gap per
+    user), return the final state. Mirrors KFP re-run semantics
+    (website-ingestion-pipeline.py:116-118 skip-if-exists) the same
+    way streaming_tumbling_availablenow does; batch equivalence of
+    the session logic is oracle-checked via sessionize_batch /
+    session_window_native."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.catalog import load_table
+    from .streaming.pipeline import (
+        run_query_availablenow,
+        session_counts,
+        stream_events_from_dir,
+    )
+
+    staging = tempfile.mkdtemp(prefix="dq_sess_in_")
+    ckpt = tempfile.mkdtemp(prefix="dq_sess_ckpt_")
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
+    sink = f"dq_sess_sink_{uuid.uuid4().hex[:8]}"
+    q_handle = run_query_availablenow(
+        session_counts(stream_events_from_dir(spark, staging)), ckpt, sink
+    )
+    q_handle.awaitTermination(300)
+    result = spark.table(sink)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
 @q(
     "window_sliding_batch",
     "WITH b AS (SELECT *, date_trunc('minute', ts) - "

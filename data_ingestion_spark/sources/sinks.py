@@ -103,12 +103,22 @@ def _stable_batch_id(batch: list[dict]) -> str:
     A server that upserts by ``batch_id`` (or per-doc primary key —
     the rows carry their ids) therefore converges to exactly-once
     EFFECT even under at-least-once delivery — the posture the
-    reference leaves implicit in LangChain ``add_documents`` ids."""
-    import hashlib
+    reference leaves implicit in LangChain ``add_documents`` ids.
 
-    keys = sorted(
-        str(d.get("doc_id", d.get("chunk_id", d.get("vec_id", "")))) for d in batch
-    )
+    Rows without any id column fall back to hashing the FULL sorted
+    row content — otherwise every id-less batch would collapse to the
+    same key and a batch_id-deduping server would keep only the first
+    such batch ever sent."""
+    import hashlib
+    import json
+
+    def row_key(d: dict) -> str:
+        for k in ("doc_id", "chunk_id", "vec_id"):
+            if d.get(k) is not None:
+                return str(d[k])
+        return json.dumps(d, sort_keys=True, default=str)
+
+    keys = sorted(row_key(d) for d in batch)
     return hashlib.md5(("|".join(keys)).encode("utf-8")).hexdigest()
 
 

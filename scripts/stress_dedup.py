@@ -132,19 +132,27 @@ def main():
     reps = corpus.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
     )
+    # capture the checkpointed frame produced INSIDE the timed closure
+    # (a second .localCheckpoint() outside it would re-materialize the
+    # whole stage untimed, double-counting the work)
+    ckpt: dict[str, object] = {}
     t_exact, exact_out = timed(
         "exact_dedup_representatives",
-        lambda: {"representatives": (r := reps.localCheckpoint()).count()},
+        lambda: {
+            "representatives": ckpt.setdefault("reps", reps.localCheckpoint()).count()
+        },
     )
-    reps = reps.localCheckpoint()
+    reps = ckpt["reps"]
 
     # --- 2. LSH fast path over representatives (cap ON) --------------
     cand = minhash_lsh_candidates_fast(reps, "text", "doc_id")
     t_lsh, lsh_out = timed(
         "minhash_lsh_fast_capped",
-        lambda: {"candidate_pairs": (c := cand.localCheckpoint()).count()},
+        lambda: {
+            "candidate_pairs": ckpt.setdefault("cand", cand.localCheckpoint()).count()
+        },
     )
-    cand = cand.localCheckpoint()
+    cand = ckpt["cand"]
 
     # --- 3. connected components over candidates ----------------------
     def run_cc():

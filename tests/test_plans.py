@@ -118,7 +118,7 @@ PYTHON_OK: set[str] = {
 }
 
 #: executes a live streaming job on call — excluded from plan lint
-SKIP = {"streaming_tumbling_availablenow"}
+SKIP = {"streaming_tumbling_availablenow", "streaming_session_availablenow"}
 
 
 def test_plan_lint_all_queries(spark):

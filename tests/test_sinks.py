@@ -287,3 +287,15 @@ def test_compact_collections(spark, tmp_path):
     ]
     assert len(files_after) == 1
     assert store.read_collection("en").count() == total_before  # lossless
+
+
+def test_stable_batch_id_idless_rows_differ():
+    """Batches whose rows carry NO id column must still get distinct,
+    content-derived batch ids — otherwise a batch_id-deduping server
+    silently keeps only the first id-less batch ever sent."""
+    from data_ingestion_spark.sources.sinks import _stable_batch_id
+
+    a = [{"text": "alpha", "n": 1}, {"text": "beta", "n": 2}]
+    b = [{"text": "gamma", "n": 3}]
+    assert _stable_batch_id(a) != _stable_batch_id(b)
+    assert _stable_batch_id(a) == _stable_batch_id(list(reversed(a)))
