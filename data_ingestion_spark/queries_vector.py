@@ -111,19 +111,17 @@ def ann_store_probe(spark, sf_dir):
     verbatim. The store is (re)written at setup under the Spark
     warehouse dir — in production it's written once and probed many
     times; the write is the indexing cost, the probe is the query."""
-    import os
+    import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
-    path = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
-            "file:"
-        ),
-        f"ann_store_dq_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    # NOT cleaned up here: the returned DataFrame lazily scans the
+    # store when the caller collects it (tmp dirs are per-process and
+    # tiny at DQ scale)
+    path = tempfile.mkdtemp(prefix="dq_ann_store_")
     store = SIM.AnnStore(spark, path, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
     store.write(e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"))
     return store.probe(qv, k=5)
