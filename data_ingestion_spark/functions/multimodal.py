@@ -108,7 +108,95 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int, int] | Non
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return ("jpeg", w, h, depth)
             i += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, 8)
+    if b[:2] == b"BM" and len(b) >= 26:
+        # BITMAPINFOHEADER: i32le width/height at offset 18; height may
+        # be negative (top-down rows)
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h), 8)
     return None
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def parse_audio_header(payload: bytes | None) -> tuple[str, int, int, int, int] | None:
+    """REAL audio metadata decode for WAV (RIFF/WAVE) — pure struct,
+    no audio libraries: channels, sample rate, bit depth from the fmt
+    chunk; sample count derived from the data chunk length. Returns
+    ``(format, n_channels, sample_rate, bits_per_sample, n_samples)``
+    or None for unrecognized/truncated streams."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    channels = rate = bits = None
+    n_samples = 0
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data" and channels and bits:
+            n_samples = clen // max(channels * bits // 8, 1)
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if channels is None:
+        return None
+    return ("wav", channels, rate, bits, n_samples)
+
+
+def wav_bytes(
+    n_channels: int, sample_rate: int, bits_per_sample: int, n_samples: int
+) -> bytes:
+    """Minimal valid WAV header + zeroed data chunk (synthesis half of
+    the audio header roundtrip tests)."""
+    data_len = n_samples * n_channels * bits_per_sample // 8
+    byte_rate = sample_rate * n_channels * bits_per_sample // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+        n_channels * bits_per_sample // 8, bits_per_sample,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    )
+
+
+def decode_audio_headers(df: DataFrame) -> DataFrame:
+    """WAV header parse over payload bytes, Arrow-batched — the audio
+    twin of decode_image_headers: REAL metadata (channels/rate/depth/
+    duration), no audio libs; unrecognized payloads yield NULLs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_audio_header(payload)
+                if parsed is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                else:
+                    rows.append((doc_id,) + parsed)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 def png_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:

@@ -469,3 +469,31 @@ def test_ann_store_rejects_short_vectors(spark, tmp_path):
         store.write(short)
     with pytest.raises(ValueError, match="18"):
         store.probe([0.1] * 4)
+
+
+def test_gif_bmp_wav_header_parse(spark):
+    """GIF/BMP image headers and WAV audio headers parse with pure
+    struct too; the audio decode kernel mirrors the image one."""
+    import struct
+
+    from data_ingestion_spark.functions.multimodal import (
+        decode_audio_headers,
+        parse_image_header,
+        wav_bytes,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert parse_image_header(gif) == ("gif", 320, 200, 8)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert parse_image_header(bmp) == ("bmp", 640, 480, 8)  # top-down abs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(wav_bytes(2, 44100, 16, 1000))),
+            Row(doc_id=2, payload=bytearray(b"not audio")),
+        ]
+    )
+    out = {r.doc_id: r for r in decode_audio_headers(df).collect()}
+    assert (out[1].format, out[1].n_channels, out[1].sample_rate) == ("wav", 2, 44100)
+    assert out[1].bits_per_sample == 16 and out[1].n_samples == 1000
+    assert out[2].format is None

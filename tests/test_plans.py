@@ -264,3 +264,12 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS or_bucketed")
+
+
+def test_header_decode_prunes_text_column(spark):
+    """multimodal_header_decode only needs doc_id + n_chars: the wide
+    `text` column must be pruned out of the parquet scan so the Arrow
+    transfer carries dozens of bytes per row, not the document body."""
+    plan = _formatted(spark, "multimodal_header_decode")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "n_chars" in read and "text" not in read

@@ -65,3 +65,59 @@ def test_html_headings_roundtrip(sections):
         "#" * lv + " " + " ".join(t.split()) for lv, t in sections if t.strip()
     ]
     assert [g.split(" ", 1)[0] for g in got] == [e.split(" ", 1)[0] for e in expect]
+
+
+# --------------------------------------------- media header roundtrips
+
+from data_ingestion_spark.functions.multimodal import (  # noqa: E402
+    jpeg_bytes,
+    parse_audio_header,
+    parse_image_header,
+    png_bytes,
+    wav_bytes,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 2**31 - 1), st.integers(1, 2**31 - 1),
+       st.sampled_from([1, 2, 4, 8, 16]))
+def test_png_header_roundtrip(w, h, depth):
+    assert parse_image_header(png_bytes(w, h, depth)) == ("png", w, h, depth)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 65535), st.integers(1, 65535), st.sampled_from([8, 12]))
+def test_jpeg_header_roundtrip(w, h, depth):
+    assert parse_image_header(jpeg_bytes(w, h, depth)) == ("jpeg", w, h, depth)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 8), st.sampled_from([8000, 16000, 44100, 48000]),
+       st.sampled_from([8, 16, 24, 32]), st.integers(0, 10000))
+def test_wav_header_roundtrip(ch, rate, bits, n):
+    assert parse_audio_header(wav_bytes(ch, rate, bits, n)) == (
+        "wav", ch, rate, bits, n
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_header_parsers_never_raise_on_garbage(blob):
+    """Corrupt files are data, not exceptions: any byte blob either
+    parses to a tuple or returns None — never raises."""
+    for fn in (parse_image_header, parse_audio_header):
+        out = fn(blob)
+        assert out is None or isinstance(out, tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 65535), st.integers(1, 65535))
+def test_truncated_headers_return_none(w, h):
+    """Every strict prefix of a valid header either parses to the SAME
+    dims (headers are prefix-decodable past the size fields) or
+    returns None — never garbage dims."""
+    for blob, fmt in ((png_bytes(w, h), "png"), (jpeg_bytes(w, h), "jpeg")):
+        full = parse_image_header(blob)
+        for cut in range(0, len(blob), 7):
+            got = parse_image_header(blob[:cut])
+            assert got is None or got == full
