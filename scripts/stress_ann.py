@@ -1,0 +1,130 @@
+"""AnnStore stress at 1M vectors (SCALE.md §6 evidence).
+
+Synthesizes ``--n-vectors`` deterministic 64-dim vectors as pure SQL
+expressions (no driver-side data), then measures the at-rest ANN
+index end to end:
+
+1. ``write``: explode x n_tables + repartition(table, bucket) +
+   partitioned parquet write — the one-time indexing cost;
+2. ``probe``: partition-pruned scan of n_tables buckets + exact
+   cosine re-rank, timed over ``--n-queries`` query vectors
+   (median + worst), with the pruning VERIFIED per probe (files
+   read < total files);
+3. ``recall``: probe top-5 vs brute-force top-5 over the same
+   queries.
+
+Usage: python scripts/stress_ann.py [--n-vectors 1000000]
+       [--n-queries 20] [--dim 64]
+Prints one JSON line per stage and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_vectors(spark, n: int, dim: int):
+    """n deterministic vectors in [-1, 1)^dim, generated executor-side
+    from the row id (conv(md5) — no Python, no driver data)."""
+    comps = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("vec_id"), F.lit(f"|c{j}"))), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**32))
+            * 2.0
+            - 1.0
+        ).cast("float")
+        for j in range(dim)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-vectors", type=int, default=1_000_000)
+    ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--dim", type=int, default=64)
+    args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .appName("stress-ann")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_ingestion_spark.functions.similarity import AnnStore, brute_force_topk
+
+    out: dict[str, object] = {"n_vectors": args.n_vectors, "dim": args.dim}
+
+    vecs = synth_vectors(spark, args.n_vectors, args.dim).localCheckpoint()
+    n = vecs.count()
+
+    path = tempfile.mkdtemp(prefix="stress_ann_")
+    store = AnnStore(spark, path, bits=3, n_tables=6)
+    t0 = time.perf_counter()
+    store.write(vecs)
+    out["write_sec"] = round(time.perf_counter() - t0, 2)
+    n_files = sum(len(fs) for _, _, fs in os.walk(path))
+    print(json.dumps({"stage": "write", "sec": out["write_sec"], "files": n_files}))
+
+    qrows = vecs.filter(F.col("vec_id") < args.n_queries).collect()
+    probe_times, hits = [], 0
+    pruned_ok = True
+    for qr in qrows:
+        qv = [float(x) for x in qr.embedding]
+        t0 = time.perf_counter()
+        top = store.probe(qv, k=5).collect()
+        probe_times.append(time.perf_counter() - t0)
+        # pruning check: the candidate scan must touch < all files
+        cand = store.probe_candidates(qv)
+        files_read = len(cand.inputFiles())
+        pruned_ok &= files_read < n_files
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        exact = {r.vec_id for r in brute_force_topk(vecs, qcol, k=5).collect()}
+        hits += len(exact & {r.vec_id for r in top})
+    out["probe_median_sec"] = round(statistics.median(probe_times), 3)
+    out["probe_worst_sec"] = round(max(probe_times), 3)
+    out["recall_at_5"] = round(hits / (5 * len(qrows)), 3)
+    out["pruning_verified"] = pruned_ok
+    print(
+        json.dumps(
+            {
+                "stage": "probe",
+                "median_sec": out["probe_median_sec"],
+                "worst_sec": out["probe_worst_sec"],
+                "recall_at_5": out["recall_at_5"],
+                "pruning_verified": pruned_ok,
+            }
+        )
+    )
+    print(json.dumps({"summary": "stress_ann", **out}))
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
