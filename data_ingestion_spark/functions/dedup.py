@@ -288,20 +288,15 @@ def ngram_jaccard_pairs(
     # over inv instead of a recompute-both-sides self-join.
     # ``max_doc_freq`` drops ubiquitous shingles before pairing — a
     # shingle in b docs costs b²/2 pairs, so hot 'stopword shingles'
-    # dominate quadratically at corpus scale. Capping changes the
-    # intersection counts (documented approximation; the oracle-checked
-    # DQ runs uncapped — set a cap for production corpora).
-    bucket_src = inv
-    if max_doc_freq is not None:
-        hot = (
-            inv.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("s")
-        )
-        bucket_src = inv.join(F.broadcast(hot), on="s", how="left_anti")
+    # dominate quadratically at corpus scale. A shingle's bucket in the
+    # pair expansion IS its posting list, so the doc-frequency cap is
+    # exactly ``_bucket_pairs``'s max_bucket filter — applied inside
+    # the one groupBy that builds the buckets, no extra doc-freq
+    # pre-pass or anti-join shuffle. Capping changes the intersection
+    # counts (documented approximation; both the capped and uncapped
+    # forms are oracle-checked as separate DQs).
     inter = (
-        _bucket_pairs(bucket_src, ["s"], "id")
+        _bucket_pairs(inv, ["s"], "id", max_bucket=max_doc_freq)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
