@@ -152,13 +152,18 @@ def ann_ivf_search(spark, sf_dir):
     "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS score "
     "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
     "WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
-    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.8",
+    "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.3",
 )
 def embed_near_dup(spark, sf_dir):
     """T10: embedding-cosine near-duplicate pairs, blocked by the
-    coarse cell (label) so the join is equi-keyed, never quadratic."""
+    coarse cell (label) so the join is equi-keyed, never quadratic.
+    Threshold 0.3: the synthetic embeddings are near-random, so a
+    production-style 0.8 cut returns ZERO pairs at driver scale — a
+    hash match on an empty result verifies nothing. 0.3 yields ~100
+    pairs at sf0.01, so the check exercises the score arithmetic and
+    the blocked join for real."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.pairwise_near_dup(e, block_col="label", threshold=0.8)
+    return SIM.pairwise_near_dup(e, block_col="label", threshold=0.3)
 
 
 @q(
