@@ -284,11 +284,13 @@ def jpeg_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
-def parse_gif_frames(payload: bytes | None) -> int | None:
-    """REAL frame count for GIF: walk the block stream and count image
-    descriptors (0x2C). Handles the global/local color tables and
-    extension sub-block chains; returns None for non-GIF or a
-    truncated stream (frames seen so far would under-count)."""
+def gif_frame_spans(payload: bytes | None) -> list[tuple[int, int]] | None:
+    """REAL per-frame byte spans for GIF: walk the block stream and
+    return each frame's (start, end) range — image descriptor through
+    its LZW data sub-blocks (local color table included). The spans
+    ARE the per-frame payloads: extracting them needs no LZW decode.
+    Handles the global/local color tables and extension sub-block
+    chains; returns None for non-GIF or a truncated stream."""
     if payload is None:
         return None
     b = bytes(payload)
@@ -298,11 +300,11 @@ def parse_gif_frames(payload: bytes | None) -> int | None:
     i = 13
     if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
         i += 3 * (2 << (flags & 0x07))
-    frames = 0
+    spans: list[tuple[int, int]] = []
     while i < len(b):
         block = b[i]
         if block == 0x3B:  # trailer
-            return frames
+            return spans
         if block == 0x21:  # extension: label + sub-block chain
             i += 2
             while i < len(b) and b[i] != 0:
@@ -311,7 +313,7 @@ def parse_gif_frames(payload: bytes | None) -> int | None:
         elif block == 0x2C:  # image descriptor = one frame
             if i + 10 > len(b):
                 return None
-            frames += 1
+            start = i
             lflags = b[i + 9]
             i += 10
             if lflags & 0x80:  # local color table
@@ -320,9 +322,16 @@ def parse_gif_frames(payload: bytes | None) -> int | None:
             while i < len(b) and b[i] != 0:
                 i += 1 + b[i]
             i += 1
+            spans.append((start, min(i, len(b))))
         else:
             return None  # corrupt block stream
     return None  # ran off the end without a trailer
+
+
+def parse_gif_frames(payload: bytes | None) -> int | None:
+    """REAL frame count for GIF (len of gif_frame_spans)."""
+    spans = gif_frame_spans(payload)
+    return None if spans is None else len(spans)
 
 
 def _decode_real(payload: bytes, mime: str) -> tuple[int, int, int]:
@@ -452,19 +461,30 @@ def extract_frames(df: DataFrame, every_n: int = 1, strict: bool = False) -> Dat
     bytes — the video analogue of chunk explode, as an Arrow-batched
     stage (payloads never cross row-by-row).
 
-    Real extraction needs ffmpeg (absent here); the DETERMINISTIC FAKE
-    slices the payload into n_frames equal byte ranges (from the same
-    hash-derived n_frames as decode_media_meta), so downstream
-    partitioning/batching behavior is real and testable. Heavy rows:
+    For GIF the extraction is REAL: each frame's byte span (image
+    descriptor through its LZW data sub-blocks) comes from the block
+    walk (gif_frame_spans) — no codec needed. Other formats need
+    ffmpeg (absent here); the DETERMINISTIC FAKE slices the payload
+    into n_frames equal byte ranges (from the same hash-derived
+    n_frames as decode_media_meta), so downstream partitioning/
+    batching behavior is real and testable either way. Heavy rows:
     repartition by byte size before this stage at scale."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = payload or b""
+                payload = bytes(payload or b"")
+                spans = gif_frame_spans(payload)
+                if spans is not None:  # real per-frame bytes
+                    for i in range(0, len(spans), every_n):
+                        s, e = spans[i]
+                        rows.append((doc_id, i, payload[s:e], e - s))
+                    continue
                 if strict:
-                    raise NotImplementedError("frame extraction requires ffmpeg")
+                    raise NotImplementedError(
+                        "frame extraction beyond GIF requires ffmpeg"
+                    )
                 _, _, n_frames = _fake_dims(payload)
                 step = max(len(payload) // max(n_frames, 1), 1)
                 for i in range(0, n_frames, every_n):

@@ -549,3 +549,20 @@ def test_segment_wav_real_slicing(spark):
     assert [r.doc_id for r in segs] == [1, 1, 1]
     assert [r.n_samples for r in segs] == [1000, 1000, 500]
     assert all(len(r.seg_bytes) == r.n_samples * 4 for r in segs)  # 2ch*16bit
+
+
+def test_extract_frames_real_for_gif(spark):
+    """GIF frame extraction is REAL: each emitted frame is the exact
+    byte span of one image descriptor + its LZW data (starts with
+    0x2C), and the spans partition the animation's frame stream."""
+    from data_ingestion_spark.functions.multimodal import extract_frames
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(_gif_bytes(4)))]
+    )
+    frames = sorted(extract_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+    assert all(bytes(r.frame_bytes)[0] == 0x2C for r in frames)
+    # every_n sampling over real spans
+    sampled = extract_frames(df, every_n=2).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]
