@@ -51,7 +51,22 @@ HEADLINE = [
     "quality_repetition_signals",
     "rollup_time_cascade",
     "join_salted_skew",
+    # round-3 additions: connected-components clustering (one fewer
+    # shuffle per round after the convergence-flag fix) and the real
+    # pure-struct media header decode
+    "dedup_clusters",
+    "multimodal_header_decode",
 ]
+
+#: queries whose computation executes EAGERLY at DataFrame-construction
+#: time (iterative operators: localCheckpoint per CC round). For these
+#: the timer must wrap construction too — timing only the final write
+#: reports 0.015 s for a ~4 s computation. Lazy queries keep write-only
+#: timing: their construction is a constant ~0.1-0.3 s of driver-side
+#: py4j API chatter, data-independent and irrelevant to cluster
+#: throughput, and excluding it keeps numbers comparable round-over-
+#: round (r01/r02 timed writes only).
+EAGER_CONSTRUCTION = {"dedup_clusters"}
 
 
 def main() -> None:
@@ -82,8 +97,12 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
-            df = qs[name](spark, SF_DIR)
-            t0 = time.perf_counter()
+            if name in EAGER_CONSTRUCTION:
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+            else:
+                df = qs[name](spark, SF_DIR)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {

@@ -14,6 +14,8 @@ column pruning / partition pruning land; nothing here ever collects.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import ensure_engine_confs
@@ -32,6 +34,15 @@ TABLES = (
 )
 
 
+#: per-session memo of loaded tables: a ``spark.read.parquet`` pays a
+#: driver-side footer/schema resolution every call, and a session that
+#: runs many queries (the correctness driver runs 50+) re-reads the
+#: same immutable footers hundreds of times. DataFrames are immutable
+#: lazy plans, so handing back the same object is safe; the weak key
+#: lets a stopped session's entries be collected.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table, normalizing types for the engine.
 
@@ -41,8 +52,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The data is exactly microsecond-precision (verified), so integer
     division by 1000 is lossless. The session timezone is pinned UTC
     so the intermediate LTZ hop is the identity.
+
+    Loaded plans are memoized per (session, path): the testdata
+    directories are immutable, so the cached lazy plan is equivalent
+    to a fresh read minus the repeated footer resolution.
     """
     ensure_engine_confs(spark)
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, NOT `/`: double division loses precision for
@@ -50,6 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    cache[key] = df
     return df
 
 
