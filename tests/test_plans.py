@@ -273,3 +273,20 @@ def test_header_decode_prunes_text_column(spark):
     plan = _formatted(spark, "multimodal_header_decode")
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "n_chars" in read and "text" not in read
+
+
+def test_load_table_memoized_per_session(spark):
+    """load_table hands back the identical lazy plan for repeated
+    (session, path) asks — the correctness driver runs 50+ queries on
+    one session and must not re-resolve immutable parquet footers —
+    while distinct paths stay distinct entries."""
+    from data_ingestion_spark.sources.catalog import load_table
+
+    a = load_table(spark, SF_SMALL, "documents")
+    b = load_table(spark, SF_SMALL, "documents")
+    assert a is b
+    c = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert c is not a
+    # the memo must not leak across tables either
+    d = load_table(spark, SF_SMALL, "orders")
+    assert d is not a
