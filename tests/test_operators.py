@@ -566,3 +566,29 @@ def test_extract_frames_real_for_gif(spark):
     # every_n sampling over real spans
     sampled = extract_frames(df, every_n=2).collect()
     assert sorted(r.frame_idx for r in sampled) == [0, 2]
+
+
+def test_dup_clusters_long_chain_and_early_exit(spark):
+    """A path graph propagates the min label one hop per round, so a
+    16-node chain needs ~15 rounds: exercises the convergence check
+    (changed-flag over the checkpointed labels) well past the typical
+    2-3 rounds of clique-shaped duplicate clusters."""
+    from data_ingestion_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(15)]
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iters=32).collect()}
+    assert out == {i: 0 for i in range(16)}
+
+
+def test_dup_clusters_empty_pairs(spark):
+    """No candidate pairs → no clusters, and the loop exits on the
+    first fixpoint check rather than iterating max_iters times."""
+    from data_ingestion_spark.functions.dedup import dup_clusters
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+    )
+    assert dup_clusters(empty).count() == 0
