@@ -314,6 +314,103 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def dup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC'14 — public algorithm). Output matches ``dup_clusters``:
+    (doc_id, cluster_id) with cluster_id = min id in the component.
+
+    Why a second CC: min-label propagation (``dup_clusters``) needs
+    O(diameter) rounds — fine for LSH near-dup graphs (cliques,
+    diameter 2-3), quadratic-wall on pathological chains (a 10⁶-long
+    chain needs 10⁶ rounds). Star contraction converges in O(log² n)
+    rounds REGARDLESS of diameter, so it is the safe default when the
+    edge structure is unknown (cross-shard URL graphs, citation
+    chains). Per round it costs 2 groupBys + 2 equi joins (both keyed
+    on the node id) vs label-prop's 1 join + 1 groupBy — more per
+    round, exponentially fewer rounds.
+
+    Implementation note: both half-rounds are expressed as
+    groupBy(min) + join back on the same key — NOT collect_list of
+    the neighborhood — so emission stays degree-linear and no row
+    ever materializes a whole component (a giant component's star
+    center has degree = component size; an array that big is an
+    executor OOM at 100 TB).
+
+    - large-star: for each node u with m = min(N(u) ∪ {u}), re-attach
+      every LARGER neighbor v > u to m: edge set := {(v, m)}.
+    - small-star: orient edges to the larger endpoint; for each node
+      u with smaller neighbors N⁻(u) and m = min(N⁻(u)), attach u and
+      all of N⁻(u) to m.
+
+    Edges are kept canonical (a < b); the fixpoint is a forest of
+    stars rooted at each component's min. Convergence is detected by
+    an order-independent edge-set signature (count + bit_xor of
+    xxhash64) staying fixed across a full round — one scan, no
+    set-difference anti-join.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not edges.head(1):
+        return edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64('cc', a, b))").alias("x"),
+        ).head()
+        return (row.n, row.x)
+
+    sig = signature(edges)
+    for _ in range(max_iters):
+        # -- large-star: symmetric view, min per node, larger neighbors
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("mn"), F.col("a"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(m.alias("a"), F.col("b"))  # m <= a < b: canonical, no loops
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star: per larger endpoint b, attach b and all its
+        # smaller neighbors to the min smaller neighbor
+        mins_s = large.groupBy("b").agg(F.min("a").alias("mn"))
+        attach_small = (
+            large.join(mins_s, "b")
+            .filter(F.col("a") != F.col("mn"))
+            .select(F.col("mn").alias("a"), F.col("a").alias("b"))  # mn < a
+        )
+        attach_center = mins_s.select(F.col("mn").alias("a"), F.col("b"))
+        edges = attach_small.unionByName(attach_center).distinct().localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # robust label extraction (one groupBy): label = min(neighbors, self)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            F.col("a").alias("doc_id"),
+            F.least(F.col("nmin"), F.col("a")).alias("cluster_id"),
+        )
+    )
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     """Connected components over candidate-duplicate pairs → cluster
     labels (cluster_id = min doc id in the component; everything else

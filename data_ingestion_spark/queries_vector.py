@@ -510,6 +510,22 @@ def dedup_clusters(spark, sf_dir):
     return DD.dup_clusters(cands)
 
 
+@q("dedup_clusters_star", _dup_clusters_oracle())
+def dedup_clusters_star(spark, sf_dir):
+    """T10, diameter-safe variant: same candidate pairs, clustered by
+    alternating large-star/small-star contraction
+    (functions.dedup.dup_clusters_star) — O(log² n) rounds regardless
+    of component diameter, vs min-label propagation's O(diameter).
+    Identical output contract (cluster_id = component min), so the
+    recursive-CTE oracle is shared with ``dedup_clusters`` verbatim;
+    a green row on both proves the two CC implementations agree with
+    the transitive closure AND each other."""
+    cands = DD.minhash_lsh_candidates(
+        _d(spark, sf_dir), "text", "doc_id", shingle_n=3, num_hashes=8, band_size=2
+    )
+    return DD.dup_clusters_star(cands)
+
+
 @q(
     "dedup_decision",
     _dup_clusters_oracle().replace(

@@ -592,3 +592,52 @@ def test_dup_clusters_empty_pairs(spark):
         [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
     )
     assert dup_clusters(empty).count() == 0
+
+def test_dup_clusters_star_matches_propagation(spark):
+    """Large-star/small-star CC must produce identical labels to
+    min-label propagation on chains, cliques, and a seeded random
+    graph (both define cluster_id = component min)."""
+    import random
+
+    from data_ingestion_spark.functions.dedup import dup_clusters, dup_clusters_star
+
+    fixed = [
+        Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+        Row(id_a=10, id_b=11),
+        Row(id_a=20, id_b=21), Row(id_a=21, id_b=22), Row(id_a=20, id_b=22),
+        Row(id_a=31, id_b=30),  # reversed order input
+    ]
+    rng = random.Random(7)
+    rand = [
+        Row(id_a=rng.randrange(100, 160), id_b=rng.randrange(100, 160))
+        for _ in range(80)
+    ]
+    pairs = spark.createDataFrame(fixed + [r for r in rand if r.id_a != r.id_b])
+    a = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iters=64).collect()}
+    b = {r.doc_id: r.cluster_id for r in dup_clusters_star(pairs).collect()}
+    assert a == b
+    assert b[3] == 1 and b[11] == 10 and b[22] == 20 and b[31] == 30
+
+
+def test_dup_clusters_star_long_chain_log_rounds(spark):
+    """The point of star contraction: a 64-node path graph (diameter
+    63) must fully converge within O(log^2 n) alternating rounds —
+    far fewer than the 63 rounds min-label propagation would need."""
+    from data_ingestion_spark.functions.dedup import dup_clusters_star
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(63)])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters_star(pairs, max_iters=12).collect()
+    }
+    assert out == {i: 0 for i in range(64)}
+
+
+def test_dup_clusters_star_empty_pairs(spark):
+    from data_ingestion_spark.functions.dedup import dup_clusters_star
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+    )
+    assert dup_clusters_star(empty).count() == 0
