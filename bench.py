@@ -56,6 +56,13 @@ HEADLINE = [
     # pure-struct media header decode
     "dedup_clusters",
     "multimodal_header_decode",
+    # round-5 additions: diameter-safe star-contraction CC and the
+    # training-data export ops (packing window, broadcast
+    # decontamination join, per-source quota window)
+    "dedup_clusters_star",
+    "pack_sequences",
+    "decontaminate_eval_overlap",
+    "per_source_quota",
 ]
 
 #: queries whose computation executes EAGERLY at DataFrame-construction
@@ -66,7 +73,7 @@ HEADLINE = [
 #: py4j API chatter, data-independent and irrelevant to cluster
 #: throughput, and excluding it keeps numbers comparable round-over-
 #: round (r01/r02 timed writes only).
-EAGER_CONSTRUCTION = {"dedup_clusters"}
+EAGER_CONSTRUCTION = {"dedup_clusters", "dedup_clusters_star"}
 
 
 def main() -> None:

@@ -1,0 +1,177 @@
+"""Corpus assembly operators for training-data pipelines.
+
+The reference stops at chunk→embed→index (ingestion-pipeline.py); a
+training-data pipeline additionally needs the corpus-level export
+steps: deterministic sampling, train/val/test splitting, per-source
+balancing, sequence packing, eval-set decontamination, and mixture
+weighting. Every operator here is a pure JVM-side expression/window/
+join plan (no UDFs, no collect), keyed so the one shuffle it needs is
+the one it would need at 100 TB.
+
+Determinism contract: all randomness is md5-keyed (bit-identical in
+every engine), never ``rand()`` — a re-run on the same corpus yields
+the same sample/split/order, which is what makes ablations and
+incremental re-exports reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .textops import token_count
+
+
+def hash_key(col: Column, seed: str) -> Column:
+    """Deterministic per-row sampling key: md5(seed|value), uniform on
+    hex strings. Lexicographic thresholds select reproducible subsets
+    (``'1a' ≈ 10.2%``) with no shuffle at all — the filter rides the
+    scan."""
+    return F.md5(F.concat(F.lit(seed + "|"), col.cast("string")))
+
+
+def hash_sample(df: DataFrame, id_col: str, threshold_hex: str, seed: str = "smp") -> Column:
+    """Boolean sampling predicate: keep rows whose hash key sorts below
+    ``threshold_hex``. Map-side only; composes with any downstream
+    plan."""
+    return hash_key(F.col(id_col), seed) < F.lit(threshold_hex)
+
+
+#: split boundaries over the first hex digit of the split key:
+#: 0-b → train (12/16 = 75%), c-d → val (12.5%), e-f → test (12.5%).
+SPLIT_BOUNDS = (("train", "c"), ("val", "e"))
+
+
+def split_assign(id_col: Column, seed: str = "split") -> Column:
+    """Deterministic train/val/test assignment from one hex digit of
+    the row's hash key — stable under corpus growth (a doc's split
+    never changes when other docs are added, unlike modulo-on-count
+    schemes)."""
+    digit = F.substring(hash_key(id_col, seed), 1, 1)
+    expr = F.when(digit < SPLIT_BOUNDS[0][1], F.lit("train")).when(
+        digit < SPLIT_BOUNDS[1][1], F.lit("val")
+    )
+    return expr.otherwise(F.lit("test"))
+
+
+def per_source_quota(
+    df: DataFrame, part_col: str, id_col: str, quota: int, seed: str = "quota"
+) -> DataFrame:
+    """Balance a corpus by capping each source at ``quota`` docs,
+    chosen by deterministic hash order (an unbiased, reproducible
+    per-source sample — NOT "first N by id", which biases toward old
+    docs). One shuffle on ``part_col``; the window never sees more
+    than one source per partition. Skew note: a hot source shuffles
+    its whole group to one task — at extreme skew, pre-filter with
+    ``hash_sample`` to ~quota×4 expected survivors first, then apply
+    the exact window on the survivors."""
+    w = Window.partitionBy(part_col).orderBy(hash_key(F.col(id_col), seed), F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    text_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence packing for LLM pretraining: documents are concatenated
+    in deterministic order and chopped into ``budget``-token context
+    windows; ``bin_id`` = the window each document STARTS in (standard
+    concat-then-chop packing — documents may straddle window
+    boundaries). Pure window cumsum partitioned by ``part_col`` — the
+    pack is per-shard, which is exactly how a 1000-executor export
+    runs it (a global pack order would serialize the corpus through
+    one partition).
+
+    Output adds: n_tokens (BPE-ish token count), cum_tokens (running
+    total within the shard), bin_id.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("int"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
+        )
+    )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams (the dedup shingle helper, parameterized
+    here for the decontamination overlap join)."""
+    words = F.split(col, " ")
+    n_sh = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Train/eval contamination check: count distinct word ``n``-grams
+    each corpus doc shares with each eval doc; pairs at or above
+    ``min_overlap`` are contamination hits to drop before export.
+
+    Plan: invert both sides on the n-gram and equi-join — pairs only
+    materialize where an n-gram is shared. The eval side is tiny by
+    construction (benchmarks are small; the corpus is the big side),
+    so its inverted index is broadcast: the corpus-side explode never
+    shuffles. Output: (doc_id, eval_id, n_overlap), one row per
+    contaminated (corpus, eval) pair.
+    """
+    corpus_inv = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    eval_inv = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        corpus_inv.join(F.broadcast(eval_inv), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def mix_weights(df: DataFrame, part_col: str, text_col: str) -> DataFrame:
+    """Mixture weighting: per-source doc/token counts, corpus share,
+    and the up/down-sampling weight that equalizes the mixture
+    (weight = target_share / actual_share with a uniform target).
+    Shape: one partial+final hash aggregate to ~|sources| rows, then
+    window totals over that tiny result — nothing corpus-sized moves
+    twice."""
+    per = df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = (F.col("n_docs") / F.sum("n_docs").over(w)).cast("double")
+    k = F.count(F.lit(1)).over(w)
+    return per.select(
+        part_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round((F.lit(1.0) / k) / share, 6).alias("weight"),
+    )

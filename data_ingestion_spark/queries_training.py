@@ -1,0 +1,133 @@
+"""Training-data export query registrations.
+
+Corpus-assembly operators a training-data pipeline runs after
+clean/dedup (functions/corpus.py): deterministic sampling,
+train/val/test splitting, per-source balancing, sequence packing,
+eval decontamination, mixture weighting. All md5-keyed (bit-identical
+in Spark and DuckDB) so every operator is oracle-checkable; none uses
+``rand()`` — re-runs are reproducible by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import corpus as C
+from .functions.textops import TOKEN_PATTERN
+from .queries import _d, q
+
+_MD5_ID = "md5('{seed}|' || CAST(doc_id AS VARCHAR))"
+_NTOK = f"len(regexp_extract_all(text, '{TOKEN_PATTERN}'))"
+
+
+@q(
+    "sample_hash_deterministic",
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE " + _MD5_ID.format(seed="smp") + " < '1a'",
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic ~10% corpus sample via md5-lex threshold — a pure
+    map-side filter (rides the scan, no shuffle, reproducible across
+    runs and engines; ``TABLESAMPLE``/``rand()`` are neither)."""
+    d = _d(spark, sf_dir)
+    return d.filter(C.hash_sample(d, "doc_id", "1a")).select("doc_id", "lang", "source")
+
+
+@q(
+    "train_val_test_split",
+    "SELECT doc_id, CASE "
+    "WHEN substr(" + _MD5_ID.format(seed="split") + ", 1, 1) < 'c' THEN 'train' "
+    "WHEN substr(" + _MD5_ID.format(seed="split") + ", 1, 1) < 'e' THEN 'val' "
+    "ELSE 'test' END AS split FROM documents",
+)
+def train_val_test_split(spark, sf_dir):
+    """Hash-keyed train/val/test assignment (75/12.5/12.5): a doc's
+    split never changes as the corpus grows (modulo-on-row-count
+    schemes reshuffle everything on every append)."""
+    return _d(spark, sf_dir).select(
+        "doc_id", C.split_assign(F.col("doc_id")).alias("split")
+    )
+
+
+@q(
+    "per_source_quota",
+    "SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM ("
+    "SELECT doc_id, source, row_number() OVER ("
+    "PARTITION BY source ORDER BY " + _MD5_ID.format(seed="quota") + ", doc_id"
+    ") AS rk FROM documents) WHERE rk <= 15",
+)
+def per_source_quota(spark, sf_dir):
+    """Corpus balancing: cap every source at 15 docs chosen by hash
+    order (an unbiased reproducible per-source sample). One shuffle on
+    source; see functions.corpus.per_source_quota for the hot-source
+    skew note."""
+    return C.per_source_quota(_d(spark, sf_dir), "source", "doc_id", 15).select(
+        "doc_id", "source", "rk"
+    )
+
+
+@q(
+    "pack_sequences",
+    "SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, "
+    "CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+    "CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS bin_id FROM ("
+    f"SELECT doc_id, lang, {_NTOK} AS n_tokens, "
+    f"sum({_NTOK}) OVER (PARTITION BY lang ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+    "FROM documents)",
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-then-chop): deterministic doc order
+    per shard, running token total, bin_id = the 2048-token context
+    window each doc starts in. Per-shard window cumsum — the pack
+    parallelizes across shards instead of serializing the corpus
+    through one global ordering."""
+    return C.pack_sequences(_d(spark, sf_dir), "lang", "doc_id", "text", 2048).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens", "bin_id"
+    )
+
+
+_DUCK_3GRAMS = (
+    "unnest(list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), "
+    "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))))"
+)
+
+
+@q(
+    "decontaminate_eval_overlap",
+    f"WITH cg AS (SELECT doc_id, {_DUCK_3GRAMS} AS g FROM documents WHERE doc_id % 97 <> 0), "
+    f"eg AS (SELECT doc_id AS eval_id, {_DUCK_3GRAMS} AS g FROM documents WHERE doc_id % 97 = 0) "
+    "SELECT c.doc_id, e.eval_id, count(*) AS n_overlap "
+    "FROM cg c JOIN eg e ON c.g = e.g "
+    "GROUP BY c.doc_id, e.eval_id HAVING count(*) >= 3",
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Train/eval contamination scan: corpus docs sharing >= 3 distinct
+    word 3-grams with any eval doc (stand-in eval set: doc_id % 97;
+    production uses longer n-grams — 3 here so the tiny synthetic
+    vocabulary still produces hits to verify). Inverted n-gram
+    equi-join with the tiny eval side BROADCAST — the corpus-side
+    explode never shuffles, so cost is linear in corpus n-grams at
+    100 TB."""
+    d = _d(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return C.decontaminate_overlap(corpus, ev, "text", "doc_id", n=3, min_overlap=3)
+
+
+@q(
+    "mix_weights_by_source",
+    "WITH per AS (SELECT source, count(*) AS n_docs, "
+    f"CAST(sum({_NTOK}) AS BIGINT) AS n_tokens FROM documents GROUP BY source) "
+    "SELECT source, n_docs, n_tokens, "
+    "round(n_docs / (SELECT sum(n_docs) FROM per), 6) AS share, "
+    "round((1.0 / (SELECT count(*) FROM per)) / "
+    "(n_docs / (SELECT sum(n_docs) FROM per)), 6) AS weight FROM per",
+)
+def mix_weights_by_source(spark, sf_dir):
+    """Mixture weighting: per-source doc/token counts, corpus share,
+    and the up/down-sampling weight that flattens the mixture to a
+    uniform target. One aggregate to |sources| rows, window totals on
+    the tiny result only."""
+    return C.mix_weights(_d(spark, sf_dir), "source", "text")

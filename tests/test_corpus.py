@@ -1,0 +1,99 @@
+"""Corpus-assembly operators (functions/corpus.py): semantics + plan
+shape. Parity with DuckDB is covered for all six registered queries by
+tests/test_parity.py; these tests pin the properties parity can't see
+— split stability under corpus growth, quota bounds, packing-bin
+invariants, and the broadcast side of the decontamination join."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMALL, SF_ORACLE
+
+from data_ingestion_spark.functions import corpus as C
+from data_ingestion_spark.sources.catalog import load_table
+
+
+def test_split_assignment_stable_under_growth(spark):
+    """A doc's split must not change when the corpus grows: assignment
+    depends only on the doc's own id, never on corpus statistics."""
+    small = load_table(spark, SF_SMALL, "documents")
+    big = load_table(spark, SF_ORACLE, "documents")
+    s = {
+        r.doc_id: r.split
+        for r in small.select(
+            "doc_id", C.split_assign(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in big.select(
+            "doc_id", C.split_assign(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    assert all(b[k] == v for k, v in s.items())
+    assert {"train", "val", "test"} == set(b.values())
+    # hash split should land near 75/12.5/12.5 at n=500
+    n_train = sum(1 for v in b.values() if v == "train")
+    assert 0.65 <= n_train / len(b) <= 0.85
+
+
+def test_per_source_quota_bounds_and_determinism(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = C.per_source_quota(docs, "source", "doc_id", 7)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per)
+    # deterministic: two runs pick the identical doc set
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in C.per_source_quota(docs, "source", "doc_id", 7)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
+def test_pack_sequences_bin_invariants(spark):
+    rows = [Row(grp="a", i=n, text=" ".join(["tok"] * 100)) for n in range(50)]
+    df = spark.createDataFrame(rows)
+    out = C.pack_sequences(df, "grp", "i", "text", budget=256).collect()
+    by_i = {r.i: r for r in out}
+    assert all(r.n_tokens == 100 for r in out)
+    # cumsum strictly increasing in pack order; bin = window the doc starts in
+    for n in range(50):
+        r = by_i[n]
+        assert r.cum_tokens == (n + 1) * 100
+        assert r.bin_id == (n * 100) // 256
+    # bins are contiguous from 0
+    bins = sorted({r.bin_id for r in out})
+    assert bins == list(range(bins[-1] + 1))
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different words in this row entirely"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="quick brown fox jumps over the lazy dog")]
+    )
+    hits = C.decontaminate_overlap(corpus, ev, "text", "doc_id", n=3, min_overlap=3)
+    got = [(r.doc_id, r.eval_id) for r in hits.collect()]
+    assert got == [(1, 100)]
+    # the eval side must be the broadcast build side: corpus explode
+    # stays shuffle-free
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_weights_flatten_property(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = C.mix_weights(docs, "source", "text").collect()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    # weight * share is constant (= 1/k): the flattened mixture is uniform
+    k = len(out)
+    for r in out:
+        assert abs(r.weight * r.share - 1.0 / k) < 1e-4
