@@ -63,6 +63,7 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate_eval_overlap",
     "per_source_quota",
+    "training_export_pipeline",
 ]
 
 #: queries whose computation executes EAGERLY at DataFrame-construction

@@ -73,7 +73,7 @@ def per_source_quota(
 
 def pack_sequences(
     df: DataFrame,
-    part_col: str,
+    part_col: str | list[str],
     order_col: str,
     text_col: str,
     budget: int,
@@ -90,8 +90,9 @@ def pack_sequences(
     Output adds: n_tokens (BPE-ish token count), cum_tokens (running
     total within the shard), bin_id.
     """
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(*parts)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -117,6 +117,48 @@ def decontaminate_eval_overlap(spark, sf_dir):
 
 
 @q(
+    "training_export_pipeline",
+    "WITH surv AS (SELECT doc_id, lang, text FROM ("
+    "SELECT doc_id, lang, text, min(doc_id) OVER (PARTITION BY md5(text)) AS canon "
+    "FROM documents WHERE len(string_split(text, ' ')) >= 30) WHERE doc_id = canon), "
+    "s AS (SELECT doc_id, lang, text, CASE "
+    "WHEN substr(" + _MD5_ID.format(seed="split") + ", 1, 1) < 'c' THEN 'train' "
+    "WHEN substr(" + _MD5_ID.format(seed="split") + ", 1, 1) < 'e' THEN 'val' "
+    "ELSE 'test' END AS split FROM surv), "
+    f"tok AS (SELECT doc_id, lang, split, {_NTOK} AS n_tokens FROM s), "
+    "c AS (SELECT doc_id, lang, split, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM tok) "
+    "SELECT doc_id, lang, split, CAST(n_tokens AS INTEGER) AS n_tokens, "
+    "CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+    "CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS bin_id FROM c",
+)
+def training_export_pipeline(spark, sf_dir):
+    """Capstone: the full corpus→training-set export as ONE lazy plan —
+    length gate → exact-dedup survivor selection (min doc_id per md5
+    fingerprint, via window: no second scan and no join back) →
+    hash-keyed split assignment (map-side) → per-(split, shard)
+    sequence packing. Catalyst sees the whole composition: the length
+    filter pushes below both windows' shuffles, and the split CASE
+    costs nothing extra. Shuffle count end-to-end: fingerprint window
+    + pack window = 2, at any corpus size."""
+    from pyspark.sql import Window
+
+    d = _d(spark, sf_dir)
+    surv = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 30)
+        .withColumn(
+            "canon", F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+        )
+        .filter(F.col("doc_id") == F.col("canon"))
+        .withColumn("split", C.split_assign(F.col("doc_id")))
+    )
+    return C.pack_sequences(surv, ["split", "lang"], "doc_id", "text", 2048).select(
+        "doc_id", "lang", "split", "n_tokens", "cum_tokens", "bin_id"
+    )
+
+
+@q(
     "mix_weights_by_source",
     "WITH per AS (SELECT source, count(*) AS n_docs, "
     f"CAST(sum({_NTOK}) AS BIGINT) AS n_tokens FROM documents GROUP BY source) "

@@ -97,3 +97,18 @@ def test_mix_weights_flatten_property(spark):
     k = len(out)
     for r in out:
         assert abs(r.weight * r.share - 1.0 / k) < 1e-4
+
+
+def test_training_export_pipeline_two_shuffles(spark):
+    """The capstone export (length gate -> dedup window -> split ->
+    pack window) must cost exactly two hash exchanges end-to-end —
+    the fingerprint window and the pack window. A third exchange
+    means a regression (e.g. the split stage stopped being
+    map-side)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["training_export_pipeline"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
