@@ -856,6 +856,36 @@ def scan_jsonl_roundtrip(spark, sf_dir):
 
 
 @q(
+    "scan_orc_roundtrip",
+    "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """S5/S6 format breadth: the lineitem fact round-trips through ORC
+    (the other columnar interchange format; native Spark source with
+    predicate pushdown and column pruning like parquet). The oracle
+    aggregates the original parquet, so any typing drift in the ORC
+    hop fails the hash."""
+    import tempfile
+
+    from .sources.catalog import load_table
+
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    df.write.mode("overwrite").orc(tmp + "/lineitem")
+    back = spark.read.schema(df.schema).orc(tmp + "/lineitem")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("qty"),
+    )
+
+
+@q(
     "rollup_time_cascade",
     "SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket, event_type, "
     "CAST(count(*) AS BIGINT) AS n_events, "
