@@ -262,6 +262,47 @@ def streaming_tumbling_availablenow(spark, sf_dir):
     return result
 
 
+@q("streaming_stateful_first_seen", "SELECT DISTINCT user_id FROM events")
+def streaming_stateful_first_seen(spark, sf_dir):
+    """§2.11 custom stateful streaming operator, executed for real —
+    and the one streaming DQ with a FULL value-hash oracle: the
+    applyInPandasWithState first-seen gate emits each user_id exactly
+    once across micro-batches (4 staged files, 2 per trigger, so
+    cross-batch state is genuinely exercised), making the drained
+    output equal to SELECT DISTINCT user_id regardless of batching.
+    Mirrors the reference's skip-if-exists idempotence ledger
+    (website-ingestion-pipeline.py:116-118) as explicit typed
+    per-key state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.catalog import load_table
+    from .streaming.pipeline import (
+        run_query_availablenow,
+        stateful_first_seen,
+        stream_events_from_dir,
+    )
+
+    staging = tempfile.mkdtemp(prefix="dq_state_in_")
+    ckpt = tempfile.mkdtemp(prefix="dq_state_ckpt_")
+    load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
+    sink = f"dq_state_sink_{uuid.uuid4().hex[:8]}"
+    q_handle = run_query_availablenow(
+        stateful_first_seen(
+            stream_events_from_dir(spark, staging, max_files_per_trigger=2)
+        ),
+        ckpt,
+        sink,
+        output_mode="append",
+    )
+    q_handle.awaitTermination(300)
+    result = spark.table(sink)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
 @q("streaming_session_availablenow")
 def streaming_session_availablenow(spark, sf_dir):
     """ST4 executed for real (rows-only): the STATEFUL session-window

@@ -93,6 +93,52 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", late: str = "10 m
     )
 
 
+def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch when no built-in streaming op expresses the
+    semantics (§2.11; here: emit each key exactly ONCE, in the first
+    micro-batch it appears, with per-key state of one boolean).
+
+    This is the streaming form of the LLM-pipeline 'have I ingested
+    this doc/user before?' gate: unlike ``dropDuplicatesWithin-
+    Watermark`` (row-level, watermark-bounded state) the state here
+    is explicit, typed, and unbounded-by-design (one flag per key
+    forever — the semantics an idempotent ingest ledger needs).
+
+    Output = the distinct key set regardless of how the input splits
+    into micro-batches, which is what makes a stateful operator
+    oracle-checkable: the batch twin is ``SELECT DISTINCT key``.
+    At scale, state is hash-partitioned by key across executors and
+    checkpointed; emission is append-final (a key's row never
+    retracts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key bigint"
+
+    def emit_first(key, pdf_iter, state: GroupState):
+        # drain the batch iterator (required before the function
+        # returns); emission depends only on state existence
+        for _ in pdf_iter:
+            pass
+        if not state.exists:
+            state.update((True,))
+            yield pd.DataFrame({"key": [key[0]]})
+
+    return (
+        events.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            emit_first,
+            outputStructType=out_schema,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .select(F.col("key").alias(key_col))
+    )
+
+
 def dedup_within_watermark(events: DataFrame, late: str = "10 minutes") -> DataFrame:
     """ST5: stateful stream dedup on event_id, state bounded by the
     watermark (exactly the LLM-pipeline 'seen this doc already?'

@@ -242,3 +242,34 @@ def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
     w_out = out_s["weight"].fillna(-1).values
     w_bat = batch_s["weight"].fillna(-1).values
     assert (w_out == w_bat).all()
+
+
+def test_stateful_first_seen_exactly_once_across_batches(spark, events_dir, tmp_path):
+    """applyInPandasWithState first-seen gate: with one file per
+    trigger (2 staged files -> 2 micro-batches), every user_id that
+    appears in BOTH drops must still be emitted exactly once — the
+    cross-batch state is what dedups; and the union of emissions is
+    exactly the distinct key set."""
+    stream = SP.stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    q = SP.run_query_availablenow(
+        SP.stateful_first_seen(stream),
+        str(tmp_path / "ckpt_state"),
+        "first_seen_sink",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    out = spark.table("first_seen_sink").toPandas()
+
+    ev = load_table(spark, SF_SMALL, "events")
+    expected = {r.user_id for r in ev.select("user_id").distinct().collect()}
+    # both drops share users (event_id parity split), so a stateless
+    # per-batch distinct would double-emit; state must prevent that
+    both = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct((F.col("event_id") % 2)).alias("k"))
+        .filter("k = 2")
+        .count()
+    )
+    assert both > 0
+    assert len(out) == len(expected)
+    assert set(out["user_id"]) == expected
