@@ -187,10 +187,14 @@ def main() -> None:
         f"{throughput['ann_lsh_default_recall_at_5']}"
     )
 
-    # the real IVF path: k-means cells + 4-probe (the label column and
-    # 3-bit sign bucket above are weak on near-random vectors; a
-    # fitted coarse quantizer with multi-probe is the honest scale
-    # design — see SCALE.md)
+    # the real IVF path: k-means cells with multi-probe (the label
+    # column and 3-bit sign bucket above are weak on near-random
+    # vectors; a fitted coarse quantizer with multi-probe is the
+    # honest scale design — see SCALE.md). Both probe widths are the
+    # recall/cost dial: 4/16 cells = 25% of the corpus scanned,
+    # 6/16 = 37.5% for +0.14 recall (measured r05: 0.68 → 0.82;
+    # spherical (pre-normalized) k-means measured identical on this
+    # corpus — the synthetic vectors are near-unit-norm already).
     from data_ingestion_spark.functions.similarity import (
         kmeans_ivf_build,
         kmeans_ivf_search,
@@ -198,18 +202,22 @@ def main() -> None:
 
     model, assigned = kmeans_ivf_build(emb, n_cells=16)
     assigned = assigned.cache()
-    hits_km = 0
+    hits_km = {4: 0, 6: 0}
     for qr in qrows:
         qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
         exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
-        km = {
-            r.vec_id
-            for r in kmeans_ivf_search(
-                assigned, model, list(qr.embedding), k=5, n_probe=4
-            ).collect()
-        }
-        hits_km += len(exact & km)
-    throughput["ann_kmeans_ivf4_recall_at_5"] = round(hits_km / (5 * len(qrows)), 3)
+        for n_probe in hits_km:
+            km = {
+                r.vec_id
+                for r in kmeans_ivf_search(
+                    assigned, model, list(qr.embedding), k=5, n_probe=n_probe
+                ).collect()
+            }
+            hits_km[n_probe] += len(exact & km)
+    for n_probe, hits in hits_km.items():
+        throughput[f"ann_kmeans_ivf{n_probe}_recall_at_5"] = round(
+            hits / (5 * len(qrows)), 3
+        )
     assigned.unpersist()
     emb.unpersist()
 
