@@ -10,7 +10,7 @@ in Spark and DuckDB) so every operator is oracle-checkable; none uses
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .functions import corpus as C
 from .functions.textops import TOKEN_PATTERN
@@ -155,6 +155,39 @@ def training_export_pipeline(spark, sf_dir):
     )
     return C.pack_sequences(surv, ["split", "lang"], "doc_id", "text", 2048).select(
         "doc_id", "lang", "split", "n_tokens", "cum_tokens", "bin_id"
+    )
+
+
+@q(
+    "token_budget_sample",
+    "SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, "
+    "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM ("
+    f"SELECT doc_id, lang, {_NTOK} AS n_tokens, "
+    f"sum({_NTOK}) OVER (PARTITION BY lang ORDER BY "
+    + _MD5_ID.format(seed="tb")
+    + ", doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+    "FROM documents) WHERE cum_tokens <= 2000",
+)
+def token_budget_sample(spark, sf_dir):
+    """Token-budget curation: per language, take documents in
+    deterministic hash order until a 2k-token budget fills — the
+    'give me X tokens per language, reproducibly' primitive behind
+    mixture construction. One shuffle on the language key; hash order
+    makes the selection an unbiased sample rather than an
+    oldest-docs-first bias."""
+    from .functions.textops import token_count
+
+    d = _d(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(C.hash_key(F.col("doc_id"), "tb"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("n_tokens", token_count(F.col("text")).cast("int"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
 
 

@@ -557,3 +557,43 @@ def dedup_decision(spark, sf_dir):
         .cast("int")
         .alias("keep"),
     )
+
+@q(
+    "dedup_decision_quality",
+    _dup_clusters_oracle().replace(
+        "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY a",
+        ", comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+        "FROM reach GROUP BY a), "
+        "j AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        "d.n_chars FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id), "
+        "r AS (SELECT doc_id, cluster_id, row_number() OVER ("
+        "PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk FROM j) "
+        "SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep FROM r",
+    ),
+)
+def dedup_decision_quality(spark, sf_dir):
+    """T10 survivor policy upgrade: keep the HIGHEST-QUALITY member of
+    each duplicate cluster (here: longest text, doc_id tie-break)
+    instead of ``dedup_decision``'s min-id convention — the policy
+    real pipelines want, since near-dup clusters often mix a full
+    document with truncated or boilerplate-wrapped copies. Same
+    cluster labels (shared oracle CTEs); the keep rule becomes a
+    row_number over (cluster, quality desc). One extra window over
+    the already-clustered rows — no new corpus-sized shuffle beyond
+    the cluster key."""
+    docs = _d(spark, sf_dir).select("doc_id", "n_chars")
+    clusters = dedup_clusters(spark, sf_dir)
+    j = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("rk") == 1).cast("int").alias("keep"),
+        )
+    )
