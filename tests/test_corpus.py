@@ -112,3 +112,45 @@ def test_training_export_pipeline_two_shuffles(spark):
     df = entrymod.queries()["training_export_pipeline"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_pack_sequences_invariants_random_lengths(spark):
+    """Randomized (seeded) token lengths: cum telescopes within each
+    shard in pack order, bin_id is exactly floor(tokens-before/budget)
+    and nondecreasing — document boundaries never reorder."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(grp=g, i=n, text=" ".join(["tok"] * rng.randrange(1, 400)))
+        for g in ("a", "b", "c")
+        for n in range(60)
+    ]
+    out = C.pack_sequences(
+        spark.createDataFrame(rows), "grp", "i", "text", budget=512
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(out) == len(rows)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r.i)
+        cum = 0
+        prev_bin = 0
+        for r in rs:
+            assert r.bin_id == cum // 512
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            assert r.bin_id >= prev_bin
+            prev_bin = r.bin_id
+
+
+def test_hash_sample_threshold_monotone(spark):
+    """A lower hex threshold must select a SUBSET of a higher one
+    (same seed): thresholds are nested, so sampling rates can be
+    tuned without churning membership."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    small = {r.doc_id for r in docs.filter(C.hash_sample(docs, "doc_id", "2")).collect()}
+    big = {r.doc_id for r in docs.filter(C.hash_sample(docs, "doc_id", "8")).collect()}
+    assert small <= big
+    assert 0 < len(small) < len(big) < 500
