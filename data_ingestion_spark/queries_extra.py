@@ -225,6 +225,29 @@ def split_markdown_sections(spark, sf_dir):
     )
 
 
+def _drain_streaming_dq(spark, staging, ckpt, start_query):
+    """Shared drain/cleanup for the streaming DQs: start the
+    AvailableNow query, require it to actually terminate within the
+    timeout (a timed-out drain would silently return a partially
+    filled memory sink), and clean up the staging/checkpoint dirs
+    even when the drain fails."""
+    import shutil
+
+    try:
+        q_handle = start_query()
+        try:
+            if not q_handle.awaitTermination(300):
+                raise TimeoutError(
+                    "AvailableNow drain did not finish within 300s"
+                )
+        finally:
+            q_handle.stop()
+        return spark.table(q_handle.name)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @q("streaming_tumbling_availablenow")
 def streaming_tumbling_availablenow(spark, sf_dir):
     """ST1+ST2 executed for real (rows-only check: streaming state is
@@ -248,18 +271,12 @@ def streaming_tumbling_availablenow(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="dq_stream_ckpt_")
     load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
     sink = f"dq_stream_sink_{uuid.uuid4().hex[:8]}"
-    q_handle = run_query_availablenow(
-        tumbling_counts(stream_events_from_dir(spark, staging)), ckpt, sink
+    return _drain_streaming_dq(
+        spark, staging, ckpt,
+        lambda: run_query_availablenow(
+            tumbling_counts(stream_events_from_dir(spark, staging)), ckpt, sink
+        ),
     )
-    q_handle.awaitTermination(300)
-    result = spark.table(sink)
-    # the memory sink holds the materialized result; the staged input
-    # and checkpoint are no longer needed (driver runs this per round)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
 
 
 @q("streaming_stateful_first_seen", "SELECT DISTINCT user_id FROM events")
@@ -273,7 +290,6 @@ def streaming_stateful_first_seen(spark, sf_dir):
     Mirrors the reference's skip-if-exists idempotence ledger
     (website-ingestion-pipeline.py:116-118) as explicit typed
     per-key state."""
-    import shutil
     import tempfile
     import uuid
 
@@ -288,19 +304,17 @@ def streaming_stateful_first_seen(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="dq_state_ckpt_")
     load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
     sink = f"dq_state_sink_{uuid.uuid4().hex[:8]}"
-    q_handle = run_query_availablenow(
-        stateful_first_seen(
-            stream_events_from_dir(spark, staging, max_files_per_trigger=2)
+    return _drain_streaming_dq(
+        spark, staging, ckpt,
+        lambda: run_query_availablenow(
+            stateful_first_seen(
+                stream_events_from_dir(spark, staging, max_files_per_trigger=2)
+            ),
+            ckpt,
+            sink,
+            output_mode="append",
         ),
-        ckpt,
-        sink,
-        output_mode="append",
     )
-    q_handle.awaitTermination(300)
-    result = spark.table(sink)
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
 
 
 @q("streaming_session_availablenow")
@@ -314,7 +328,6 @@ def streaming_session_availablenow(spark, sf_dir):
     way streaming_tumbling_availablenow does; batch equivalence of
     the session logic is oracle-checked via sessionize_batch /
     session_window_native."""
-    import shutil
     import tempfile
     import uuid
 
@@ -329,14 +342,12 @@ def streaming_session_availablenow(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="dq_sess_ckpt_")
     load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
     sink = f"dq_sess_sink_{uuid.uuid4().hex[:8]}"
-    q_handle = run_query_availablenow(
-        session_counts(stream_events_from_dir(spark, staging)), ckpt, sink
+    return _drain_streaming_dq(
+        spark, staging, ckpt,
+        lambda: run_query_availablenow(
+            session_counts(stream_events_from_dir(spark, staging)), ckpt, sink
+        ),
     )
-    q_handle.awaitTermination(300)
-    result = spark.table(sink)
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
 
 
 @q(

@@ -114,8 +114,13 @@ def stateful_first_seen(events: DataFrame, key_col: str = "user_id") -> DataFram
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructField, StructType
 
-    out_schema = "key bigint"
+    # output key type follows the input key column (a string doc_id
+    # works as well as a bigint user_id)
+    out_schema = StructType(
+        [StructField("key", events.schema[key_col].dataType)]
+    )
 
     def emit_first(key, pdf_iter, state: GroupState):
         # drain the batch iterator (required before the function

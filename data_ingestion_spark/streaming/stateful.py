@@ -50,11 +50,20 @@ def _ewma_fn(alpha: float):
             n, ewma = state.get
         else:
             n, ewma = 0, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for v in pdf["value"]:
-                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
-                n += 1
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if batches:
+            vals = (
+                pd.concat(batches, ignore_index=True)
+                .sort_values("ts", kind="stable")["value"]
+                .astype("float64")
+            )
+            # Carry prior state into the vectorized recursion by seeding
+            # the series with it: ewm(adjust=False) computes exactly
+            # e_i = alpha*v_i + (1-alpha)*e_{i-1} from its first element.
+            if ewma is not None:
+                vals = pd.concat([pd.Series([float(ewma)]), vals], ignore_index=True)
+            ewma = float(vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+            n += sum(len(b) for b in batches)
         state.update((n, float(ewma if ewma is not None else 0.0)))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ewma_value": [round(ewma or 0.0, 6)]}

@@ -273,3 +273,27 @@ def test_stateful_first_seen_exactly_once_across_batches(spark, events_dir, tmp_
     assert both > 0
     assert len(out) == len(expected)
     assert set(out["user_id"]) == expected
+
+
+def test_stateful_first_seen_string_key(spark, tmp_path):
+    """The output key type follows the input key column (not a
+    hardcoded bigint): a string key must come back as a string,
+    emitted once per distinct value."""
+    d = tmp_path / "strkey_in"
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.selectExpr("concat('u', user_id) AS doc_key", "ts").coalesce(
+        2
+    ).write.parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = SP.run_query_availablenow(
+        SP.stateful_first_seen(stream, key_col="doc_key"),
+        str(tmp_path / "ckpt_strkey"),
+        "strkey_sink",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    out = spark.table("strkey_sink")
+    assert out.schema["doc_key"].dataType.simpleString() == "string"
+    expected = {f"u{r.user_id}" for r in ev.select("user_id").distinct().collect()}
+    assert {r.doc_key for r in out.collect()} == expected
