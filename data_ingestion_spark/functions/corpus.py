@@ -29,10 +29,11 @@ def hash_key(col: Column, seed: str) -> Column:
     return F.md5(F.concat(F.lit(seed + "|"), col.cast("string")))
 
 
-def hash_sample(df: DataFrame, id_col: str, threshold_hex: str, seed: str = "smp") -> Column:
+def hash_sample(id_col: str, threshold_hex: str, seed: str = "smp") -> Column:
     """Boolean sampling predicate: keep rows whose hash key sorts below
     ``threshold_hex``. Map-side only; composes with any downstream
-    plan."""
+    plan. (Takes the column NAME, not a DataFrame — the predicate is
+    unbound and applies to whatever plan it is filtered into.)"""
     return hash_key(F.col(id_col), seed) < F.lit(threshold_hex)
 
 
@@ -54,17 +55,48 @@ def split_assign(id_col: Column, seed: str = "split") -> Column:
 
 
 def per_source_quota(
-    df: DataFrame, part_col: str, id_col: str, quota: int, seed: str = "quota"
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    quota: int,
+    seed: str = "quota",
+    skew_guard: bool = False,
+    guard_factor: int = 4,
 ) -> DataFrame:
     """Balance a corpus by capping each source at ``quota`` docs,
     chosen by deterministic hash order (an unbiased, reproducible
     per-source sample — NOT "first N by id", which biases toward old
     docs). One shuffle on ``part_col``; the window never sees more
-    than one source per partition. Skew note: a hot source shuffles
-    its whole group to one task — at extreme skew, pre-filter with
-    ``hash_sample`` to ~quota×4 expected survivors first, then apply
-    the exact window on the survivors."""
-    w = Window.partitionBy(part_col).orderBy(hash_key(F.col(id_col), seed), F.col(id_col))
+    than one source per partition.
+
+    Skew: a hot source shuffles its whole group to one task. With
+    ``skew_guard=True`` a map-side hash pre-filter thins each source
+    to ~``guard_factor``×quota expected survivors BEFORE the window:
+    per-source counts (one tiny aggregate, broadcast back) set a
+    per-source keep fraction, and only rows whose hash prefix falls
+    under it reach the shuffle. The gate keeps exactly the
+    smallest-hash rows — a superset of the window's winners whenever
+    ≥ quota rows survive, which at guard_factor=4 holds with
+    overwhelming probability (Chernoff bound: P[<quota of 4·quota
+    expected] < e^{-quota}); sources smaller than
+    guard_factor×quota pass through unfiltered, so the guard can
+    only act where the law of large numbers already protects it.
+    """
+    key = hash_key(F.col(id_col), seed)
+    if skew_guard:
+        counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("_n_src"))
+        # keep fraction of the source, mapped onto the first 8 hex
+        # chars of the key (uniform on [0, 2^32))
+        frac = F.least(
+            F.lit(1.0), F.lit(float(guard_factor * quota)) / F.col("_n_src")
+        )
+        bound = F.ceil(frac * F.lit(float(1 << 32))).cast("bigint")
+        df = (
+            df.join(F.broadcast(counts), part_col)
+            .filter(F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") < bound)
+            .drop("_n_src")
+        )
+    w = Window.partitionBy(part_col).orderBy(key, F.col(id_col))
     return (
         df.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= quota)
@@ -77,6 +109,7 @@ def pack_sequences(
     order_col: str,
     text_col: str,
     budget: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing for LLM pretraining: documents are concatenated
     in deterministic order and chopped into ``budget``-token context
@@ -87,13 +120,22 @@ def pack_sequences(
     runs it (a global pack order would serialize the corpus through
     one partition).
 
+    Determinism requires a total order within each shard:
+    ``order_col`` must be unique per ``part_col`` group (current
+    callers order by doc_id, which is). If it is not, pass a unique
+    ``tiebreak_col`` — otherwise ties make cum_tokens/bin_id
+    run-dependent.
+
     Output adds: n_tokens (BPE-ish token count), cum_tokens (running
     total within the shard), bin_id.
     """
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
     w = (
         Window.partitionBy(*parts)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tok = token_count(F.col(text_col))
@@ -127,16 +169,22 @@ def decontaminate_overlap(
     id_col: str,
     n: int = 5,
     min_overlap: int = 3,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Train/eval contamination check: count distinct word ``n``-grams
     each corpus doc shares with each eval doc; pairs at or above
     ``min_overlap`` are contamination hits to drop before export.
 
     Plan: invert both sides on the n-gram and equi-join — pairs only
-    materialize where an n-gram is shared. The eval side is tiny by
-    construction (benchmarks are small; the corpus is the big side),
-    so its inverted index is broadcast: the corpus-side explode never
-    shuffles. Output: (doc_id, eval_id, n_overlap), one row per
+    materialize where an n-gram is shared. The eval side is usually
+    tiny (benchmarks are small; the corpus is the big side), so its
+    inverted index is broadcast and the corpus-side explode never
+    shuffles — but "small by construction" is measured, not assumed:
+    the eval-side inverted index is counted first, and if it exceeds
+    ``max_broadcast_rows`` (~2M (eval_id, ngram) rows ≈ low hundreds
+    of MB, safely under Spark's broadcast limit) the hint is dropped
+    and the join falls back to a shuffle join instead of failing
+    mid-broadcast. Output: (doc_id, eval_id, n_overlap), one row per
     contaminated (corpus, eval) pair.
     """
     corpus_inv = corpus.select(
@@ -147,8 +195,10 @@ def decontaminate_overlap(
         F.col(id_col).alias("eval_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     )
+    n_eval_rows = eval_inv.count()
+    right = F.broadcast(eval_inv) if n_eval_rows <= max_broadcast_rows else eval_inv
     return (
-        corpus_inv.join(F.broadcast(eval_inv), "g")
+        corpus_inv.join(right, "g")
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)

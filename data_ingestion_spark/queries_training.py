@@ -30,7 +30,7 @@ def sample_hash_deterministic(spark, sf_dir):
     map-side filter (rides the scan, no shuffle, reproducible across
     runs and engines; ``TABLESAMPLE``/``rand()`` are neither)."""
     d = _d(spark, sf_dir)
-    return d.filter(C.hash_sample(d, "doc_id", "1a")).select("doc_id", "lang", "source")
+    return d.filter(C.hash_sample("doc_id", "1a")).select("doc_id", "lang", "source")
 
 
 @q(

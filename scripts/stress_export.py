@@ -98,6 +98,42 @@ def main() -> None:
 
     walls["per_source_quota"] = timed("per_source_quota", quota)
 
+    def quota_skewed():
+        # one source holds ~90% of the corpus: the exact window funnels
+        # it through a single task, the skew_guard pre-thins it map-side
+        # to ~4x quota survivors before the shuffle. Result must match
+        # the unguarded window exactly.
+        skewed = corpus.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 != 0, F.lit("hot")).otherwise(
+                F.concat(F.lit("src"), (F.col("doc_id") % 32))
+            ),
+        )
+        exact = C.per_source_quota(skewed, "source", "doc_id", 10_000)
+        t0 = time.monotonic()
+        exact.write.format("noop").mode("overwrite").save()
+        exact_wall = round(time.monotonic() - t0, 1)
+        guarded = C.per_source_quota(
+            skewed, "source", "doc_id", 10_000, skew_guard=True
+        )
+        t0 = time.monotonic()
+        guarded.write.format("noop").mode("overwrite").save()
+        guarded_wall = round(time.monotonic() - t0, 1)
+        mismatch = (
+            exact.select("doc_id").exceptAll(guarded.select("doc_id")).count()
+            + guarded.select("doc_id").exceptAll(exact.select("doc_id")).count()
+        )
+        return {
+            "hot_share": 0.9,
+            "exact_wall_sec": exact_wall,
+            "skew_guard_wall_sec": guarded_wall,
+            "result_mismatch_rows": mismatch,
+        }
+
+    walls["per_source_quota_90pct_hot"] = timed(
+        "per_source_quota_90pct_hot", quota_skewed
+    )
+
     def decontaminate():
         # pipeline order matters: decontaminate the DEDUPED survivors
         # against the (external, never-deduped) eval set. Running it

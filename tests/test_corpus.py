@@ -150,7 +150,83 @@ def test_hash_sample_threshold_monotone(spark):
     (same seed): thresholds are nested, so sampling rates can be
     tuned without churning membership."""
     docs = load_table(spark, SF_ORACLE, "documents")
-    small = {r.doc_id for r in docs.filter(C.hash_sample(docs, "doc_id", "2")).collect()}
-    big = {r.doc_id for r in docs.filter(C.hash_sample(docs, "doc_id", "8")).collect()}
+    small = {r.doc_id for r in docs.filter(C.hash_sample("doc_id", "2")).collect()}
+    big = {r.doc_id for r in docs.filter(C.hash_sample("doc_id", "8")).collect()}
     assert small <= big
     assert 0 < len(small) < len(big) < 500
+
+
+def test_per_source_quota_skew_guard_matches_exact(spark):
+    """skew_guard thins hot sources map-side BEFORE the window but
+    must not change the result: the gate keeps the smallest-hash
+    rows, a superset of the window's winners. Built skewed: one
+    source holds ~90% of rows."""
+    rows = [Row(source="hot" if n % 10 else "cold", doc_id=n) for n in range(2000)]
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r.source, r.doc_id)
+        for r in C.per_source_quota(df, "source", "doc_id", 25).collect()
+    }
+    guarded = C.per_source_quota(df, "source", "doc_id", 25, skew_guard=True)
+    got = {(r.source, r.doc_id) for r in guarded.collect()}
+    assert got == exact
+    # the guard actually thinned the hot source pre-shuffle: the plan
+    # carries the hash-prefix filter
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "conv(" in plan
+
+
+def test_per_source_quota_skew_guard_leaves_small_sources_alone(spark):
+    """Sources smaller than guard_factor*quota pass the gate whole
+    (frac >= 1 keeps every row), so tiny sources can never be
+    under-sampled by the guard."""
+    rows = [Row(source=f"s{n % 40}", doc_id=n) for n in range(400)]  # 10 rows/source
+    df = spark.createDataFrame(rows)
+    out = C.per_source_quota(df, "source", "doc_id", 7, skew_guard=True)
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(v == 7 for v in per.values())
+
+
+def test_decontaminate_falls_back_to_shuffle_join(spark):
+    """When the eval-side inverted index exceeds max_broadcast_rows
+    the broadcast hint must be dropped (shuffle join, not a failed
+    broadcast) and the result must be unchanged."""
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different words in this row entirely"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="quick brown fox jumps over the lazy dog")]
+    )
+    # with auto-broadcast off, only the (dropped) hint could force a
+    # BHJ — so the plan shape proves the hint really was dropped
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits = C.decontaminate_overlap(
+            corpus, ev, "text", "doc_id", n=3, min_overlap=3, max_broadcast_rows=2
+        )
+        assert [(r.doc_id, r.eval_id) for r in hits.collect()] == [(1, 100)]
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # and below the threshold the hint IS applied even with
+        # auto-broadcast off
+        hinted = C.decontaminate_overlap(corpus, ev, "text", "doc_id", n=3, min_overlap=3)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pack_sequences_tiebreak_makes_duplicate_order_deterministic(spark):
+    """With a non-unique order_col and a unique tiebreak_col, packing
+    is fully determined: bin assignment follows (order, tiebreak)."""
+    rows = [Row(grp="a", o=n // 5, i=n, text=" ".join(["tok"] * 100)) for n in range(30)]
+    df = spark.createDataFrame(rows)
+    out = C.pack_sequences(df, "grp", "o", "text", budget=256, tiebreak_col="i").collect()
+    by_i = {r.i: r for r in out}
+    for n in range(30):  # (o, i) order == i order here
+        assert by_i[n].cum_tokens == (n + 1) * 100
+        assert by_i[n].bin_id == (n * 100) // 256
