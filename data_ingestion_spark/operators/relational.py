@@ -120,6 +120,64 @@ def merge_upsert(
     return kept.unionByName(updates.select(current.columns))
 
 
+#: table providers whose Spark integration supports a real MERGE INTO
+MERGE_CAPABLE_PROVIDERS = {"delta", "iceberg"}
+
+
+def merge_into_sql(target: str, source: str, keys: list[str]) -> str:
+    """The MERGE statement the table-format path issues — upsert-all
+    semantics matching ``merge_upsert`` (null-safe key equality so a
+    null key updates rather than double-inserting)."""
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {cond} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def table_provider(spark, table: str) -> str | None:
+    """The storage provider of a saved table (``delta``, ``iceberg``,
+    ``parquet``, …), lowercased; None when the catalog doesn't
+    record one."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name.strip().lower() == "provider":
+            return row.data_type.strip().lower()
+    return None
+
+
+def merge_upsert_table(spark, target_table: str, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """MERGE INTO a saved table, picking the physical strategy by
+    table format:
+
+    - Delta/Iceberg target → a real ``MERGE INTO`` (file-level
+      pruning, no full rewrite; the statement is ``merge_into_sql``).
+    - anything else (parquet stand-in) → the logical
+      ``merge_upsert`` plan materialized and written back whole.
+
+    Both paths implement the identical contract (matched rows
+    replaced, unmatched updates inserted, everything else persists)
+    — asserted by the parity test in tests/test_operators.py.
+    Returns the post-merge table.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    provider = table_provider(spark, target_table)
+    if provider in MERGE_CAPABLE_PROVIDERS:
+        src = f"__merge_src_{abs(hash(target_table)) % 10**8}"
+        updates.createOrReplaceTempView(src)
+        try:
+            spark.sql(merge_into_sql(target_table, src, keys))
+        finally:
+            spark.catalog.dropTempView(src)
+    else:
+        current = spark.table(target_table)
+        # localCheckpoint materializes the merge before the overwrite
+        # drops the files it was computed from
+        merged = merge_upsert(current, updates, keys).localCheckpoint()
+        merged.write.mode("overwrite").saveAsTable(target_table)
+    return spark.table(target_table)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

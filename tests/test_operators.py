@@ -641,3 +641,45 @@ def test_dup_clusters_star_empty_pairs(spark):
         [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
     )
     assert dup_clusters_star(empty).count() == 0
+
+
+def test_merge_upsert_table_parquet_fallback_matches_logical(spark):
+    """merge_upsert_table on a parquet table (no MERGE support) must
+    route through the rewrite path and land exactly the logical
+    merge_upsert result."""
+    from data_ingestion_spark.operators.relational import (
+        merge_upsert,
+        merge_upsert_table,
+        table_provider,
+    )
+
+    cur = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    upd = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="d")])
+    tbl = "merge_tgt_parquet"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    cur.write.format("parquet").saveAsTable(tbl)
+    assert table_provider(spark, tbl) == "parquet"  # i.e. NOT merge-capable
+
+    expected = {(r.k, r.v) for r in merge_upsert(cur, upd, "k").collect()}
+    out = merge_upsert_table(spark, tbl, upd, "k")
+    assert {(r.k, r.v) for r in out.collect()} == expected
+    # idempotent: merging the same updates again changes nothing
+    again = merge_upsert_table(spark, tbl, upd, "k")
+    assert {(r.k, r.v) for r in again.collect()} == expected
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_merge_into_sql_statement_shape():
+    """The table-format path's MERGE statement: null-safe key match,
+    update-all, insert-all — the exact upsert contract of
+    merge_upsert (textual check; delta/iceberg jars aren't in the
+    container, so the SQL path is exercised only where a real lakehouse
+    catalog is attached)."""
+    from data_ingestion_spark.operators.relational import merge_into_sql
+
+    sql = merge_into_sql("tgt", "src", ["k1", "k2"])
+    assert sql == (
+        "MERGE INTO tgt t USING src s ON t.k1 <=> s.k1 AND t.k2 <=> s.k2 "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
