@@ -163,6 +163,7 @@ def main() -> None:
     )
 
     emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n_emb = emb.count()
     qrows = emb.filter(F.col("vec_id") < 20).collect()
     # the LSH table count is the recall/cost dial (measured r05 at
     # sf0.1: 1 table 0.36, 6 (default) 0.84, 8 → 0.90, 10 → 0.97);
@@ -194,6 +195,74 @@ def main() -> None:
         "default ANN recall regressed below 0.8: "
         f"{throughput['ann_lsh_default_recall_at_5']}"
     )
+
+    # bits-per-table dial (the scale lever BENCH_NOTES documents:
+    # widening bits halves every bucket — candidate cost drops ~2x
+    # per bit — while adding tables only unions more 1/2^bits
+    # slices). Measured alongside recall: cand_frac = fraction of
+    # the corpus passing the multi-table bucket condition, i.e. what
+    # the probe actually scans before the exact re-rank.
+    from data_ingestion_spark.functions.similarity import multi_table_sign_condition
+
+    sweep_q = qrows[:10]
+    for bits, n_t in [(4, 4), (4, 6), (4, 8), (5, 4), (5, 6)]:
+        hits_bt = 0
+        cand_rows = 0
+        for qr in sweep_q:
+            qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+            exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+            got = {
+                r.vec_id
+                for r in lsh_topk(emb, qv, k=5, bits=bits, n_tables=n_t).collect()
+            }
+            hits_bt += len(exact & got)
+            cand_rows += emb.filter(
+                multi_table_sign_condition(F.col("embedding"), qv, bits, n_t)
+            ).count()
+        throughput[f"ann_lsh_b{bits}t{n_t}_recall_at_5"] = round(
+            hits_bt / (5 * len(sweep_q)), 3
+        )
+        throughput[f"ann_lsh_b{bits}t{n_t}_cand_frac"] = round(
+            cand_rows / (n_emb * len(sweep_q)), 3
+        )
+
+    # AnnStore at-rest point at the widened bits: t x 2^bits partitions,
+    # a probe reads t of them (partition-pruned scan, asserted in
+    # tests/test_plans.py), so probe cost ~ t/2^bits of the store.
+    import shutil
+    import tempfile
+    import time as _time
+
+    from data_ingestion_spark.functions.similarity import AnnStore
+
+    ann_dir = tempfile.mkdtemp(prefix="bench_ann_b4_")
+    try:
+        store = AnnStore(spark, ann_dir, bits=4, n_tables=4)
+        store.write(emb)
+        hits_store = 0
+        probe_walls = []
+        for qr in sweep_q:
+            qlist = [float(x) for x in qr.embedding]
+            exact = {
+                r.vec_id
+                for r in brute_force_topk(
+                    emb, F.array(*[F.lit(x) for x in qlist]), k=5
+                ).collect()
+            }
+            t0 = _time.monotonic()
+            got = {r.vec_id for r in store.probe(qlist, k=5).collect()}
+            probe_walls.append(_time.monotonic() - t0)
+            hits_store += len(exact & got)
+        throughput["ann_store_b4t4_partitions"] = 4 * (1 << 4)
+        throughput["ann_store_b4t4_probe_frac"] = round(4 / (1 << 4), 4)
+        throughput["ann_store_b4t4_recall_at_5"] = round(
+            hits_store / (5 * len(sweep_q)), 3
+        )
+        throughput["ann_store_b4t4_probe_sec"] = round(
+            sorted(probe_walls)[len(probe_walls) // 2], 3
+        )
+    finally:
+        shutil.rmtree(ann_dir, ignore_errors=True)
 
     # the real IVF path: k-means cells with multi-probe (the label
     # column and 3-bit sign bucket above are weak on near-random

@@ -23,22 +23,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _row_salt(df: DataFrame, buckets: int, salt_cols: list[str] | None) -> Column:
+    """Content-derived salt: hash of ``salt_cols`` (default: every
+    column). Any assignment is correct for an algebraic aggregate —
+    collisions just share a bucket — but deriving it from row CONTENT
+    (not ``monotonically_increasing_id``, which depends on partition
+    layout) makes task retries and re-runs row-for-row deterministic."""
+    cols = salt_cols if salt_cols is not None else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
+
+
 def salted_group_count(
-    df: DataFrame, key: str, buckets: int = 16, alias: str = "cnt"
+    df: DataFrame,
+    key: str,
+    buckets: int = 16,
+    alias: str = "cnt",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage (salted) count per key; result ≡ plain
     ``groupBy(key).count()`` with the hot-key shuffle fanned out."""
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    salted = df.withColumn("__salt", _row_salt(df, buckets, salt_cols))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias(alias))
 
 
 def salted_group_sum(
-    df: DataFrame, key: str, value: Column, buckets: int = 16, alias: str = "total"
+    df: DataFrame,
+    key: str,
+    value: Column,
+    buckets: int = 16,
+    alias: str = "total",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Salted two-stage sum (same shape; any algebraic aggregate
     decomposes this way — partial per salt, merge per key)."""
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    salted = df.withColumn("__salt", _row_salt(df, buckets, salt_cols))
     partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias(alias))
 

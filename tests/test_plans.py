@@ -290,3 +290,34 @@ def test_load_table_memoized_per_session(spark):
     # the memo must not leak across tables either
     d = load_table(spark, SF_SMALL, "orders")
     assert d is not a
+
+
+def test_ann_store_probe_prunes_at_widened_bits(spark, tmp_path):
+    """The scale dial BENCH_NOTES documents — widen bits before adding
+    tables — at rest: bits=4 x 4 tables = 64 partitions, a probe reads
+    4 (1/16 of the store vs 1/8 at bits=3), and the k=5 search
+    contract still holds."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import AnnStore
+    from data_ingestion_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = AnnStore(spark, str(tmp_path / "ann4"), bits=4, n_tables=4)
+    store.write(emb)
+
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    cand = store.probe_candidates(qv)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # 4 of 64 table-partitions read — strictly tighter than the
+    # bits=3 store's 6/48
+    all_store = spark.read.parquet(str(tmp_path / "ann4"))
+    total_files = all_store.select(F.input_file_name()).distinct().count()
+    probed_files = cand.select(F.input_file_name()).distinct().count()
+    assert 0 < probed_files <= total_files / 8
+
+    top = store.probe(qv, k=5).collect()
+    assert len(top) == 5
+    assert abs(top[0].score - 1.0) < 1e-6
