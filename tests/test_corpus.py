@@ -230,3 +230,19 @@ def test_pack_sequences_tiebreak_makes_duplicate_order_deterministic(spark):
     for n in range(30):  # (o, i) order == i order here
         assert by_i[n].cum_tokens == (n + 1) * 100
         assert by_i[n].bin_id == (n * 100) // 256
+
+
+def test_per_source_quota_skew_guard_shuffle_shape(spark):
+    """The guard's cost model, plan-asserted: exactly TWO hash
+    exchanges (the tiny per-source counts aggregate + the quota
+    window) and ONE broadcast (the counts joined back map-side).
+    A third hash exchange would mean the corpus is shuffling for the
+    guard itself — the thing the guard exists to avoid."""
+    import re
+
+    rows = [Row(source="hot" if n % 10 else "cold", doc_id=n) for n in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = C.per_source_quota(df, "source", "doc_id", 25, skew_guard=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert len(re.findall(r"BroadcastExchange", plan)) == 1
