@@ -149,11 +149,10 @@ def chunk_recursive(
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                for i, c in enumerate(
-                    recursive_character_split(row[text_col], size, overlap)
-                ):
-                    rows.append(tuple(row[k] for k in id_cols) + (i, c))
+            id_vals = [pdf[k] for k in id_cols]
+            for *ids, text in zip(*id_vals, pdf[text_col]):
+                for i, c in enumerate(recursive_character_split(text, size, overlap)):
+                    rows.append((*ids, i, c))
             yield pd.DataFrame(rows, columns=[*id_cols, "chunk_idx", "chunk_text"])
 
     return df.select(*id_cols, text_col).mapInPandas(run, schema)
