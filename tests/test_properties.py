@@ -121,3 +121,56 @@ def test_truncated_headers_return_none(w, h):
         for cut in range(0, len(blob), 7):
             got = parse_image_header(blob[:cut])
             assert got is None or got == full
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60),
+    st.lists(st.integers(1, 60), min_size=1, max_size=6),
+    st.floats(0.01, 0.99),
+)
+def test_ewma_vectorized_matches_naive_over_any_batching(values, cuts, alpha):
+    """The vectorized state update (pandas ewm + seeded carry-in) must
+    equal the naive per-row recursion no matter how the rows split
+    into micro-batches — the batching-invariance the streaming test
+    asserts end-to-end, pinned here directly on the kernel over
+    random splits."""
+    import pandas as pd
+
+    from data_ingestion_spark.streaming.stateful import _ewma_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    # split values into batches at the (cyclic) cut sizes
+    batches, i = [], 0
+    for c in cuts:
+        if i >= len(values):
+            break
+        batches.append(values[i : i + c])
+        i += c
+    if i < len(values):
+        batches.append(values[i:])
+
+    update = _ewma_fn(alpha)
+    state = FakeState()
+    ts = 0
+    out = None
+    for b in batches:
+        pdf = pd.DataFrame({"ts": range(ts, ts + len(b)), "value": b})
+        ts += len(b)
+        out = list(update((7,), iter([pdf]), state))[-1]
+
+    ewma = None
+    for v in values:
+        ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+    n, st_ewma = state.get
+    assert n == len(values)
+    rel = max(1.0, abs(ewma))
+    assert abs(st_ewma - ewma) / rel < 1e-9
+    assert out["n_events"][0] == len(values)
