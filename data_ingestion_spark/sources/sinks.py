@@ -16,9 +16,12 @@ Spark-first design: two interchangeable sink backends behind one
   the honest 100 TB architecture for an analytical store.
 - ``ServiceVectorStore``: the remote-service shape (Weaviate/ES).
   Executor-side ``foreachPartition`` with a per-partition client and
-  bounded batch upserts — the driver never sees the data. The actual
-  HTTP client isn't available here, so the client factory is
-  injectable; tests use a file-backed fake.
+  bounded batch upserts — the driver never sees the data. The client
+  factory is injectable: ``weaviate_client_factory`` /
+  ``elastic_client_factory`` build thin protocol adapters over the
+  real libraries when installed (optional dependencies, clear
+  ImportError otherwise); tests use a file-backed fake and stub raw
+  clients for the adapter mapping.
 """
 
 from __future__ import annotations
@@ -249,6 +252,123 @@ class FlakyFakeClient(FileBackedFakeClient):
                 fh.write(str(attempts + 1))
             raise ConnectionError(f"injected transient failure #{attempts + 1}")
         super().index(batch, batch_id=batch_id)
+
+
+class WeaviateIndexClient:
+    """Thin adapter mapping the ``ServiceClient`` protocol onto a
+    weaviate-client v4 connection (the live form of the reference's
+    LangChain ``add_documents``, ingestion-pipeline.py:341-349).
+
+    The raw client is INJECTED — ``weaviate_client_factory`` builds
+    it when the library is importable — so the mapping itself is
+    contract-testable with a stub. Idempotency: the object uuid is
+    uuid5 of the doc's ``id_field``, so a retried batch (same
+    content, same ids) overwrites instead of duplicating — exactly
+    the contract ``_send_with_retry`` relies on. The vector column is
+    split out of the properties into the object vector."""
+
+    def __init__(
+        self,
+        raw,
+        collection: str,
+        id_field: str = "chunk_id",
+        vector_field: str | None = "embedding",
+    ):
+        self.raw, self.collection = raw, collection
+        self.id_field, self.vector_field = id_field, vector_field
+
+    def index(self, batch: list[dict], batch_id: str | None = None) -> None:
+        import uuid
+
+        objects = []
+        for doc in batch:
+            props = {
+                k: v for k, v in doc.items() if k != self.vector_field
+            }
+            obj = {
+                "uuid": str(
+                    uuid.uuid5(uuid.NAMESPACE_URL, str(doc[self.id_field]))
+                ),
+                "properties": props,
+            }
+            if self.vector_field is not None and self.vector_field in doc:
+                obj["vector"] = doc[self.vector_field]
+            objects.append(obj)
+        self.raw.collections.get(self.collection).data.insert_many(objects)
+
+    def close(self) -> None:
+        self.raw.close()
+
+
+class ElasticIndexClient:
+    """Thin adapter mapping ``ServiceClient`` onto an Elasticsearch
+    bulk call (ingestion-pipeline-elastic.py:348-355). ``_id`` is the
+    doc's ``id_field``, so re-delivered batches upsert in place —
+    the idempotent-retry contract."""
+
+    def __init__(self, raw, index_name: str, id_field: str = "chunk_id"):
+        self.raw, self.index_name, self.id_field = raw, index_name, id_field
+
+    def index(self, batch: list[dict], batch_id: str | None = None) -> None:
+        operations: list[dict] = []
+        for doc in batch:
+            operations.append(
+                {"index": {"_index": self.index_name, "_id": str(doc[self.id_field])}}
+            )
+            operations.append({k: v for k, v in doc.items() if k != self.id_field})
+        self.raw.bulk(operations=operations)
+
+    def close(self) -> None:
+        self.raw.close()
+
+
+def weaviate_client_factory(
+    collection: str,
+    id_field: str = "chunk_id",
+    vector_field: str | None = "embedding",
+    **connect_kwargs,
+) -> ClientFactory:
+    """ClientFactory for a live Weaviate sink (optional dependency:
+    the library isn't vendored; importing happens executor-side at
+    first use and fails with a clear message when absent).
+    ``connect_kwargs`` go to ``weaviate.connect_to_custom``."""
+
+    def make() -> ServiceClient:
+        try:
+            import weaviate  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - exercised via message test
+            raise ImportError(
+                "weaviate-client is not installed; the live Weaviate sink "
+                "needs it (pip install weaviate-client). For tests use "
+                "FileBackedFakeClient."
+            ) from e
+        raw = weaviate.connect_to_custom(**connect_kwargs)
+        return WeaviateIndexClient(raw, collection, id_field, vector_field)
+
+    return make
+
+
+def elastic_client_factory(
+    index_name: str, id_field: str = "chunk_id", **client_kwargs
+) -> ClientFactory:
+    """ClientFactory for a live Elasticsearch sink (optional
+    dependency). ``client_kwargs`` go to ``Elasticsearch(...)`` —
+    pass ``request_timeout=30`` to mirror the reference's posture
+    (ingestion-pipeline-elastic.py:348)."""
+
+    def make() -> ServiceClient:
+        try:
+            from elasticsearch import Elasticsearch  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - exercised via message test
+            raise ImportError(
+                "elasticsearch is not installed; the live ES sink needs it "
+                "(pip install elasticsearch). For tests use "
+                "FileBackedFakeClient."
+            ) from e
+        raw = Elasticsearch(**client_kwargs)
+        return ElasticIndexClient(raw, index_name, id_field)
+
+    return make
 
 
 def compact_collections(

@@ -299,3 +299,103 @@ def test_stable_batch_id_idless_rows_differ():
     b = [{"text": "gamma", "n": 3}]
     assert _stable_batch_id(a) != _stable_batch_id(b)
     assert _stable_batch_id(a) == _stable_batch_id(list(reversed(a)))
+
+
+class _StubWeaviateRaw:
+    """Stub of the weaviate v4 client surface the adapter touches."""
+
+    def __init__(self):
+        self.inserted = []
+        self.closed = False
+        outer = self
+
+        class _Data:
+            def insert_many(self, objs):
+                outer.inserted.append(objs)
+
+        class _Collections:
+            def get(self, name):
+                outer.got_collection = name
+                c = type("C", (), {})()
+                c.data = _Data()
+                return c
+
+        self.collections = _Collections()
+
+    def close(self):
+        self.closed = True
+
+
+def test_weaviate_adapter_maps_protocol_idempotently():
+    """uuid5-of-id object ids (retries overwrite, never duplicate),
+    vector split out of properties, close delegated."""
+    from data_ingestion_spark.sources.sinks import WeaviateIndexClient
+
+    raw = _StubWeaviateRaw()
+    c = WeaviateIndexClient(raw, "docs", id_field="chunk_id", vector_field="embedding")
+    batch = [
+        {"chunk_id": "a", "text": "t1", "embedding": [0.1, 0.2]},
+        {"chunk_id": "b", "text": "t2", "embedding": [0.3, 0.4]},
+    ]
+    c.index(batch, batch_id="bid1")
+    c.index(batch, batch_id="bid1")  # retry: same ids
+    assert raw.got_collection == "docs"
+    assert len(raw.inserted) == 2
+    first, second = raw.inserted
+    assert [o["uuid"] for o in first] == [o["uuid"] for o in second]  # idempotent ids
+    assert len({o["uuid"] for o in first}) == 2
+    assert all("embedding" not in o["properties"] for o in first)
+    assert first[0]["vector"] == [0.1, 0.2]
+    assert first[0]["properties"]["text"] == "t1"
+    c.close()
+    assert raw.closed
+
+
+class _StubEsRaw:
+    def __init__(self):
+        self.bulks = []
+        self.closed = False
+
+    def bulk(self, operations):
+        self.bulks.append(operations)
+
+    def close(self):
+        self.closed = True
+
+
+def test_elastic_adapter_maps_protocol_idempotently():
+    """_id = doc id (bulk upserts in place on retry), action/doc
+    pairs interleaved, close delegated."""
+    from data_ingestion_spark.sources.sinks import ElasticIndexClient
+
+    raw = _StubEsRaw()
+    c = ElasticIndexClient(raw, "chunks", id_field="chunk_id")
+    c.index([{"chunk_id": "x", "text": "t"}])
+    (ops,) = raw.bulks
+    assert ops[0] == {"index": {"_index": "chunks", "_id": "x"}}
+    assert ops[1] == {"text": "t"}
+    c.close()
+    assert raw.closed
+
+
+def test_live_factories_fail_clearly_without_libs():
+    """The optional-dependency gate: calling a live factory without
+    the client library installed raises ImportError with install
+    guidance (not an opaque executor crash)."""
+    import pytest
+
+    from data_ingestion_spark.sources.sinks import (
+        elastic_client_factory,
+        weaviate_client_factory,
+    )
+
+    for factory in (
+        weaviate_client_factory("docs"),
+        elastic_client_factory("chunks"),
+    ):
+        try:
+            client = factory()
+        except ImportError as e:
+            assert "pip install" in str(e)
+        else:  # a real client lib IS present in this environment
+            client.close()
