@@ -205,17 +205,24 @@ def main() -> None:
     from data_ingestion_spark.functions.similarity import multi_table_sign_condition
 
     sweep_q = qrows[:10]
+    # exact ground truth depends only on the query — compute once,
+    # not once per (bits, tables) configuration
+    exact_by_qid = {}
+    for qr in sweep_q:
+        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+        exact_by_qid[qr.vec_id] = {
+            r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()
+        }
     for bits, n_t in [(4, 4), (4, 6), (4, 8), (5, 4), (5, 6)]:
         hits_bt = 0
         cand_rows = 0
         for qr in sweep_q:
             qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
-            exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
             got = {
                 r.vec_id
                 for r in lsh_topk(emb, qv, k=5, bits=bits, n_tables=n_t).collect()
             }
-            hits_bt += len(exact & got)
+            hits_bt += len(exact_by_qid[qr.vec_id] & got)
             cand_rows += emb.filter(
                 multi_table_sign_condition(F.col("embedding"), qv, bits, n_t)
             ).count()
@@ -243,16 +250,10 @@ def main() -> None:
         probe_walls = []
         for qr in sweep_q:
             qlist = [float(x) for x in qr.embedding]
-            exact = {
-                r.vec_id
-                for r in brute_force_topk(
-                    emb, F.array(*[F.lit(x) for x in qlist]), k=5
-                ).collect()
-            }
             t0 = _time.monotonic()
             got = {r.vec_id for r in store.probe(qlist, k=5).collect()}
             probe_walls.append(_time.monotonic() - t0)
-            hits_store += len(exact & got)
+            hits_store += len(exact_by_qid[qr.vec_id] & got)
         throughput["ann_store_b4t4_partitions"] = 4 * (1 << 4)
         throughput["ann_store_b4t4_probe_frac"] = round(4 / (1 << 4), 4)
         throughput["ann_store_b4t4_recall_at_5"] = round(

@@ -84,17 +84,29 @@ def per_source_quota(
     """
     key = hash_key(F.col(id_col), seed)
     if skew_guard:
-        counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("_n_src"))
+        counts = df.groupBy(
+            F.col(part_col).alias("__part_key")
+        ).agg(F.count(F.lit(1)).alias("_n_src"))
         # keep fraction of the source, mapped onto the first 8 hex
         # chars of the key (uniform on [0, 2^32))
         frac = F.least(
             F.lit(1.0), F.lit(float(guard_factor * quota)) / F.col("_n_src")
         )
         bound = F.ceil(frac * F.lit(float(1 << 32))).cast("bigint")
+        # null-safe join + null-key passthrough: the unguarded window
+        # groups NULL sources and sorts NULL hash keys first, so the
+        # gate must neither drop a NULL part_col row (equi-join would)
+        # nor a NULL id_col row (whose hash, hence conv(), is NULL)
+        gate = (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") < bound
+        ) | key.isNull()
         df = (
-            df.join(F.broadcast(counts), part_col)
-            .filter(F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") < bound)
-            .drop("_n_src")
+            df.join(
+                F.broadcast(counts),
+                F.col(part_col).eqNullSafe(F.col("__part_key")),
+            )
+            .filter(gate)
+            .drop("__part_key", "_n_src")
         )
     w = Window.partitionBy(part_col).orderBy(key, F.col(id_col))
     return (
@@ -169,7 +181,8 @@ def decontaminate_overlap(
     id_col: str,
     n: int = 5,
     min_overlap: int = 3,
-    max_broadcast_rows: int = 2_000_000,
+    broadcast: bool | None = None,
+    max_broadcast_docs: int = 100_000,
 ) -> DataFrame:
     """Train/eval contamination check: count distinct word ``n``-grams
     each corpus doc shares with each eval doc; pairs at or above
@@ -180,12 +193,15 @@ def decontaminate_overlap(
     tiny (benchmarks are small; the corpus is the big side), so its
     inverted index is broadcast and the corpus-side explode never
     shuffles — but "small by construction" is measured, not assumed:
-    the eval-side inverted index is counted first, and if it exceeds
-    ``max_broadcast_rows`` (~2M (eval_id, ngram) rows ≈ low hundreds
-    of MB, safely under Spark's broadcast limit) the hint is dropped
-    and the join falls back to a shuffle join instead of failing
-    mid-broadcast. Output: (doc_id, eval_id, n_overlap), one row per
-    contaminated (corpus, eval) pair.
+    with ``broadcast=None`` (auto) the eval DOC count is checked
+    first (one cheap scan of the small side — no explode), and above
+    ``max_broadcast_docs`` (100k benchmark-sized docs ≈ ~2M
+    (eval_id, ngram) index rows, comfortably under Spark's broadcast
+    limit) the hint is dropped and the join degrades to a shuffle
+    join instead of failing mid-broadcast. Pass ``broadcast=True`` /
+    ``False`` to skip the measurement and force either plan (False
+    also keeps the function fully lazy). Output: (doc_id, eval_id,
+    n_overlap), one row per contaminated (corpus, eval) pair.
     """
     corpus_inv = corpus.select(
         F.col(id_col).alias("doc_id"),
@@ -195,8 +211,9 @@ def decontaminate_overlap(
         F.col(id_col).alias("eval_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     )
-    n_eval_rows = eval_inv.count()
-    right = F.broadcast(eval_inv) if n_eval_rows <= max_broadcast_rows else eval_inv
+    if broadcast is None:
+        broadcast = eval_df.count() <= max_broadcast_docs
+    right = F.broadcast(eval_inv) if broadcast else eval_inv
     return (
         corpus_inv.join(right, "g")
         .groupBy("doc_id", "eval_id")

@@ -265,7 +265,14 @@ class WeaviateIndexClient:
     uuid5 of the doc's ``id_field``, so a retried batch (same
     content, same ids) overwrites instead of duplicating — exactly
     the contract ``_send_with_retry`` relies on. The vector column is
-    split out of the properties into the object vector."""
+    split out of the properties into the object vector.
+
+    ``data_object_cls`` is the weaviate v4 ``DataObject`` class
+    (injected by ``weaviate_client_factory``): insert_many treats a
+    BARE dict as just the properties (auto-generating a random uuid
+    and ignoring the vector), so the uuid/vector MUST travel in a
+    DataObject — a None here (stub/test mode) falls back to the
+    kwargs-shaped dicts the contract tests inspect."""
 
     def __init__(
         self,
@@ -273,9 +280,11 @@ class WeaviateIndexClient:
         collection: str,
         id_field: str = "chunk_id",
         vector_field: str | None = "embedding",
+        data_object_cls=None,
     ):
         self.raw, self.collection = raw, collection
         self.id_field, self.vector_field = id_field, vector_field
+        self.data_object_cls = data_object_cls
 
     def index(self, batch: list[dict], batch_id: str | None = None) -> None:
         import uuid
@@ -285,15 +294,17 @@ class WeaviateIndexClient:
             props = {
                 k: v for k, v in doc.items() if k != self.vector_field
             }
-            obj = {
+            kwargs = {
                 "uuid": str(
                     uuid.uuid5(uuid.NAMESPACE_URL, str(doc[self.id_field]))
                 ),
                 "properties": props,
             }
             if self.vector_field is not None and self.vector_field in doc:
-                obj["vector"] = doc[self.vector_field]
-            objects.append(obj)
+                kwargs["vector"] = doc[self.vector_field]
+            objects.append(
+                self.data_object_cls(**kwargs) if self.data_object_cls else kwargs
+            )
         self.raw.collections.get(self.collection).data.insert_many(objects)
 
     def close(self) -> None:
@@ -303,8 +314,16 @@ class WeaviateIndexClient:
 class ElasticIndexClient:
     """Thin adapter mapping ``ServiceClient`` onto an Elasticsearch
     bulk call (ingestion-pipeline-elastic.py:348-355). ``_id`` is the
-    doc's ``id_field``, so re-delivered batches upsert in place —
-    the idempotent-retry contract."""
+    doc's ``id_field`` (kept in the document body too, so ``_source``
+    consumers still see it), so re-delivered batches upsert in place
+    — the idempotent-retry contract.
+
+    ES returns HTTP 200 for a bulk request even when individual items
+    fail (mapping conflict, hot-shard rejection) — failures only
+    appear in the response's ``errors``/``items`` fields, so the
+    adapter must inspect them and RAISE, otherwise
+    ``_send_with_retry`` sees success and the documents are silently
+    lost."""
 
     def __init__(self, raw, index_name: str, id_field: str = "chunk_id"):
         self.raw, self.index_name, self.id_field = raw, index_name, id_field
@@ -315,8 +334,25 @@ class ElasticIndexClient:
             operations.append(
                 {"index": {"_index": self.index_name, "_id": str(doc[self.id_field])}}
             )
-            operations.append({k: v for k, v in doc.items() if k != self.id_field})
-        self.raw.bulk(operations=operations)
+            operations.append(dict(doc))
+        resp = self.raw.bulk(operations=operations)
+        if resp is not None:
+            try:
+                has_errors = bool(resp["errors"])
+            except (KeyError, TypeError, IndexError):
+                has_errors = False
+            if has_errors:
+                failed = [
+                    item
+                    for item in resp.get("items", [])
+                    if any(
+                        "error" in (v or {}) for v in item.values()
+                    )
+                ]
+                raise ConnectionError(
+                    f"bulk index reported {len(failed)} failed items "
+                    f"(batch_id={batch_id}): {failed[:3]}"
+                )
 
     def close(self) -> None:
         self.raw.close()
@@ -342,8 +378,12 @@ def weaviate_client_factory(
                 "needs it (pip install weaviate-client). For tests use "
                 "FileBackedFakeClient."
             ) from e
+        from weaviate.classes.data import DataObject  # type: ignore[import-not-found]
+
         raw = weaviate.connect_to_custom(**connect_kwargs)
-        return WeaviateIndexClient(raw, collection, id_field, vector_field)
+        return WeaviateIndexClient(
+            raw, collection, id_field, vector_field, data_object_cls=DataObject
+        )
 
     return make
 

@@ -52,18 +52,26 @@ def _ewma_fn(alpha: float):
             n, ewma = 0, None
         batches = [pdf for pdf in pdfs if len(pdf)]
         if batches:
+            # null/NaN values are not events: dropped before the
+            # recursion and excluded from the counter (pandas ewm
+            # would silently skip them anyway — make that explicit
+            # so n and the state agree on what was observed)
             vals = (
                 pd.concat(batches, ignore_index=True)
                 .sort_values("ts", kind="stable")["value"]
                 .astype("float64")
+                .dropna()
             )
+            n += int(vals.size)
             # Carry prior state into the vectorized recursion by seeding
             # the series with it: ewm(adjust=False) computes exactly
             # e_i = alpha*v_i + (1-alpha)*e_{i-1} from its first element.
-            if ewma is not None:
-                vals = pd.concat([pd.Series([float(ewma)]), vals], ignore_index=True)
-            ewma = float(vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
-            n += sum(len(b) for b in batches)
+            if vals.size:
+                if ewma is not None:
+                    vals = pd.concat(
+                        [pd.Series([float(ewma)]), vals], ignore_index=True
+                    )
+                ewma = float(vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
         state.update((n, float(ewma if ewma is not None else 0.0)))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ewma_value": [round(ewma or 0.0, 6)]}

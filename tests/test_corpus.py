@@ -188,9 +188,10 @@ def test_per_source_quota_skew_guard_leaves_small_sources_alone(spark):
 
 
 def test_decontaminate_falls_back_to_shuffle_join(spark):
-    """When the eval-side inverted index exceeds max_broadcast_rows
-    the broadcast hint must be dropped (shuffle join, not a failed
-    broadcast) and the result must be unchanged."""
+    """When the eval side exceeds max_broadcast_docs (or
+    broadcast=False is forced) the broadcast hint must be dropped
+    (shuffle join, not a failed broadcast) and the result must be
+    unchanged."""
     corpus = spark.createDataFrame(
         [
             Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
@@ -206,11 +207,17 @@ def test_decontaminate_falls_back_to_shuffle_join(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         hits = C.decontaminate_overlap(
-            corpus, ev, "text", "doc_id", n=3, min_overlap=3, max_broadcast_rows=2
+            corpus, ev, "text", "doc_id", n=3, min_overlap=3, max_broadcast_docs=0
         )
         assert [(r.doc_id, r.eval_id) for r in hits.collect()] == [(1, 100)]
         plan = hits._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan
+        # forcing broadcast=False behaves the same and stays lazy
+        forced = C.decontaminate_overlap(
+            corpus, ev, "text", "doc_id", n=3, min_overlap=3, broadcast=False
+        )
+        fplan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in fplan
         # and below the threshold the hint IS applied even with
         # auto-broadcast off
         hinted = C.decontaminate_overlap(corpus, ev, "text", "doc_id", n=3, min_overlap=3)
@@ -218,6 +225,31 @@ def test_decontaminate_falls_back_to_shuffle_join(spark):
         assert "BroadcastHashJoin" in hplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_per_source_quota_skew_guard_null_keys_match_exact(spark):
+    """NULL part_col rows form their own window group and NULL id_col
+    rows sort first (NULL hash) — the guard must preserve both, not
+    equi-join/filter them away."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("doc_id", LongType())]
+    )
+    rows = [("hot" if n % 10 else None, n) for n in range(300)]
+    rows += [("cold", 1000), ("cold", None)]
+    df = spark.createDataFrame(rows, schema)
+    key = lambda r: (r.source, r.doc_id)  # noqa: E731
+    exact = {key(r) for r in C.per_source_quota(df, "source", "doc_id", 9).collect()}
+    got = {
+        key(r)
+        for r in C.per_source_quota(
+            df, "source", "doc_id", 9, skew_guard=True
+        ).collect()
+    }
+    assert got == exact
+    assert any(s is None for s, _ in got)  # NULL source group survived
+    assert ("cold", None) in got  # NULL id row survived
 
 
 def test_pack_sequences_tiebreak_makes_duplicate_order_deterministic(spark):

@@ -174,3 +174,30 @@ def test_ewma_vectorized_matches_naive_over_any_batching(values, cuts, alpha):
     rel = max(1.0, abs(ewma))
     assert abs(st_ewma - ewma) / rel < 1e-9
     assert out["n_events"][0] == len(values)
+
+
+def test_ewma_kernel_ignores_null_values():
+    """Null/NaN values are not events: excluded from both the counter
+    and the recursion (explicitly, rather than relying on pandas ewm's
+    silent NaN skip disagreeing with the counter)."""
+    import math
+
+    import pandas as pd
+
+    from data_ingestion_spark.streaming.stateful import _ewma_fn
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    update = _ewma_fn(0.5)
+    state = FakeState()
+    pdf = pd.DataFrame({"ts": [1, 2, 3, 4], "value": [1.0, None, 3.0, float("nan")]})
+    out = list(update((1,), iter([pdf]), state))[-1]
+    n, ewma = state.get
+    assert n == 2  # only the two real values counted
+    assert math.isclose(ewma, 0.5 * 3.0 + 0.5 * 1.0)
+    assert out["n_events"][0] == 2

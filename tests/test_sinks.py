@@ -352,12 +352,14 @@ def test_weaviate_adapter_maps_protocol_idempotently():
 
 
 class _StubEsRaw:
-    def __init__(self):
+    def __init__(self, response=None):
         self.bulks = []
         self.closed = False
+        self.response = response if response is not None else {"errors": False}
 
     def bulk(self, operations):
         self.bulks.append(operations)
+        return self.response
 
     def close(self):
         self.closed = True
@@ -365,7 +367,8 @@ class _StubEsRaw:
 
 def test_elastic_adapter_maps_protocol_idempotently():
     """_id = doc id (bulk upserts in place on retry), action/doc
-    pairs interleaved, close delegated."""
+    pairs interleaved, the id stays in the document body (so _source
+    consumers still see it), close delegated."""
     from data_ingestion_spark.sources.sinks import ElasticIndexClient
 
     raw = _StubEsRaw()
@@ -373,15 +376,67 @@ def test_elastic_adapter_maps_protocol_idempotently():
     c.index([{"chunk_id": "x", "text": "t"}])
     (ops,) = raw.bulks
     assert ops[0] == {"index": {"_index": "chunks", "_id": "x"}}
-    assert ops[1] == {"text": "t"}
+    assert ops[1] == {"chunk_id": "x", "text": "t"}
     c.close()
     assert raw.closed
+
+
+def test_elastic_adapter_raises_on_partial_bulk_failure():
+    """ES returns HTTP 200 with per-item errors; the adapter must
+    surface them as an exception so _send_with_retry engages instead
+    of silently dropping documents."""
+    import pytest
+
+    from data_ingestion_spark.sources.sinks import ElasticIndexClient
+
+    raw = _StubEsRaw(
+        response={
+            "errors": True,
+            "items": [
+                {"index": {"_id": "x", "status": 200}},
+                {"index": {"_id": "y", "status": 429, "error": {"type": "rejected"}}},
+            ],
+        }
+    )
+    c = ElasticIndexClient(raw, "chunks", id_field="chunk_id")
+    with pytest.raises(ConnectionError, match="1 failed"):
+        c.index([{"chunk_id": "x"}, {"chunk_id": "y"}], batch_id="b1")
+
+
+def test_weaviate_adapter_uses_injected_data_object_cls():
+    """With the v4 DataObject class injected (as the live factory
+    does), objects are constructed through it — a bare dict would be
+    read by insert_many as properties-only, discarding the
+    deterministic uuid and the vector."""
+    from data_ingestion_spark.sources.sinks import WeaviateIndexClient
+
+    built = []
+
+    class FakeDataObject:
+        def __init__(self, uuid, properties, vector=None):
+            self.uuid, self.properties, self.vector = uuid, properties, vector
+            built.append(self)
+
+    raw = _StubWeaviateRaw()
+    c = WeaviateIndexClient(
+        raw, "docs", id_field="chunk_id", vector_field="embedding",
+        data_object_cls=FakeDataObject,
+    )
+    c.index([{"chunk_id": "a", "text": "t", "embedding": [0.1]}])
+    (objs,) = raw.inserted
+    assert objs == built and len(built) == 1
+    assert built[0].vector == [0.1]
+    assert built[0].properties == {"chunk_id": "a", "text": "t"}
+    assert built[0].uuid  # deterministic uuid5 travels in the object
 
 
 def test_live_factories_fail_clearly_without_libs():
     """The optional-dependency gate: calling a live factory without
     the client library installed raises ImportError with install
-    guidance (not an opaque executor crash)."""
+    guidance (not an opaque executor crash). Skipped per-lib when the
+    real client IS installed (constructing it needs a live service)."""
+    import importlib.util
+
     import pytest
 
     from data_ingestion_spark.sources.sinks import (
@@ -389,13 +444,15 @@ def test_live_factories_fail_clearly_without_libs():
         weaviate_client_factory,
     )
 
-    for factory in (
-        weaviate_client_factory("docs"),
-        elastic_client_factory("chunks"),
+    checked = 0
+    for mod, factory in (
+        ("weaviate", weaviate_client_factory("docs")),
+        ("elasticsearch", elastic_client_factory("chunks")),
     ):
-        try:
-            client = factory()
-        except ImportError as e:
-            assert "pip install" in str(e)
-        else:  # a real client lib IS present in this environment
-            client.close()
+        if importlib.util.find_spec(mod) is not None:
+            continue  # real lib present: factory() would try to connect
+        with pytest.raises(ImportError, match="pip install"):
+            factory()
+        checked += 1
+    if not checked:
+        pytest.skip("both client libraries installed in this environment")
