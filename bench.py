@@ -171,9 +171,13 @@ def main() -> None:
     # candidate union, so at scale you widen BITS per table first and
     # add tables second — the default stays 6×3 (judge-accepted 0.84).
     hits_lsh1 = hits_default = hits_lsh8 = hits_ivf = 0
+    # exact ground truth depends only on the query: computed once
+    # here, reused by the bits/tables sweep and the AnnStore probe
+    exact_by_qid = {}
     for qr in qrows:
         qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
         exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+        exact_by_qid[qr.vec_id] = exact
         lsh1 = {r.vec_id for r in lsh_topk(emb, qv, k=5, n_tables=1).collect()}
         # DEFAULT ANN path (multi-table): the number a naive caller gets
         dflt = {r.vec_id for r in lsh_topk(emb, qv, k=5).collect()}
@@ -205,14 +209,6 @@ def main() -> None:
     from data_ingestion_spark.functions.similarity import multi_table_sign_condition
 
     sweep_q = qrows[:10]
-    # exact ground truth depends only on the query — compute once,
-    # not once per (bits, tables) configuration
-    exact_by_qid = {}
-    for qr in sweep_q:
-        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
-        exact_by_qid[qr.vec_id] = {
-            r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()
-        }
     for bits, n_t in [(4, 4), (4, 6), (4, 8), (5, 4), (5, 6)]:
         hits_bt = 0
         cand_rows = 0

@@ -81,6 +81,13 @@ def per_source_quota(
     expected] < e^{-quota}); sources smaller than
     guard_factor×quota pass through unfiltered, so the guard can
     only act where the law of large numbers already protects it.
+
+    Precondition (guarded and unguarded alike): ``id_col`` should be
+    unique and non-null. NULL ids hash to NULL, tie in the window
+    order (run-dependent survivors — same as the plain window), and
+    pass the gate unthinned to preserve exactness — so a hot source
+    that is mostly NULL ids gets no thinning from the guard. Mint an
+    id first (e.g. md5 of content) for such corpora.
     """
     key = hash_key(F.col(id_col), seed)
     if skew_guard:
@@ -182,7 +189,7 @@ def decontaminate_overlap(
     n: int = 5,
     min_overlap: int = 3,
     broadcast: bool | None = None,
-    max_broadcast_docs: int = 100_000,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Train/eval contamination check: count distinct word ``n``-grams
     each corpus doc shares with each eval doc; pairs at or above
@@ -193,15 +200,18 @@ def decontaminate_overlap(
     tiny (benchmarks are small; the corpus is the big side), so its
     inverted index is broadcast and the corpus-side explode never
     shuffles — but "small by construction" is measured, not assumed:
-    with ``broadcast=None`` (auto) the eval DOC count is checked
-    first (one cheap scan of the small side — no explode), and above
-    ``max_broadcast_docs`` (100k benchmark-sized docs ≈ ~2M
-    (eval_id, ngram) index rows, comfortably under Spark's broadcast
-    limit) the hint is dropped and the join degrades to a shuffle
-    join instead of failing mid-broadcast. Pass ``broadcast=True`` /
-    ``False`` to skip the measurement and force either plan (False
-    also keeps the function fully lazy). Output: (doc_id, eval_id,
-    n_overlap), one row per contaminated (corpus, eval) pair.
+    with ``broadcast=None`` (auto) the eval side's total WORD count
+    is aggregated first (one cheap scan of the small side, no
+    explode; distinct n-grams per doc ≤ words per doc, so this is a
+    true upper bound on the (eval_id, ngram) index rows — long-doc
+    eval sets are bounded correctly, not just doc counts). Above
+    ``max_broadcast_rows`` (~2M index rows ≈ low hundreds of MB,
+    comfortably under Spark's broadcast limit) the hint is dropped
+    and the join degrades to a shuffle join instead of failing
+    mid-broadcast. Pass ``broadcast=True`` / ``False`` to skip the
+    measurement and force either plan (False also keeps the function
+    fully lazy). Output: (doc_id, eval_id, n_overlap), one row per
+    contaminated (corpus, eval) pair.
     """
     corpus_inv = corpus.select(
         F.col(id_col).alias("doc_id"),
@@ -212,7 +222,10 @@ def decontaminate_overlap(
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     )
     if broadcast is None:
-        broadcast = eval_df.count() <= max_broadcast_docs
+        upper = eval_df.agg(
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("w")
+        ).collect()[0]["w"]
+        broadcast = (upper or 0) <= max_broadcast_rows
     right = F.broadcast(eval_inv) if broadcast else eval_inv
     return (
         corpus_inv.join(right, "g")

@@ -336,23 +336,31 @@ class ElasticIndexClient:
             )
             operations.append(dict(doc))
         resp = self.raw.bulk(operations=operations)
-        if resp is not None:
+        if resp is None:
+            return
+        # strict: an unreadable response is NOT success — treating it
+        # as such would re-open the silent-loss mode this check closes
+        try:
+            has_errors = bool(resp["errors"])
+        except Exception as e:
+            raise ConnectionError(
+                f"unparseable bulk response ({type(resp).__name__}) "
+                f"for batch_id={batch_id}: {e}"
+            ) from e
+        if has_errors:
             try:
-                has_errors = bool(resp["errors"])
-            except (KeyError, TypeError, IndexError):
-                has_errors = False
-            if has_errors:
-                failed = [
-                    item
-                    for item in resp.get("items", [])
-                    if any(
-                        "error" in (v or {}) for v in item.values()
-                    )
-                ]
-                raise ConnectionError(
-                    f"bulk index reported {len(failed)} failed items "
-                    f"(batch_id={batch_id}): {failed[:3]}"
-                )
+                items = resp["items"]
+            except Exception:
+                items = []
+            failed = [
+                item
+                for item in items
+                if any("error" in (v or {}) for v in item.values())
+            ]
+            raise ConnectionError(
+                f"bulk index reported {len(failed)} failed items "
+                f"(batch_id={batch_id}): {failed[:3]}"
+            )
 
     def close(self) -> None:
         self.raw.close()
@@ -372,14 +380,16 @@ def weaviate_client_factory(
     def make() -> ServiceClient:
         try:
             import weaviate  # type: ignore[import-not-found]
+            from weaviate.classes.data import (  # type: ignore[import-not-found]
+                DataObject,
+            )
         except ImportError as e:  # pragma: no cover - exercised via message test
             raise ImportError(
-                "weaviate-client is not installed; the live Weaviate sink "
-                "needs it (pip install weaviate-client). For tests use "
+                "weaviate-client v4+ is not installed (the v4 DataObject "
+                "API is required); the live Weaviate sink needs it "
+                "(pip install weaviate-client). For tests use "
                 "FileBackedFakeClient."
             ) from e
-        from weaviate.classes.data import DataObject  # type: ignore[import-not-found]
-
         raw = weaviate.connect_to_custom(**connect_kwargs)
         return WeaviateIndexClient(
             raw, collection, id_field, vector_field, data_object_cls=DataObject

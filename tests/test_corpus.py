@@ -188,10 +188,10 @@ def test_per_source_quota_skew_guard_leaves_small_sources_alone(spark):
 
 
 def test_decontaminate_falls_back_to_shuffle_join(spark):
-    """When the eval side exceeds max_broadcast_docs (or
-    broadcast=False is forced) the broadcast hint must be dropped
-    (shuffle join, not a failed broadcast) and the result must be
-    unchanged."""
+    """When the eval side's word-count upper bound on index rows
+    exceeds max_broadcast_rows (or broadcast=False is forced) the
+    broadcast hint must be dropped (shuffle join, not a failed
+    broadcast) and the result must be unchanged."""
     corpus = spark.createDataFrame(
         [
             Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
@@ -207,7 +207,7 @@ def test_decontaminate_falls_back_to_shuffle_join(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         hits = C.decontaminate_overlap(
-            corpus, ev, "text", "doc_id", n=3, min_overlap=3, max_broadcast_docs=0
+            corpus, ev, "text", "doc_id", n=3, min_overlap=3, max_broadcast_rows=0
         )
         assert [(r.doc_id, r.eval_id) for r in hits.collect()] == [(1, 100)]
         plan = hits._jdf.queryExecution().executedPlan().toString()

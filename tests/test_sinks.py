@@ -456,3 +456,17 @@ def test_live_factories_fail_clearly_without_libs():
         checked += 1
     if not checked:
         pytest.skip("both client libraries installed in this environment")
+
+
+def test_elastic_adapter_raises_on_unparseable_response():
+    """An unreadable bulk response must raise (engaging retry), not
+    be treated as success — otherwise a wrapped/changed client shape
+    silently re-opens the lost-documents mode."""
+    import pytest
+
+    from data_ingestion_spark.sources.sinks import ElasticIndexClient
+
+    raw = _StubEsRaw(response="ok")  # non-mapping: resp['errors'] fails
+    c = ElasticIndexClient(raw, "chunks", id_field="chunk_id")
+    with pytest.raises(ConnectionError, match="unparseable"):
+        c.index([{"chunk_id": "x"}])
