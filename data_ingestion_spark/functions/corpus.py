@@ -16,6 +16,8 @@ incremental re-exports reproducible.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .textops import token_count
@@ -62,6 +64,7 @@ def per_source_quota(
     seed: str = "quota",
     skew_guard: bool = False,
     guard_factor: int = 4,
+    verify_guard: bool = False,
 ) -> DataFrame:
     """Balance a corpus by capping each source at ``quota`` docs,
     chosen by deterministic hash order (an unbiased, reproducible
@@ -88,16 +91,38 @@ def per_source_quota(
     pass the gate unthinned to preserve exactness — so a hot source
     that is mostly NULL ids gets no thinning from the guard. Mint an
     id first (e.g. md5 of content) for such corpora.
+
+    The guard is probabilistic: if, against the Chernoff odds, fewer
+    than ``quota`` rows of a ≥-quota source survive the gate, the
+    guarded result under-returns. ``verify_guard=True`` adds an eager
+    safety net — one tiny aggregate over the thinned frame (≈
+    guard_factor×quota rows per source) compares survivors against
+    quota; on any shortfall it warns and falls back to the exact
+    unguarded window for the whole frame. Off by default to keep the
+    function lazy.
+
+    Raises ValueError if ``df`` already carries one of the helper
+    columns (``__psq_part_key``, ``__psq_n_src``) or the output rank
+    column ``rk`` — they would be silently clobbered or corrupt the
+    guard join.
     """
+    pk, ns = "__psq_part_key", "__psq_n_src"
+    clash = [c for c in (pk, ns, "rk") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"per_source_quota: input columns {clash} collide with helper/"
+            "output columns — rename them first"
+        )
     key = hash_key(F.col(id_col), seed)
+    original = df
     if skew_guard:
         counts = df.groupBy(
-            F.col(part_col).alias("__part_key")
-        ).agg(F.count(F.lit(1)).alias("_n_src"))
+            F.col(part_col).alias(pk)
+        ).agg(F.count(F.lit(1)).alias(ns))
         # keep fraction of the source, mapped onto the first 8 hex
         # chars of the key (uniform on [0, 2^32))
         frac = F.least(
-            F.lit(1.0), F.lit(float(guard_factor * quota)) / F.col("_n_src")
+            F.lit(1.0), F.lit(float(guard_factor * quota)) / F.col(ns)
         )
         bound = F.ceil(frac * F.lit(float(1 << 32))).cast("bigint")
         # null-safe join + null-key passthrough: the unguarded window
@@ -110,11 +135,27 @@ def per_source_quota(
         df = (
             df.join(
                 F.broadcast(counts),
-                F.col(part_col).eqNullSafe(F.col("__part_key")),
+                F.col(part_col).eqNullSafe(F.col(pk)),
             )
             .filter(gate)
-            .drop("__part_key", "_n_src")
+            .drop(pk, ns)
         )
+        if verify_guard:
+            shorted = (
+                df.groupBy(F.col(part_col).alias(pk))
+                .agg(F.count(F.lit(1)).alias("__psq_surv"))
+                .join(counts, pk)
+                .filter((F.col(ns) >= quota) & (F.col("__psq_surv") < quota))
+                .count()
+            )
+            if shorted:
+                warnings.warn(
+                    f"per_source_quota skew_guard under-returned for {shorted} "
+                    "source(s); falling back to the exact unguarded window",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                df = original
     w = Window.partitionBy(part_col).orderBy(key, F.col(id_col))
     return (
         df.withColumn("rk", F.row_number().over(w))

@@ -21,6 +21,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -114,9 +115,18 @@ def merge_upsert(
     replace matches, unmatched updates insert, everything else
     persists — expressed as anti-join + union (one shuffle on the
     key). With Delta/Iceberg available this becomes a real MERGE with
-    file-level pruning; the logical contract is identical."""
+    file-level pruning; the logical contract is identical.
+
+    Key equality is null-safe (``<=>``), matching ``merge_into_sql``:
+    a NULL-key update row REPLACES a NULL-key current row on both
+    paths instead of duplicating it on this one."""
     keys = [key] if isinstance(key, str) else list(key)
-    kept = current.join(updates.select(*keys), on=keys, how="left_anti")
+    cur, upd = current.alias("__cur"), updates.select(*keys).alias("__upd")
+    cond = None
+    for k in keys:
+        c = F.col(f"__cur.{k}").eqNullSafe(F.col(f"__upd.{k}"))
+        cond = c if cond is None else (cond & c)
+    kept = cur.join(upd, on=cond, how="left_anti")
     return kept.unionByName(updates.select(current.columns))
 
 
@@ -124,13 +134,20 @@ def merge_upsert(
 MERGE_CAPABLE_PROVIDERS = {"delta", "iceberg"}
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a (possibly dotted) SQL identifier part-wise so
+    table/column names are never interpolated raw into MERGE SQL."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
 def merge_into_sql(target: str, source: str, keys: list[str]) -> str:
     """The MERGE statement the table-format path issues — upsert-all
     semantics matching ``merge_upsert`` (null-safe key equality so a
-    null key updates rather than double-inserting)."""
-    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    null key updates rather than double-inserting). Identifiers are
+    backtick-quoted."""
+    cond = " AND ".join(f"t.{_quote_ident(k)} <=> s.{_quote_ident(k)}" for k in keys)
     return (
-        f"MERGE INTO {target} t USING {source} s ON {cond} "
+        f"MERGE INTO {_quote_ident(target)} t USING {_quote_ident(source)} s ON {cond} "
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
@@ -163,7 +180,9 @@ def merge_upsert_table(spark, target_table: str, updates: DataFrame, key: str | 
     keys = [key] if isinstance(key, str) else list(key)
     provider = table_provider(spark, target_table)
     if provider in MERGE_CAPABLE_PROVIDERS:
-        src = f"__merge_src_{abs(hash(target_table)) % 10**8}"
+        # uuid suffix: concurrent merges into the same target in one
+        # SparkSession must not race on create/drop of a shared view
+        src = f"__merge_src_{uuid.uuid4().hex[:12]}"
         updates.createOrReplaceTempView(src)
         try:
             spark.sql(merge_into_sql(target_table, src, keys))

@@ -21,15 +21,44 @@ DataFrame composition:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _contains_map(dt: DataType) -> bool:
+    """True when a type embeds a MapType anywhere — xxhash64 raises
+    on maps (unordered, no canonical hash), so such columns can't
+    feed the content salt."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def _row_salt(df: DataFrame, buckets: int, salt_cols: list[str] | None) -> Column:
     """Content-derived salt: hash of ``salt_cols`` (default: every
-    column). Any assignment is correct for an algebraic aggregate —
-    collisions just share a bucket — but deriving it from row CONTENT
-    (not ``monotonically_increasing_id``, which depends on partition
-    layout) makes task retries and re-runs row-for-row deterministic."""
-    cols = salt_cols if salt_cols is not None else df.columns
+    hashable column — map-bearing columns are excluded, since
+    ``xxhash64`` raises AnalysisException on MapType). Any assignment
+    is correct for an algebraic aggregate — collisions just share a
+    bucket — but deriving it from row CONTENT (not
+    ``monotonically_increasing_id``, which depends on partition
+    layout) makes task retries and re-runs row-for-row deterministic.
+
+    Caveat: byte-identical rows hash to ONE bucket, so a hot key made
+    of duplicate rows is NOT fanned out by the default salt — pass
+    ``salt_cols`` naming a distinguishing column (an id, an offset)
+    for duplicate-heavy data. When no hashable column exists at all,
+    the salt degrades to a partition-local counter: still correct for
+    algebraic aggregates, but bucket assignment then depends on
+    partition layout (not retry-deterministic)."""
+    if salt_cols is not None:
+        cols = salt_cols
+    else:
+        cols = [f.name for f in df.schema.fields if not _contains_map(f.dataType)]
+    if not cols:
+        return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
 
 

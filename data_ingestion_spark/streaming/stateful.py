@@ -48,6 +48,11 @@ def _ewma_fn(alpha: float):
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             n, ewma = state.get
+            # n == 0 means the stored ewma is the placeholder written
+            # after an all-null batch, not a prior observation — treat
+            # it as "no prior" so the first real value seeds the
+            # recursion as v, not alpha*v.
+            ewma = ewma if n else None
         else:
             n, ewma = 0, None
         batches = [pdf for pdf in pdfs if len(pdf)]

@@ -278,3 +278,81 @@ def test_per_source_quota_skew_guard_shuffle_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert len(re.findall(r"BroadcastExchange", plan)) == 1
+
+
+def test_per_source_quota_rejects_helper_column_collision(spark):
+    """Input columns that collide with the guard's helper columns or
+    the output rank column must raise, not be silently clobbered."""
+    import pytest
+
+    for bad in ("__psq_part_key", "__psq_n_src", "rk"):
+        df = spark.createDataFrame(
+            [Row(source="a", doc_id=1, **{bad: 9})]
+        )
+        with pytest.raises(ValueError, match="collide"):
+            C.per_source_quota(df, "source", "doc_id", 5)
+
+
+def test_per_source_quota_verify_guard_falls_back_on_shortfall(spark):
+    """Adversarial ids whose hash keys mostly land above the gate
+    bound make the guard under-return; verify_guard must detect the
+    shortfall, warn, and return the exact unguarded result."""
+    import hashlib
+    import warnings as W
+
+    def keyint(i):
+        return int(hashlib.md5(f"quota|{i}".encode()).hexdigest()[:8], 16)
+
+    lo, hi = [], []
+    i = 0
+    while len(lo) < 4 or len(hi) < 16:
+        (lo if keyint(i) < (1 << 31) else hi).append(i)
+        i += 1
+    ids = lo[:4] + hi[:16]  # frac=0.5 gate keeps only the 4 low ids
+    df = spark.createDataFrame([Row(source="s", doc_id=d) for d in ids])
+
+    exact = {
+        r.doc_id
+        for r in C.per_source_quota(df, "source", "doc_id", 10).collect()
+    }
+    assert len(exact) == 10
+    # without verification the guard silently under-returns
+    under = C.per_source_quota(
+        df, "source", "doc_id", 10, skew_guard=True, guard_factor=1
+    ).count()
+    assert under < 10
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = {
+            r.doc_id
+            for r in C.per_source_quota(
+                df, "source", "doc_id", 10,
+                skew_guard=True, guard_factor=1, verify_guard=True,
+            ).collect()
+        }
+    assert got == exact
+    assert any("under-returned" in str(w.message) for w in caught)
+
+
+def test_per_source_quota_verify_guard_noop_when_guard_holds(spark):
+    """On well-behaved data the verification changes nothing (and
+    emits no warning)."""
+    import warnings as W
+
+    df = spark.createDataFrame(
+        [Row(source=f"s{i % 3}", doc_id=i) for i in range(300)]
+    )
+    exact = {
+        (r.source, r.doc_id)
+        for r in C.per_source_quota(df, "source", "doc_id", 10).collect()
+    }
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = {
+            (r.source, r.doc_id)
+            for r in C.per_source_quota(
+                df, "source", "doc_id", 10, skew_guard=True, verify_guard=True
+            ).collect()
+        }
+    assert got == exact
+    assert not [w for w in caught if "under-returned" in str(w.message)]

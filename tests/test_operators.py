@@ -276,6 +276,35 @@ def test_merge_upsert(spark):
     assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
 
 
+def test_merge_upsert_null_key_matches_merge_into_semantics(spark):
+    """NULL-key parity with the MERGE SQL path: `<=>` in merge_into_sql
+    means a NULL-key update MATCHES a NULL-key current row and updates
+    in place — the anti-join fallback must do the same (null-safe
+    equality), not keep the old row and insert a duplicate."""
+    from data_ingestion_spark.operators.relational import merge_upsert
+
+    schema = "k int, v string"
+    cur = spark.createDataFrame([(1, "a"), (None, "null-old")], schema)
+    upd = spark.createDataFrame([(None, "null-new"), (2, "b")], schema)
+    rows = sorted(
+        ((r.k, r.v) for r in merge_upsert(cur, upd, "k").collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    # exactly ONE null-key row survives, carrying the update's value
+    assert rows == [(1, "a"), (2, "b"), (None, "null-new")]
+
+
+def test_merge_upsert_composite_null_key(spark):
+    """Null-safe matching applies per key in composite keys."""
+    from data_ingestion_spark.operators.relational import merge_upsert
+
+    schema = "k1 int, k2 string, v string"
+    cur = spark.createDataFrame([(1, None, "old"), (1, "x", "keep")], schema)
+    upd = spark.createDataFrame([(1, None, "new")], schema)
+    out = {(r.k1, r.k2, r.v) for r in merge_upsert(cur, upd, ["k1", "k2"]).collect()}
+    assert out == {(1, None, "new"), (1, "x", "keep")}
+
+
 def test_minhash_fast_catches_exact_dups(spark):
     """The xxhash64 fast path must recall planted exact duplicates
     just like the md5 oracle path."""
@@ -679,7 +708,62 @@ def test_merge_into_sql_statement_shape():
 
     sql = merge_into_sql("tgt", "src", ["k1", "k2"])
     assert sql == (
-        "MERGE INTO tgt t USING src s ON t.k1 <=> s.k1 AND t.k2 <=> s.k2 "
+        "MERGE INTO `tgt` t USING `src` s ON t.`k1` <=> s.`k1` AND t.`k2` <=> s.`k2` "
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
+    # dotted names quote part-wise; embedded backticks are escaped
+    dotted = merge_into_sql("cat.db.tgt", "src", ["a`b"])
+    assert "MERGE INTO `cat`.`db`.`tgt` t" in dotted
+    assert "t.`a``b` <=> s.`a``b`" in dotted
+
+
+# ----------------------------------------------------------- salted aggs
+
+def test_salted_group_count_skips_map_columns(spark):
+    """xxhash64 raises on MapType, so the default content salt must
+    exclude map-bearing columns instead of failing the whole agg."""
+    from data_ingestion_spark.operators.skew import salted_group_count
+
+    df = spark.createDataFrame(
+        [Row(k="a", n=i, meta={"src": str(i)}) for i in range(20)]
+        + [Row(k="b", n=0, meta={"src": "x"})]
+    )
+    out = {r.k: r.cnt for r in salted_group_count(df, "k", buckets=4).collect()}
+    assert out == {"a": 20, "b": 1}
+
+
+def test_salted_group_count_all_map_columns_falls_back(spark):
+    """With NO hashable column, the salt degrades to a partition-local
+    counter — the agg still returns the exact plain-groupBy result."""
+    from data_ingestion_spark.operators.skew import salted_group_count
+
+    df = spark.createDataFrame([Row(k="a", meta={"i": str(i % 3)}) for i in range(30)])
+    # the group key itself is hashable but identical for every row of
+    # the hot key — restrict salt_cols to nothing hashable by making
+    # the frame key+map only and checking correctness (fan-out aside)
+    out = {r.k: r.cnt for r in salted_group_count(df.select("meta", "k"), "k").collect()}
+    assert out == {"a": 30}
+
+
+def test_salted_group_count_duplicate_rows_need_salt_cols(spark):
+    """Byte-identical rows share one salt bucket (documented caveat);
+    a distinguishing salt_cols restores fan-out while keeping the
+    result exact."""
+    from data_ingestion_spark.operators.skew import _row_salt, salted_group_count
+
+    dup = spark.createDataFrame([Row(k="hot", v=1)] * 50 + [Row(k="cold", v=2)])
+    with_id = dup.withColumn("rid", F.monotonically_increasing_id())
+    out = {
+        r.k: r.cnt
+        for r in salted_group_count(with_id, "k", buckets=8, salt_cols=["rid"]).collect()
+    }
+    assert out == {"hot": 50, "cold": 1}
+    n_buckets = (
+        with_id.withColumn("s", _row_salt(with_id, 8, ["rid"]))
+        .filter(F.col("k") == "hot")
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1, "distinguishing salt_cols must fan the hot key out"

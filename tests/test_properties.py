@@ -125,16 +125,25 @@ def test_truncated_headers_return_none(w, h):
 
 @settings(max_examples=100, deadline=None)
 @given(
-    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60),
+    st.lists(
+        st.one_of(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.just(float("nan")),  # nulls interleaved: not events
+        ),
+        min_size=1,
+        max_size=60,
+    ),
     st.lists(st.integers(1, 60), min_size=1, max_size=6),
     st.floats(0.01, 0.99),
 )
 def test_ewma_vectorized_matches_naive_over_any_batching(values, cuts, alpha):
     """The vectorized state update (pandas ewm + seeded carry-in) must
     equal the naive per-row recursion no matter how the rows split
-    into micro-batches — the batching-invariance the streaming test
-    asserts end-to-end, pinned here directly on the kernel over
-    random splits."""
+    into micro-batches — including splits where an entire leading
+    batch is all-NaN (state must then record 'no prior', not seed the
+    recursion with the 0.0 placeholder)."""
+    import math
+
     import pandas as pd
 
     from data_ingestion_spark.streaming.stateful import _ewma_fn
@@ -166,14 +175,18 @@ def test_ewma_vectorized_matches_naive_over_any_batching(values, cuts, alpha):
         ts += len(b)
         out = list(update((7,), iter([pdf]), state))[-1]
 
+    real = [v for v in values if not math.isnan(v)]
     ewma = None
-    for v in values:
+    for v in real:
         ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
     n, st_ewma = state.get
-    assert n == len(values)
-    rel = max(1.0, abs(ewma))
-    assert abs(st_ewma - ewma) / rel < 1e-9
-    assert out["n_events"][0] == len(values)
+    assert n == len(real)
+    if ewma is None:
+        assert st_ewma == 0.0  # placeholder, flagged by n == 0
+    else:
+        rel = max(1.0, abs(ewma))
+        assert abs(st_ewma - ewma) / rel < 1e-9
+    assert out["n_events"][0] == len(real)
 
 
 def test_ewma_kernel_ignores_null_values():
@@ -201,3 +214,33 @@ def test_ewma_kernel_ignores_null_values():
     assert n == 2  # only the two real values counted
     assert math.isclose(ewma, 0.5 * 3.0 + 0.5 * 1.0)
     assert out["n_events"][0] == 2
+
+
+def test_ewma_all_null_first_batch_does_not_seed_zero():
+    """Regression: an all-null first micro-batch writes state (0, 0.0);
+    the next batch must treat that as NO prior — first real value v
+    yields ewma == v, not alpha*v."""
+    import math
+
+    import pandas as pd
+
+    from data_ingestion_spark.streaming.stateful import _ewma_fn
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    update = _ewma_fn(0.3)
+    state = FakeState()
+    b1 = pd.DataFrame({"ts": [1, 2], "value": [None, float("nan")]})
+    list(update((1,), iter([b1]), state))
+    assert state.get == (0, 0.0)
+    b2 = pd.DataFrame({"ts": [3], "value": [10.0]})
+    out = list(update((1,), iter([b2]), state))[-1]
+    n, ewma = state.get
+    assert n == 1
+    assert math.isclose(ewma, 10.0), "first real value must seed, not mix with 0.0"
+    assert out["ewma_value"][0] == 10.0
