@@ -420,15 +420,11 @@ def agg_grouped_pandas_iqr(spark, sf_dir):
     range). pandas' linear-interpolation quantile matches DuckDB's
     quantile_cont, so even the Python aggregation path is oracle-
     checked. Arrow moves each group as one series; at scale pair with
-    a salting pre-agg if a single group outgrows executor memory."""
-    import pandas as pd
-    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
-
-    # explicit functionType: postponed annotations (PEP 563) in this
-    # module turn the type hints into strings, which defeats inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def iqr(v: pd.Series) -> float:
-        return float(v.quantile(0.75) - v.quantile(0.25))
+    a salting pre-agg if a single group outgrows executor memory.
+    The UDF lives in functions/udafs.py (no postponed annotations)
+    so GROUPED_AGG is inferred from its type hints — the explicit
+    PandasUDFType flag is deprecated since Spark 3.0."""
+    from .functions.udafs import iqr
 
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
