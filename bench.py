@@ -141,18 +141,28 @@ def main() -> None:
     )
     n_chunks = chunks.count()
     embedded = chunks.withColumn("embedding", make_embed_udf(64)(F.col("chunk_text")))
-    # first run spawns the executor python workers; best-of-2 warm
-    # runs (steady-state throughput is the capacity-planning number,
-    # and a single warm pass still catches occasional worker-respawn
-    # hiccups measured at 3-4x)
+    # first run spawns the executor python workers (untimed); then
+    # median-of-5 warm passes. r06 flagged a 0.361 -> 0.433 s move on
+    # best-of-2 — sub-second points need the tighter estimator to
+    # separate drift from python-worker scheduling noise, and the
+    # cost (~2 s) is trivial.
     embedded.write.format("noop").mode("overwrite").save()
-    dt = float("inf")
-    for _ in range(2):
+    walls: list[float] = []
+    for _ in range(5):
         t0 = time.perf_counter()
         embedded.write.format("noop").mode("overwrite").save()
-        dt = min(dt, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
+    dt = median(walls)
     timings["embed_udf_stage"] = round(dt, 3)
     throughput = {"embed_chunks_per_sec": round(n_chunks / dt, 1)}
+    # BASELINE.md floor: >=10k chunks/s through the Arrow boundary.
+    # Asserted (not eyeballed) whenever the corpus is big enough for
+    # throughput to be chunk-bound rather than overhead-bound.
+    if n_chunks >= 10_000:
+        assert throughput["embed_chunks_per_sec"] >= 10_000, (
+            "embed stand-in throughput below the 10k chunks/s floor: "
+            f"{throughput['embed_chunks_per_sec']}"
+        )
 
     # ANN quality: recall@5 of the sign-bucket LSH and IVF probes vs
     # exact brute force, averaged over 20 query vectors
