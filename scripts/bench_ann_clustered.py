@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Clustered-embedding ANN sweep — the second recall regime.
+
+Every recall dial in bench.py is measured on the driver-generated
+embeddings table, whose vectors are near-uniform on the sphere —
+the regime where sign-LSH is weak BY CONSTRUCTION (BENCH_NOTES notes
+this honestly). Real text-embedding corpora (nomic-embed outputs,
+reference ingestion-pipeline.py:334-339) are clustered: documents
+about one topic share a cone of the sphere. This script generates a
+deterministic mixture-of-Gaussians corpus with the exact
+embeddings.parquet schema (vec_id bigint, embedding array<float>,
+label int = mixture component) and reports the SAME dials — LSH
+bits×tables with candidate fractions, k-means IVF multi-probe, and
+the at-rest AnnStore point — so BENCH_NOTES can show both regimes
+side by side and justify the default dial on the regime that
+matters.
+
+Geometry: component centers ~ N(0, I_64) (pairwise near-orthogonal in
+64-dim), points = center + sigma*N(0, I) with sigma=0.65, giving
+within-cluster cosine ~= 1/(1+sigma^2) ~= 0.70 and cross-cluster
+cosine ~= 0 — the shape of a real topic-clustered embedding corpus.
+All randomness is seeded; output is bit-stable across runs.
+
+Usage: python scripts/bench_ann_clustered.py   (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+N_VECTORS = 2000
+DIM = 64
+N_CLUSTERS = 16
+SIGMA = 0.65
+SEED = 7
+N_QUERIES = 20
+K = 5
+
+
+def make_clustered(n: int, dim: int, n_clusters: int, sigma: float, seed: int):
+    """Deterministic mixture-of-Gaussians rows: (vec_id, unit-norm
+    embedding, component label)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, n_clusters, size=n)
+    pts = centers[labels] + sigma * rng.randn(n, dim) / np.sqrt(dim)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return [
+        (int(i), [float(x) for x in pts[i]], int(labels[i])) for i in range(n)
+    ]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        brute_force_topk,
+        ivf_search,
+        kmeans_ivf_build,
+        kmeans_ivf_search,
+        lsh_topk,
+        multi_table_sign_condition,
+    )
+    from data_ingestion_spark.session import get_spark
+
+    spark = get_spark("ann-clustered-bench")
+    emb = spark.createDataFrame(
+        make_clustered(N_VECTORS, DIM, N_CLUSTERS, SIGMA, SEED),
+        "vec_id bigint, embedding array<float>, label int",
+    ).cache()
+    n_emb = emb.count()
+
+    out: dict[str, float] = {"n_vectors": n_emb, "n_clusters": N_CLUSTERS}
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+
+    # exact ground truth once per query, shared by every dial
+    exact_by_qid = {}
+    hits = {"lsh_default": 0, "lsh8": 0, "ivf_label": 0}
+    for qr in qrows:
+        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+        exact = {r.vec_id for r in brute_force_topk(emb, qv, k=K).collect()}
+        exact_by_qid[qr.vec_id] = exact
+        dflt = {r.vec_id for r in lsh_topk(emb, qv, k=K).collect()}
+        lsh8 = {r.vec_id for r in lsh_topk(emb, qv, k=K, n_tables=8).collect()}
+        ivf = {
+            r.vec_id
+            for r in ivf_search(
+                emb, qv, F.lit(qr.label), cell_col="label", k=K
+            ).collect()
+        }
+        hits["lsh_default"] += len(exact & dflt)
+        hits["lsh8"] += len(exact & lsh8)
+        hits["ivf_label"] += len(exact & ivf)
+    denom = K * len(qrows)
+    out["ann_lsh_default_recall_at_5"] = round(hits["lsh_default"] / denom, 3)
+    out["ann_lsh8_recall_at_5"] = round(hits["lsh8"] / denom, 3)
+    out["ann_ivf_label_recall_at_5"] = round(hits["ivf_label"] / denom, 3)
+
+    # bits x tables sweep with candidate fraction (the scan cost)
+    sweep_q = qrows[:10]
+    for bits, n_t in [(4, 4), (4, 6), (4, 8), (5, 4), (5, 6)]:
+        h = cand = 0
+        for qr in sweep_q:
+            qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+            got = {
+                r.vec_id
+                for r in lsh_topk(emb, qv, k=K, bits=bits, n_tables=n_t).collect()
+            }
+            h += len(exact_by_qid[qr.vec_id] & got)
+            cand += emb.filter(
+                multi_table_sign_condition(F.col("embedding"), qv, bits, n_t)
+            ).count()
+        out[f"ann_lsh_b{bits}t{n_t}_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
+        out[f"ann_lsh_b{bits}t{n_t}_cand_frac"] = round(
+            cand / (n_emb * len(sweep_q)), 3
+        )
+
+    # k-means IVF multi-probe (the honest scale path)
+    model, assigned = kmeans_ivf_build(emb, n_cells=16)
+    assigned = assigned.cache()
+    for n_probe in (4, 6):
+        h = 0
+        for qr in qrows:
+            got = {
+                r.vec_id
+                for r in kmeans_ivf_search(
+                    assigned, model, list(qr.embedding), k=K, n_probe=n_probe
+                ).collect()
+            }
+            h += len(exact_by_qid[qr.vec_id] & got)
+        out[f"ann_kmeans_ivf{n_probe}_recall_at_5"] = round(h / denom, 3)
+    assigned.unpersist()
+
+    # AnnStore at-rest point at the widened bits
+    ann_dir = tempfile.mkdtemp(prefix="bench_ann_clustered_")
+    try:
+        store = AnnStore(spark, ann_dir, bits=4, n_tables=4)
+        store.write(emb)
+        h = 0
+        walls = []
+        for qr in sweep_q:
+            t0 = time.monotonic()
+            got = {
+                r.vec_id
+                for r in store.probe([float(x) for x in qr.embedding], k=K).collect()
+            }
+            walls.append(time.monotonic() - t0)
+            h += len(exact_by_qid[qr.vec_id] & got)
+        out["ann_store_b4t4_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
+        out["ann_store_b4t4_probe_sec"] = round(sorted(walls)[len(walls) // 2], 3)
+    finally:
+        shutil.rmtree(ann_dir, ignore_errors=True)
+
+    emb.unpersist()
+    print(json.dumps({"metric": "ann_clustered_regime", **out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
