@@ -398,6 +398,56 @@ def weaviate_client_factory(
     return make
 
 
+class StdlibESTransport:
+    """Zero-dependency Elasticsearch wire transport: speaks the bulk
+    NDJSON protocol (POST ``/_bulk``, ``application/x-ndjson``) over
+    stdlib urllib. Duck-types the one method ``ElasticIndexClient``
+    uses (``bulk(operations=...)`` returning the parsed JSON body), so
+    the adapter's retry/error handling can be exercised over a REAL
+    socket in tests — and a container without the elasticsearch
+    package can still reach an ES-wire-compatible endpoint.
+
+    HTTP ≥400 raises (urllib's HTTPError), which ``_send_with_retry``
+    treats as a transient failure — the 5xx path of the reference's
+    ``request_timeout=30`` posture (ingestion-pipeline-elastic.py:348)."""
+
+    def __init__(self, base_url: str, timeout_s: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def bulk(self, operations: list[dict]) -> dict:
+        import urllib.request
+
+        body = "\n".join(json.dumps(op) for op in operations) + "\n"
+        req = urllib.request.Request(
+            self.base_url + "/_bulk",
+            data=body.encode("utf-8"),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def close(self) -> None:
+        pass
+
+
+def elastic_http_factory(
+    base_url: str, index_name: str, id_field: str = "chunk_id", timeout_s: float = 30.0
+) -> ClientFactory:
+    """ClientFactory for an ES-wire-compatible endpoint over the
+    stdlib transport (no elasticsearch package needed). Same adapter,
+    same idempotency/error contract as ``elastic_client_factory`` —
+    only the transport differs."""
+
+    def make() -> ServiceClient:
+        return ElasticIndexClient(
+            StdlibESTransport(base_url, timeout_s), index_name, id_field
+        )
+
+    return make
+
+
 def elastic_client_factory(
     index_name: str, id_field: str = "chunk_id", **client_kwargs
 ) -> ClientFactory:

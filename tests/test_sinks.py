@@ -470,3 +470,185 @@ def test_elastic_adapter_raises_on_unparseable_response():
     c = ElasticIndexClient(raw, "chunks", id_field="chunk_id")
     with pytest.raises(ConnectionError, match="unparseable"):
         c.index([{"chunk_id": "x"}])
+
+
+# ------------------------------------------- real-socket ES wire tests
+
+class _BulkHTTPServer:
+    """Tiny in-process HTTP server speaking the ES bulk wire shape
+    (stdlib only): scripted per-request behaviors, records every
+    received NDJSON body for assertions."""
+
+    def __init__(self, script):
+        import http.server
+        import threading
+
+        srv = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib naming)
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                srv.requests.append(
+                    {
+                        "path": self.path,
+                        "lines": [
+                            json.loads(ln)
+                            for ln in body.decode("utf-8").splitlines()
+                            if ln
+                        ],
+                    }
+                )
+                step = srv.script[min(len(srv.requests) - 1, len(srv.script) - 1)]
+                if step == "503":
+                    self.send_error(503, "injected unavailable")
+                    return
+                n_docs = len(srv.requests[-1]["lines"]) // 2
+                if step == "partial":
+                    payload = {
+                        "errors": True,
+                        "items": [
+                            {"index": {"_id": str(i), "status": 429,
+                                       "error": {"type": "es_rejected_execution_exception"}}}
+                            for i in range(n_docs)
+                        ],
+                    }
+                else:  # "ok"
+                    payload = {
+                        "errors": False,
+                        "items": [
+                            {"index": {"_id": str(i), "status": 201}}
+                            for i in range(n_docs)
+                        ],
+                    }
+                data = json.dumps(payload).encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+        self.requests = []
+        self.script = script
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_elastic_stdlib_transport_5xx_then_success_over_real_socket():
+    """E:348-355 failure surface one level deeper than fakes: the real
+    adapter + real NDJSON serialization + a real socket. Two 503s then
+    success — _send_with_retry must re-POST the same wire bytes and
+    converge."""
+    from data_ingestion_spark.sources.sinks import (
+        _send_with_retry,
+        elastic_http_factory,
+    )
+
+    srv = _BulkHTTPServer(script=["503", "503", "ok"])
+    try:
+        client = elastic_http_factory(srv.url, "docs_idx", id_field="doc_id")()
+        batch = [
+            {"doc_id": 1, "text": "alpha"},
+            {"doc_id": 2, "text": "beta"},
+        ]
+        _send_with_retry(client, batch, max_retries=3, backoff_s=0.0, sleep=lambda s: None)
+        client.close()
+    finally:
+        srv.stop()
+
+    assert len(srv.requests) == 3  # two failures + the success
+    # every attempt carried identical wire bytes to the same endpoint
+    assert all(r["path"] == "/_bulk" for r in srv.requests)
+    assert srv.requests[0]["lines"] == srv.requests[2]["lines"]
+    # wire shape: action/doc pairs, _id = doc_id, id kept in body
+    lines = srv.requests[-1]["lines"]
+    assert lines[0] == {"index": {"_index": "docs_idx", "_id": "1"}}
+    assert lines[1]["doc_id"] == 1 and lines[1]["text"] == "alpha"
+    assert lines[2] == {"index": {"_index": "docs_idx", "_id": "2"}}
+
+
+def test_elastic_stdlib_transport_partial_failure_then_success():
+    """HTTP 200 with errors:true (hot-shard rejection) must raise
+    inside the adapter and be retried like a transport failure."""
+    from data_ingestion_spark.sources.sinks import (
+        _send_with_retry,
+        elastic_http_factory,
+    )
+
+    srv = _BulkHTTPServer(script=["partial", "ok"])
+    try:
+        client = elastic_http_factory(srv.url, "docs_idx", id_field="doc_id")()
+        _send_with_retry(
+            client, [{"doc_id": 7, "text": "x"}], max_retries=2, backoff_s=0.0,
+            sleep=lambda s: None,
+        )
+        client.close()
+    finally:
+        srv.stop()
+    assert len(srv.requests) == 2
+
+
+def test_elastic_stdlib_transport_exhaustion_propagates():
+    """A permanently-down endpoint exhausts retries and raises — the
+    Spark task must fail loudly, never ack silently."""
+    import pytest
+
+    from data_ingestion_spark.sources.sinks import (
+        _send_with_retry,
+        elastic_http_factory,
+    )
+
+    srv = _BulkHTTPServer(script=["503"])
+    try:
+        client = elastic_http_factory(srv.url, "docs_idx", id_field="doc_id")()
+        with pytest.raises(Exception):
+            _send_with_retry(
+                client, [{"doc_id": 1}], max_retries=2, backoff_s=0.0,
+                sleep=lambda s: None,
+            )
+        client.close()
+    finally:
+        srv.stop()
+    assert len(srv.requests) == 3  # initial + 2 retries
+
+
+def test_elastic_stdlib_sink_end_to_end_through_spark(spark):
+    """The full executor path: DataFrame -> foreachPartition -> real
+    adapter -> real socket -> bulk NDJSON, with a 503 injected
+    mid-stream. Every doc must land exactly once per wire _id."""
+    from data_ingestion_spark.sources.sinks import (
+        ServiceVectorStore,
+        elastic_http_factory,
+    )
+
+    srv = _BulkHTTPServer(script=["503", "ok"])
+    try:
+        df = spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(20)], "doc_id int, text string"
+        ).coalesce(2)
+        sink = ServiceVectorStore(
+            elastic_http_factory(srv.url, "docs_idx", id_field="doc_id"),
+            batch_size=6,
+            max_retries=3,
+            backoff_s=0.0,
+            sleep=lambda s: None,
+        )
+        sink.upsert(df)
+    finally:
+        srv.stop()
+
+    landed = {}
+    for req in srv.requests:
+        lines = req["lines"]
+        for action, doc in zip(lines[0::2], lines[1::2]):
+            landed[action["index"]["_id"]] = doc["text"]
+    assert len(landed) == 20
+    assert all(landed[str(i)] == f"doc-{i}" for i in range(20))
