@@ -321,3 +321,17 @@ def test_ann_store_probe_prunes_at_widened_bits(spark, tmp_path):
     top = store.probe(qv, k=5).collect()
     assert len(top) == 5
     assert abs(top[0].score - 1.0) < 1e-6
+
+
+def test_merge_upsert_null_safe_join_stays_hash_join(spark):
+    """The null-safe anti join (eqNullSafe per key) must plan as a
+    hash join — Catalyst rewrites `<=>` into (coalesce, isnull) equi
+    keys — never a nested loop. A BroadcastNestedLoopJoin here would
+    make MERGE's parquet fallback quadratic at scale."""
+    from data_ingestion_spark.operators.relational import merge_upsert
+
+    cur = spark.range(0, 1000).selectExpr("id as k", "cast(id as string) as v")
+    upd = spark.range(500, 1500).selectExpr("id as k", "concat('u', id) as v")
+    plan = merge_upsert(cur, upd, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan and "LeftAnti" in plan
