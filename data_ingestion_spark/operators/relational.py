@@ -157,7 +157,7 @@ def table_provider(spark, table: str) -> str | None:
     """The storage provider of a saved table (``delta``, ``iceberg``,
     ``parquet``, …), lowercased; None when the catalog doesn't
     record one."""
-    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+    for row in spark.sql(f"DESCRIBE FORMATTED {_quote_ident(table)}").collect():
         if row.col_name.strip().lower() == "provider":
             return row.data_type.strip().lower()
     return None
