@@ -121,6 +121,11 @@ def main() -> None:
     # embedding stand-in stage in isolation (chunks/s)
     from data_ingestion_spark.plans.ingestion import ingestion_pipeline
 
+    # one untimed warm pass, matching the headline treatment: the e2e
+    # plan codegens a wide md5 expression tree (embed_deterministic)
+    # seen nowhere else in the suite — a cold pass measured 5.6 s vs
+    # 0.9 s warm, enough to skew the median when JIT lands late.
+    ingestion_pipeline(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     e2e: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -240,18 +240,34 @@ def mllib_lsh_topk(
 
 def kmeans_ivf_build(
     vectors: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    max_fit_rows: int | None = None,
 ):
     """Real IVF coarse quantizer: MLlib k-means over the corpus.
 
     Returns (model, assigned) where ``assigned`` carries an
-    ``ivf_cell`` column. At 100 TB: fit on a sample
-    (``vectors.sample``), assign the full corpus with the fitted model
-    (a narrow map), and write the table partitioned by ``ivf_cell`` so
-    probes prune partitions. Complements the label-column stand-in
-    used by the ``ann_ivf_search`` DQ.
+    ``ivf_cell`` column. Complements the label-column stand-in used by
+    the ``ann_ivf_search`` DQ.
+
+    Scale knobs (the two levers that make this the 100 TB path):
+
+    - ``n_cells="auto"`` sizes the cell count to ``round(sqrt(n))``
+      (floored at 2) — the standard IVF rule: with n/cells vectors
+      per cell, an ``n_probe``-cell probe scans ``n_probe*sqrt(n)``
+      rows instead of a fixed fraction of the corpus, so probe cost
+      grows with sqrt(corpus) rather than linearly. A fixed
+      ``n_cells=16`` at 10^9 vectors means every probe cell holds
+      ~60M rows; auto gives ~31.6k cells of ~31.6k rows.
+    - ``max_fit_rows`` caps the k-means FIT input by uniform sample
+      (assignment still covers the full corpus — ``transform`` is a
+      narrow map). Centroid quality needs only a representative
+      sample, not the corpus; fitting on 10^9 rows would shuffle all
+      of them per k-means iteration for no recall gain.
+
+    At rest, write ``assigned`` partitioned by ``ivf_cell`` so probes
+    prune partitions (same layout contract as ``AnnStore``).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -259,7 +275,22 @@ def kmeans_ivf_build(
     df = vectors.withColumn(
         "__vec", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell").fit(df)
+    fit_df = df
+    if n_cells == "auto" or max_fit_rows is not None:
+        n = df.count()
+        if n_cells == "auto":
+            n_cells = max(2, int(round(n ** 0.5)))
+        if max_fit_rows is not None and n > max_fit_rows:
+            # slight oversample then exact cap: Bernoulli sampling is
+            # a narrow op but only approximates the target count
+            fit_df = df.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed).limit(
+                max_fit_rows
+            )
+    if not isinstance(n_cells, int):
+        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__vec", predictionCol="ivf_cell"
+    ).fit(fit_df)
     return model, model.transform(df).drop("__vec")
 
 

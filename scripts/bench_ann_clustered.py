@@ -142,6 +142,43 @@ def main() -> None:
         out[f"ann_kmeans_ivf{n_probe}_recall_at_5"] = round(h / denom, 3)
     assigned.unpersist()
 
+    # sqrt-n auto-sized cells with sample fit — the shape this takes
+    # at 100 TB (n_cells="auto" -> ~sqrt(n) cells; k-means fitted on a
+    # capped uniform sample, full corpus assigned by the narrow
+    # transform). Probe cost is MEASURED, not nominal: scanned_frac =
+    # rows living in the probed cells / corpus, averaged over queries.
+    import numpy as np
+
+    model_a, assigned_a = kmeans_ivf_build(emb, n_cells="auto", max_fit_rows=1000)
+    assigned_a = assigned_a.cache()
+    centers_a = model_a.clusterCenters()
+    out["ann_kmeans_auto_n_cells"] = len(centers_a)
+    cell_sizes = {
+        r.ivf_cell: r.cnt
+        for r in assigned_a.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for n_probe in (3, 6):
+        h = scanned = 0
+        for qr in qrows:
+            q = np.array(list(qr.embedding), dtype=float)
+            order = sorted(
+                range(len(centers_a)),
+                key=lambda i: float(np.linalg.norm(centers_a[i] - q)),
+            )
+            scanned += sum(cell_sizes.get(c, 0) for c in order[:n_probe])
+            got = {
+                r.vec_id
+                for r in kmeans_ivf_search(
+                    assigned_a, model_a, list(qr.embedding), k=K, n_probe=n_probe
+                ).collect()
+            }
+            h += len(exact_by_qid[qr.vec_id] & got)
+        out[f"ann_kmeans_auto_p{n_probe}_recall_at_5"] = round(h / denom, 3)
+        out[f"ann_kmeans_auto_p{n_probe}_scanned_frac"] = round(
+            scanned / (n_emb * len(qrows)), 3
+        )
+    assigned_a.unpersist()
+
     # AnnStore at-rest point at the widened bits
     ann_dir = tempfile.mkdtemp(prefix="bench_ann_clustered_")
     try:

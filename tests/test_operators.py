@@ -230,6 +230,40 @@ def test_kmeans_ivf_recall(spark):
     assert exact[0].vec_id in ids
 
 
+def test_kmeans_ivf_auto_cells_and_sample_fit(spark):
+    """The two 100 TB knobs: n_cells='auto' sizes cells to ~sqrt(n),
+    and max_fit_rows fits k-means on a sample while still assigning
+    EVERY corpus row a cell. Probe semantics are unchanged."""
+    from data_ingestion_spark.functions.similarity import (
+        kmeans_ivf_build,
+        kmeans_ivf_search,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    model, assigned = kmeans_ivf_build(emb, n_cells="auto", max_fit_rows=max(2, n // 2))
+    expect_cells = max(2, int(round(n ** 0.5)))
+    assert len(model.clusterCenters()) == expect_cells
+    # sample-fit must not drop assignment coverage: every row gets a cell
+    assert assigned.count() == n
+    assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+    assert assigned.select("ivf_cell").distinct().count() <= expect_cells
+
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    ids = [
+        r.vec_id
+        for r in kmeans_ivf_search(
+            assigned, model, list(qrow.embedding), k=5, n_probe=2
+        ).collect()
+    ]
+    assert 0 in ids  # self-match survives the auto/sample path
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_cells"):
+        kmeans_ivf_build(emb, n_cells="bogus")
+
+
 # ------------------------------------------------------------- UDTF / merge
 
 def test_python_udtf_chunker(spark):
