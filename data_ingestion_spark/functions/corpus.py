@@ -141,11 +141,20 @@ def per_source_quota(
             .drop(pk, ns)
         )
         if verify_guard:
+            # anchor the check on COUNTS, not survivors: a source whose
+            # rows were ALL gated out has no survivor group at all, and
+            # an inner join would drop exactly the total-loss case the
+            # net exists to catch. Left join + coalesce(0) keeps it;
+            # eqNullSafe keeps a NULL-part_col source comparable.
+            surv = df.groupBy(F.col(part_col).alias("__psq_sk")).agg(
+                F.count(F.lit(1)).alias("__psq_surv")
+            )
             shorted = (
-                df.groupBy(F.col(part_col).alias(pk))
-                .agg(F.count(F.lit(1)).alias("__psq_surv"))
-                .join(counts, pk)
-                .filter((F.col(ns) >= quota) & (F.col("__psq_surv") < quota))
+                counts.join(surv, F.col(pk).eqNullSafe(F.col("__psq_sk")), "left")
+                .filter(
+                    (F.col(ns) >= quota)
+                    & (F.coalesce(F.col("__psq_surv"), F.lit(0)) < quota)
+                )
                 .count()
             )
             if shorted:

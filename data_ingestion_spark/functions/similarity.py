@@ -18,6 +18,8 @@ Scale paths beyond ~10^7 vectors:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -278,13 +280,41 @@ def kmeans_ivf_build(
     fit_df = df
     if n_cells == "auto" or max_fit_rows is not None:
         n = df.count()
-        if n_cells == "auto":
-            n_cells = max(2, int(round(n ** 0.5)))
+        n_fit = n
         if max_fit_rows is not None and n > max_fit_rows:
             # slight oversample then exact cap: Bernoulli sampling is
-            # a narrow op but only approximates the target count
-            fit_df = df.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed).limit(
-                max_fit_rows
+            # a narrow op but only approximates the target count — it
+            # can come in UNDER max_fit_rows, so pin the sample
+            # (localCheckpoint: it's <= max_fit_rows rows) and count
+            # what actually arrived; the k cap below must use the real
+            # row count or k-means can be handed fewer points than
+            # centroids (ArrayIndexOutOfBounds in MLlib init).
+            fit_df = (
+                df.sample(fraction=min(1.0, 1.1 * max_fit_rows / n), seed=seed)
+                .limit(max_fit_rows)
+                .localCheckpoint()
+            )
+            n_fit = fit_df.count()
+        if n_cells == "auto":
+            # sqrt of the CORPUS, but never more cells than fit rows —
+            # k-means can't place more distinct centroids than points,
+            # and k > n_fit pads duplicate/empty cells that silently
+            # break the rows-per-cell guarantee. A cap this tight also
+            # signals a mis-sized max_fit_rows, so say so.
+            auto_k = max(2, int(round(n ** 0.5)))
+            n_cells = max(1, min(auto_k, n_fit))
+            if n_cells < auto_k:
+                warnings.warn(
+                    f"kmeans_ivf_build: auto n_cells {auto_k} capped to "
+                    f"{n_cells} by the fit-sample size — raise max_fit_rows "
+                    "(a sqrt(n)-cell quantizer needs at least sqrt(n) fit rows)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        elif n_cells > n_fit:
+            raise ValueError(
+                f"n_cells={n_cells} exceeds the {n_fit} rows available to fit "
+                "on — lower n_cells or raise max_fit_rows"
             )
     if not isinstance(n_cells, int):
         raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")

@@ -135,9 +135,19 @@ MERGE_CAPABLE_PROVIDERS = {"delta", "iceberg"}
 
 
 def _quote_ident(name: str) -> str:
-    """Backtick-quote a (possibly dotted) SQL identifier part-wise so
-    table/column names are never interpolated raw into MERGE SQL."""
+    """Backtick-quote a possibly-dotted TABLE name part-wise
+    (``db.tbl`` → ```db`.`tbl```) so table names are never
+    interpolated raw into MERGE SQL. Not for columns — splitting on
+    '.' would turn a column literally named ``a.b`` into a struct
+    field path; use :func:`_quote_col` for those."""
     return ".".join("`" + p.replace("`", "``") + "`" for p in name.split("."))
+
+
+def _quote_col(name: str) -> str:
+    """Backtick-quote a COLUMN name as one atom: dots stay inside the
+    single backtick pair, so a column named ``a.b`` resolves as that
+    column, not as field ``b`` of column ``a``."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def merge_into_sql(target: str, source: str, keys: list[str]) -> str:
@@ -145,7 +155,7 @@ def merge_into_sql(target: str, source: str, keys: list[str]) -> str:
     semantics matching ``merge_upsert`` (null-safe key equality so a
     null key updates rather than double-inserting). Identifiers are
     backtick-quoted."""
-    cond = " AND ".join(f"t.{_quote_ident(k)} <=> s.{_quote_ident(k)}" for k in keys)
+    cond = " AND ".join(f"t.{_quote_col(k)} <=> s.{_quote_col(k)}" for k in keys)
     return (
         f"MERGE INTO {_quote_ident(target)} t USING {_quote_ident(source)} s ON {cond} "
         "WHEN MATCHED THEN UPDATE SET * "

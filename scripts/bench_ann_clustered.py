@@ -147,8 +147,6 @@ def main() -> None:
     # capped uniform sample, full corpus assigned by the narrow
     # transform). Probe cost is MEASURED, not nominal: scanned_frac =
     # rows living in the probed cells / corpus, averaged over queries.
-    import numpy as np
-
     model_a, assigned_a = kmeans_ivf_build(emb, n_cells="auto", max_fit_rows=1000)
     assigned_a = assigned_a.cache()
     centers_a = model_a.clusterCenters()

@@ -334,6 +334,36 @@ def test_per_source_quota_verify_guard_falls_back_on_shortfall(spark):
     assert any("under-returned" in str(w.message) for w in caught)
 
 
+def test_per_source_quota_verify_guard_detects_total_loss(spark):
+    """The worst shortfall: EVERY row of a >=quota source gated out
+    (all rows share one id whose hash prefix lands above the bound),
+    so the source has no survivor group at all. An inner-join check
+    would drop the group and miss it — the net must anchor on the
+    pre-gate counts, detect 0 < quota, warn, and fall back."""
+    import hashlib
+    import warnings as W
+
+    # find an id whose md5 key prefix is in the TOP quarter of the
+    # space: with frac = guard_factor*quota/n = 8/16 = 0.5, the gate
+    # bound is 2^31 and this id's every duplicate row is dropped
+    bad = next(
+        i for i in range(1000)
+        if int(hashlib.md5(f"quota|{i}".encode()).hexdigest()[:8], 16) > (3 << 30)
+    )
+    df = spark.createDataFrame([Row(source="s", doc_id=bad)] * 16)
+
+    exact = C.per_source_quota(df, "source", "doc_id", 8).count()
+    assert exact == 8
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = C.per_source_quota(
+            df, "source", "doc_id", 8,
+            skew_guard=True, guard_factor=1, verify_guard=True,
+        ).count()
+    assert got == exact
+    assert any("under-returned" in str(w.message) for w in caught)
+
+
 def test_per_source_quota_verify_guard_noop_when_guard_holds(spark):
     """On well-behaved data the verification changes nothing (and
     emits no warning)."""

@@ -264,6 +264,34 @@ def test_kmeans_ivf_auto_cells_and_sample_fit(spark):
         kmeans_ivf_build(emb, n_cells="bogus")
 
 
+def test_kmeans_ivf_auto_cells_capped_by_fit_sample(spark):
+    """auto k is sqrt of the CORPUS but can't exceed the fit sample —
+    k-means can't place more distinct centroids than it has points, so
+    an undersized max_fit_rows caps k (with a warning) rather than
+    padding duplicate/empty cells; an explicit too-large n_cells is a
+    hard error."""
+    import warnings as W
+
+    import pytest as _pytest
+
+    from data_ingestion_spark.functions.similarity import kmeans_ivf_build
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    auto_k = max(2, int(round(n ** 0.5)))
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        model, assigned = kmeans_ivf_build(emb, n_cells="auto", max_fit_rows=auto_k - 2)
+    # capped at the ACTUAL sampled row count (Bernoulli can come in
+    # under max_fit_rows), which is itself <= the requested cap
+    assert 2 <= len(model.clusterCenters()) <= auto_k - 2
+    assert assigned.count() == n  # full corpus still assigned
+    assert any("capped" in str(w.message) for w in caught)
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        kmeans_ivf_build(emb, n_cells=auto_k + 5, max_fit_rows=auto_k)
+
+
 # ------------------------------------------------------------- UDTF / merge
 
 def test_python_udtf_chunker(spark):
@@ -750,6 +778,12 @@ def test_merge_into_sql_statement_shape():
     dotted = merge_into_sql("cat.db.tgt", "src", ["a`b"])
     assert "MERGE INTO `cat`.`db`.`tgt` t" in dotted
     assert "t.`a``b` <=> s.`a``b`" in dotted
+    # a COLUMN whose name contains a literal dot must stay ONE quoted
+    # atom — part-wise splitting would resolve it as a struct field
+    # path (field b of column a) instead of the column named "a.b"
+    dotted_col = merge_into_sql("tgt", "src", ["a.b"])
+    assert "t.`a.b` <=> s.`a.b`" in dotted_col
+    assert "t.`a`.`b`" not in dotted_col
 
 
 # ----------------------------------------------------------- salted aggs
@@ -767,17 +801,24 @@ def test_salted_group_count_skips_map_columns(spark):
     assert out == {"a": 20, "b": 1}
 
 
-def test_salted_group_count_all_map_columns_falls_back(spark):
-    """With NO hashable column, the salt degrades to a partition-local
-    counter — the agg still returns the exact plain-groupBy result."""
-    from data_ingestion_spark.operators.skew import salted_group_count
+def test_salted_group_count_counter_fallback(spark):
+    """The partition-local-counter fallback must ACTUALLY run: an
+    explicit salt_cols=[] leaves no hashable salt input, and a
+    map-only frame leaves the default with none either. (A frame
+    that merely CONTAINS a map still salts by its other columns —
+    that path is covered by the map-exclusion test below.)"""
+    from data_ingestion_spark.operators.skew import _row_salt, salted_group_count
 
     df = spark.createDataFrame([Row(k="a", meta={"i": str(i % 3)}) for i in range(30)])
-    # the group key itself is hashable but identical for every row of
-    # the hot key — restrict salt_cols to nothing hashable by making
-    # the frame key+map only and checking correctness (fan-out aside)
-    out = {r.k: r.cnt for r in salted_group_count(df.select("meta", "k"), "k").collect()}
+    # salt_cols=[] forces the counter branch end-to-end through the agg
+    out = {r.k: r.cnt for r in salted_group_count(df, "k", salt_cols=[]).collect()}
     assert out == {"a": 30}
+    # and the branch choice itself: all-map frame -> counter; any
+    # hashable column present -> content hash
+    counter = str(_row_salt(df.select("meta"), 8, None))
+    assert "monotonically_increasing_id" in counter and "xxhash64" not in counter
+    content = str(_row_salt(df.select("meta", "k"), 8, None))
+    assert "xxhash64" in content and "monotonically_increasing_id" not in content
 
 
 def test_salted_group_count_duplicate_rows_need_salt_cols(spark):
