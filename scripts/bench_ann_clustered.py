@@ -21,11 +21,19 @@ within-cluster cosine ~= 1/(1+sigma^2) ~= 0.70 and cross-cluster
 cosine ~= 0 — the shape of a real topic-clustered embedding corpus.
 All randomness is seeded; output is bit-stable across runs.
 
-Usage: python scripts/bench_ann_clustered.py   (prints one JSON line)
+Usage: python scripts/bench_ann_clustered.py [--n 2000] [--clusters 16]
+       [--auto-only]   (prints one JSON line)
+
+``--n`` scales the corpus (components scale with --clusters) so the
+sqrt-n auto-cell claim is measurable at more than one size;
+``--auto-only`` skips the LSH/store sweeps and reports just the
+k-means rows (the full sweep is quadratic-ish in probe count and
+meant for the 2k default).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -37,9 +45,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-N_VECTORS = 2000
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--n", type=int, default=2000)
+_ap.add_argument("--clusters", type=int, default=16)
+_ap.add_argument("--auto-only", action="store_true")
+_ARGS = _ap.parse_args()
+
+N_VECTORS = _ARGS.n
 DIM = 64
-N_CLUSTERS = 16
+N_CLUSTERS = _ARGS.clusters
 SIGMA = 0.65
 SEED = 7
 N_QUERIES = 20
@@ -91,6 +105,8 @@ def main() -> None:
         qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
         exact = {r.vec_id for r in brute_force_topk(emb, qv, k=K).collect()}
         exact_by_qid[qr.vec_id] = exact
+        if _ARGS.auto_only:
+            continue
         dflt = {r.vec_id for r in lsh_topk(emb, qv, k=K).collect()}
         lsh8 = {r.vec_id for r in lsh_topk(emb, qv, k=K, n_tables=8).collect()}
         ivf = {
@@ -103,13 +119,14 @@ def main() -> None:
         hits["lsh8"] += len(exact & lsh8)
         hits["ivf_label"] += len(exact & ivf)
     denom = K * len(qrows)
-    out["ann_lsh_default_recall_at_5"] = round(hits["lsh_default"] / denom, 3)
-    out["ann_lsh8_recall_at_5"] = round(hits["lsh8"] / denom, 3)
-    out["ann_ivf_label_recall_at_5"] = round(hits["ivf_label"] / denom, 3)
+    if not _ARGS.auto_only:
+        out["ann_lsh_default_recall_at_5"] = round(hits["lsh_default"] / denom, 3)
+        out["ann_lsh8_recall_at_5"] = round(hits["lsh8"] / denom, 3)
+        out["ann_ivf_label_recall_at_5"] = round(hits["ivf_label"] / denom, 3)
 
     # bits x tables sweep with candidate fraction (the scan cost)
     sweep_q = qrows[:10]
-    for bits, n_t in [(4, 4), (4, 6), (4, 8), (5, 4), (5, 6)]:
+    for bits, n_t in [] if _ARGS.auto_only else [(4, 4), (4, 6), (4, 8), (5, 4), (5, 6)]:
         h = cand = 0
         for qr in sweep_q:
             qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
@@ -127,30 +144,35 @@ def main() -> None:
         )
 
     # k-means IVF multi-probe (the honest scale path)
-    model, assigned = kmeans_ivf_build(emb, n_cells=16)
-    assigned = assigned.cache()
-    for n_probe in (4, 6):
-        h = 0
-        for qr in qrows:
-            got = {
-                r.vec_id
-                for r in kmeans_ivf_search(
-                    assigned, model, list(qr.embedding), k=K, n_probe=n_probe
-                ).collect()
-            }
-            h += len(exact_by_qid[qr.vec_id] & got)
-        out[f"ann_kmeans_ivf{n_probe}_recall_at_5"] = round(h / denom, 3)
-    assigned.unpersist()
+    if not _ARGS.auto_only:
+        model, assigned = kmeans_ivf_build(emb, n_cells=16)
+        assigned = assigned.cache()
+        for n_probe in (4, 6):
+            h = 0
+            for qr in qrows:
+                got = {
+                    r.vec_id
+                    for r in kmeans_ivf_search(
+                        assigned, model, list(qr.embedding), k=K, n_probe=n_probe
+                    ).collect()
+                }
+                h += len(exact_by_qid[qr.vec_id] & got)
+            out[f"ann_kmeans_ivf{n_probe}_recall_at_5"] = round(h / denom, 3)
+        assigned.unpersist()
 
     # sqrt-n auto-sized cells with sample fit — the shape this takes
     # at 100 TB (n_cells="auto" -> ~sqrt(n) cells; k-means fitted on a
     # capped uniform sample, full corpus assigned by the narrow
     # transform). Probe cost is MEASURED, not nominal: scanned_frac =
     # rows living in the probed cells / corpus, averaged over queries.
-    model_a, assigned_a = kmeans_ivf_build(emb, n_cells="auto", max_fit_rows=1000)
+    # fit-sample sized to ~30 points per expected centroid (floor 1k):
+    # enough for stable centroids, still sqrt-ish in the corpus
+    fit_cap = max(1000, 30 * int(round(N_VECTORS ** 0.5)))
+    model_a, assigned_a = kmeans_ivf_build(emb, n_cells="auto", max_fit_rows=fit_cap)
     assigned_a = assigned_a.cache()
     centers_a = model_a.clusterCenters()
     out["ann_kmeans_auto_n_cells"] = len(centers_a)
+    out["ann_kmeans_auto_fit_cap"] = fit_cap
     cell_sizes = {
         r.ivf_cell: r.cnt
         for r in assigned_a.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -178,6 +200,11 @@ def main() -> None:
     assigned_a.unpersist()
 
     # AnnStore at-rest point at the widened bits
+    if _ARGS.auto_only:
+        emb.unpersist()
+        print(json.dumps({"metric": "ann_clustered_regime", **out}))
+        spark.stop()
+        return
     ann_dir = tempfile.mkdtemp(prefix="bench_ann_clustered_")
     try:
         store = AnnStore(spark, ann_dir, bits=4, n_tables=4)
