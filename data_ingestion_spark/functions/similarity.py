@@ -445,19 +445,51 @@ class AnnStore:
             out.append(b)
         return out
 
-    def probe_candidates(self, qv: list[float]) -> DataFrame:
-        """The pruned scan only — one partition per table."""
-        buckets = self._query_buckets(qv)  # validate qv before any IO
+    def _probe_pairs(self, qv: list[float], extra_flips: int = 0) -> list[tuple[int, int]]:
+        """(table, bucket) pairs to read: each table's home bucket,
+        plus — multi-probe LSH (Lv et al., VLDB'07, public technique)
+        — the ``extra_flips`` buckets reached by flipping the
+        LOWEST-MARGIN sign bits one at a time. A component near zero
+        is the one most likely to carry a true neighbor on its other
+        side, so those adjacent buckets have the highest residual
+        recall per extra partition read."""
+        buckets = self._query_buckets(qv)  # validates qv up front
+        flips = max(0, min(int(extra_flips), self.bits))
+        pairs: list[tuple[int, int]] = []
+        for t, b in enumerate(buckets):
+            pairs.append((t, b))
+            comps = qv[t * self.bits: (t + 1) * self.bits]
+            order = sorted(range(self.bits), key=lambda i: abs(comps[i]))
+            for i in order[:flips]:
+                pairs.append((t, b ^ (1 << i)))
+        return pairs
+
+    def probe_candidates(self, qv: list[float], extra_flips: int = 0) -> DataFrame:
+        """The pruned scan only — (1 + extra_flips) partitions per
+        table, still resolved at plan time (PartitionFilters)."""
+        pairs = self._probe_pairs(qv, extra_flips)
         store = self.spark.read.parquet(self.path)
         cond = None
-        for t, b in enumerate(buckets):
+        for t, b in pairs:
             c = (F.col("table") == t) & (F.col("bucket") == b)
             cond = c if cond is None else (cond | c)
         return store.filter(cond)
 
-    def probe(self, qv: list[float], k: int = 5) -> DataFrame:
+    def probe(self, qv: list[float], k: int = 5, extra_flips: int = 0) -> DataFrame:
         """Pruned scan → dedup ids (a vector can match in several
-        tables) → exact cosine re-rank."""
-        cand = self.probe_candidates(qv).select(self.id_col, self.vec_col).distinct()
+        tables/flip buckets) → exact cosine re-rank.
+
+        ``extra_flips`` is the recall dial that costs NO extra
+        storage: flipping the f weakest sign bits reads t·(1+f) of
+        the t·2^bits partitions — the recall of roughly doubling the
+        table count at half the index footprint (measured in
+        BENCH_NOTES; an 8-table store duplicates every vector pointer
+        8× at rest, a flip probe just reads more of the 4-table one).
+        """
+        cand = (
+            self.probe_candidates(qv, extra_flips)
+            .select(self.id_col, self.vec_col)
+            .distinct()
+        )
         qcol = F.array(*[F.lit(float(x)) for x in qv])
         return brute_force_topk(cand, qcol, k, self.id_col, self.vec_col)

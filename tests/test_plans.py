@@ -226,6 +226,55 @@ def test_ann_store_probe_prunes_partitions(spark, tmp_path):
     assert abs(top[0].score - 1.0) < 1e-6  # self-match ranks first
 
 
+def test_ann_store_multi_probe_flips_stay_pruned(spark, tmp_path):
+    """Multi-probe (lowest-margin bit flips) must widen the scan by
+    exactly one extra partition per table per flip — still plan-time
+    partition pruning, never a full-store filter — and the flip
+    buckets must be supersets (recall can only grow with flips)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import AnnStore
+    from data_ingestion_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    store = AnnStore(spark, str(tmp_path / "ann"), bits=4, n_tables=4)
+    store.write(emb)
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+
+    # pair sets: home pairs ⊂ 1-flip pairs ⊂ 2-flip pairs, with
+    # exactly n_tables extra pairs per flip level
+    p0, p1, p2 = (set(store._probe_pairs(qv, f)) for f in (0, 1, 2))
+    assert p0 < p1 < p2
+    assert len(p1) == len(p0) + 4 and len(p2) == len(p1) + 4
+
+    base_files = (
+        store.probe_candidates(qv, 0).select(F.input_file_name()).distinct().count()
+    )
+    flip_files = (
+        store.probe_candidates(qv, 1).select(F.input_file_name()).distinct().count()
+    )
+    plan = store.probe_candidates(qv, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    total_files = (
+        spark.read.parquet(str(tmp_path / "ann"))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert base_files < flip_files < total_files  # wider but still pruned
+
+    # candidate sets nest, so probe recall is monotone in flips; the
+    # self-match still ranks first through the flip path
+    c0 = {r.vec_id for r in store.probe_candidates(qv, 0).select("vec_id").collect()}
+    c1 = {r.vec_id for r in store.probe_candidates(qv, 1).select("vec_id").collect()}
+    assert c0 <= c1
+    top = store.probe(qv, k=5, extra_flips=1).collect()
+    assert abs(top[0].score - 1.0) < 1e-6
+
+    # flips clamp at bits (every adjacent bucket): no crash, full table set
+    assert len(set(store._probe_pairs(qv, 99))) == 4 * (1 + 4)
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Co-located join at rest: both facts written bucketBy(8, key) —
     the bucketed scans report the hash partitioning, so the sort-merge
