@@ -221,6 +221,17 @@ def main() -> None:
             h += len(exact_by_qid[qr.vec_id] & got)
         out["ann_store_b4t4_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
         out["ann_store_b4t4_probe_sec"] = round(sorted(walls)[len(walls) // 2], 3)
+        # multi-probe: 1 lowest-margin flip per table (8/64 partitions)
+        h = 0
+        for qr in sweep_q:
+            got = {
+                r.vec_id
+                for r in store.probe(
+                    [float(x) for x in qr.embedding], k=K, extra_flips=1
+                ).collect()
+            }
+            h += len(exact_by_qid[qr.vec_id] & got)
+        out["ann_store_b4t4f1_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
     finally:
         shutil.rmtree(ann_dir, ignore_errors=True)
 
