@@ -91,6 +91,7 @@ def main() -> None:
     qrows = vecs.filter(F.col("vec_id") < args.n_queries).collect()
     probe_times, hits = [], 0
     pruned_ok = True
+    exact_by_qid: dict[int, set] = {}
     for qr in qrows:
         qv = [float(x) for x in qr.embedding]
         t0 = time.perf_counter()
@@ -102,6 +103,7 @@ def main() -> None:
         pruned_ok &= files_read < n_files
         qcol = F.array(*[F.lit(float(x)) for x in qv])
         exact = {r.vec_id for r in brute_force_topk(vecs, qcol, k=5).collect()}
+        exact_by_qid[qr.vec_id] = exact
         hits += len(exact & {r.vec_id for r in top})
     out["probe_median_sec"] = round(statistics.median(probe_times), 3)
     out["probe_worst_sec"] = round(max(probe_times), 3)
@@ -118,11 +120,44 @@ def main() -> None:
             }
         )
     )
-    print(json.dumps({"summary": "stress_ann", **out}))
-
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
+
+    # the 100 TB shape: WIDE buckets (tiny partitions) + multi-probe
+    # flips to buy the recall back at query time. b5t4 reads 4/128
+    # partitions at the home buckets (~3% of the store) and each flip
+    # adds 4 more — the recall dial costs partitions, never storage.
+    path2 = tempfile.mkdtemp(prefix="stress_ann_b5t4_")
+    store2 = AnnStore(spark, path2, bits=5, n_tables=4)
+    t0 = time.perf_counter()
+    store2.write(vecs)
+    out["b5t4_write_sec"] = round(time.perf_counter() - t0, 2)
+    for flips in (0, 1, 2):
+        times, h = [], 0
+        for qr in qrows:
+            qv = [float(x) for x in qr.embedding]
+            t0 = time.perf_counter()
+            top = store2.probe(qv, k=5, extra_flips=flips).collect()
+            times.append(time.perf_counter() - t0)
+            h += len(exact_by_qid[qr.vec_id] & {r.vec_id for r in top})
+        out[f"b5t4_f{flips}_recall_at_5"] = round(h / (5 * len(qrows)), 3)
+        out[f"b5t4_f{flips}_probe_median_sec"] = round(statistics.median(times), 3)
+        out[f"b5t4_f{flips}_partitions"] = 4 * (1 + flips)
+        print(
+            json.dumps(
+                {
+                    "stage": f"b5t4_flips{flips}",
+                    "recall_at_5": out[f"b5t4_f{flips}_recall_at_5"],
+                    "probe_median_sec": out[f"b5t4_f{flips}_probe_median_sec"],
+                    "partitions_read": out[f"b5t4_f{flips}_partitions"],
+                    "of": 4 * (1 << 5),
+                }
+            )
+        )
+    shutil.rmtree(path2, ignore_errors=True)
+
+    print(json.dumps({"summary": "stress_ann", **out}))
     spark.stop()
 
 
