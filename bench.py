@@ -257,36 +257,29 @@ def main() -> None:
     try:
         store = AnnStore(spark, ann_dir, bits=4, n_tables=4)
         store.write(emb)
-        hits_store = 0
+        # one loop over the flip dial: f=0 is the home-bucket probe
+        # (timed), f=1 is multi-probe — the no-extra-storage recall
+        # dial, reading 8 of 64 partitions instead of 4
         probe_walls = []
-        for qr in sweep_q:
-            qlist = [float(x) for x in qr.embedding]
-            t0 = _time.monotonic()
-            got = {r.vec_id for r in store.probe(qlist, k=5).collect()}
-            probe_walls.append(_time.monotonic() - t0)
-            hits_store += len(exact_by_qid[qr.vec_id] & got)
+        for flips, key in ((0, "ann_store_b4t4"), (1, "ann_store_b4t4f1")):
+            hits_store = 0
+            for qr in sweep_q:
+                qlist = [float(x) for x in qr.embedding]
+                t0 = _time.monotonic()
+                got = {
+                    r.vec_id
+                    for r in store.probe(qlist, k=5, extra_flips=flips).collect()
+                }
+                if flips == 0:
+                    probe_walls.append(_time.monotonic() - t0)
+                hits_store += len(exact_by_qid[qr.vec_id] & got)
+            throughput[f"{key}_recall_at_5"] = round(
+                hits_store / (5 * len(sweep_q)), 3
+            )
         throughput["ann_store_b4t4_partitions"] = 4 * (1 << 4)
         throughput["ann_store_b4t4_probe_frac"] = round(4 / (1 << 4), 4)
-        throughput["ann_store_b4t4_recall_at_5"] = round(
-            hits_store / (5 * len(sweep_q)), 3
-        )
         throughput["ann_store_b4t4_probe_sec"] = round(
             sorted(probe_walls)[len(probe_walls) // 2], 3
-        )
-        # multi-probe (1 lowest-margin bit flip per table): the
-        # no-extra-storage recall dial — reads 8 of 64 partitions
-        # instead of 4, recall measured vs the same exact truth
-        hits_flip = 0
-        for qr in sweep_q:
-            got = {
-                r.vec_id
-                for r in store.probe(
-                    [float(x) for x in qr.embedding], k=5, extra_flips=1
-                ).collect()
-            }
-            hits_flip += len(exact_by_qid[qr.vec_id] & got)
-        throughput["ann_store_b4t4f1_recall_at_5"] = round(
-            hits_flip / (5 * len(sweep_q)), 3
         )
         throughput["ann_store_b4t4f1_partitions_read"] = 4 * 2
     finally:

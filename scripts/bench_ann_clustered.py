@@ -24,8 +24,9 @@ All randomness is seeded; output is bit-stable across runs.
 Usage: python scripts/bench_ann_clustered.py [--n 2000] [--clusters 16]
        [--auto-only]   (prints one JSON line)
 
-``--n`` scales the corpus (components scale with --clusters) so the
-sqrt-n auto-cell claim is measurable at more than one size;
+``--n`` scales the corpus; pass ``--clusters`` ALONGSIDE it to keep
+the mixture geometry comparable (components do NOT auto-scale — the
+BENCH_NOTES 100k rows used ``--n 100000 --clusters 64``);
 ``--auto-only`` skips the LSH/store sweeps and reports just the
 k-means rows (the full sweep is quadratic-ish in probe count and
 meant for the 2k default).
@@ -209,29 +210,24 @@ def main() -> None:
     try:
         store = AnnStore(spark, ann_dir, bits=4, n_tables=4)
         store.write(emb)
-        h = 0
+        # one loop over the flip dial: f=0 home buckets (timed), f=1
+        # multi-probe (1 lowest-margin flip/table, 8/64 partitions)
         walls = []
-        for qr in sweep_q:
-            t0 = time.monotonic()
-            got = {
-                r.vec_id
-                for r in store.probe([float(x) for x in qr.embedding], k=K).collect()
-            }
-            walls.append(time.monotonic() - t0)
-            h += len(exact_by_qid[qr.vec_id] & got)
-        out["ann_store_b4t4_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
+        for flips, key in ((0, "ann_store_b4t4"), (1, "ann_store_b4t4f1")):
+            h = 0
+            for qr in sweep_q:
+                t0 = time.monotonic()
+                got = {
+                    r.vec_id
+                    for r in store.probe(
+                        [float(x) for x in qr.embedding], k=K, extra_flips=flips
+                    ).collect()
+                }
+                if flips == 0:
+                    walls.append(time.monotonic() - t0)
+                h += len(exact_by_qid[qr.vec_id] & got)
+            out[f"{key}_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
         out["ann_store_b4t4_probe_sec"] = round(sorted(walls)[len(walls) // 2], 3)
-        # multi-probe: 1 lowest-margin flip per table (8/64 partitions)
-        h = 0
-        for qr in sweep_q:
-            got = {
-                r.vec_id
-                for r in store.probe(
-                    [float(x) for x in qr.embedding], k=K, extra_flips=1
-                ).collect()
-            }
-            h += len(exact_by_qid[qr.vec_id] & got)
-        out["ann_store_b4t4f1_recall_at_5"] = round(h / (K * len(sweep_q)), 3)
     finally:
         shutil.rmtree(ann_dir, ignore_errors=True)
 

@@ -129,35 +129,39 @@ def main() -> None:
     # partitions at the home buckets (~3% of the store) and each flip
     # adds 4 more — the recall dial costs partitions, never storage.
     path2 = tempfile.mkdtemp(prefix="stress_ann_b5t4_")
-    store2 = AnnStore(spark, path2, bits=5, n_tables=4)
-    t0 = time.perf_counter()
-    store2.write(vecs)
-    out["b5t4_write_sec"] = round(time.perf_counter() - t0, 2)
-    for flips in (0, 1, 2):
-        times, h = [], 0
-        for qr in qrows:
-            qv = [float(x) for x in qr.embedding]
-            t0 = time.perf_counter()
-            top = store2.probe(qv, k=5, extra_flips=flips).collect()
-            times.append(time.perf_counter() - t0)
-            h += len(exact_by_qid[qr.vec_id] & {r.vec_id for r in top})
-        out[f"b5t4_f{flips}_recall_at_5"] = round(h / (5 * len(qrows)), 3)
-        out[f"b5t4_f{flips}_probe_median_sec"] = round(statistics.median(times), 3)
-        out[f"b5t4_f{flips}_partitions"] = 4 * (1 + flips)
-        print(
-            json.dumps(
-                {
-                    "stage": f"b5t4_flips{flips}",
-                    "recall_at_5": out[f"b5t4_f{flips}_recall_at_5"],
-                    "probe_median_sec": out[f"b5t4_f{flips}_probe_median_sec"],
-                    "partitions_read": out[f"b5t4_f{flips}_partitions"],
-                    "of": 4 * (1 << 5),
-                }
+    try:
+        store2 = AnnStore(spark, path2, bits=5, n_tables=4)
+        t0 = time.perf_counter()
+        store2.write(vecs)
+        out["b5t4_write_sec"] = round(time.perf_counter() - t0, 2)
+        for flips in (0, 1, 2):
+            times, h = [], 0
+            for qr in qrows:
+                qv = [float(x) for x in qr.embedding]
+                t0 = time.perf_counter()
+                top = store2.probe(qv, k=5, extra_flips=flips).collect()
+                times.append(time.perf_counter() - t0)
+                h += len(exact_by_qid[qr.vec_id] & {r.vec_id for r in top})
+            out[f"b5t4_f{flips}_recall_at_5"] = round(h / (5 * len(qrows)), 3)
+            out[f"b5t4_f{flips}_probe_median_sec"] = round(statistics.median(times), 3)
+            out[f"b5t4_f{flips}_partitions"] = 4 * (1 + flips)
+            print(
+                json.dumps(
+                    {
+                        "stage": f"b5t4_flips{flips}",
+                        "recall_at_5": out[f"b5t4_f{flips}_recall_at_5"],
+                        "probe_median_sec": out[f"b5t4_f{flips}_probe_median_sec"],
+                        "partitions_read": out[f"b5t4_f{flips}_partitions"],
+                        "of": 4 * (1 << 5),
+                    }
+                )
             )
-        )
-    shutil.rmtree(path2, ignore_errors=True)
-
-    print(json.dumps({"summary": "stress_ann", **out}))
+    finally:
+        # whatever happens in the b5t4 section, clean its temp dir and
+        # publish the measurements gathered so far — the base b3t6
+        # numbers must not be discarded by a failure in the add-on
+        shutil.rmtree(path2, ignore_errors=True)
+        print(json.dumps({"summary": "stress_ann", **out}))
     spark.stop()
 
 
