@@ -319,6 +319,15 @@ def main() -> None:
     assigned.unpersist()
     emb.unpersist()
 
+    # BASELINE.md ceiling, asserted not eyeballed: every headline
+    # query (incl. the iterative CC ops and the e2e plan) must stay
+    # under 10 s at the bench SF. Worst observed at sf0.1 is ~3.7 s
+    # (dedup_clusters_star), so this trips only on a real regression.
+    worst = max(timings, key=timings.get)
+    assert timings[worst] < 10.0, (
+        f"headline query over the 10 s BASELINE ceiling: {worst} = {timings[worst]} s"
+    )
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
