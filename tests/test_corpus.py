@@ -364,6 +364,43 @@ def test_per_source_quota_verify_guard_detects_total_loss(spark):
     assert any("under-returned" in str(w.message) for w in caught)
 
 
+def test_per_source_quota_verify_guard_detects_null_source_shortfall(spark):
+    """A NULL part_col source is thinned by the gate like any other
+    (the guard joins eqNullSafe), so its shortfall must be detected
+    too — a null-unsafe survivor join would never match the NULL
+    group and miss it."""
+    import hashlib
+    import warnings as W
+
+    bad = next(
+        i for i in range(1000)
+        if int(hashlib.md5(f"quota|{i}".encode()).hexdigest()[:8], 16) > (3 << 30)
+    )
+    rows = [Row(source=None, doc_id=bad)] * 16 + [
+        Row(source="ok", doc_id=i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+
+    def by_source(res):
+        counts: dict = {}
+        for r in res:
+            counts[r.source] = counts.get(r.source, 0) + 1
+        return counts
+
+    exact = by_source(C.per_source_quota(df, "source", "doc_id", 8).collect())
+    assert exact == {None: 8, "ok": 8}
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = by_source(
+            C.per_source_quota(
+                df, "source", "doc_id", 8,
+                skew_guard=True, guard_factor=1, verify_guard=True,
+            ).collect()
+        )
+    assert got == exact  # fallback returned the exact window
+    assert any("under-returned" in str(w.message) for w in caught)
+
+
 def test_per_source_quota_verify_guard_noop_when_guard_holds(spark):
     """On well-behaved data the verification changes nothing (and
     emits no warning)."""
