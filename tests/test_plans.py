@@ -147,6 +147,66 @@ def test_plan_lint_all_queries(spark):
     assert not bad, f"plan lint failures: {bad}"
 
 
+#: Exchange budget per headline query — the number of shuffles in the
+#: executed plan at sf0.001 under the standard session conf, recorded
+#: r07. A future edit that sneaks an extra Exchange into a headline
+#: plan fails here instead of silently shipping a slower shuffle
+#: shape. Budgets are ceilings (== current counts); a change that
+#: REDUCES a count should lower the budget in the same commit.
+#: Note: the two iterative CC queries materialize their loop work via
+#: localCheckpoint at construction, so their entries cover only the
+#: final label-extraction plan.
+EXCHANGE_BUDGET = {
+    "agg_numeric_stats": 1,
+    "join_inner_equi": 3,
+    "join_left_outer": 2,
+    "join_range": 2,
+    "join_asof": 1,
+    "window_lag_frame": 1,
+    "sessionize_batch": 1,
+    "window_tumbling_batch": 1,
+    "chunk_fixed_overlap": 1,
+    "text_stats": 1,
+    "text_quality_score": 1,
+    "dedup_minhash": 5,
+    "dedup_ngram_jaccard": 8,
+    "dedup_ngram_jaccard_capped": 8,
+    "similarity_topk": 1,
+    "similarity_topk_lsh": 1,
+    "agg_rollup": 1,
+    "sort_global": 0,
+    "tpch_q2_min_cost_supplier": 11,
+    "tpch_q17_small_quantity": 4,
+    "quality_repetition_signals": 9,
+    "rollup_time_cascade": 6,
+    "join_salted_skew": 2,
+    "dedup_clusters": 0,
+    "multimodal_header_decode": 1,
+    "dedup_clusters_star": 1,
+    "pack_sequences": 2,
+    "decontaminate_eval_overlap": 4,
+    "per_source_quota": 2,
+    "training_export_pipeline": 3,
+}
+
+
+def test_exchange_count_budget(spark):
+    """Shuffle-shape regression guard: every headline query's executed
+    plan must not contain MORE Exchanges than its recorded budget."""
+    over = []
+    for name, budget in EXCHANGE_BUDGET.items():
+        plan = (
+            entrymod.queries()[name](spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count("Exchange ")
+        if n > budget:
+            over.append((name, n, budget))
+    assert not over, f"queries over their shuffle budget (got > budget): {over}"
+
+
 def test_partition_pruning_on_store(spark, tmp_path):
     """Collection-scoped reads over the partitioned vector store must
     prune partitions at plan time (PartitionFilters in the scan) —
