@@ -177,7 +177,7 @@ EXCHANGE_BUDGET = {
     "sort_global": 0,
     "tpch_q2_min_cost_supplier": 11,
     "tpch_q17_small_quantity": 4,
-    "quality_repetition_signals": 9,
+    "quality_repetition_signals": 1,  # r07: gram stats row-local (was 9)
     "rollup_time_cascade": 6,
     "join_salted_skew": 2,
     "dedup_clusters": 0,
