@@ -955,9 +955,13 @@ def rollup_time_cascade(spark, sf_dir):
     rollup is computed from raw events ONCE; hour re-aggregates the
     minute rollup and day re-aggregates hour — at 100 TB the coarser
     grains cost ~nothing (input is already ~1/1000th the raw size)
-    where the naive form scans raw three times. Bit-identical to the
-    oracle's direct per-grain aggregation because decimal addition is
-    associative (a double sum would NOT survive the regrouping)."""
+    where the naive form scans raw three times. The static plan shows
+    the minute subtree under each union branch, but sharing happens
+    at runtime: AQE shuffle-stage reuse executes the duplicated
+    exchanges once (verified: 2 ReusedExchange nodes in the final
+    adaptive plan). Bit-identical to the oracle's direct per-grain
+    aggregation because decimal addition is associative (a double sum
+    would NOT survive the regrouping)."""
     e = _t(spark, sf_dir, "events")
     minute = e.groupBy(
         F.date_trunc("minute", "ts").alias("bucket"), "event_type"
