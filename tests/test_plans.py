@@ -9,6 +9,8 @@ similarity ops, whole-stage codegen on the hot text paths.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -147,61 +149,71 @@ def test_plan_lint_all_queries(spark):
     assert not bad, f"plan lint failures: {bad}"
 
 
-#: Exchange budget per headline query — the number of shuffles in the
-#: executed plan at sf0.001 under the standard session conf, recorded
-#: r07. A future edit that sneaks an extra Exchange into a headline
-#: plan fails here instead of silently shipping a slower shuffle
-#: shape. Budgets are ceilings (== current counts); a change that
-#: REDUCES a count should lower the budget in the same commit.
-#: Note: the two iterative CC queries materialize their loop work via
-#: localCheckpoint at construction, so their entries cover only the
-#: final label-extraction plan.
-EXCHANGE_BUDGET = {
+#: Shuffle budget per headline query — the number of SHUFFLE
+#: exchanges (hash/range/single-partition/round-robin; broadcast
+#: exchanges are deliberately excluded — a dim broadcast is the GOOD
+#: shape, and counting it would penalize broadcast-over-shuffle
+#: plans) in the executed plan at sf0.001 under the standard session
+#: conf, recorded r07. A future edit that sneaks an extra shuffle
+#: into a headline plan fails here instead of silently shipping a
+#: slower shape. Budgets are ceilings (== current counts); a change
+#: that REDUCES a count should lower the budget in the same commit.
+#: Notes: the two iterative CC queries materialize their loop work
+#: via localCheckpoint at construction, so their entries cover only
+#: the final label-extraction plan; rollup_time_cascade's static 6
+#: dedups to 3 grains at runtime via AQE stage reuse.
+SHUFFLE_BUDGET = {
     "agg_numeric_stats": 1,
-    "join_inner_equi": 3,
-    "join_left_outer": 2,
-    "join_range": 2,
+    "join_inner_equi": 1,      # +2 broadcast
+    "join_left_outer": 1,      # +1 broadcast
+    "join_range": 1,           # +1 broadcast
     "join_asof": 1,
     "window_lag_frame": 1,
     "sessionize_batch": 1,
     "window_tumbling_batch": 1,
-    "chunk_fixed_overlap": 1,
+    "chunk_fixed_overlap": 1,  # the loader's spread round-robin
     "text_stats": 1,
     "text_quality_score": 1,
     "dedup_minhash": 5,
-    "dedup_ngram_jaccard": 8,
-    "dedup_ngram_jaccard_capped": 8,
-    "similarity_topk": 1,
-    "similarity_topk_lsh": 1,
+    "dedup_ngram_jaccard": 6,  # +2 broadcast
+    "dedup_ngram_jaccard_capped": 6,
+    "similarity_topk": 0,      # TakeOrdered + broadcast query vec
+    "similarity_topk_lsh": 0,
     "agg_rollup": 1,
-    "sort_global": 0,
-    "tpch_q2_min_cost_supplier": 11,
-    "tpch_q17_small_quantity": 4,
-    "quality_repetition_signals": 1,  # r07: gram stats row-local (was 9)
+    "sort_global": 0,          # TakeOrderedAndProject
+    "tpch_q2_min_cost_supplier": 4,  # +7 broadcast
+    "tpch_q17_small_quantity": 2,    # +2 broadcast
+    "quality_repetition_signals": 1,  # r07: gram stats row-local (was 9 exch)
     "rollup_time_cascade": 6,
-    "join_salted_skew": 2,
+    "join_salted_skew": 1,     # +1 broadcast (replicated dim)
     "dedup_clusters": 0,
     "multimodal_header_decode": 1,
     "dedup_clusters_star": 1,
     "pack_sequences": 2,
-    "decontaminate_eval_overlap": 4,
+    "decontaminate_eval_overlap": 3,  # +1 broadcast
     "per_source_quota": 2,
     "training_export_pipeline": 3,
 }
 
+_SHUFFLE_EXCHANGE = re.compile(
+    r"(?<!Broadcast)Exchange (hashpartitioning|rangepartitioning|"
+    r"SinglePartition|RoundRobinPartitioning)"
+)
 
-def test_exchange_count_budget(spark):
+
+def test_shuffle_count_budget(spark):
     """Shuffle-shape regression guard: every headline query's executed
-    plan must not contain MORE Exchanges than its recorded budget."""
+    plan must not contain MORE shuffle exchanges than its recorded
+    budget (broadcast exchanges excluded — see SHUFFLE_BUDGET note)."""
     over = []
-    for name, budget in EXCHANGE_BUDGET.items():
+    for name, budget in SHUFFLE_BUDGET.items():
         plan = (
             entrymod.queries()[name](spark, SF_SMALL)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        n = plan.count("Exchange ")
+        n = len(_SHUFFLE_EXCHANGE.findall(plan))
         if n > budget:
             over.append((name, n, budget))
     assert not over, f"queries over their shuffle budget (got > budget): {over}"
