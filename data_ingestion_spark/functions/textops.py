@@ -387,8 +387,9 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str = "doc_id") -> 
     codegen'd), the duplicate fraction via ``array_distinct`` alone.
     The earlier shape (explode → count per (doc, gram) → re-aggregate
     → join back, twice) spent 8 extra exchanges re-keying data that
-    never needed to leave its row; measured 1.03 s → 0.49 s at sf0.1
-    (plan: 9 exchanges → 1, the loader's spread), and at 100 TB the
+    never needed to leave its row; measured 1.03 s → 0.22 s at sf0.1
+    (bench protocol, like-for-like; plan: 9 exchanges → 1 — the
+    loader's spread round-robin), and at 100 TB the
     difference is four whole shuffle stages of the gram stream vs
     none. Row-local cost stays bounded by document length (~400 words
     for 2048-char chunks → ≤160k comparisons), far under shuffle cost
