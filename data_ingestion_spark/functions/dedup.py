@@ -120,9 +120,15 @@ def minhash_lsh_candidates(
     # bucket-collect instead of a self-join: the signature pipeline is
     # evaluated ONCE (a self-join would recompute the whole md5/groupBy
     # lineage for each side) and buckets pair-expand locally.
+    # NO trailing distinct: it would be a full shuffle of the pair set
+    # to dedup rows that cannot repeat — each doc has exactly ONE
+    # band_hash per band, so a pair (a,b,band) arises in exactly one
+    # bucket, and within a bucket the sorted i<j expansion emits each
+    # pair once. (Contrast ngram_jaccard_pairs, where a pair DOES
+    # co-occur in many shingle buckets and the dedup is load-bearing.)
     return _bucket_pairs(bands, ["band", "band_hash"], "id").select(
         "id_a", "id_b", "band"
-    ).distinct()
+    )
 
 
 #: production default for the LSH bucket-size guard: a bucket of b ids
@@ -218,9 +224,10 @@ def minhash_lsh_candidates_fast(
     bands = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", "bb.band", "bb.band_hash"
     )
+    # no trailing distinct — same uniqueness argument as the md5 twin
     return _bucket_pairs(bands, ["band", "band_hash"], "id", max_bucket).select(
         "id_a", "id_b", "band"
-    ).distinct()
+    )
 
 
 def simhash16(col: Column, seed: str = "sh") -> Column:

@@ -174,7 +174,7 @@ SHUFFLE_BUDGET = {
     "chunk_fixed_overlap": 1,  # the loader's spread round-robin
     "text_stats": 1,
     "text_quality_score": 1,
-    "dedup_minhash": 5,
+    "dedup_minhash": 4,  # r07: no-op pair distinct removed (was 5)
     "dedup_ngram_jaccard": 6,  # +2 broadcast
     "dedup_ngram_jaccard_capped": 6,
     "similarity_topk": 0,      # TakeOrdered + broadcast query vec
