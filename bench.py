@@ -319,14 +319,15 @@ def main() -> None:
     assigned.unpersist()
     emb.unpersist()
 
-    # BASELINE.md ceiling, asserted not eyeballed: every headline
+    # BASELINE.md ceiling, enforced not eyeballed: every headline
     # query (incl. the iterative CC ops and the e2e plan) must stay
     # under 10 s at the bench SF. Worst observed at sf0.1 is ~3.7 s
     # (dedup_clusters_star), so this trips only on a real regression.
-    worst = max(timings, key=timings.get)
-    assert timings[worst] < 10.0, (
-        f"headline query over the 10 s BASELINE ceiling: {worst} = {timings[worst]} s"
-    )
+    # Checked AFTER the JSON emit (a transient spike — bench noise is
+    # ±15%, and pipeline_ingest_e2e once spiked 5.7× from contention —
+    # must not discard the whole run's measurements) and raised as a
+    # RuntimeError, not assert, so `python -O` still enforces it.
+    over_ceiling = {n: t for n, t in timings.items() if t >= 10.0}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -344,10 +345,15 @@ def main() -> None:
                 "queries": timings,
                 "throughput": throughput,
                 "sf": sf_val,
+                "ceiling_ok": not over_ceiling,
             }
         )
     )
     spark.stop()
+    if over_ceiling:
+        raise RuntimeError(
+            f"headline queries over the 10 s BASELINE ceiling: {over_ceiling}"
+        )
 
 
 if __name__ == "__main__":

@@ -436,7 +436,17 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     adversarial chains. Each round is one join + one aggregate, all
     keyed — at 100 TB this is the standard alternating-star CC
     shape. Input: (id_a, id_b[, ...]); output: (doc_id, cluster_id).
+
+    ``max_iters`` must be >= 1: round 1 is fused into label
+    initialization (the groupBy below), so the minimum work is one
+    propagation round — a bound of 0 cannot mean "no propagation"
+    and is rejected rather than silently running one round.
     """
+    if max_iters < 1:
+        raise ValueError(
+            f"max_iters must be >= 1 (round 1 is fused into initialization), "
+            f"got {max_iters}"
+        )
     # localCheckpoint: iterative algorithms MUST truncate lineage —
     # otherwise every round re-evaluates the entire upstream candidate
     # pipeline (measured 42s → ~3s at sf0.1) and the plan doubles per

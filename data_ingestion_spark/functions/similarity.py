@@ -270,6 +270,14 @@ def kmeans_ivf_build(
 
     At rest, write ``assigned`` partitioned by ``ivf_cell`` so probes
     prune partitions (same layout contract as ``AnnStore``).
+
+    Laziness contract: with ``n_cells="auto"`` or ``max_fit_rows``
+    set, the function is **eager** — it submits a ``count()`` job over
+    the corpus at build time to size the quantizer (an index build is
+    inherently materializing, but don't compose it into a plan
+    expecting laziness). With an integer ``n_cells`` and no
+    ``max_fit_rows``, no corpus count is issued — the only jobs are
+    MLlib's own fit passes.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -280,6 +288,13 @@ def kmeans_ivf_build(
     fit_df = df
     if n_cells == "auto" or max_fit_rows is not None:
         n = df.count()
+        if n < 2:
+            # fail with a clear message, not MLlib's opaque error on a
+            # 0/1-row fit (auto would compute n_cells=1 or fit empty)
+            raise ValueError(
+                f"kmeans_ivf_build: corpus has {n} row(s); an IVF quantizer "
+                "needs at least 2 vectors to fit"
+            )
         n_fit = n
         if max_fit_rows is not None and n > max_fit_rows:
             # slight oversample then exact cap: Bernoulli sampling is

@@ -156,6 +156,11 @@ def main() -> None:
                     }
                 )
             )
+    except Exception as e:  # noqa: BLE001 — the add-on must not sink the base numbers
+        # a failure in the b5t4 add-on is recorded, not propagated:
+        # consumers keyed on exit status still get the base b3t6
+        # numbers and a zero exit
+        out["b5t4_error"] = repr(e)
     finally:
         # whatever happens in the b5t4 section, clean its temp dir and
         # publish the measurements gathered so far — the base b3t6

@@ -292,6 +292,43 @@ def test_kmeans_ivf_auto_cells_capped_by_fit_sample(spark):
         kmeans_ivf_build(emb, n_cells=auto_k + 5, max_fit_rows=auto_k)
 
 
+def test_kmeans_ivf_degenerate_corpus_raises(spark):
+    """auto mode on a 0/1-row corpus fails with a clear ValueError
+    before reaching MLlib (which would error opaquely on an empty or
+    single-point fit)."""
+    import pytest as _pytest
+
+    from data_ingestion_spark.functions.similarity import kmeans_ivf_build
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for limit in (0, 1):
+        with _pytest.raises(ValueError, match="at least 2 vectors"):
+            kmeans_ivf_build(emb.limit(limit), n_cells="auto")
+        with _pytest.raises(ValueError, match="at least 2 vectors"):
+            kmeans_ivf_build(emb.limit(limit), n_cells=4, max_fit_rows=100)
+
+
+def test_kmeans_ivf_default_path_issues_no_corpus_count(spark, monkeypatch):
+    """Laziness contract: with integer n_cells and no max_fit_rows the
+    builder must not count the corpus — only auto/capped mode is
+    eager (documented in the docstring). Poison DataFrame.count to
+    prove no sizing count is submitted on the default path."""
+    from pyspark.sql import DataFrame as _DF
+
+    from data_ingestion_spark.functions.similarity import kmeans_ivf_build
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    def _poisoned_count(self):  # pragma: no cover - raises on misuse
+        raise AssertionError("default kmeans_ivf_build path counted the corpus")
+
+    monkeypatch.setattr(_DF, "count", _poisoned_count)
+    model, assigned = kmeans_ivf_build(emb, n_cells=4)
+    monkeypatch.undo()
+    assert len(model.clusterCenters()) == 4
+    assert assigned.count() == emb.count()  # full corpus assigned
+
+
 # ------------------------------------------------------------- UDTF / merge
 
 def test_python_udtf_chunker(spark):
@@ -683,6 +720,25 @@ def test_dup_clusters_empty_pairs(spark):
         [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
     )
     assert dup_clusters(empty).count() == 0
+
+
+def test_dup_clusters_max_iters_zero_raises(spark):
+    """Round 1 is fused into label initialization, so max_iters=0
+    cannot mean 'no propagation' — it is rejected loudly instead of
+    silently running one round (the degenerate-bound semantic the
+    fused rewrite would otherwise have changed)."""
+    import pytest as _pytest
+
+    from data_ingestion_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="max_iters"):
+            dup_clusters(pairs, max_iters=bad)
+    # the minimum legal bound still produces correct labels on a clique
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, max_iters=1).collect()}
+    assert out == {1: 1, 2: 1}
+
 
 def test_dup_clusters_star_matches_propagation(spark):
     """Large-star/small-star CC must produce identical labels to
