@@ -398,6 +398,137 @@ def weaviate_client_factory(
     return make
 
 
+class StdlibWeaviateTransport:
+    """Zero-dependency Weaviate wire transport: speaks the public v1
+    REST batch protocol (POST ``/v1/batch/objects``,
+    ``application/json``) over stdlib urllib, duck-typing the v4
+    raw-client surface ``WeaviateIndexClient`` drives
+    (``collections.get(name).data.insert_many(objects)`` + ``close()``)
+    — the Weaviate twin of ``StdlibESTransport``. The adapter's
+    uuid5-idempotency and retry/error contract is exercised over a
+    REAL socket in tests, and a container without weaviate-client can
+    still reach a Weaviate-wire-compatible endpoint (the live form of
+    the reference's ``add_documents``, ingestion-pipeline.py:341-349).
+
+    Objects arrive as the adapter's kwargs-shaped dicts
+    (``data_object_cls=None`` mode: ``{"uuid", "properties",
+    "vector"?}``) and map onto the REST body as
+    ``{"class": <collection>, "id": <uuid>, "properties": {...},
+    "vector": [...]}``.
+
+    Failure surface, strict like the ES adapter: HTTP ≥400 raises
+    (urllib's HTTPError → ``_send_with_retry`` retries); HTTP 200 with
+    any per-object ``result.status == "FAILED"`` / ``result.errors``
+    raises too — Weaviate reports partial failures per-object inside
+    a 200 body, so swallowing them would silently lose documents; an
+    unparseable body is NOT success for the same reason."""
+
+    def __init__(self, base_url: str, timeout_s: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+        self.collections = _WeaviateRestCollections(self)
+
+    def _batch_insert(self, collection: str, objects: list[dict]) -> None:
+        import urllib.request
+
+        body_objs = []
+        for kw in objects:
+            obj = {
+                "class": collection,
+                "id": kw["uuid"],
+                "properties": kw["properties"],
+            }
+            if kw.get("vector") is not None:
+                obj["vector"] = [float(x) for x in kw["vector"]]
+            body_objs.append(obj)
+        req = urllib.request.Request(
+            self.base_url + "/v1/batch/objects",
+            data=json.dumps({"objects": body_objs}).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            raw = resp.read().decode("utf-8")
+        try:
+            results = json.loads(raw)
+            if not isinstance(results, list):
+                raise ValueError(f"expected a per-object result list, got {type(results).__name__}")
+        except Exception as e:
+            raise ConnectionError(
+                f"unparseable /v1/batch/objects response for class={collection}: {e}"
+            ) from e
+        failed = [
+            r
+            for r in results
+            if isinstance(r, dict)
+            and (
+                (r.get("result") or {}).get("status") == "FAILED"
+                or (r.get("result") or {}).get("errors")
+            )
+        ]
+        if failed:
+            raise ConnectionError(
+                f"batch insert reported {len(failed)} failed objects "
+                f"(class={collection}): {failed[:3]}"
+            )
+
+    def close(self) -> None:
+        pass
+
+
+class _WeaviateRestCollections:
+    """``raw.collections`` shim over the REST transport."""
+
+    def __init__(self, transport: StdlibWeaviateTransport):
+        self._transport = transport
+
+    def get(self, name: str) -> "_WeaviateRestCollectionHandle":
+        return _WeaviateRestCollectionHandle(self._transport, name)
+
+
+class _WeaviateRestCollectionHandle:
+    """``raw.collections.get(name)`` shim: exposes ``.data``."""
+
+    def __init__(self, transport: StdlibWeaviateTransport, name: str):
+        self.data = _WeaviateRestDataOps(transport, name)
+
+
+class _WeaviateRestDataOps:
+    """``raw.collections.get(name).data`` shim: ``insert_many``."""
+
+    def __init__(self, transport: StdlibWeaviateTransport, name: str):
+        self._transport, self._name = transport, name
+
+    def insert_many(self, objects: list[dict]) -> None:
+        self._transport._batch_insert(self._name, objects)
+
+
+def weaviate_http_factory(
+    base_url: str,
+    collection: str,
+    id_field: str = "chunk_id",
+    vector_field: str | None = "embedding",
+    timeout_s: float = 30.0,
+) -> ClientFactory:
+    """ClientFactory for a Weaviate-wire-compatible endpoint over the
+    stdlib transport (no weaviate-client package needed). Same
+    adapter, same uuid5-idempotency and strict-error contract as
+    ``weaviate_client_factory`` — only the transport differs
+    (``data_object_cls=None``: objects travel as kwargs dicts the
+    transport maps onto the REST body)."""
+
+    def make() -> ServiceClient:
+        return WeaviateIndexClient(
+            StdlibWeaviateTransport(base_url, timeout_s),
+            collection,
+            id_field,
+            vector_field,
+            data_object_cls=None,
+        )
+
+    return make
+
+
 class StdlibESTransport:
     """Zero-dependency Elasticsearch wire transport: speaks the bulk
     NDJSON protocol (POST ``/_bulk``, ``application/x-ndjson``) over

@@ -652,3 +652,195 @@ def test_elastic_stdlib_sink_end_to_end_through_spark(spark):
             landed[action["index"]["_id"]] = doc["text"]
     assert len(landed) == 20
     assert all(landed[str(i)] == f"doc-{i}" for i in range(20))
+
+
+class _WeaviateBatchHTTPServer:
+    """Tiny in-process HTTP server speaking the Weaviate v1 REST batch
+    wire shape (stdlib only): scripted per-request behaviors, records
+    every received JSON body for assertions — the Weaviate twin of
+    _BulkHTTPServer."""
+
+    def __init__(self, script):
+        import http.server
+        import threading
+
+        srv = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib naming)
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                srv.requests.append(
+                    {"path": self.path, "body": json.loads(body.decode("utf-8"))}
+                )
+                step = srv.script[min(len(srv.requests) - 1, len(srv.script) - 1)]
+                if step == "503":
+                    self.send_error(503, "injected unavailable")
+                    return
+                objs = srv.requests[-1]["body"]["objects"]
+                if step == "partial":
+                    # Weaviate reports per-object failures INSIDE a 200:
+                    # result.status FAILED + result.errors.error[]
+                    payload = [
+                        {
+                            "class": o["class"],
+                            "id": o["id"],
+                            "result": {
+                                "status": "FAILED",
+                                "errors": {"error": [{"message": "injected vector dim mismatch"}]},
+                            },
+                        }
+                        for o in objs
+                    ]
+                else:  # "ok"
+                    payload = [
+                        {"class": o["class"], "id": o["id"], "result": {"status": "SUCCESS"}}
+                        for o in objs
+                    ]
+                data = json.dumps(payload).encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+        self.requests = []
+        self.script = script
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_weaviate_stdlib_transport_5xx_then_success_over_real_socket():
+    """P:341-349 failure surface one level deeper than stubs: the real
+    adapter + real /v1/batch/objects JSON + a real socket. Two 503s
+    then success — _send_with_retry must re-POST byte-identical
+    objects (uuid5 determinism) and converge."""
+    import uuid as _uuid
+
+    from data_ingestion_spark.sources.sinks import (
+        _send_with_retry,
+        weaviate_http_factory,
+    )
+
+    srv = _WeaviateBatchHTTPServer(script=["503", "503", "ok"])
+    try:
+        client = weaviate_http_factory(
+            srv.url, "DocsCollection", id_field="doc_id", vector_field="embedding"
+        )()
+        batch = [
+            {"doc_id": 1, "text": "alpha", "embedding": [0.1, 0.2]},
+            {"doc_id": 2, "text": "beta", "embedding": [0.3, 0.4]},
+        ]
+        _send_with_retry(client, batch, max_retries=3, backoff_s=0.0, sleep=lambda s: None)
+        client.close()
+    finally:
+        srv.stop()
+
+    assert len(srv.requests) == 3  # two failures + the success
+    assert all(r["path"] == "/v1/batch/objects" for r in srv.requests)
+    # every attempt carried the identical body (idempotent retry)
+    assert srv.requests[0]["body"] == srv.requests[2]["body"]
+    objs = srv.requests[-1]["body"]["objects"]
+    assert [o["class"] for o in objs] == ["DocsCollection", "DocsCollection"]
+    # uuid is uuid5 of the id_field; vector split out of properties
+    assert objs[0]["id"] == str(_uuid.uuid5(_uuid.NAMESPACE_URL, "1"))
+    assert objs[0]["vector"] == [0.1, 0.2]
+    assert objs[0]["properties"] == {"doc_id": 1, "text": "alpha"}
+    assert "embedding" not in objs[0]["properties"]
+
+
+def test_weaviate_stdlib_transport_partial_failure_then_success():
+    """HTTP 200 with per-object result.status=FAILED (how Weaviate
+    reports batch errors) must raise inside the transport and be
+    retried like a transport failure — never silently lost."""
+    from data_ingestion_spark.sources.sinks import (
+        _send_with_retry,
+        weaviate_http_factory,
+    )
+
+    srv = _WeaviateBatchHTTPServer(script=["partial", "ok"])
+    try:
+        client = weaviate_http_factory(srv.url, "DocsCollection", id_field="doc_id")()
+        _send_with_retry(
+            client,
+            [{"doc_id": 7, "text": "x", "embedding": [1.0]}],
+            max_retries=2,
+            backoff_s=0.0,
+            sleep=lambda s: None,
+        )
+        client.close()
+    finally:
+        srv.stop()
+    assert len(srv.requests) == 2
+
+
+def test_weaviate_stdlib_transport_exhaustion_propagates():
+    """A permanently-down endpoint exhausts retries and raises — the
+    Spark task must fail loudly, never ack silently."""
+    import pytest
+
+    from data_ingestion_spark.sources.sinks import (
+        _send_with_retry,
+        weaviate_http_factory,
+    )
+
+    srv = _WeaviateBatchHTTPServer(script=["503"])
+    try:
+        client = weaviate_http_factory(srv.url, "DocsCollection", id_field="doc_id")()
+        with pytest.raises(Exception):
+            _send_with_retry(
+                client,
+                [{"doc_id": 1, "embedding": [1.0]}],
+                max_retries=2,
+                backoff_s=0.0,
+                sleep=lambda s: None,
+            )
+        client.close()
+    finally:
+        srv.stop()
+    assert len(srv.requests) == 3  # initial + 2 retries
+
+
+def test_weaviate_stdlib_sink_end_to_end_through_spark(spark):
+    """The full executor path: DataFrame -> foreachPartition -> real
+    adapter -> real socket -> /v1/batch/objects, with a 503 injected
+    mid-stream. Every doc must land exactly once per uuid5 id."""
+    import uuid as _uuid
+
+    from data_ingestion_spark.sources.sinks import (
+        ServiceVectorStore,
+        weaviate_http_factory,
+    )
+
+    srv = _WeaviateBatchHTTPServer(script=["503", "ok"])
+    try:
+        df = spark.createDataFrame(
+            [(i, f"doc-{i}", [float(i), 0.5]) for i in range(20)],
+            "doc_id int, text string, embedding array<double>",
+        ).coalesce(2)
+        sink = ServiceVectorStore(
+            weaviate_http_factory(srv.url, "DocsCollection", id_field="doc_id"),
+            batch_size=6,
+            max_retries=3,
+            backoff_s=0.0,
+            sleep=lambda s: None,
+        )
+        sink.upsert(df)
+    finally:
+        srv.stop()
+
+    landed = {}
+    for req in srv.requests:
+        for o in req["body"]["objects"]:
+            landed[o["id"]] = o["properties"]["text"]
+    assert len(landed) == 20
+    for i in range(20):
+        assert landed[str(_uuid.uuid5(_uuid.NAMESPACE_URL, str(i)))] == f"doc-{i}"
