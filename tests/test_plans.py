@@ -201,12 +201,43 @@ _SHUFFLE_EXCHANGE = re.compile(
 )
 
 
+def _full_shuffle_budget() -> dict[str, int]:
+    """Headline budgets (hand-annotated above, authoritative) merged
+    with the full-registry ceilings generated by
+    scripts/gen_shuffle_budget.py — together they cover every
+    registered query except the two live-streaming jobs, so ANY
+    query's plan growing an extra exchange fails here."""
+    import json
+    from pathlib import Path
+
+    generated = json.loads(
+        (Path(__file__).parent / "shuffle_budget_generated.json").read_text()
+    )
+    return {**generated, **SHUFFLE_BUDGET}
+
+
+def test_shuffle_budget_covers_registry():
+    """The merged budget must track the registry: a newly registered
+    query without a budget entry (regenerate the JSON) or a stale
+    entry for a removed query fails loudly."""
+    live_streaming = {"streaming_tumbling_availablenow", "streaming_session_availablenow"}
+    budget = _full_shuffle_budget()
+    registry = set(entrymod.queries())
+    missing = registry - live_streaming - set(budget)
+    stale = set(budget) - registry
+    assert not missing and not stale, (
+        f"missing budgets: {sorted(missing)}; stale budgets: {sorted(stale)} "
+        "— run scripts/gen_shuffle_budget.py"
+    )
+
+
 def test_shuffle_count_budget(spark):
-    """Shuffle-shape regression guard: every headline query's executed
-    plan must not contain MORE shuffle exchanges than its recorded
-    budget (broadcast exchanges excluded — see SHUFFLE_BUDGET note)."""
+    """Shuffle-shape regression guard: every registered query's
+    executed plan must not contain MORE shuffle exchanges than its
+    recorded budget (broadcast exchanges excluded — see SHUFFLE_BUDGET
+    note; full-registry ceilings from shuffle_budget_generated.json)."""
     over = []
-    for name, budget in SHUFFLE_BUDGET.items():
+    for name, budget in _full_shuffle_budget().items():
         plan = (
             entrymod.queries()[name](spark, SF_SMALL)
             ._jdf.queryExecution()
