@@ -50,6 +50,14 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--n", type=int, default=2000)
 _ap.add_argument("--clusters", type=int, default=16)
 _ap.add_argument("--auto-only", action="store_true")
+_ap.add_argument(
+    "--flips-sweep",
+    action="store_true",
+    help="run ONLY the flips x clustered x at-rest AnnStore cell "
+    "(b4t4 and b5t6 stores, extra_flips 0/1/2, measured "
+    "partitions-read) — the production configuration SCALE.md "
+    "recommends, missing from the r07 two-regime table",
+)
 _ARGS = _ap.parse_args()
 
 N_VECTORS = _ARGS.n
@@ -75,7 +83,82 @@ def make_clustered(n: int, dim: int, n_clusters: int, sigma: float, seed: int):
     ]
 
 
+def flips_sweep() -> None:
+    """flips x clustered x at-rest: recall + MEASURED partitions-read
+    for b4t4 and b5t6 ``AnnStore``s over the clustered fixture, at
+    extra_flips 0/1/2. Partitions-read is counted from the candidate
+    scan's inputFiles (distinct table=/bucket= dirs), not computed
+    from the nominal t*(1+f) — so the number proves pruning survives
+    the flip disjunction on disk."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import AnnStore, brute_force_topk
+    from data_ingestion_spark.session import get_spark
+
+    spark = get_spark("ann-clustered-flips")
+    emb = spark.createDataFrame(
+        make_clustered(N_VECTORS, DIM, N_CLUSTERS, SIGMA, SEED),
+        "vec_id bigint, embedding array<float>, label int",
+    ).cache()
+    n_emb = emb.count()
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()[:10]
+    exact_by_qid = {}
+    for qr in qrows:
+        qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+        exact_by_qid[qr.vec_id] = {
+            r.vec_id for r in brute_force_topk(emb, qv, k=K).collect()
+        }
+
+    out: dict[str, object] = {"n_vectors": n_emb, "n_clusters": N_CLUSTERS}
+    for bits, n_t in ((4, 4), (5, 6)):
+        ann_dir = tempfile.mkdtemp(prefix=f"flips_b{bits}t{n_t}_")
+        try:
+            store = AnnStore(spark, ann_dir, bits=bits, n_tables=n_t)
+            store.write(emb)
+            for flips in (0, 1, 2):
+                h = parts = 0
+                walls = []
+                for qr in qrows:
+                    qv = [float(x) for x in qr.embedding]
+                    t0 = time.monotonic()
+                    got = {
+                        r.vec_id
+                        for r in store.probe(qv, k=K, extra_flips=flips).collect()
+                    }
+                    walls.append(time.monotonic() - t0)
+                    h += len(exact_by_qid[qr.vec_id] & got)
+                    # inputFiles() lists PRE-pruning (see
+                    # tests/test_plans.py) — count the files the scan
+                    # actually reads via input_file_name() and fold to
+                    # distinct table=t/bucket=b partition dirs
+                    read_files = [
+                        r.f
+                        for r in store.probe_candidates(qv, extra_flips=flips)
+                        .select(F.input_file_name().alias("f"))
+                        .distinct()
+                        .collect()
+                    ]
+                    parts += len(
+                        {"/".join(p.split("/")[-3:-1]) for p in read_files}
+                    )
+                key = f"b{bits}t{n_t}_f{flips}"
+                out[f"{key}_recall_at_5"] = round(h / (K * len(qrows)), 3)
+                out[f"{key}_partitions_read"] = round(parts / len(qrows), 1)
+                out[f"{key}_of_partitions"] = n_t * (1 << bits)
+                out[f"{key}_probe_median_sec"] = round(
+                    sorted(walls)[len(walls) // 2], 3
+                )
+        finally:
+            shutil.rmtree(ann_dir, ignore_errors=True)
+    emb.unpersist()
+    print(json.dumps({"metric": "ann_clustered_flips_at_rest", **out}))
+    spark.stop()
+
+
 def main() -> None:
+    if _ARGS.flips_sweep:
+        flips_sweep()
+        return
     from pyspark.sql import functions as F
 
     from data_ingestion_spark.functions.similarity import (
