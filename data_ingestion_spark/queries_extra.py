@@ -71,21 +71,33 @@ def agg_percentiles(spark, sf_dir):
 def quality_unigram_logprob(spark, sf_dir):
     """Text-analysis: corpus-statistics quality score — average
     unigram log-probability per document (the classic cheap fluency
-    proxy). Two-pass: corpus frequency table (one agg), then
-    broadcast-join back to the exploded words. At 100 TB the freq
-    table of a natural-language corpus is ~millions of rows — still
-    broadcastable after a min-count floor."""
+    proxy).
+
+    Shuffle diet (r08): the original computed the freq table in TWO
+    broadcast subtrees (once for ``freq``, once inside the scalar
+    ``tot = freq.agg(sum)``), each re-scanning and RE-EXPLODING
+    ``documents``. The corpus total doesn't need the freq table at
+    all — it's ``sum(size(split(text)))``, a scan with no explode —
+    so it becomes a cheap 1-row broadcast crossJoined onto the freq
+    table before the single word-level broadcast. Per-word
+    ``log(c/t)`` stays the exact expression the oracle evaluates
+    (same integer inputs, same double division), so float parity is
+    bit-identical. At 100 TB the freq table of a natural-language
+    corpus is ~millions of rows — still broadcastable after a
+    min-count floor."""
     d = _d(spark, sf_dir)
     w = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
     freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    tot = freq.agg(F.sum("c").alias("t"))
+    tot = d.select(F.sum(F.size(F.split(F.col("text"), " "))).alias("t"))
+    freq_lp = freq.crossJoin(F.broadcast(tot)).select(
+        "word", F.log(F.col("c") / F.col("t")).alias("lp")
+    )
     return (
-        w.join(F.broadcast(freq), "word")
-        .crossJoin(F.broadcast(tot))
+        w.join(F.broadcast(freq_lp), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
 
