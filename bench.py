@@ -161,10 +161,14 @@ def main() -> None:
     timings["embed_udf_stage"] = round(dt, 3)
     throughput = {"embed_chunks_per_sec": round(n_chunks / dt, 1)}
     # BASELINE.md floor: >=10k chunks/s through the Arrow boundary.
-    # Asserted (not eyeballed) whenever the corpus is big enough for
+    # Enforced (not eyeballed) whenever the corpus is big enough for
     # throughput to be chunk-bound rather than overhead-bound.
-    if n_chunks >= 10_000:
-        assert throughput["embed_chunks_per_sec"] >= 10_000, (
+    # Recorded, not raised here: like the 10 s ceiling, gate failures
+    # are reported AFTER the JSON emit so a transient miss never
+    # discards the run's measurements (and survive `python -O`).
+    gate_failures: list[str] = []
+    if n_chunks >= 10_000 and throughput["embed_chunks_per_sec"] < 10_000:
+        gate_failures.append(
             "embed stand-in throughput below the 10k chunks/s floor: "
             f"{throughput['embed_chunks_per_sec']}"
         )
@@ -210,10 +214,12 @@ def main() -> None:
     throughput["ann_lsh8_recall_at_5"] = round(hits_lsh8 / (5 * len(qrows)), 3)
     throughput["ann_ivf_recall_at_5"] = round(hits_ivf / (5 * len(qrows)), 3)
     # contract: the default ANN entry point must stay high-recall
-    assert throughput["ann_lsh_default_recall_at_5"] >= 0.8, (
-        "default ANN recall regressed below 0.8: "
-        f"{throughput['ann_lsh_default_recall_at_5']}"
-    )
+    # (recorded into gate_failures; raised after the JSON emit)
+    if throughput["ann_lsh_default_recall_at_5"] < 0.8:
+        gate_failures.append(
+            "default ANN recall regressed below 0.8: "
+            f"{throughput['ann_lsh_default_recall_at_5']}"
+        )
 
     # bits-per-table dial (the scale lever BENCH_NOTES documents:
     # widening bits halves every bucket — candidate cost drops ~2x
@@ -327,7 +333,11 @@ def main() -> None:
     # ±15%, and pipeline_ingest_e2e once spiked 5.7× from contention —
     # must not discard the whole run's measurements) and raised as a
     # RuntimeError, not assert, so `python -O` still enforces it.
-    over_ceiling = {n: t for n, t in timings.items() if t >= 10.0}
+    gate_failures.extend(
+        f"headline query over the 10 s BASELINE ceiling: {n} = {t} s"
+        for n, t in timings.items()
+        if t >= 10.0
+    )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -345,15 +355,13 @@ def main() -> None:
                 "queries": timings,
                 "throughput": throughput,
                 "sf": sf_val,
-                "ceiling_ok": not over_ceiling,
+                "gates_ok": not gate_failures,
             }
         )
     )
     spark.stop()
-    if over_ceiling:
-        raise RuntimeError(
-            f"headline queries over the 10 s BASELINE ceiling: {over_ceiling}"
-        )
+    if gate_failures:
+        raise RuntimeError("bench gate failures: " + "; ".join(gate_failures))
 
 
 if __name__ == "__main__":
