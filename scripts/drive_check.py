@@ -6,6 +6,7 @@ by name, rows sorted, values stringified with float rounding).
 
 Usage: python scripts/drive_check.py [--sf SF_DIR] name [name ...]
        python scripts/drive_check.py --window-head N   # first N of DRIVER_WINDOW
+       python scripts/drive_check.py                   # FULL registry sweep
 """
 
 from __future__ import annotations
@@ -58,7 +59,16 @@ def main() -> int:
     import __spark_entry__ as E
 
     qs, os_ = E.queries(), E.oracle_sql()
-    names = args.names or list(qs)[: args.window_head]
+    # precedence: explicit names > --window-head N > FULL registry.
+    # (A bare invocation used to resolve to list(qs)[:0] == nothing
+    # and print a vacuous "all ok" — the r08 near-miss.)
+    if args.names:
+        names = args.names
+    elif args.window_head:
+        names = list(qs)[: args.window_head]
+    else:
+        names = list(qs)
+    print(f"driving {len(names)} queries at {args.sf}")
 
     con = duckdb.connect()
     for t in TABLES:
