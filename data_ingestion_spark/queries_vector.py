@@ -114,10 +114,15 @@ def ann_store_probe(spark, sf_dir):
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        # Empty corpus (or missing query row): no query vector exists,
+        # so the probe degrades to an empty result with the probe's
+        # schema instead of an opaque NoneType crash — the contract
+        # every registry query honors on an empty input partition
+        # (tests/test_operators.py::test_registry_empty_input_contract).
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
     # NOT cleaned up here: the returned DataFrame lazily scans the
     # store when the caller collects it (tmp dirs are per-process and
     # tiny at DQ scale)
