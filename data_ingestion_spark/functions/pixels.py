@@ -1,0 +1,448 @@
+"""Real pixel codecs for the multimodal decode stage — pure stdlib.
+
+Closes the one "container-limited" gap in T11 (SURVEY §2.10): the
+container has no PIL/ffmpeg, but three of the four image containers
+this engine recognizes are decodable to raw pixels from their public
+specifications with nothing beyond ``zlib`` and ``struct``:
+
+- **PNG** (RFC 2083 / W3C spec): concatenate IDAT, zlib-inflate,
+  undo the five per-scanline filters (None/Sub/Up/Average/Paeth).
+  8-bit depth; color types 0 (gray), 2 (RGB), 3 (palette), 4
+  (gray+alpha), 6 (RGBA); non-interlaced.
+- **GIF** (GIF89a spec): LZW decode of the image data sub-blocks
+  (variable code width 3..12 bits, LSB-first packing, clear/EOI
+  codes), palette expansion to RGB, Adam-less 4-pass GIF interlace
+  supported.
+- **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB rows,
+  bottom-up or top-down, 4-byte row padding.
+
+JPEG stays header-only (parse_image_header): baseline DCT decode is
+out of scope by design — ``decode_pixels(strict=True)`` raises for
+it rather than faking, same policy as before.
+
+Encoders for the same three formats live here too: they are the
+synthesis half of the round-trip tests AND of the oracle-checkable
+registry DQ (multimodal_pixel_decode) — the DQ's pixel content is a
+closed-form gradient so a DuckDB oracle predicts the decoded pixel
+sum arithmetically, which an encoder/decoder pair that was "wrong but
+self-consistent" could not satisfy.
+
+Reference parity anchor: the reference pipeline treats media as
+opaque artifacts (ingestion-pipeline.py:50 pins pypdf unused); this
+module is the north-star extension making the decode slot real.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+#: Same constant as multimodal.PNG_SIG, restated locally so multimodal
+#: (which owns the Spark stages) can import this module without a cycle.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: GIF's 4-pass interlace schedule: (row offset, row step) per pass.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filter_type: int = 0,
+    palette: bytes | None = None,
+) -> bytes:
+    """Minimal real PNG writer: IHDR + (PLTE) + one IDAT + IEND.
+
+    ``filter_type`` applies the same filter to every scanline (0-4) —
+    exposing it lets the tests exercise each unfilter path in
+    png_decode against independently-constructed expectations.
+    """
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        else:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = b
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                elif filter_type == 4:
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad filter {filter_type}")
+                raw.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if not palette:
+            raise ValueError("palette PNG needs a palette")
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """PNG → ``(width, height, n_channels, pixels)``; palette images
+    come back expanded to RGB. None for anything outside the supported
+    envelope (8-bit, non-interlaced) or structurally broken."""
+    b = bytes(payload or b"")
+    if b[:8] != PNG_SIG:
+        return None
+    i, w = 8, None
+    idat = bytearray()
+    palette = b""
+    try:
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            tag = b[i + 4 : i + 8]
+            body = b[i + 8 : i + 8 + clen]
+            if tag == b"IHDR":
+                w, h = struct.unpack(">II", body[:8])
+                depth, color_type, comp, filt, interlace = body[8:13]
+                if depth != 8 or comp or filt or interlace:
+                    return None
+                ch = _PNG_CHANNELS.get(color_type)
+                if ch is None:
+                    return None
+            elif tag == b"PLTE":
+                palette = body
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + clen
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * ch
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = bytearray(stride * h)
+    prev = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    if color_type == 3:
+        if len(palette) < 3:
+            return None
+        rgb = bytearray(w * h * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3] or b"\x00\x00\x00"
+        return (w, h, 3, bytes(rgb))
+    return (w, h, ch, bytes(out))
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def bmp_encode(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed bottom-up BMP from top-down RGB bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("need width*height*3 RGB bytes")
+    pad = (-(width * 3)) % 4
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            r, g, bl = rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            rows += bytes([bl, g, r])  # BGR on disk
+        rows += b"\x00" * pad
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 14 + 40)
+    return header + info + bytes(rows)
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """BMP → ``(width, height, 3, top-down RGB bytes)``. Uncompressed
+    24/32-bit BI_RGB only (the overwhelmingly common on-disk layout);
+    negative height (top-down storage) handled."""
+    b = bytes(payload or b"")
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    bpp, compression = struct.unpack("<HI", b[28:34])
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    if len(b) < data_off + row_bytes * h:
+        return None
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_y = y if h_signed < 0 else h - 1 - y  # bottom-up unless negative
+        row = b[data_off + src_y * row_bytes :]
+        for x in range(w):
+            bl, g, r = row[x * nch : x * nch + 3]
+            out[(y * w + x) * 3 : (y * w + x) * 3 + 3] = bytes([r, g, bl])
+    return (w, h, 3, bytes(out))
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable width starting at min_code_size+1,
+    LSB-first bit packing, clear emitted at start and on table-full
+    (4096), EOI at end. Width grows when the NEXT table slot would
+    need it — the +1 offset vs the decoder's schedule is because the
+    decoder adds its first entry one code later than the encoder."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt, width = eoi + 1, min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if nxt == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt, width = eoi + 1, min_code_size + 1
+        else:
+            table[wc] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate missing explicit EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_encode(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Single-frame GIF89a with a real LZW-compressed image: 256-entry
+    global palette (default: grayscale identity, so index == gray
+    level), optional interlaced row storage."""
+    if len(indices) != width * height:
+        raise ValueError("need width*height index bytes")
+    palette = palette or bytes(v for i in range(256) for v in (i, i, i))
+    if len(palette) != 768:
+        raise ValueError("palette must be 256*3 bytes")
+    if interlace:
+        stored = bytearray()
+        for off, step in _GIF_PASSES:
+            for y in range(off, height, step):
+                stored += indices[y * width : (y + 1) * width]
+        indices = bytes(stored)
+    lzw = _lzw_encode(indices, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i : i + 255]
+        blocks += bytes([len(part)]) + part
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])  # global table, 8-bit, 256 entries
+        + palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([0x40 if interlace else 0])
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """First frame of a GIF → ``(width, height, 3, RGB bytes)``: LZW
+    decode + palette expansion + deinterlace. Frames after the first
+    are reachable via multimodal.gif_frame_spans; the decode kernel
+    is per-frame either way."""
+    b = bytes(payload or b"")
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    flags = b[10]
+    i = 13
+    global_pal = b""
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        global_pal = b[i : i + n]
+        i += n
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:
+            return None  # trailer before any image
+        if block == 0x21:
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            return None
+        if i + 10 > len(b):
+            return None
+        fw, fh = struct.unpack("<HH", b[i + 5 : i + 9])
+        lflags = b[i + 9]
+        i += 10
+        pal = global_pal
+        if lflags & 0x80:
+            n = 3 * (2 << (lflags & 0x07))
+            pal = b[i : i + n]
+            i += n
+        if i >= len(b) or not pal:
+            return None
+        mcs = b[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            lzw += b[i + 1 : i + 1 + b[i]]
+            i += 1 + b[i]
+        indices = _lzw_decode(bytes(lzw), mcs)
+        if indices is None or len(indices) < fw * fh:
+            return None
+        indices = indices[: fw * fh]
+        if lflags & 0x40:  # interlaced: invert the 4-pass row order
+            restored = bytearray(fw * fh)
+            src = 0
+            for off, step in _GIF_PASSES:
+                for y in range(off, fh, step):
+                    restored[y * fw : (y + 1) * fw] = indices[src : src + fw]
+                    src += fw
+            indices = bytes(restored)
+        rgb = bytearray(fw * fh * 3)
+        for j, idx in enumerate(indices):
+            p = pal[idx * 3 : idx * 3 + 3]
+            rgb[j * 3 : j * 3 + 3] = p if len(p) == 3 else b"\x00\x00\x00"
+        return (fw, fh, 3, bytes(rgb))
+    return None
+
+
+# ------------------------------------------------------------ dispatch
+
+
+def decode_pixel_payload(payload: bytes | None) -> tuple[str, int, int, int, bytes] | None:
+    """Container-sniffing pixel decode: ``(format, w, h, n_channels,
+    pixels)`` for PNG/GIF/BMP; None for JPEG (header-only by design),
+    unknown containers, or anything outside each codec's envelope."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] == PNG_SIG:
+        r = png_decode(b)
+        return ("png",) + r if r else None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        r = gif_decode(b)
+        return ("gif",) + r if r else None
+    if b[:2] == b"BM":
+        r = bmp_decode(b)
+        return ("bmp",) + r if r else None
+    return None

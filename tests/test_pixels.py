@@ -1,0 +1,269 @@
+"""Pixel codecs (functions/pixels.py) + the decode/resize stages.
+
+Round-trips alone can't catch an encoder/decoder pair that is wrong
+but self-consistent, so alongside the round-trip matrix there are
+hand-packed byte streams with independently-derived expected pixels
+(PNG filter vectors built from raw scanlines + zlib, GIF LZW code
+sequences packed bit-by-bit from the spec's rules, including the
+KwKwK corner) — and the registry DQ's closed-form pixel-sum oracle
+covers the same independence at driver scale.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from data_ingestion_spark.functions.pixels import (
+    PNG_SIG,
+    _lzw_decode,
+    bmp_decode,
+    bmp_encode,
+    decode_pixel_payload,
+    gif_decode,
+    gif_encode,
+    png_decode,
+    png_encode,
+)
+
+# ------------------------------------------------------ round-trips
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_types_and_filters(color_type, ch, filter_type):
+    rng = random.Random(color_type * 10 + filter_type)
+    for w, h in [(1, 1), (3, 2), (13, 11), (32, 17)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        enc = png_encode(w, h, px, color_type=color_type, filter_type=filter_type)
+        assert png_decode(enc) == (w, h, ch, px)
+
+
+def test_png_palette_expands_to_rgb():
+    pal = bytes(v for i in range(256) for v in ((i * 3) % 256, i, 255 - i))
+    idx = bytes(random.Random(1).randrange(256) for _ in range(9 * 7))
+    enc = png_encode(9, 7, idx, color_type=3, filter_type=2, palette=pal)
+    exp = b"".join(pal[i * 3 : i * 3 + 3] for i in idx)
+    assert png_decode(enc) == (9, 7, 3, exp)
+
+
+def test_bmp_roundtrip():
+    rng = random.Random(2)
+    for w, h in [(1, 1), (3, 2), (13, 11), (31, 5)]:  # 31 exercises row padding
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        assert bmp_decode(bmp_encode(w, h, px)) == (w, h, 3, px)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_gray(interlace):
+    rng = random.Random(3)
+    for w, h in [(1, 1), (5, 3), (13, 11), (64, 64)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        exp = b"".join(bytes([v, v, v]) for v in px)
+        assert gif_decode(gif_encode(w, h, px, interlace=interlace)) == (w, h, 3, exp)
+
+
+def test_gif_lzw_table_reset_on_repetitive_data():
+    """300x300 of slowly-varying values forces code-width growth to 12
+    bits and at least one 4096-entry table reset mid-stream."""
+    px = bytes((i // 97) % 7 for i in range(300 * 300))
+    got = gif_decode(gif_encode(300, 300, px))
+    assert got[:3] == (300, 300, 3)
+    assert got[3] == b"".join(bytes([v, v, v]) for v in px)
+
+
+def test_gif_custom_palette():
+    pal = bytes(v for i in range(256) for v in (i, (i * 7) % 256, (i * 13) % 256))
+    px = bytes(random.Random(4).randrange(256) for _ in range(17 * 9))
+    exp = b"".join(pal[v * 3 : v * 3 + 3] for v in px)
+    assert gif_decode(gif_encode(17, 9, px, palette=pal)) == (17, 9, 3, exp)
+
+
+# ---------------------------------------- independent (non-roundtrip)
+
+
+def _png_manual(w, h, scanlines: bytes, color_type=0) -> bytes:
+    """Build a PNG directly from raw (filter byte + filtered data)
+    scanlines — bypasses png_encode entirely."""
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_sub_filter_hand_vector():
+    # 3x1 gray, filter 1 (Sub): stored deltas 10, 5, 250 → 10, 15, (15+250)%256=9
+    assert png_decode(_png_manual(3, 1, bytes([1, 10, 5, 250]))) == (
+        3, 1, 1, bytes([10, 15, 9])
+    )
+
+
+def test_png_up_and_average_hand_vector():
+    # row0 (None): 10 20 | row1 (Up): +5 +7 → 15 27
+    assert png_decode(_png_manual(2, 2, bytes([0, 10, 20, 2, 5, 7]))) == (
+        2, 2, 1, bytes([10, 20, 15, 27])
+    )
+    # row0 (None): 10 20 | row1 (Average): stored 4, 6
+    #   x0: pred=(0+10)//2=5  → 9 ;  x1: pred=(9+20)//2=14 → 20
+    assert png_decode(_png_manual(2, 2, bytes([0, 10, 20, 3, 4, 6]))) == (
+        2, 2, 1, bytes([10, 20, 9, 20])
+    )
+
+
+def test_png_paeth_hand_vector():
+    # row0 (None): 100 200 | row1 (Paeth): stored 1, 2
+    #   x0: a=0 b=100 c=0 → p=100, pa=100 pb=0 → pred=b=100 → 101
+    #   x1: a=101 b=200 c=100 → p=201, pa=100 pb=1 pc=101 → pred=b=200 → 202
+    assert png_decode(_png_manual(2, 2, bytes([0, 100, 200, 4, 1, 2]))) == (
+        2, 2, 1, bytes([100, 200, 101, 202])
+    )
+
+
+def _pack_lsb(codes, width):
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_hand_packed_stream():
+    # mcs=2: clear=4, eoi=5; codes [clear, 1, 2, 2, eoi] at width 3
+    data = _pack_lsb([4, 1, 2, 2, 5], 3)
+    assert _lzw_decode(data, 2) == bytes([1, 2, 2])
+
+
+def test_lzw_kwkwk_case():
+    # [clear, 1, 6] — code 6 is the next unassigned entry: prev+prev[0]
+    data = _pack_lsb([4, 1, 6, 5], 3)
+    assert _lzw_decode(data, 2) == bytes([1, 1, 1])
+
+
+def test_lzw_corrupt_code_rejected():
+    # code far beyond the table with no KwKwK justification
+    assert _lzw_decode(_pack_lsb([4, 1, 7, 5], 3), 2) is None
+
+
+# ----------------------------------------------------- negative paths
+
+
+def test_unsupported_envelopes_return_none():
+    assert png_decode(png_encode(4, 4, bytes(16))[:20]) is None  # truncated
+    assert decode_pixel_payload(b"\xff\xd8\xff\xe0jpeg") is None  # header-only
+    assert decode_pixel_payload(b"garbage") is None
+    assert decode_pixel_payload(None) is None
+    # 16-bit PNG: outside the 8-bit envelope → None, not garbage
+    ihdr = struct.pack(">II", 2, 2) + bytes([16, 0, 0, 0, 0])
+    b16 = PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr)
+    )
+    assert png_decode(b16) is None
+
+
+def test_bmp_top_down_negative_height():
+    px = bytes(range(2 * 2 * 3))
+    enc = bytearray(bmp_encode(2, 2, px))
+    # flip to top-down storage: negate height, reverse stored row order
+    enc[22:26] = struct.pack("<i", -2)
+    off = struct.unpack("<I", bytes(enc[10:14]))[0]
+    row = (2 * 3 + 3) & ~3
+    enc[off : off + row], enc[off + row : off + 2 * row] = (
+        bytes(enc[off + row : off + 2 * row]), bytes(enc[off : off + row]),
+    )
+    assert bmp_decode(bytes(enc)) == (2, 2, 3, px)
+
+
+# ------------------------------------------------------- Spark stages
+
+
+def test_decode_pixels_stage(spark):
+    from data_ingestion_spark.functions.multimodal import decode_pixels, jpeg_bytes
+
+    rows = [
+        (0, png_encode(3, 2, bytes(range(6)))),
+        (1, bmp_encode(2, 2, bytes(range(12)))),
+        (2, gif_encode(2, 1, bytes([7, 9]))),
+        (3, jpeg_bytes(4, 4)),  # header-only format → NULL pixels
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_pixels(df).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["height"], got[0]["n_channels"]) == ("png", 3, 2, 1)
+    assert bytes(got[0]["pixels"]) == bytes(range(6))
+    assert bytes(got[1]["pixels"]) == bytes(range(12))
+    assert bytes(got[2]["pixels"]) == bytes([7, 7, 7, 9, 9, 9])
+    assert got[3]["pixels"] is None and got[4]["pixels"] is None
+
+
+def test_decode_pixels_strict_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from data_ingestion_spark.functions.multimodal import decode_pixels, jpeg_bytes
+
+    df = spark.createDataFrame([(0, jpeg_bytes(4, 4))], "doc_id long, payload binary")
+    with pytest.raises((Py4JJavaError, PythonException)):
+        decode_pixels(df, strict=True).collect()
+
+
+def test_resize_pixels_nearest_neighbor(spark):
+    import numpy as np
+
+    from data_ingestion_spark.functions.multimodal import decode_pixels, resize_pixels
+
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    df = spark.createDataFrame(
+        [(0, png_encode(8, 6, arr.tobytes(), color_type=2))],
+        "doc_id long, payload binary",
+    )
+    out = resize_pixels(decode_pixels(df), 4, 3).collect()[0]
+    assert (out["width"], out["height"], out["n_channels"]) == (4, 3, 3)
+    ys, xs = (np.arange(3) * 6) // 3, (np.arange(4) * 8) // 4
+    assert bytes(out["pixels"]) == arr[ys][:, xs].tobytes()
+    # NULL pixel rows pass through
+    df2 = spark.createDataFrame([(1, b"junk")], "doc_id long, payload binary")
+    row = resize_pixels(decode_pixels(df2), 4, 3).collect()[0]
+    assert row["pixels"] is None
+
+
+def test_gradient_image_pixel_sum_contract(spark):
+    """The DQ's closed form, verified directly at small scale: decode
+    the gradient images and check sum == ch*(w*h*base + h*Tw + w*Th)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.multimodal import (
+        attach_gradient_image,
+        decode_pixels,
+        pixel_sum,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, 40 + 3 * d) for d in range(30)], "doc_id long, n_chars long"
+    )
+    out = decode_pixels(attach_gradient_image(docs)).withColumn(
+        "s", pixel_sum(F.col("pixels"))
+    )
+    for r in out.collect():
+        d = r["doc_id"]
+        n = 40 + 3 * d
+        w, h, base = 1 + n % 13, 1 + d % 11, d % 200
+        ch = 1 if d % 3 == 0 else 3
+        exp = ch * (w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))
+        assert r["n_channels"] == ch and r["s"] == exp, d

@@ -117,6 +117,7 @@ PYTHON_OK: set[str] = {
     "zscore_grouped_pandas",   # deliberate applyInPandas grouped map (§2.11)
     "normalize_unicode",       # unicodedata NFC has no Spark builtin
     "multimodal_header_decode",  # struct-parse of binary headers is the point
+    "multimodal_pixel_decode",   # stdlib PNG/GIF/BMP pixel codecs are the point
 }
 
 #: executes a live streaming job on call — excluded from plan lint
