@@ -513,7 +513,9 @@ PIXEL_SCHEMA = StructType(
 )
 
 
-def decode_pixels(df: DataFrame, strict: bool = False) -> DataFrame:
+def decode_pixels(
+    df: DataFrame, strict: bool = False, max_pixel_bytes: int | None = None
+) -> DataFrame:
     """REAL pixel decode for PNG/GIF/BMP payloads — stdlib codecs
     (functions/pixels.py: zlib inflate + the five PNG filters, GIF
     LZW + palette + interlace, BMP BI_RGB), Arrow-batched via
@@ -524,16 +526,21 @@ def decode_pixels(df: DataFrame, strict: bool = False) -> DataFrame:
     JPEG (baseline DCT needs a codec lib this container lacks) and
     unrecognized/corrupt payloads yield NULL pixel rows, or raise
     NotImplementedError under ``strict=True`` — corrupt media is data
-    at corpus scale, but strict mode never fakes. Pixel rows are
-    heavy (w*h*ch bytes): repartition by decoded byte size before
-    wide downstream ops at 100 TB."""
-    from .pixels import decode_pixel_payload
+    at corpus scale, but strict mode never fakes. Images whose decoded
+    size exceeds ``max_pixel_bytes`` (default
+    pixels.DEFAULT_MAX_PIXEL_BYTES, 268 MB) also yield NULL — the
+    per-executor OOM guard against hostile headers and deflate/LZW
+    bombs. Pixel rows are heavy (w*h*ch bytes): repartition by
+    decoded byte size before wide downstream ops at 100 TB."""
+    from .pixels import DEFAULT_MAX_PIXEL_BYTES, decode_pixel_payload
+
+    cap = DEFAULT_MAX_PIXEL_BYTES if max_pixel_bytes is None else max_pixel_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                decoded = decode_pixel_payload(payload)
+                decoded = decode_pixel_payload(payload, cap)
                 if decoded is None:
                     if strict:
                         raise NotImplementedError(

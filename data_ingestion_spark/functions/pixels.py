@@ -115,10 +115,22 @@ def png_encode(
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
-def png_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
+#: Decoded-size ceiling (bytes of raw pixels) applied by every decoder
+#: before any allocation: a hostile-but-well-formed header claiming
+#: huge dims, or a deflate/LZW stream engineered to inflate far beyond
+#: its payload, must bound-fail to None instead of OOMing an executor
+#: — at corpus scale hostile media is data too. 2^28 = 268 MB ≈ a
+#: 9450×9450 RGB image; override per call for larger legit media.
+DEFAULT_MAX_PIXEL_BYTES = 1 << 28
+
+
+def png_decode(
+    payload: bytes, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
+) -> tuple[int, int, int, bytes] | None:
     """PNG → ``(width, height, n_channels, pixels)``; palette images
     come back expanded to RGB. None for anything outside the supported
-    envelope (8-bit, non-interlaced) or structurally broken."""
+    envelope (8-bit, non-interlaced), structurally broken, or larger
+    than ``max_pixel_bytes`` decoded."""
     b = bytes(payload or b"")
     if b[:8] != PNG_SIG:
         return None
@@ -131,12 +143,16 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
             tag = b[i + 4 : i + 8]
             body = b[i + 8 : i + 8 + clen]
             if tag == b"IHDR":
+                if len(body) < 13:  # truncated header is corrupt data, not an error
+                    return None
                 w, h = struct.unpack(">II", body[:8])
                 depth, color_type, comp, filt, interlace = body[8:13]
                 if depth != 8 or comp or filt or interlace:
                     return None
                 ch = _PNG_CHANNELS.get(color_type)
                 if ch is None:
+                    return None
+                if (w * ch + 1) * h > max_pixel_bytes:
                     return None
             elif tag == b"PLTE":
                 palette = body
@@ -147,7 +163,11 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
             i += 12 + clen
         if w is None or not idat:
             return None
-        raw = zlib.decompress(bytes(idat))
+        # cap inflation at exactly the bytes the header promised — a
+        # deflate bomb (MBs inflating to GBs) stops at the cap instead
+        # of materializing; trailing legit bytes beyond the cap were
+        # never read by the unfilter loop anyway
+        raw = zlib.decompressobj().decompress(bytes(idat), (w * ch + 1) * h)
     except (struct.error, zlib.error):
         return None
     stride = w * ch
@@ -182,7 +202,11 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
             return None
         rgb = bytearray(w * h * 3)
         for i, idx in enumerate(out):
-            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3] or b"\x00\x00\x00"
+            p = palette[idx * 3 : idx * 3 + 3]
+            # out-of-range index → black; a partial (1-2 byte) slice must
+            # NOT be assigned as-is — bytearray slice assignment RESIZES on
+            # length mismatch, silently corrupting the w*h*3 contract
+            rgb[i * 3 : i * 3 + 3] = p if len(p) == 3 else b"\x00\x00\x00"
         return (w, h, 3, bytes(rgb))
     return (w, h, ch, bytes(out))
 
@@ -206,10 +230,15 @@ def bmp_encode(width: int, height: int, rgb: bytes) -> bytes:
     return header + info + bytes(rows)
 
 
-def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
+def bmp_decode(
+    payload: bytes, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
+) -> tuple[int, int, int, bytes] | None:
     """BMP → ``(width, height, 3, top-down RGB bytes)``. Uncompressed
     24/32-bit BI_RGB only (the overwhelmingly common on-disk layout);
-    negative height (top-down storage) handled."""
+    negative height (top-down storage) handled. BMP stores pixels raw
+    (no amplification — the payload-length check already bounds
+    output ≤ 1.34× payload), so the cap here is uniformity, not a
+    bomb defense."""
     b = bytes(payload or b"")
     if b[:2] != b"BM" or len(b) < 54:
         return None
@@ -219,6 +248,8 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
     if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
         return None
     h = abs(h_signed)
+    if w * h * 3 > max_pixel_bytes:
+        return None
     nch = bpp // 8
     row_bytes = (w * nch + 3) & ~3
     if len(b) < data_off + row_bytes * h:
@@ -283,7 +314,9 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes | None:
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
     table = list(base)
@@ -292,6 +325,9 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
     acc = nbits = pos = 0
     prev: bytes | None = None
     while True:
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out)  # caller knows how many pixels it needs;
+            # an LZW bomb stops here instead of inflating unboundedly
         while nbits < width:
             if pos >= len(data):
                 return bytes(out)  # tolerate missing explicit EOI
@@ -361,7 +397,9 @@ def gif_encode(
     )
 
 
-def gif_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
+def gif_decode(
+    payload: bytes, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
+) -> tuple[int, int, int, bytes] | None:
     """First frame of a GIF → ``(width, height, 3, RGB bytes)``: LZW
     decode + palette expansion + deinterlace. Frames after the first
     are reachable via multimodal.gif_frame_spans; the decode kernel
@@ -391,6 +429,8 @@ def gif_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
         if i + 10 > len(b):
             return None
         fw, fh = struct.unpack("<HH", b[i + 5 : i + 9])
+        if fw * fh * 3 > max_pixel_bytes:
+            return None
         lflags = b[i + 9]
         i += 10
         pal = global_pal
@@ -401,12 +441,17 @@ def gif_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
         if i >= len(b) or not pal:
             return None
         mcs = b[i]
+        # root codes are single palette indices, so mcs caps at 8 (256
+        # roots); a corrupt larger value would build bytes([256]) and
+        # crash the table init. Code WIDTH still grows to 12 later.
+        if not 2 <= mcs <= 8:
+            return None
         i += 1
         lzw = bytearray()
         while i < len(b) and b[i] != 0:
             lzw += b[i + 1 : i + 1 + b[i]]
             i += 1 + b[i]
-        indices = _lzw_decode(bytes(lzw), mcs)
+        indices = _lzw_decode(bytes(lzw), mcs, max_out=fw * fh)
         if indices is None or len(indices) < fw * fh:
             return None
         indices = indices[: fw * fh]
@@ -429,20 +474,25 @@ def gif_decode(payload: bytes) -> tuple[int, int, int, bytes] | None:
 # ------------------------------------------------------------ dispatch
 
 
-def decode_pixel_payload(payload: bytes | None) -> tuple[str, int, int, int, bytes] | None:
+def decode_pixel_payload(
+    payload: bytes | None, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
+) -> tuple[str, int, int, int, bytes] | None:
     """Container-sniffing pixel decode: ``(format, w, h, n_channels,
     pixels)`` for PNG/GIF/BMP; None for JPEG (header-only by design),
-    unknown containers, or anything outside each codec's envelope."""
+    unknown containers, anything outside each codec's envelope, or
+    images larger than ``max_pixel_bytes`` decoded (OOM guard —
+    includes deflate/LZW bombs, which bound-fail instead of
+    inflating)."""
     if payload is None:
         return None
     b = bytes(payload)
     if b[:8] == PNG_SIG:
-        r = png_decode(b)
+        r = png_decode(b, max_pixel_bytes)
         return ("png",) + r if r else None
     if b[:6] in (b"GIF87a", b"GIF89a"):
-        r = gif_decode(b)
+        r = gif_decode(b, max_pixel_bytes)
         return ("gif",) + r if r else None
     if b[:2] == b"BM":
-        r = bmp_decode(b)
+        r = bmp_decode(b, max_pixel_bytes)
         return ("bmp",) + r if r else None
     return None

@@ -190,6 +190,141 @@ def test_bmp_top_down_negative_height():
     assert bmp_decode(bytes(enc)) == (2, 2, 3, px)
 
 
+def test_truncated_ihdr_body_is_data_not_crash():
+    # 10-byte IHDR body: w/h unpack fine, the 5-field tail is missing —
+    # must be None, not an uncaught ValueError killing the Spark stage
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    bad = PNG_SIG + chunk(b"IHDR", struct.pack(">II", 2, 2) + bytes([8, 0]))
+    assert png_decode(bad) is None
+
+
+def test_short_palette_keeps_pixel_length_contract():
+    # PLTE of 4 bytes with index 1 used: the partial 1-byte slice must
+    # NOT be slice-assigned (bytearray resizes on mismatch, silently
+    # returning pixels shorter than w*h*3 and crashing resize later)
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">II", 1, 1) + bytes([8, 3, 0, 0, 0])
+    enc = (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", bytes(4))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1]))) + chunk(b"IEND", b"")
+    )
+    got = png_decode(enc)
+    assert got is not None and len(got[3]) == 1 * 1 * 3
+
+
+def test_gif_corrupt_min_code_size_is_data_not_crash():
+    # mcs byte flipped to 9: the 2^mcs table build would hit
+    # bytes([256]) → ValueError without the 2..11 envelope guard
+    g = bytearray(gif_encode(2, 2, bytes(4)))
+    mcs_off = 6 + 7 + 768 + 10  # header + LSD + palette + descriptor
+    assert g[mcs_off] == 8
+    for bad_mcs in (0, 1, 9, 12, 255):
+        g[mcs_off] = bad_mcs
+        assert gif_decode(bytes(g)) is None
+
+
+# --------------------------------------------------- bombs / OOM guard
+
+
+def test_png_deflate_bomb_bound_fails():
+    """A well-formed 30000x30000 gray PNG whose IDAT is ~2.6 MB of
+    deflated zeros would inflate to ~900 MB: the header cap must
+    return None without materializing the raw stream."""
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    w = h = 30_000
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+    # compress the full (filter byte + zeros) stream cheaply via a
+    # compressobj fed in chunks — ~900 MB raw never exists at once
+    co = zlib.compressobj(9)
+    idat = bytearray()
+    line = bytes(w + 1)
+    for _ in range(64):  # enough rows that an uncapped decode would blow past the cap
+        idat += co.compress(line * 64)
+    idat += co.flush()
+    bomb = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bytes(idat)) + chunk(b"IEND", b"")
+    assert png_decode(bomb) is None  # (w+1)*h > DEFAULT_MAX_PIXEL_BYTES
+    # and an explicit tiny cap rejects an otherwise-fine image
+    small = png_encode(64, 64, bytes(64 * 64))
+    assert png_decode(small, max_pixel_bytes=100) is None
+    assert decode_pixel_payload(small) is not None
+
+
+def test_gif_and_bmp_dim_caps():
+    g = bytearray(gif_encode(2, 2, bytes(4)))
+    g[6:10] = struct.pack("<HH", 60_000, 60_000)  # LSD dims
+    g[6 + 7 + 768 + 5 : 6 + 7 + 768 + 9] = struct.pack("<HH", 60_000, 60_000)
+    assert gif_decode(bytes(g)) is None  # 10.8 GB claim → bound-fail
+    b = bmp_encode(2, 2, bytes(12))
+    assert bmp_decode(b, max_pixel_bytes=8) is None
+    assert bmp_decode(b) is not None
+
+
+def test_gif_lzw_output_capped_at_frame_size():
+    # descriptor dims patched smaller than the encoded image: decoder
+    # must stop at fw*fh (the cap), not expand the full stream
+    g = bytearray(gif_encode(8, 8, bytes(range(64))))
+    g[6 + 7 + 768 + 5 : 6 + 7 + 768 + 9] = struct.pack("<HH", 2, 2)
+    got = gif_decode(bytes(g))
+    assert got is not None and got[:3] == (2, 2, 3)
+    assert len(got[3]) == 2 * 2 * 3
+
+
+# ------------------------------------------------------- seeded fuzz
+
+
+def test_fuzz_decoders_never_raise():
+    """Byte-flips, truncations, and magic-prefixed garbage over every
+    encoder/format: decode must return None or a contract-true tuple
+    (len(pixels) == w*h*ch), never raise — an uncaught decode
+    exception at corpus scale kills the whole Spark stage. A 33k-case
+    run of this generator found the three crash vectors pinned above;
+    this seeded slice keeps them found."""
+    rng = random.Random(1234)
+    base = [
+        png_encode(5, 4, bytes(range(20))),
+        png_encode(3, 3, bytes(range(27)), color_type=2, filter_type=4),
+        png_encode(4, 2, bytes(8), color_type=3, palette=bytes(768)),
+        gif_encode(5, 4, bytes(range(20))),
+        gif_encode(4, 4, bytes(16), interlace=True),
+        bmp_encode(5, 4, bytes(range(60))),
+    ]
+    for payload in base:
+        for _ in range(500):
+            b = bytearray(payload)
+            mode = rng.randrange(3)
+            if mode in (0, 2):
+                for _ in range(rng.randrange(1, 9)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            if mode in (1, 2):
+                b = b[: rng.randrange(1, len(b) + 1)]
+            r = decode_pixel_payload(bytes(b))
+            if r is not None:
+                fmt, w, h, ch, px = r
+                assert w >= 1 and h >= 1 and len(px) == w * h * ch
+    for prefix in (PNG_SIG, b"GIF89a", b"BM"):
+        for _ in range(500):
+            blob = prefix + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 200))
+            )
+            r = decode_pixel_payload(blob)
+            if r is not None:
+                fmt, w, h, ch, px = r
+                assert w >= 1 and h >= 1 and len(px) == w * h * ch
+
+
 # ------------------------------------------------------- Spark stages
 
 
