@@ -110,6 +110,56 @@ def test_header_parsers_never_raise_on_garbage(blob):
         assert out is None or isinstance(out, tuple)
 
 
+#: valid seeds for the pixel-decoder mutation property — one per
+#: codec envelope, built once at import (the encoders are pure)
+def _pixel_seed_payloads():
+    from data_ingestion_spark.functions.pixels import (
+        bmp_encode,
+        gif_encode,
+        png_encode,
+    )
+
+    return [
+        png_encode(5, 4, bytes(range(20))),
+        png_encode(3, 3, bytes(range(27)), color_type=2, filter_type=4),
+        png_encode(4, 2, bytes(8), color_type=3, palette=bytes(768)),
+        gif_encode(5, 4, bytes(range(20))),
+        gif_encode(4, 4, bytes(16), interlace=True),
+        bmp_encode(5, 4, bytes(range(60))),
+    ]
+
+
+_PIXEL_SEEDS = _pixel_seed_payloads()
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.integers(0, len(_PIXEL_SEEDS) - 1),
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 255)),
+        min_size=0, max_size=8,
+    ),
+    st.integers(1, 10**6),
+)
+def test_pixel_decoders_never_raise_on_mutations(seed_idx, flips, cut):
+    """Mutations of VALID images reach decode paths random blobs never
+    touch (inflate, unfilter, LZW, palette expansion): any byte-flip +
+    truncation either decodes to a contract-true tuple
+    (len(pixels) == w*h*ch) or returns None — never raises, because
+    one uncaught decode exception kills a whole Spark stage and
+    corrupt media is guaranteed data at corpus scale."""
+    from data_ingestion_spark.functions.pixels import decode_pixel_payload
+
+    b = bytearray(_PIXEL_SEEDS[seed_idx])
+    for pos, val in flips:
+        b[pos % len(b)] = val
+    blob = bytes(b[: max(1, cut % (len(b) + 1))])
+    out = decode_pixel_payload(blob)
+    if out is not None:
+        fmt, w, h, ch, px = out
+        assert w >= 1 and h >= 1 and len(px) == w * h * ch
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.integers(1, 65535), st.integers(1, 65535))
 def test_truncated_headers_return_none(w, h):
