@@ -402,3 +402,35 @@ def test_gradient_image_pixel_sum_contract(spark):
         ch = 1 if d % 3 == 0 else 3
         exp = ch * (w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))
         assert r["n_channels"] == ch and r["s"] == exp, d
+
+
+def test_null_payload_rows_never_crash_media_kernels(spark):
+    """NULL payloads are the corpus-scale norm (failed fetches, schema
+    evolution): every Arrow-batched media kernel must pass them
+    through as NULL/empty output, not crash the stage. (frame_sample
+    is absent by design — it consumes decoded n_frames metadata, not
+    raw payloads.)"""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions import multimodal as MM
+
+    bin_null = spark.createDataFrame(
+        [(0, None), (1, b"junk")], "doc_id long, payload binary"
+    )
+    assert MM.decode_pixels(bin_null).count() == 2
+    assert MM.resize_pixels(MM.decode_pixels(bin_null), 4, 4).count() == 2
+    assert (
+        MM.decode_pixels(bin_null)
+        .select(MM.pixel_sum(F.col("pixels")))
+        .count() == 2
+    )
+    assert MM.segment_wav(bin_null).count() == 0  # no rows, no crash
+    assert MM.decode_audio_headers(bin_null).count() == 2
+    assert MM.decode_image_headers(bin_null).count() == 2
+    assert MM.extract_frames(bin_null).count() >= 0
+    assert MM.embed_media(bin_null).count() == 2
+    mm_null = spark.createDataFrame(
+        [(0, None, None), (1, b"x", "image/png")],
+        "doc_id long, payload binary, mime string",
+    )
+    assert MM.decode_media_meta(mm_null).count() == 2
