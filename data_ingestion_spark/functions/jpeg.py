@@ -1,0 +1,482 @@
+"""Baseline JPEG codec — pure stdlib ``struct`` + numpy, no media libs.
+
+Closes the FINAL container-limited gap in T11 (SURVEY §2.10): with
+this module every image container the engine recognizes decodes to
+raw pixels from its public specification (ITU-T T.81 / ISO 10918-1).
+
+Envelope (decode): baseline sequential DCT (SOF0), 8-bit precision,
+Huffman entropy coding, 1 or 3 components, per-component sampling
+factors 1 or 2 (covers 4:4:4, 4:2:2, 4:2:0 — chroma upsampled by
+pixel replication), single interleaved scan. Outside the envelope —
+progressive (SOF2), arithmetic coding, restart intervals (DRI > 0),
+12-bit, hierarchical — ``jpeg_decode`` returns None (corrupt/exotic
+media is data, not an exception; same policy as pixels.py).
+
+The encoder (4:4:4, single scan) is the synthesis half of the
+round-trip tests and the registry DQ. Design choices that keep the
+pair honest rather than wrong-but-self-consistent:
+
+- the zigzag order is DERIVED algorithmically (anti-diagonal walk
+  with alternating direction) instead of transcribed — a table typo
+  cannot exist;
+- Huffman tables travel IN the file (DHT segments): the decoder
+  builds codes only from what it parses, never from shared module
+  constants. The encoder's tables are deliberately non-standard
+  (flat 4-bit DC / 8-bit AC codes) so a decoder that secretly assumed
+  Annex-K tables would fail loudly;
+- a CONSTANT-gray image round-trips BIT-EXACTLY through the lossy
+  pipeline (its blocks carry only a DC coefficient: the DCT, flat
+  quantization and IDCT of a constant are exact), which is what lets
+  the registry DQ predict JPEG pixel sums in closed form;
+- the non-flat-quantization round-trip test would surface any
+  consistent-but-wrong coefficient ordering: with quant != 1 the
+  dequantizer must hit exactly the coefficients the quantizer did,
+  which only happens when both orderings are actually zigzag.
+
+Reference parity anchor: the reference pipeline treats media as
+opaque artifacts; this module is the north-star extension making the
+decode slot real (see functions/pixels.py for PNG/GIF/BMP).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- constants
+
+#: zigzag[i] = natural (row-major) index of the i-th coefficient in
+#: zigzag order — derived, not transcribed (see module docstring).
+def _zigzag_order() -> list[int]:
+    order: list[tuple[int, int]] = []
+    for s in range(15):  # anti-diagonal r+c = s
+        diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and j < 8]
+        order.extend(reversed(diag) if s % 2 else diag)
+    return [r * 8 + c for r, c in order]
+
+
+_ZIGZAG = _zigzag_order()
+
+#: orthonormal 8-point DCT-II basis — JPEG's FDCT/IDCT in matrix form
+#: (F = C f C^T, f = C^T F C).
+_C = np.array(
+    [
+        [
+            np.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+#: encoder Huffman tables — deliberately NOT Annex K (see docstring):
+#: 12 DC categories as flat 4-bit codes, 162 AC symbols as flat 8-bit
+#: codes. Both canonical, prefix-free, all-ones code unused (T.81
+#: requires the all-ones code of the longest length be absent).
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write(0xFF, 8 - self.nbits)  # 1-fill to byte boundary
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    n_channels: int = 1,
+    quant: list[int] | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """Real baseline JPEG writer: 8-bit, single interleaved scan,
+    4:4:4 by default or 4:2:0 with ``subsample=True`` (2x2
+    box-averaged chroma, luma sampling 2x2 — the dominant real-world
+    layout, and the synthesis half of the decoder's subsampled-path
+    tests). ``pixels`` is row-major gray (n_channels=1) or
+    interleaved RGB (n_channels=3, converted to BT.601 YCbCr).
+    ``quant`` is a 64-entry natural-order table applied to every
+    component; default all-ones (near-lossless: constant images
+    round-trip bit-exactly, see module docstring)."""
+    if n_channels not in (1, 3):
+        raise ValueError("n_channels must be 1 or 3")
+    if subsample and n_channels != 3:
+        raise ValueError("subsample requires 3 channels")
+    if len(pixels) != width * height * n_channels:
+        raise ValueError(f"need {width * height * n_channels} pixel bytes")
+    q = np.ones((8, 8)) if quant is None else np.asarray(
+        quant, dtype=np.float64
+    ).reshape(8, 8)
+    if q.size != 64 or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 64 values in 1..255")
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, n_channels)
+    if n_channels == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+
+    samp = (
+        [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * n_channels
+    )
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
+    # pad every full-res plane to whole MCUs by edge replication, then
+    # box-average subsampled components down to their block grid
+    fh, fw = mcuy * 8 * max_v, mcux * 8 * max_h
+    planes = [
+        np.pad(p, ((0, fh - p.shape[0]), (0, fw - p.shape[1])), mode="edge")
+        for p in planes
+    ]
+    for ci, (hs, vs) in enumerate(samp):
+        fy, fx = max_v // vs, max_h // hs
+        if fy > 1 or fx > 1:
+            p = planes[ci]
+            planes[ci] = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+
+    dc_codes = _build_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    w = _BitWriter()
+    prev_dc = [0] * n_channels
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (plane, (hs, vs)) in enumerate(zip(planes, samp)):
+                for vy in range(vs):
+                    for vx in range(hs):
+                        by, bx = my * vs + vy, mx * hs + vx
+                        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                        coef = _C @ block @ _C.T
+                        zz = np.rint(coef / q).astype(np.int64).flatten()[_ZIGZAG]
+                        diff = int(zz[0]) - prev_dc[ci]
+                        prev_dc[ci] = int(zz[0])
+                        s = _category(diff)
+                        w.write(*dc_codes[s])
+                        if s:
+                            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for i in range(1, last + 1):
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                w.write(*ac_codes[0xF0])
+                                run -= 16
+                            s = _category(v)
+                            w.write(*ac_codes[(run << 4) | s])
+                            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last < 63:
+                            w.write(*ac_codes[0x00])  # EOB
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qz = bytes(int(q.flatten()[_ZIGZAG[i]]) for i in range(64))  # stored zigzag
+    dqt = seg(0xFFDB, b"\x00" + qz)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, n_channels)
+        + b"".join(
+            struct.pack(">BBB", i + 1, (samp[i][0] << 4) | samp[i][1], 0)
+            for i in range(n_channels)
+        ),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([n_channels])
+        + b"".join(struct.pack(">BB", i + 1, 0x00) for i in range(n_channels))
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+
+
+# ------------------------------------------------------------ decoder
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int | None:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                return None
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for ln in range(1, 17):
+        bit = br.read(1)
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(
+    payload: bytes, max_pixel_bytes: int = 1 << 28
+) -> tuple[int, int, int, bytes] | None:
+    """Baseline JPEG → ``(width, height, n_channels, pixels)`` (gray
+    for 1 component, interleaved RGB for 3). None outside the
+    envelope (module docstring), on corrupt streams, or above
+    ``max_pixel_bytes`` decoded — never an exception: at corpus scale
+    corrupt media is data, and an uncaught decode error kills the
+    whole Spark stage."""
+    b = bytes(payload or b"")
+    if b[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None
+        scan = None
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any scan
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            body = b[i + 4 : i + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:  # DQT (possibly several tables per seg)
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 0x0F
+                    n = 64 * (2 if pq else 1)
+                    raw = body[j + 1 : j + 1 + n]
+                    if len(raw) < n:
+                        return None
+                    vals = (
+                        np.frombuffer(raw, dtype=">u2").astype(np.float64)
+                        if pq
+                        else np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                    )
+                    nat = np.empty(64)
+                    nat[_ZIGZAG] = vals  # stored zigzag -> natural
+                    qt[tq] = nat.reshape(8, 8)
+                    j += 1 + n
+            elif marker == 0xC4:  # DHT (possibly several tables per seg)
+                j = 0
+                while j + 17 <= len(body):
+                    tc, th = body[j] >> 4, body[j] & 0x0F
+                    bits = list(body[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(body[j + 17 : j + 17 + nv])
+                    if len(vals) < nv:
+                        return None
+                    codes = _build_codes(bits, vals)
+                    huff[(tc, th)] = {
+                        (ln, code): sym for sym, (code, ln) in codes.items()
+                    }
+                    j += 17 + nv
+            elif marker in (0xC0, 0xC1):  # baseline / ext. sequential Huffman
+                prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for k in range(nc):
+                    cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
+                    hs, vs = samp >> 4, samp & 0x0F
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        return None
+                    comps.append([cid, hs, vs, tq])
+                frame = (w_, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xDD:  # DRI
+                if struct.unpack(">H", body[:2])[0] != 0:
+                    return None  # restart intervals outside the envelope
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = body[0]
+                sel = {}
+                for k in range(ns):
+                    cid, tbl = body[1 + 2 * k : 3 + 2 * k]
+                    sel[cid] = (tbl >> 4, tbl & 0x0F)
+                scan = (sel, i + 2 + seglen)
+                break
+            i += 2 + seglen
+        if frame is None or scan is None:
+            return None
+        w_, h, comps = frame
+        sel, data_start = scan
+        out_ch = 1 if len(comps) == 1 else 3
+        if w_ < 1 or h < 1 or w_ * h * out_ch > max_pixel_bytes:
+            return None
+
+        # entropy-coded bytes: unstuff FF00, stop at any real marker
+        ent = bytearray()
+        j = data_start
+        while j < len(b):
+            byte = b[j]
+            if byte == 0xFF:
+                nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+                if nxt == 0x00:
+                    ent.append(0xFF)
+                    j += 2
+                    continue
+                break  # marker (EOI or otherwise) ends the scan
+            ent.append(byte)
+            j += 1
+
+        max_h = max(c[1] for c in comps)
+        max_v = max(c[2] for c in comps)
+        mcux = -(-w_ // (8 * max_h))
+        mcuy = -(-h // (8 * max_v))
+        br = _BitReader(bytes(ent))
+        pred = {c[0]: 0 for c in comps}
+        # per component: coefficient blocks in MCU-interleaved layout
+        blocks: dict[int, np.ndarray] = {
+            c[0]: np.zeros((mcuy * c[2], mcux * c[1], 8, 8)) for c in comps
+        }
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hs, vs, tq in comps:
+                    if cid not in sel or tq not in qt:
+                        return None
+                    dct, act = sel[cid]
+                    dc_tbl = huff.get((0, dct))
+                    ac_tbl = huff.get((1, act))
+                    if dc_tbl is None or ac_tbl is None:
+                        return None
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            zz = np.zeros(64)
+                            s = _decode_huffman(br, dc_tbl)
+                            if s is None or s > 11:
+                                return None
+                            if s:
+                                v = br.read(s)
+                                if v is None:
+                                    return None
+                                pred[cid] += _extend(v, s)
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                sym = _decode_huffman(br, ac_tbl)
+                                if sym is None:
+                                    return None
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, s = sym >> 4, sym & 0x0F
+                                k += run
+                                if k > 63 or s == 0:
+                                    return None
+                                v = br.read(s)
+                                if v is None:
+                                    return None
+                                zz[k] = _extend(v, s)
+                                k += 1
+                            nat = np.empty(64)
+                            nat[_ZIGZAG] = zz
+                            blocks[cid][my * vs + vy, mx * hs + vx] = nat.reshape(8, 8)
+
+        # dequantize + IDCT all blocks of each component at once
+        planes = []
+        for cid, hs, vs, tq in comps:
+            coef = blocks[cid] * qt[tq]  # (by, bx, 8, 8)
+            pix = np.einsum("xu,ijuv,vy->ijxy", _C.T, coef, _C) + 128.0
+            by, bx = pix.shape[0], pix.shape[1]
+            plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            plane = np.repeat(np.repeat(plane, max_v // vs, 0), max_h // hs, 1)
+            planes.append(plane[:h, :w_])
+        if out_ch == 1:
+            out = planes[0]
+            return (w_, h, 1, np.clip(np.rint(out), 0, 255).astype(np.uint8).tobytes())
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.rint(np.stack([r, g, bl], axis=-1)), 0, 255).astype(np.uint8)
+        return (w_, h, 3, rgb.tobytes())
+    except (struct.error, IndexError, ValueError):
+        return None

@@ -9,14 +9,14 @@ through Python row-by-row.
 
 Kernel reality, format by format (r08): header metadata decode is
 REAL for PNG/JPEG/GIF/BMP/WAV (pure struct), and **pixel decode is
-REAL for PNG, GIF and BMP** — stdlib-only codecs in
+REAL for PNG, GIF, BMP AND baseline JPEG** — stdlib+numpy codecs in
 ``functions/pixels.py`` (zlib inflate + filter reconstruction, LZW,
-BI_RGB rows) feeding the Arrow-batched ``decode_pixels`` stage. Only
-JPEG pixel decode (baseline DCT) and learned media embeddings still
-need libs absent from this container; those kernels resolve at
-runtime — real library if importable, else a clearly-marked
-deterministic fake — and ``strict=True`` raises NotImplementedError
-instead of faking.
+BI_RGB rows) and ``functions/jpeg.py`` (Huffman + DCT, 4:4:4/4:2:2/
+4:2:0) feeding the Arrow-batched ``decode_pixels`` stage. Only
+learned media embeddings still need libs absent from this container;
+that kernel resolves at runtime — real library if importable, else a
+clearly-marked deterministic fake — and ``strict=True`` raises
+NotImplementedError instead of faking.
 """
 
 from __future__ import annotations
@@ -516,14 +516,15 @@ PIXEL_SCHEMA = StructType(
 def decode_pixels(
     df: DataFrame, strict: bool = False, max_pixel_bytes: int | None = None
 ) -> DataFrame:
-    """REAL pixel decode for PNG/GIF/BMP payloads — stdlib codecs
-    (functions/pixels.py: zlib inflate + the five PNG filters, GIF
-    LZW + palette + interlace, BMP BI_RGB), Arrow-batched via
-    mapInPandas. Output rows carry raw interleaved pixel bytes plus
-    (width, height, n_channels) — the input contract of any
-    downstream feature/resize stage.
+    """REAL pixel decode for PNG/GIF/BMP/JPEG payloads — stdlib+numpy
+    codecs (functions/pixels.py: zlib inflate + the five PNG filters,
+    GIF LZW + palette + interlace, BMP BI_RGB; functions/jpeg.py:
+    baseline Huffman+DCT incl. 4:2:0 chroma subsampling),
+    Arrow-batched via mapInPandas. Output rows carry raw interleaved
+    pixel bytes plus (width, height, n_channels) — the input contract
+    of any downstream feature/resize stage.
 
-    JPEG (baseline DCT needs a codec lib this container lacks) and
+    Out-of-envelope (progressive JPEG, 16-bit PNG, …) and
     unrecognized/corrupt payloads yield NULL pixel rows, or raise
     NotImplementedError under ``strict=True`` — corrupt media is data
     at corpus scale, but strict mode never fakes. Images whose decoded
@@ -544,8 +545,9 @@ def decode_pixels(
                 if decoded is None:
                     if strict:
                         raise NotImplementedError(
-                            "pixel decode: unsupported container (JPEG needs "
-                            "a DCT codec lib; unset strict to emit NULL rows)"
+                            "pixel decode: corrupt or out-of-envelope payload "
+                            "(progressive JPEG, 16-bit PNG, ...); unset strict "
+                            "to emit NULL rows"
                         )
                     rows.append((doc_id, None, None, None, None, None))
                 else:
@@ -615,11 +617,21 @@ def pixel_sum(col):
 def attach_gradient_image(df: DataFrame) -> DataFrame:
     """Deterministic synthetic media with KNOWN pixel content — the
     synthesis half of the pixel-decode DQ. Per doc: w = 1+n_chars%13,
-    h = 1+doc_id%11, gray level v(x,y) = (doc_id%200) + x + y (< 256
-    by construction, so no wraparound and the pixel sum has a closed
-    form a SQL oracle can recompute). Format rotates doc_id%3 over
-    REAL encoders: PNG (grayscale, Paeth-filtered), BMP (24-bit,
-    r=g=b=v), GIF (identity palette, LZW). Arrow scalar UDF."""
+    h = 1+doc_id%11. Format rotates doc_id%4 over REAL encoders, each
+    with closed-form pixel content a SQL oracle can recompute:
+
+    - PNG (grayscale, Paeth-filtered), BMP (24-bit, r=g=b=v) and GIF
+      (identity palette, LZW) carry the gradient v(x,y) =
+      (doc_id%200) + x + y (< 256 by construction: no wraparound,
+      sum = ch*(w*h*base + h*Tw + w*Th));
+    - JPEG (baseline Huffman+DCT, flat quant) carries the CONSTANT
+      v = doc_id%200 + n_chars%50 (< 249): constant blocks hold only
+      a DC coefficient, so the lossy pipeline round-trips BIT-EXACTLY
+      and sum = w*h*v stays closed-form — driver green certifies true
+      Huffman+IDCT decode.
+
+    Arrow scalar UDF."""
+    from .jpeg import jpeg_encode
     from .pixels import bmp_encode, gif_encode, png_encode
 
     @F.pandas_udf(BinaryType())
@@ -634,12 +646,16 @@ def attach_gradient_image(df: DataFrame) -> DataFrame:
                 (d % 200)
                 + np.add.outer(np.arange(h), np.arange(w))
             ).astype(np.uint8)
-            if d % 3 == 0:
+            m = d % 4
+            if m == 0:
                 out.append(png_encode(w, h, gray.tobytes(), color_type=0, filter_type=4))
-            elif d % 3 == 1:
+            elif m == 1:
                 out.append(bmp_encode(w, h, np.repeat(gray, 3).tobytes()))
-            else:
+            elif m == 2:
                 out.append(gif_encode(w, h, gray.tobytes()))
+            else:
+                v = d % 200 + n % 50
+                out.append(jpeg_encode(w, h, bytes([v]) * (w * h)))
         return pd.Series(out)
 
     return df.withColumn("payload", _synth(F.col("doc_id"), F.col("n_chars")))

@@ -478,11 +478,12 @@ def decode_pixel_payload(
     payload: bytes | None, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
 ) -> tuple[str, int, int, int, bytes] | None:
     """Container-sniffing pixel decode: ``(format, w, h, n_channels,
-    pixels)`` for PNG/GIF/BMP; None for JPEG (header-only by design),
-    unknown containers, anything outside each codec's envelope, or
-    images larger than ``max_pixel_bytes`` decoded (OOM guard —
-    includes deflate/LZW bombs, which bound-fail instead of
-    inflating)."""
+    pixels)`` for PNG/GIF/BMP/JPEG (baseline JPEG via
+    functions/jpeg.py — r08, closing T11's final gap); None for
+    unknown containers, anything outside each codec's envelope
+    (progressive JPEG, 16-bit PNG, …), or images larger than
+    ``max_pixel_bytes`` decoded (OOM guard — includes deflate/LZW
+    bombs, which bound-fail instead of inflating)."""
     if payload is None:
         return None
     b = bytes(payload)
@@ -495,4 +496,9 @@ def decode_pixel_payload(
     if b[:2] == b"BM":
         r = bmp_decode(b, max_pixel_bytes)
         return ("bmp",) + r if r else None
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode  # numpy-backed, imported lazily
+
+        r = jpeg_decode(b, max_pixel_bytes)
+        return ("jpeg",) + r if r else None
     return None

@@ -450,33 +450,39 @@ def multimodal_header_decode(spark, sf_dir):
 @q(
     "multimodal_pixel_decode",
     "SELECT doc_id, "
-    "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
-    "ELSE 'gif' END AS format, "
+    "CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+    "WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format, "
     "CAST(1 + n_chars % 13 AS INTEGER) AS width, "
     "CAST(1 + doc_id % 11 AS INTEGER) AS height, "
-    "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_channels, "
+    "CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 3 END AS INTEGER) AS n_channels, "
     "CAST((1 + n_chars % 13) * (1 + doc_id % 11) * "
-    "(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) AS INTEGER) AS pixel_bytes, "
-    "CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END) * ("
+    "(CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 3 END) AS INTEGER) AS pixel_bytes, "
+    "CAST(CASE WHEN doc_id % 4 = 3 THEN "
+    "(1 + n_chars % 13) * (1 + doc_id % 11) * (doc_id % 200 + n_chars % 50) "
+    "ELSE (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END) * ("
     "(1 + n_chars % 13) * (1 + doc_id % 11) * (doc_id % 200) "
     "+ (1 + doc_id % 11) * (((n_chars % 13) * (1 + n_chars % 13)) // 2) "
     "+ (1 + n_chars % 13) * (((doc_id % 11) * (1 + doc_id % 11)) // 2)"
-    ") AS BIGINT) AS pixel_sum FROM documents",
+    ") END AS BIGINT) AS pixel_sum FROM documents",
 )
 def multimodal_pixel_decode(spark, sf_dir):
-    """T11, pixel-level and un-stubbed (r08 — closes the last
-    container-limited gap): each doc is encoded as a REAL compressed
-    image — PNG (zlib IDAT, Paeth-filtered), BMP (BI_RGB rows), or
-    GIF (LZW + palette), rotating on doc_id%3 — whose gray level is
-    the known gradient v(x,y) = doc_id%200 + x + y (< 256 by
-    construction). The stdlib codecs in functions/pixels.py then
-    decode the payloads back to raw pixels in an Arrow-batched stage
-    (multimodal.decode_pixels) and the query emits each image's
-    decoded byte count and pixel SUM. The oracle predicts both in
-    closed form (sum = ch * (w*h*base + h*w(w-1)/2 + w*h(h-1)/2)) —
-    arithmetic an encoder/decoder pair that was wrong-but-consistent
-    could not satisfy, so the DQ certifies true inflate/unfilter/LZW
-    decode, not a round-trip tautology."""
+    """T11, pixel-level and fully un-stubbed (r08 — no
+    container-limited gap remains): each doc is encoded as a REAL
+    compressed image — PNG (zlib IDAT, Paeth-filtered), BMP (BI_RGB
+    rows), GIF (LZW + palette), or baseline JPEG (Huffman + DCT),
+    rotating on doc_id%4. PNG/BMP/GIF carry the known gradient
+    v(x,y) = doc_id%200 + x + y (< 256 by construction); JPEG carries
+    a CONSTANT gray v = doc_id%200 + n_chars%50 — constant blocks are
+    DC-only, so the lossy DCT pipeline round-trips bit-exactly and
+    stays oracle-predictable. The stdlib+numpy codecs in
+    functions/pixels.py + functions/jpeg.py decode the payloads back
+    to raw pixels in an Arrow-batched stage (multimodal.decode_pixels)
+    and the query emits each image's decoded byte count and pixel SUM.
+    The oracle predicts both in closed form (gradient: sum = ch *
+    (w*h*base + h*w(w-1)/2 + w*h(h-1)/2); jpeg: w*h*v) — arithmetic
+    an encoder/decoder pair that was wrong-but-consistent could not
+    satisfy, so the DQ certifies true inflate/unfilter/LZW/Huffman/
+    IDCT decode, not a round-trip tautology."""
     d = _d(spark, sf_dir).select("doc_id", "n_chars")
     decoded = MM.decode_pixels(MM.attach_gradient_image(d))
     return decoded.select(

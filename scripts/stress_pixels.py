@@ -44,8 +44,10 @@ from pyspark.sql.types import BinaryType
 
 def synth_images(df, w: int, h: int, content: str):
     """payload column of REAL encoded images, format rotating on
-    doc_id%3 (PNG gray / BMP 24-bit / GIF palette) — same rotation as
-    the registry DQ, at parameterized dims. Deterministic per doc."""
+    doc_id%4 (PNG gray / BMP 24-bit / GIF palette / baseline JPEG
+    gray) — same rotation as the registry DQ, at parameterized dims.
+    Deterministic per doc."""
+    from data_ingestion_spark.functions.jpeg import jpeg_encode
     from data_ingestion_spark.functions.pixels import (
         bmp_encode,
         gif_encode,
@@ -65,12 +67,15 @@ def synth_images(df, w: int, h: int, content: str):
                 gray = np.random.default_rng(d).integers(
                     0, 256, size=(h, w), dtype=np.uint8
                 )
-            if d % 3 == 0:
+            m = d % 4
+            if m == 0:
                 out.append(png_encode(w, h, gray.tobytes(), color_type=0))
-            elif d % 3 == 1:
+            elif m == 1:
                 out.append(bmp_encode(w, h, np.repeat(gray, 3).tobytes()))
-            else:
+            elif m == 2:
                 out.append(gif_encode(w, h, gray.tobytes()))
+            else:
+                out.append(jpeg_encode(w, h, gray.tobytes()))
         return pd.Series(out)
 
     return df.withColumn("payload", _synth(F.col("doc_id")))
@@ -78,7 +83,8 @@ def synth_images(df, w: int, h: int, content: str):
 
 def spot_check(decoded_sample, w: int, h: int, content: str) -> None:
     """Driver-side honesty check on a handful of decoded rows: rebuild
-    the expected pixels in numpy and compare byte-for-byte."""
+    the expected pixels in numpy and compare — byte-for-byte for the
+    exact codecs, |err| <= 1 for the lossy-but-flat-quant JPEG leg."""
     for r in decoded_sample:
         d = int(r["doc_id"])
         if content == "gradient":
@@ -89,7 +95,13 @@ def spot_check(decoded_sample, w: int, h: int, content: str) -> None:
             gray = np.random.default_rng(d).integers(
                 0, 256, size=(h, w), dtype=np.uint8
             )
-        exp = gray.tobytes() if d % 3 == 0 else np.repeat(gray, 3).tobytes()
+        m = d % 4
+        if m == 3:  # jpeg: DCT rounding, flat quant -> within 1
+            dec = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+            err = np.abs(dec.astype(int) - gray.flatten().astype(int)).max()
+            assert err <= 1, f"jpeg decode err {err} doc {d}"
+            continue
+        exp = gray.tobytes() if m == 0 else np.repeat(gray, 3).tobytes()
         assert bytes(r["pixels"]) == exp, f"decode mismatch doc {d}"
 
 

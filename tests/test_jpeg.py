@@ -1,0 +1,173 @@
+"""Baseline JPEG codec (functions/jpeg.py) — the r08 closure of
+T11's final container-limited gap.
+
+JPEG is lossy, so the test strategy differs from the exact codecs:
+
+- CONSTANT images must round-trip BIT-EXACTLY (blocks are DC-only;
+  DCT, flat quantization and IDCT of a constant are exact) — this is
+  also what makes the registry DQ's closed-form oracle possible;
+- everything else asserts tight error bounds, with a NON-flat
+  quantization round-trip as the coefficient-ordering honesty check:
+  if the encoder's and decoder's zigzag disagreed (even consistently)
+  the dequantizer would scale the wrong coefficients and the error
+  balloons past the bound;
+- the decoder builds Huffman tables only from the file's DHT
+  segments, and the encoder deliberately writes NON-standard (flat)
+  tables, so a decoder that secretly assumed Annex-K constants fails
+  every round-trip here;
+- out-of-envelope markers (progressive, DRI) and corrupt streams
+  must return None, never raise (an uncaught decode exception kills
+  a Spark stage; corrupt media is data at corpus scale).
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from data_ingestion_spark.functions.jpeg import jpeg_decode, jpeg_encode
+from data_ingestion_spark.functions.pixels import decode_pixel_payload
+
+#: the Annex-K luminance table — used only as a *non-flat* quant in the
+#: zigzag-honesty round-trip (both sides read it from the file's DQT)
+STD_LUMA_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+@pytest.mark.parametrize("v", [0, 7, 128, 200, 255])
+@pytest.mark.parametrize("dims", [(1, 1), (8, 8), (13, 11), (64, 64)])
+def test_constant_gray_is_bit_exact(v, dims):
+    w, h = dims
+    px = bytes([v]) * (w * h)
+    assert jpeg_decode(jpeg_encode(w, h, px)) == (w, h, 1, px)
+
+
+def test_gradient_gray_flat_quant_exact():
+    for w, h in [(16, 16), (13, 11), (40, 24)]:
+        arr = (
+            (np.add.outer(np.arange(h), np.arange(w)) * 3) % 200 + 20
+        ).astype(np.uint8)
+        got = jpeg_decode(jpeg_encode(w, h, arr.tobytes()))
+        dec = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w)
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_random_gray_flat_quant_bounded():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    got = jpeg_decode(jpeg_encode(32, 24, arr.tobytes()))
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(24, 32)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_rgb_444_roundtrip_bounded():
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = jpeg_decode(jpeg_encode(16, 16, arr.tobytes(), n_channels=3))
+    assert got[:3] == (16, 16, 3)
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(16, 16, 3)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 3
+
+
+def test_nonflat_quant_zigzag_honesty():
+    """Smooth image through the Annex-K table: a consistent-but-wrong
+    coefficient ordering on either side would quantize the wrong
+    frequencies and blow far past this bound."""
+    y = np.clip(128 + 80 * np.sin(np.arange(32) / 6.0), 0, 255).astype(np.uint8)
+    smooth = np.tile(y, (24, 1))
+    got = jpeg_decode(jpeg_encode(32, 24, smooth.tobytes(), quant=STD_LUMA_QUANT))
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(24, 32)
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 12
+
+
+@pytest.mark.parametrize("dims", [(18, 20), (16, 16), (13, 9)])
+def test_420_subsampled_roundtrip(dims):
+    """4:2:0 (luma 2x2, chroma 1x1): constant RGB must survive the
+    box-average + replication-upsample path within rounding; exercises
+    the decoder's generic MCU interleave + upsampling, including
+    non-MCU-aligned dims."""
+    w, h = dims
+    for v in ((10, 200, 77), (128, 128, 128)):
+        arr = np.tile(np.array(v, dtype=np.uint8), (h, w, 1))
+        got = jpeg_decode(jpeg_encode(w, h, arr.tobytes(), n_channels=3, subsample=True))
+        assert got[:3] == (w, h, 3)
+        dec = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w, 3)
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 2
+
+
+def test_dispatcher_integration():
+    r = decode_pixel_payload(jpeg_encode(4, 4, bytes(range(16))))
+    assert r[0] == "jpeg" and r[1:4] == (4, 4, 1) and len(r[4]) == 16
+
+
+def test_out_of_envelope_returns_none():
+    from data_ingestion_spark.functions.multimodal import jpeg_bytes
+
+    assert jpeg_decode(jpeg_bytes(4, 4)) is None  # header-only stub, no scan
+    assert jpeg_decode(b"\xff\xd8junk") is None
+    assert jpeg_decode(b"") is None
+    enc = bytearray(jpeg_encode(8, 8, bytes(64)))
+    # flip SOF0 -> SOF2 (progressive): envelope reject, not a crash
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    assert jpeg_decode(bytes(enc)) is None
+    # DRI with a nonzero restart interval: envelope reject
+    enc2 = jpeg_encode(8, 8, bytes(64))
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    assert jpeg_decode(enc2[:2] + dri + enc2[2:]) is None
+    # size cap
+    assert jpeg_decode(jpeg_encode(8, 8, bytes(64)), max_pixel_bytes=8) is None
+
+
+def test_encode_validation():
+    with pytest.raises(ValueError):
+        jpeg_encode(2, 2, bytes(3))  # wrong byte count
+    with pytest.raises(ValueError):
+        jpeg_encode(2, 2, bytes(4), quant=[0] * 64)  # quant out of range
+    with pytest.raises(ValueError):
+        jpeg_encode(2, 2, bytes(4), subsample=True)  # gray can't subsample
+
+
+def test_fuzz_jpeg_decode_never_raises():
+    """Same guarantee as the other codecs: mutations of valid JPEGs
+    (deep into the Huffman/DCT paths) and FFD8-prefixed garbage return
+    None or a contract-true tuple, never raise."""
+    rng = random.Random(77)
+    base = [
+        jpeg_encode(13, 11, bytes([200]) * 143),
+        jpeg_encode(16, 16, bytes(range(256))),
+        jpeg_encode(10, 8, bytes(240), n_channels=3),
+        jpeg_encode(18, 20, bytes(18 * 20 * 3), n_channels=3, subsample=True),
+    ]
+    for payload in base:
+        for _ in range(400):
+            b = bytearray(payload)
+            mode = rng.randrange(3)
+            if mode in (0, 2):
+                for _ in range(rng.randrange(1, 9)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            if mode in (1, 2):
+                b = b[: rng.randrange(1, len(b) + 1)]
+            r = jpeg_decode(bytes(b))
+            if r is not None:
+                w, h, ch, px = r
+                assert w >= 1 and h >= 1 and len(px) == w * h * ch
+    for _ in range(500):
+        blob = b"\xff\xd8" + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 200))
+        )
+        r = jpeg_decode(blob)
+        if r is not None:
+            w, h, ch, px = r
+            assert w >= 1 and h >= 1 and len(px) == w * h * ch

@@ -292,6 +292,8 @@ def test_fuzz_decoders_never_raise():
     exception at corpus scale kills the whole Spark stage. A 33k-case
     run of this generator found the three crash vectors pinned above;
     this seeded slice keeps them found."""
+    from data_ingestion_spark.functions.jpeg import jpeg_encode
+
     rng = random.Random(1234)
     base = [
         png_encode(5, 4, bytes(range(20))),
@@ -300,6 +302,7 @@ def test_fuzz_decoders_never_raise():
         gif_encode(5, 4, bytes(range(20))),
         gif_encode(4, 4, bytes(16), interlace=True),
         bmp_encode(5, 4, bytes(range(60))),
+        jpeg_encode(5, 4, bytes(range(20))),
     ]
     for payload in base:
         for _ in range(500):
@@ -380,7 +383,9 @@ def test_resize_pixels_nearest_neighbor(spark):
 
 def test_gradient_image_pixel_sum_contract(spark):
     """The DQ's closed form, verified directly at small scale: decode
-    the gradient images and check sum == ch*(w*h*base + h*Tw + w*Th)."""
+    the synthesized images and check the predicted sum — gradient
+    ch*(w*h*base + h*Tw + w*Th) for png/bmp/gif, constant w*h*v for
+    the bit-exact jpeg leg."""
     from pyspark.sql import functions as F
 
     from data_ingestion_spark.functions.multimodal import (
@@ -390,7 +395,7 @@ def test_gradient_image_pixel_sum_contract(spark):
     )
 
     docs = spark.createDataFrame(
-        [(d, 40 + 3 * d) for d in range(30)], "doc_id long, n_chars long"
+        [(d, 40 + 3 * d) for d in range(40)], "doc_id long, n_chars long"
     )
     out = decode_pixels(attach_gradient_image(docs)).withColumn(
         "s", pixel_sum(F.col("pixels"))
@@ -399,8 +404,13 @@ def test_gradient_image_pixel_sum_contract(spark):
         d = r["doc_id"]
         n = 40 + 3 * d
         w, h, base = 1 + n % 13, 1 + d % 11, d % 200
-        ch = 1 if d % 3 == 0 else 3
-        exp = ch * (w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))
+        if d % 4 == 3:
+            ch, exp = 1, w * h * (d % 200 + n % 50)
+        else:
+            ch = 1 if d % 4 == 0 else 3
+            exp = ch * (
+                w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+            )
         assert r["n_channels"] == ch and r["s"] == exp, d
 
 

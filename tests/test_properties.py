@@ -113,6 +113,7 @@ def test_header_parsers_never_raise_on_garbage(blob):
 #: valid seeds for the pixel-decoder mutation property — one per
 #: codec envelope, built once at import (the encoders are pure)
 def _pixel_seed_payloads():
+    from data_ingestion_spark.functions.jpeg import jpeg_encode
     from data_ingestion_spark.functions.pixels import (
         bmp_encode,
         gif_encode,
@@ -126,6 +127,7 @@ def _pixel_seed_payloads():
         gif_encode(5, 4, bytes(range(20))),
         gif_encode(4, 4, bytes(16), interlace=True),
         bmp_encode(5, 4, bytes(range(60))),
+        jpeg_encode(5, 4, bytes(range(20))),
     ]
 
 
