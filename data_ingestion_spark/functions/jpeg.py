@@ -274,18 +274,45 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming; past end-of-stream pads with
+        1s (the encoder's flush fill, so a partially-padded window can
+        only match a code whose REAL bits are all present — `skip`
+        rejects anything longer than what remains)."""
+        while self.nbits < 16 and self.pos < len(self.data):
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        pad = 16 - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
 
-def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
-    code = 0
-    for ln in range(1, 17):
-        bit = br.read(1)
-        if bit is None:
-            return None
-        code = (code << 1) | bit
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    return None
+    def skip(self, n: int) -> bool:
+        if n > self.nbits:
+            return False
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return True
+
+
+def _huffman_lut(codes: dict[int, tuple[int, int]]) -> np.ndarray:
+    """(symbol, length) packed as (sym<<8)|len for every 16-bit window
+    starting with that code; 0 = no valid code (len >= 1 for all real
+    entries, so 0 is unambiguous). One array lookup replaces the
+    bit-by-bit tree walk — the decode hot path."""
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    for sym, (code, ln) in codes.items():
+        base = code << (16 - ln)
+        lut[base : base + (1 << (16 - ln))] = (sym << 8) | ln
+    return lut
+
+
+def _decode_huffman(br: _BitReader, lut: np.ndarray) -> int | None:
+    e = int(lut[br.peek16()])
+    if e == 0 or not br.skip(e & 0xFF):
+        return None
+    return e >> 8
 
 
 def _extend(v: int, s: int) -> int:
@@ -306,7 +333,7 @@ def jpeg_decode(
         return None
     try:
         qt: dict[int, np.ndarray] = {}
-        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        huff: dict[tuple[int, int], np.ndarray] = {}  # (class,id) -> 16-bit LUT
         frame = None
         scan = None
         i = 2
@@ -349,10 +376,7 @@ def jpeg_decode(
                     vals = list(body[j + 17 : j + 17 + nv])
                     if len(vals) < nv:
                         return None
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {
-                        (ln, code): sym for sym, (code, ln) in codes.items()
-                    }
+                    huff[(tc, th)] = _huffman_lut(_build_codes(bits, vals))
                     j += 17 + nv
             elif marker in (0xC0, 0xC1):  # baseline / ext. sequential Huffman
                 prec, h, w_, nc = struct.unpack(">BHHB", body[:6])
