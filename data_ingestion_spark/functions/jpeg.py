@@ -7,10 +7,11 @@ raw pixels from its public specification (ITU-T T.81 / ISO 10918-1).
 Envelope (decode): baseline sequential DCT (SOF0), 8-bit precision,
 Huffman entropy coding, 1 or 3 components, per-component sampling
 factors 1 or 2 (covers 4:4:4, 4:2:2, 4:2:0 — chroma upsampled by
-pixel replication), single interleaved scan. Outside the envelope —
-progressive (SOF2), arithmetic coding, restart intervals (DRI > 0),
-12-bit, hierarchical — ``jpeg_decode`` returns None (corrupt/exotic
-media is data, not an exception; same policy as pixels.py).
+pixel replication), single interleaved scan, restart intervals
+(DRI/RSTn — the camera/web error-resilience layout). Outside the
+envelope — progressive (SOF2), arithmetic coding, 12-bit,
+hierarchical — ``jpeg_decode`` returns None (corrupt/exotic media is
+data, not an exception; same policy as pixels.py).
 
 The encoder (4:4:4, single scan) is the synthesis half of the
 round-trip tests and the registry DQ. Design choices that keep the
@@ -132,6 +133,7 @@ def jpeg_encode(
     n_channels: int = 1,
     quant: list[int] | None = None,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Real baseline JPEG writer: 8-bit, single interleaved scan,
     4:4:4 by default or 4:2:0 with ``subsample=True`` (2x2
@@ -141,7 +143,10 @@ def jpeg_encode(
     interleaved RGB (n_channels=3, converted to BT.601 YCbCr).
     ``quant`` is a 64-entry natural-order table applied to every
     component; default all-ones (near-lossless: constant images
-    round-trip bit-exactly, see module docstring)."""
+    round-trip bit-exactly, see module docstring).
+    ``restart_interval`` > 0 writes a DRI segment and an RSTn marker
+    every that-many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience layout camera/web encoders emit."""
     if n_channels not in (1, 3):
         raise ValueError("n_channels must be 1 or 3")
     if subsample and n_channels != 3:
@@ -191,8 +196,14 @@ def jpeg_encode(
     ac_codes = _build_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     w = _BitWriter()
     prev_dc = [0] * n_channels
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                w.flush()  # byte-align, then the raw (unstuffed) marker
+                w.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8])
+                prev_dc = [0] * n_channels
+            mcu_count += 1
             for ci, (plane, (hs, vs)) in enumerate(zip(planes, samp)):
                 for vy in range(vs):
                     for vx in range(hs):
@@ -249,7 +260,12 @@ def jpeg_encode(
         + b"".join(struct.pack(">BB", i + 1, 0x00) for i in range(n_channels))
         + b"\x00\x3f\x00",
     )
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(w.out) + b"\xff\xd9"
 
 
 # ------------------------------------------------------------ decoder
@@ -336,6 +352,7 @@ def jpeg_decode(
         huff: dict[tuple[int, int], np.ndarray] = {}  # (class,id) -> 16-bit LUT
         frame = None
         scan = None
+        dri = 0
         i = 2
         while i + 4 <= len(b):
             if b[i] != 0xFF:
@@ -392,9 +409,8 @@ def jpeg_decode(
                 frame = (w_, h, comps)
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive / arithmetic / hierarchical
-            elif marker == 0xDD:  # DRI
-                if struct.unpack(">H", body[:2])[0] != 0:
-                    return None  # restart intervals outside the envelope
+            elif marker == 0xDD:  # DRI: restart every `dri` MCUs
+                (dri,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
@@ -414,7 +430,10 @@ def jpeg_decode(
         if w_ < 1 or h < 1 or w_ * h * out_ch > max_pixel_bytes:
             return None
 
-        # entropy-coded bytes: unstuff FF00, stop at any real marker
+        # entropy-coded bytes: unstuff FF00; RST markers (FFD0-FFD7)
+        # split the stream into restart segments (fresh bit alignment
+        # + DC predictor reset per segment); any other marker ends it
+        segments: list[bytes] = []
         ent = bytearray()
         j = data_start
         while j < len(b):
@@ -425,15 +444,23 @@ def jpeg_decode(
                     ent.append(0xFF)
                     j += 2
                     continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(ent))
+                    ent = bytearray()
+                    j += 2
+                    continue
                 break  # marker (EOI or otherwise) ends the scan
             ent.append(byte)
             j += 1
+        segments.append(bytes(ent))
 
         max_h = max(c[1] for c in comps)
         max_v = max(c[2] for c in comps)
         mcux = -(-w_ // (8 * max_h))
         mcuy = -(-h // (8 * max_v))
-        br = _BitReader(bytes(ent))
+        br = _BitReader(segments[0])
+        seg_idx = 0
+        mcu_count = 0
         pred = {c[0]: 0 for c in comps}
         # per component: coefficient blocks in MCU-interleaved layout
         blocks: dict[int, np.ndarray] = {
@@ -441,6 +468,13 @@ def jpeg_decode(
         }
         for my in range(mcuy):
             for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    seg_idx += 1  # restart boundary: next segment,
+                    if seg_idx >= len(segments):  # predictors reset
+                        return None
+                    br = _BitReader(segments[seg_idx])
+                    pred = {c[0]: 0 for c in comps}
+                mcu_count += 1
                 for cid, hs, vs, tq in comps:
                     if cid not in sel or tq not in qt:
                         return None

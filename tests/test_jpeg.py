@@ -122,12 +122,39 @@ def test_out_of_envelope_returns_none():
     i = enc.index(b"\xff\xc0")
     enc[i + 1] = 0xC2
     assert jpeg_decode(bytes(enc)) is None
-    # DRI with a nonzero restart interval: envelope reject
-    enc2 = jpeg_encode(8, 8, bytes(64))
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    assert jpeg_decode(enc2[:2] + dri + enc2[2:]) is None
     # size cap
     assert jpeg_decode(jpeg_encode(8, 8, bytes(64)), max_pixel_bytes=8) is None
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_intervals_roundtrip(ri):
+    """DRI/RSTn — the camera/web layout: segments decode with fresh
+    byte alignment and reset DC predictors; gradients stay exact and
+    constants bit-exact through restart boundaries."""
+    arr = np.clip(
+        20 + 3 * np.add.outer(np.arange(24), np.arange(32)), 0, 255
+    ).astype(np.uint8)
+    enc = jpeg_encode(32, 24, arr.tobytes(), restart_interval=ri)
+    assert struct.pack(">H", ri) in enc  # DRI segment present
+    assert b"\xff\xd0" in enc or ri > 12  # RST0 appears for small ri
+    got = jpeg_decode(enc)
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(24, 32)
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 1
+    # constant + 4:2:0 + restarts: still within rounding
+    rgb = np.tile(np.array([9, 180, 66], dtype=np.uint8), (20, 18, 1))
+    enc = jpeg_encode(18, 20, rgb.tobytes(), n_channels=3, subsample=True,
+                      restart_interval=ri)
+    got = jpeg_decode(enc)
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(20, 18, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_restart_marker_truncation_is_data():
+    # drop everything after the first RST marker: decoder runs out of
+    # segments mid-image -> None, never a crash
+    enc = jpeg_encode(32, 24, bytes(32 * 24), restart_interval=1)
+    cut = enc.index(b"\xff\xd0") + 2
+    assert jpeg_decode(enc[:cut]) is None
 
 
 def test_encode_validation():
@@ -149,6 +176,7 @@ def test_fuzz_jpeg_decode_never_raises():
         jpeg_encode(16, 16, bytes(range(256))),
         jpeg_encode(10, 8, bytes(240), n_channels=3),
         jpeg_encode(18, 20, bytes(18 * 20 * 3), n_channels=3, subsample=True),
+        jpeg_encode(32, 24, bytes(range(256)) * 3, restart_interval=2),
     ]
     for payload in base:
         for _ in range(400):
