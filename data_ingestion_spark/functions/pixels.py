@@ -8,7 +8,7 @@ specifications with nothing beyond ``zlib`` and ``struct``:
 - **PNG** (RFC 2083 / W3C spec): concatenate IDAT, zlib-inflate,
   undo the five per-scanline filters (None/Sub/Up/Average/Paeth).
   8-bit depth; color types 0 (gray), 2 (RGB), 3 (palette), 4
-  (gray+alpha), 6 (RGBA); non-interlaced.
+  (gray+alpha), 6 (RGBA); sequential AND Adam7-interlaced storage.
 - **GIF** (GIF89a spec): LZW decode of the image data sub-blocks
   (variable code width 3..12 bits, LSB-first packing, clear/EOI
   codes), palette expansion to RGB, Adam-less 4-pass GIF interlace
@@ -57,24 +57,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(
-    width: int,
-    height: int,
-    pixels: bytes,
-    color_type: int = 0,
-    filter_type: int = 0,
-    palette: bytes | None = None,
-) -> bytes:
-    """Minimal real PNG writer: IHDR + (PLTE) + one IDAT + IEND.
-
-    ``filter_type`` applies the same filter to every scanline (0-4) —
-    exposing it lets the tests exercise each unfilter path in
-    png_decode against independently-constructed expectations.
-    """
-    ch = _PNG_CHANNELS[color_type]
+def _png_filter_image(pixels: bytes, width: int, height: int, ch: int, filter_type: int) -> bytearray:
+    """Apply one filter to every scanline of an image/pass, emitting
+    the (filter byte + filtered data) stream png_decode consumes."""
     stride = width * ch
-    if len(pixels) != stride * height:
-        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -99,6 +85,44 @@ def png_encode(
                     raise ValueError(f"bad filter {filter_type}")
                 raw.append((line[i] - pred) & 0xFF)
         prev = line
+    return raw
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filter_type: int = 0,
+    palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal real PNG writer: IHDR + (PLTE) + one IDAT + IEND.
+
+    ``filter_type`` applies the same filter to every scanline (0-4) —
+    exposing it lets the tests exercise each unfilter path in
+    png_decode against independently-constructed expectations.
+    ``interlace=True`` stores the image Adam7-interlaced (7 passes,
+    each filtered independently) — the synthesis half of the
+    deinterlace tests."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    if interlace:
+        raw = bytearray()
+        for pw, ph, x0, dx, y0, dy in _adam7_passes(width, height):
+            sub = bytearray(pw * ph * ch)
+            for py in range(ph):
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    sub[(py * pw + px) * ch : (py * pw + px + 1) * ch] = pixels[
+                        (y * width + x) * ch : (y * width + x + 1) * ch
+                    ]
+            raw += _png_filter_image(bytes(sub), pw, ph, ch, filter_type)
+    else:
+        raw = _png_filter_image(pixels, width, height, ch, filter_type)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -106,7 +130,9 @@ def png_encode(
             + struct.pack(">I", zlib.crc32(tag + body))
         )
 
-    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    ihdr = struct.pack(">II", width, height) + bytes(
+        [8, color_type, 0, 0, 1 if interlace else 0]
+    )
     out = PNG_SIG + chunk(b"IHDR", ihdr)
     if color_type == 3:
         if not palette:
@@ -124,60 +150,24 @@ def png_encode(
 DEFAULT_MAX_PIXEL_BYTES = 1 << 28
 
 
-def png_decode(
-    payload: bytes, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
-) -> tuple[int, int, int, bytes] | None:
-    """PNG → ``(width, height, n_channels, pixels)``; palette images
-    come back expanded to RGB. None for anything outside the supported
-    envelope (8-bit, non-interlaced), structurally broken, or larger
-    than ``max_pixel_bytes`` decoded."""
-    b = bytes(payload or b"")
-    if b[:8] != PNG_SIG:
-        return None
-    i, w = 8, None
-    idat = bytearray()
-    palette = b""
-    try:
-        while i + 8 <= len(b):
-            clen = struct.unpack(">I", b[i : i + 4])[0]
-            tag = b[i + 4 : i + 8]
-            body = b[i + 8 : i + 8 + clen]
-            if tag == b"IHDR":
-                if len(body) < 13:  # truncated header is corrupt data, not an error
-                    return None
-                w, h = struct.unpack(">II", body[:8])
-                depth, color_type, comp, filt, interlace = body[8:13]
-                if depth != 8 or comp or filt or interlace:
-                    return None
-                ch = _PNG_CHANNELS.get(color_type)
-                if ch is None:
-                    return None
-                if (w * ch + 1) * h > max_pixel_bytes:
-                    return None
-            elif tag == b"PLTE":
-                palette = body
-            elif tag == b"IDAT":
-                idat += body
-            elif tag == b"IEND":
-                break
-            i += 12 + clen
-        if w is None or not idat:
-            return None
-        # cap inflation at exactly the bytes the header promised — a
-        # deflate bomb (MBs inflating to GBs) stops at the cap instead
-        # of materializing; trailing legit bytes beyond the cap were
-        # never read by the unfilter loop anyway
-        raw = zlib.decompressobj().decompress(bytes(idat), (w * ch + 1) * h)
-    except (struct.error, zlib.error):
-        return None
+#: Adam7 interlace schedule: (x_start, x_step, y_start, y_step) per pass.
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int) -> bytearray | None:
+    """Undo the five per-scanline filters over one image/pass of
+    ``h`` scanlines starting at ``off`` in the decompressed stream;
+    returns the raw pixel bytes (w*h*ch) or None on a bad filter id."""
     stride = w * ch
-    if len(raw) < (stride + 1) * h:
-        return None
     out = bytearray(stride * h)
     prev = bytes(stride)
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        base = off + y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
         if f == 1:
             for i in range(ch, stride):
                 line[i] = (line[i] + line[i - ch]) & 0xFF
@@ -197,6 +187,95 @@ def png_decode(
             return None
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
+    return out
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (pw, ph, x0, dx, y0, dy)."""
+    out = []
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((pw, ph, x0, dx, y0, dy))
+    return out
+
+
+def png_decode(
+    payload: bytes, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
+) -> tuple[int, int, int, bytes] | None:
+    """PNG → ``(width, height, n_channels, pixels)``; palette images
+    come back expanded to RGB; Adam7-interlaced images are
+    deinterlaced. None for anything outside the supported envelope
+    (8-bit), structurally broken, or larger than ``max_pixel_bytes``
+    decoded."""
+    b = bytes(payload or b"")
+    if b[:8] != PNG_SIG:
+        return None
+    i, w = 8, None
+    idat = bytearray()
+    palette = b""
+    try:
+        while i + 8 <= len(b):
+            clen = struct.unpack(">I", b[i : i + 4])[0]
+            tag = b[i + 4 : i + 8]
+            body = b[i + 8 : i + 8 + clen]
+            if tag == b"IHDR":
+                if len(body) < 13:  # truncated header is corrupt data, not an error
+                    return None
+                w, h = struct.unpack(">II", body[:8])
+                depth, color_type, comp, filt, interlace = body[8:13]
+                if depth != 8 or comp or filt or interlace > 1:
+                    return None
+                ch = _PNG_CHANNELS.get(color_type)
+                if ch is None:
+                    return None
+                if (w * ch + 1) * h > max_pixel_bytes:
+                    return None
+            elif tag == b"PLTE":
+                palette = body
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            i += 12 + clen
+        if w is None or not idat:
+            return None
+        if interlace:
+            passes = _adam7_passes(w, h)
+            need = sum((pw * ch + 1) * ph for pw, ph, *_ in passes)
+        else:
+            need = (w * ch + 1) * h
+        # cap inflation at exactly the bytes the header promised — a
+        # deflate bomb (MBs inflating to GBs) stops at the cap instead
+        # of materializing; trailing legit bytes beyond the cap were
+        # never read by the unfilter loop anyway
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
+    except (struct.error, zlib.error):
+        return None
+    if len(raw) < need:
+        return None
+    stride = w * ch
+    if interlace:
+        out = bytearray(stride * h)
+        off = 0
+        for pw, ph, x0, dx, y0, dy in passes:
+            sub = _png_unfilter(raw, off, pw, ph, ch)
+            if sub is None:
+                return None
+            off += (pw * ch + 1) * ph
+            for py in range(ph):  # scatter the pass into the full grid
+                y = y0 + py * dy
+                row = sub[py * pw * ch : (py + 1) * pw * ch]
+                for px in range(pw):
+                    x = x0 + px * dx
+                    out[(y * w + x) * ch : (y * w + x + 1) * ch] = row[
+                        px * ch : (px + 1) * ch
+                    ]
+    else:
+        out = _png_unfilter(raw, 0, w, h, ch)
+        if out is None:
+            return None
     if color_type == 3:
         if len(palette) < 3:
             return None

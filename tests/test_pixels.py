@@ -42,6 +42,28 @@ def test_png_roundtrip_all_types_and_filters(color_type, ch, filter_type):
         assert png_decode(enc) == (w, h, ch, px)
 
 
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+@pytest.mark.parametrize("filter_type", [0, 4])
+def test_png_adam7_interlace_roundtrip(color_type, ch, filter_type):
+    """Adam7: 7 passes, each filtered independently, scattered back —
+    incl. dims where several passes are empty (1x1, 3x3)."""
+    rng = random.Random(color_type + filter_type)
+    for w, h in [(1, 1), (3, 3), (8, 8), (13, 11), (9, 5)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        enc = png_encode(
+            w, h, px, color_type=color_type, filter_type=filter_type, interlace=True
+        )
+        assert png_decode(enc) == (w, h, ch, px), (w, h)
+
+
+def test_png_interlace_vs_sequential_same_pixels():
+    # the same image stored both ways must decode identically
+    px = bytes((i * 7) % 256 for i in range(16 * 16))
+    seq = png_decode(png_encode(16, 16, px))
+    lace = png_decode(png_encode(16, 16, px, interlace=True))
+    assert seq == lace
+
+
 def test_png_palette_expands_to_rgb():
     pal = bytes(v for i in range(256) for v in ((i * 3) % 256, i, 255 - i))
     idx = bytes(random.Random(1).randrange(256) for _ in range(9 * 7))
