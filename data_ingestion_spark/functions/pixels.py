@@ -1,13 +1,15 @@
 """Real pixel codecs for the multimodal decode stage — pure stdlib.
 
-Closes the one "container-limited" gap in T11 (SURVEY §2.10): the
-container has no PIL/ffmpeg, but three of the four image containers
-this engine recognizes are decodable to raw pixels from their public
-specifications with nothing beyond ``zlib`` and ``struct``:
+Closes the "container-limited" gap in T11 (SURVEY §2.10): the
+container has no PIL/ffmpeg, but every image container this engine
+recognizes decodes to raw pixels from its public specification —
+PNG/GIF/BMP here with nothing beyond ``zlib`` and ``struct``, JPEG
+(baseline + progressive) in the sibling ``functions/jpeg.py``:
 
 - **PNG** (RFC 2083 / W3C spec): concatenate IDAT, zlib-inflate,
   undo the five per-scanline filters (None/Sub/Up/Average/Paeth).
-  8-bit depth; color types 0 (gray), 2 (RGB), 3 (palette), 4
+  8- and 16-bit depth (16-bit downconverts to the high byte);
+  color types 0 (gray), 2 (RGB), 3 (palette), 4
   (gray+alpha), 6 (RGBA); sequential AND Adam7-interlaced storage.
 - **GIF** (GIF89a spec): LZW decode of the image data sub-blocks
   (variable code width 3..12 bits, LSB-first packing, clear/EOI
@@ -15,10 +17,6 @@ specifications with nothing beyond ``zlib`` and ``struct``:
   supported.
 - **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB rows,
   bottom-up or top-down, 4-byte row padding.
-
-JPEG stays header-only (parse_image_header): baseline DCT decode is
-out of scope by design — ``decode_pixels(strict=True)`` raises for
-it rather than faking, same policy as before.
 
 Encoders for the same three formats live here too: they are the
 synthesis half of the round-trip tests AND of the oracle-checkable
@@ -157,11 +155,15 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int) -> bytearray | None:
+def _png_unfilter(
+    raw: bytes, off: int, w: int, h: int, bpp: int
+) -> bytearray | None:
     """Undo the five per-scanline filters over one image/pass of
-    ``h`` scanlines starting at ``off`` in the decompressed stream;
-    returns the raw pixel bytes (w*h*ch) or None on a bad filter id."""
-    stride = w * ch
+    ``h`` scanlines starting at ``off`` in the decompressed stream.
+    ``bpp`` is BYTES per pixel — the filters' left-neighbor distance
+    (T.81's bpp): ch for 8-bit depth, 2*ch for 16-bit. Returns the
+    raw filtered-out bytes (w*h*bpp) or None on a bad filter id."""
+    stride = w * bpp
     out = bytearray(stride * h)
     prev = bytes(stride)
     for y in range(h):
@@ -169,19 +171,19 @@ def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int) -> bytearray | 
         f = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if f == 1:
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif f == 2:
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif f == 3:
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
         elif f == 4:
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
         elif f != 0:
             return None
@@ -206,9 +208,9 @@ def png_decode(
 ) -> tuple[int, int, int, bytes] | None:
     """PNG → ``(width, height, n_channels, pixels)``; palette images
     come back expanded to RGB; Adam7-interlaced images are
-    deinterlaced. None for anything outside the supported envelope
-    (8-bit), structurally broken, or larger than ``max_pixel_bytes``
-    decoded."""
+    deinterlaced; 16-bit-depth samples are downconverted to 8-bit via
+    their high byte (the standard reduction). None for anything
+    structurally broken or larger than ``max_pixel_bytes`` decoded."""
     b = bytes(payload or b"")
     if b[:8] != PNG_SIG:
         return None
@@ -225,12 +227,15 @@ def png_decode(
                     return None
                 w, h = struct.unpack(">II", body[:8])
                 depth, color_type, comp, filt, interlace = body[8:13]
-                if depth != 8 or comp or filt or interlace > 1:
+                if depth not in (8, 16) or comp or filt or interlace > 1:
                     return None
+                if depth == 16 and color_type == 3:
+                    return None  # palette indices are never 16-bit (spec)
                 ch = _PNG_CHANNELS.get(color_type)
                 if ch is None:
                     return None
-                if (w * ch + 1) * h > max_pixel_bytes:
+                sw = depth // 8  # sample width in bytes
+                if (w * ch * sw + 1) * h > max_pixel_bytes:
                     return None
             elif tag == b"PLTE":
                 palette = body
@@ -241,11 +246,12 @@ def png_decode(
             i += 12 + clen
         if w is None or not idat:
             return None
+        bpp = ch * sw
         if interlace:
             passes = _adam7_passes(w, h)
-            need = sum((pw * ch + 1) * ph for pw, ph, *_ in passes)
+            need = sum((pw * bpp + 1) * ph for pw, ph, *_ in passes)
         else:
-            need = (w * ch + 1) * h
+            need = (w * bpp + 1) * h
         # cap inflation at exactly the bytes the header promised — a
         # deflate bomb (MBs inflating to GBs) stops at the cap instead
         # of materializing; trailing legit bytes beyond the cap were
@@ -260,10 +266,12 @@ def png_decode(
         out = bytearray(stride * h)
         off = 0
         for pw, ph, x0, dx, y0, dy in passes:
-            sub = _png_unfilter(raw, off, pw, ph, ch)
+            sub = _png_unfilter(raw, off, pw, ph, bpp)
             if sub is None:
                 return None
-            off += (pw * ch + 1) * ph
+            off += (pw * bpp + 1) * ph
+            if sw == 2:  # 16-bit: high byte of each big-endian sample
+                sub = sub[0::2]
             for py in range(ph):  # scatter the pass into the full grid
                 y = y0 + py * dy
                 row = sub[py * pw * ch : (py + 1) * pw * ch]
@@ -273,9 +281,11 @@ def png_decode(
                         px * ch : (px + 1) * ch
                     ]
     else:
-        out = _png_unfilter(raw, 0, w, h, ch)
+        out = _png_unfilter(raw, 0, w, h, bpp)
         if out is None:
             return None
+        if sw == 2:  # 16-bit: high byte of each big-endian sample
+            out = out[0::2]
     if color_type == 3:
         if len(palette) < 3:
             return None
@@ -560,7 +570,7 @@ def decode_pixel_payload(
     pixels)`` for PNG/GIF/BMP/JPEG (baseline JPEG via
     functions/jpeg.py — r08, closing T11's final gap); None for
     unknown containers, anything outside each codec's envelope
-    (progressive JPEG, 16-bit PNG, …), or images larger than
+    (arithmetic-coded JPEG, 4-bit PNG, …), or images larger than
     ``max_pixel_bytes`` decoded (OOM guard — includes deflate/LZW
     bombs, which bound-fail instead of inflating)."""
     if payload is None:

@@ -191,12 +191,71 @@ def test_unsupported_envelopes_return_none():
     assert decode_pixel_payload(b"\xff\xd8\xff\xe0jpeg") is None  # header-only
     assert decode_pixel_payload(b"garbage") is None
     assert decode_pixel_payload(None) is None
-    # 16-bit PNG: outside the 8-bit envelope → None, not garbage
-    ihdr = struct.pack(">II", 2, 2) + bytes([16, 0, 0, 0, 0])
-    b16 = PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+    # 4-bit depth: genuinely outside the envelope → None, not garbage
+    ihdr = struct.pack(">II", 2, 2) + bytes([4, 0, 0, 0, 0])
+    b4 = PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr)
     )
-    assert png_decode(b16) is None
+    assert png_decode(b4) is None
+
+
+def _png16_manual(w, h, scanlines: bytes, color_type=0, interlace=0) -> bytes:
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">II", w, h) + bytes([16, color_type, 0, 0, interlace])
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_downconverts_high_byte():
+    # 2x2 gray, 16-bit BE samples, filter 0: high bytes survive
+    rows = bytes([0, 0x12, 0xFF, 0x34, 0x00]) + bytes([0, 0x56, 0x01, 0x78, 0x80])
+    assert png_decode(_png16_manual(2, 2, rows)) == (
+        2, 2, 1, bytes([0x12, 0x34, 0x56, 0x78])
+    )
+
+
+def test_png_16bit_sub_filter_uses_2byte_distance():
+    # filter 1 at depth 16 predicts from the byte TWO back (one sample):
+    # stored [0x12 0x34, 0x01 0x02] -> second sample (0x13, 0x36)
+    rows = bytes([1, 0x12, 0x34, 0x01, 0x02])
+    assert png_decode(_png16_manual(2, 1, rows)) == (2, 1, 1, bytes([0x12, 0x13]))
+
+
+def test_png_16bit_rgb_and_interlaced():
+    import random as _r
+
+    from data_ingestion_spark.functions.pixels import _adam7_passes
+
+    rng = _r.Random(9)
+    # sequential RGB16: 3x2, filter 0
+    samples = [rng.randrange(65536) for _ in range(3 * 2 * 3)]
+    rows = bytearray()
+    for y in range(2):
+        rows.append(0)
+        for s in samples[y * 9 : (y + 1) * 9]:
+            rows += struct.pack(">H", s)
+    exp = bytes(s >> 8 for s in samples)
+    assert png_decode(_png16_manual(3, 2, bytes(rows), color_type=2)) == (3, 2, 3, exp)
+    # interlaced gray16 4x4: build the Adam7 stream pass by pass
+    vals = [[rng.randrange(65536) for _ in range(4)] for _ in range(4)]
+    stream = bytearray()
+    for pw, ph, x0, dx, y0, dy in _adam7_passes(4, 4):
+        for py in range(ph):
+            stream.append(0)
+            for px in range(pw):
+                stream += struct.pack(">H", vals[y0 + py * dy][x0 + px * dx])
+    got = png_decode(_png16_manual(4, 4, bytes(stream), interlace=1))
+    exp = bytes(vals[y][x] >> 8 for y in range(4) for x in range(4))
+    assert got == (4, 4, 1, exp)
+    # 16-bit palette is spec-invalid -> None
+    ihdr_pal = _png16_manual(2, 2, bytes(10), color_type=3)
+    assert png_decode(ihdr_pal) is None
 
 
 def test_bmp_top_down_negative_height():
