@@ -524,7 +524,7 @@ def decode_pixels(
     pixel bytes plus (width, height, n_channels) — the input contract
     of any downstream feature/resize stage.
 
-    Out-of-envelope (arithmetic-coded JPEG, sub-8-bit PNG, …) and
+    Out-of-envelope (arithmetic-coded/12-bit JPEG, …) and
     unrecognized/corrupt payloads yield NULL pixel rows, or raise
     NotImplementedError under ``strict=True`` — corrupt media is data
     at corpus scale, but strict mode never fakes. Images whose decoded
@@ -546,7 +546,7 @@ def decode_pixels(
                     if strict:
                         raise NotImplementedError(
                             "pixel decode: corrupt or out-of-envelope payload "
-                            "(arithmetic-coded JPEG, sub-8-bit PNG, ...); unset strict "
+                            "(arithmetic-coded/12-bit JPEG, ...); unset strict "
                             "to emit NULL rows"
                         )
                     rows.append((doc_id, None, None, None, None, None))

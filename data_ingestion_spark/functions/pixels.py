@@ -8,9 +8,10 @@ PNG/GIF/BMP here with nothing beyond ``zlib`` and ``struct``, JPEG
 
 - **PNG** (RFC 2083 / W3C spec): concatenate IDAT, zlib-inflate,
   undo the five per-scanline filters (None/Sub/Up/Average/Paeth).
-  8- and 16-bit depth (16-bit downconverts to the high byte);
-  color types 0 (gray), 2 (RGB), 3 (palette), 4
-  (gray+alpha), 6 (RGBA); sequential AND Adam7-interlaced storage.
+  ALL legal bit depths — 1/2/4 (packed, MSB-first, gray scaled to
+  full range) / 8 / 16 (high-byte downconversion); color types 0
+  (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
+  sequential AND Adam7-interlaced storage.
 - **GIF** (GIF89a spec): LZW decode of the image data sub-blocks
   (variable code width 3..12 bits, LSB-first packing, clear/EOI
   codes), palette expansion to RGB, Adam-less 4-pass GIF interlace
@@ -156,14 +157,16 @@ _ADAM7 = (
 
 
 def _png_unfilter(
-    raw: bytes, off: int, w: int, h: int, bpp: int
+    raw: bytes, off: int, w: int, h: int, bpp: int, stride: int | None = None
 ) -> bytearray | None:
     """Undo the five per-scanline filters over one image/pass of
     ``h`` scanlines starting at ``off`` in the decompressed stream.
-    ``bpp`` is BYTES per pixel — the filters' left-neighbor distance
-    (T.81's bpp): ch for 8-bit depth, 2*ch for 16-bit. Returns the
-    raw filtered-out bytes (w*h*bpp) or None on a bad filter id."""
-    stride = w * bpp
+    ``bpp`` is the filters' left-neighbor distance in BYTES (spec
+    bpp): ch for 8-bit depth, 2*ch for 16-bit, 1 for packed sub-8-bit
+    rows. ``stride`` overrides the scanline byte width (needed for
+    packed sub-8 rows: ceil(w*depth/8)); default w*bpp. Returns the
+    raw filtered-out bytes (stride*h) or None on a bad filter id."""
+    stride = w * bpp if stride is None else stride
     out = bytearray(stride * h)
     prev = bytes(stride)
     for y in range(h):
@@ -227,14 +230,16 @@ def png_decode(
                     return None
                 w, h = struct.unpack(">II", body[:8])
                 depth, color_type, comp, filt, interlace = body[8:13]
-                if depth not in (8, 16) or comp or filt or interlace > 1:
+                if depth not in (1, 2, 4, 8, 16) or comp or filt or interlace > 1:
                     return None
                 if depth == 16 and color_type == 3:
                     return None  # palette indices are never 16-bit (spec)
+                if depth < 8 and color_type not in (0, 3):
+                    return None  # sub-8 packs only gray / palette (spec)
                 ch = _PNG_CHANNELS.get(color_type)
                 if ch is None:
                     return None
-                sw = depth // 8  # sample width in bytes
+                sw = max(depth // 8, 1)  # sample width in bytes (packed: 1)
                 if (w * ch * sw + 1) * h > max_pixel_bytes:
                     return None
             elif tag == b"PLTE":
@@ -247,11 +252,15 @@ def png_decode(
         if w is None or not idat:
             return None
         bpp = ch * sw
+
+        def row_bytes(width: int) -> int:
+            return (width * ch * depth + 7) // 8  # packed scanline width
+
         if interlace:
             passes = _adam7_passes(w, h)
-            need = sum((pw * bpp + 1) * ph for pw, ph, *_ in passes)
+            need = sum((row_bytes(pw) + 1) * ph for pw, ph, *_ in passes)
         else:
-            need = (w * bpp + 1) * h
+            need = (row_bytes(w) + 1) * h
         # cap inflation at exactly the bytes the header promised — a
         # deflate bomb (MBs inflating to GBs) stops at the cap instead
         # of materializing; trailing legit bytes beyond the cap were
@@ -262,16 +271,39 @@ def png_decode(
     if len(raw) < need:
         return None
     stride = w * ch
+    scale_gray = depth < 8 and color_type == 0
+
+    def to_samples(data: bytearray, width: int, height: int) -> bytearray:
+        """Filtered bytes → one byte per sample: 16-bit keeps the high
+        byte, sub-8 unpacks MSB-first (gray scaled to full range,
+        palette indices kept raw for the expansion below)."""
+        if depth == 16:
+            return data[0::2]
+        if depth >= 8:
+            return data
+        rb = (width * depth + 7) // 8
+        maxv = (1 << depth) - 1
+        out = bytearray(width * height)
+        for y in range(height):
+            row = data[y * rb : (y + 1) * rb]
+            for x in range(width):
+                bitpos = x * depth
+                v = (row[bitpos >> 3] >> (8 - depth - (bitpos & 7))) & maxv
+                out[y * width + x] = (v * 255) // maxv if scale_gray else v
+        return out
+
     if interlace:
         out = bytearray(stride * h)
         off = 0
         for pw, ph, x0, dx, y0, dy in passes:
-            sub = _png_unfilter(raw, off, pw, ph, bpp)
+            sub = _png_unfilter(
+                raw, off, pw, ph, max(bpp, 1) if depth >= 8 else 1,
+                stride=row_bytes(pw),
+            )
             if sub is None:
                 return None
-            off += (pw * bpp + 1) * ph
-            if sw == 2:  # 16-bit: high byte of each big-endian sample
-                sub = sub[0::2]
+            off += (row_bytes(pw) + 1) * ph
+            sub = to_samples(sub, pw, ph)
             for py in range(ph):  # scatter the pass into the full grid
                 y = y0 + py * dy
                 row = sub[py * pw * ch : (py + 1) * pw * ch]
@@ -281,11 +313,12 @@ def png_decode(
                         px * ch : (px + 1) * ch
                     ]
     else:
-        out = _png_unfilter(raw, 0, w, h, bpp)
+        out = _png_unfilter(
+            raw, 0, w, h, max(bpp, 1) if depth >= 8 else 1, stride=row_bytes(w)
+        )
         if out is None:
             return None
-        if sw == 2:  # 16-bit: high byte of each big-endian sample
-            out = out[0::2]
+        out = to_samples(out, w, h)
     if color_type == 3:
         if len(palette) < 3:
             return None
@@ -570,7 +603,7 @@ def decode_pixel_payload(
     pixels)`` for PNG/GIF/BMP/JPEG (baseline JPEG via
     functions/jpeg.py — r08, closing T11's final gap); None for
     unknown containers, anything outside each codec's envelope
-    (arithmetic-coded JPEG, 4-bit PNG, …), or images larger than
+    (arithmetic-coded JPEG, malformed streams, …), or images larger than
     ``max_pixel_bytes`` decoded (OOM guard — includes deflate/LZW
     bombs, which bound-fail instead of inflating)."""
     if payload is None:

@@ -191,12 +191,12 @@ def test_unsupported_envelopes_return_none():
     assert decode_pixel_payload(b"\xff\xd8\xff\xe0jpeg") is None  # header-only
     assert decode_pixel_payload(b"garbage") is None
     assert decode_pixel_payload(None) is None
-    # 4-bit depth: genuinely outside the envelope → None, not garbage
-    ihdr = struct.pack(">II", 2, 2) + bytes([4, 0, 0, 0, 0])
-    b4 = PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+    # depth 3 is not a legal PNG depth → None, not garbage
+    ihdr = struct.pack(">II", 2, 2) + bytes([3, 0, 0, 0, 0])
+    b3 = PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr)
-    )
-    assert png_decode(b4) is None
+    ) + struct.pack(">I", 2) + b"IDAT" + zlib.compress(bytes(4))[:2] + bytes(4)
+    assert png_decode(b3) is None
 
 
 def _png16_manual(w, h, scanlines: bytes, color_type=0, interlace=0) -> bytes:
@@ -525,3 +525,63 @@ def test_null_payload_rows_never_crash_media_kernels(spark):
         "doc_id long, payload binary, mime string",
     )
     assert MM.decode_media_meta(mm_null).count() == 2
+
+
+def test_png_sub8_gray_depths():
+    # 1-bit 8x2: rows 0b10110010, 0b01001101 -> 0/255 pattern
+    rows = bytes([0, 0b10110010]) + bytes([0, 0b01001101])
+    got = png_decode(_png_sub8_manual(8, 2, 1, rows))
+    exp = bytes(255 * b for b in [1,0,1,1,0,0,1,0] + [0,1,0,0,1,1,0,1])
+    assert got == (8, 2, 1, exp)
+    # 2-bit 5x1: samples 3,0,2,1,3 packed MSB-first -> 11 00 10 01 | 11 000000
+    rows = bytes([0, 0b11001001, 0b11000000])
+    got = png_decode(_png_sub8_manual(5, 1, 2, rows))
+    assert got == (5, 1, 1, bytes(v * 85 for v in [3, 0, 2, 1, 3]))
+    # 4-bit 3x2 with filter 2 (Up): byte distance 1 on packed bytes
+    r0 = bytes([0, 0x12, 0x30])
+    r1 = bytes([2, 0x11, 0x10])  # unfiltered: 0x23, 0x40 -> samples 2,3,4
+    got = png_decode(_png_sub8_manual(3, 2, 4, r0 + r1))
+    assert got == (3, 2, 1, bytes(v * 17 for v in [1, 2, 3, 2, 3, 4]))
+
+
+def _png_sub8_manual(w, h, depth, scanlines, color_type=0, palette=None, interlace=0):
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    ihdr = struct.pack(">II", w, h) + bytes([depth, color_type, 0, 0, interlace])
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+
+def test_png_sub8_palette_and_interlace():
+    # 4-bit palette 4x1: indices 0,1,2,3 -> palette colors
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]) + bytes(756)
+    rows = bytes([0, 0x01, 0x23])
+    got = png_decode(_png_sub8_manual(4, 1, 4, rows, color_type=3, palette=pal))
+    assert got == (4, 1, 3, pal[:12])
+    # 1-bit interlaced 4x4 checkerboard via Adam7 pass construction
+    from data_ingestion_spark.functions.pixels import _adam7_passes
+
+    vals = [[(x + y) & 1 for x in range(4)] for y in range(4)]
+    stream = bytearray()
+    for pw, ph, x0, dx, y0, dy in _adam7_passes(4, 4):
+        for py in range(ph):
+            stream.append(0)
+            acc = nb = 0
+            byte = 0
+            for px in range(pw):
+                byte = (byte << 1) | vals[y0 + py * dy][x0 + px * dx]
+                nb += 1
+                if nb == 8:
+                    stream.append(byte); byte = nb = 0
+            if nb:
+                stream.append(byte << (8 - nb))
+    got = png_decode(_png_sub8_manual(4, 4, 1, bytes(stream), interlace=1))
+    exp = bytes(255 * vals[y][x] for y in range(4) for x in range(4))
+    assert got == (4, 4, 1, exp)
+    # sub-8 RGB is spec-invalid -> None
+    assert png_decode(_png_sub8_manual(2, 1, 4, bytes([0, 0x12]), color_type=2)) is None
