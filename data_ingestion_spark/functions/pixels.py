@@ -16,8 +16,10 @@ PNG/GIF/BMP here with nothing beyond ``zlib`` and ``struct``, JPEG
   (variable code width 3..12 bits, LSB-first packing, clear/EOI
   codes), palette expansion to RGB, Adam-less 4-pass GIF interlace
   supported.
-- **BMP** (BITMAPINFOHEADER): uncompressed 24/32-bit BI_RGB rows,
-  bottom-up or top-down, 4-byte row padding.
+- **BMP** (BITMAPINFOHEADER): BI_RGB at 1/4/8-bit (palette quads),
+  16-bit X1R5G5B5, 24/32-bit; BI_RLE8/BI_RLE4 compression (runs,
+  absolute mode, EOL/EOB/delta escapes); bottom-up or top-down rows,
+  4-byte row padding.
 
 Encoders for the same three formats live here too: they are the
 synthesis half of the round-trip tests AND of the oracle-checkable
@@ -352,38 +354,150 @@ def bmp_encode(width: int, height: int, rgb: bytes) -> bytes:
     return header + info + bytes(rows)
 
 
+def _bmp_rle_indices(data: bytes, w: int, h: int, four_bit: bool) -> bytearray | None:
+    """RLE8/RLE4 (BI_RLE8/BI_RLE4) → index grid in BOTTOM-UP row order
+    (y=0 is the bottom row, as stored). Escapes: 0,0 end-of-line;
+    0,1 end-of-bitmap; 0,2 delta (dx,dy) — skipped pixels stay index
+    0, the documented convention; 0,n>=3 absolute mode (word-aligned).
+    Output is bounded by w*h regardless of run counts — runs clip at
+    the row edge, so RLE cannot amplify past the allocation."""
+    grid = bytearray(w * h)
+    x = y = i = 0
+    while i + 1 < len(data) and y < h:
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run — slice writes keep cost O(run) memcpy
+            end = min(x + n, w)
+            cnt = max(end - min(x, w), 0)
+            if cnt:
+                if four_bit:
+                    pattern = bytes([v >> 4, v & 0x0F]) * (cnt // 2 + 1)
+                    grid[y * w + x : y * w + end] = pattern[:cnt]
+                else:
+                    grid[y * w + x : y * w + end] = bytes([v]) * cnt
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 2 > len(data):
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal pixels, word-aligned
+            nbytes = (v + 1) // 2 if four_bit else v
+            chunk = data[i : i + nbytes]
+            if len(chunk) < nbytes:
+                return None
+            i += (nbytes + 1) & ~1
+            for k in range(v):
+                if x < w and y < h:
+                    if four_bit:
+                        byte = chunk[k // 2]
+                        grid[y * w + x] = (byte >> 4) if k % 2 == 0 else byte & 0x0F
+                    else:
+                        grid[y * w + x] = chunk[k]
+                x += 1
+    return grid
+
+
 def bmp_decode(
     payload: bytes, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
 ) -> tuple[int, int, int, bytes] | None:
-    """BMP → ``(width, height, 3, top-down RGB bytes)``. Uncompressed
-    24/32-bit BI_RGB only (the overwhelmingly common on-disk layout);
-    negative height (top-down storage) handled. BMP stores pixels raw
-    (no amplification — the payload-length check already bounds
-    output ≤ 1.34× payload), so the cap here is uniformity, not a
-    bomb defense."""
+    """BMP → ``(width, height, 3, top-down RGB bytes)``. BI_RGB at
+    1/4/8-bit (palette), 16-bit (X1R5G5B5), 24/32-bit, plus BI_RLE8
+    and BI_RLE4 compression; negative height (top-down storage)
+    handled for the uncompressed forms (RLE is always bottom-up per
+    spec). Out of envelope (BI_BITFIELDS, core headers) → None.
+    Uncompressed BMP stores pixels raw (the payload-length check
+    bounds output); RLE output is bounded by the w*h allocation
+    because runs clip at the row edge."""
     b = bytes(payload or b"")
     if b[:2] != b"BM" or len(b) < 54:
         return None
     data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        return None  # BITMAPCOREHEADER era
     w, h_signed = struct.unpack("<ii", b[18:26])
     bpp, compression = struct.unpack("<HI", b[28:34])
-    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+    clr_used = struct.unpack("<I", b[46:50])[0]
+    if w <= 0 or h_signed == 0:
         return None
     h = abs(h_signed)
     if w * h * 3 > max_pixel_bytes:
         return None
-    nch = bpp // 8
-    row_bytes = (w * nch + 3) & ~3
+    palette = b""
+    if bpp in (1, 4, 8):
+        ncol = clr_used or (1 << bpp)
+        if ncol > 1 << bpp:
+            return None
+        pal_off = 14 + hdr_size
+        palette = b[pal_off : pal_off + 4 * ncol]  # BGRA quads
+        if len(palette) < 4 * ncol:
+            return None
+
+    import numpy as np  # vectorized conversion: decode cost must stay
+    # O(payload + numpy-speed * w*h) — a per-pixel Python loop here let
+    # a hostile RLE header (huge dims, tiny stream) grind for minutes
+
+    def pal_lookup(idx: np.ndarray) -> np.ndarray:
+        """(h, w) palette indices -> (h, w, 3) RGB; out-of-table -> black."""
+        table = np.zeros((1 << bpp, 3), dtype=np.uint8)
+        quads = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 4)
+        table[: quads.shape[0]] = quads[:, 2::-1]  # BGR(A) -> RGB
+        return table[idx]
+
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+        if (compression == 1) != (bpp == 8) or (compression == 2) != (bpp == 4):
+            return None
+        if h_signed < 0:
+            return None  # RLE is bottom-up only (spec)
+        # amplification bound: a stream of L bytes can SET at most
+        # ~128*L pixels (255 per 2-byte run); beyond that everything is
+        # zero-fill. 1024*L admits any real image with generous
+        # background slack while rejecting hostile headers that claim
+        # 10^8 pixels off a 20-byte stream (cap-sized numpy work per
+        # corrupt file — measured 1-3 s each before this guard).
+        if w * h > 1024 * max(len(b) - data_off, 1):
+            return None
+        grid = _bmp_rle_indices(b[data_off:], w, h, compression == 2)
+        if grid is None:
+            return None
+        idx = np.frombuffer(bytes(grid), dtype=np.uint8).reshape(h, w)
+        return (w, h, 3, np.ascontiguousarray(pal_lookup(idx)[::-1]).tobytes())
+    if compression != 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    row_bytes = ((w * bpp + 31) // 32) * 4
     if len(b) < data_off + row_bytes * h:
         return None
-    out = bytearray(w * h * 3)
-    for y in range(h):
-        src_y = y if h_signed < 0 else h - 1 - y  # bottom-up unless negative
-        row = b[data_off + src_y * row_bytes :]
-        for x in range(w):
-            bl, g, r = row[x * nch : x * nch + 3]
-            out[(y * w + x) * 3 : (y * w + x) * 3 + 3] = bytes([r, g, bl])
-    return (w, h, 3, bytes(out))
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage -> top-down output
+    if bpp >= 24:
+        nch = bpp // 8
+        px = rows[:, : w * nch].reshape(h, w, nch)[:, :, 2::-1]  # BGR(A)->RGB
+        return (w, h, 3, np.ascontiguousarray(px).tobytes())
+    if bpp == 16:  # X1R5G5B5 little-endian, 5-bit channels scaled up
+        pairs = rows[:, : w * 2].reshape(h, w, 2).astype(np.uint16)
+        v = pairs[:, :, 0] | (pairs[:, :, 1] << 8)
+        px = np.stack(
+            [((v >> s) & 31).astype(np.uint32) * 255 // 31 for s in (10, 5, 0)],
+            axis=-1,
+        ).astype(np.uint8)
+        return (w, h, 3, px.tobytes())
+    if bpp == 8:
+        idx = rows[:, :w]
+    else:  # 1/4-bit packed, MSB-first within each byte
+        bits = np.unpackbits(rows, axis=1)[:, : w * bpp].reshape(h, w, bpp)
+        idx = np.zeros((h, w), dtype=np.uint8)
+        for k in range(bpp):
+            idx = (idx << 1) | bits[:, :, k]
+    return (w, h, 3, pal_lookup(idx).tobytes())
 
 
 # ---------------------------------------------------------------- GIF

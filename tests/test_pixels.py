@@ -585,3 +585,106 @@ def test_png_sub8_palette_and_interlace():
     assert got == (4, 4, 1, exp)
     # sub-8 RGB is spec-invalid -> None
     assert png_decode(_png_sub8_manual(2, 1, 4, bytes([0, 0x12]), color_type=2)) is None
+
+
+# ------------------------------------------------- BMP extended modes
+
+
+def _bmp_manual(w, h, bpp, compression, pixel_data, palette=b"", h_sign=1):
+    """Hand-build a BMP: 40-byte BITMAPINFOHEADER + raw palette quads +
+    pixel data — bypasses bmp_encode entirely."""
+    ncol = len(palette) // 4
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * h_sign, 1, bpp, compression,
+        len(pixel_data), 2835, 2835, ncol, 0,
+    )
+    off = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+    return header + info + palette + pixel_data
+
+
+def test_bmp_8bit_palette():
+    # 2x2, palette quads BGRA; indices row-major bottom-up, 4-byte pad
+    pal = bytes([10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0, 100, 110, 120, 0])
+    rows = bytes([2, 3, 0, 0]) + bytes([0, 1, 0, 0])  # bottom row first
+    got = bmp_decode(_bmp_manual(2, 2, 8, 0, rows, pal))
+    # top-down RGB: top row indices (0,1), bottom row (2,3); BGR->RGB
+    exp = bytes([30, 20, 10, 60, 50, 40, 90, 80, 70, 120, 110, 100])
+    assert got == (2, 2, 3, exp)
+
+
+def test_bmp_4bit_and_1bit_packed():
+    pal4 = b"".join(bytes([i, i + 1, i + 2, 0]) for i in range(0, 64, 4))
+    # 3x1 4-bit: indices 1,2,3 -> packed 0x12 0x30, padded to 4 bytes
+    got = bmp_decode(_bmp_manual(3, 1, 4, 0, bytes([0x12, 0x30, 0, 0]), pal4))
+    exp = b"".join(bytes([pal4[i * 4 + 2], pal4[i * 4 + 1], pal4[i * 4]]) for i in (1, 2, 3))
+    assert got == (3, 1, 3, exp)
+    # 8x1 1-bit: 0b10110010 over a 2-color palette
+    pal1 = bytes([0, 0, 0, 0, 255, 255, 255, 0])
+    got = bmp_decode(_bmp_manual(8, 1, 1, 0, bytes([0b10110010, 0, 0, 0]), pal1))
+    exp = b"".join(b"\xff\xff\xff" if bit else b"\x00\x00\x00"
+                   for bit in [1, 0, 1, 1, 0, 0, 1, 0])
+    assert got == (8, 1, 3, exp)
+
+
+def test_bmp_16bit_555():
+    # 1x1: X1R5G5B5 with r=31,g=0,b=15 -> 0x7C0F little-endian
+    got = bmp_decode(_bmp_manual(1, 1, 16, 0, struct.pack("<H", 0x7C0F) + bytes(2)))
+    assert got == (1, 1, 3, bytes([255, 0, (15 * 255) // 31]))
+
+
+def test_bmp_rle8_runs_and_escapes():
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    # 4x2 bottom-up: bottom row = run 4 of idx 7; EOL; top row: run 1 of
+    # idx 9, absolute mode 3 pixels (5,6,9) word-aligned, EOB
+    rle = bytes([4, 7, 0, 0, 1, 9, 0, 3, 5, 6, 9, 0, 0, 1])
+    got = bmp_decode(_bmp_manual(4, 2, 8, 1, rle, pal))
+    assert got is not None
+    top = [9, 5, 6, 9]
+    bottom = [7, 7, 7, 7]
+    exp = b"".join(bytes([v, v, v]) for v in top + bottom)
+    assert got == (4, 2, 3, exp)
+
+
+def test_bmp_rle8_delta_leaves_zero_gaps():
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    # 3x2: run 1 of idx 8, delta (+1,+1), run 1 of idx 5, EOB
+    rle = bytes([1, 8, 0, 2, 1, 1, 1, 5, 0, 1])
+    got = bmp_decode(_bmp_manual(3, 2, 8, 1, rle, pal))
+    # bottom row: [8,0,0]; top row: [0,0,5] (delta skips to x=2,y=1)
+    exp_rows_topdown = [[0, 0, 5], [8, 0, 0]]
+    exp = b"".join(bytes([v, v, v]) for row in exp_rows_topdown for v in row)
+    assert got == (3, 2, 3, exp)
+
+
+def test_bmp_rle4_nibble_runs():
+    pal4 = b"".join(bytes([i * 16, 0, 0, 0]) for i in range(16))
+    # 5x1: run 5 of 0xAB -> indices A,B,A,B,A; EOB
+    got = bmp_decode(_bmp_manual(5, 1, 4, 2, bytes([5, 0xAB, 0, 1]), pal4))
+    exp = b"".join(bytes([0, 0, v * 16]) for v in [10, 11, 10, 11, 10])
+    assert got == (5, 1, 3, exp)
+
+
+def test_bmp_out_of_envelope():
+    # BI_BITFIELDS -> None; RLE with top-down height -> None
+    assert bmp_decode(_bmp_manual(2, 1, 16, 3, bytes(8))) is None
+    pal = bytes(1024)
+    assert bmp_decode(_bmp_manual(2, 2, 8, 1, bytes([2, 1, 0, 1]), pal, h_sign=-1)) is None
+    # RLE8 must pair with bpp 8
+    assert bmp_decode(_bmp_manual(2, 2, 4, 1, bytes([2, 1, 0, 1]), pal)) is None
+
+
+def test_bmp_rle_amplification_bound():
+    # hostile: 9000x9000 claimed off a 6-byte stream -> None fast, not
+    # 243 MB of numpy work per corrupt file
+    import time
+
+    pal = bytes(1024)
+    bomb = _bmp_manual(9000, 9000, 8, 1, bytes([255, 1, 0, 0, 0, 1]), pal)
+    t0 = time.monotonic()
+    assert bmp_decode(bomb) is None
+    assert time.monotonic() - t0 < 0.1
+    # legit sparse content within the 1024x bound still decodes
+    ok = _bmp_manual(64, 32, 8, 1, bytes([64, 5, 0, 0] * 32 + [0, 1]), pal)
+    got = bmp_decode(ok)
+    assert got is not None and got[:3] == (64, 32, 3)
