@@ -898,3 +898,82 @@ def test_salted_group_count_duplicate_rows_need_salt_cols(spark):
         .count()
     )
     assert n_buckets > 1, "distinguishing salt_cols must fan the hot key out"
+
+
+# ------------------------------------------- audio sample decode (r08)
+
+
+def _wav_with_samples(n_channels, rate, bits, data, fmt_tag=1):
+    import struct as _s
+
+    fmt = _s.pack(
+        "<HHIIHH", fmt_tag, n_channels, rate,
+        rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + _s.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+
+
+def test_pcm_to_float_anchors():
+    """Published G.711 table anchors — independent of our own encoder,
+    so a consistent-but-wrong compander pair cannot pass."""
+    import numpy as np
+
+    from data_ingestion_spark.functions.multimodal import pcm_to_float
+
+    # PCM16: known LE bytes
+    got = pcm_to_float(np.array([0, 16384, -32768], dtype="<i2").tobytes(), 16)
+    assert np.allclose(got, [0.0, 0.5, -1.0])
+    # PCM8 is unsigned with 128 midpoint
+    assert np.allclose(pcm_to_float(bytes([128, 255, 0]), 8), [0.0, 127 / 128, -1.0])
+    # µ-law: 0xFF/0x7F are the two zeros; 0x00 -> -32124, 0x80 -> +32124
+    mu = pcm_to_float(bytes([0xFF, 0x7F, 0x00, 0x80]), 8, fmt_tag=7)
+    assert np.allclose(mu * 32768.0, [0, 0, -32124, 32124])
+    # A-law: 0xD5 -> +8, 0x55 -> -8 (the classic silence pair), and the
+    # extremes are symmetric
+    al = pcm_to_float(bytes([0xD5, 0x55, 0xAA, 0x2A]), 8, fmt_tag=6)
+    assert np.allclose(al[:2] * 32768.0, [8, -8])
+    assert al[2] == -al[3] and abs(al[2] * 32768.0) == 32256
+    # out-of-envelope tag/width -> None
+    assert pcm_to_float(bytes(4), 12) is None
+    assert pcm_to_float(bytes(4), 8, fmt_tag=2) is None  # ADPCM
+
+
+def test_audio_segment_stats_sine_and_silence(spark):
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from data_ingestion_spark.functions.multimodal import audio_segment_stats
+
+    rate, amp = 1000, 0.5
+    t = np.arange(2000)
+    sine = (amp * 32767 * np.sin(2 * np.pi * 50 * t / rate)).astype("<i2")
+    silence = np.zeros(1000, dtype="<i2")
+    mu_body = bytes([0xFF] * 800)  # µ-law digital silence
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, payload=bytearray(_wav_with_samples(1, rate, 16, sine.tobytes()))),
+            Row(doc_id=1, payload=bytearray(_wav_with_samples(1, rate, 16, silence.tobytes()))),
+            Row(doc_id=2, payload=bytearray(_wav_with_samples(1, rate, 8, mu_body, fmt_tag=7))),
+            Row(doc_id=3, payload=bytearray(b"not audio")),
+            Row(doc_id=4, payload=None),
+        ]
+    )
+    rows = {(r["doc_id"], r["seg_idx"]): r for r in audio_segment_stats(df, 1.0).collect()}
+    # sine: 2 one-second segments, RMS ~ amp/sqrt(2), peak ~ amp
+    assert (0, 0) in rows and (0, 1) in rows
+    for k in ((0, 0), (0, 1)):
+        assert abs(rows[k]["rms"] - amp / math.sqrt(2)) < 0.01
+        assert abs(rows[k]["peak"] - amp) < 0.01
+        assert rows[k]["n_samples"] == 1000
+    # silence: rms == peak == 0
+    assert rows[(1, 0)]["rms"] == 0.0 and rows[(1, 0)]["peak"] == 0.0
+    # µ-law silence decodes to all-zero samples
+    assert rows[(2, 0)]["rms"] == 0.0 and rows[(2, 0)]["n_samples"] == 800
+    # non-audio and NULL payloads contribute no rows
+    assert not any(k[0] in (3, 4) for k in rows)
