@@ -683,7 +683,7 @@ def test_bmp_rle_amplification_bound():
     bomb = _bmp_manual(9000, 9000, 8, 1, bytes([255, 1, 0, 0, 0, 1]), pal)
     t0 = time.monotonic()
     assert bmp_decode(bomb) is None
-    assert time.monotonic() - t0 < 0.1
+    assert time.monotonic() - t0 < 1.0  # rejects in us; 1s headroom for a loaded box
     # legit sparse content within the 1024x bound still decodes
     ok = _bmp_manual(64, 32, 8, 1, bytes([64, 5, 0, 0] * 32 + [0, 1]), pal)
     got = bmp_decode(ok)
