@@ -120,14 +120,18 @@ def _pixel_seed_payloads():
         png_encode,
     )
 
+    from data_ingestion_spark.functions.jpeg import jpeg_encode_progressive
+
     return [
         png_encode(5, 4, bytes(range(20))),
         png_encode(3, 3, bytes(range(27)), color_type=2, filter_type=4),
         png_encode(4, 2, bytes(8), color_type=3, palette=bytes(768)),
+        png_encode(6, 5, bytes(range(30)), filter_type=4, interlace=True),
         gif_encode(5, 4, bytes(range(20))),
         gif_encode(4, 4, bytes(16), interlace=True),
         bmp_encode(5, 4, bytes(range(60))),
         jpeg_encode(5, 4, bytes(range(20))),
+        jpeg_encode_progressive(8, 8, bytes(range(64))),
     ]
 
 
