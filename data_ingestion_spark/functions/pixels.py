@@ -14,8 +14,10 @@ PNG/GIF/BMP here with nothing beyond ``zlib`` and ``struct``, JPEG
   sequential AND Adam7-interlaced storage.
 - **GIF** (GIF89a spec): LZW decode of the image data sub-blocks
   (variable code width 3..12 bits, LSB-first packing, clear/EOI
-  codes), palette expansion to RGB, Adam-less 4-pass GIF interlace
-  supported.
+  codes), palette expansion to RGB, 4-pass GIF interlace, AND full
+  animation compositing (gif_decode_frames: frame rects, local
+  palettes, GCE transparency, disposal 0-3) for pixel-true frame
+  sampling.
 - **BMP** (BITMAPINFOHEADER): BI_RGB at 1/4/8-bit (palette quads),
   16-bit X1R5G5B5, 24/32-bit; BI_RLE8/BI_RLE4 compression (runs,
   absolute mode, EOL/EOB/delta escapes); bottom-up or top-down rows,
@@ -738,3 +740,174 @@ def decode_pixel_payload(
         r = jpeg_decode(b, max_pixel_bytes)
         return ("jpeg",) + r if r else None
     return None
+
+
+def gif_encode_frames(
+    width: int,
+    height: int,
+    frames: list[dict],
+    palette: bytes | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a writer — the synthesis half of the animation
+    compositing tests. Each frame dict: ``indices`` (fw*fh palette
+    bytes), optional ``left``/``top`` (default 0), ``fw``/``fh``
+    (default full canvas), ``disposal`` (0-3), ``transparent``
+    (palette index or None), ``interlace`` (bool). A Graphic Control
+    Extension is written before every frame carrying disposal +
+    transparency, exactly the real-world layout."""
+    palette = palette or bytes(v for i in range(256) for v in (i, i, i))
+    if len(palette) != 768:
+        raise ValueError("palette must be 256*3 bytes")
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HH", width, height)
+        + bytes([0xF7, bg_index, 0]) + palette
+    )
+    for f in frames:
+        fw, fh = f.get("fw", width), f.get("fh", height)
+        left, top = f.get("left", 0), f.get("top", 0)
+        indices = f["indices"]
+        if len(indices) != fw * fh:
+            raise ValueError("frame needs fw*fh index bytes")
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        gce_flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags, 0, 0, transparent or 0, 0])
+        if f.get("interlace"):
+            stored = bytearray()
+            for off, step in _GIF_PASSES:
+                for y in range(off, fh, step):
+                    stored += indices[y * fw : (y + 1) * fw]
+            indices = bytes(stored)
+        lzw = _lzw_encode(indices, 8)
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0x40 if f.get("interlace") else 0, 8])
+        for i in range(0, len(lzw), 255):
+            part = lzw[i : i + 255]
+            out += bytes([len(part)]) + part
+        out += b"\x00"
+    return bytes(out) + b"\x3b"
+
+
+def gif_decode_frames(
+    payload: bytes,
+    max_frames: int | None = None,
+    max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES,
+) -> list[tuple[int, int, int, bytes]] | None:
+    """ALL frames of a GIF, composited onto the logical-screen canvas
+    per GIF89a semantics — what frame sampling actually needs (a raw
+    frame rect is meaningless without the canvas it patches):
+
+    - each frame's rect (left/top/fw/fh, clipped to the canvas) draws
+      with its local-else-global palette;
+    - GCE transparency leaves underlying canvas pixels visible;
+    - disposal: 0/1 leave, 2 restore the rect to the background
+      color, 3 restore the pre-frame canvas;
+    - interlaced frames deinterlaced; canvas starts as the background
+      color.
+
+    Returns a list of (width, height, 3, rgb) full-canvas snapshots —
+    one per frame, every frame the same dims — or None for non-GIF/
+    corrupt input. Output is bounded: decoding STOPS (truncating the
+    list) once cumulative frame bytes would exceed ``max_pixel_bytes``
+    — the per-call OOM budget, since n_frames multiplies the canvas."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    flags, bg_index = b[10], b[11]
+    if w < 1 or h < 1 or w * h * 3 > max_pixel_bytes:
+        return None
+    i = 13
+    global_pal = b""
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        global_pal = b[i : i + n]
+        i += n
+
+    def pal_table(pal: bytes) -> np.ndarray:
+        t = np.zeros((256, 3), dtype=np.uint8)  # short table -> black tail
+        arr = np.frombuffer(pal, dtype=np.uint8)
+        arr = arr[: (len(arr) // 3) * 3].reshape(-1, 3)[:256]
+        t[: arr.shape[0]] = arr
+        return t
+
+    bg_rgb = pal_table(global_pal)[bg_index] if global_pal else np.zeros(3, np.uint8)
+    canvas = np.tile(bg_rgb, (h, w, 1))
+    frames: list[tuple[int, int, int, bytes]] = []
+    disposal, transparent = 0, None
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            if i + 2 <= len(b) and b[i + 1] == 0xF9 and i + 4 + 4 <= len(b):
+                gf = b[i + 3]
+                disposal = (gf >> 2) & 7
+                transparent = b[i + 6] if gf & 1 else None
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C or i + 10 > len(b):
+            return None
+        left, top, fw, fh = struct.unpack("<HHHH", b[i + 1 : i + 9])
+        if fw * fh * 3 > max_pixel_bytes:
+            return None
+        lflags = b[i + 9]
+        i += 10
+        pal = global_pal
+        if lflags & 0x80:
+            n = 3 * (2 << (lflags & 0x07))
+            pal = b[i : i + n]
+            i += n
+        if i >= len(b) or not pal:
+            return None
+        mcs = b[i]
+        if not 2 <= mcs <= 8:
+            return None
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            lzw += b[i + 1 : i + 1 + b[i]]
+            i += 1 + b[i]
+        i += 1
+        indices = _lzw_decode(bytes(lzw), mcs, max_out=fw * fh)
+        if indices is None or len(indices) < fw * fh:
+            return None
+        indices = indices[: fw * fh]
+        if lflags & 0x40:  # interlaced frame rows
+            restored = bytearray(fw * fh)
+            src = 0
+            for off, step in _GIF_PASSES:
+                for y in range(off, fh, step):
+                    restored[y * fw : (y + 1) * fw] = indices[src : src + fw]
+                    src += fw
+            indices = bytes(restored)
+        if (len(frames) + 1) * w * h * 3 > max_pixel_bytes:
+            break  # frame-count OOM budget: truncate, don't amplify
+        idx = np.frombuffer(indices, dtype=np.uint8).reshape(fh, fw)
+        # clip the frame rect to the canvas
+        cw, ch_ = min(fw, w - left), min(fh, h - top)
+        if cw > 0 and ch_ > 0:
+            prev = canvas.copy() if disposal == 3 else None
+            patch = pal_table(pal)[idx[:ch_, :cw]]
+            region = canvas[top : top + ch_, left : left + cw]
+            if transparent is not None:
+                mask = (idx[:ch_, :cw] == transparent)[:, :, None]
+                patch = np.where(mask, region, patch)
+            canvas[top : top + ch_, left : left + cw] = patch
+            frames.append((w, h, 3, canvas.tobytes()))
+            if disposal == 2:
+                canvas[top : top + ch_, left : left + cw] = bg_rgb
+            elif disposal == 3:
+                canvas = prev
+        else:
+            frames.append((w, h, 3, canvas.tobytes()))
+        disposal, transparent = 0, None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames

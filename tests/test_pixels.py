@@ -688,3 +688,131 @@ def test_bmp_rle_amplification_bound():
     ok = _bmp_manual(64, 32, 8, 1, bytes([64, 5, 0, 0] * 32 + [0, 1]), pal)
     got = bmp_decode(ok)
     assert got is not None and got[:3] == (64, 32, 3)
+
+
+# --------------------------------------------- animated GIF compositing
+
+
+def test_gif_frames_full_canvas_sequence():
+    from data_ingestion_spark.functions.pixels import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    f1 = bytes([5] * 12)
+    f2 = bytes([9] * 12)
+    enc = gif_encode_frames(4, 3, [{"indices": f1}, {"indices": f2}])
+    frames = gif_decode_frames(enc)
+    assert len(frames) == 2
+    assert frames[0] == (4, 3, 3, bytes([5, 5, 5] * 12))
+    assert frames[1] == (4, 3, 3, bytes([9, 9, 9] * 12))
+    # first frame agrees with the single-frame decoder
+    assert frames[0] == gif_decode(enc)
+
+
+def test_gif_frames_partial_rect_composites_over_previous():
+    from data_ingestion_spark.functions.pixels import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    base = bytes([1] * 16)  # 4x4 of index 1
+    patch = bytes([7] * 4)  # 2x2 of index 7 at (1,1)
+    enc = gif_encode_frames(
+        4, 4,
+        [{"indices": base},
+         {"indices": patch, "left": 1, "top": 1, "fw": 2, "fh": 2}],
+    )
+    frames = gif_decode_frames(enc)
+    assert len(frames) == 2
+    import numpy as np
+
+    f2 = np.frombuffer(frames[1][3], dtype=np.uint8).reshape(4, 4, 3)
+    assert (f2[1:3, 1:3] == 7).all()          # the patch
+    assert (f2[0, :] == 1).all() and (f2[3, :] == 1).all()  # base persists
+
+
+def test_gif_frames_transparency_shows_underlying():
+    from data_ingestion_spark.functions.pixels import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    base = bytes([3] * 9)
+    overlay = bytes([8, 0, 8, 0, 8, 0, 8, 0, 8])  # 0 = transparent holes
+    enc = gif_encode_frames(
+        3, 3, [{"indices": base}, {"indices": overlay, "transparent": 0}]
+    )
+    frames = gif_decode_frames(enc)
+    import numpy as np
+
+    f2 = np.frombuffer(frames[1][3], dtype=np.uint8).reshape(3, 3, 3)
+    flat = f2[:, :, 0].flatten()
+    assert list(flat) == [8, 3, 8, 3, 8, 3, 8, 3, 8]
+
+
+def test_gif_frames_disposal_background_and_previous():
+    from data_ingestion_spark.functions.pixels import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    import numpy as np
+
+    base = bytes([2] * 16)
+    mid = bytes([9] * 4)
+    dot = bytes([6])
+    # disposal 2: mid's rect restores to BACKGROUND (index 0) before f3
+    enc = gif_encode_frames(
+        4, 4,
+        [{"indices": base},
+         {"indices": mid, "left": 0, "top": 0, "fw": 2, "fh": 2, "disposal": 2},
+         {"indices": dot, "left": 3, "top": 3, "fw": 1, "fh": 1}],
+        bg_index=0,
+    )
+    frames = gif_decode_frames(enc)
+    f3 = np.frombuffer(frames[2][3], dtype=np.uint8).reshape(4, 4, 3)
+    assert (f3[0:2, 0:2] == 0).all()   # restored to background
+    assert (f3[2, :] == 2).all()       # untouched base
+    assert f3[3, 3, 0] == 6
+    # disposal 3: mid's effect reverts to PREVIOUS canvas before f3
+    enc = gif_encode_frames(
+        4, 4,
+        [{"indices": base},
+         {"indices": mid, "left": 0, "top": 0, "fw": 2, "fh": 2, "disposal": 3},
+         {"indices": dot, "left": 3, "top": 3, "fw": 1, "fh": 1}],
+    )
+    frames = gif_decode_frames(enc)
+    f3 = np.frombuffer(frames[2][3], dtype=np.uint8).reshape(4, 4, 3)
+    assert (f3[0:2, 0:2] == 2).all()   # base restored, mid gone
+
+
+def test_gif_frames_budget_and_corrupt():
+    from data_ingestion_spark.functions.pixels import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    enc = gif_encode_frames(8, 8, [{"indices": bytes(64)} for _ in range(10)])
+    # max_frames truncates; tiny pixel budget truncates (never None here)
+    assert len(gif_decode_frames(enc, max_frames=3)) == 3
+    assert len(gif_decode_frames(enc, max_pixel_bytes=8 * 8 * 3 * 2)) == 2
+    assert gif_decode_frames(b"GIF89a" + bytes(7)) is None
+    assert gif_decode_frames(b"not a gif") is None
+
+
+def test_decode_gif_frame_pixels_stage(spark):
+    from data_ingestion_spark.functions.multimodal import decode_gif_frame_pixels
+    from data_ingestion_spark.functions.pixels import gif_encode_frames
+
+    enc = gif_encode_frames(
+        3, 2, [{"indices": bytes([i] * 6)} for i in (1, 2, 3, 4)]
+    )
+    df = spark.createDataFrame(
+        [(0, enc), (1, b"junk"), (2, None)], "doc_id long, payload binary"
+    )
+    rows = decode_gif_frame_pixels(df, every_n=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["pixels"]) for r in rows}
+    assert set(got) == {(0, 0), (0, 2)}  # every 2nd frame, junk/null -> none
+    assert got[(0, 0)] == bytes([1, 1, 1] * 6)
+    assert got[(0, 2)] == bytes([3, 3, 3] * 6)
