@@ -1,0 +1,320 @@
+"""Minimal real PDF text extraction — pure stdlib ``zlib``/``re``.
+
+Reference parity anchor: all three reference pipelines PIN
+``pypdf==4.0.2`` (ingestion-pipeline.py:49, ingestion-pipeline-
+elastic.py:54, website-ingestion-pipeline.py:17) without ever calling
+it — the PDF slot is part of the reference's intended surface
+(SURVEY §2 T11 notes it explicitly). This module makes that slot
+real for the dominant simple-PDF population, the way the sibling
+codecs made the image slots real.
+
+Envelope: FlateDecode (zlib) and unfiltered content streams; text
+shown via the standard operators — ``Tj``, ``'``, ``"``, ``TJ``
+(array form with kerning numbers) — inside BT..ET blocks; literal
+strings with the full escape set (\\n \\r \\t \\b \\f \\( \\) \\\\
+octal \\ddd, line continuations) and hex strings ``<...>``. Bytes
+decode as Latin-1 (lossless byte→char; WinAnsi-alike). Out of
+envelope — encrypted PDFs, CID/Type0 composite fonts (their show
+strings are glyph indices, not character codes), LZW/DCT/ASCII85
+filters, object streams (/ObjStm) — degrades to whatever simple
+streams remain, or an empty result; never an exception (corrupt
+documents are data at corpus scale).
+
+Line structure: within a BT..ET block, show operators append to the
+current line; ``Td``/``TD``/``T*``/``'``/``"`` (the line-advancing
+operators) terminate it. One extracted page/stream = the newline-
+joined lines of its BT..ET blocks — the same shape a naive
+pypdf ``page.extract_text()`` yields for simple PDFs.
+
+Inflation is capped (``max_text_bytes``) the same way the image
+codecs cap pixels: a deflate bomb bound-fails instead of
+materializing.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+#: Decoded-stream budget per document — text streams are small; a
+#: hostile deflate stream claiming GBs bound-fails to truncation.
+DEFAULT_MAX_TEXT_BYTES = 1 << 26  # 64 MB of raw content streams
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+    ord("b"): "\b", ord("f"): "\f",
+    ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ``(...)`` literal string starting at the '('; returns
+    (text, index past the ')'). Handles nesting, escapes, octal."""
+    out = []
+    depth = 1
+    i += 1
+    while i < len(data) and depth:
+        c = data[i]
+        if c == 0x5C and i + 1 < len(data):  # backslash
+            n = data[i + 1]
+            if n in _ESCAPES:
+                out.append(_ESCAPES[n])
+                i += 2
+            elif 0x30 <= n <= 0x37:  # octal \d{1,3}
+                j = i + 1
+                val = 0
+                while j < len(data) and j < i + 4 and 0x30 <= data[j] <= 0x37:
+                    val = val * 8 + (data[j] - 0x30)
+                    j += 1
+                out.append(chr(val & 0xFF))
+                i = j
+            elif n in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if n == 0x0D and i < len(data) and data[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: emit the char itself
+                out.append(chr(n))
+                i += 2
+        elif c == 0x28:
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ``<...>`` hex string starting at the '<'."""
+    j = data.find(b">", i)
+    if j < 0:
+        j = len(data)
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"  # spec: odd final digit implies trailing 0
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), j + 1
+    except ValueError:
+        return "", j + 1
+
+
+def _extract_stream_text(data: bytes) -> str:
+    """Text from one decoded content stream: walk BT..ET blocks and
+    apply the show / line-advance operators."""
+    lines: list[str] = []
+    cur: list[str] = []
+    pending: list[str] = []  # strings seen since the last operator
+
+    def flush_line() -> None:
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    i = 0
+    in_text = False
+    while i < len(data):
+        c = data[i]
+        if c == 0x28:  # (
+            s, i = _parse_literal(data, i)
+            if in_text:
+                pending.append(s)
+            continue
+        if c == 0x3C:  # < — hex string (<< dict inside BT is not legal)
+            if data[i : i + 2] == b"<<":
+                i += 2
+                continue
+            s, i = _parse_hex(data, i)
+            if in_text:
+                pending.append(s)
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = len(data) if j < 0 else j + 1
+            continue
+        m = re.match(rb"[A-Za-z'\"*]+", data[i:])
+        if m:
+            op = m.group()
+            if op == b"BT":
+                in_text = True
+                pending.clear()
+            elif op == b"ET":
+                if in_text:
+                    cur.extend(pending)
+                    pending.clear()
+                    flush_line()
+                in_text = False
+            elif in_text:
+                if op == b"Tj":
+                    cur.extend(pending)
+                    pending.clear()
+                elif op == b"TJ":
+                    cur.extend(pending)  # array strings, kerning ignored
+                    pending.clear()
+                elif op in (b"'", b"\""):  # move-to-next-line + show
+                    flush_line()
+                    cur.extend(pending)
+                    pending.clear()
+                elif op in (b"Td", b"TD", b"T*"):
+                    cur.extend(pending)
+                    pending.clear()
+                    flush_line()
+                else:
+                    pending.clear()  # other operators consume operands
+            i += len(op)
+            continue
+        i += 1
+    flush_line()
+    return "\n".join(lines)
+
+
+def pdf_extract_text(
+    payload: bytes | None, max_text_bytes: int = DEFAULT_MAX_TEXT_BYTES
+) -> list[str] | None:
+    """PDF → list of per-content-stream extracted texts (empty streams
+    skipped, document order). None for non-PDF payloads; corrupt or
+    out-of-envelope structures degrade to fewer/empty entries — never
+    an exception. Decompressed stream bytes are capped at
+    ``max_text_bytes`` cumulatively (deflate-bomb guard)."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if not b.lstrip()[:5].startswith(b"%PDF-"):
+        return None
+    texts: list[str] = []
+    budget = max_text_bytes
+    try:
+        for m in _STREAM_RE.finditer(b):
+            params = m.group(1)
+            start = m.end()
+            end = b.find(b"endstream", start)
+            if end < 0:
+                end = len(b)
+            raw = b[start:end].rstrip(b"\r\n")
+            if budget <= 0:
+                break
+            if b"/FlateDecode" in params:
+                try:
+                    data = zlib.decompressobj().decompress(raw, budget)
+                except zlib.error:
+                    continue
+            elif b"/Filter" in params:
+                continue  # LZW/DCT/A85/... out of envelope
+            else:
+                data = raw[:budget]
+            budget -= len(data)
+            if b"BT" not in data:
+                continue  # not a text-bearing content stream
+            text = _extract_stream_text(data)
+            if text.strip():
+                texts.append(text)
+        return texts
+    except (ValueError, IndexError, re.error):
+        return texts
+
+
+# ------------------------------------------------------------ encoder
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        .encode("latin-1", errors="replace")
+    )
+
+
+def pdf_encode(pages: list[str]) -> bytes:
+    """Minimal REAL single-font PDF writer — the synthesis half of the
+    extraction tests: catalog → page tree → one page per entry, each
+    with a FlateDecode content stream showing the page's lines via
+    Td/Tj, plus a correct xref table and trailer (the file opens in
+    real viewers). Newlines in a page become Td line advances."""
+    objs: list[bytes] = []  # 1-indexed object bodies
+
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_num = 3 + 2 * n_pages
+    for i, text in enumerate(pages):
+        content = bytearray(b"BT /F1 12 Tf 72 720 Td ")
+        for line in text.split("\n"):
+            content += b"(" + _esc(line) + b") Tj 0 -14 Td "
+        content += b"ET"
+        flate = zlib.compress(bytes(content))
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {4 + 2 * i} 0 R >>".encode()
+        )
+        objs.append(
+            f"<< /Length {len(flate)} /Filter /FlateDecode >>\nstream\n".encode()
+            + flate + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def extract_pdf_text_stage(df, strict: bool = False):
+    """Spark stage: payload BINARY → one row per text-bearing content
+    stream (doc_id, stream_idx, text), Arrow-batched mapInPandas —
+    the PDF twin of clean_html for the document-loading slot the
+    reference reserved (pypdf pinned, unused). Non-PDF payloads yield
+    no rows (or raise under ``strict=True``)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("stream_idx", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, payload in zip(pdf_batch["doc_id"], pdf_batch["payload"]):
+                texts = pdf_extract_text(payload)
+                if texts is None:
+                    if strict:
+                        raise ValueError(f"doc {doc_id}: not a PDF payload")
+                    continue
+                for si, t in enumerate(texts):
+                    rows.append((doc_id, si, t))
+            yield pd.DataFrame(rows, columns=["doc_id", "stream_idx", "text"])
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
