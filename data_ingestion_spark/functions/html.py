@@ -221,6 +221,35 @@ def discover_frontier(
     )
 
 
+def sitemap_frontier(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Crawl-frontier seeding from sitemap.xml — the step every real
+    crawl runs before link discovery (the reference scrapes a given
+    URL list; at corpus scale the list COMES from sitemaps). Fully
+    JVM-side, honoring the repo's 'JVM-side first' rule: ``<loc>``
+    entries extracted via regexp_extract_all (namespace-agnostic — a
+    regexp over ``<loc>`` doesn't care about xmlns prefixes the way a
+    strict parser does), the five XML entities decoded, plus an
+    ``is_index`` flag (true when the document is a <sitemapindex>,
+    whose locs are MORE sitemaps to fetch — the caller loops those
+    through fetch_pages, exactly like frontier recursion). Output:
+    one row per loc (url, is_index), distinct."""
+    locs = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), F.lit(1)
+            )
+        ).alias("url"),
+        F.col(xml_col).contains("<sitemapindex").alias("is_index"),
+    )
+    url = F.col("url")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
+    return locs.select(url.alias("url"), "is_index").distinct()
+
+
 Fetcher = Callable[[str], str]
 
 

@@ -133,3 +133,31 @@ def test_split_markdown_sections_h4_scoping(spark):
     assert (b.h1, b.h2, b.h3, b.h4) == ("Top", "Mid", "S1", "S1b")
     c = rows["body-c"]
     assert (c.h2, c.h3, c.h4) == ("Next", None, None)
+
+
+def test_sitemap_frontier(spark):
+    """<loc> extraction is namespace-agnostic, entity-decoding, and
+    flags sitemap-index docs whose locs are further sitemaps."""
+    from data_ingestion_spark.functions.html import sitemap_frontier
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc> https://ex.com/a?x=1&amp;y=2 '
+        "</loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://ex.com/b</loc></url>"
+        "<url><loc>https://ex.com/b</loc></url></urlset>"  # dup
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://ex.com/sitemap-1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([(urlset,), (index,), ("<html>no locs</html>",)], "xml string")
+    rows = {(r["url"], r["is_index"]) for r in sitemap_frontier(df).collect()}
+    assert rows == {
+        ("https://ex.com/a?x=1&y=2", False),
+        ("https://ex.com/b", False),
+        ("https://ex.com/sitemap-1.xml", True),
+    }
+    # plan stays JVM-side: no Python eval in the frontier
+    plan = sitemap_frontier(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
