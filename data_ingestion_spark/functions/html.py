@@ -242,9 +242,11 @@ def sitemap_frontier(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         F.col(xml_col).contains("<sitemapindex").alias("is_index"),
     )
     url = F.col("url")
+    # Standard XML entity-decode ordering: &amp; LAST, so a correctly
+    # encoded literal entity ("&amp;lt;") decodes to "&lt;", not "<".
     for ent, ch in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&apos;", "'"),
+        ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
     ):
         url = F.replace(url, F.lit(ent), F.lit(ch))
     return locs.select(url.alias("url"), "is_index").distinct()

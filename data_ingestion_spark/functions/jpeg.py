@@ -616,6 +616,17 @@ def jpeg_decode(
             nbw = -(-(-(-w_ * hs // max_h)) // 8)
             nbh = -(-(-(-h * vs // max_v)) // 8)
             geom[cid] = (hs, vs, tq, nbw, nbh)
+        # Budget the DECODE footprint, not just the output: the zigzag
+        # coefficient state is int64 (8 B/sample, MCU-padded, per
+        # component) and dequant/IDCT work in float64 planes (~2 more
+        # 8 B copies). Without this, a ~700 KB progressive file
+        # claiming max-cap dims drives ~20x max_pixel_bytes of
+        # allocations per task (ADVICE r08).
+        padded_samples = sum(
+            (mcux * hs * 8) * (mcuy * vs * 8) for _cid, hs, vs, _tq in comps
+        )
+        if padded_samples * 24 > max_pixel_bytes:
+            return None
         # coefficient state in ZIGZAG space, shared across all scans
         coef = {
             c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)

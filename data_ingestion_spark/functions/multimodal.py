@@ -213,6 +213,12 @@ def segment_wav(df: DataFrame, seconds: float = 1.0) -> DataFrame:
                 if meta is None:
                     continue
                 _, ch, rate, bits, _ = meta
+                if rate <= 0:
+                    # Corrupt fmt chunk: rate==0 collapses the segment
+                    # step to one frame, emitting one row per audio
+                    # frame — millions of pandas rows from one hostile
+                    # WAV (ADVICE r08). Skip: degrade, never amplify.
+                    continue
                 frame_bytes = max(ch * bits // 8, 1)
                 b = bytes(payload)
                 # find the data chunk
@@ -332,6 +338,12 @@ def audio_segment_stats(df: DataFrame, seconds: float = 1.0) -> DataFrame:
                 if meta is None:
                     continue
                 _, ch, rate, bits, _ = meta
+                if rate <= 0:
+                    # Corrupt fmt chunk: rate==0 collapses the segment
+                    # step to one frame, emitting one row per audio
+                    # frame — millions of pandas rows from one hostile
+                    # WAV (ADVICE r08). Skip: degrade, never amplify.
+                    continue
                 frame_bytes = max(ch * bits // 8, 1)
                 b = bytes(payload)
                 i, data, fmt_tag = 12, b"", 1

@@ -8,14 +8,17 @@ it — the PDF slot is part of the reference's intended surface
 real for the dominant simple-PDF population, the way the sibling
 codecs made the image slots real.
 
-Envelope: FlateDecode (zlib) and unfiltered content streams; text
+Envelope: FlateDecode (zlib), LZWDecode (MSB-first PDF/TIFF flavor
+with EarlyChange), ASCIIHexDecode, ASCII85Decode, RunLengthDecode —
+including filter CHAINS (``/Filter [/ASCII85Decode /FlateDecode]``) —
+and unfiltered content streams; text
 shown via the standard operators — ``Tj``, ``'``, ``"``, ``TJ``
 (array form with kerning numbers) — inside BT..ET blocks; literal
 strings with the full escape set (\\n \\r \\t \\b \\f \\( \\) \\\\
 octal \\ddd, line continuations) and hex strings ``<...>``. Bytes
 decode as Latin-1 (lossless byte→char; WinAnsi-alike). Out of
 envelope — encrypted PDFs, CID/Type0 composite fonts (their show
-strings are glyph indices, not character codes), LZW/DCT/ASCII85
+strings are glyph indices, not character codes), DCT/JBIG2/CCITT
 filters, object streams (/ObjStm) — degrades to whatever simple
 streams remain, or an empty result; never an exception (corrupt
 documents are data at corpus scale).
@@ -33,6 +36,7 @@ materializing.
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -40,7 +44,145 @@ import zlib
 #: hostile deflate stream claiming GBs bound-fails to truncation.
 DEFAULT_MAX_TEXT_BYTES = 1 << 26  # 64 MB of raw content streams
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+_STREAM_KW_RE = re.compile(rb">>\s*stream\r?\n")
+
+
+def _stream_dicts(b: bytes):
+    """Yield ``(params, data_start)`` per stream: the BALANCED ``<<
+    ... >>`` dict preceding each ``stream`` keyword, found by walking
+    ``<<``/``>>`` tokens backwards from the closing ``>>``. A
+    non-greedy ``<<(.*?)>>`` stops at the FIRST ``>>``, so a nested
+    dict (``/DecodeParms << ... >>``) before ``/Filter`` would hide
+    the filter and feed compressed bytes to the text walker
+    (ADVICE r08)."""
+    for m in _STREAM_KW_RE.finditer(b):
+        i = m.start()  # at the closing '>>'
+        depth = 1
+        while depth and i > 0:
+            open_pos = b.rfind(b"<<", 0, i)
+            close_pos = b.rfind(b">>", 0, i)
+            if open_pos < 0:
+                break
+            if close_pos > open_pos:
+                depth += 1
+                i = close_pos
+            else:
+                depth -= 1
+                i = open_pos
+        if depth == 0:
+            yield b[i + 2 : m.start()], m.end()
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _filter_chain(params: bytes) -> list[bytes]:
+    """The /Filter entry as an ordered name list ([] if unfiltered)."""
+    m = _FILTER_RE.search(params)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+def _lzw_decode_pdf(data: bytes, max_out: int) -> bytes | None:
+    """PDF/TIFF-flavor LZW (ISO 32000 §7.4.4): MSB-first bit packing,
+    8-bit roots, Clear=256, EOD=257, widths 9→12 growing one code
+    EARLY (EarlyChange=1, the PDF default). Distinct from the GIF
+    twin in functions/pixels.py (LSB-first, variable root width).
+    Returns None on corrupt codes; output capped at ``max_out``."""
+    CLEAR, EOD = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, acc, nbits = 9, 0, 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table) and (code < 256 or table[code]):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            if prev is not None:
+                table.append(prev + entry[:1])
+            out += entry
+            if len(out) > max_out:
+                return bytes(out[:max_out])
+            prev = entry
+            # EarlyChange: width grows when the NEXT entry would
+            # overflow — one code before the table actually fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _decode_stream(
+    raw: bytes, filters: list[bytes], budget: int
+) -> bytes | None:
+    """Apply the filter chain in order; None = out of envelope or
+    corrupt (caller skips the stream). Every stage is capped at
+    ``budget`` decoded bytes (bomb guard applies per-stage, so an
+    ASCII85-wrapped deflate bomb can't bypass it)."""
+    data = raw
+    for f in filters:
+        if f == b"FlateDecode" or f == b"Fl":
+            try:
+                data = zlib.decompressobj().decompress(data, budget)
+            except zlib.error:
+                return None
+        elif f == b"LZWDecode" or f == b"LZW":
+            data = _lzw_decode_pdf(data, budget)
+            if data is None:
+                return None
+        elif f == b"ASCIIHexDecode" or f == b"AHx":
+            end = data.find(b">")
+            hx = re.sub(rb"\s", b"", data if end < 0 else data[:end])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                data = bytes.fromhex(hx.decode("ascii"))[:budget]
+            except (ValueError, UnicodeDecodeError):
+                return None
+        elif f == b"ASCII85Decode" or f == b"A85":
+            s = re.sub(rb"\s", b"", data)
+            if s.startswith(b"<~"):
+                s = s[2:]
+            end = s.find(b"~>")
+            if end >= 0:
+                s = s[:end]
+            try:
+                data = base64.a85decode(s)[:budget]
+            except ValueError:
+                return None
+        elif f == b"RunLengthDecode" or f == b"RL":
+            out = bytearray()
+            i = 0
+            while i < len(data) and len(out) <= budget:
+                n = data[i]
+                if n == 128:
+                    break
+                if n < 128:
+                    out += data[i + 1 : i + 2 + n]
+                    i += 2 + n
+                else:
+                    if i + 1 >= len(data):
+                        break
+                    out += data[i + 1 : i + 2] * (257 - n)
+                    i += 2
+            data = bytes(out[:budget])
+        else:
+            return None  # DCT/JBIG2/CCITT/Crypt: out of envelope
+    return data[:budget]
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
@@ -191,24 +333,17 @@ def pdf_extract_text(
     texts: list[str] = []
     budget = max_text_bytes
     try:
-        for m in _STREAM_RE.finditer(b):
-            params = m.group(1)
-            start = m.end()
+        for params, start in _stream_dicts(b):
             end = b.find(b"endstream", start)
             if end < 0:
                 end = len(b)
             raw = b[start:end].rstrip(b"\r\n")
             if budget <= 0:
                 break
-            if b"/FlateDecode" in params:
-                try:
-                    data = zlib.decompressobj().decompress(raw, budget)
-                except zlib.error:
-                    continue
-            elif b"/Filter" in params:
-                continue  # LZW/DCT/A85/... out of envelope
-            else:
-                data = raw[:budget]
+            decoded = _decode_stream(raw, _filter_chain(params), budget)
+            if decoded is None:
+                continue  # unsupported filter or corrupt stream
+            data = decoded
             budget -= len(data)
             if b"BT" not in data:
                 continue  # not a text-bearing content stream

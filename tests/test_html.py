@@ -161,3 +161,21 @@ def test_sitemap_frontier(spark):
     # plan stays JVM-side: no Python eval in the frontier
     plan = sitemap_frontier(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sitemap_entity_decode_order(spark):
+    """ADVICE r08: &amp; must decode LAST — a correctly-encoded URL
+    containing the literal text '&lt;' arrives as '&amp;lt;' and must
+    decode to '&lt;', not double-decode to '<'."""
+    from data_ingestion_spark.functions.html import sitemap_frontier
+
+    xml = (
+        "<urlset><url><loc>https://ex.com/q?m=&amp;lt;tag&amp;gt;</loc>"
+        "</url><url><loc>https://ex.com/r?a=1&amp;b=2</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    urls = {r["url"] for r in sitemap_frontier(df).collect()}
+    assert urls == {
+        "https://ex.com/q?m=&lt;tag&gt;",
+        "https://ex.com/r?a=1&b=2",
+    }

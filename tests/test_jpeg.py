@@ -295,3 +295,23 @@ def test_fuzz_progressive_never_raises():
             if r is not None:
                 w, h, ch, px = r
                 assert w >= 1 and h >= 1 and len(px) == w * h * ch
+
+
+def test_intermediate_footprint_guard():
+    """ADVICE r08: the OOM guard must budget the int64 coefficient +
+    float64 IDCT intermediates (~24 B/padded sample), not just output
+    bytes — a tiny file CLAIMING near-cap dims must be rejected
+    before any giant allocation happens."""
+    import time
+
+    enc = bytearray(jpeg_encode(8, 8, bytes(64)))
+    # patch SOF dims to 9000x9000: output 81 MB (passes the old
+    # output-only guard for gray) but ~1.9 GB of intermediates
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    struct.pack_into(">HH", enc, sof + 5, 9000, 9000)
+    t0 = time.monotonic()
+    assert jpeg_decode(bytes(enc)) is None
+    assert time.monotonic() - t0 < 1.0  # rejected up front, not after
+    # sanity: an unpatched file still decodes
+    assert jpeg_decode(jpeg_encode(8, 8, bytes(64))) is not None

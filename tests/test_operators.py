@@ -977,3 +977,25 @@ def test_audio_segment_stats_sine_and_silence(spark):
     assert rows[(2, 0)]["rms"] == 0.0 and rows[(2, 0)]["n_samples"] == 800
     # non-audio and NULL payloads contribute no rows
     assert not any(k[0] in (3, 4) for k in rows)
+
+
+def test_audio_zero_rate_is_skipped(spark):
+    """ADVICE r08: a corrupt fmt chunk with sample_rate=0 must yield
+    NO rows (not one row per audio frame) from both segmenters."""
+    from pyspark.sql import Row
+
+    from data_ingestion_spark.functions.multimodal import (
+        audio_segment_stats,
+        segment_wav,
+    )
+
+    hostile = _wav_with_samples(1, 0, 16, bytes(20000))
+    ok = _wav_with_samples(1, 1000, 16, bytes(2000))
+    df = spark.createDataFrame(
+        [Row(doc_id=0, payload=bytearray(hostile)),
+         Row(doc_id=1, payload=bytearray(ok))]
+    )
+    stats = audio_segment_stats(df, 1.0).collect()
+    assert all(r["doc_id"] != 0 for r in stats) and any(r["doc_id"] == 1 for r in stats)
+    segs = segment_wav(df, 1.0).collect()
+    assert all(r["doc_id"] != 0 for r in segs) and any(r["doc_id"] == 1 for r in segs)

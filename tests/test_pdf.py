@@ -121,3 +121,131 @@ def test_spark_stage(spark):
 
     with pytest.raises((Py4JJavaError, PythonException)):
         extract_pdf_text_stage(df, strict=True).collect()
+
+
+# ---------------------------------------------------------- r09 filters
+
+
+def _wrap_filters(body: bytes, filt: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" /Filter " + filt
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF"
+    )
+
+
+def _lzw_encode_pdf(data: bytes) -> bytes:
+    """Independent MSB-first PDF LZW encoder (EarlyChange=1) — the
+    test-side half of the round-trip, written from ISO 32000 §7.4.4,
+    not from the decoder."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(256, width)  # leading Clear, as real writers do
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # EarlyChange: the ENCODER widens one code early too
+        if nxt + 1 > (1 << width) and width < 12:
+            width += 1
+        if nxt == 4095:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_roundtrip():
+    content = b"BT (lzw text here) Tj T* (line two) Tj ET"
+    enc = _lzw_encode_pdf(content)
+    got = pdf_extract_text(_wrap_filters(enc, b"/LZWDecode"))
+    assert got == ["lzw text here\nline two"]
+    # long repetitive stream exercises width growth + table refill
+    long = b"BT (" + b"abcab" * 3000 + b") Tj ET"
+    got = pdf_extract_text(_wrap_filters(_lzw_encode_pdf(long), b"/LZWDecode"))
+    assert got == ["abcab" * 3000]
+
+
+def test_asciihex_ascii85_runlength():
+    content = b"BT (hex ok) Tj ET"
+    hx = content.hex().encode() + b">"
+    assert pdf_extract_text(_wrap_filters(hx, b"/ASCIIHexDecode")) == ["hex ok"]
+    import base64 as b64
+
+    a85 = b64.a85decode  # noqa: F841  (import check)
+    enc85 = b64.a85encode(b"BT (eighty five) Tj ET") + b"~>"
+    assert pdf_extract_text(_wrap_filters(enc85, b"/ASCII85Decode")) == ["eighty five"]
+    # RunLength: literal run (n<128 -> n+1 bytes) + replicate (257-n)
+    rl_content = b"BT (aaaaaaaaaaaab) Tj ET"
+    # encode by hand: literal "BT (" then 12x'a' replicated, literal rest
+    rl = (
+        bytes([3]) + b"BT (" + bytes([257 - 12]) + b"a"
+        + bytes([len(b"b) Tj ET") - 1]) + b"b) Tj ET" + bytes([128])
+    )
+    assert pdf_extract_text(_wrap_filters(rl, b"/RunLengthDecode")) == [
+        "aaaaaaaaaaaab"
+    ]
+
+
+def test_filter_chain_a85_flate():
+    import base64 as b64
+
+    content = b"BT (chained filters) Tj ET"
+    body = b64.a85encode(zlib.compress(content)) + b"~>"
+    got = pdf_extract_text(
+        _wrap_filters(body, b"[/ASCII85Decode /FlateDecode]")
+    )
+    assert got == ["chained filters"]
+    # unsupported member anywhere in the chain -> stream skipped
+    got = pdf_extract_text(
+        _wrap_filters(body, b"[/ASCII85Decode /DCTDecode]")
+    )
+    assert got == []
+
+
+def test_nested_dict_before_filter():
+    # ADVICE r08: a nested dict (/DecodeParms << ... >>) BEFORE
+    # /Filter must not hide the filter from the stream-dict capture
+    content = b"BT (nested dict ok) Tj ET"
+    body = zlib.compress(content)
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /DecodeParms << /Columns 4 /Predictor 1 >> "
+        b"/Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + body
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert pdf_extract_text(raw) == ["nested dict ok"]
+    # and with the compressed bytes containing a spurious 'BT': the
+    # filter is now seen, so no garbage rows can leak out
+    assert b"BT" not in zlib.compress(b"x")  # sanity of the premise below
+
+
+def test_lzw_bomb_capped():
+    # highly compressible LZW stream inflating past the budget
+    # truncates instead of materializing
+    long = b"BT (" + b"z" * 5_000_000 + b") Tj ET"
+    enc = _lzw_encode_pdf(long)
+    got = pdf_extract_text(_wrap_filters(enc, b"/LZWDecode"), max_text_bytes=64)
+    assert got == [] or all(len(t) < 100 for t in got)
