@@ -538,12 +538,31 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@q("agg_approx_distinct")
+@q(
+    "agg_approx_distinct",
+    "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact, "
+    "TRUE AS within_5pct FROM lineitem",
+)
 def agg_approx_distinct(spark, sf_dir):
-    """A5 approx: HLL++ sketch — cross-engine sketch values differ by
-    construction, so this is rows-only checked."""
+    """A5 approx: HLL++ sketch. Cross-engine sketch VALUES differ by
+    construction, so the raw estimate can't be hash-compared — but
+    Spark's estimate is deterministic for fixed input, so the 5%%
+    relative-error bound is a hash-stable boolean. Emitting (exact,
+    bound-holds) makes this value-checked instead of rows-only: the
+    exact side is a real DuckDB comparison, and a broken HLL (or a
+    broken bound) flips within_5pct and fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01)
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
 
 
 @q(

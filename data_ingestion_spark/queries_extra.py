@@ -260,18 +260,32 @@ def _drain_streaming_dq(spark, staging, ckpt, start_query):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@q("streaming_tumbling_availablenow")
+@q(
+    "streaming_tumbling_availablenow",
+    "WITH b AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type, "
+    "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_stream_rows, "
+    "CAST(count(*) AS BIGINT) AS n_batch_rows, "
+    "CAST(0 AS BIGINT) AS sym_diff FROM b",
+)
 def streaming_tumbling_availablenow(spark, sf_dir):
-    """ST1+ST2 executed for real (rows-only check: streaming state is
-    not SQL-oracle-able, SURVEY.md §2.10): stage the events table as a
-    file-stream input, drain it with Trigger.AvailableNow through a
-    watermarked tumbling-window aggregation into a memory sink, and
-    return the final batch result. Equivalence with the batch twin
-    (window_tumbling_batch, which IS oracle-checked) is asserted in
-    tests/test_streaming.py."""
+    """ST1+ST2 executed for real, now VALUE-checked (was rows-only
+    through r08): stage the events table as a file-stream input, drain
+    it with Trigger.AvailableNow through a watermarked tumbling-window
+    aggregation into a memory sink, then emit a one-row summary —
+    (stream row count, batch-twin row count, exceptAll symmetric-diff
+    count). The oracle computes the batch aggregation's cardinality in
+    DuckDB for BOTH counts and pins sym_diff to 0, so a stream result
+    that dropped a window, duplicated a row, or mis-summed a value
+    flips the hash. (The raw stream rows can't be oracled directly
+    only because the drain is a side-effecting run, not a SQL
+    expression — the VALUES are fully compared via the diff against
+    the oracled batch twin.)"""
     import tempfile
     import uuid
 
+    from .queries import window_tumbling_batch
     from .sources.catalog import load_table
     from .streaming.pipeline import (
         run_query_availablenow,
@@ -283,11 +297,24 @@ def streaming_tumbling_availablenow(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="dq_stream_ckpt_")
     load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
     sink = f"dq_stream_sink_{uuid.uuid4().hex[:8]}"
-    return _drain_streaming_dq(
+    s = _drain_streaming_dq(
         spark, staging, ckpt,
         lambda: run_query_availablenow(
             tumbling_counts(stream_events_from_dir(spark, staging)), ckpt, sink
         ),
+    )
+    # window.start is LTZ (watermarks need it); session tz is pinned
+    # UTC so the cast back to NTZ is the identity on the values
+    s = s.select(
+        F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts"),
+        "event_type", "n", "sum_value",
+    )
+    b = window_tumbling_batch(spark, sf_dir)
+    sym = s.exceptAll(b).unionAll(b.exceptAll(s))
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_stream_rows"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_batch_rows")))
+        .crossJoin(sym.agg(F.count(F.lit(1)).alias("sym_diff")))
     )
 
 
@@ -329,20 +356,35 @@ def streaming_stateful_first_seen(spark, sf_dir):
     )
 
 
-@q("streaming_session_availablenow")
+@q(
+    "streaming_session_availablenow",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+    "b AS (SELECT user_id, CAST(max(sid) AS BIGINT) AS ns FROM s GROUP BY user_id) "
+    "SELECT CAST(sum(ns) AS BIGINT) AS n_stream_rows, "
+    "CAST(sum(ns) AS BIGINT) AS n_batch_rows, "
+    "CAST(0 AS BIGINT) AS sym_diff FROM b",
+)
 def streaming_session_availablenow(spark, sf_dir):
-    """ST4 executed for real (rows-only): the STATEFUL session-window
-    path under the driver — file-stream the events table, drain with
-    Trigger.AvailableNow through a watermarked session_window
-    aggregation (dynamic-length windows closed by a 30-min gap per
-    user), return the final state. Mirrors KFP re-run semantics
-    (website-ingestion-pipeline.py:116-118 skip-if-exists) the same
-    way streaming_tumbling_availablenow does; batch equivalence of
-    the session logic is oracle-checked via sessionize_batch /
-    session_window_native."""
+    """ST4 executed for real, now VALUE-checked (was rows-only through
+    r08): the STATEFUL session-window path under the driver —
+    file-stream the events table, drain with Trigger.AvailableNow
+    through a watermarked session_window aggregation (dynamic-length
+    windows closed by a 30-min gap per user), then emit the one-row
+    (stream session count, batch-twin session count, per-session
+    exceptAll symmetric diff). The batch side is the INDEPENDENT
+    first-principles lag+cumsum sessionize (operators/relational.py)
+    with boundaries reconstructed as [min(ts), max(ts)+gap) — exactly
+    session_window's definition — so sym_diff==0 certifies the full
+    (user, start, end, n_events) session set, and the oracle computes
+    the total session count in DuckDB for both count columns."""
     import tempfile
     import uuid
 
+    from .operators import relational as R
     from .sources.catalog import load_table
     from .streaming.pipeline import (
         run_query_availablenow,
@@ -354,11 +396,36 @@ def streaming_session_availablenow(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="dq_sess_ckpt_")
     load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(staging)
     sink = f"dq_sess_sink_{uuid.uuid4().hex[:8]}"
-    return _drain_streaming_dq(
+    s = _drain_streaming_dq(
         spark, staging, ckpt,
         lambda: run_query_availablenow(
             session_counts(stream_events_from_dir(spark, staging)), ckpt, sink
         ),
+    )
+    s = s.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+    b = (
+        R.sessionize(
+            _t(spark, sf_dir, "events").select("user_id", "ts"),
+            key="user_id", ts="ts", gap_minutes=30,
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    sym = s.exceptAll(b).unionAll(b.exceptAll(s))
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_stream_rows"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_batch_rows")))
+        .crossJoin(sym.agg(F.count(F.lit(1)).alias("sym_diff")))
     )
 
 
