@@ -1212,3 +1212,78 @@ def corpus_filter_pipeline(spark, sf_dir):
         reasons.alias("drop_reasons"),
         keep.cast("int").alias("keep"),
     )
+
+
+@q(
+    "crawl_frontier",
+    "WITH ux AS (SELECT '<urlset><url><loc> https://ex.com/d/' || "
+    "CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2 </loc></url><url><loc>"
+    "https://ex.com/d/' || CAST(doc_id AS VARCHAR) || "
+    "'/page/</loc></url></urlset>' AS xml FROM documents WHERE doc_id % 2 = 0), "
+    "sx AS (SELECT replace(replace(replace(replace(replace(u, '&lt;', '<'), "
+    "'&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&') AS url "
+    "FROM ux, unnest(regexp_extract_all(xml, '<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS t(u)), "
+    "h AS (SELECT '<a href=\"/en/documentation/html/doc' || CAST(doc_id AS VARCHAR) || "
+    "'/\">x</a><a href=\"/other/o' || CAST(doc_id AS VARCHAR) || "
+    "'\">y</a><a href=\"/en/documentation/pdf/doc' || CAST(doc_id AS VARCHAR) || "
+    "'\">z</a>' AS html FROM documents), "
+    "hl AS (SELECT u FROM h, unnest(regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)) AS t(u)), "
+    "hf AS (SELECT 'https://docs.example.com' || replace(u, '/html/', '/html-single/') AS url "
+    "FROM hl WHERE u LIKE '/en/documentation%' AND u LIKE '%/html/%') "
+    "SELECT DISTINCT regexp_replace(url, '/$', '') AS url "
+    "FROM (SELECT url FROM sx UNION ALL SELECT url FROM hf)",
+)
+def crawl_frontier(spark, sf_dir):
+    """S3 under the driver for the first time (VERDICT r08 #6): one
+    crawl-frontier DQ wiring the pytest-only pieces together. A
+    fixture sitemap table is built deterministically from documents
+    rows — even doc_ids publish a <urlset> with two locs (one
+    entity-encoded, one with a trailing slash), odd doc_ids publish a
+    <sitemapindex> whose locs are further SITEMAPS (is_index=true →
+    recursed through fetch_pages, never emitted as frontier). That
+    seed set is unioned with the HTML-link frontier
+    (discover_frontier: href extraction → prefix filter → contains
+    filter → single-page rewrite → absolute URL; the reference's
+    get_pages, ingestion-pipeline.py:166-191), then normalized
+    (trailing slash stripped) and deduped. Pure JVM expressions
+    end-to-end (regexp_extract_all / replace / union / distinct — no
+    Python eval in the plan, asserted in tests), so the DuckDB string
+    oracle replicates every step. At 100 TB: scalar string work plus
+    one distinct — a single shuffle over the (tiny relative to corpus)
+    URL universe."""
+    from .functions.html import discover_frontier, sitemap_frontier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    xml = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("<urlset><url><loc> https://ex.com/d/"), did,
+            F.lit("?a=1&amp;b=2 </loc></url><url><loc>https://ex.com/d/"),
+            did, F.lit("/page/</loc></url></urlset>"),
+        ).alias("xml")
+    )
+    idx = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://ex.com/sitemaps/"),
+            did, F.lit(".xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml")
+    )
+    seeds = (
+        sitemap_frontier(xml.unionAll(idx))
+        .filter(~F.col("is_index"))
+        .select("url")
+    )
+    html = d.select(
+        F.concat(
+            F.lit('<a href="/en/documentation/html/doc'), did,
+            F.lit('/">x</a><a href="/other/o'), did,
+            F.lit('">y</a><a href="/en/documentation/pdf/doc'), did,
+            F.lit('">z</a>'),
+        ).alias("html")
+    )
+    links = discover_frontier(html).select("url")
+    return (
+        seeds.unionAll(links)
+        .select(F.regexp_replace("url", "/$", "").alias("url"))
+        .distinct()
+    )

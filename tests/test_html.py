@@ -179,3 +179,21 @@ def test_sitemap_entity_decode_order(spark):
         "https://ex.com/q?m=&lt;tag&gt;",
         "https://ex.com/r?a=1&b=2",
     }
+
+
+def test_crawl_frontier_dq_plan_and_semantics(spark):
+    """The r09 crawl_frontier DQ: sitemap seeds + HTML links unioned,
+    index locs excluded, trailing slash normalized, plan JVM-only."""
+    import data_ingestion_spark.queries_extra  # noqa: F401  (registers)
+    from data_ingestion_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["crawl_frontier"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    urls = [r["url"] for r in df.collect()]
+    assert len(urls) == len(set(urls))  # deduped
+    assert not any(u.endswith("/") for u in urls)  # normalized
+    assert not any("sitemaps/" in u for u in urls)  # index locs recursed, not emitted
+    assert any("?a=1&b=2" in u for u in urls)  # entity-decoded seed
+    assert any("/html-single/doc" in u for u in urls)  # rewritten HTML link
+    assert not any("/other/" in u or "/pdf/" in u for u in urls)  # filters held
