@@ -40,66 +40,69 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-8 window: the one r08 first-green (the pixel-decode DQ
-    # that closes T11's last container-limited gap) followed by the
-    # STALEST greens (oldest last-green round first; zero overlap
-    # with the r07 window — verified against CORRECTNESS_r07.json).
-    # After r07 the stalest names are the r05-ledgered TPC-H battery,
-    # the corpus-export E1–E10 surface, and the r06 first-greens.
-    # Generated by scripts/update_checked.py from CORRECTNESS_r01..r07;
-    # split_markdown_headers (least-stale of the candidates) yields its
-    # slot to the new DQ and rotates into the r09 window.
-    "multimodal_pixel_decode",
-    "tpch_q15_top_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q4_priority_check",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_quantity",
-    "tpch_q22_global_sales_opportunity",
-    "array_posexplode",
-    "string_funcs_battery",
-    "streaming_stateful_first_seen",
-    "scan_orc_roundtrip",
-    "rollup_time_cascade",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q12_late_lines_by_class",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "sample_hash_deterministic",
-    "train_val_test_split",
-    "per_source_quota",
-    "pack_sequences",
-    "decontaminate_eval_overlap",
-    "training_export_pipeline",
-    "token_budget_sample",
-    "mix_weights_by_source",
-    "dedup_clusters_star",
-    "dedup_decision_quality",
-    "join_cross_theta",
-    "join_range",
-    "join_asof",
-    "groupby_count",
-    "agg_global_count",
-    "agg_collect_list",
-    "agg_numeric_stats",
-    "agg_count_distinct",
+    # -- round-9 window (verified against CORRECTNESS_r08.json: zero
+    # overlap except agg_approx_distinct, deliberately re-pinned
+    # because its r08 row was rows-only and the re-registered query
+    # must earn its first FULL-hash row): the never-checked r09 DQ
+    # first (crawl_frontier), then the three queries whose oracles were
+    # UPGRADED from rows-only to full value checks this round
+    # (agg_approx_distinct: exact + HLL-bound boolean; the two
+    # AvailableNow streaming DQs: stream vs batch-twin symmetric
+    # diff) so each earns its first full-hash row, then the
+    # stalest greens per scripts/update_checked.py over r01..r08 —
+    # honoring the promised split_markdown_headers slot.
+    "crawl_frontier",
     "agg_approx_distinct",
-    "agg_rollup",
-    "delete_partition_filter",
-    "window_row_number",
-    "window_lag_frame",
-    "top_n_limit",
-    "sort_global",
-    "union_all",
-    "set_except",
-    "chunk_fixed_overlap",
+    "streaming_tumbling_availablenow",
+    "streaming_session_availablenow",
+    "split_markdown_headers",
+    "metadata_enrich",
+    "sessionize_batch",
+    "window_tumbling_batch",
+    "join_full_outer",
+    "set_intersect",
+    "union_distinct",
+    "agg_salted_count",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q7_nation_volume",
+    "session_window_native",
+    "agg_percentiles",
+    "quality_unigram_logprob",
+    "null_semantics",
+    "split_markdown_sections",
+    "window_sliding_batch",
+    "join_range_bucketed",
+    "agg_grouped_pandas_iqr",
+    "pivot_counts",
+    "agg_cube",
+    "window_rank_navigation",
+    "zscore_grouped_pandas",
+    "corpus_report",
+    "top_words_zipf",
+    "scalar_subquery",
+    "lateral_join_topn",
+    "explode_outer_semantics",
+    "scan_parquet",
+    "scan_dim_inline",
+    "distinct_collections",
+    "filter_prefix",
+    "filter_contains",
+    "project_replace",
+    "filter_nonempty",
+    "string_concat_header",
+    "index_name_norm",
+    "map_concat_meta",
+    "json_roundtrip",
+    "text_stats",
+    "array_explode_transform",
+    "date_math_funcs",
+    "join_broadcast_enrich",
+    "join_inner_equi",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
