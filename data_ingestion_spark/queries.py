@@ -552,16 +552,15 @@ def agg_approx_distinct(spark, sf_dir):
     exact side is a real DuckDB comparison, and a broken HLL (or a
     broken bound) flips within_5pct and fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    # empty input: exact==0 would divide by zero under ANSI; the bound
+    # degenerates to "approx is also 0" (the empty-input contract)
+    within = F.when(exact == 0, approx == 0).otherwise(
+        F.abs(approx - exact) / exact <= F.lit(0.05)
+    )
     return li.agg(
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
-        (
-            F.abs(
-                F.approx_count_distinct("l_partkey", 0.01)
-                - F.countDistinct("l_partkey")
-            )
-            / F.countDistinct("l_partkey")
-            <= F.lit(0.05)
-        ).alias("within_5pct"),
+        exact.alias("n_parts_exact"), within.alias("within_5pct")
     )
 
 
