@@ -77,11 +77,37 @@ HEADLINE = [
 EAGER_CONSTRUCTION = {"dedup_clusters", "dedup_clusters_star"}
 
 
+def _host_probe() -> dict[str, float]:
+    """Two fixed single-core workloads (BLAS matmul, pure-Python md5)
+    whose times fingerprint THIS host's speed. Recorded in the JSON so
+    cross-round suite numbers can be read as (suite / probe): the r08
+    '+17% regression' was adjudicated in r09 as a uniformly ~25%
+    slower VM (BENCH_NOTES), a question these two numbers now answer
+    without an 11-sample re-measurement ceremony."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.random.RandomState(0).rand(2000, 2000)
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max()
+    blas = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for i in range(200_000):
+        h.update(str(i).encode())
+    py = time.perf_counter() - t0
+    return {"blas_2k_matmul_x3_sec": round(blas, 3), "py_md5_200k_sec": round(py, 3)}
+
+
 def main() -> None:
     from data_ingestion_spark.session import get_spark
 
     import __spark_entry__ as entrymod
 
+    host_probe = _host_probe()
     spark = get_spark("engine-bench")
     qs = entrymod.queries()
 
@@ -356,6 +382,7 @@ def main() -> None:
                 "throughput": throughput,
                 "sf": sf_val,
                 "gates_ok": not gate_failures,
+                "host_probe": host_probe,
             }
         )
     )
