@@ -88,10 +88,23 @@ def test_negatives_and_bomb():
 
 
 def test_fuzz_never_raises():
+    import base64 as b64
+
     rng = random.Random(2024)
+    content = b"BT (fuzz seed text) Tj T* (line) Tj ET"
     base = [
         pdf_encode(["Hello world", "page two\nmore"]),
         _wrap_stream(b"BT [ (a) 5 (b) ] TJ (c) ' <4142> Tj ET"),
+        # r09: every new filter path fuzzed too — corrupt LZW codes,
+        # truncated a85 groups, odd hex, RLE runs past EOD must all
+        # degrade, never raise
+        _wrap_filters(_lzw_encode_pdf(content), b"/LZWDecode"),
+        _wrap_filters(b64.a85encode(content) + b"~>", b"/ASCII85Decode"),
+        _wrap_filters(content.hex().encode() + b">", b"/ASCIIHexDecode"),
+        _wrap_filters(
+            b64.a85encode(zlib.compress(content)) + b"~>",
+            b"[/ASCII85Decode /FlateDecode]",
+        ),
     ]
     for payload in base:
         for _ in range(1500):
