@@ -300,3 +300,30 @@ def test_ewma_all_null_first_batch_does_not_seed_zero():
     assert n == 1
     assert math.isclose(ewma, 10.0), "first real value must seed, not mix with 0.0"
     assert out["ewma_value"][0] == 10.0
+
+
+# ------------------------------------------------------ r09: PDF LZW
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=300, deadline=None)
+def test_pdf_lzw_roundtrip_any_bytes(data):
+    """functions/pdf.py::_lzw_decode_pdf inverts the independent
+    MSB-first EarlyChange encoder for ARBITRARY byte strings — width
+    growth, table refill and EOD all land on the spec schedule, not
+    just on the handful of fixed vectors in test_pdf.py."""
+    from data_ingestion_spark.functions.pdf import _lzw_decode_pdf
+    from tests.test_pdf import _lzw_encode_pdf
+
+    assert _lzw_decode_pdf(_lzw_encode_pdf(data), 1 << 20) == data
+
+
+@given(st.binary(min_size=1, max_size=300), st.integers(0, 2**32 - 1))
+@settings(max_examples=300, deadline=None)
+def test_pdf_lzw_decode_never_raises(data, seed):
+    """Arbitrary (non-encoded) bytes through the decoder: None or
+    bytes, never an exception, output never past the cap."""
+    from data_ingestion_spark.functions.pdf import _lzw_decode_pdf
+
+    out = _lzw_decode_pdf(data, 4096)
+    assert out is None or (isinstance(out, bytes) and len(out) <= 4096)

@@ -297,3 +297,42 @@ def test_stateful_first_seen_string_key(spark, tmp_path):
     assert out.schema["doc_key"].dataType.simpleString() == "string"
     expected = {f"u{r.user_id}" for r in ev.select("user_id").distinct().collect()}
     assert {r.doc_key for r in out.collect()} == expected
+
+
+def test_session_boundary_semantics_align(spark):
+    """Load-bearing for the r09 streaming_session_availablenow DQ:
+    at a gap of EXACTLY `gap` seconds, Spark's session_window MERGES
+    (window end is treated as inclusive for the merge test) and the
+    lag+cumsum batch twin also merges (`diff > gap` starts a new
+    session) — the two definitions agree on the knife edge, so the
+    DQ's exceptAll diff can't flap on boundary data. One second past
+    the gap, both split."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.operators.relational import sessionize
+
+    for delta, want_sessions in ((1800, 1), (1801, 2)):
+        df = spark.createDataFrame(
+            [(1, "2026-01-01 00:00:00")],
+            "user_id int, ts string",
+        ).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+        ).unionAll(
+            spark.createDataFrame(
+                [(1, delta)], "user_id int, d int"
+            ).select(
+                "user_id",
+                (F.lit("2026-01-01 00:00:00").cast("timestamp")
+                 + F.make_dt_interval(secs=F.col("d").cast("double"))).alias("ts"),
+            )
+        )
+        native = (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count().count()
+        )
+        twin = (
+            sessionize(df, key="user_id", ts="ts", gap_minutes=30)
+            .agg(F.max("session_id")).collect()[0][0]
+        )
+        assert native == want_sessions == twin, (delta, native, twin)
