@@ -78,28 +78,43 @@ EAGER_CONSTRUCTION = {"dedup_clusters", "dedup_clusters_star"}
 
 
 def _host_probe() -> dict[str, float]:
-    """Two fixed single-core workloads (BLAS matmul, pure-Python md5)
+    """Two fixed SINGLE-CORE workloads (numpy sort, pure-Python md5)
     whose times fingerprint THIS host's speed. Recorded in the JSON so
     cross-round suite numbers can be read as (suite / probe): the r08
     '+17% regression' was adjudicated in r09 as a uniformly ~25%
     slower VM (BENCH_NOTES), a question these two numbers now answer
-    without an 11-sample re-measurement ceremony."""
+    without an 11-sample re-measurement ceremony. np.sort, unlike a
+    BLAS matmul, runs on exactly one thread regardless of the
+    OpenBLAS/MKL pool size, so the fingerprint doesn't vary with core
+    count or ambient load sharing the pool (r09 self-review).
+
+    Each workload is a MEDIAN OF 7 short repetitions after a warm
+    pass: this VM class shows bursty single-shot variance (a lone
+    5M-element sort measured 0.25-3.2 s across runs — steal/boost
+    jitter), while the warm median holds ±10%."""
     import hashlib
+    from statistics import median
 
     import numpy as np
 
-    t0 = time.perf_counter()
-    a = np.random.RandomState(0).rand(2000, 2000)
-    for _ in range(3):
-        a = a @ a
-        a /= np.abs(a).max()
-    blas = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    h = hashlib.md5()
-    for i in range(200_000):
-        h.update(str(i).encode())
-    py = time.perf_counter() - t0
-    return {"blas_2k_matmul_x3_sec": round(blas, 3), "py_md5_200k_sec": round(py, 3)}
+    a = np.random.RandomState(0).rand(2_000_000)
+    np.sort(a)  # warm: page-in + allocator
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.sort(a)
+        ts.append(time.perf_counter() - t0)
+    ms = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for i in range(100_000):
+            h.update(str(i).encode())
+        ms.append(time.perf_counter() - t0)
+    return {
+        "np_sort_2m_median7_sec": round(median(ts), 4),
+        "py_md5_100k_median7_sec": round(median(ms), 4),
+    }
 
 
 def main() -> None:

@@ -204,12 +204,16 @@ def discover_frontier(
     contains: str = "/html/",
     rewrite: tuple[str, str] = ("/html/", "/html-single/"),
     base_url: str = "https://docs.example.com",
+    dedup: bool = True,
 ) -> DataFrame:
     """The reference's get_pages composition (ingestion-pipeline.py:
     166-191): extract → explode → prefix filter → contains filter →
-    single-page rewrite → absolute URL."""
+    single-page rewrite → absolute URL. ``dedup=False`` skips the
+    final distinct for callers that union several frontiers and
+    dedup ONCE at the end (one exchange instead of three —
+    crawl_frontier)."""
     links = df.select(F.explode(extract_links(F.col(html_col))).alias("url"))
-    return (
+    out = (
         links.filter(F.col("url").startswith(prefix))
         .filter(F.col("url").contains(contains))
         .select(
@@ -217,11 +221,13 @@ def discover_frontier(
                 F.lit(base_url), F.replace(F.col("url"), F.lit(rewrite[0]), F.lit(rewrite[1]))
             ).alias("url")
         )
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
-def sitemap_frontier(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+def sitemap_frontier(
+    df: DataFrame, xml_col: str = "xml", dedup: bool = True
+) -> DataFrame:
     """Crawl-frontier seeding from sitemap.xml — the step every real
     crawl runs before link discovery (the reference scrapes a given
     URL list; at corpus scale the list COMES from sitemaps). Fully
@@ -249,7 +255,8 @@ def sitemap_frontier(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
     ):
         url = F.replace(url, F.lit(ent), F.lit(ch))
-    return locs.select(url.alias("url"), "is_index").distinct()
+    out = locs.select(url.alias("url"), "is_index")
+    return out.distinct() if dedup else out
 
 
 Fetcher = Callable[[str], str]

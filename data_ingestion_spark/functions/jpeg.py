@@ -504,14 +504,21 @@ def _block_ac_refine(br, zz, ac_lut, ss, se, al, state) -> None:
 
 
 def jpeg_decode(
-    payload: bytes, max_pixel_bytes: int = 1 << 28
+    payload: bytes,
+    max_pixel_bytes: int = 1 << 28,
+    max_decode_bytes: int = 1 << 30,
 ) -> tuple[int, int, int, bytes] | None:
     """JPEG → ``(width, height, n_channels, pixels)`` (gray for 1
     component, interleaved RGB for 3). Baseline/extended sequential
     (SOF0/1) AND progressive (SOF2: spectral selection + successive
     approximation), interleaved and non-interleaved scans, restart
     intervals. None outside the envelope (module docstring), on
-    corrupt streams, or above ``max_pixel_bytes`` decoded — never an
+    corrupt streams, above ``max_pixel_bytes`` of OUTPUT, or above
+    ``max_decode_bytes`` of decode WORKING SET (~24 B per MCU-padded
+    sample: int64 zigzag coefficient state + float64 dequant/IDCT
+    planes — the default 1 GB admits ordinary photos to ~14M 3-comp
+    padded samples, e.g. 12 MP 4:2:0, while rejecting a ~700 KB file
+    whose claimed dims would drive ~5 GB of intermediates) — never an
     exception: at corpus scale corrupt media is data, and an uncaught
     decode error kills the whole Spark stage."""
     b = bytes(payload or b"")
@@ -616,16 +623,19 @@ def jpeg_decode(
             nbw = -(-(-(-w_ * hs // max_h)) // 8)
             nbh = -(-(-(-h * vs // max_v)) // 8)
             geom[cid] = (hs, vs, tq, nbw, nbh)
-        # Budget the DECODE footprint, not just the output: the zigzag
-        # coefficient state is int64 (8 B/sample, MCU-padded, per
-        # component) and dequant/IDCT work in float64 planes (~2 more
-        # 8 B copies). Without this, a ~700 KB progressive file
-        # claiming max-cap dims drives ~20x max_pixel_bytes of
-        # allocations per task (ADVICE r08).
+        # Budget the DECODE footprint separately from the output cap:
+        # the zigzag coefficient state is int64 (8 B/sample,
+        # MCU-padded, per component) and dequant/IDCT work in float64
+        # planes (~2 more 8 B copies). Without this, a ~700 KB
+        # progressive file claiming max-cap dims drives ~20x
+        # max_pixel_bytes of allocations per task (ADVICE r08); with
+        # its own cap (not a reuse of the output one) legitimate
+        # images well under max_pixel_bytes keep decoding (r09
+        # self-review).
         padded_samples = sum(
             (mcux * hs * 8) * (mcuy * vs * 8) for _cid, hs, vs, _tq in comps
         )
-        if padded_samples * 24 > max_pixel_bytes:
+        if padded_samples * 24 > max_decode_bytes:
             return None
         # coefficient state in ZIGZAG space, shared across all scans
         coef = {

@@ -49,28 +49,35 @@ _STREAM_KW_RE = re.compile(rb">>\s*stream\r?\n")
 
 def _stream_dicts(b: bytes):
     """Yield ``(params, data_start)`` per stream: the BALANCED ``<<
-    ... >>`` dict preceding each ``stream`` keyword, found by walking
-    ``<<``/``>>`` tokens backwards from the closing ``>>``. A
-    non-greedy ``<<(.*?)>>`` stops at the FIRST ``>>``, so a nested
-    dict (``/DecodeParms << ... >>``) before ``/Filter`` would hide
-    the filter and feed compressed bytes to the text walker
-    (ADVICE r08)."""
+    ... >>`` dict preceding each ``stream`` keyword. A non-greedy
+    ``<<(.*?)>>`` stops at the FIRST ``>>``, so a nested dict
+    (``/DecodeParms << ... >>``) before ``/Filter`` would hide the
+    filter and feed compressed bytes to the text walker (ADVICE r08).
+
+    Matching is a single forward pass with an explicit stack
+    (close-pos → matching open-pos map), so hostile inputs stay
+    LINEAR: a per-keyword backward walk re-scans the prefix on
+    crafted '<<' + many '>> stream' payloads (measured cubic-ish —
+    47 KB took 20 s), violating the degrade-never-hang posture."""
+    match_open: dict[int, int] = {}
+    stack: list[int] = []
+    i = 0
+    while True:
+        open_pos = b.find(b"<<", i)
+        close_pos = b.find(b">>", i)
+        if close_pos < 0:
+            break
+        if 0 <= open_pos < close_pos:
+            stack.append(open_pos)
+            i = open_pos + 2
+        else:
+            if stack:
+                match_open[close_pos] = stack.pop()
+            i = close_pos + 2
     for m in _STREAM_KW_RE.finditer(b):
-        i = m.start()  # at the closing '>>'
-        depth = 1
-        while depth and i > 0:
-            open_pos = b.rfind(b"<<", 0, i)
-            close_pos = b.rfind(b">>", 0, i)
-            if open_pos < 0:
-                break
-            if close_pos > open_pos:
-                depth += 1
-                i = close_pos
-            else:
-                depth -= 1
-                i = open_pos
-        if depth == 0:
-            yield b[i + 2 : m.start()], m.end()
+        start = match_open.get(m.start())
+        if start is not None:
+            yield b[start + 2 : m.start()], m.end()
 
 
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")

@@ -364,8 +364,11 @@ def streaming_stateful_first_seen(spark, sf_dir):
     "s AS (SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
     "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
     "b AS (SELECT user_id, CAST(max(sid) AS BIGINT) AS ns FROM s GROUP BY user_id) "
-    "SELECT CAST(sum(ns) AS BIGINT) AS n_stream_rows, "
-    "CAST(sum(ns) AS BIGINT) AS n_batch_rows, "
+    # coalesce: on an EMPTY events table sum() is NULL but the Spark
+    # side's counts are 0 — the empty-partition contract (r09
+    # self-review; same fix class as agg_approx_distinct)
+    "SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_stream_rows, "
+    "CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_batch_rows, "
     "CAST(0 AS BIGINT) AS sym_diff FROM b",
 )
 def streaming_session_availablenow(spark, sf_dir):
@@ -1268,8 +1271,12 @@ def crawl_frontier(spark, sf_dir):
             did, F.lit(".xml</loc></sitemap></sitemapindex>"),
         ).alias("xml")
     )
+    # dedup=False on both helpers: the union dedups ONCE at the end —
+    # one exchange for the whole frontier instead of three (the
+    # intermediate distincts would shuffle the full pre-normalized
+    # URL sets only to be re-shuffled; r09 self-review)
     seeds = (
-        sitemap_frontier(xml.unionAll(idx))
+        sitemap_frontier(xml.unionAll(idx), dedup=False)
         .filter(~F.col("is_index"))
         .select("url")
     )
@@ -1281,7 +1288,7 @@ def crawl_frontier(spark, sf_dir):
             F.lit('">z</a>'),
         ).alias("html")
     )
-    links = discover_frontier(html).select("url")
+    links = discover_frontier(html, dedup=False).select("url")
     return (
         seeds.unionAll(links)
         .select(F.regexp_replace("url", "/$", "").alias("url"))

@@ -50,46 +50,10 @@ _PAGE_TEXT = (
 )
 
 
-def _lzw_encode_pdf(data: bytes) -> bytes:
-    """MSB-first PDF LZW encoder (EarlyChange=1) — synthesis-side
-    twin of functions/pdf.py::_lzw_decode_pdf (same schedule as the
-    independent encoder in tests/test_pdf.py)."""
-    out = bytearray()
-    acc = nbits = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << width) | code
-        nbits += width
-        while nbits >= 8:
-            out.append((acc >> (nbits - 8)) & 0xFF)
-            nbits -= 8
-
-    table = {bytes([i]): i for i in range(256)}
-    nxt, width = 258, 9
-    emit(256, width)
-    w = b""
-    for byte in data:
-        wc = w + bytes([byte])
-        if wc in table:
-            w = wc
-            continue
-        emit(table[w], width)
-        table[wc] = nxt
-        nxt += 1
-        if nxt + 1 > (1 << width) and width < 12:
-            width += 1
-        if nxt == 4095:
-            emit(256, width)
-            table = {bytes([i]): i for i in range(256)}
-            nxt, width = 258, 9
-        w = bytes([byte])
-    if w:
-        emit(table[w], width)
-    emit(257, width)
-    if nbits:
-        out.append((acc << (8 - nbits)) & 0xFF)
-    return bytes(out)
+# single source of truth for the synthesis-side encoder: the
+# independent test-side implementation (keeping a second copy here
+# would silently diverge the stress harness from the tested codec)
+from tests.test_pdf import _lzw_encode_pdf  # noqa: E402
 
 
 def _build_pdf(doc_id: int, pages: int, mode: str) -> bytes:

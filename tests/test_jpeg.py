@@ -298,14 +298,16 @@ def test_fuzz_progressive_never_raises():
 
 
 def test_intermediate_footprint_guard():
-    """ADVICE r08: the OOM guard must budget the int64 coefficient +
-    float64 IDCT intermediates (~24 B/padded sample), not just output
-    bytes — a tiny file CLAIMING near-cap dims must be rejected
-    before any giant allocation happens."""
+    """ADVICE r08 + r09 self-review: the decode working set (~24
+    B/padded sample) gets its OWN budget (max_decode_bytes) — a tiny
+    file CLAIMING huge dims is rejected before any giant allocation,
+    while legitimate images far below max_pixel_bytes keep decoding
+    (the first r09 cut reused the output cap and silently shrank the
+    envelope 24x)."""
     import time
 
     enc = bytearray(jpeg_encode(8, 8, bytes(64)))
-    # patch SOF dims to 9000x9000: output 81 MB (passes the old
+    # patch SOF dims to 9000x9000: output 81 MB (passes the
     # output-only guard for gray) but ~1.9 GB of intermediates
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
@@ -313,5 +315,13 @@ def test_intermediate_footprint_guard():
     t0 = time.monotonic()
     assert jpeg_decode(bytes(enc)) is None
     assert time.monotonic() - t0 < 1.0  # rejected up front, not after
+    # envelope preserved: a real 200x200 under a tight OUTPUT cap
+    # still decodes — the intermediate budget must not eat into it
+    ok = jpeg_decode(jpeg_encode(200, 200, bytes(40000)), max_pixel_bytes=100_000)
+    assert ok is not None and ok[:3] == (200, 200, 1)
+    # and the working-set dial works independently
+    assert jpeg_decode(
+        jpeg_encode(200, 200, bytes(40000)), max_decode_bytes=100_000
+    ) is None
     # sanity: an unpatched file still decodes
     assert jpeg_decode(jpeg_encode(8, 8, bytes(64))) is not None

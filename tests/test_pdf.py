@@ -262,3 +262,16 @@ def test_lzw_bomb_capped():
     enc = _lzw_encode_pdf(long)
     got = pdf_extract_text(_wrap_filters(enc, b"/LZWDecode"), max_text_bytes=64)
     assert got == [] or all(len(t) < 100 for t in got)
+
+
+def test_hostile_dict_stream_pattern_is_linear():
+    """r09 self-review: one '<<' followed by thousands of '>> stream'
+    keywords made the per-keyword backward balance walk cubic-ish
+    (47 KB -> 20 s); the forward-stack matcher must stay linear."""
+    import time
+
+    hostile = b"%PDF-1.4\n<<" + b">>\nstream\nBT (x) Tj ET\nendstream\n" * 3000
+    t0 = time.perf_counter()
+    r = pdf_extract_text(hostile)
+    assert time.perf_counter() - t0 < 1.0
+    assert isinstance(r, list)
