@@ -79,3 +79,72 @@ def run_website_ingestion(
     df = website_ingestion(spark, cfg, fetcher)
     store.upsert(df)
     return store.read_collection(normalized).count()
+
+
+def sitemap_seeded_urls(
+    spark: SparkSession,
+    sitemap_url: str,
+    fetcher: Fetcher | None = None,
+    max_index_depth: int = 2,
+) -> DataFrame:
+    """S3 seeding for the website ingestor: treat ``sitemap_url`` as a
+    sitemap.xml, recurse ``<sitemapindex>`` documents (whose locs are
+    FURTHER sitemaps) up to ``max_index_depth`` levels through
+    fetch_pages, and return the distinct page-URL frontier — the step
+    every real crawl runs before fetching content (the reference
+    scrapes a hand-given URL; at corpus scale the list comes from
+    sitemaps). Fixed-depth loop, pure lazy composition: real-world
+    sitemap nesting is one index level (the protocol forbids nesting
+    indexes deeper), so the bound is a constant, not a convergence
+    test — no driver-side counting."""
+    from ..functions.html import sitemap_frontier
+
+    seeds = spark.createDataFrame([(sitemap_url,)], "url string")
+    pages = None
+    for _ in range(max_index_depth):
+        xml = fetch_pages(seeds, fetcher=fetcher).select(F.col("html").alias("xml"))
+        fr = sitemap_frontier(xml, dedup=False)
+        level_pages = fr.filter(~F.col("is_index")).select("url")
+        pages = level_pages if pages is None else pages.unionAll(level_pages)
+        seeds = fr.filter(F.col("is_index")).select("url")
+    return pages.distinct()
+
+
+def website_ingestion_from_sitemap(
+    spark: SparkSession,
+    cfg: IngestionConfig,
+    fetcher: Fetcher | None = None,
+) -> DataFrame:
+    """The full crawl-shaped website plan: ``cfg.website_url`` is a
+    sitemap.xml; every frontier page goes through the same fetch →
+    clean → header-split → chunk → header-prepend → embed plan as
+    ``website_ingestion`` (which takes one page URL directly)."""
+    if not cfg.website_url:
+        raise ValueError("cfg.website_url required (WEBSITE_URL env)")
+    urls = sitemap_seeded_urls(spark, cfg.website_url, fetcher)
+    docs = clean_html(fetch_pages(urls, fetcher=fetcher))
+    sections = split_markdown_headers(docs, "page_content", max_level=cfg.md_split_depth)
+    sec = sections.select(
+        "url",
+        "title",
+        F.posexplode("sections").alias("section_idx", "section_text"),
+    )
+    chunks = chunk_recursive(
+        sec,
+        text_col="section_text",
+        id_cols=("url", "title", "section_idx"),
+        size=cfg.chunk_size,
+        overlap=cfg.chunk_overlap,
+    )
+    enriched = chunks.withColumn(
+        "chunk_text",
+        content_header(
+            F.col("title"),
+            F.col("section_idx").cast("string"),
+            F.col("chunk_idx").cast("string"),
+            F.col("chunk_text"),
+        ),
+    ).withColumn("index_name", normalize_index_name(F.lit(cfg.index_name)))
+    return enriched.withColumn(
+        "embedding", embed_deterministic(F.col("chunk_text"), cfg.embed_dim)
+    )

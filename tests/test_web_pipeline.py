@@ -57,3 +57,54 @@ def test_website_ingestion_end_to_end(spark, tmp_path):
     # idempotent re-run (the reference's skip-if-exists semantics)
     n2 = run_website_ingestion(spark, cfg, fetcher=lambda u: PAGE)
     assert n2 == n
+
+
+SITE = {
+    # index -> two child sitemaps; one child is itself listed twice
+    "https://site/sitemap.xml": (
+        "<sitemapindex><sitemap><loc>https://site/sm-a.xml</loc></sitemap>"
+        "<sitemap><loc>https://site/sm-b.xml</loc></sitemap></sitemapindex>"
+    ),
+    "https://site/sm-a.xml": (
+        "<urlset><url><loc>https://site/docs/install</loc></url>"
+        "<url><loc> https://site/docs/verify </loc></url></urlset>"
+    ),
+    "https://site/sm-b.xml": (
+        "<urlset><url><loc>https://site/docs/install</loc></url></urlset>"  # dup
+    ),
+    "https://site/docs/install": PAGE,
+    "https://site/docs/verify": PAGE.replace("Product&nbsp;Guide", "Verify&nbsp;Guide"),
+}
+
+
+def test_sitemap_seeded_ingestion_end_to_end(spark):
+    """r09: the crawl-shaped plan — sitemapindex → sitemaps → page
+    frontier (deduped) → the full clean/split/chunk/embed pipeline."""
+    from data_ingestion_spark.plans.web_ingestion import (
+        sitemap_seeded_urls,
+        website_ingestion_from_sitemap,
+    )
+
+    urls = {
+        r["url"]
+        for r in sitemap_seeded_urls(
+            spark, "https://site/sitemap.xml", fetcher=SITE.__getitem__
+        ).collect()
+    }
+    assert urls == {"https://site/docs/install", "https://site/docs/verify"}
+
+    cfg = IngestionConfig(
+        index_name="Crawl.v1",
+        website_url="https://site/sitemap.xml",
+        store_path="/unused",
+        chunk_size=200,
+        chunk_overlap=40,
+        md_split_depth=4,
+        embed_dim=8,
+    )
+    rows = website_ingestion_from_sitemap(spark, cfg, fetcher=SITE.__getitem__).collect()
+    assert len(rows) > 6  # both pages x sections x chunks
+    titles = {r.title for r in rows}
+    assert titles == {"Product Guide", "Verify Guide"}
+    assert {r.url for r in rows} == urls  # every frontier page ingested
+    assert all(len(r.embedding) == 8 for r in rows)
