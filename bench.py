@@ -104,6 +104,9 @@ def _host_probe() -> dict[str, float]:
         t0 = time.perf_counter()
         np.sort(a)
         ts.append(time.perf_counter() - t0)
+    h = hashlib.md5()  # warm: hashlib init + str-encode path
+    for i in range(10_000):
+        h.update(str(i).encode())
     ms = []
     for _ in range(7):
         t0 = time.perf_counter()

@@ -655,7 +655,10 @@ PIXEL_SCHEMA = StructType(
 
 
 def decode_pixels(
-    df: DataFrame, strict: bool = False, max_pixel_bytes: int | None = None
+    df: DataFrame,
+    strict: bool = False,
+    max_pixel_bytes: int | None = None,
+    max_decode_bytes: int | None = None,
 ) -> DataFrame:
     """REAL pixel decode for PNG/GIF/BMP/JPEG payloads — stdlib+numpy
     codecs (functions/pixels.py: zlib inflate + the five PNG filters,
@@ -672,7 +675,9 @@ def decode_pixels(
     size exceeds ``max_pixel_bytes`` (default
     pixels.DEFAULT_MAX_PIXEL_BYTES, 268 MB) also yield NULL — the
     per-executor OOM guard against hostile headers and deflate/LZW
-    bombs. Pixel rows are heavy (w*h*ch bytes): repartition by
+    bombs; ``max_decode_bytes`` additionally bounds the JPEG working
+    set (default 4x the output cap — decode_pixel_payload). Pixel
+    rows are heavy (w*h*ch bytes): repartition by
     decoded byte size before wide downstream ops at 100 TB."""
     from .pixels import DEFAULT_MAX_PIXEL_BYTES, decode_pixel_payload
 
@@ -682,7 +687,7 @@ def decode_pixels(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                decoded = decode_pixel_payload(payload, cap)
+                decoded = decode_pixel_payload(payload, cap, max_decode_bytes)
                 if decoded is None:
                     if strict:
                         raise NotImplementedError(

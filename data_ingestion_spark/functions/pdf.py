@@ -56,26 +56,37 @@ def _stream_dicts(b: bytes):
 
     Matching is a single forward pass with an explicit stack
     (close-pos → matching open-pos map), so hostile inputs stay
-    LINEAR: a per-keyword backward walk re-scans the prefix on
-    crafted '<<' + many '>> stream' payloads (measured cubic-ish —
-    47 KB took 20 s), violating the degrade-never-hang posture."""
+    LINEAR — each token pointer advances monotonically past its own
+    last result, never re-scanning (a per-keyword backward walk was
+    cubic-ish on crafted '<<' + many '>> stream' payloads, and a
+    naive forward loop that re-finds BOTH tokens each iteration goes
+    quadratic once one token type is exhausted; both measured in the
+    tens of seconds on sub-MB inputs, violating degrade-never-hang).
+
+    The stream-keyword regex anchors on the LAST two '>' of a run,
+    while the greedy tokenizer pairs from the left — so a dict ending
+    in a hex string ('/ID<ABCD>>>' → three '>') has its close token
+    one-or-more positions left of the regex anchor. The lookup walks
+    back through the '>' run to the nearest paired close (bounded by
+    the run length, so still linear overall)."""
     match_open: dict[int, int] = {}
     stack: list[int] = []
-    i = 0
-    while True:
-        open_pos = b.find(b"<<", i)
-        close_pos = b.find(b">>", i)
-        if close_pos < 0:
-            break
-        if 0 <= open_pos < close_pos:
-            stack.append(open_pos)
-            i = open_pos + 2
+    next_open = b.find(b"<<")
+    next_close = b.find(b">>")
+    while next_close != -1:
+        if next_open != -1 and next_open < next_close:
+            stack.append(next_open)
+            next_open = b.find(b"<<", next_open + 2)
         else:
             if stack:
-                match_open[close_pos] = stack.pop()
-            i = close_pos + 2
+                match_open[next_close] = stack.pop()
+            next_close = b.find(b">>", next_close + 2)
     for m in _STREAM_KW_RE.finditer(b):
-        start = match_open.get(m.start())
+        k = m.start()
+        start = match_open.get(k)
+        while start is None and k > 0 and b[k - 1 : k] == b">":
+            k -= 1
+            start = match_open.get(k)
         if start is not None:
             yield b[start + 2 : m.start()], m.end()
 

@@ -713,7 +713,9 @@ def gif_decode(
 
 
 def decode_pixel_payload(
-    payload: bytes | None, max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES
+    payload: bytes | None,
+    max_pixel_bytes: int = DEFAULT_MAX_PIXEL_BYTES,
+    max_decode_bytes: int | None = None,
 ) -> tuple[str, int, int, int, bytes] | None:
     """Container-sniffing pixel decode: ``(format, w, h, n_channels,
     pixels)`` for PNG/GIF/BMP/JPEG (baseline JPEG via
@@ -721,7 +723,14 @@ def decode_pixel_payload(
     unknown containers, anything outside each codec's envelope
     (arithmetic-coded JPEG, malformed streams, …), or images larger than
     ``max_pixel_bytes`` decoded (OOM guard — includes deflate/LZW
-    bombs, which bound-fail instead of inflating)."""
+    bombs, which bound-fail instead of inflating).
+
+    ``max_decode_bytes`` bounds the JPEG decode WORKING SET (int64
+    coefficients + float64 IDCT planes, ~24 B/padded sample — see
+    jpeg.jpeg_decode); default 4x ``max_pixel_bytes``, so a caller
+    tightening the output cap to bound per-task memory tightens the
+    intermediates proportionally instead of being pinned to the
+    1 GB module default (r09 self-review)."""
     if payload is None:
         return None
     b = bytes(payload)
@@ -737,7 +746,11 @@ def decode_pixel_payload(
     if b[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode  # numpy-backed, imported lazily
 
-        r = jpeg_decode(b, max_pixel_bytes)
+        r = jpeg_decode(
+            b,
+            max_pixel_bytes,
+            4 * max_pixel_bytes if max_decode_bytes is None else max_decode_bytes,
+        )
         return ("jpeg",) + r if r else None
     return None
 

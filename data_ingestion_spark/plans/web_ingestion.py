@@ -29,15 +29,11 @@ from ..sources.sinks import ParquetVectorStore
 from .config import IngestionConfig
 
 
-def website_ingestion(
-    spark: SparkSession,
-    cfg: IngestionConfig,
-    fetcher: Fetcher | None = None,
-) -> DataFrame:
-    """Build the lazy website-ingestion plan (no execution)."""
-    if not cfg.website_url:
-        raise ValueError("cfg.website_url required (WEBSITE_URL env)")
-    urls = spark.createDataFrame([(cfg.website_url,)], "url string")
+def _ingest_urls_plan(cfg: IngestionConfig, urls: DataFrame, fetcher: Fetcher | None) -> DataFrame:
+    """Shared tail of both website entry points: fetch every url,
+    clean → header-split → chunk → header-prepend → embed. Single
+    source of truth so the direct-URL and sitemap-seeded plans cannot
+    diverge (r09 self-review)."""
     docs = clean_html(fetch_pages(urls, fetcher=fetcher))
     sections = split_markdown_headers(docs, "page_content", max_level=cfg.md_split_depth)
     sec = sections.select(
@@ -64,6 +60,18 @@ def website_ingestion(
     return enriched.withColumn(
         "embedding", embed_deterministic(F.col("chunk_text"), cfg.embed_dim)
     )
+
+
+def website_ingestion(
+    spark: SparkSession,
+    cfg: IngestionConfig,
+    fetcher: Fetcher | None = None,
+) -> DataFrame:
+    """Build the lazy website-ingestion plan (no execution)."""
+    if not cfg.website_url:
+        raise ValueError("cfg.website_url required (WEBSITE_URL env)")
+    urls = spark.createDataFrame([(cfg.website_url,)], "url string")
+    return _ingest_urls_plan(cfg, urls, fetcher)
 
 
 def run_website_ingestion(
@@ -93,20 +101,30 @@ def sitemap_seeded_urls(
     fetch_pages, and return the distinct page-URL frontier — the step
     every real crawl runs before fetching content (the reference
     scrapes a hand-given URL; at corpus scale the list comes from
-    sitemaps). Fixed-depth loop, pure lazy composition: real-world
-    sitemap nesting is one index level (the protocol forbids nesting
-    indexes deeper), so the bound is a constant, not a convergence
-    test — no driver-side counting."""
+    sitemaps). Fixed-depth loop: real-world sitemap nesting is one
+    index level (the protocol forbids nesting indexes deeper), so the
+    bound is a constant, not a convergence test.
+
+    EAGER per level (``localCheckpoint``): the frontier feeds network
+    I/O, so lineage truncation is load-bearing, not an optimization —
+    lazily composed, the level-N pages branch and the level-N+1 seeds
+    branch would each re-execute the level-N fetch (and every
+    downstream action would re-fetch the whole seeding chain against
+    the live site). Each sitemap is fetched exactly once; duplicate
+    locs across sitemaps are deduped before fetching (r09
+    self-review, verified with an instrumented fetcher)."""
     from ..functions.html import sitemap_frontier
 
+    if max_index_depth < 1:
+        raise ValueError("max_index_depth must be >= 1")
     seeds = spark.createDataFrame([(sitemap_url,)], "url string")
     pages = None
     for _ in range(max_index_depth):
         xml = fetch_pages(seeds, fetcher=fetcher).select(F.col("html").alias("xml"))
-        fr = sitemap_frontier(xml, dedup=False)
+        fr = sitemap_frontier(xml).localCheckpoint()
         level_pages = fr.filter(~F.col("is_index")).select("url")
         pages = level_pages if pages is None else pages.unionAll(level_pages)
-        seeds = fr.filter(F.col("is_index")).select("url")
+        seeds = fr.filter(F.col("is_index")).select("url").distinct()
     return pages.distinct()
 
 
@@ -122,29 +140,4 @@ def website_ingestion_from_sitemap(
     if not cfg.website_url:
         raise ValueError("cfg.website_url required (WEBSITE_URL env)")
     urls = sitemap_seeded_urls(spark, cfg.website_url, fetcher)
-    docs = clean_html(fetch_pages(urls, fetcher=fetcher))
-    sections = split_markdown_headers(docs, "page_content", max_level=cfg.md_split_depth)
-    sec = sections.select(
-        "url",
-        "title",
-        F.posexplode("sections").alias("section_idx", "section_text"),
-    )
-    chunks = chunk_recursive(
-        sec,
-        text_col="section_text",
-        id_cols=("url", "title", "section_idx"),
-        size=cfg.chunk_size,
-        overlap=cfg.chunk_overlap,
-    )
-    enriched = chunks.withColumn(
-        "chunk_text",
-        content_header(
-            F.col("title"),
-            F.col("section_idx").cast("string"),
-            F.col("chunk_idx").cast("string"),
-            F.col("chunk_text"),
-        ),
-    ).withColumn("index_name", normalize_index_name(F.lit(cfg.index_name)))
-    return enriched.withColumn(
-        "embedding", embed_deterministic(F.col("chunk_text"), cfg.embed_dim)
-    )
+    return _ingest_urls_plan(cfg, urls, fetcher)

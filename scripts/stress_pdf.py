@@ -52,7 +52,10 @@ _PAGE_TEXT = (
 
 # single source of truth for the synthesis-side encoder: the
 # independent test-side implementation (keeping a second copy here
-# would silently diverge the stress harness from the tested codec)
+# would silently diverge the stress harness from the tested codec).
+# Deliberate dev-environment dependency: stress scripts run where the
+# test stack runs (tests/test_pdf.py imports pytest) — this is a
+# measurement harness, not shipped runtime code.
 from tests.test_pdf import _lzw_encode_pdf  # noqa: E402
 
 

@@ -265,13 +265,36 @@ def test_lzw_bomb_capped():
 
 
 def test_hostile_dict_stream_pattern_is_linear():
-    """r09 self-review: one '<<' followed by thousands of '>> stream'
-    keywords made the per-keyword backward balance walk cubic-ish
-    (47 KB -> 20 s); the forward-stack matcher must stay linear."""
+    """r09 self-review (two iterations): the per-keyword backward
+    balance walk was cubic-ish (47 KB -> 20 s), and the first forward
+    rewrite re-found both tokens per iteration — quadratic once one
+    token type is exhausted (2 MB -> 63 s). The cached-pointer matcher
+    must handle ALL the adversarial shapes at MB scale in under a
+    second each."""
     import time
 
-    hostile = b"%PDF-1.4\n<<" + b">>\nstream\nBT (x) Tj ET\nendstream\n" * 3000
-    t0 = time.perf_counter()
-    r = pdf_extract_text(hostile)
-    assert time.perf_counter() - t0 < 1.0
-    assert isinstance(r, list)
+    hostiles = [
+        b"%PDF-1.4\n<<" + b">>\nstream\nBT (x) Tj ET\nendstream\n" * 120_000,
+        b"%PDF-1.4\n" + b"<<" * 200_000 + b">>",
+        b"%PDF-1.4\n<<" + b">" * 1_000_000 + b"stream\nX\nendstream",
+    ]
+    for hostile in hostiles:
+        t0 = time.perf_counter()
+        r = pdf_extract_text(hostile)
+        assert time.perf_counter() - t0 < 1.5, len(hostile)
+        assert r is None or isinstance(r, list)
+
+
+def test_hex_string_closing_dict_still_extracts():
+    """r09 self-review: a dict whose last value is a hex string
+    ('/ID<ABCD>>>' — a three-'>' run) anchors the stream-keyword regex
+    one position right of the greedy close token; the run walk-back
+    must still find the dict (the first forward rewrite silently
+    dropped such streams)."""
+    body = zlib.compress(b"BT (hexdict ok) Tj ET")
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(body)).encode() + b" /ID<ABCD>>>\nstream\n" + body
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert pdf_extract_text(raw) == ["hexdict ok"]

@@ -108,3 +108,37 @@ def test_sitemap_seeded_ingestion_end_to_end(spark):
     assert titles == {"Product Guide", "Verify Guide"}
     assert {r.url for r in rows} == urls  # every frontier page ingested
     assert all(len(r.embedding) == 8 for r in rows)
+
+
+def test_sitemap_seeding_fetches_each_sitemap_once(spark, tmp_path):
+    """r09 self-review regression: lazily-composed seeding re-executed
+    the level-N fetch from both the pages and the seeds branch (root
+    fetched 2x, a twice-listed child 2x per action). localCheckpoint
+    per level + pre-fetch dedup must fetch each sitemap EXACTLY once,
+    and downstream actions must not re-fetch. Counted via an
+    append-only log the executor-side fetcher writes (a closure
+    counter lives in the python worker, not the driver)."""
+    import collections
+    import os
+
+    from data_ingestion_spark.plans.web_ingestion import sitemap_seeded_urls
+
+    log = str(tmp_path / "fetches.log")
+
+    def fetcher(u: str) -> str:
+        fd = os.open(log, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+        os.write(fd, (u + "\n").encode())
+        os.close(fd)
+        return SITE[u]
+
+    urls = sitemap_seeded_urls(spark, "https://site/sitemap.xml", fetcher=fetcher)
+    got = {r["url"] for r in urls.collect()}
+    assert got == {"https://site/docs/install", "https://site/docs/verify"}
+    # a second action over the checkpointed frontier: no re-fetch
+    assert urls.count() == 2
+    counts = collections.Counter(open(log).read().split())
+    assert counts == {
+        "https://site/sitemap.xml": 1,
+        "https://site/sm-a.xml": 1,
+        "https://site/sm-b.xml": 1,
+    }, counts
