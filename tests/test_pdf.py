@@ -105,6 +105,10 @@ def test_fuzz_never_raises():
             b64.a85encode(zlib.compress(content)) + b"~>",
             b"[/ASCII85Decode /FlateDecode]",
         ),
+        # hex string closing the dict: mutations around the '>>>' run
+        # exercise the walk-back matcher (r09 second self-review)
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /ID<ABCD>>>\nstream\n"
+        + zlib.compress(content) + b"\nendstream\nendobj\n%%EOF",
     ]
     for payload in base:
         for _ in range(1500):
