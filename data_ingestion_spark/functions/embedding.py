@@ -119,3 +119,104 @@ def embed_documents(df: DataFrame, text_col: str, dim: int = DEFAULT_DIM,
     if deterministic:
         return df.withColumn("embedding", embed_deterministic(F.col(text_col), dim))
     return df.withColumn("embedding", make_embed_udf(dim)(F.col(text_col)))
+
+
+# --------------------------------------------- remote-service path (r09)
+
+
+class StdlibEmbeddingTransport:
+    """Zero-dependency client for an OpenAI-style ``POST
+    /v1/embeddings`` endpoint — the wire shape vLLM / TEI /
+    text-embeddings-serving expose, and the production alternative to
+    in-process HF when executors have no GPU (the reference's
+    ``HuggingFaceEmbeddings(cuda)`` pod, P:334-339, re-expressed as a
+    serving call). Same envelope-narrowing move the sinks got in
+    r07/r08 (StdlibESTransport / StdlibWeaviateTransport): the full
+    request/response/retry behavior is testable over a REAL socket
+    with no SDK installed; only live auth/server quirks remain
+    environment-gated.
+
+    Contract: ``embed(texts)`` returns one vector per input, in input
+    order (the response's ``data[].index`` is re-sorted — services
+    may return out of order); requests are split into
+    ``batch_size``-text calls; HTTP 5xx / socket errors retry with
+    linear backoff up to ``max_retries`` then raise RuntimeError
+    (embedding silently dropping rows would corrupt the index);
+    4xx raises immediately (a malformed request never heals)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "nomic-ai/nomic-embed-text-v1",
+        batch_size: int = 256,
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.1,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.batch_size = batch_size
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def _post_batch(self, texts: list[str]) -> list[list[float]]:
+        import json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps({"model": self.model, "input": texts}).encode()
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            req = urllib.request.Request(
+                self.base_url + "/v1/embeddings",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    payload = json.loads(resp.read().decode())
+                rows = sorted(payload["data"], key=lambda d: d["index"])
+                if len(rows) != len(texts):
+                    raise RuntimeError(
+                        f"embedding service returned {len(rows)} vectors "
+                        f"for {len(texts)} inputs"
+                    )
+                return [r["embedding"] for r in rows]
+            except urllib.error.HTTPError as e:
+                if e.code < 500:
+                    raise  # 4xx: malformed request never heals
+                last = e
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+                last = e
+            _time.sleep(self.backoff_s * (attempt + 1))
+        raise RuntimeError(
+            f"embedding service failed after {self.max_retries} attempts: {last}"
+        )
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            out.extend(self._post_batch(texts[i : i + self.batch_size]))
+        return out
+
+
+def make_remote_embed_udf(base_url: str, dim: int = DEFAULT_DIM, **transport_kw):
+    """T6 over a serving endpoint: iterator pandas UDF with one
+    transport per executor-python-worker (same singleton pattern as
+    the model path — connection setup amortized across all batches).
+    Arrow plumbing, schema, and batch shape are identical to
+    ``make_embed_udf``; only where the flops run differs."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        transport = StdlibEmbeddingTransport(base_url, **transport_kw)
+        for texts in batches:
+            vecs = transport.embed([t or "" for t in texts])
+            yield pd.Series(
+                [np.asarray(v, dtype=np.float32) for v in vecs]
+            )
+
+    return embed

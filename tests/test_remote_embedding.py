@@ -1,0 +1,174 @@
+"""Remote embedding service transport (functions/embedding.py r09) —
+real-socket matrix over a stdlib HTTP server, mirroring the sink
+transport tests (test_sinks.py): success, out-of-order responses,
+5xx-then-success retry, exhaustion, 4xx fail-fast, count-mismatch
+detection, and Spark end-to-end through the Arrow UDF."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_ingestion_spark.functions.embedding import (
+    StdlibEmbeddingTransport,
+    _fallback_embed,
+    make_remote_embed_udf,
+)
+
+DIM = 8
+
+
+def server_vectors(texts: list[str]) -> np.ndarray:
+    """The fake service's model: the deterministic fallback embedding,
+    computed SERVER-side — so client-side results are checkable
+    against an independent local computation."""
+    return _fallback_embed(pd.Series(texts), DIM)
+
+
+class _EmbeddingHTTPServer:
+    """OpenAI-style /v1/embeddings endpoint with a scripted behavior
+    list consumed one entry per request: 'ok', 'shuffled' (data out of
+    index order), '503', '400', 'short' (drops the last vector)."""
+
+    def __init__(self, script: list[str]):
+        self.script = list(script)
+        self.requests: list[dict] = []
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                assert self.path == "/v1/embeddings"
+                body = json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                )
+                outer.requests.append(body)
+                mode = outer.script.pop(0) if outer.script else "ok"
+                if mode in ("503", "400"):
+                    self.send_response(int(mode))
+                    self.end_headers()
+                    return
+                texts = body["input"]
+                mat = server_vectors(texts)
+                data = [
+                    {"index": i, "embedding": [float(x) for x in mat[i]]}
+                    for i in range(len(texts))
+                ]
+                if mode == "shuffled":
+                    data = data[::-1]
+                elif mode == "short":
+                    data = data[:-1]
+                payload = json.dumps({"data": data}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def _transport(url, **kw):
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("backoff_s", 0.01)
+    return StdlibEmbeddingTransport(url, **kw)
+
+
+def test_values_and_batching():
+    srv = _EmbeddingHTTPServer(script=[])
+    try:
+        texts = [f"doc {i}" for i in range(10)]
+        got = _transport(srv.url).embed(texts)
+        want = server_vectors(texts)
+        assert np.allclose(np.array(got, dtype=np.float32), want)
+        # batch_size=4 → 3 requests of sizes 4,4,2
+        assert [len(r["input"]) for r in srv.requests] == [4, 4, 2]
+    finally:
+        srv.stop()
+
+
+def test_out_of_order_response_is_resorted():
+    srv = _EmbeddingHTTPServer(script=["shuffled"])
+    try:
+        texts = ["a", "b", "c"]
+        got = np.array(_transport(srv.url).embed(texts), dtype=np.float32)
+        assert np.allclose(got, server_vectors(texts))  # input order restored
+    finally:
+        srv.stop()
+
+
+def test_503_then_success_retries():
+    srv = _EmbeddingHTTPServer(script=["503", "503", "ok"])
+    try:
+        got = _transport(srv.url, max_retries=3).embed(["x"])
+        assert np.allclose(
+            np.array(got, dtype=np.float32), server_vectors(["x"])
+        )
+        assert len(srv.requests) == 3
+    finally:
+        srv.stop()
+
+
+def test_exhaustion_raises():
+    srv = _EmbeddingHTTPServer(script=["503", "503", "503"])
+    try:
+        with pytest.raises(RuntimeError, match="failed after 3 attempts"):
+            _transport(srv.url, max_retries=3).embed(["x"])
+    finally:
+        srv.stop()
+
+
+def test_4xx_fails_fast():
+    import urllib.error
+
+    srv = _EmbeddingHTTPServer(script=["400"])
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            _transport(srv.url).embed(["x"])
+        assert len(srv.requests) == 1  # no retry on 4xx
+    finally:
+        srv.stop()
+
+
+def test_count_mismatch_detected():
+    srv = _EmbeddingHTTPServer(script=["short", "short", "short"])
+    try:
+        with pytest.raises(RuntimeError, match="failed after|vectors"):
+            _transport(srv.url, max_retries=1).embed(["a", "b", "c"])
+    finally:
+        srv.stop()
+
+
+def test_spark_end_to_end(spark):
+    """The Arrow UDF path against the real socket: per-worker
+    transport, NULL-safe, values equal to the server model."""
+    from pyspark.sql import functions as F
+
+    srv = _EmbeddingHTTPServer(script=[])
+    try:
+        df = spark.createDataFrame(
+            [(i, f"chunk {i}") for i in range(20)] + [(99, None)],
+            "doc_id long, text string",
+        ).repartition(2)
+        out = df.withColumn(
+            "embedding", make_remote_embed_udf(srv.url, DIM, batch_size=8)("text")
+        ).collect()
+        got = {r["doc_id"]: np.array(r["embedding"], dtype=np.float32) for r in out}
+        for i in range(20):
+            assert np.allclose(got[i], server_vectors([f"chunk {i}"])[0])
+        assert np.allclose(got[99], server_vectors([""])[0])  # NULL → ""
+    finally:
+        srv.stop()
