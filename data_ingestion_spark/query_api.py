@@ -152,3 +152,75 @@ class EngineQuery:
         if llm is None:
             return prompt  # prompt assembly is the engine's contract
         return llm(prompt)
+
+
+class StdlibLLMTransport:
+    """Zero-dependency client for an OpenAI-style ``POST
+    /v1/completions`` endpoint — the exact wire shape the reference's
+    ``VLLMOpenAI.invoke`` speaks (query-service Q:183-188: vLLM
+    serving `mistralai/Mistral-7B-Instruct` behind the OpenAI API).
+    A plain ``Callable[[str], str]``, so it plugs straight into
+    ``rag_query(llm=...)``; same zero-dep real-socket-testable
+    narrowing the sinks (r07/r08) and the embedding service (r09)
+    got — only live auth/model behavior remains environment-gated.
+
+    HTTP 5xx / socket errors retry with linear backoff then raise;
+    4xx raises immediately (malformed request never heals)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        model: str = "mistralai/Mistral-7B-Instruct-v0.2",
+        max_tokens: int = 512,
+        temperature: float = 0.0,
+        timeout_s: float = 60.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.1,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def __call__(self, prompt: str) -> str:
+        import json
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps(
+            {
+                "model": self.model,
+                "prompt": prompt,
+                "max_tokens": self.max_tokens,
+                "temperature": self.temperature,
+            }
+        ).encode()
+        last: Exception | None = None
+        for attempt in range(self.max_retries):
+            req = urllib.request.Request(
+                self.base_url + "/v1/completions",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    payload = json.loads(resp.read().decode())
+                choices = payload.get("choices") or []
+                if not choices or "text" not in choices[0]:
+                    raise RuntimeError(f"malformed completion response: {payload}")
+                return choices[0]["text"]
+            except urllib.error.HTTPError as e:
+                if e.code < 500:
+                    raise
+                last = e
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
+                last = e
+            _time.sleep(self.backoff_s * (attempt + 1))
+        raise RuntimeError(
+            f"LLM service failed after {self.max_retries} attempts: {last}"
+        )

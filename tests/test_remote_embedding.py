@@ -172,3 +172,111 @@ def test_spark_end_to_end(spark):
         assert np.allclose(got[99], server_vectors([""])[0])  # NULL → ""
     finally:
         srv.stop()
+
+
+# --------------------------------------------- LLM completions transport
+
+
+class _CompletionsHTTPServer:
+    """OpenAI-style /v1/completions endpoint; scripted like the
+    embedding server. 'ok' echoes a deterministic function of the
+    prompt so answers are value-checkable."""
+
+    def __init__(self, script: list[str]):
+        self.script = list(script)
+        self.requests: list[dict] = []
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                assert self.path == "/v1/completions"
+                body = json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                )
+                outer.requests.append(body)
+                mode = outer.script.pop(0) if outer.script else "ok"
+                if mode in ("503", "400"):
+                    self.send_response(int(mode))
+                    self.end_headers()
+                    return
+                text = f"ANSWER[{len(body['prompt'])}:{body['model']}]"
+                payload = json.dumps({"choices": [{"text": text}]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_llm_transport_matrix():
+    from data_ingestion_spark.query_api import StdlibLLMTransport
+
+    srv = _CompletionsHTTPServer(script=["503", "ok"])
+    try:
+        llm = StdlibLLMTransport(srv.url, model="m-test", backoff_s=0.01)
+        out = llm("hello world")
+        assert out == "ANSWER[11:m-test]"
+        assert len(srv.requests) == 2  # one 503 retry
+        assert srv.requests[-1]["temperature"] == 0.0
+    finally:
+        srv.stop()
+    srv = _CompletionsHTTPServer(script=["503"] * 3)
+    try:
+        with pytest.raises(RuntimeError, match="failed after 3 attempts"):
+            StdlibLLMTransport(srv.url, backoff_s=0.01)("x")
+    finally:
+        srv.stop()
+    import urllib.error
+
+    srv = _CompletionsHTTPServer(script=["400"])
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            StdlibLLMTransport(srv.url, backoff_s=0.01)("x")
+        assert len(srv.requests) == 1
+    finally:
+        srv.stop()
+
+
+def test_rag_query_over_the_wire(spark, tmp_path):
+    """The full reference Q flow with the LLM behind a REAL socket:
+    ingest a tiny store, retrieve top-k, assemble the prompt, generate
+    via the completions endpoint."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.embedding import embed_deterministic
+    from data_ingestion_spark.query_api import EngineQuery, StdlibLLMTransport
+    from data_ingestion_spark.sources.sinks import ParquetVectorStore
+
+    store = ParquetVectorStore(spark, str(tmp_path / "store"))
+    store.create_collection("kb")
+    docs = spark.createDataFrame(
+        [(i, f"fact number {i} about spark") for i in range(8)],
+        "chunk_id long, chunk_text string",
+    ).withColumn("index_name", F.lit("kb")).withColumn(
+        "embedding", embed_deterministic(F.col("chunk_text"), 8)
+    )
+    store.upsert(docs)
+
+    srv = _CompletionsHTTPServer(script=[])
+    try:
+        eq = EngineQuery(spark, store, embed_dim=8)
+        answer = eq.rag_query(
+            "kb", "what about spark?", llm=StdlibLLMTransport(srv.url), k=3
+        )
+        assert answer.startswith("ANSWER[")
+        sent_prompt = srv.requests[0]["prompt"]
+        assert "Context:" in sent_prompt and "what about spark?" in sent_prompt
+        assert sent_prompt.count("fact number") == 3  # k=3 retrieved chunks
+    finally:
+        srv.stop()
