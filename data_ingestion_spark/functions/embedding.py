@@ -124,6 +124,59 @@ def embed_documents(df: DataFrame, text_col: str, dim: int = DEFAULT_DIM,
 # --------------------------------------------- remote-service path (r09)
 
 
+def _post_json_with_retry(
+    url: str,
+    body: dict,
+    timeout_s: float,
+    max_retries: int,
+    backoff_s: float,
+) -> dict:
+    """POST a JSON body, parse a JSON response, with the serving-path
+    failure contract shared by the embedding and LLM transports
+    (single source of truth — r09 third self-review): HTTP 5xx,
+    socket/connect errors, mid-body drops (http.client.HTTPException,
+    e.g. IncompleteRead) and truncated-body JSON errors retry with
+    linear backoff (no sleep after the final attempt) then raise
+    RuntimeError; 4xx raises immediately (a malformed request never
+    heals). Distinct from sources/sinks._send_with_retry on purpose:
+    sinks retry 4xx (their services report per-item failures in 200s
+    and transient 4xxs exist); a serving endpoint's 4xx is a caller
+    bug."""
+    import http.client
+    import json
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    data = json.dumps(body).encode()
+    last: Exception | None = None
+    for attempt in range(max_retries):
+        req = urllib.request.Request(
+            url,
+            data=data,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise
+            last = e
+        except (
+            urllib.error.URLError,
+            TimeoutError,
+            ConnectionError,
+            http.client.HTTPException,  # e.g. IncompleteRead mid-body
+            json.JSONDecodeError,  # truncated body after a 200
+        ) as e:
+            last = e
+        if attempt + 1 < max_retries:
+            _time.sleep(backoff_s * (attempt + 1))
+    raise RuntimeError(f"service at {url} failed after {max_retries} attempts: {last}")
+
+
 class StdlibEmbeddingTransport:
     """Zero-dependency client for an OpenAI-style ``POST
     /v1/embeddings`` endpoint — the wire shape vLLM / TEI /
@@ -161,40 +214,31 @@ class StdlibEmbeddingTransport:
         self.backoff_s = backoff_s
 
     def _post_batch(self, texts: list[str]) -> list[list[float]]:
-        import json
-        import time as _time
-        import urllib.error
-        import urllib.request
-
-        body = json.dumps({"model": self.model, "input": texts}).encode()
-        last: Exception | None = None
-        for attempt in range(self.max_retries):
-            req = urllib.request.Request(
-                self.base_url + "/v1/embeddings",
-                data=body,
-                headers={"Content-Type": "application/json"},
-                method="POST",
-            )
-            try:
-                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                    payload = json.loads(resp.read().decode())
-                rows = sorted(payload["data"], key=lambda d: d["index"])
-                if len(rows) != len(texts):
-                    raise RuntimeError(
-                        f"embedding service returned {len(rows)} vectors "
-                        f"for {len(texts)} inputs"
-                    )
-                return [r["embedding"] for r in rows]
-            except urllib.error.HTTPError as e:
-                if e.code < 500:
-                    raise  # 4xx: malformed request never heals
-                last = e
-            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
-                last = e
-            _time.sleep(self.backoff_s * (attempt + 1))
-        raise RuntimeError(
-            f"embedding service failed after {self.max_retries} attempts: {last}"
+        payload = _post_json_with_retry(
+            self.base_url + "/v1/embeddings",
+            {"model": self.model, "input": texts},
+            self.timeout_s,
+            self.max_retries,
+            self.backoff_s,
         )
+        rows = payload.get("data")
+        if not isinstance(rows, list) or any(
+            "index" not in r or "embedding" not in r for r in rows
+        ):
+            # 200 with an error envelope or wrong schema: fail fast
+            # WITH context (a bare KeyError names neither service nor
+            # payload) — same guard the LLM twin has
+            raise RuntimeError(
+                f"malformed embedding response from {self.base_url}: "
+                f"{str(payload)[:200]}"
+            )
+        rows = sorted(rows, key=lambda d: d["index"])
+        if len(rows) != len(texts):
+            raise RuntimeError(
+                f"embedding service returned {len(rows)} vectors "
+                f"for {len(texts)} inputs"
+            )
+        return [r["embedding"] for r in rows]
 
     def embed(self, texts: list[str]) -> list[list[float]]:
         out: list[list[float]] = []
@@ -203,18 +247,44 @@ class StdlibEmbeddingTransport:
         return out
 
 
+#: per-python-worker transport cache (same singleton pattern as
+#: _MODEL): keyed by constructor args so the object — and any future
+#: pooled connection state — outlives a single task
+_TRANSPORTS: dict[tuple, "StdlibEmbeddingTransport"] = {}
+
+
+def _worker_transport(base_url: str, **kw) -> "StdlibEmbeddingTransport":
+    key = (base_url,) + tuple(sorted(kw.items()))
+    t = _TRANSPORTS.get(key)
+    if t is None:
+        t = _TRANSPORTS[key] = StdlibEmbeddingTransport(base_url, **kw)
+    return t
+
+
 def make_remote_embed_udf(base_url: str, dim: int = DEFAULT_DIM, **transport_kw):
     """T6 over a serving endpoint: iterator pandas UDF with one
-    transport per executor-python-worker (same singleton pattern as
-    the model path — connection setup amortized across all batches).
-    Arrow plumbing, schema, and batch shape are identical to
-    ``make_embed_udf``; only where the flops run differs."""
+    transport per executor-python-worker (module-level cache, the
+    _MODEL singleton pattern — the object outlives a task). ``dim``
+    is ENFORCED against every returned vector: a serving endpoint
+    hosting the wrong model would otherwise silently write
+    wrong-width arrays into the index (ArrayType carries no length),
+    corrupting every downstream cosine against query-side embeddings
+    (r09 third self-review). Arrow plumbing, schema, and batch shape
+    are identical to ``make_embed_udf``; only where the flops run
+    differs."""
 
     @pandas_udf(ArrayType(FloatType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        transport = StdlibEmbeddingTransport(base_url, **transport_kw)
+        transport = _worker_transport(base_url, **transport_kw)
         for texts in batches:
             vecs = transport.embed([t or "" for t in texts])
+            bad = next((v for v in vecs if len(v) != dim), None)
+            if bad is not None:
+                raise RuntimeError(
+                    f"embedding service at {base_url} returned "
+                    f"{len(bad)}-dim vectors, expected {dim} — wrong "
+                    "model behind the endpoint?"
+                )
             yield pd.Series(
                 [np.asarray(v, dtype=np.float32) for v in vecs]
             )

@@ -186,41 +186,21 @@ class StdlibLLMTransport:
         self.backoff_s = backoff_s
 
     def __call__(self, prompt: str) -> str:
-        import json
-        import time as _time
-        import urllib.error
-        import urllib.request
+        from .functions.embedding import _post_json_with_retry
 
-        body = json.dumps(
+        payload = _post_json_with_retry(
+            self.base_url + "/v1/completions",
             {
                 "model": self.model,
                 "prompt": prompt,
                 "max_tokens": self.max_tokens,
                 "temperature": self.temperature,
-            }
-        ).encode()
-        last: Exception | None = None
-        for attempt in range(self.max_retries):
-            req = urllib.request.Request(
-                self.base_url + "/v1/completions",
-                data=body,
-                headers={"Content-Type": "application/json"},
-                method="POST",
-            )
-            try:
-                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                    payload = json.loads(resp.read().decode())
-                choices = payload.get("choices") or []
-                if not choices or "text" not in choices[0]:
-                    raise RuntimeError(f"malformed completion response: {payload}")
-                return choices[0]["text"]
-            except urllib.error.HTTPError as e:
-                if e.code < 500:
-                    raise
-                last = e
-            except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
-                last = e
-            _time.sleep(self.backoff_s * (attempt + 1))
-        raise RuntimeError(
-            f"LLM service failed after {self.max_retries} attempts: {last}"
+            },
+            self.timeout_s,
+            self.max_retries,
+            self.backoff_s,
         )
+        choices = payload.get("choices") or []
+        if not choices or "text" not in choices[0]:
+            raise RuntimeError(f"malformed completion response: {payload}")
+        return choices[0]["text"]

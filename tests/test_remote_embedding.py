@@ -52,6 +52,23 @@ class _EmbeddingHTTPServer:
                     self.send_response(int(mode))
                     self.end_headers()
                     return
+                if mode == "error_envelope":  # 200 with an error body
+                    payload = json.dumps({"error": {"message": "boom"}}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
+                if mode == "truncated":  # drop mid-body (IncompleteRead)
+                    payload = b'{"data": ['
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(payload) + 50))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    self.wfile.flush()
+                    self.connection.close()
+                    return
                 texts = body["input"]
                 mat = server_vectors(texts)
                 data = [
@@ -278,5 +295,47 @@ def test_rag_query_over_the_wire(spark, tmp_path):
         sent_prompt = srv.requests[0]["prompt"]
         assert "Context:" in sent_prompt and "what about spark?" in sent_prompt
         assert sent_prompt.count("fact number") == 3  # k=3 retrieved chunks
+    finally:
+        srv.stop()
+
+
+def test_error_envelope_raises_with_context():
+    srv = _EmbeddingHTTPServer(script=["error_envelope"])
+    try:
+        with pytest.raises(RuntimeError, match="malformed embedding response"):
+            _transport(srv.url).embed(["x"])
+    finally:
+        srv.stop()
+
+
+def test_mid_body_drop_is_retried():
+    """r09 third self-review: a connection dropped after the 200
+    headers (IncompleteRead / truncated-body JSON) is a TRANSIENT
+    failure and must retry like a 503, not raise through."""
+    srv = _EmbeddingHTTPServer(script=["truncated", "ok"])
+    try:
+        got = _transport(srv.url, max_retries=3).embed(["x"])
+        assert np.allclose(np.array(got, dtype=np.float32), server_vectors(["x"]))
+        assert len(srv.requests) == 2
+    finally:
+        srv.stop()
+
+
+def test_wrong_dim_from_service_fails_loudly(spark):
+    """r09 third self-review: the UDF's dim is enforced — a serving
+    endpoint hosting the wrong-width model must fail the stage, not
+    silently write wrong-width arrays into the index."""
+    from pyspark.sql import functions as F
+
+    srv = _EmbeddingHTTPServer(script=[])  # serves DIM=8
+    try:
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((Py4JJavaError, PythonException), match="wrong|dim"):
+            df.withColumn(
+                "embedding", make_remote_embed_udf(srv.url, dim=16)("text")
+            ).collect()
     finally:
         srv.stop()
