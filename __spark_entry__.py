@@ -52,6 +52,10 @@ DRIVER_WINDOW: list[str] = [
     # stalest greens per scripts/update_checked.py over r01..r08 —
     # honoring the promised split_markdown_headers slot.
     "crawl_frontier",
+    # never-checked r09 addition: the WARC (Common Crawl-shaped)
+    # source DQ — full member-walk/HTTP-decode parity vs the
+    # documents-derived oracle
+    "warc_extract",
     "agg_approx_distinct",
     "streaming_tumbling_availablenow",
     "streaming_session_availablenow",
@@ -100,7 +104,6 @@ DRIVER_WINDOW: list[str] = [
     "array_explode_transform",
     "date_math_funcs",
     "join_broadcast_enrich",
-    "join_inner_equi",
 ]
 
 

@@ -29,12 +29,12 @@ from ..sources.sinks import ParquetVectorStore
 from .config import IngestionConfig
 
 
-def _ingest_urls_plan(cfg: IngestionConfig, urls: DataFrame, fetcher: Fetcher | None) -> DataFrame:
-    """Shared tail of both website entry points: fetch every url,
-    clean → header-split → chunk → header-prepend → embed. Single
-    source of truth so the direct-URL and sitemap-seeded plans cannot
-    diverge (r09 self-review)."""
-    docs = clean_html(fetch_pages(urls, fetcher=fetcher))
+def _ingest_pages_plan(cfg: IngestionConfig, pages: DataFrame) -> DataFrame:
+    """Shared tail of every ingestion entry point — ``pages`` is any
+    (url, html) DataFrame: live-fetched, sitemap-seeded, or WARC
+    response records. Single source of truth so the acquisition modes
+    cannot diverge (r09 self-review)."""
+    docs = clean_html(pages)
     sections = split_markdown_headers(docs, "page_content", max_level=cfg.md_split_depth)
     sec = sections.select(
         "url",
@@ -60,6 +60,32 @@ def _ingest_urls_plan(cfg: IngestionConfig, urls: DataFrame, fetcher: Fetcher | 
     return enriched.withColumn(
         "embedding", embed_deterministic(F.col("chunk_text"), cfg.embed_dim)
     )
+
+
+def _ingest_urls_plan(cfg: IngestionConfig, urls: DataFrame, fetcher: Fetcher | None) -> DataFrame:
+    """Live-fetch front: fetch every url, then the shared tail."""
+    return _ingest_pages_plan(cfg, fetch_pages(urls, fetcher=fetcher))
+
+
+def website_ingestion_from_warc(
+    spark: SparkSession,
+    cfg: IngestionConfig,
+    warc_dir: str,
+    glob: str = "*.warc.gz",
+) -> DataFrame:
+    """The read-the-crawl entry point: WARC shards instead of live
+    fetch. ``binaryFile`` scan (one shard = one task) → record
+    explode + HTTP decode (sources/warc.py, narrow map) → the same
+    clean → header-split → chunk → header-prepend → embed tail as the
+    live path. At 100 TB this is the plan that actually runs — the
+    live fetcher exists for freshness deltas, the archive path for
+    the corpus; both produce identical chunk rows by construction
+    (one shared tail)."""
+    from ..sources.catalog import read_binary_dir
+    from ..sources.warc import warc_records, warc_response_docs
+
+    pages = warc_response_docs(warc_records(read_binary_dir(spark, warc_dir, glob)))
+    return _ingest_pages_plan(cfg, pages)
 
 
 def website_ingestion(

@@ -1294,3 +1294,46 @@ def crawl_frontier(spark, sf_dir):
         .select(F.regexp_replace("url", "/$", "").alias("url"))
         .distinct()
     )
+
+
+@q(
+    "warc_extract",
+    "SELECT doc_id, CAST(3 AS INTEGER) AS n_records, "
+    "CAST(200 AS INTEGER) AS http_status, "
+    "'text/html; charset=utf-8' AS content_type, "
+    "CAST(octet_length(encode(text)) AS INTEGER) AS body_bytes, "
+    "md5(text) AS body_md5 FROM documents",
+)
+def warc_extract(spark, sf_dir):
+    """The Common Crawl-shaped source under the driver (S2/S4 at
+    archive scale): each doc is encoded as a REAL 3-record .warc.gz
+    shard — warcinfo + request + response, each its own gzip member
+    per the ISO 28500 storage layout, with the HTTP response body
+    chunked-transfer-encoded on doc_id%3==0 and gzip
+    content-encoded on doc_id%5==0 (both when both divide) — then
+    parsed back by the production stdlib parser
+    (sources/warc.py: member walk → record grammar → HTTP parse →
+    dechunk → gunzip). The query emits per-doc record count, status,
+    content type, and the decoded body's byte length + md5; the
+    oracle predicts all of them from the documents table directly
+    (md5 over the text's UTF-8 bytes) — values a parser that
+    mis-framed members, mis-dechunked, or skipped the gunzip could
+    not reproduce. One groupBy shuffle; the parse itself is a narrow
+    Arrow-batched map, the exact stage shape the 100 TB
+    read-the-crawl plan runs (plans/web_ingestion.py
+    website_ingestion_from_warc)."""
+    from .sources.warc import attach_synthetic_warc, warc_records
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    shards = attach_synthetic_warc(d).select(
+        F.col("doc_id").cast("string").alias("path"), "payload"
+    )
+    recs = warc_records(shards, payload_col="payload", path_col="path")
+    resp = F.col("record_type") == "response"
+    return recs.groupBy(F.col("path").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_records"),
+        F.max(F.when(resp, F.col("http_status"))).alias("http_status"),
+        F.max(F.when(resp, F.col("content_type"))).alias("content_type"),
+        F.max(F.when(resp, F.octet_length("body"))).alias("body_bytes"),
+        F.max(F.when(resp, F.md5("body"))).alias("body_md5"),
+    )
