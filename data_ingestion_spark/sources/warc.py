@@ -79,6 +79,13 @@ def iter_gzip_members(blob: bytes, max_member_bytes: int, max_members: int):
     while members < max_members:
         if not pending and pos >= len(mv):
             return
+        if pending and len(pending) < 2 and pos < len(mv):
+            # a member boundary landed 1 byte before a feed-slice
+            # boundary: unused_data holds half the next magic — top up
+            # before the check or valid members get dropped
+            take = bytes(mv[pos : pos + 2 - len(pending)])
+            pending = bytes(pending) + take
+            pos += len(take)
         head = bytes(pending[:2]) if pending else bytes(mv[pos : pos + 2])
         if not head.startswith(_GZ_MAGIC):
             return  # trailing garbage: clean stop, members so far stand

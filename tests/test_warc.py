@@ -232,3 +232,21 @@ def test_truncated_shard_rows_survive(spark, tmp_path):
     recs = warc_records(read_binary_dir(spark, str(tmp_path), "*.warc.gz"))
     docs = warc_response_docs(recs)
     assert [r.url for r in docs.collect()] == ["https://ex.com/d/1"]
+
+
+def test_member_walk_every_feed_alignment(monkeypatch):
+    """Feed zlib 1..16 bytes at a time: every possible alignment of a
+    member boundary against the feed-slice boundary must yield all
+    members (regression: a boundary 1 byte before a feed edge left
+    half the gzip magic in unused_data and dropped the rest)."""
+    import data_ingestion_spark.sources.warc as W
+
+    blob = b"".join(gzip_member(f"member {i} ".encode() * 9) for i in range(6))
+    for feed in range(1, 17):
+        monkeypatch.setattr(W, "_FEED", feed)
+        out = list(W.iter_gzip_members(blob, 1 << 20, 100))
+        assert len(out) == 6 and all(not t for _, t in out), feed
+        assert out[3][0] == b"member 3 " * 9
+    monkeypatch.setattr(W, "_FEED", 1)
+    recs = list(W.iter_warc_records(synthetic_warc_gz(15, "align " * 30)))
+    assert len(recs) == 3 and not any(t for _, _, t in recs)
