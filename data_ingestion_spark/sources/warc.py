@@ -494,3 +494,62 @@ def attach_synthetic_warc(df: DataFrame) -> DataFrame:
         )
 
     return df.withColumn("payload", _synth(F.col("doc_id"), F.col("text")))
+
+
+def write_warc_shards(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "html",
+    shards: int | None = None,
+) -> None:
+    """Archive (url, body) rows as ``.warc.gz`` shards — the writer
+    half of the source: one shard per partition, every record its own
+    gzip member (the same layout the reader walks), so a corpus
+    snapshot round-trips through ``warc_records`` bit-exactly.
+
+    At 100 TB this is the training-data snapshot format: shard count
+    = partition count (pass ``shards`` to repartition first — target
+    ~1 GiB each), writes are embarrassingly parallel (one file per
+    task, no shuffle beyond the optional repartition), and a re-read
+    parallelizes file-granular exactly like a crawl. Shard names are
+    partition-indexed and deterministic for a fixed partitioning.
+
+    Executor-side file I/O via ``foreachPartition`` — rows stream
+    through one open file per task, never accumulating a partition
+    in memory.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if shards is not None:
+        df = df.repartition(shards)
+    rows = df.select(
+        F.col(url_col).alias("url"), F.col(body_col).cast("string").alias("body")
+    )
+
+    def write_partition(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = path + ".inprogress"
+        wrote = False
+        with open(tmp, "wb") as f:
+            for row in it:
+                body = (row.body or "").encode("utf-8")
+                block = http_response_block(body)
+                rec = build_warc_record(
+                    "response",
+                    block,
+                    uri=row.url,
+                    record_id=f"<urn:shard:{pid}:{f.tell()}>",
+                )
+                f.write(gzip_member(rec))
+                wrote = True
+        if wrote:
+            os.replace(tmp, path)  # no empty shards, no partial files
+        else:
+            os.remove(tmp)
+
+    rows.foreachPartition(write_partition)
