@@ -56,6 +56,9 @@ DRIVER_WINDOW: list[str] = [
     # source DQ — full member-walk/HTTP-decode parity vs the
     # documents-derived oracle
     "warc_extract",
+    # never-checked r09 addition: exact-substring repeat detection
+    # (Lee et al. 2022 sub-document dedup)
+    "dedup_repeated_passages",
     "agg_approx_distinct",
     "streaming_tumbling_availablenow",
     "streaming_session_availablenow",
@@ -103,7 +106,6 @@ DRIVER_WINDOW: list[str] = [
     "text_stats",
     "array_explode_transform",
     "date_math_funcs",
-    "join_broadcast_enrich",
 ]
 
 

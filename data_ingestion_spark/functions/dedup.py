@@ -503,3 +503,62 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def repeated_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    stride: int = 16,
+) -> DataFrame:
+    """Repeated-passage detection — the grouping core of exact
+    SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): doc-level dedup misses the
+    boilerplate, licenses, and templated passages that recur inside
+    otherwise-distinct documents, and those repeats are what language
+    models memorize. Strided k-char shingles are hashed (md5 — the
+    cross-engine hash), any hash seen in >1 distinct document marks a
+    shared passage, and each document reports how many of its spans
+    are shared. Returns (id_col, n_shared_spans), shared-span docs
+    only — downstream either drops the spans (true substring dedup)
+    or uses the count as a boilerplate-heaviness quality signal.
+
+    100 TB shape: one explode (k/stride dial the shingle mass — at
+    stride=16 the exploded set is ~len/16 rows per doc), ONE
+    hash-keyed shuffle for the cross-doc test, one id-keyed count.
+    The ">1 distinct docs" predicate is computed as
+    ``min(id) != max(id)`` over a window partitioned by the hash —
+    exact, constant memory per group (no collect_set that a
+    million-doc boilerplate hash would explode), and one exchange
+    where the naive distinct-agg + join-back plan costs three
+    (count_distinct alone is a two-exchange expand). All JVM
+    expressions — same cost family as exact dedup, stride trading
+    recall for shuffle mass. Full-window shingling (stride=1, the
+    paper's suffix-array equivalent for fixed k) is the same plan
+    with 16x the exploded rows.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__text")).filter(
+        F.length("__text") >= k
+    )
+    sh = base.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.length("__text") - k, F.lit(stride))
+        ).alias("p"),
+        "__text",
+    ).select(
+        id_col,
+        F.md5(F.expr(f"substring(__text, p + 1, {k})")).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    return (
+        sh.withColumn(
+            "shared", F.min(id_col).over(w) != F.max(id_col).over(w)
+        )
+        .filter("shared")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_spans"))
+    )

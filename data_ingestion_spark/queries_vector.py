@@ -651,3 +651,47 @@ def dedup_decision_quality(spark, sf_dir):
             (F.col("rk") == 1).cast("int").alias("keep"),
         )
     )
+
+
+@q(
+    "dedup_repeated_passages",
+    "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "'Subscribe to our newsletter for updates. All rights reserved worldwide. ' "
+    "|| text ELSE text END AS text FROM documents), "
+    "pos AS (SELECT doc_id, text, "
+    "unnest(generate_series(0, length(text) - 64, 16)) AS p "
+    "FROM aug WHERE length(text) >= 64), "
+    "sh AS (SELECT doc_id, md5(substr(text, p + 1, 64)) AS h FROM pos), "
+    "dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1) "
+    "SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared_spans "
+    "FROM sh JOIN dup USING (h) GROUP BY doc_id",
+)
+def dedup_repeated_passages(spark, sf_dir):
+    """T10 family, sub-document granularity: exact-substring repeat
+    detection (Lee et al. 2022's dedup mandate — doc-level dedup
+    misses recurring boilerplate INSIDE distinct docs). A shared
+    73-char boilerplate prefix is planted on doc_id%4==0 rows (fixture
+    construction mirrored in the oracle, same pattern as
+    crawl_frontier), then DD.repeated_passage_spans finds every
+    64-char strided shingle appearing in >1 distinct doc and counts
+    shared spans per doc. Organic cross-doc repeats in the synthetic
+    corpus surface alongside the planted ones (docs report 1 or 2
+    spans), so the hash certifies the real grouping, not just the
+    fixture. All JVM expressions: explode → md5 → hash groupBy →
+    join-back → id count."""
+    d = _d(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(
+                    "Subscribe to our newsletter for updates. "
+                    "All rights reserved worldwide. "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return DD.repeated_passage_spans(d, "text", "doc_id", k=64, stride=16)

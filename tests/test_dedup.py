@@ -73,3 +73,26 @@ def test_minhash_bucket_cap_default_on(spark):
 
     sig = inspect.signature(minhash_lsh_candidates_fast)
     assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
+
+
+def test_repeated_passage_spans_semantics(spark):
+    """Planted boilerplate is found on every carrier doc; a corpus of
+    all-distinct texts reports nothing; stride=1 finds a superset of
+    stride=16's carriers."""
+    from data_ingestion_spark.functions.dedup import repeated_passage_spans
+
+    rows = [
+        (0, "COMMON LICENSE HEADER " * 4 + "unique tail zero " * 6),
+        (1, "COMMON LICENSE HEADER " * 4 + "completely different body one " * 5),
+        (2, "no shared passages here at all, " * 8),
+        (3, "another entirely distinct document body text, " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_shared_spans for r in repeated_passage_spans(df).collect()}
+    assert set(got) == {0, 1} and all(v >= 1 for v in got.values())
+
+    distinct_only = spark.createDataFrame(rows[2:], "doc_id long, text string")
+    assert repeated_passage_spans(distinct_only).count() == 0
+
+    wide = {r.doc_id for r in repeated_passage_spans(df, stride=1).collect()}
+    assert wide >= set(got)
