@@ -529,10 +529,11 @@ def repeated_passage_spans(
     hash-keyed shuffle for the cross-doc test, one id-keyed count.
     The ">1 distinct docs" predicate is computed as
     ``min(id) != max(id)`` over a window partitioned by the hash —
-    exact, constant memory per group (no collect_set that a
-    million-doc boilerplate hash would explode), and one exchange
-    where the naive distinct-agg + join-back plan costs three
-    (count_distinct alone is a two-exchange expand). All JVM
+    exact, with O(1) aggregation state and a spill-safe row buffer
+    per group (WindowExec spills; a collect_set agg buffer for a
+    million-doc boilerplate hash must fit in memory), and one
+    exchange where the naive distinct-agg + join-back plan costs
+    three (count_distinct alone is a two-exchange expand). All JVM
     expressions — same cost family as exact dedup, stride trading
     recall for shuffle mass. Full-window shingling (stride=1, the
     paper's suffix-array equivalent for fixed k) is the same plan
