@@ -59,6 +59,8 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r09 addition: exact-substring repeat detection
     # (Lee et al. 2022 sub-document dedup)
     "dedup_repeated_passages",
+    # never-checked r09 addition: crawl-hygiene URL canonicalization
+    "url_canonicalize",
     "agg_approx_distinct",
     "streaming_tumbling_availablenow",
     "streaming_session_availablenow",
@@ -105,7 +107,6 @@ DRIVER_WINDOW: list[str] = [
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
-    "date_math_funcs",
 ]
 
 

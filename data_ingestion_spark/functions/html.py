@@ -284,3 +284,44 @@ def fetch_pages(df: DataFrame, url_col: str = "url", fetcher: Fetcher | None = N
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+#: tracking query params stripped by canonical_url — the industry-
+#: standard removal set (analytics decoration that fragments crawl
+#: dedup keys without changing the resource)
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize an absolute http(s) URL into a crawl dedup key —
+    the hygiene step between frontier/WARC ingestion and URL-level
+    dedup (the same page arrives as Http://EX.com:80/a/?utm_source=x
+    and http://ex.com/a across crawls; naive distinct treats them as
+    different documents).
+
+    Steps, all JVM expressions (DuckDB-twin-able for the oracle):
+    lowercase scheme+authority (path case is significant and kept);
+    strip the scheme's default port (:80 http, :443 https — other
+    ports kept); drop the fragment; drop tracking params
+    (utm_*/gclid/fbclid); sort surviving query params byte-wise;
+    strip trailing path slashes; drop an empty '?'.
+
+    NOT done (documented limits): IDN/percent-encoding normalization
+    (needs codec tables — a Python stage if ever required) and
+    dot-segment resolution (absent from crawl frontiers in practice).
+    """
+    head = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/?#:]*):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://[^/?#:]*):443$", "$1")
+    path = F.regexp_replace(path, r"/+$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (F.length(x) > 0) & ~x.rlike(_TRACKING_PARAM_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head, path, F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )

@@ -1337,3 +1337,63 @@ def warc_extract(spark, sf_dir):
         F.max(F.when(resp, F.octet_length("body"))).alias("body_bytes"),
         F.max(F.when(resp, F.md5("body"))).alias("body_md5"),
     )
+
+
+_CANON_ORACLE = (
+    "WITH u AS (SELECT doc_id, "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Ex' ELSE 'HTTPS://Ex' END) "
+    "|| CAST(doc_id % 3 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '.COM:80/Docs/' ELSE '.COM:443/Docs/' END) "
+    "|| CAST(doc_id AS VARCHAR) || "
+    "(CASE CAST(doc_id % 5 AS INTEGER) "
+    "WHEN 0 THEN '/?utm_source=mail&b=2&a=1#sec' "
+    "WHEN 1 THEN '?z=9&y=8&utm_campaign=c' "
+    "WHEN 2 THEN '/' WHEN 3 THEN '#frag' ELSE '' END) AS url FROM documents), "
+    "s1 AS (SELECT doc_id, "
+    "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head, "
+    "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
+    "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), "
+    "s2 AS (SELECT doc_id, "
+    "regexp_replace(regexp_replace(lower(head), '^(http://[^/?#:]*):80$', '\\1'), "
+    "'^(https://[^/?#:]*):443$', '\\1') AS head2, "
+    "regexp_replace(path, '/+$', '') AS path2, "
+    "array_to_string(list_sort(list_filter(string_split(query, '&'), "
+    "x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)='))), '&') AS q2 "
+    "FROM s1) "
+    "SELECT doc_id, head2 || path2 || "
+    "CASE WHEN len(q2) > 0 THEN '?' || q2 ELSE '' END AS url FROM s2"
+)
+
+
+@q("url_canonicalize", _CANON_ORACLE)
+def url_canonicalize(spark, sf_dir):
+    """Crawl hygiene for the WARC/frontier path: the same page
+    arrives as Http://EX.com:80/a/?utm_source=x and http://ex.com/a
+    across crawls, and naive URL-distinct treats them as different
+    documents. Fixture URLs are built from doc_id with rotating mess
+    (uppercase scheme+host, scheme-default ports, tracking params,
+    unsorted queries, trailing slashes, fragments — construction
+    mirrored in the oracle, the crawl_frontier pattern) and
+    html.canonical_url normalizes them: lowercase authority, default
+    port stripped (scheme-matched), fragment dropped, utm_*/gclid/
+    fbclid dropped, params byte-sorted, trailing slash stripped.
+    Pure JVM expressions both sides — zero shuffles beyond the local
+    respread."""
+    from .functions.html import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://Ex")).otherwise(F.lit("HTTPS://Ex")),
+        (did % 3).cast("string"),
+        F.when(did % 2 == 0, F.lit(".COM:80/Docs/")).otherwise(
+            F.lit(".COM:443/Docs/")
+        ),
+        did.cast("string"),
+        F.when(did % 5 == 0, F.lit("/?utm_source=mail&b=2&a=1#sec"))
+        .when(did % 5 == 1, F.lit("?z=9&y=8&utm_campaign=c"))
+        .when(did % 5 == 2, F.lit("/"))
+        .when(did % 5 == 3, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", canonical_url(url).alias("url"))

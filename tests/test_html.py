@@ -197,3 +197,24 @@ def test_crawl_frontier_dq_plan_and_semantics(spark):
     assert any("?a=1&b=2" in u for u in urls)  # entity-decoded seed
     assert any("/html-single/doc" in u for u in urls)  # rewritten HTML link
     assert not any("/other/" in u or "/pdf/" in u for u in urls)  # filters held
+
+
+def test_canonical_url_cases(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.html import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag", "http://example.com/A/b?a=1&b=2"),
+        ("https://ex.com:443/path/", "https://ex.com/path"),
+        ("https://ex.com/path?a=1", "https://ex.com/path?a=1"),
+        ("https://ex.com/p?gclid=99&fbclid=z", "https://ex.com/p"),
+        ("https://ex.com/p?", "https://ex.com/p"),
+        ("http://ex.com:8080/q?z=1&y=2", "http://ex.com:8080/q?y=2&z=1"),  # non-default port kept
+        ("http://ex.com:443/x", "http://ex.com:443/x"),  # 443 is NOT http's default
+        ("https://EX.com/CaseKept/Path", "https://ex.com/CaseKept/Path"),
+        ("https://ex.com/utm_keep?xutm_a=1", "https://ex.com/utm_keep?xutm_a=1"),  # only param PREFIX matches
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
