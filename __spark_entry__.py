@@ -61,6 +61,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_repeated_passages",
     # never-checked r09 addition: crawl-hygiene URL canonicalization
     "url_canonicalize",
+    # never-checked r09 addition: crawl-generation delta driving
+    # incremental re-ingestion
+    "crawl_snapshot_diff",
     "agg_approx_distinct",
     "streaming_tumbling_availablenow",
     "streaming_session_availablenow",
@@ -106,7 +109,6 @@ DRIVER_WINDOW: list[str] = [
     "map_concat_meta",
     "json_roundtrip",
     "text_stats",
-    "array_explode_transform",
 ]
 
 

@@ -319,3 +319,38 @@ def top_n(df: DataFrame, order: Sequence[Column], n: int) -> DataFrame:
     global sort materialization). Orderings passed in must be total
     (unique tiebreak) for deterministic results."""
     return df.orderBy(*order).limit(n)
+
+
+# ---------------------------------------------------------- snapshot diff
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    content: str = "body_md5",
+) -> DataFrame:
+    """Crawl-generation delta: classify every key across two corpus
+    snapshots as added / removed / changed / unchanged by comparing a
+    content fingerprint — the decision step in front of incremental
+    re-ingestion (plans/ingestion.py::incremental_ingest re-ingests
+    'added' + 'changed'; 'removed' feeds index deletion, S10).
+
+    Inputs need (key, content) columns; pass md5(body) as the
+    fingerprint so the compare moves 32-byte digests, not page
+    bodies — at 100 TB the full-outer join shuffles ~50 bytes/page
+    instead of the corpus. One full outer join = the two key-hashed
+    exchanges; everything else is scalar CASE logic.
+    """
+    o = old.select(F.col(key).alias("__k"), F.col(content).alias("__old"))
+    n = new.select(F.col(key).alias("__k"), F.col(content).alias("__new"))
+    return (
+        o.join(n, "__k", "full_outer")
+        .select(
+            F.col("__k").alias(key),
+            F.when(F.col("__old").isNull(), "added")
+            .when(F.col("__new").isNull(), "removed")
+            .when(F.col("__old") != F.col("__new"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )

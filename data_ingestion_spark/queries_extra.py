@@ -1397,3 +1397,49 @@ def url_canonicalize(spark, sf_dir):
         .otherwise(F.lit("")),
     )
     return d.select("doc_id", canonical_url(url).alias("url"))
+
+
+@q(
+    "crawl_snapshot_diff",
+    "WITH a AS (SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS url, "
+    "md5(text) AS body_md5 FROM documents WHERE doc_id % 11 <> 3), "
+    "b AS (SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS url, "
+    "md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END) AS body_md5 "
+    "FROM documents WHERE doc_id % 11 <> 7) "
+    "SELECT coalesce(a.url, b.url) AS url, "
+    "CASE WHEN a.url IS NULL THEN 'added' "
+    "WHEN b.url IS NULL THEN 'removed' "
+    "WHEN a.body_md5 <> b.body_md5 THEN 'changed' "
+    "ELSE 'unchanged' END AS status "
+    "FROM a FULL OUTER JOIN b ON a.url = b.url",
+)
+def crawl_snapshot_diff(spark, sf_dir):
+    """The delta between two crawl generations — what incremental
+    re-ingestion actually consumes (re-embed 'added'+'changed',
+    delete 'removed' from the index, skip 'unchanged'; the
+    document-granular upgrade of the reference's collection-level
+    skip-if-exists, W:116-118). Two snapshot fixtures derive from
+    documents (generation A misses doc_id%11==3 → 'added' in B;
+    B misses %11==7 → 'removed'; %7==0 bodies edited → 'changed');
+    operators.relational.snapshot_diff full-outer joins 32-byte md5
+    fingerprints — at 100 TB the shuffle carries digests, never
+    bodies. All JVM expressions; two key-hashed exchanges."""
+    from .operators.relational import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(F.lit("https://ex.com/d/"), F.col("doc_id").cast("string"))
+    gen_a = d.filter(F.col("doc_id") % 11 != 3).select(
+        url.alias("url"), F.md5(F.encode("text", "utf-8")).alias("body_md5")
+    )
+    gen_b = d.filter(F.col("doc_id") % 11 != 7).select(
+        url.alias("url"),
+        F.md5(
+            F.encode(
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" updated"))
+                ).otherwise(F.col("text")),
+                "utf-8",
+            )
+        ).alias("body_md5"),
+    )
+    return snapshot_diff(gen_a, gen_b, "url", "body_md5")

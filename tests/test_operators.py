@@ -999,3 +999,16 @@ def test_audio_zero_rate_is_skipped(spark):
     assert all(r["doc_id"] != 0 for r in stats) and any(r["doc_id"] == 1 for r in stats)
     segs = segment_wav(df, 1.0).collect()
     assert all(r["doc_id"] != 0 for r in segs) and any(r["doc_id"] == 1 for r in segs)
+
+
+def test_snapshot_diff_statuses(spark):
+    from data_ingestion_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url string, body_md5 string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "HX"), ("u4", "h4")], "url string, body_md5 string"
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}
