@@ -517,7 +517,11 @@ def write_warc_shards(
 
     Executor-side file I/O via ``foreachPartition`` — rows stream
     through one open file per task, never accumulating a partition
-    in memory.
+    in memory. ``out_dir`` must be storage the EXECUTORS see as one
+    namespace (a DFS/NFS mount; local mode qualifies) — on an
+    object-store cluster, swap the ``open``/``os.replace`` pair for
+    a multipart upload inside ``write_partition``; the record
+    streaming around it is unchanged.
     """
     import os
 
