@@ -541,6 +541,11 @@ def repeated_passage_spans(
     """
     from pyspark.sql import Window
 
+    if "__text" in df.columns and text_col != "__text":
+        raise ValueError(
+            "repeated_passage_spans: input column __text collides with the "
+            "helper column — rename it first"
+        )
     base = df.select(F.col(id_col), F.col(text_col).alias("__text")).filter(
         F.length("__text") >= k
     )

@@ -309,6 +309,10 @@ def canonical_url(url: Column) -> Column:
     NOT done (documented limits): IDN/percent-encoding normalization
     (needs codec tables — a Python stage if ever required) and
     dot-segment resolution (absent from crawl frontiers in practice).
+    Inputs that are not scheme://authority URLs (relative paths,
+    mailto:, NULL-ish strings) pass through UNCHANGED — collapsing
+    them to '' would silently merge every malformed row into one
+    dedup key.
     """
     head = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
@@ -322,6 +326,7 @@ def canonical_url(url: Column) -> Column:
         lambda x: (F.length(x) > 0) & ~x.rlike(_TRACKING_PARAM_RE),
     )
     q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canon = F.concat(
         head, path, F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit(""))
     )
+    return F.when(F.length(head) > 0, canon).otherwise(url)

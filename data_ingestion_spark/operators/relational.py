@@ -340,6 +340,10 @@ def snapshot_diff(
     bodies — at 100 TB the full-outer join shuffles ~50 bytes/page
     instead of the corpus. One full outer join = the two key-hashed
     exchanges; everything else is scalar CASE logic.
+
+    Precondition: ``key`` unique within each snapshot (canonicalize
+    URLs first — `functions.html.canonical_url` — and distinct);
+    duplicate keys multiply through the join.
     """
     o = old.select(F.col(key).alias("__k"), F.col(content).alias("__old"))
     n = new.select(F.col(key).alias("__k"), F.col(content).alias("__new"))

@@ -212,6 +212,8 @@ def _dechunk(body: bytes, max_body_bytes: int) -> tuple[bytes, bool]:
             size = int(size_token, 16)
         except ValueError:
             return bytes(out), True
+        if size < 0:  # int('-3', 16) parses; negative framing is hostile
+            return bytes(out), True
         if size == 0:
             return bytes(out), False  # trailer ignored
         chunk_start = line_end + 2
@@ -237,7 +239,9 @@ def _content_decode(body: bytes, encoding: str, max_body_bytes: int) -> tuple[by
             out = d.decompress(body, max_body_bytes + 1)
             if len(out) > max_body_bytes:
                 return out[:max_body_bytes], True
-            return out, False
+            # a clean decode reaches stream end; a truncated member
+            # decodes partial output with eof False — flag it
+            return out, not d.eof
         except zlib.error:
             if enc == "deflate":
                 # some servers send raw-deflate under the name
@@ -246,7 +250,7 @@ def _content_decode(body: bytes, encoding: str, max_body_bytes: int) -> tuple[by
                     out = d.decompress(body, max_body_bytes + 1)
                     if len(out) > max_body_bytes:
                         return out[:max_body_bytes], True
-                    return out, False
+                    return out, not d.eof
                 except zlib.error:
                     pass
             return body, True
@@ -285,7 +289,9 @@ def parse_http_response(
         if clen is not None:
             try:
                 n = int(clen)
-                if n < len(body):
+                if n < 0:  # negative length: body[:n] would CHOP the tail
+                    truncated = True
+                elif n < len(body):
                     body = body[:n]
                 elif n > len(body):
                     truncated = True

@@ -96,3 +96,13 @@ def test_repeated_passage_spans_semantics(spark):
 
     wide = {r.doc_id for r in repeated_passage_spans(df, stride=1).collect()}
     assert wide >= set(got)
+
+
+def test_repeated_passage_spans_column_clash_raises(spark):
+    import pytest
+
+    from data_ingestion_spark.functions.dedup import repeated_passage_spans
+
+    df = spark.createDataFrame([(1, "x" * 80, "y")], "doc_id long, text string, __text string")
+    with pytest.raises(ValueError, match="__text"):
+        repeated_passage_spans(df)

@@ -218,3 +218,14 @@ def test_canonical_url_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_canonical_url_non_absolute_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.html import canonical_url
+
+    cases = ["/relative/path", "mailto:a@b.c", "not a url", ""]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == cases  # unchanged, never collapsed to ''

@@ -280,3 +280,25 @@ def test_write_warc_shards_roundtrip(spark, tmp_path):
     orig = {r.url: r.html for r in docs.collect()}
     got = {r.url: r.html for r in back.collect()}
     assert got == orig
+
+
+def test_negative_chunk_size_degrades():
+    # int('-3', 16) parses — negative framing must flag, not mangle offsets
+    block = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n-3\r\nABCDEF\r\n0\r\n\r\n"
+    _, _, body, trunc = parse_http_response(block)
+    assert trunc and body == b""
+
+
+def test_negative_content_length_keeps_body():
+    block = b"HTTP/1.1 200 OK\r\nContent-Length: -5\r\n\r\nabcdefgh"
+    _, _, body, trunc = parse_http_response(block)
+    assert body == b"abcdefgh" and trunc  # NOT body[:-5]
+
+
+def test_truncated_gzip_body_flags():
+    payload = gzip_member(b"y" * 500)[:-10]  # cut the trailer + tail
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + payload
+    )
+    _, _, body, trunc = parse_http_response(block)
+    assert trunc  # partial decode must not masquerade as complete
