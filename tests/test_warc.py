@@ -302,3 +302,54 @@ def test_truncated_gzip_body_flags():
     )
     _, _, body, trunc = parse_http_response(block)
     assert trunc  # partial decode must not masquerade as complete
+
+
+# ---------------------------------------------------------------------
+# property tests
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    body=st.binary(max_size=2000),
+    chunked=st.booleans(),
+    gzip_body=st.booleans(),
+    chunk_size=st.integers(min_value=1, max_value=97),
+)
+def test_http_response_roundtrip_property(body, chunked, gzip_body, chunk_size):
+    """Arbitrary bytes through the writer's encoding matrix decode
+    back bit-exact — chunk-size boundaries included."""
+    block = http_response_block(
+        body, chunked=chunked, gzip_body=gzip_body, chunk_size=chunk_size
+    )
+    status, ctype, got, trunc = parse_http_response(block)
+    assert (status, got, trunc) == (200, body, False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(max_size=300), min_size=1, max_size=5
+    ),
+    per_member=st.booleans(),
+)
+def test_warc_record_roundtrip_property(texts, per_member):
+    """Arbitrary unicode corpora through build→(maybe gzip)→parse:
+    every record comes back, in order, body-exact."""
+    recs = [
+        build_warc_record(
+            "response", http_response_block(t.encode("utf-8")), uri=f"u{i}"
+        )
+        for i, t in enumerate(texts)
+    ]
+    if per_member:
+        blob = b"".join(gzip_member(r) for r in recs)
+    else:
+        blob = gzip_member(b"".join(recs))
+    out = list(iter_warc_records(blob))
+    assert len(out) == len(texts)
+    for i, (headers, block, trunc) in enumerate(out):
+        assert not trunc and headers["warc-target-uri"] == f"u{i}"
+        assert parse_http_response(block)[2] == texts[i].encode("utf-8")
