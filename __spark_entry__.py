@@ -64,6 +64,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r09 addition: crawl-generation delta driving
     # incremental re-ingestion
     "crawl_snapshot_diff",
+    # never-checked r09 addition: BM25 lexical ranking (the full-text
+    # half of hybrid RAG retrieval)
+    "rank_bm25",
     "agg_approx_distinct",
     "streaming_tumbling_availablenow",
     "streaming_session_availablenow",
@@ -108,7 +111,6 @@ DRIVER_WINDOW: list[str] = [
     "index_name_norm",
     "map_concat_meta",
     "json_roundtrip",
-    "text_stats",
 ]
 
 

@@ -508,3 +508,73 @@ class AnnStore:
         )
         qcol = F.array(*[F.lit(float(x)) for x in qv])
         return brute_force_topk(cand, qcol, k, self.id_col, self.vec_col)
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """Lexical relevance ranking (BM25, Robertson/Sparck Jones) — the
+    full-text half of hybrid retrieval. Vector top-k (similarity_topk)
+    misses exact-term matches the embedding smooths away; production
+    RAG runs BOTH and fuses (the reference's Weaviate backend ships
+    hybrid search for exactly this reason; this is that capability,
+    engine-side).
+
+    Shape, 100 TB-ready: the query's terms are a tiny literal list,
+    so per-doc term frequencies are array expressions over the scan —
+    NO inverted-index shuffle and no explode; corpus stats (N, avgdl,
+    per-term df) reduce to ONE row, broadcast back; scoring is scalar
+    math; top-k plans as TakeOrderedAndProject. One aggregate pass +
+    one scored pass, zero wide exchanges.
+
+    Determinism: scores are rounded to 6dp BEFORE ordering (with
+    id tiebreak), so ranking is identical across engines regardless
+    of last-ULP float drift; idf uses the +1 'Lucene' form so scores
+    stay positive at any df.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(F.col(id_col), words.alias("__w")).withColumn(
+        "__dl", F.size("__w").cast("double")
+    )
+    def term_eq(t: str):
+        # factory, NOT a defaulted second lambda param: PySpark treats
+        # a two-param lambda's second arg as the array-index column
+        return lambda x: x == F.lit(t)
+
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"__tf{i}",
+            F.size(F.filter(F.col("__w"), term_eq(t))).cast("double"),
+        )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"__tf{i}")
+        denom = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    return (
+        scored.select(id_col, F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(topk)
+    )

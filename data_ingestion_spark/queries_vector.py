@@ -695,3 +695,48 @@ def dedup_repeated_passages(spark, sf_dir):
         .alias("text"),
     )
     return DD.repeated_passage_spans(d, "text", "doc_id", k=64, stride=16)
+
+
+_BM25_TERMS = ["spark", "vector", "customer", "merge"]
+
+
+def _bm25_oracle() -> str:
+    tfs = " ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf{i},"
+        for i, t in enumerate(_BM25_TERMS)
+    ).rstrip(",")
+    dfs = " ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i},"
+        for i in range(len(_BM25_TERMS))
+    ).rstrip(",")
+    comps = " ".join(
+        f"+ ln((n - df{i} + 0.5)/(df{i} + 0.5) + 1.0) * (tf{i} * 2.2) "
+        f"/ (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+        f"d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, {tfs} FROM w), "
+        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {dfs} FROM d) "
+        f"SELECT doc_id, round(0.0 {comps}, 6) AS score "
+        "FROM d, s ORDER BY score DESC, doc_id LIMIT 10"
+    )
+
+
+@q("rank_bm25", _bm25_oracle())
+def rank_bm25(spark, sf_dir):
+    """Lexical retrieval (BM25) — the full-text half of hybrid RAG
+    search (the reference's Weaviate backend ships hybrid search;
+    similarity_topk is the vector half, this is the term half,
+    engine-side). Four query terms scored Robertson-style with the
+    +1 idf form; per-doc tf/dl are array expressions over the scan
+    (no inverted-index shuffle for a literal query), corpus stats
+    (N, avgdl, df per term) reduce to ONE broadcast row, and the
+    top-10 plans as TakeOrderedAndProject. Scores round to 6dp
+    BEFORE ordering (id tiebreak) so the ranking is bit-identical
+    across engines."""
+    from .functions.similarity import bm25_rank
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    return bm25_rank(d, _BM25_TERMS, topk=10)

@@ -74,3 +74,34 @@ def test_missing_collection_raises(engine):
         engine.get_record_count("no_such_collection")
     with _pytest.raises(KeyError):
         engine.similarity_search("no_such_collection", "q", k=1)
+
+
+def test_bm25_rank_semantics_and_plan(spark):
+    """BM25: a doc saturated with query terms outranks a partial
+    match, which outranks a non-match (absent entirely); rare terms
+    outweigh common ones; plan is TakeOrderedAndProject over a
+    broadcast stats row — no wide exchange."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import bm25_rank
+
+    rows = [
+        (0, "spark vector spark vector index"),      # both terms, twice
+        (1, "spark table join group by order"),      # common term only
+        (2, "vector index probe recall"),            # rare term only
+        (3, "table join group order filter scan"),   # neither
+        (4, "spark table scan"),
+        (5, "table scan filter"),
+        (6, "table scan group"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(df, ["spark", "vector"], topk=7)
+    ranked = [r.doc_id for r in out.collect()]
+    assert ranked[0] == 0                      # saturated doc first
+    assert ranked.index(2) < ranked.index(1)   # rare 'vector' (df=2) beats common 'spark' (df=3)
+    assert set(ranked[-3:]) == {3, 5, 6}       # non-matches last (score 0)
+    scores = {r.doc_id: r.score for r in out.collect()}
+    assert scores[3] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
