@@ -67,6 +67,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r09 addition: BM25 lexical ranking (the full-text
     # half of hybrid RAG retrieval)
     "rank_bm25",
+    # never-checked r09 addition: RRF hybrid fusion of the vector and
+    # lexical retrievers
+    "hybrid_rank_rrf",
     "agg_approx_distinct",
     "streaming_tumbling_availablenow",
     "streaming_session_availablenow",
@@ -110,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "string_concat_header",
     "index_name_norm",
     "map_concat_meta",
-    "json_roundtrip",
 ]
 
 

@@ -578,3 +578,41 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(topk)
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: float = 60.0,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of two ranked candidate
+    lists — the standard hybrid-search combiner (vector ranks +
+    lexical ranks → one list; Weaviate/ES hybrid mode is exactly
+    this shape). Inputs carry (id, rank); score = Σ 1/(k + rank)
+    over the lists containing the id, rounded to 6dp before the
+    final ordering (id tiebreak) for cross-engine determinism.
+
+    RRF works on RANKS, not scores, so the two retrievers need no
+    score calibration — the reason it is the default fusion in
+    production hybrid search. One full-outer join over two top-N
+    lists (N rows each — trivial at any corpus scale; the heavy
+    lifting happened in the retrievers)."""
+    a = ranked_a.select(F.col(id_col).alias("__ka"), F.col(rank_col).alias("__ra"))
+    b = ranked_b.select(F.col(id_col).alias("__kb"), F.col(rank_col).alias("__rb"))
+    contrib_a = F.lit(1.0) / (F.lit(k_rrf) + F.col("__ra").cast("double"))
+    contrib_b = F.lit(1.0) / (F.lit(k_rrf) + F.col("__rb").cast("double"))
+    return (
+        a.join(b, F.col("__ka") == F.col("__kb"), "full_outer")
+        .select(
+            F.coalesce(F.col("__ka"), F.col("__kb")).alias(id_col),
+            F.round(
+                F.coalesce(contrib_a, F.lit(0.0)) + F.coalesce(contrib_b, F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(topk)
+    )

@@ -740,3 +740,111 @@ def rank_bm25(spark, sf_dir):
 
     d = _d(spark, sf_dir).select("doc_id", "text")
     return bm25_rank(d, _BM25_TERMS, topk=10)
+
+
+_HYBRID_QTEXT = "spark vector customer merge"
+
+
+def _hybrid_oracle() -> str:
+    """DuckDB twin of hybrid vector+BM25 RRF. The embedding twin
+    replicates embed_deterministic exactly (CAST('0x'||hex AS BIGINT)
+    = Spark's conv(,16,10); same /max*2-1 order; REAL truncation) and
+    every dot product is written as an explicit left-associated sum of
+    double-cast products — the same fold order as Spark's
+    F.aggregate, so the doubles are bit-identical by construction."""
+    denom = "1152921504606846975.0"
+
+    def comp(text_expr: str, i: int) -> str:
+        return (
+            f"CAST(CAST(CAST('0x' || substr(md5('emb|{i}|' || {text_expr}), 1, 15) "
+            f"AS BIGINT) AS DOUBLE) / {denom} * 2.0 - 1.0 AS REAL)"
+        )
+
+    a_cols = " ".join(f"{comp('text', i)} AS a{i}," for i in range(8)).rstrip(",")
+    q_cols = " ".join(
+        f"{comp(repr(_HYBRID_QTEXT), i)} AS q{i}," for i in range(8)
+    ).rstrip(",")
+    dot_aq = "0.0 " + " ".join(
+        f"+ CAST(a{i} AS DOUBLE) * CAST(q{i} AS DOUBLE)" for i in range(8)
+    )
+    dot_aa = "0.0 " + " ".join(
+        f"+ CAST(a{i} AS DOUBLE) * CAST(a{i} AS DOUBLE)" for i in range(8)
+    )
+    dot_qq = "0.0 " + " ".join(
+        f"+ CAST(q{i} AS DOUBLE) * CAST(q{i} AS DOUBLE)" for i in range(8)
+    )
+    # BM25 half (same fragments as _bm25_oracle, ranked to 20)
+    tfs = " ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf{i},"
+        for i, t in enumerate(_BM25_TERMS)
+    ).rstrip(",")
+    dfs = " ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i},"
+        for i in range(len(_BM25_TERMS))
+    ).rstrip(",")
+    comps = " ".join(
+        f"+ ln((n - df{i} + 0.5)/(df{i} + 0.5) + 1.0) * (tf{i} * 2.2) "
+        f"/ (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+        for i in range(len(_BM25_TERMS))
+    )
+    return (
+        f"WITH emb AS (SELECT doc_id, {a_cols} FROM documents), "
+        f"qv AS (SELECT {q_cols}), "
+        f"vs AS (SELECT doc_id, round(({dot_aq}) / "
+        f"(sqrt({dot_aa}) * sqrt({dot_qq})), 6) AS score FROM emb, qv), "
+        "fa AS (SELECT doc_id, rank FROM (SELECT doc_id, "
+        "row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM vs) "
+        "WHERE rank <= 20), "
+        "w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+        f"d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, {tfs} FROM w), "
+        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {dfs} FROM d), "
+        f"ls AS (SELECT doc_id, round(0.0 {comps}, 6) AS score FROM d, s), "
+        "fb AS (SELECT doc_id, rank FROM (SELECT doc_id, "
+        "row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM ls) "
+        "WHERE rank <= 20) "
+        "SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id, "
+        "round(coalesce(1.0/(60.0 + CAST(fa.rank AS DOUBLE)), 0.0) "
+        "+ coalesce(1.0/(60.0 + CAST(fb.rank AS DOUBLE)), 0.0), 6) AS rrf_score "
+        "FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id "
+        "ORDER BY rrf_score DESC, doc_id LIMIT 10"
+    )
+
+
+@q("hybrid_rank_rrf", _hybrid_oracle())
+def hybrid_rank_rrf(spark, sf_dir):
+    """Hybrid retrieval capstone: vector top-20 (deterministic
+    hash-projection embeddings, cosine to the embedded query text)
+    and lexical top-20 (BM25 over the same query's terms), fused by
+    reciprocal-rank fusion — the exact operation Weaviate/ES 'hybrid'
+    mode runs, engine-side. Ranks come from 6dp-rounded scores with
+    id tiebreaks on both retrievers, so the fusion input — and hence
+    the fused list — is bit-identical across engines; the oracle
+    replicates the embedding arithmetic (conv↔'0x' cast, REAL
+    truncation) and the cosine fold order term by term. At scale
+    each retriever does the heavy lifting it already does alone
+    (TakeOrdered / broadcast-stats scan); the fusion is a full-outer
+    join of two 20-row lists."""
+    from pyspark.sql import Window
+
+    from .functions.embedding import embed_deterministic
+    from .functions.similarity import bm25_rank, cosine, rrf_fuse
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    qv = embed_deterministic(F.lit(_HYBRID_QTEXT), 8)
+    vec_top = (
+        d.select(
+            "doc_id",
+            F.round(cosine(embed_deterministic(F.col("text"), 8), qv), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+    rank_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    vec_ranked = vec_top.withColumn("rank", F.row_number().over(rank_w))
+    lex_ranked = bm25_rank(d, _BM25_TERMS, topk=20).withColumn(
+        "rank", F.row_number().over(rank_w)
+    )
+    return rrf_fuse(vec_ranked, lex_ranked, "doc_id", topk=10)

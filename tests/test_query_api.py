@@ -105,3 +105,17 @@ def test_bm25_rank_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc in both lists beats single-list docs of comparable
+    rank; disjoint ids survive the full outer; k dampens rank gaps."""
+    from data_ingestion_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2), (5, 3)], "doc_id long, rank int")
+    out = {r.doc_id: r.rrf_score for r in rrf_fuse(a, b, topk=5).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[2] == max(out.values())          # both lists -> top
+    assert abs(out[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[1] == round(1 / 61, 6)           # a-only, rank 1
