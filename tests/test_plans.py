@@ -109,6 +109,8 @@ CROSS_OK = {
     "ann_ivf_search",
     "rag_context_assemble",
     "quality_unigram_logprob", # 1-row corpus-total broadcast
+    "rank_bm25",               # 1-row BM25 stats broadcast (N, avgdl, dfs)
+    "hybrid_rank_rrf",         # same stats row inside the lexical half
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
