@@ -229,3 +229,33 @@ def test_canonical_url_non_absolute_passthrough(spark):
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == cases  # unchanged, never collapsed to ''
+
+
+def test_canonical_url_idempotent(spark):
+    """A dedup key must be a fixed point: canon(canon(u)) == canon(u)
+    over a messy generated URL family plus hostile shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.html import canonical_url
+
+    rng = random.Random(99)
+    schemes = ["http://", "HTTP://", "https://", "HTTPS://", ""]
+    hosts = ["Ex.COM", "ex.com", "a.b.c", "", ":80"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b/", "/x//", "/p"]
+    queries = ["", "?", "?b=2&a=1", "?utm_source=x", "?a=/&z=1", "?a=1&a=1"]
+    frags = ["", "#f", "#"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, bad[:5]
