@@ -40,79 +40,62 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-9 window (verified against CORRECTNESS_r08.json: zero
-    # overlap except agg_approx_distinct, deliberately re-pinned
-    # because its r08 row was rows-only and the re-registered query
-    # must earn its first FULL-hash row): the never-checked r09 DQ
-    # first (crawl_frontier), then the three queries whose oracles were
-    # UPGRADED from rows-only to full value checks this round
-    # (agg_approx_distinct: exact + HLL-bound boolean; the two
-    # AvailableNow streaming DQs: stream vs batch-twin symmetric
-    # diff) so each earns its first full-hash row, then the
-    # stalest greens per scripts/update_checked.py over r01..r08 —
-    # honoring the promised split_markdown_headers slot.
-    "crawl_frontier",
-    # never-checked r09 addition: the WARC (Common Crawl-shaped)
-    # source DQ — full member-walk/HTTP-decode parity vs the
-    # documents-derived oracle
-    "warc_extract",
-    # never-checked r09 addition: exact-substring repeat detection
-    # (Lee et al. 2022 sub-document dedup)
-    "dedup_repeated_passages",
-    # never-checked r09 addition: crawl-hygiene URL canonicalization
-    "url_canonicalize",
-    # never-checked r09 addition: crawl-generation delta driving
-    # incremental re-ingestion
-    "crawl_snapshot_diff",
-    # never-checked r09 addition: BM25 lexical ranking (the full-text
-    # half of hybrid RAG retrieval)
-    "rank_bm25",
-    # never-checked r09 addition: RRF hybrid fusion of the vector and
-    # lexical retrievers
-    "hybrid_rank_rrf",
-    "agg_approx_distinct",
-    "streaming_tumbling_availablenow",
-    "streaming_session_availablenow",
-    "split_markdown_headers",
-    "metadata_enrich",
-    "sessionize_batch",
-    "window_tumbling_batch",
-    "join_full_outer",
-    "set_intersect",
-    "union_distinct",
-    "agg_salted_count",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q7_nation_volume",
-    "session_window_native",
-    "agg_percentiles",
-    "quality_unigram_logprob",
-    "null_semantics",
-    "split_markdown_sections",
-    "window_sliding_batch",
-    "join_range_bucketed",
-    "agg_grouped_pandas_iqr",
-    "pivot_counts",
-    "agg_cube",
-    "window_rank_navigation",
-    "zscore_grouped_pandas",
-    "corpus_report",
-    "top_words_zipf",
-    "scalar_subquery",
-    "lateral_join_topn",
-    "explode_outer_semantics",
-    "scan_parquet",
-    "scan_dim_inline",
-    "distinct_collections",
-    "filter_prefix",
-    "filter_contains",
-    "project_replace",
-    "filter_nonempty",
-    "string_concat_header",
-    "index_name_norm",
-    "map_concat_meta",
+    # -- round-10 window (rotation per scripts/update_checked.py over
+    # r01..r09: all 139 registered queries now have a full-hash green
+    # driver row, so this window re-confirms the 50 STALEST greens —
+    # oldest last-checked round first; zero overlap with the r09
+    # window).  New round-10 DQs are inserted at the head as they are
+    # registered, displacing the freshest tail names.
+    "json_roundtrip",
+    "text_stats",
+    "array_explode_transform",
+    "date_math_funcs",
+    "join_broadcast_enrich",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "normalize_unicode",
+    "recursive_cte_closure",
+    "agg_argminmax",
+    "quality_repetition_signals",
+    "join_salted_skew",
+    "pii_scrub",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "variant_json_tolerant",
+    "window_range_frame",
+    "agg_grouping_sets",
+    "corpus_filter_pipeline",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "ann_store_probe",
+    "ann_ivf_search",
+    "embed_near_dup",
+    "rag_context_assemble",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "doc_fingerprint",
+    "lang_id_ngram",
+    "text_quality_score",
+    "multimodal_binary_meta",
+    "multimodal_header_decode",
+    "embed_near_dup_lsh",
+    "dedup_clusters",
+    "dedup_decision",
+    "join_cross_theta",
+    "join_range",
+    "join_asof",
+    "groupby_count",
+    "agg_global_count",
+    "agg_collect_list",
+    "agg_numeric_stats",
+    "agg_count_distinct",
+    "agg_rollup",
+    "delete_partition_filter",
 ]
 
 
