@@ -316,7 +316,12 @@ def canonical_url(url: Column) -> Column:
     """
     head = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # lazy pre-fragment prefix: [^#] cannot cross '#', so a '?' that
+    # only appears inside the fragment ('/a#/r?tab=1', SPA hash
+    # routes) yields NO query instead of resurrecting fragment
+    # content as one — which would collide the page with a genuinely
+    # different resource
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     head = F.lower(head)
     head = F.regexp_replace(head, r"^(http://[^/?#:]*):80$", "$1")
     head = F.regexp_replace(head, r"^(https://[^/?#:]*):443$", "$1")

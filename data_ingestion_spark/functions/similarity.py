@@ -18,6 +18,7 @@ Scale paths beyond ~10^7 vectors:
 
 from __future__ import annotations
 
+import re
 import warnings
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -537,7 +538,19 @@ def bm25_rank(
     id tiebreak), so ranking is identical across engines regardless
     of last-ULP float drift; idf uses the +1 'Lucene' form so scores
     stay positive at any df.
+
+    Query terms are pushed through the SAME tokenizer as the
+    documents (lowercase, split on non-alphanumerics, drop empties,
+    dedupe preserving order) — a caller passing 'Spark' or 'u.s.a'
+    gets real matches ('spark'; 'u','s','a') instead of a silent
+    zero score for a term no document token can ever equal.
     """
+    normed: list[str] = []
+    for t in query_terms:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w and w not in normed:
+                normed.append(w)
+    query_terms = normed
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: F.length(x) > 0,

@@ -328,6 +328,7 @@ def snapshot_diff(
     new: DataFrame,
     key: str = "url",
     content: str = "body_md5",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Crawl-generation delta: classify every key across two corpus
     snapshots as added / removed / changed / unchanged by comparing a
@@ -343,17 +344,54 @@ def snapshot_diff(
 
     Precondition: ``key`` unique within each snapshot (canonicalize
     URLs first — `functions.html.canonical_url` — and distinct);
-    duplicate keys multiply through the join.
+    duplicate keys multiply through the join. Pass
+    ``assert_unique=True`` to fail LOUDLY at execution time instead
+    (a windowed per-key count feeding ``assert_true`` — one extra
+    exchange per side, so it is an opt-in debug/validation mode, not
+    the production default).
+
+    Presence is tracked with explicit per-side flags, NOT the
+    fingerprint's nullability: a page whose stored fingerprint is
+    NULL (md5 of a NULL body) must classify by key presence, and a
+    NULL↔non-NULL transition is 'changed' (``eqNullSafe``), not
+    silently 'unchanged' — a crawl where a page gains real content
+    after an empty fetch must be re-ingested.
     """
-    o = old.select(F.col(key).alias("__k"), F.col(content).alias("__old"))
-    n = new.select(F.col(key).alias("__k"), F.col(content).alias("__new"))
+    o = old.select(
+        F.col(key).alias("__k"),
+        F.col(content).alias("__old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key).alias("__k"),
+        F.col(content).alias("__new"),
+        F.lit(True).alias("__in_new"),
+    )
+    if assert_unique:
+        w = Window.partitionBy("__k")
+        def guard(side: DataFrame, label: str) -> DataFrame:
+            # window count materialized as a column (window exprs are
+            # illegal directly in WHERE), then asserted in a filter so
+            # the optimizer cannot prune the check away: assert_true
+            # yields NULL when it passes, so isNull() keeps valid rows
+            side = side.withColumn("__kcnt", F.count(F.lit(1)).over(w))
+            chk = F.assert_true(
+                F.col("__kcnt") == 1,
+                F.concat(
+                    F.lit(f"snapshot_diff: duplicate {key} in {label} snapshot: "),
+                    F.col("__k").cast("string"),
+                ),
+            )
+            return side.filter(chk.isNull()).drop("__kcnt")
+        o = guard(o, "old")
+        n = guard(n, "new")
     return (
         o.join(n, "__k", "full_outer")
         .select(
             F.col("__k").alias(key),
-            F.when(F.col("__old").isNull(), "added")
-            .when(F.col("__new").isNull(), "removed")
-            .when(F.col("__old") != F.col("__new"), "changed")
+            F.when(F.col("__in_old").isNull(), "added")
+            .when(F.col("__in_new").isNull(), "removed")
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), "changed")
             .otherwise("unchanged")
             .alias("status"),
         )

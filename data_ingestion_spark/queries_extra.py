@@ -1348,11 +1348,11 @@ _CANON_ORACLE = (
     "(CASE CAST(doc_id % 5 AS INTEGER) "
     "WHEN 0 THEN '/?utm_source=mail&b=2&a=1#sec' "
     "WHEN 1 THEN '?z=9&y=8&utm_campaign=c' "
-    "WHEN 2 THEN '/' WHEN 3 THEN '#frag' ELSE '' END) AS url FROM documents), "
+    "WHEN 2 THEN '/' WHEN 3 THEN '#/route?tab=1' ELSE '' END) AS url FROM documents), "
     "s1 AS (SELECT doc_id, "
     "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head, "
     "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
-    "regexp_extract(url, '\\?([^#]*)', 1) AS query FROM u), "
+    "regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query FROM u), "
     "s2 AS (SELECT doc_id, "
     "regexp_replace(regexp_replace(lower(head), '^(http://[^/?#:]*):80$', '\\1'), "
     "'^(https://[^/?#:]*):443$', '\\1') AS head2, "
@@ -1393,7 +1393,7 @@ def url_canonicalize(spark, sf_dir):
         F.when(did % 5 == 0, F.lit("/?utm_source=mail&b=2&a=1#sec"))
         .when(did % 5 == 1, F.lit("?z=9&y=8&utm_campaign=c"))
         .when(did % 5 == 2, F.lit("/"))
-        .when(did % 5 == 3, F.lit("#frag"))
+        .when(did % 5 == 3, F.lit("#/route?tab=1"))
         .otherwise(F.lit("")),
     )
     return d.select("doc_id", canonical_url(url).alias("url"))

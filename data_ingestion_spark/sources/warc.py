@@ -104,12 +104,16 @@ def iter_gzip_members(blob: bytes, max_member_bytes: int, max_members: int):
             except zlib.error:
                 yield bytes(out), True
                 return
-            if d.eof:
-                pending = d.unused_data  # ≤ one feed slice, next member
-                break
+            # cap check BEFORE the eof check: a member inflating to
+            # exactly cap+1 bytes with eof landing on the same
+            # decompress call must be flagged truncated, not yielded
+            # untruncated at cap+1
             if len(out) > max_member_bytes:
                 yield bytes(out[:max_member_bytes]), True
                 return  # bomb: abandon the file past this record
+            if d.eof:
+                pending = d.unused_data  # ≤ one feed slice, next member
+                break
             pending = d.unconsumed_tail
         yield bytes(out), truncated
         if truncated:

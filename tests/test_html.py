@@ -214,6 +214,11 @@ def test_canonical_url_cases(spark):
         ("http://ex.com:443/x", "http://ex.com:443/x"),  # 443 is NOT http's default
         ("https://EX.com/CaseKept/Path", "https://ex.com/CaseKept/Path"),
         ("https://ex.com/utm_keep?xutm_a=1", "https://ex.com/utm_keep?xutm_a=1"),  # only param PREFIX matches
+        # a '?' INSIDE the fragment is not a query (SPA hash routes):
+        # resurrecting it would collide the page with a real ?x=1 resource
+        ("http://ex.com/a#frag?x=1", "http://ex.com/a"),
+        ("https://ex.com/app#/route?tab=1&b=2", "https://ex.com/app"),
+        ("https://ex.com/p?a=1#f?x=2", "https://ex.com/p?a=1"),  # real query kept, fragment's ignored
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
@@ -246,7 +251,7 @@ def test_canonical_url_idempotent(spark):
     ports = ["", ":80", ":443", ":8080"]
     paths = ["", "/", "/A/b/", "/x//", "/p"]
     queries = ["", "?", "?b=2&a=1", "?utm_source=x", "?a=/&z=1", "?a=1&a=1"]
-    frags = ["", "#f", "#"]
+    frags = ["", "#f", "#", "#/r?tab=1", "#?x=1"]
     urls = [
         rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
         + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)

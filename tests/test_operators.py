@@ -1012,3 +1012,48 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}
+
+
+def test_snapshot_diff_null_fingerprints(spark):
+    """Presence must come from per-side flags, not fingerprint
+    nullability: a NULL-md5 page present in both snapshots is NOT
+    'added', and NULL↔non-NULL is 'changed' (re-ingest a page that
+    gained content after an empty fetch), not 'unchanged'."""
+    from data_ingestion_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", "h3"), ("u5", None)],
+        "url string, body_md5 string",
+    )
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", "h2"), ("u3", None), ("u4", None)],
+        "url string, body_md5 string",
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",  # NULL == NULL under eqNullSafe
+        "u2": "changed",    # NULL -> content: must re-ingest
+        "u3": "changed",    # content -> NULL
+        "u4": "added",
+        "u5": "removed",    # NULL fingerprint, but the KEY left
+    }
+
+
+def test_snapshot_diff_assert_unique(spark):
+    """assert_unique=True fails loudly on a duplicated key instead of
+    silently multiplying rows through the full-outer join."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from data_ingestion_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u1", "h1b"), ("u2", "h2")], "url string, body_md5 string"
+    )
+    new = spark.createDataFrame([("u1", "h1")], "url string, body_md5 string")
+    with pytest.raises(SparkRuntimeException, match="duplicate url in old snapshot"):
+        snapshot_diff(old, new, assert_unique=True).collect()
+    # clean inputs pass the guard unchanged
+    ok_old = spark.createDataFrame([("u1", "h1")], "url string, body_md5 string")
+    got = {r.url: r.status for r in snapshot_diff(ok_old, new, assert_unique=True).collect()}
+    assert got == {"u1": "unchanged"}

@@ -107,6 +107,28 @@ def test_bm25_rank_semantics_and_plan(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_bm25_rank_query_normalization(spark):
+    """Query terms go through the document tokenizer: 'Spark' matches
+    'spark' tokens instead of silently scoring zero, 'u.s.a' splits
+    into u/s/a, and duplicate terms after normalization count once."""
+    from data_ingestion_spark.functions.similarity import bm25_rank
+
+    rows = [
+        (0, "spark vector spark"),
+        (1, "u s a travel guide"),
+        (2, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cased = {r.doc_id: r.score for r in bm25_rank(df, ["Spark"], topk=3).collect()}
+    plain = {r.doc_id: r.score for r in bm25_rank(df, ["spark"], topk=3).collect()}
+    assert cased == plain and cased[0] > 0.0
+    usa = {r.doc_id: r.score for r in bm25_rank(df, ["u.s.a"], topk=3).collect()}
+    assert usa[1] > 0.0 and usa[2] == 0.0
+    # duplicated-after-normalization terms don't double a doc's score
+    dup = {r.doc_id: r.score for r in bm25_rank(df, ["Spark", "spark!"], topk=3).collect()}
+    assert dup == plain
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF: a doc in both lists beats single-list docs of comparable
     rank; disjoint ids survive the full outer; k dampens rank gaps."""

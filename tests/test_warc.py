@@ -115,6 +115,20 @@ def test_member_bomb_caps_and_stops():
     assert len(out) == 1 and out[0][1] is True and len(out[0][0]) == 1 << 16
 
 
+def test_member_exactly_cap_plus_one_flags_truncated():
+    """A member inflating to exactly cap+1 bytes, with gzip eof
+    landing on the same decompress call, must be flagged truncated —
+    the cap check runs BEFORE the eof check (one-byte overshoot
+    regression). Members at exactly cap stay untruncated."""
+    cap = 1 << 10
+    over = gzip_member(b"\x00" * (cap + 1)) + gzip_member(b"tail")
+    out = list(iter_gzip_members(over, cap, 100))
+    assert len(out) == 1 and out[0][1] is True and len(out[0][0]) == cap
+    exact = gzip_member(b"\x00" * cap) + gzip_member(b"tail")
+    out = list(iter_gzip_members(exact, cap, 100))
+    assert [(len(b), t) for b, t in out] == [(cap, False), (4, False)]
+
+
 def test_record_content_length_bomb_capped():
     # a declared Content-Length beyond the cap yields a truncated record
     big = build_warc_record("response", b"A" * 2048, uri="u")
