@@ -46,6 +46,9 @@ DRIVER_WINDOW: list[str] = [
     # oldest last-checked round first; zero overlap with the r09
     # window).  New round-10 DQs are inserted at the head as they are
     # registered, displacing the freshest tail names.
+    # never-checked r10 addition: charset-aware WARC body decode
+    # (BOM / header / meta-sniff / probe / cp1252 fallback)
+    "warc_extract_charset",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -95,7 +98,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_numeric_stats",
     "agg_count_distinct",
     "agg_rollup",
-    "delete_partition_filter",
 ]
 
 

@@ -1339,6 +1339,55 @@ def warc_extract(spark, sf_dir):
     )
 
 
+_WARC_CHARSET_ORACLE = (
+    "WITH m AS (SELECT doc_id, "
+    "CASE CAST(doc_id % 4 AS INTEGER) "
+    "WHEN 0 THEN '£é¥ ' "
+    "WHEN 1 THEN '<meta charset=\"shift_jis\">日本語 ' "
+    "WHEN 2 THEN 'Ünïcode ' ELSE 'Çafé ' END || text AS html, "
+    "CASE CAST(doc_id % 4 AS INTEGER) "
+    "WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'shift_jis' "
+    "WHEN 2 THEN 'utf-8-sig' ELSE 'utf-8' END AS charset FROM documents) "
+    "SELECT doc_id, charset, md5(html) AS body_md5, "
+    "length(html) AS body_chars FROM m"
+)
+
+
+@q("warc_extract_charset", _WARC_CHARSET_ORACLE)
+def warc_extract_charset(spark, sf_dir):
+    """Charset-aware crawl decode (the gap a real crawl user hits
+    first: 15–20% of web pages are legacy-charset and UTF-8-casting
+    them makes mojibake). Each doc becomes a real .warc.gz shard whose
+    response body is a non-ASCII marker + the text encoded in a
+    rotating charset, declared four different ways: the iso-8859-1
+    HEADER label (alias-normalized to windows-1252, as browsers do),
+    a <meta charset=shift_jis> tag with a param-less header (the
+    sniff path), a UTF-8 BOM with no declaration at all, and
+    undeclared non-ASCII UTF-8 (the strict-probe path) — on top of
+    the chunked/gzip transfer rotation. The production parser +
+    charset-aware decoder (sources/warc.py resolve_charset:
+    BOM > header > meta > probe > windows-1252) must recover the
+    exact original string: the oracle predicts the decoded md5,
+    char length, and detected charset from the documents table.
+    A decoder that UTF-8-cast, skipped the alias map, missed the
+    meta sniff, or emitted the BOM as U+FEFF cannot match. Narrow
+    Arrow stages end-to-end — zero shuffles."""
+    from .sources.warc import attach_synthetic_warc, warc_records, warc_response_docs
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    shards = attach_synthetic_warc(d, charsets=True).select(
+        F.col("doc_id").cast("string").alias("path"), "payload"
+    )
+    recs = warc_records(shards, payload_col="payload", path_col="path")
+    docs = warc_response_docs(recs, with_charset=True)
+    return docs.select(
+        F.regexp_extract("url", r"/d/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "charset",
+        F.md5("html").alias("body_md5"),
+        F.length("html").cast("bigint").alias("body_chars"),
+    )
+
+
 _CANON_ORACLE = (
     "WITH u AS (SELECT doc_id, "
     "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Ex' ELSE 'HTTPS://Ex' END) "

@@ -29,6 +29,8 @@ The 100 TB story:
 
 from __future__ import annotations
 
+import codecs
+import re
 import zlib
 from typing import Iterator
 
@@ -383,13 +385,117 @@ def warc_records(
     ).mapInPandas(run, WARC_SCHEMA)
 
 
-def warc_response_docs(records: DataFrame) -> DataFrame:
+# ---------------------------------------------------------------------
+# charset-aware body decode
+# ---------------------------------------------------------------------
+
+#: charset= parameter in a Content-Type header value
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)", re.I)
+#: <meta charset=...> / <meta http-equiv content="...charset=..."> in
+#: the document head (the sniff window, decoded permissively)
+_META_CHARSET_RE = re.compile(
+    r"<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)", re.I
+)
+_META_SNIFF_BYTES = 1024
+
+#: label normalization, WHATWG-style: browsers decode iso-8859-1 /
+#: ascii-labelled pages as windows-1252 (the superset real pages use —
+#: 0x80–0x9F carry €/™/… there, control chars in true latin-1)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "cp1252": "windows-1252",
+    "x-sjis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "gb2312": "gbk",  # WHATWG maps the gb2312 label to GBK
+    "utf8": "utf-8",
+}
+
+
+def _normalize_charset(label: str) -> str | None:
+    """Charset label → Python codec name, or None if unknown (an
+    unknown declared label falls through to content sniffing rather
+    than crashing the record)."""
+    name = _CHARSET_ALIASES.get(label.strip().lower(), label.strip().lower())
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None
+    return name
+
+
+def resolve_charset(body: bytes, content_type: str | None) -> str:
+    """Pick the decode charset for an HTTP body, browser-style
+    precedence: BOM > Content-Type charset param > <meta charset>
+    sniff (first 1 KiB) > strict-UTF-8 probe > windows-1252.
+
+    Real crawls are 15–20%% legacy-charset (windows-1252, Shift-JIS,
+    GBK, …) — decoding those as UTF-8 turns every non-ASCII byte into
+    replacement-char mojibake that then feeds the clean/chunk/embed
+    tail. Reference anchor: the live path delegates this to
+    ``requests``' charset handling (website-local/main.py:22-49);
+    the WARC path must do it itself.
+    """
+    if body.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig"
+    if body.startswith(codecs.BOM_UTF16_LE):
+        return "utf-16-le"
+    if body.startswith(codecs.BOM_UTF16_BE):
+        return "utf-16-be"
+    m = _CT_CHARSET_RE.search(content_type or "")
+    if m:
+        name = _normalize_charset(m.group(1))
+        if name:
+            return name
+    head = body[:_META_SNIFF_BYTES].decode("latin-1", "replace")
+    m = _META_CHARSET_RE.search(head)
+    if m:
+        name = _normalize_charset(m.group(1))
+        if name:
+            return name
+    try:
+        body.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
+def decode_http_body(body: bytes, content_type: str | None) -> tuple[str, str]:
+    """(decoded text, charset used). Decoding never raises: a declared
+    charset with stray invalid sequences degrades per-char
+    (errors='replace'), matching browser behavior — and BOM bytes are
+    consumed, not emitted as a U+FEFF prefix char."""
+    charset = resolve_charset(body, content_type)
+    if charset == "utf-16-le" or charset == "utf-16-be":
+        body = body[2:]  # strip the BOM; -le/-be codecs keep it otherwise
+    return body.decode(charset, "replace"), charset
+
+
+def warc_response_docs(records: DataFrame, with_charset: bool = False) -> DataFrame:
     """response records → document rows ready for the HTML pipeline:
-    2xx responses only, body decoded as UTF-8 (binary→string cast —
-    invalid sequences become replacement chars JVM-side, no Python).
-    Columns (url, html) line up with the live-fetch path's page rows
-    so clean/split/chunk/embed apply unchanged."""
-    return (
+    2xx responses only, body decoded CHARSET-AWARE (BOM / Content-Type
+    param / meta sniff / UTF-8 probe / windows-1252 — see
+    ``resolve_charset``) in one Arrow-batched stage. Columns
+    (url, html) line up with the live-fetch path's page rows so
+    clean/split/chunk/embed apply unchanged; ``with_charset=True``
+    adds the detected charset column (ingest observability: the
+    legacy-charset fraction of a crawl is a quality dial worth
+    tracking)."""
+
+    @F.pandas_udf("html string, charset string")
+    def _decode(body: pd.Series, ctype: pd.Series) -> pd.DataFrame:
+        out = [
+            decode_http_body(bytes(b) if b is not None else b"", c)
+            for b, c in zip(body, ctype)
+        ]
+        return pd.DataFrame(out, columns=["html", "charset"])
+
+    docs = (
         records.filter(
             (F.col("record_type") == "response")
             & F.col("http_status").between(200, 299)
@@ -397,9 +503,11 @@ def warc_response_docs(records: DataFrame) -> DataFrame:
         )
         .select(
             F.col("target_uri").alias("url"),
-            F.col("body").cast("string").alias("html"),
+            _decode(F.col("body"), F.col("content_type")).alias("__dec"),
         )
+        .select("url", "__dec.html", "__dec.charset")
     )
+    return docs if with_charset else docs.drop("charset")
 
 
 # ---------------------------------------------------------------------
@@ -493,14 +601,50 @@ def synthetic_warc_gz(doc_id: int, text: str) -> bytes:
     return gzip_member(info) + gzip_member(req) + gzip_member(resp)
 
 
-def attach_synthetic_warc(df: DataFrame) -> DataFrame:
-    """DQ encode stage: (doc_id, text) → a real 3-record .warc.gz blob
-    per row (Arrow scalar UDF, batch-wise)."""
+#: charset-rotation fixture matrix (doc_id % 4): each row is
+#: (marker prepended to the ASCII doc text, python codec to encode
+#: with, Content-Type header sent, charset the decoder must DETECT).
+#: Case 0 declares the iso-8859-1 LABEL (the alias browsers — and we —
+#: decode as windows-1252); case 1 declares only via <meta> (header
+#: carries no param); case 2 is BOM-only; case 3 is undeclared
+#: non-ASCII UTF-8 (the strict-probe path).
+_CHARSET_FIXTURE = [
+    ("£é¥ ", "cp1252", "text/html; charset=iso-8859-1", "windows-1252"),
+    ('<meta charset="shift_jis">日本語 ', "shift_jis", "text/html", "shift_jis"),
+    ("Ünïcode ", "utf-8-sig", "text/html", "utf-8-sig"),
+    ("Çafé ", "utf-8", "text/html", "utf-8"),
+]
+
+
+def synthetic_warc_gz_charset(doc_id: int, text: str) -> bytes:
+    """Charset-rotating variant of ``synthetic_warc_gz``: the response
+    body is a non-ASCII marker + the doc text, encoded in a legacy or
+    BOM'd charset per ``_CHARSET_FIXTURE``, with the declaration
+    arriving via header param / meta tag / BOM / not at all — on top
+    of the same chunked/gzip transfer rotation."""
+    marker, codec, ctype, _ = _CHARSET_FIXTURE[doc_id % 4]
+    uri = f"https://ex.com/d/{doc_id}"
+    rid = f"<urn:uuid:{doc_id:032x}>"
+    resp_block = http_response_block(
+        (marker + text).encode(codec),
+        content_type=ctype,
+        chunked=(doc_id % 3 == 0),
+        gzip_body=(doc_id % 5 == 0),
+    )
+    resp = build_warc_record("response", resp_block, uri=uri, record_id=rid)
+    return gzip_member(resp)
+
+
+def attach_synthetic_warc(df: DataFrame, charsets: bool = False) -> DataFrame:
+    """DQ encode stage: (doc_id, text) → a real .warc.gz blob per row
+    (Arrow scalar UDF, batch-wise); ``charsets=True`` switches to the
+    charset-rotation single-record encoder."""
+    synth = synthetic_warc_gz_charset if charsets else synthetic_warc_gz
 
     @F.pandas_udf(BinaryType())
     def _synth(doc_id: pd.Series, text: pd.Series) -> pd.Series:
         return pd.Series(
-            [synthetic_warc_gz(int(d), str(t)) for d, t in zip(doc_id, text)]
+            [synth(int(d), str(t)) for d, t in zip(doc_id, text)]
         )
 
     return df.withColumn("payload", _synth(F.col("doc_id"), F.col("text")))

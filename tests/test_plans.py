@@ -121,6 +121,7 @@ PYTHON_OK: set[str] = {
     "multimodal_header_decode",  # struct-parse of binary headers is the point
     "multimodal_pixel_decode",   # stdlib PNG/GIF/BMP pixel codecs are the point
     "warc_extract",              # stdlib WARC member-walk/HTTP decode is the point
+    "warc_extract_charset",      # + codecs-based charset-aware body decode
 }
 
 #: executes a live streaming job on call — excluded from plan lint

@@ -296,6 +296,61 @@ def test_write_warc_shards_roundtrip(spark, tmp_path):
     assert got == orig
 
 
+def test_resolve_charset_precedence():
+    """BOM > Content-Type param > meta sniff > UTF-8 probe >
+    windows-1252, with WHATWG alias normalization."""
+    from data_ingestion_spark.sources.warc import decode_http_body, resolve_charset
+
+    # BOM wins even over a contradicting header
+    assert resolve_charset(b"\xef\xbb\xbfhi", "text/html; charset=shift_jis") == "utf-8-sig"
+    assert resolve_charset(b"\xff\xfeh\x00", None) == "utf-16-le"
+    assert resolve_charset(b"\xfe\xff\x00h", None) == "utf-16-be"
+    # header param, alias-normalized like a browser
+    assert resolve_charset(b"hi", "text/html; charset=ISO-8859-1") == "windows-1252"
+    assert resolve_charset(b"hi", 'text/html; charset="Shift-JIS"') == "shift_jis"
+    assert resolve_charset(b"hi", "text/html; charset=gb2312") == "gbk"
+    # header beats meta
+    assert (
+        resolve_charset(b'<meta charset="shift_jis">', "text/html; charset=utf-8")
+        == "utf-8"
+    )
+    # meta sniff when the header has no param
+    assert resolve_charset(b'<meta charset="windows-1252">x', "text/html") == "windows-1252"
+    assert (
+        resolve_charset(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=shift_jis">',
+            None,
+        )
+        == "shift_jis"
+    )
+    # unknown declared label falls through to the probe
+    assert resolve_charset(b"plain ascii", "text/html; charset=klingon-8") == "utf-8"
+    # valid UTF-8 bytes probe as UTF-8; invalid fall back to cp1252
+    assert resolve_charset("héllo".encode("utf-8"), None) == "utf-8"
+    assert resolve_charset("héllo".encode("cp1252"), None) == "windows-1252"
+    # utf-16 BOM consumed, not emitted
+    text, cs = decode_http_body("hi".encode("utf-16"), None)  # utf-16 writes a BOM
+    assert (text, cs) in {("hi", "utf-16-le"), ("hi", "utf-16-be")}
+
+
+def test_warc_response_docs_no_mojibake(spark, tmp_path):
+    """A windows-1252 page with £/é/¥ must decode to the exact chars
+    through the full Spark stage — not replacement-char mojibake
+    (the pre-charset-aware behavior: a plain UTF-8 cast)."""
+    page = "Price: £9 — café ¥100"
+    block = http_response_block(
+        page.encode("cp1252"), content_type="text/html; charset=iso-8859-1"
+    )
+    rec = build_warc_record("response", block, uri="https://ex.com/legacy")
+    (tmp_path / "a.warc.gz").write_bytes(gzip_member(rec))
+    from data_ingestion_spark.sources.catalog import read_binary_dir
+
+    recs = warc_records(read_binary_dir(spark, str(tmp_path), "*.warc.gz"))
+    rows = warc_response_docs(recs, with_charset=True).collect()
+    assert rows[0].html == page and "�" not in rows[0].html
+    assert rows[0].charset == "windows-1252"
+
+
 def test_negative_chunk_size_degrades():
     # int('-3', 16) parses — negative framing must flag, not mangle offsets
     block = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n-3\r\nABCDEF\r\n0\r\n\r\n"
