@@ -49,6 +49,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: charset-aware WARC body decode
     # (BOM / header / meta-sniff / probe / cp1252 fallback)
     "warc_extract_charset",
+    # never-checked r10 addition: inverted-index batch BM25 (query
+    # table -> postings equi-join; exact integer micro-scores)
+    "rank_bm25_batch",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -97,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_collect_list",
     "agg_numeric_stats",
     "agg_count_distinct",
-    "agg_rollup",
 ]
 
 

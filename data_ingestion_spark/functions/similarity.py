@@ -593,6 +593,120 @@ def bm25_rank(
     )
 
 
+def bm25_rank_batch(
+    queries_df: DataFrame,
+    docs_df: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    materialize: bool = True,
+) -> DataFrame:
+    """BM25 for a query TABLE — the inverted-index form, the
+    production eval/serving shape (`bm25_rank` takes one literal
+    query and runs one job per query; batch retrieval scores N
+    queries in ONE plan).
+
+    Shape, 100 TB-ready: docs tokenize once into postings
+    (explode → groupBy (term, doc) → tf, dl); postings are
+    semi-joined against the distinct query-term set (broadcast —
+    queries are tiny next to the corpus) so only relevant postings
+    survive; per-term document frequency reduces through a PARTIAL
+    aggregate (the exchange moves ≤ partitions × |terms| partial
+    counts — deliberately NOT a window over the term partition, which
+    would shuffle every matched posting by term and skew on common
+    terms) into a ≤|terms|-row table broadcast back; each surviving
+    posting expands per query via broadcast equi-joins, and
+    per-(query, doc) scores reduce in one groupBy. At real scale the
+    postings/stats subtrees should be a MATERIALIZED index (write
+    parquet once, serve many batches) — this function is the
+    query-time half of that plan as one lazy pipeline (AQE reuses
+    the postings exchange across the df/score branches).
+
+    Determinism without controlling float fold order: each per-term
+    contribution is computed in doubles, scaled by 1e6 and rounded to
+    a BIGINT ("micros"); the per-(query, doc) score is then an exact
+    integer sum — associative, so groupBy order cannot flap the hash
+    — and ranking orders by micros with an id tiebreak. Same +1
+    'Lucene' idf and query-side tokenizer/dedupe as `bm25_rank`.
+    Only docs containing ≥1 query term appear (standard retrieval
+    semantics; the literal form scores non-matches as 0.0).
+
+    Returns (query_id, doc_id, score, rank), rank 1..topk per query.
+    """
+    from pyspark.sql import Window
+
+    def tok(col: Column) -> Column:
+        return F.filter(
+            F.split(F.lower(col), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+        )
+
+    qterms = queries_df.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tok(F.col(query_text_col)))).alias("__t"),
+    )
+    base = docs_df.select(F.col(id_col), tok(F.col(text_col)).alias("__w")).withColumn(
+        "__dl", F.size("__w").cast("double")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    postings = (
+        base.select(id_col, "__dl", F.explode("__w").alias("__t"))
+        .groupBy("__t", id_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    matched = postings.join(
+        F.broadcast(qterms.select("__t").distinct()), "__t", "leftsemi"
+    )
+    if materialize:
+        # both the df branch and the score branch consume `matched`;
+        # without materialization Spark recomputes the tokenize +
+        # explode + (term, doc) shuffle for each branch (exchange
+        # reuse only dedupes the scan). Persisting the PRUNED
+        # postings — query-term rows only, spill-to-disk — is the
+        # single-tokenize-pass plan, and is exactly the "fetch the
+        # query terms' postings from the index once" step a
+        # production engine runs against its materialized index.
+        from pyspark import StorageLevel
+
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    # postings are unique on (term, doc): counting rows per term IS
+    # document frequency — computed only for query terms, BEFORE
+    # per-query expansion duplicates rows; the result is ≤|terms|
+    # rows, broadcast back
+    dfs = matched.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    expanded = (
+        matched.join(F.broadcast(dfs), "__t")
+        .join(F.broadcast(qterms), "__t")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    denom = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    micro = F.round(idf * (F.col("__tf") * (k1 + 1.0)) / denom * 1e6).cast("bigint")
+    scores = expanded.groupBy(query_id_col, id_col).agg(
+        F.sum(micro).alias("__micros")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__micros").desc(), F.col(id_col)
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("__micros") / F.lit(1000000.0)).alias("score"),
+            "rank",
+        )
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

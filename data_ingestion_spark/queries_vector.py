@@ -742,6 +742,69 @@ def rank_bm25(spark, sf_dir):
     return bm25_rank(d, _BM25_TERMS, topk=10)
 
 
+#: batch-BM25 fixture queries: raw text with case/punctuation mess so
+#: the query-side tokenizer (lowercase, split, dedupe) is exercised;
+#: the oracle VALUES list below carries the EXPECTED normalized terms
+_BM25_BATCH_QUERIES = [
+    (1, "Spark VECTOR!"),
+    (2, "customer, merge & order"),
+    (3, "Table JOIN group"),
+]
+_BM25_BATCH_QTERMS = [
+    (1, "spark"), (1, "vector"),
+    (2, "customer"), (2, "merge"), (2, "order"),
+    (3, "table"), (3, "join"), (3, "group"),
+]
+
+
+def _bm25_batch_oracle() -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_BATCH_QTERMS)
+    return (
+        f"WITH q(query_id, term) AS (VALUES {values}), "
+        "w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+        "base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM w), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base), "
+        "post AS (SELECT doc_id, dl, unnest(ws) AS term FROM base), "
+        "tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, "
+        "min(dl) AS dl FROM post GROUP BY doc_id, term), "
+        "matched AS (SELECT t.*, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df "
+        "FROM tfs t WHERE term IN (SELECT DISTINCT term FROM q)), "
+        "contrib AS (SELECT q.query_id, m.doc_id, "
+        "CAST(round(ln((s.n - m.df + 0.5) / (m.df + 0.5) + 1.0) "
+        "* (m.tf * 2.2) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl)) "
+        "* 1000000.0) AS BIGINT) AS micro "
+        "FROM matched m JOIN q ON q.term = m.term, stats s), "
+        "sc AS (SELECT query_id, doc_id, sum(micro) AS micros "
+        "FROM contrib GROUP BY query_id, doc_id), "
+        "r AS (SELECT query_id, doc_id, micros / 1000000.0 AS score, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY micros DESC, doc_id) AS INTEGER) AS rank FROM sc) "
+        "SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10"
+    )
+
+
+@q("rank_bm25_batch", _bm25_batch_oracle())
+def rank_bm25_batch(spark, sf_dir):
+    """BM25 for a query TABLE — the inverted-index form and the
+    production eval/serving shape (one plan scores all queries;
+    rank_bm25's literal form runs one job per query). Three fixture
+    queries with case/punctuation mess go through the real query
+    tokenizer; docs explode into (term, doc) postings, postings
+    semi-join the broadcast term set, document frequency is a
+    windowed count over the term partition, and per-(query, doc)
+    scores sum EXACT integer micros (per-term contributions rounded
+    to 1e-6 before the sum) so aggregation order cannot flap the
+    hash. Oracle replicates the whole pipeline in DuckDB from the
+    expected normalized terms. Top-10 per query, micros-desc with
+    doc_id tiebreak."""
+    from .functions.similarity import bm25_rank_batch
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    return bm25_rank_batch(qdf, d, topk=10)
+
+
 _HYBRID_QTEXT = "spark vector customer merge"
 
 

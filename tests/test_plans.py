@@ -110,6 +110,7 @@ CROSS_OK = {
     "rag_context_assemble",
     "quality_unigram_logprob", # 1-row corpus-total broadcast
     "rank_bm25",               # 1-row BM25 stats broadcast (N, avgdl, dfs)
+    "rank_bm25_batch",         # 1-row (N, avgdl) stats broadcast
     "hybrid_rank_rrf",         # same stats row inside the lexical half
 }
 

@@ -129,6 +129,41 @@ def test_bm25_rank_query_normalization(spark):
     assert dup == plain
 
 
+def test_bm25_rank_batch_matches_literal_form(spark):
+    """The inverted-index batch form must agree with the literal form
+    per query: same scores (to the 1e-6 micro grid) and same ranking
+    over the docs that match ≥1 term (the batch form omits
+    zero-score non-matches by design)."""
+    from data_ingestion_spark.functions.similarity import bm25_rank, bm25_rank_batch
+
+    rows = [
+        (0, "spark vector spark vector index"),
+        (1, "spark table join group by order"),
+        (2, "vector index probe recall"),
+        (3, "table join group order filter scan"),
+        (4, "spark table scan"),
+        (5, "table scan filter"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "Spark vector"), (2, "table SCAN")], "query_id int, query_text string"
+    )
+    got = bm25_rank_batch(qdf, docs, topk=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = (r.score, r.rank)
+    for qid, terms in [(1, ["Spark", "vector"]), (2, ["table", "SCAN"])]:
+        lit = {r.doc_id: r.score for r in bm25_rank(docs, terms, topk=10).collect()}
+        matches = {d: s for d, s in lit.items() if s > 0.0}
+        assert set(by_q[qid]) == set(matches)
+        for d, s in matches.items():
+            assert abs(by_q[qid][d][0] - s) < 2e-6, (qid, d)
+        # ranking agrees: order by literal score desc, id asc
+        want_order = [d for d, _ in sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))]
+        got_order = [d for d, _ in sorted(by_q[qid].items(), key=lambda kv: kv[1][1])]
+        assert got_order == want_order
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF: a doc in both lists beats single-list docs of comparable
     rank; disjoint ids survive the full outer; k dampens rank gaps."""
