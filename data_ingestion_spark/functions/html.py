@@ -291,6 +291,34 @@ def fetch_pages(df: DataFrame, url_col: str = "url", fetcher: Fetcher | None = N
 #: dedup keys without changing the resource)
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)="
 
+#: RFC 3986 unreserved characters: percent-escapes of these decode to
+#: the literal char (they never affect parsing, so '%7Euser' and
+#: '~user' are the same resource); every OTHER escape — reserved
+#: chars like %2F, %25 itself, non-ASCII bytes — must stay encoded
+#: (decoding them would change component boundaries or meaning) and
+#: only gets its hex digits uppercased.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def pct_normalize(col: Column) -> Column:
+    """Percent-encoding normalization (RFC 3986 §6.2.2.1–2) as a pure
+    JVM regexp chain: uppercase the hex digits of every valid escape
+    (two passes of six single-digit rewrites per position — '%3f' →
+    '%3F'), then decode escapes of unreserved characters ('%7E' →
+    '~'). '%' followed by non-hex is not an escape and passes
+    untouched; '%25' is reserved and stays encoded, which is what
+    makes the rewrite idempotent (no decoded char can re-form an
+    escape)."""
+    for d in "abcdef":
+        col = F.regexp_replace(col, f"%{d}([0-9A-Fa-f])", f"%{d.upper()}$1")
+    for d in "abcdef":
+        col = F.regexp_replace(col, f"%([0-9A-F]){d}", f"%$1{d.upper()}")
+    for ch in _UNRESERVED:
+        col = F.regexp_replace(col, "%%%02X" % ord(ch), ch)
+    return col
+
 
 def canonical_url(url: Column) -> Column:
     """Canonicalize an absolute http(s) URL into a crawl dedup key —
@@ -306,22 +334,30 @@ def canonical_url(url: Column) -> Column:
     (utm_*/gclid/fbclid); sort surviving query params byte-wise;
     strip trailing path slashes; drop an empty '?'.
 
-    NOT done (documented limits): IDN/percent-encoding normalization
-    (needs codec tables — a Python stage if ever required) and
-    dot-segment resolution (absent from crawl frontiers in practice).
-    Inputs that are not scheme://authority URLs (relative paths,
-    mailto:, NULL-ish strings) pass through UNCHANGED — collapsing
-    them to '' would silently merge every malformed row into one
-    dedup key.
+    Percent-encoding is normalized FIRST (``pct_normalize``: hex
+    digits uppercased, unreserved-char escapes decoded — '%7Euser',
+    '%7euser' and '~user' become one key) and BEFORE param sorting,
+    so '?%63=2&b=1' and '?c=2&b=1' sort identically. Reserved
+    escapes (%2F, %25, non-ASCII bytes) stay encoded — decoding them
+    would change component boundaries — so the rewrite cannot move a
+    '?' or '#' and is idempotent.
+
+    NOT done (documented limits): IDN host normalization (needs
+    codec tables — a Python stage if ever required) and dot-segment
+    resolution (absent from crawl frontiers in practice). Inputs
+    that are not scheme://authority URLs (relative paths, mailto:,
+    NULL-ish strings) pass through UNCHANGED — collapsing them to
+    '' would silently merge every malformed row into one dedup key.
     """
-    head = F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    norm = pct_normalize(url)  # passthrough below returns the ORIGINAL
+    head = F.regexp_extract(norm, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    path = F.regexp_extract(norm, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     # lazy pre-fragment prefix: [^#] cannot cross '#', so a '?' that
     # only appears inside the fragment ('/a#/r?tab=1', SPA hash
     # routes) yields NO query instead of resurrecting fragment
     # content as one — which would collide the page with a genuinely
     # different resource
-    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
+    query = F.regexp_extract(norm, r"^[^#]*?\?([^#]*)", 1)
     head = F.lower(head)
     head = F.regexp_replace(head, r"^(http://[^/?#:]*):80$", "$1")
     head = F.regexp_replace(head, r"^(https://[^/?#:]*):443$", "$1")

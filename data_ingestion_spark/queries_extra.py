@@ -1388,20 +1388,40 @@ def warc_extract_charset(spark, sf_dir):
     )
 
 
+def _canon_pct_sql(expr: str) -> str:
+    """DuckDB twin of html.pct_normalize: the same 12 hex-uppercase
+    rewrites + 66 unreserved-escape decodes, nested (DuckDB
+    regexp_replace needs the explicit 'g' flag — it replaces only
+    the first match by default)."""
+    from .functions.html import _UNRESERVED
+
+    for d in "abcdef":
+        expr = f"regexp_replace({expr}, '%{d}([0-9A-Fa-f])', '%{d.upper()}\\1', 'g')"
+    for d in "abcdef":
+        expr = f"regexp_replace({expr}, '%([0-9A-F]){d}', '%\\1{d.upper()}', 'g')"
+    for ch in _UNRESERVED:
+        expr = f"regexp_replace({expr}, '%{ord(ch):02X}', '{ch}', 'g')"
+    return expr
+
+
 _CANON_ORACLE = (
     "WITH u AS (SELECT doc_id, "
     "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Ex' ELSE 'HTTPS://Ex' END) "
     "|| CAST(doc_id % 3 AS VARCHAR) || "
     "(CASE WHEN doc_id % 2 = 0 THEN '.COM:80/Docs/' ELSE '.COM:443/Docs/' END) "
     "|| CAST(doc_id AS VARCHAR) || "
+    "(CASE CAST(doc_id % 7 AS INTEGER) "
+    "WHEN 0 THEN '/%7euser' WHEN 1 THEN '/%41%62c' "
+    "WHEN 2 THEN '/a%2fb' WHEN 3 THEN '/caf%c3%a9' ELSE '' END) || "
     "(CASE CAST(doc_id % 5 AS INTEGER) "
     "WHEN 0 THEN '/?utm_source=mail&b=2&a=1#sec' "
-    "WHEN 1 THEN '?z=9&y=8&utm_campaign=c' "
+    "WHEN 1 THEN '?z=9&y=8&utm_campaign=c&%63=1' "
     "WHEN 2 THEN '/' WHEN 3 THEN '#/route?tab=1' ELSE '' END) AS url FROM documents), "
+    "n AS (SELECT doc_id, " + _canon_pct_sql("url") + " AS url FROM u), "
     "s1 AS (SELECT doc_id, "
     "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head, "
     "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path, "
-    "regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query FROM u), "
+    "regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query FROM n), "
     "s2 AS (SELECT doc_id, "
     "regexp_replace(regexp_replace(lower(head), '^(http://[^/?#:]*):80$', '\\1'), "
     "'^(https://[^/?#:]*):443$', '\\1') AS head2, "
@@ -1421,8 +1441,11 @@ def url_canonicalize(spark, sf_dir):
     across crawls, and naive URL-distinct treats them as different
     documents. Fixture URLs are built from doc_id with rotating mess
     (uppercase scheme+host, scheme-default ports, tracking params,
-    unsorted queries, trailing slashes, fragments — construction
-    mirrored in the oracle, the crawl_frontier pattern) and
+    unsorted queries, trailing slashes, fragments incl. hash-route
+    '?', and percent-escapes: unreserved '%7e'/'%41%62', reserved
+    '%2f', non-ASCII '%c3%a9', an encoded '%63=' param that must
+    decode BEFORE the byte-sort — construction mirrored in the
+    oracle, the crawl_frontier pattern) and
     html.canonical_url normalizes them: lowercase authority, default
     port stripped (scheme-matched), fragment dropped, utm_*/gclid/
     fbclid dropped, params byte-sorted, trailing slash stripped.
@@ -1439,8 +1462,13 @@ def url_canonicalize(spark, sf_dir):
             F.lit(".COM:443/Docs/")
         ),
         did.cast("string"),
+        F.when(did % 7 == 0, F.lit("/%7euser"))
+        .when(did % 7 == 1, F.lit("/%41%62c"))
+        .when(did % 7 == 2, F.lit("/a%2fb"))
+        .when(did % 7 == 3, F.lit("/caf%c3%a9"))
+        .otherwise(F.lit("")),
         F.when(did % 5 == 0, F.lit("/?utm_source=mail&b=2&a=1#sec"))
-        .when(did % 5 == 1, F.lit("?z=9&y=8&utm_campaign=c"))
+        .when(did % 5 == 1, F.lit("?z=9&y=8&utm_campaign=c&%63=1"))
         .when(did % 5 == 2, F.lit("/"))
         .when(did % 5 == 3, F.lit("#/route?tab=1"))
         .otherwise(F.lit("")),

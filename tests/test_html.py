@@ -219,6 +219,16 @@ def test_canonical_url_cases(spark):
         ("http://ex.com/a#frag?x=1", "http://ex.com/a"),
         ("https://ex.com/app#/route?tab=1&b=2", "https://ex.com/app"),
         ("https://ex.com/p?a=1#f?x=2", "https://ex.com/p?a=1"),  # real query kept, fragment's ignored
+        # percent-encoding normalization (RFC 3986 6.2.2): unreserved
+        # escapes decode, everything else keeps (uppercased) encoding
+        ("https://ex.com/%7euser", "https://ex.com/~user"),
+        ("https://ex.com/%41%62c", "https://ex.com/Abc"),
+        ("https://ex.com/a%2fb", "https://ex.com/a%2Fb"),      # %2F reserved: encoded, hex uppercased
+        ("https://ex.com/caf%c3%a9", "https://ex.com/caf%C3%A9"),  # non-ASCII stays encoded
+        ("https://ex.com/p%25q", "https://ex.com/p%25q"),      # %25 (the escape char) never decodes
+        ("https://ex.com/100%", "https://ex.com/100%"),        # stray % is not an escape
+        ("https://ex.com/p?%63=2&b=1", "https://ex.com/p?b=1&c=2"),  # decode BEFORE param sort
+        ("https://ex.com/p?x=%7e&y=2", "https://ex.com/p?x=~&y=2"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
@@ -249,7 +259,7 @@ def test_canonical_url_idempotent(spark):
     schemes = ["http://", "HTTP://", "https://", "HTTPS://", ""]
     hosts = ["Ex.COM", "ex.com", "a.b.c", "", ":80"]
     ports = ["", ":80", ":443", ":8080"]
-    paths = ["", "/", "/A/b/", "/x//", "/p"]
+    paths = ["", "/", "/A/b/", "/x//", "/p", "/%7e", "/a%2fb", "/caf%c3%a9", "/100%", "/%zz"]
     queries = ["", "?", "?b=2&a=1", "?utm_source=x", "?a=/&z=1", "?a=1&a=1"]
     frags = ["", "#f", "#", "#/r?tab=1", "#?x=1"]
     urls = [
