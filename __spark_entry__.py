@@ -52,6 +52,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: inverted-index batch BM25 (query
     # table -> postings equi-join; exact integer micro-scores)
     "rank_bm25_batch",
+    # never-checked r10 addition: robots.txt politeness gate for the
+    # crawl frontier (longest-prefix REP semantics)
+    "crawl_robots_gate",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -99,7 +102,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_global_count",
     "agg_collect_list",
     "agg_numeric_stats",
-    "agg_count_distinct",
 ]
 
 

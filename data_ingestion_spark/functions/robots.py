@@ -1,0 +1,153 @@
+"""robots.txt politeness gate for the crawl frontier.
+
+Reference anchor: the reference's website pipeline crawls live URLs
+(website-ingestion-pipeline.py, the crawl step P:166-191) with no
+robots gate — acceptable for its own docs site, not for a general
+crawler. Any real user re-fetching `snapshot_diff`'s added/changed
+set must filter through the target hosts' robots.txt first; this
+module is that gate, engine-side.
+
+Semantics (documented, oracle-able): the Google REP prefix model,
+simplified — rules are (path-prefix, allow/disallow) taken from the
+``User-agent: *`` group(s); a rule matches a URL when the URL's path
+starts with the rule's path; the LONGEST matching rule decides, an
+allow wins a length tie, and a URL matching no rule is allowed.
+NOT implemented (documented limits): ``*`` wildcards and ``$``
+anchors inside rule paths (both rare; a matching rule containing
+``*`` is kept as a literal prefix), per-bot user-agent groups
+(we always take ``*``), and Crawl-delay scheduling (a rate concern
+for the fetcher, not a filter concern).
+
+The 100 TB shape: robots bodies are one tiny document per HOST —
+parsing them in an Arrow-batched Python stage costs nothing next to
+the fetch, and the resulting rule table is |hosts| x ~10 rows. The
+frontier join is host-keyed: broadcast when the rule table is small
+(the default here), a plain shuffled equi-join when a crawl spans more
+hosts than a broadcast can carry; either way the decision reduces
+per-URL with an ordinary max aggregate — no window over skewed host
+partitions, no Python in the per-URL hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: parsed-rule schema: one row per (host, prefix, allow)
+RULES_SCHEMA = "host string, rule_path string, allow boolean"
+
+
+def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
+    """Parse one robots.txt body into the ``User-agent: *`` group's
+    (path-prefix, allow) rules. Group logic per REP: consecutive
+    User-agent lines open a group; the first Allow/Disallow closes
+    the group's UA list; an empty ``Disallow:`` means 'allow all'
+    and contributes no rule. Comments (#) and unknown directives
+    are ignored; parsing never raises on hostile input."""
+    rules: list[tuple[str, bool]] = []
+    uas: list[str] = []
+    group_has_rules = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if group_has_rules:
+                uas = []
+                group_has_rules = False
+            uas.append(value.lower())
+        elif key in ("allow", "disallow"):
+            group_has_rules = True
+            if "*" in uas and value:
+                rules.append((value, key == "allow"))
+    return rules
+
+
+def parse_robots_rules(
+    robots_df: DataFrame, host_col: str = "host", body_col: str = "robots_body"
+) -> DataFrame:
+    """(host, robots_body) rows → the ``RULES_SCHEMA`` rule table.
+    One Arrow-batched narrow stage; robots bodies are tiny (one per
+    host) so this is never the hot path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                for path, allow in robots_rules_for_star(
+                    body if isinstance(body, str) else ""
+                ):
+                    rows.append((host, path, allow))
+            yield pd.DataFrame(rows, columns=["host", "rule_path", "allow"])
+
+    return robots_df.select(host_col, body_col).mapInPandas(run, RULES_SCHEMA)
+
+
+def robots_decisions(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Attach the robots verdict to every frontier row: frontier
+    columns + ``allowed`` boolean. Host and path come from the URL;
+    rules join host-equi (broadcast by default — pass
+    ``broadcast_rules=False`` for a crawl whose rule table outgrows
+    a broadcast), a matching rule requires the path to start with the
+    rule's prefix, and the per-URL decision is one max aggregate over
+    ``struct(len(prefix), allow)`` — longest rule wins, allow wins
+    the tie, no match ⇒ allowed. No Python per URL; one shuffle
+    (the groupBy)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
+    tagged = frontier.withColumn("__host", host).withColumn("__path", path)
+    r = rules.select(
+        F.col("host").alias("__rhost"),
+        F.col("rule_path").alias("__rpath"),
+        F.col("allow").alias("__rallow"),
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    joined = tagged.join(
+        r,
+        (F.col("__host") == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("__rpath")),
+        "left_outer",
+    )
+    decided = (
+        joined.groupBy(*[F.col(c) for c in frontier.columns], "__host", "__path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("__rpath").alias("l"), F.col("__rallow").alias("a")
+                )
+            ).alias("__best")
+        )
+        .withColumn(
+            "allowed",
+            F.when(F.col("__best").isNull(), F.lit(True)).otherwise(
+                F.coalesce(F.col("__best.a"), F.lit(True))
+            ),
+        )
+    )
+    return decided.select(*frontier.columns, "allowed")
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Frontier rows whose URL the ``*`` group permits — the gate to
+    run between `snapshot_diff`'s added/changed output and the
+    re-fetch stage."""
+    return robots_decisions(frontier, rules, url_col, broadcast_rules).filter(
+        F.col("allowed")
+    ).drop("allowed")

@@ -1520,3 +1520,96 @@ def crawl_snapshot_diff(spark, sf_dir):
         ).alias("body_md5"),
     )
     return snapshot_diff(gen_a, gen_b, "url", "body_md5")
+
+
+_ROBOTS_BODIES = [
+    # k%3==0: disallow a subtree, re-allow a deeper one (longest wins)
+    "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
+    # k%3==1: a bot-specific group that must be IGNORED, then the *
+    # group; comment + blank-line noise
+    "User-agent: bot\nDisallow: /\n\n# politeness\nUser-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n",
+    # k%3==2: empty Disallow == allow everything (no rules)
+    "User-agent: *\nDisallow:\n",
+]
+
+_ROBOTS_PATHS = ["/private/pub/x", "/private/x", "/tmp/okay", "/tmp/zz", "/ok"]
+
+#: expected parse of _ROBOTS_BODIES for hosts h0..h5 (k%3 rotation) —
+#: the parser itself is pinned by pytest; the oracle replicates the
+#: MATCH semantics (longest prefix, allow wins ties, no match=allow)
+_ROBOTS_RULE_VALUES = ", ".join(
+    f"('h{k}.ex.com', '{p}', {str(a).lower()})"
+    for k in range(6)
+    for p, a in {
+        0: [("/private/", False), ("/private/pub/", True)],
+        1: [("/tmp/", False), ("/tmp/ok", True)],
+        2: [],
+    }[k % 3]
+)
+
+_ROBOTS_ORACLE = (
+    "WITH f AS (SELECT doc_id, "
+    "'h' || CAST(doc_id % 6 AS VARCHAR) || '.ex.com' AS host, "
+    "CASE CAST(doc_id % 5 AS INTEGER) "
+    "WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x' "
+    "WHEN 2 THEN '/tmp/okay' WHEN 3 THEN '/tmp/zz' ELSE '/ok' END AS path "
+    "FROM documents), "
+    f"r(host, rule_path, allow) AS (VALUES {_ROBOTS_RULE_VALUES}), "
+    "j AS (SELECT f.doc_id, 'https://' || f.host || f.path AS url, "
+    # sortable match key: zero-padded prefix length + allow bit —
+    # max() picks the longest rule, allow breaking length ties
+    "max(CASE WHEN r.rule_path IS NULL THEN NULL "
+    "ELSE lpad(CAST(len(r.rule_path) AS VARCHAR), 4, '0') || "
+    "(CASE WHEN r.allow THEN '1' ELSE '0' END) END) AS best "
+    "FROM f LEFT JOIN r ON f.host = r.host "
+    "AND starts_with(f.path, r.rule_path) GROUP BY f.doc_id, f.host, f.path) "
+    "SELECT doc_id, url, "
+    "CASE WHEN best IS NULL THEN true ELSE best LIKE '%1' END AS allowed FROM j"
+)
+
+
+@q("crawl_robots_gate", _ROBOTS_ORACLE)
+def crawl_robots_gate(spark, sf_dir):
+    """robots.txt politeness gate — the filter a production crawler
+    runs between snapshot_diff's added/changed set and the re-fetch
+    stage (the reference's crawl step, website-ingestion-pipeline.py
+    P:166-191, has no robots gate; a general crawler needs one).
+    Six fixture hosts rotate three robots bodies (subtree disallow
+    with a deeper re-allow, a bot-specific group that must be
+    ignored plus comment noise, and an empty Disallow meaning
+    allow-all); frontier URLs rotate five paths across them. The
+    REAL parser (functions/robots.py, Arrow stage over the tiny
+    per-host bodies) produces the rule table; the decision is a
+    broadcast host-equi join + one max-of-struct aggregate — longest
+    matching prefix wins, allow wins length ties, no match allows.
+    The oracle replicates the match semantics in DuckDB from the
+    expected parse (parser pinned separately by pytest). One
+    shuffle (the per-URL groupBy)."""
+    from .functions.robots import parse_robots_rules, robots_decisions
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (did % 6).cast("string"), F.lit(".ex.com"),
+            F.when(did % 5 == 0, F.lit("/private/pub/x"))
+            .when(did % 5 == 1, F.lit("/private/x"))
+            .when(did % 5 == 2, F.lit("/tmp/okay"))
+            .when(did % 5 == 3, F.lit("/tmp/zz"))
+            .otherwise(F.lit("/ok")),
+        ).alias("url"),
+    )
+    hosts = spark.range(6).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".ex.com")).alias("host"),
+        (F.col("id") % 3).cast("int").alias("k"),
+    )
+    robots = hosts.select(
+        "host",
+        F.when(F.col("k") == 0, F.lit(_ROBOTS_BODIES[0]))
+        .when(F.col("k") == 1, F.lit(_ROBOTS_BODIES[1]))
+        .otherwise(F.lit(_ROBOTS_BODIES[2]))
+        .alias("robots_body"),
+    )
+    rules = parse_robots_rules(robots)
+    return robots_decisions(frontier, rules)

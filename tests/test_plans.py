@@ -123,6 +123,7 @@ PYTHON_OK: set[str] = {
     "multimodal_pixel_decode",   # stdlib PNG/GIF/BMP pixel codecs are the point
     "warc_extract",              # stdlib WARC member-walk/HTTP decode is the point
     "warc_extract_charset",      # + codecs-based charset-aware body decode
+    "crawl_robots_gate",         # robots.txt parse over tiny per-host bodies
 }
 
 #: executes a live streaming job on call — excluded from plan lint

@@ -1,0 +1,87 @@
+"""robots.txt gate: parser group logic, longest-prefix decision
+semantics, and the broadcast-join plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_spark.functions.robots import (
+    parse_robots_rules,
+    robots_decisions,
+    robots_filter,
+    robots_rules_for_star,
+)
+
+
+def test_rules_parser_groups_and_noise():
+    body = (
+        "# header comment\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: other\n"
+        "User-agent: *\n"          # consecutive UA lines share a group
+        "Disallow: /a/  # inline comment\n"
+        "Allow: /a/b\n"
+        "Crawl-delay: 10\n"        # unknown-to-us directive ignored
+        "\n"
+        "User-agent: last\n"
+        "Disallow: /only-last/\n"
+    )
+    assert robots_rules_for_star(body) == [("/a/", False), ("/a/b", True)]
+
+
+def test_rules_parser_star_only_and_empty_disallow():
+    # empty Disallow: == allow all -> no rule rows
+    assert robots_rules_for_star("User-agent: *\nDisallow:\n") == []
+    # no * group at all
+    assert robots_rules_for_star("User-agent: bot\nDisallow: /\n") == []
+    # hostile input never raises
+    assert robots_rules_for_star("") == []
+    assert robots_rules_for_star(None) == []
+    assert robots_rules_for_star("no colons here\n\x00\xff") == []
+    # a second * group later in the file also contributes
+    two = "User-agent: *\nDisallow: /x/\n\nUser-agent: *\nDisallow: /y/\n"
+    assert robots_rules_for_star(two) == [("/x/", False), ("/y/", False)]
+
+
+def test_decisions_longest_prefix_allow_ties_and_default(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /p/\nAllow: /p/pub/\n"),
+            ("b.com", "User-agent: *\nDisallow: /t\nAllow: /t\n"),  # tie: allow wins
+            ("c.com", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_body string",
+    )
+    rules = parse_robots_rules(robots)
+    frontier = spark.createDataFrame(
+        [
+            (0, "https://a.com/p/pub/x"),   # deeper allow beats /p/
+            (1, "https://a.com/p/x"),       # disallowed
+            (2, "https://a.com/q"),         # no matching rule
+            (3, "https://b.com/tail"),      # tie at len 2 -> allow
+            (4, "https://c.com/anything"),  # host with zero rules
+            (5, "https://d.com/x"),         # host with no robots at all
+            (6, "https://A.COM/p/x"),       # host matching is case-insensitive
+            (7, "https://a.com"),           # empty path treated as '/'
+        ],
+        "id long, url string",
+    )
+    got = {r.id: r.allowed for r in robots_decisions(frontier, rules).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: True, 5: True, 6: False, 7: True}
+    kept = {r.id for r in robots_filter(frontier, rules).collect()}
+    assert kept == {0, 2, 3, 4, 5, 7}
+
+
+def test_decisions_plan_broadcasts_rules(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/\n")],
+        "host string, robots_body string",
+    )
+    frontier = spark.createDataFrame([(1, "https://a.com/p/x")], "id long, url string")
+    plan = (
+        robots_decisions(frontier, parse_robots_rules(robots))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
