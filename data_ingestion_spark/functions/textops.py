@@ -200,6 +200,15 @@ LANG_MARKERS = {
     "en": ["the", "a", "of"],
     "es": ["el", "la", "de"],
     "de": ["der", "die", "das"],
+    # r10 widening: fr/pt/it marker sets, ASCII-only by design — \b
+    # is an ASCII word boundary in BOTH Java regex (default flags)
+    # and RE2, so an accented marker like 'você' would silently never
+    # match in either engine. Real deployments would swap these tiny
+    # sets for proper stopword tables; the shape (sum of marker
+    # regexp_counts, argmax, margin) is what scales.
+    "fr": ["les", "une", "dans"],
+    "pt": ["uma", "isso", "muito"],
+    "it": ["che", "gli", "sono"],
 }
 
 
@@ -214,21 +223,30 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID: stopword-marker votes per language, argmax wins.
 
     Deterministic, pure-SQL (regexp_count is codegen'd JVM-side).
-    Ties broken by fixed language order en > es > de.
+    Ties break by ``LANG_MARKERS`` insertion order (en > es > de >
+    fr > pt > it — the first language whose score equals the max
+    wins, preserving the pre-widening en/es/de behavior exactly).
+    ``margin`` = best score − runner-up score: the confidence dial a
+    per-language curation step (e.g. token_budget_sample budgeting
+    on DETECTED language) thresholds on — margin 0 means a tie the
+    priority order decided, not a real detection.
     """
     t = F.col(text_col)
-    scored = df.withColumn("score_en", _marker_score(t, LANG_MARKERS["en"]))
-    scored = scored.withColumn("score_es", _marker_score(t, LANG_MARKERS["es"]))
-    scored = scored.withColumn("score_de", _marker_score(t, LANG_MARKERS["de"]))
-    best = (
-        F.when(
-            (F.col("score_en") >= F.col("score_es")) & (F.col("score_en") >= F.col("score_de")),
-            F.lit("en"),
-        )
-        .when(F.col("score_es") >= F.col("score_de"), F.lit("es"))
-        .otherwise(F.lit("de"))
-    )
-    return scored.withColumn("predicted_lang", best)
+    scored = df
+    for lang, words in LANG_MARKERS.items():
+        scored = scored.withColumn(f"score_{lang}", _marker_score(t, words))
+    scores = [F.col(f"score_{lang}") for lang in LANG_MARKERS]
+    gmax = F.greatest(*scores)
+    best = F.lit(None).cast("string")
+    chain = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") == gmax
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    best = chain
+    n = len(LANG_MARKERS)
+    asc = F.array_sort(F.array(*scores))
+    margin = F.element_at(asc, n) - F.element_at(asc, n - 1)
+    return scored.withColumn("predicted_lang", best).withColumn("margin", margin)
 
 
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -354,25 +354,37 @@ def _lang_score(lang: str) -> str:
     )
 
 
-@q(
-    "lang_id_ngram",
-    f"WITH s AS (SELECT doc_id, CAST({_lang_score('en')} AS INTEGER) AS score_en, "
-    f"CAST({_lang_score('es')} AS INTEGER) AS score_es, "
-    f"CAST({_lang_score('de')} AS INTEGER) AS score_de FROM documents) "
-    "SELECT doc_id, score_en, score_es, score_de, "
-    "CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en' "
-    "WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS predicted_lang FROM s",
-)
+def _lang_id_oracle() -> str:
+    langs = list(T.LANG_MARKERS)
+    score_cols = ", ".join(
+        f"CAST({_lang_score(lg)} AS INTEGER) AS score_{lg}" for lg in langs
+    )
+    gmax = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {gmax} THEN '{lg}'" for lg in langs
+    ) + " END"
+    arr = "list_sort([" + ", ".join(f"score_{lg}" for lg in langs) + "])"
+    n = len(langs)
+    sel = ", ".join(f"score_{lg}" for lg in langs)
+    return (
+        f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) "
+        f"SELECT doc_id, {sel}, {case} AS predicted_lang, "
+        f"CAST({arr}[{n}] - {arr}[{n - 1}] AS INTEGER) AS margin FROM s"
+    )
+
+
+@q("lang_id_ngram", _lang_id_oracle())
 def lang_id_ngram(spark, sf_dir):
-    """Language-ID: stopword-marker voting (deterministic n-gram
-    heuristic; ties break en > es > de)."""
+    """Language-ID: stopword-marker voting over six languages
+    (deterministic n-gram heuristic; ties break by LANG_MARKERS
+    order en > es > de > fr > pt > it) plus the confidence margin
+    (best − runner-up) per-language curation thresholds on."""
     out = T.lang_id_scores(_d(spark, sf_dir), "text")
     return out.select(
         "doc_id",
-        F.col("score_en").cast("int").alias("score_en"),
-        F.col("score_es").cast("int").alias("score_es"),
-        F.col("score_de").cast("int").alias("score_de"),
+        *[F.col(f"score_{lg}").cast("int").alias(f"score_{lg}") for lg in T.LANG_MARKERS],
         "predicted_lang",
+        F.col("margin").cast("int").alias("margin"),
     )
 
 

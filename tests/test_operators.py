@@ -1057,3 +1057,29 @@ def test_snapshot_diff_assert_unique(spark):
     ok_old = spark.createDataFrame([("u1", "h1")], "url string, body_md5 string")
     got = {r.url: r.status for r in snapshot_diff(ok_old, new, assert_unique=True).collect()}
     assert got == {"u1": "unchanged"}
+
+
+def test_lang_id_six_languages_margin_and_ties(spark):
+    """Widened lang-ID: clear-cut sentences per language classify
+    correctly with a positive margin; marker-vote ties resolve by
+    LANG_MARKERS priority order with margin 0."""
+    from data_ingestion_spark.functions.textops import lang_id_scores
+
+    rows = [
+        (0, "the house of a friend and the garden of a king"),
+        (1, "el perro y la casa de la abuela"),
+        (2, "der hund und die katze und das haus"),
+        (3, "dans les montagnes il y a une riviere et les arbres"),
+        (4, "isso e muito bom e uma casa muito bonita"),
+        (5, "che cosa sono gli amici che arrivano"),
+        (6, "the el"),          # 1-1 tie: en beats es by priority
+        (7, "gli les"),         # 1-1 tie: fr beats it by priority
+        (8, "zzz qqq"),         # all-zero: en by priority, margin 0
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.predicted_lang, r.margin) for r in lang_id_scores(df).collect()}
+    assert {i: got[i][0] for i in range(6)} == {
+        0: "en", 1: "es", 2: "de", 3: "fr", 4: "pt", 5: "it"
+    }
+    assert all(got[i][1] > 0 for i in range(6))
+    assert got[6] == ("en", 0) and got[7] == ("fr", 0) and got[8] == ("en", 0)
