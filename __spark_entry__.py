@@ -55,6 +55,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: robots.txt politeness gate for the
     # crawl frontier (longest-prefix REP semantics)
     "crawl_robots_gate",
+    # never-checked r10 addition: integer PageRank (bit-exact across
+    # engines/partitionings via BIGINT micro-units + integer div)
+    "crawl_pagerank",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -101,7 +104,6 @@ DRIVER_WINDOW: list[str] = [
     "groupby_count",
     "agg_global_count",
     "agg_collect_list",
-    "agg_numeric_stats",
 ]
 
 

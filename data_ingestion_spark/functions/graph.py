@@ -1,0 +1,113 @@
+"""Link-graph centrality for crawl prioritization.
+
+Reference anchor: the reference crawls its frontier breadth-first
+with no prioritization (website-ingestion-pipeline.py, the crawl
+step P:166-191). At crawl scale nobody fetches in discovery order —
+frontiers are ranked by link centrality (Common Crawl publishes
+harmonic-centrality rankings for exactly this purpose); this module
+computes that signal engine-side from the (src, dst) edge list
+`discover_frontier` already produces.
+
+Determinism: classic PageRank iterates floating-point mass, whose
+cross-engine hash depends on aggregation order. This implementation
+keeps every rank in INTEGER micro-units and every transfer as
+integer arithmetic — ``contribution = (rank * d_num) // (d_den *
+outdeg)`` with damping as the rational d_num/d_den — so per-node
+sums are associative and the result is bit-identical on any engine
+and any partitioning. The floor-division mass leak (< 1 micro-unit
+per edge per iteration) and un-redistributed dangling mass make this
+a *centrality score*, not a probability distribution; for frontier
+ranking only the ordering matters.
+
+The 100 TB shape: each iteration is one src-keyed equi-join
+(edges ⋈ ranks) plus one dst-keyed sum — 2 shuffles x iters, the
+canonical iterative-join pattern. Rank rows are |nodes|; edge rows
+dominate, so production runs persist the edge list partitioned by
+src once and let every iteration reuse it (pass a pre-persisted
+edges DataFrame); iterations are unrolled into one lazy plan here,
+which is fine for the default 5 but should be checkpointed per-k
+for large k (lineage growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: starting rank per node, in micro-units
+PAGERANK_SCALE = 1_000_000
+
+
+def pagerank_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    d_num: int = 85,
+    d_den: int = 100,
+    materialize: bool = True,
+) -> DataFrame:
+    """(src, dst) edge list → (node, rank_micros) after ``iters``
+    integer power iterations with damping ``d_num/d_den``:
+
+        R0(v)    = PAGERANK_SCALE
+        R_{t+1}(v) = base + Σ_{u→v} (R_t(u) * d_num) // (d_den * outdeg(u))
+
+    where ``base = (PAGERANK_SCALE * (d_den - d_num)) // d_den``.
+    Nodes = distinct src ∪ dst; dangling nodes keep receiving the
+    base term but donate nothing (documented non-redistribution).
+    All arithmetic is exact BIGINT — results are bit-identical
+    across engines, partitionings, and aggregation orders.
+    """
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        e.select(F.col("__src").alias("__node"))
+        .union(e.select(F.col("__dst").alias("__node")))
+        .distinct()
+    )
+    base = (PAGERANK_SCALE * (d_den - d_num)) // d_den
+    ranks = nodes.withColumn("__r", F.lit(PAGERANK_SCALE).cast("bigint"))
+    contrib_edges = e.join(outdeg, "__src")
+    if materialize:
+        # every iteration joins against the degree-annotated edge
+        # list and the node set; without persistence the lazy plan
+        # recomputes both subtrees (scan + groupBy + distinct) once
+        # PER ITERATION — this is the 'persist the edge list
+        # partitioned by src' production step, spill-to-disk
+        from pyspark import StorageLevel
+
+        contrib_edges = contrib_edges.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(iters):
+        contrib = (
+            contrib_edges.join(
+                ranks.select(F.col("__node").alias("__src"), "__r"), "__src"
+            )
+            .select(
+                F.col("__dst").alias("__node"),
+                # SQL `div`, NOT `/` + cast: float division loses
+                # exactness past 2^53 (a hub's rank x d_num at 1e9
+                # nodes), integer div never does
+                F.expr(f"(__r * {int(d_num)}) div ({int(d_den)} * __deg)")
+                .cast("bigint")
+                .alias("__c"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.groupBy("__node").agg(F.sum("__c").alias("__in")),
+                "__node",
+                "left_outer",
+            )
+            .select(
+                "__node",
+                (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
+                .cast("bigint")
+                .alias("__r"),
+            )
+        )
+    return ranks.select(
+        F.col("__node").alias("node"), F.col("__r").alias("rank_micros")
+    )

@@ -1568,6 +1568,66 @@ _ROBOTS_ORACLE = (
 )
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    base = (1_000_000 * 15) // 100
+    parts = [
+        "WITH n AS (SELECT count(*) AS c FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id * 7 + 13 * j.j) % n.c AS dst "
+        "FROM documents, n, (VALUES (1), (2), (3)) j(j)), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", it{t} AS (SELECT nodes.node, "
+            f"CAST({base} + coalesce(s.m, 0) AS BIGINT) AS r FROM nodes "
+            f"LEFT JOIN (SELECT e.dst AS node, "
+            f"sum((r.r * 85) // (100 * deg.deg)) AS m "
+            f"FROM e JOIN deg ON e.src = deg.src "
+            f"JOIN {'r0' if t == 1 else f'it{t - 1}'} r ON r.node = e.src "
+            f"GROUP BY e.dst) s ON s.node = nodes.node)"
+        )
+    parts.append(
+        f" SELECT node, r AS rank_micros FROM it{iters}"
+    )
+    return "".join(parts)
+
+
+@q("crawl_pagerank", _pagerank_oracle())
+def crawl_pagerank(spark, sf_dir):
+    """Link-graph centrality for crawl prioritization (the frontier
+    ranking signal Common Crawl publishes as harmonic centrality;
+    the reference crawls in discovery order). Five integer power
+    iterations of functions/graph.py::pagerank_scores over a
+    deterministic 3-out-edges-per-doc pseudo-graph (dst = (src*7 +
+    13j) mod |docs|, the 1-row count broadcast pattern). Every rank
+    is BIGINT micro-units and every transfer integer-div — the
+    DuckDB oracle unrolls the same five iterations and the result
+    is bit-identical regardless of aggregation order or
+    partitioning. 2 shuffles per iteration (src-keyed join +
+    dst-keyed sum), the canonical iterative-join pattern; at real
+    scale persist the edge list partitioned by src once."""
+    from .functions.graph import pagerank_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        d.join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            "__n",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    return pagerank_scores(edges, iters=5)
+
+
 @q("crawl_robots_gate", _ROBOTS_ORACLE)
 def crawl_robots_gate(spark, sf_dir):
     """robots.txt politeness gate — the filter a production crawler

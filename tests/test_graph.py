@@ -1,0 +1,53 @@
+"""Integer PageRank: exact agreement with a pure-Python reference,
+ranking sanity, and dangling behavior."""
+
+from __future__ import annotations
+
+from data_ingestion_spark.functions.graph import PAGERANK_SCALE, pagerank_scores
+
+
+def _reference(edges, iters=5, d_num=85, d_den=100):
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = (PAGERANK_SCALE * (d_den - d_num)) // d_den
+    r = {v: PAGERANK_SCALE for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * d_num) // (d_den * deg[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    """Bit-exact vs the reference loop — the determinism claim is
+    EXACT integer equality, not approximate agreement."""
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (5, 2), (5, 1),
+        (6, 0), (6, 7),  # 7 is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_micros for r in pagerank_scores(df, iters=5).collect()}
+    assert got == _reference(edges)
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    # star: everyone links to node 0
+    edges = [(i, 0) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_micros for r in pagerank_scores(df).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0) * 3
+    # spokes are symmetric -> identical ranks
+    assert len({v for k, v in got.items() if k != 0}) == 1
+
+
+def test_pagerank_dangling_and_repeatable(spark):
+    edges = [(0, 1), (1, 2)]  # 2 is dangling, chain otherwise
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: r.rank_micros for r in pagerank_scores(df, iters=3).collect()}
+    b = {r.node: r.rank_micros for r in pagerank_scores(df, iters=3).collect()}
+    assert a == b == _reference(edges, iters=3)
+    # the chain end accumulates more than the start (which only gets base)
+    assert a[2] > a[1] > a[0]
