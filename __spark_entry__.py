@@ -58,6 +58,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: integer PageRank (bit-exact across
     # engines/partitionings via BIGINT micro-units + integer div)
     "crawl_pagerank",
+    # never-checked r10 addition: Morton/Z-order clustering key (the
+    # two-dimensional data-skipping layout operator)
+    "zorder_cluster_key",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -103,7 +106,6 @@ DRIVER_WINDOW: list[str] = [
     "join_asof",
     "groupby_count",
     "agg_global_count",
-    "agg_collect_list",
 ]
 
 

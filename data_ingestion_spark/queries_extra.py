@@ -1568,6 +1568,37 @@ _ROBOTS_ORACLE = (
 )
 
 
+def _zorder_oracle() -> str:
+    from .operators.layout import zorder_key_sql
+
+    return (
+        "SELECT event_id, "
+        + zorder_key_sql("(user_id % 4096)", "(event_id % 4096)", bits=12)
+        + " AS zkey FROM events"
+    )
+
+
+@q("zorder_cluster_key", _zorder_oracle())
+def zorder_cluster_key(spark, sf_dir):
+    """Morton (Z-order) clustering key — the layout operator behind
+    two-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER;
+    the reference writes unclustered parquet). Interleaves the low
+    12 bits of two pre-bucketed dimensions (user, event) as pure
+    JVM bit arithmetic; cluster_by_zorder range-partitions + sorts
+    by this key so parquet row-group min/max stats prune on EITHER
+    predicate. Oracle is the generated ANSI twin of the exact same
+    bit expression — zero shuffles, scan-side scalar math."""
+    from .operators.layout import zorder_key
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return e.select(
+        "event_id",
+        zorder_key(F.col("user_id") % 4096, F.col("event_id") % 4096, bits=12).alias(
+            "zkey"
+        ),
+    )
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     base = (1_000_000 * 15) // 100
     parts = [
