@@ -61,6 +61,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: Morton/Z-order clustering key (the
     # two-dimensional data-skipping layout operator)
     "zorder_cluster_key",
+    # never-checked r10 addition: count-min sketch token frequency
+    # (constant-size mergeable summary; md5 buckets, exact oracle)
+    "cms_token_freq",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -105,7 +108,6 @@ DRIVER_WINDOW: list[str] = [
     "join_range",
     "join_asof",
     "groupby_count",
-    "agg_global_count",
 ]
 
 

@@ -1568,6 +1568,61 @@ _ROBOTS_ORACLE = (
 )
 
 
+_CMS_PROBES = ["data", "spark", "the", "zzqx", "query"]
+
+
+def _cms_oracle() -> str:
+    def bucket(j_expr: str, v_expr: str) -> str:
+        return (
+            f"CAST(CAST('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || '|' || {v_expr}), "
+            f"1, 15) AS BIGINT) % 256 AS INTEGER)"
+        )
+
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    return (
+        "WITH w AS (SELECT unnest(list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS v FROM documents), "
+        "e AS (SELECT v, j.j FROM w, (VALUES (0), (1), (2), (3)) j(j)), "
+        f"b AS (SELECT j, {bucket('j', 'v')} AS bucket FROM e), "
+        "s AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket), "
+        f"p(item) AS (VALUES {probes}), "
+        f"pe AS (SELECT item, j.j, {bucket('j.j', 'item')} AS bucket "
+        "FROM p, (VALUES (0), (1), (2), (3)) j(j)), "
+        "est AS (SELECT item, min(coalesce(s.cnt, 0)) AS estimate "
+        "FROM pe LEFT JOIN s ON s.j = pe.j AND s.bucket = pe.bucket GROUP BY item) "
+        "SELECT item, CAST(estimate AS BIGINT) AS estimate FROM est"
+    )
+
+
+@q("cms_token_freq", _cms_oracle())
+def cms_token_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation over the corpus token
+    stream — the constant-size summary that answers 'how often does
+    this token occur across 100 TB' without a full-cardinality
+    groupBy (boilerplate detection, stopword discovery, skew-key
+    identification for salting). Sketch = 4x256 md5-bucketed
+    counters (partial agg: the exchange moves at most partitions x
+    depth x width rows no matter the corpus); estimates = min over
+    depth rows, >= truth always. The DuckDB oracle replicates the
+    exact md5 bucket arithmetic and the sketch build — estimates
+    hash-match exactly, including the collision overestimate on the
+    absent probe."""
+    from .functions.sketches import cms_build, cms_estimate
+
+    d = _d(spark, sf_dir).select("text")
+    tokens = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token")
+    )
+    sketch = cms_build(tokens, "token")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    return cms_estimate(sketch, probes)
+
+
 def _zorder_oracle() -> str:
     from .operators.layout import zorder_key_sql
 
