@@ -64,6 +64,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: count-min sketch token frequency
     # (constant-size mergeable summary; md5 buckets, exact oracle)
     "cms_token_freq",
+    # never-checked r10 addition: per-host fetch-wave scheduling
+    # (the rate half of crawl politeness)
+    "crawl_politeness_waves",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -107,7 +110,6 @@ DRIVER_WINDOW: list[str] = [
     "join_cross_theta",
     "join_range",
     "join_asof",
-    "groupby_count",
 ]
 
 

@@ -139,6 +139,36 @@ def robots_decisions(
     return decided.select(*frontier.columns, "allowed")
 
 
+def politeness_waves(
+    frontier: DataFrame,
+    url_col: str = "url",
+    per_host_per_wave: int = 10,
+) -> DataFrame:
+    """Host-rate shaping: assign every frontier URL a fetch ``wave``
+    so no host receives more than ``per_host_per_wave`` requests per
+    wave — the scheduling half of politeness (robots_filter is the
+    permission half; Crawl-delay generalizes to the wave width).
+    wave = (rank of the URL within its host − 1) // per_host_per_wave,
+    rank ordered by URL for determinism. A fetcher drains wave 0
+    across ALL hosts concurrently (maximum fleet parallelism), then
+    wave 1, … — host-level backpressure without a serial per-host
+    queue. One window over the host partition; rank state is O(1)
+    and spillable, so a single dominant host degrades to one long —
+    but never out-of-memory — task."""
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    w = Window.partitionBy("__host").orderBy(F.col(url_col))
+    return (
+        frontier.withColumn("__host", host)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("wave", F.expr(f"CAST((__rn - 1) div {int(per_host_per_wave)} AS INT)"))
+        .drop("__host", "__rn")
+    )
+
+
 def robots_filter(
     frontier: DataFrame,
     rules: DataFrame,

@@ -1568,6 +1568,36 @@ _ROBOTS_ORACLE = (
 )
 
 
+@q(
+    "crawl_politeness_waves",
+    "WITH f AS (SELECT doc_id, "
+    "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/d/' "
+    "|| CAST(doc_id AS VARCHAR) AS url FROM documents), "
+    "r AS (SELECT doc_id, url, row_number() OVER ("
+    "PARTITION BY doc_id % 7 ORDER BY url) AS rn FROM f) "
+    "SELECT doc_id, url, CAST((rn - 1) // 10 AS INTEGER) AS wave FROM r",
+)
+def crawl_politeness_waves(spark, sf_dir):
+    """Host-rate shaping for the fetcher: every URL gets a wave index
+    so no host sees more than 10 requests per wave (the scheduling
+    half of politeness; crawl_robots_gate is the permission half).
+    Seven fixture hosts share the frontier; the oracle replicates
+    the per-host row_number // 10 assignment. A fetcher drains wave
+    0 across all hosts in parallel, then wave 1 — host backpressure
+    with full fleet parallelism. One window exchange."""
+    from .functions.robots import politeness_waves
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex.com/d/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return politeness_waves(frontier, per_host_per_wave=10)
+
+
 _CMS_PROBES = ["data", "spark", "the", "zzqx", "query"]
 
 

@@ -85,3 +85,24 @@ def test_decisions_plan_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_politeness_waves_cap_and_determinism(spark):
+    from data_ingestion_spark.functions.robots import politeness_waves
+
+    rows = [(i, f"https://h{i % 3}.ex.com/p{i:03d}") for i in range(70)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = politeness_waves(df, per_host_per_wave=5).collect()
+    # cap: no (host, wave) bucket exceeds 5 urls
+    buckets = {}
+    for r in out:
+        host = r.url.split("/")[2]
+        buckets.setdefault((host, r.wave), []).append(r.url)
+    assert all(len(v) <= 5 for v in buckets.values())
+    # waves are dense from 0 per host
+    for h in ["h0.ex.com", "h1.ex.com", "h2.ex.com"]:
+        waves = sorted({w for (hh, w) in buckets if hh == h})
+        assert waves == list(range(len(waves))) and waves[0] == 0
+    # deterministic: same input -> same assignment
+    again = politeness_waves(df, per_host_per_wave=5).collect()
+    assert {r.id: r.wave for r in out} == {r.id: r.wave for r in again}
