@@ -67,6 +67,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: per-host fetch-wave scheduling
     # (the rate half of crawl politeness)
     "crawl_politeness_waves",
+    # never-checked r10 addition: IDN/punycode host normalization
+    # (split-path Arrow stage; closes canonical_url's IDN limit)
+    "url_idn_host",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -109,7 +112,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_decision",
     "join_cross_theta",
     "join_range",
-    "join_asof",
 ]
 
 

@@ -371,3 +371,53 @@ def canonical_url(url: Column) -> Column:
         head, path, F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit(""))
     )
     return F.when(F.length(head) > 0, canon).otherwise(url)
+
+
+# ---------------------------------------------------------------- IDN hosts
+
+def idn_ascii_url(url: str) -> str:
+    """Punycode-normalize one URL's host (RFC 3490 via the stdlib
+    'idna' codec: per-label lowercase + xn-- encoding) — 'MÜNCHEN.de'
+    and 'münchen.de' become the same 'xn--mnchen-3ya.de' dedup key a
+    DNS resolver actually sees. Userinfo/port/path/query are
+    untouched; unencodable hosts (hostile labels the codec rejects)
+    return the URL unchanged rather than corrupting the row."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)([\s\S]*)$", url or "")
+    if not m:
+        return url
+    scheme, auth, rest = m.groups()
+    userinfo, sep, hostport = auth.rpartition("@")
+    hm = _re.match(r"^([\s\S]*?)(:\d*)?$", hostport)
+    host, port = hm.group(1), hm.group(2) or ""
+    if not host:
+        return url
+    try:
+        enc = host.encode("idna").decode("ascii")
+    except (UnicodeError, ValueError):
+        return url
+    return scheme + userinfo + sep + enc + port + rest
+
+
+def idn_host_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Batch IDN normalization, split-path for scale: rows whose host
+    is pure ASCII (the overwhelming majority of any crawl) never
+    cross the Python boundary — only the non-ASCII-host slice runs
+    the Arrow stage, then the two slices union back. Closes the IDN
+    half of canonical_url's documented limit (run this BEFORE
+    canonical_url; the output host is ASCII so the JVM chain's
+    lowercase/port logic applies cleanly)."""
+    host = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    needs = F.length(host) > 0
+    non_ascii = host.rlike(r"[^\x00-\x7F]")
+
+    @F.pandas_udf(StringType())
+    def _idn(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: idn_ascii_url(u if isinstance(u, str) else ""))
+
+    keep = df.filter(~(needs & non_ascii))
+    fix = df.filter(needs & non_ascii).withColumn(url_col, _idn(F.col(url_col)))
+    return keep.unionByName(fix)

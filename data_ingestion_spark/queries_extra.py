@@ -1568,6 +1568,57 @@ _ROBOTS_ORACLE = (
 )
 
 
+#: IDN fixture hosts (mixed case to prove the codec's per-label
+#: lowercase) and their RFC 3490 punycode forms, precomputed via the
+#: stdlib codec at oracle-build time (DuckDB cannot punycode; the
+#: expected literals are the oracle, the runtime path is the real
+#: split-path Arrow stage)
+_IDN_HOSTS = ["MÜnchen", "köln", "tokyo日本", "plain-ascii"]
+_IDN_EXPECTED = [
+    (h + ".example").encode("idna").decode("ascii") for h in _IDN_HOSTS[:3]
+] + ["plain-ascii.example"]
+
+
+@q(
+    "url_idn_host",
+    "SELECT doc_id, 'https://' || CASE CAST(doc_id % 4 AS INTEGER) "
+    + " ".join(
+        f"WHEN {i} THEN '{host}'" for i, host in enumerate(_IDN_EXPECTED[:3])
+    )
+    + f" ELSE '{_IDN_EXPECTED[3]}' END || '/d/' || CAST(doc_id AS VARCHAR) AS url "
+    "FROM documents",
+)
+def url_idn_host(spark, sf_dir):
+    """IDN host normalization — the other half of the URL-dedup-key
+    story next to canonical_url (its documented IDN limit, now
+    closed): 'MÜnchen.example' and 'xn--mnchen-3ya.example' are the
+    same host to a resolver but distinct dedup keys to a byte
+    compare. idn_host_normalize is split-path for scale: ASCII-host
+    rows (the overwhelming majority of a crawl) never cross the
+    Python boundary; only the non-ASCII slice runs the stdlib-idna
+    Arrow stage, then unions back. Fixture rotates three IDN hosts
+    (mixed case proving the codec's per-label lowercase) plus an
+    ASCII host that must pass through untouched; the oracle carries
+    the RFC 3490 expected forms."""
+    from .functions.html import idn_host_normalize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(did % 4 == 0, F.lit(_IDN_HOSTS[0]))
+            .when(did % 4 == 1, F.lit(_IDN_HOSTS[1]))
+            .when(did % 4 == 2, F.lit(_IDN_HOSTS[2]))
+            .otherwise(F.lit(_IDN_HOSTS[3])),
+            F.lit(".example/d/"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    return idn_host_normalize(frontier)
+
+
 @q(
     "crawl_politeness_waves",
     "WITH f AS (SELECT doc_id, "

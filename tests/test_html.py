@@ -274,3 +274,39 @@ def test_canonical_url_idempotent(spark):
     ).collect()
     bad = [(r.c1, r.c2) for r in out if r.c1 != r.c2]
     assert not bad, bad[:5]
+
+
+def test_idn_host_normalize_split_path(spark):
+    """IDN hosts punycode; ASCII hosts never cross the Python
+    boundary (plan shows the Arrow stage only on the filtered
+    slice); unencodable and non-URL rows pass through."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.html import idn_ascii_url, idn_host_normalize
+
+    rows = [
+        (0, "https://MÜNCHEN.de/a?x=1"),
+        (1, "https://user@köln.example:8080/p"),
+        (2, "https://plain.Example.com/q"),     # ASCII: untouched (case kept)
+        (3, "not a url"),
+        (4, "https://tokyo日本.example/d"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.url for r in idn_host_normalize(df).collect()}
+    assert got[0] == "https://xn--mnchen-3ya.de/a?x=1"
+    assert got[1] == "https://user@xn--kln-sna.example:8080/p"
+    assert got[2] == "https://plain.Example.com/q"
+    assert got[3] == "not a url"
+    assert got[4] == "https://xn--tokyo-6e1k07e.example/d"
+    # kernel: port/userinfo preserved, idempotent on already-ascii
+    assert idn_ascii_url(got[0]) == got[0]
+    # composes with canonical_url: IDN first, then the JVM chain
+    from data_ingestion_spark.functions.html import canonical_url
+
+    canon = {
+        r.id: r.c
+        for r in idn_host_normalize(df)
+        .select("id", canonical_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    assert canon[0] == "https://xn--mnchen-3ya.de/a?x=1"

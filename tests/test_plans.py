@@ -125,6 +125,7 @@ PYTHON_OK: set[str] = {
     "warc_extract",              # stdlib WARC member-walk/HTTP decode is the point
     "warc_extract_charset",      # + codecs-based charset-aware body decode
     "crawl_robots_gate",         # robots.txt parse over tiny per-host bodies
+    "url_idn_host",              # stdlib-idna punycode, non-ASCII slice only
 }
 
 #: executes a live streaming job on call — excluded from plan lint
