@@ -70,6 +70,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: IDN/punycode host normalization
     # (split-path Arrow stage; closes canonical_url's IDN limit)
     "url_idn_host",
+    # never-checked r10 addition: batch hybrid retrieval (per-query
+    # vector + lexical top-20, grouped RRF fusion)
+    "hybrid_rank_rrf_batch",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -111,7 +114,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_clusters",
     "dedup_decision",
     "join_cross_theta",
-    "join_range",
 ]
 
 

@@ -714,6 +714,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     k_rrf: float = 60.0,
     topk: int = 10,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al.) of two ranked candidate
     lists — the standard hybrid-search combiner (vector ranks +
@@ -726,20 +727,41 @@ def rrf_fuse(
     score calibration — the reason it is the default fusion in
     production hybrid search. One full-outer join over two top-N
     lists (N rows each — trivial at any corpus scale; the heavy
-    lifting happened in the retrievers)."""
-    a = ranked_a.select(F.col(id_col).alias("__ka"), F.col(rank_col).alias("__ra"))
-    b = ranked_b.select(F.col(id_col).alias("__kb"), F.col(rank_col).alias("__rb"))
+    lifting happened in the retrievers).
+
+    ``group_cols`` generalizes to BATCH fusion: each group (e.g. a
+    query_id) fuses independently — the join keys become
+    group_cols + id, and top-k applies per group via one window
+    instead of a global limit."""
+    gcols = list(group_cols)
+    a = ranked_a.select(
+        *gcols, F.col(id_col).alias("__ka"), F.col(rank_col).alias("__ra")
+    )
+    b = ranked_b.select(
+        *[F.col(g).alias(f"__g_{g}") for g in gcols],
+        F.col(id_col).alias("__kb"),
+        F.col(rank_col).alias("__rb"),
+    )
     contrib_a = F.lit(1.0) / (F.lit(k_rrf) + F.col("__ra").cast("double"))
     contrib_b = F.lit(1.0) / (F.lit(k_rrf) + F.col("__rb").cast("double"))
+    cond = F.col("__ka") == F.col("__kb")
+    for g in gcols:
+        cond = cond & (F.col(g) == F.col(f"__g_{g}"))
+    fused = a.join(b, cond, "full_outer").select(
+        *[F.coalesce(F.col(g), F.col(f"__g_{g}")).alias(g) for g in gcols],
+        F.coalesce(F.col("__ka"), F.col("__kb")).alias(id_col),
+        F.round(
+            F.coalesce(contrib_a, F.lit(0.0)) + F.coalesce(contrib_b, F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    if not gcols:
+        return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(topk)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy(F.col("rrf_score").desc(), F.col(id_col))
     return (
-        a.join(b, F.col("__ka") == F.col("__kb"), "full_outer")
-        .select(
-            F.coalesce(F.col("__ka"), F.col("__kb")).alias(id_col),
-            F.round(
-                F.coalesce(contrib_a, F.lit(0.0)) + F.coalesce(contrib_b, F.lit(0.0)),
-                6,
-            ).alias("rrf_score"),
-        )
-        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
-        .limit(topk)
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
     )

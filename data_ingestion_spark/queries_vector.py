@@ -769,10 +769,13 @@ _BM25_BATCH_QTERMS = [
 ]
 
 
-def _bm25_batch_oracle() -> str:
+def _bm25_batch_ctes(final_name: str = "lexr") -> str:
+    """The batch-BM25 ranking pipeline as reusable CTE fragments (no
+    leading WITH, no final SELECT): ``final_name`` exposes
+    (query_id, doc_id, score, rank) unbounded — callers cut rank."""
     values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_BATCH_QTERMS)
     return (
-        f"WITH q(query_id, term) AS (VALUES {values}), "
+        f"q(query_id, term) AS (VALUES {values}), "
         "w AS (SELECT doc_id, list_filter(regexp_split_to_array("
         "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
         "base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM w), "
@@ -789,10 +792,16 @@ def _bm25_batch_oracle() -> str:
         "FROM matched m JOIN q ON q.term = m.term, stats s), "
         "sc AS (SELECT query_id, doc_id, sum(micro) AS micros "
         "FROM contrib GROUP BY query_id, doc_id), "
-        "r AS (SELECT query_id, doc_id, micros / 1000000.0 AS score, "
+        f"{final_name} AS (SELECT query_id, doc_id, micros / 1000000.0 AS score, "
         "CAST(row_number() OVER (PARTITION BY query_id "
-        "ORDER BY micros DESC, doc_id) AS INTEGER) AS rank FROM sc) "
-        "SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10"
+        "ORDER BY micros DESC, doc_id) AS INTEGER) AS rank FROM sc)"
+    )
+
+
+def _bm25_batch_oracle() -> str:
+    return (
+        "WITH " + _bm25_batch_ctes()
+        + " SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= 10"
     )
 
 
@@ -923,3 +932,93 @@ def hybrid_rank_rrf(spark, sf_dir):
         "rank", F.row_number().over(rank_w)
     )
     return rrf_fuse(vec_ranked, lex_ranked, "doc_id", topk=10)
+
+
+def _hybrid_batch_oracle() -> str:
+    """DuckDB twin of the BATCH hybrid: the vector half replicates
+    embed_deterministic + left-associated cosine per fixture query
+    (the _hybrid_oracle machinery, one q-vector row per query); the
+    lexical half is the batch-BM25 CTE pipeline; fusion is a
+    two-key full outer + per-query rank cut."""
+    denom = "1152921504606846975.0"
+
+    def comp(text_expr: str, i: int) -> str:
+        return (
+            f"CAST(CAST(CAST('0x' || substr(md5('emb|{i}|' || {text_expr}), 1, 15) "
+            f"AS BIGINT) AS DOUBLE) / {denom} * 2.0 - 1.0 AS REAL)"
+        )
+
+    a_cols = " ".join(f"{comp('text', i)} AS a{i}," for i in range(8)).rstrip(",")
+    q_rows = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, "
+        + ", ".join(f"{comp(repr(qtext), i)} AS q{i}" for i in range(8))
+        for qid, qtext in _BM25_BATCH_QUERIES
+    )
+    dot_aq = "0.0 " + " ".join(
+        f"+ CAST(a{i} AS DOUBLE) * CAST(q{i} AS DOUBLE)" for i in range(8)
+    )
+    dot_aa = "0.0 " + " ".join(
+        f"+ CAST(a{i} AS DOUBLE) * CAST(a{i} AS DOUBLE)" for i in range(8)
+    )
+    dot_qq = "0.0 " + " ".join(
+        f"+ CAST(q{i} AS DOUBLE) * CAST(q{i} AS DOUBLE)" for i in range(8)
+    )
+    return (
+        f"WITH emb AS (SELECT doc_id, {a_cols} FROM documents), "
+        f"qv AS ({q_rows}), "
+        f"vs AS (SELECT qv.query_id, emb.doc_id, round(({dot_aq}) / "
+        f"(sqrt({dot_aa}) * sqrt({dot_qq})), 6) AS score FROM emb, qv), "
+        "fa AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) "
+        "AS rank FROM vs) WHERE rank <= 20), "
+        + _bm25_batch_ctes()
+        + ", fb AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 20), "
+        "fused AS (SELECT coalesce(fa.query_id, fb.query_id) AS query_id, "
+        "coalesce(fa.doc_id, fb.doc_id) AS doc_id, "
+        "round(coalesce(1.0/(60.0 + CAST(fa.rank AS DOUBLE)), 0.0) "
+        "+ coalesce(1.0/(60.0 + CAST(fb.rank AS DOUBLE)), 0.0), 6) AS rrf_score "
+        "FROM fa FULL OUTER JOIN fb "
+        "ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id), "
+        "fin AS (SELECT query_id, doc_id, rrf_score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused) "
+        "SELECT query_id, doc_id, rrf_score FROM fin WHERE rn <= 10"
+    )
+
+
+@q("hybrid_rank_rrf_batch", _hybrid_batch_oracle())
+def hybrid_rank_rrf_batch(spark, sf_dir):
+    """The BATCH hybrid-retrieval capstone: N queries at once through
+    BOTH retrievers in one plan — per-query vector top-20 (hash-
+    projection embeddings, cosine to each embedded query text; the
+    3-row query-vector table broadcasts into one scored pass over
+    the corpus) and per-query lexical top-20 (the batch-BM25
+    inverted-index pipeline), fused per query by grouped RRF. This
+    is the production eval/serving shape: hybrid_rank_rrf answers
+    one question, this answers the whole eval set. Ranks on both
+    sides come from deterministically-ordered scores (6dp-rounded
+    cosine, integer-micro BM25), so the fused rankings hash-match
+    the DuckDB twin bit-exactly at both scales."""
+    from pyspark.sql import Window
+
+    from .functions.embedding import embed_deterministic
+    from .functions.similarity import bm25_rank_batch, cosine, rrf_fuse
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    q_emb = qdf.select(
+        "query_id", embed_deterministic(F.col("query_text"), 8).alias("qv")
+    )
+    docs_emb = d.select("doc_id", embed_deterministic(F.col("text"), 8).alias("dv"))
+    scored = docs_emb.join(F.broadcast(q_emb)).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    vec_ranked = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    )
+    lex_ranked = bm25_rank_batch(qdf, d, topk=20)
+    return rrf_fuse(
+        vec_ranked, lex_ranked, "doc_id", topk=10, group_cols=("query_id",)
+    )

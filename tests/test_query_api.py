@@ -176,3 +176,25 @@ def test_rrf_fuse_semantics(spark):
     assert out[2] == max(out.values())          # both lists -> top
     assert abs(out[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
     assert out[1] == round(1 / 61, 6)           # a-only, rank 1
+
+
+def test_rrf_fuse_grouped_batch(spark):
+    """group_cols: each query fuses independently — a doc in both
+    lists for q1 but only one list for q2 scores accordingly, and
+    topk cuts per group."""
+    from data_ingestion_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)], "query_id int, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (2, 21, 1), (2, 20, 3)], "query_id int, doc_id long, rank int"
+    )
+    out = rrf_fuse(a, b, topk=2, group_cols=("query_id",)).collect()
+    got = {(r.query_id, r.doc_id): r.rrf_score for r in out}
+    assert got[(1, 10)] == round(1 / 61 + 1 / 62, 6)   # both lists, q1
+    assert got[(1, 11)] == round(1 / 62, 6)            # a-only, q1
+    assert got[(2, 20)] == round(1 / 61 + 1 / 63, 6)   # both lists, q2
+    assert got[(2, 21)] == round(1 / 61, 6)
+    # per-group cut: q2 has exactly 2 rows, none leaked across groups
+    assert sum(1 for (q, _) in got if q == 2) == 2
