@@ -73,6 +73,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: batch hybrid retrieval (per-query
     # vector + lexical top-20, grouped RRF fusion)
     "hybrid_rank_rrf_batch",
+    # never-checked r10 addition: boilerplate removal (boilerpipe/
+    # arc90 block heuristic) for general-crawl pages
+    "html_main_content",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -113,7 +116,6 @@ DRIVER_WINDOW: list[str] = [
     "embed_near_dup_lsh",
     "dedup_clusters",
     "dedup_decision",
-    "join_cross_theta",
 ]
 
 

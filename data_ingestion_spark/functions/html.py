@@ -421,3 +421,117 @@ def idn_host_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     keep = df.filter(~(needs & non_ascii))
     fix = df.filter(needs & non_ascii).withColumn(url_col, _idn(F.col(url_col)))
     return keep.unionByName(fix)
+
+
+# ------------------------------------------------------- main content
+
+#: containers dropped wholesale by the main-content extractor —
+#: structural boilerplate regardless of content
+BOILER_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "menu", "form", "script", "style", "noscript"}
+)
+
+#: block-level containers that delimit candidate text blocks
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "section", "article", "main", "li", "td", "pre",
+     "blockquote", "h1", "h2", "h3", "h4", "h5", "h6"}
+)
+
+
+class _MainContentExtractor(HTMLParser):
+    """Boilerpipe/arc90-style main-content heuristic: split the page
+    into block-level text runs, score each by length and link
+    density, keep the content-like blocks. Text inside BOILER_TAGS
+    never becomes a candidate."""
+
+    def __init__(self, min_chars: int = 25, max_link_density: float = 0.33):
+        super().__init__(convert_charrefs=True)
+        self.min_chars = min_chars
+        self.max_link_density = max_link_density
+        self.blocks: list[str] = []
+        self._boiler_depth = 0
+        self._text: list[str] = []
+        self._link_chars = 0
+        self._anchor_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._text).split())
+        link_chars = self._link_chars
+        self._text, self._link_chars = [], 0
+        if len(text) < self.min_chars:
+            return
+        if link_chars / max(len(text), 1) > self.max_link_density:
+            return
+        self.blocks.append(text)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in BOILER_TAGS:
+            self._boiler_depth += 1
+            return
+        if self._boiler_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in BOILER_TAGS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            return
+        if self._boiler_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+
+    def handle_data(self, data):
+        if self._boiler_depth:
+            return
+        self._text.append(data)
+        if self._anchor_depth:
+            self._link_chars += len(data)
+
+    def result(self) -> str:
+        self._flush()
+        return "\n\n".join(self.blocks)
+
+
+def extract_main_content(
+    html: str, min_chars: int = 25, max_link_density: float = 0.33
+) -> str:
+    """Boilerplate removal for crawl pages (the step between WARC
+    decode and chunking that the reference's docs-site pipeline gets
+    away without — its class-based drop list assumes ONE site's
+    markup; a general crawl needs a structural heuristic). Blocks
+    inside nav/header/footer/aside are dropped wholesale; remaining
+    block-level text runs survive if they are long enough and not
+    link-dominated (boilerpipe's shallow-text classifier, ~the
+    arc90-readability rule). Deterministic, stdlib-only, never
+    raises on hostile markup."""
+    ex = _MainContentExtractor(min_chars, max_link_density)
+    try:
+        ex.feed(html or "")
+        ex.close()
+    except Exception:
+        pass  # hostile markup: keep whatever blocks were completed
+    return ex.result()
+
+
+def extract_main_content_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Arrow-batched mapInPandas stage over pages: passthrough columns
+    + ``main_text``. Same narrow-map contract as clean_html."""
+    passthrough = [c for c in df.columns if c != html_col]
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != html_col]
+        + [StructField("main_text", StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[passthrough].copy()
+            out["main_text"] = [extract_main_content(h) for h in pdf[html_col]]
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -1568,6 +1568,40 @@ _ROBOTS_ORACLE = (
 )
 
 
+@q(
+    "html_main_content",
+    "SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) "
+    "AS main_text FROM documents",
+)
+def html_main_content(spark, sf_dir):
+    """Boilerplate removal (boilerpipe/arc90 heuristic) — the step
+    between WARC decode and chunking a general crawl needs where the
+    reference's class-based drop list assumes one site's markup.
+    Each doc becomes a page with nav/header/footer/related-links
+    boilerplate wrapped around an <article> holding the doc text;
+    the extractor (functions/html.py::extract_main_content: boiler
+    tags dropped wholesale, blocks scored by length + link density)
+    must return exactly the whitespace-normalized article text —
+    the oracle predicts it from documents directly, so any leaked
+    nav item or dropped content sentence breaks the hash. One Arrow
+    stage, zero shuffles."""
+    from .functions.html import extract_main_content_stage
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/">Home</a> <a href="/x">More</a>'
+                  '</nav><header><h1>Site Banner</h1></header><article><p>'),
+            F.col("text"),
+            F.lit('</p></article><div><a href="/r1">Related story one link</a> '
+                  '<a href="/r2">Related two link text</a></div>'
+                  '<footer>© <a href="/legal">Legal</a></footer></body></html>'),
+        ).alias("html"),
+    )
+    return extract_main_content_stage(pages)
+
+
 #: IDN fixture hosts (mixed case to prove the codec's per-label
 #: lowercase) and their RFC 3490 punycode forms, precomputed via the
 #: stdlib codec at oracle-build time (DuckDB cannot punycode; the

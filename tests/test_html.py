@@ -310,3 +310,43 @@ def test_idn_host_normalize_split_path(spark):
         .collect()
     }
     assert canon[0] == "https://xn--mnchen-3ya.de/a?x=1"
+
+
+def test_extract_main_content_heuristics(spark):
+    from data_ingestion_spark.functions.html import (
+        extract_main_content,
+        extract_main_content_stage,
+    )
+
+    article = (
+        "This is the actual article content with enough characters to matter "
+        "and no links at all."
+    )
+    page = (
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<header><h1>Banner</h1></header>"
+        f"<article><p>{article}</p></article>"
+        '<div><a href="/r1">A long related-story link title here</a> '
+        '<a href="/r2">Another long related link text block</a></div>'
+        '<footer>© 2026 <a href="/l">Legal</a></footer>'
+    )
+    out = extract_main_content(page)
+    assert out == article                      # boilerplate fully gone
+    # link-dominated long block drops even outside boiler tags
+    linky = '<div><a href="/x">' + "link words " * 10 + "</a></div>"
+    assert extract_main_content(linky) == ""
+    # a long link-free div survives; min_chars dial works
+    keep = "<div>" + "real words " * 10 + "</div>"
+    assert "real words" in extract_main_content(keep)
+    assert extract_main_content("<p>tiny</p>") == ""
+    assert extract_main_content("<p>tiny</p>", min_chars=3) == "tiny"
+    # nested boiler: article inside a nav is still boilerplate
+    nested = f"<nav><article><p>{article}</p></article></nav>"
+    assert extract_main_content(nested) == ""
+    # hostile markup never raises
+    for h in ["", None, "<<<><p unclosed", "<a><a><a>" + "x" * 100, "\x00\xff<div>"]:
+        extract_main_content(h)
+    # Spark stage: passthrough + main_text schema
+    df = spark.createDataFrame([(1, page), (2, "<p>tiny</p>")], "doc_id long, html string")
+    rows = {r.doc_id: r.main_text for r in extract_main_content_stage(df).collect()}
+    assert rows[1] == article and rows[2] == ""

@@ -127,6 +127,7 @@ PYTHON_OK: set[str] = {
     "warc_extract_charset",      # + codecs-based charset-aware body decode
     "crawl_robots_gate",         # robots.txt parse over tiny per-host bodies
     "url_idn_host",              # stdlib-idna punycode, non-ASCII slice only
+    "html_main_content",         # boilerpipe block heuristic is a parser
 }
 
 #: executes a live streaming job on call — excluded from plan lint
