@@ -76,6 +76,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: boilerplate removal (boilerpipe/
     # arc90 block heuristic) for general-crawl pages
     "html_main_content",
+    # never-checked r10 addition: ordered-funnel analysis (one-shuffle
+    # chained conditional window-mins)
+    "funnel_conversion",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -115,7 +118,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_header_decode",
     "embed_near_dup_lsh",
     "dedup_clusters",
-    "dedup_decision",
 ]
 
 

@@ -396,3 +396,50 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------- funnel analysis
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user who performed
+    ``steps[0]``, the earliest time they completed each subsequent
+    step STRICTLY AFTER the previous one (first-touch attribution),
+    plus ``reached`` = how deep they got. The classic product
+    analytics query (view → click → purchase), here as ONE shuffle:
+    every per-step time is a conditional window-min over the same
+    user partitioning (chained selects reuse the exchange — k steps
+    cost k window passes over already-partitioned data, not k
+    joins), and the final per-user reduce rides the same hash
+    partitioning. Users who never did step 0 are absent (funnel
+    entrants only)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    tcols = []
+    for s in steps:
+        tcol = f"t_{s}"
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        cur = cur.withColumn(tcol, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = tcol
+        tcols.append(tcol)
+    # per-user reduce: window results are constant per user, min()
+    # collapses without moving data (same hash partitioning)
+    out = (
+        cur.groupBy(user_col)
+        .agg(*[F.min(t).alias(t) for t in tcols])
+        .filter(F.col(tcols[0]).isNotNull())
+    )
+    reached = F.lit(0)
+    for i, t in enumerate(tcols):
+        reached = F.when(F.col(t).isNotNull(), F.lit(i + 1)).otherwise(reached)
+    return out.withColumn("reached", reached.cast("int"))

@@ -1569,6 +1569,40 @@ _ROBOTS_ORACLE = (
 
 
 @q(
+    "funnel_conversion",
+    "WITH s0 AS (SELECT user_id, ts, event_type, "
+    "min(CASE WHEN event_type = 'view' THEN ts END) "
+    "OVER (PARTITION BY user_id) AS t_view FROM events), "
+    "s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view "
+    "THEN ts END) OVER (PARTITION BY user_id) AS t_click FROM s0), "
+    "s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click "
+    "THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM s1), "
+    "u AS (SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click, "
+    "min(t_purchase) AS t_purchase FROM s2 GROUP BY user_id) "
+    "SELECT user_id, t_view, t_click, t_purchase, "
+    "CAST(CASE WHEN t_purchase IS NOT NULL THEN 3 "
+    "WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS reached "
+    "FROM u WHERE t_view IS NOT NULL",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase) with
+    first-touch attribution: per entrant, the earliest completion of
+    each step strictly after the previous one, plus funnel depth.
+    ONE shuffle for the whole funnel — each step time is a
+    conditional window-min chained over the SAME user partitioning
+    (k steps = k window passes over already-partitioned data, not
+    k joins), and the per-user reduce rides the same hash
+    partitioning. The oracle is the identical chained-window
+    construction in DuckDB."""
+    from .operators.relational import funnel_steps
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_steps(e, ["view", "click", "purchase"]).select(
+        "user_id", "t_view", "t_click", "t_purchase", "reached"
+    )
+
+
+@q(
     "html_main_content",
     "SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) "
     "AS main_text FROM documents",

@@ -1083,3 +1083,35 @@ def test_lang_id_six_languages_margin_and_ties(spark):
     }
     assert all(got[i][1] > 0 for i in range(6))
     assert got[6] == ("en", 0) and got[7] == ("fr", 0) and got[8] == ("en", 0)
+
+
+def test_funnel_steps_semantics(spark):
+    """Ordered funnel: steps must occur strictly after the previous
+    one (out-of-order completions don't count), first-touch picks
+    the earliest qualifying time, non-entrants are absent."""
+    from data_ingestion_spark.operators.relational import funnel_steps
+
+    rows = [
+        # u1: full ordered funnel, with a later duplicate click
+        (1, 10, "view"), (1, 20, "click"), (1, 25, "click"), (1, 30, "purchase"),
+        # u2: purchase BEFORE click -> only reaches click (2)
+        (2, 10, "view"), (2, 30, "click"), (2, 20, "purchase"),
+        # u3: view only
+        (3, 10, "view"),
+        # u4: never viewed -> absent
+        (4, 10, "click"), (4, 20, "purchase"),
+        # u5: two views; second view's click chain attributes to FIRST view
+        (5, 50, "view"), (5, 10, "view"), (5, 40, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r.user_id: r for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].t_view, out[1].t_click, out[1].t_purchase, out[1].reached) == (10, 20, 30, 3)
+    assert (out[2].t_click, out[2].t_purchase, out[2].reached) == (30, None, 2)
+    assert (out[3].reached, out[3].t_click) == (1, None)
+    assert (out[5].t_view, out[5].t_click, out[5].reached) == (10, 40, 2)
+    # single shuffle: one hash exchange on user_id in the whole plan
+    plan = funnel_steps(df, ["view", "click", "purchase"])._jdf.queryExecution().executedPlan().toString()
+    import re
+    n = len(re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan))
+    assert n == 1, f"funnel should be one shuffle, saw {n}"
