@@ -1,0 +1,202 @@
+"""Byte-pair-encoding tokenizer: distributed training + Arrow encode.
+
+Reference anchor: the reference counts "tokens" nowhere; its chunker
+splits on characters (ingestion-pipeline.py:226-231). A training-data
+pipeline budgets in TOKENS (per-source token quotas, packing to a
+context length), and a regex proxy (`textops.token_count`) drifts
+from any real tokenizer's counts. This module trains an actual BPE
+vocabulary (Sennrich et al. 2016) on the corpus and encodes with it.
+
+Distributed shape (the standard map-reduce BPE trainer):
+- Training runs on the WORD HISTOGRAM, not the corpus: one groupBy
+  collapses 100 TB of text into |vocab|-many (word, count) rows —
+  everything after is proportional to distinct words, not corpus
+  size.
+- Each merge round: explode adjacent symbol pairs (weighted by word
+  count) → partial-agg count → take the global max (ONE driver
+  collect of one row per round — the iterative-driver-loop pattern;
+  n_merges rounds = n_merges tiny jobs over the persisted
+  histogram).
+- Merge application is a JVM ``F.aggregate`` fold over the symbol
+  arrays (greedy left-to-right, exactly the reference algorithm's
+  in-word semantics) — no Python in the per-word path.
+- Tie-break is deterministic (max count, then lexicographic pair),
+  so training is reproducible bit-for-bit — pinned in tests against
+  a pure-Python reference implementation.
+
+Encoding (`make_bpe_encode_udf`) is the classic ranked-merge loop as
+an Arrow pandas UDF with an LRU per-word cache — words repeat
+massively in real corpora, so the cache hit rate dominates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: pre-tokenization: letter runs, digit runs, single other symbols —
+#: the same portable classes textops.TOKEN_PATTERN uses
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: marks end-of-word so merges can't cross word boundaries and
+#: detokenization is unambiguous (Sennrich's </w>)
+END_OF_WORD = "</w>"
+
+
+def _word_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    words = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
+    ).alias("__word")
+    return (
+        df.select(words)
+        .groupBy("__word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def _initial_symbols(word_col: Column) -> Column:
+    """word → [c1, c2, ..., cn + END_OF_WORD]."""
+    chars = F.split(word_col, "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(END_OF_WORD))),
+    )
+
+
+def _apply_merge(sym_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) → a+b, as a JVM
+    array fold (no Python per word)."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn an ordered merge list from the corpus. Stops early when
+    the best remaining pair occurs fewer than ``min_pair_count``
+    times. Deterministic: ties break lexicographically."""
+    from pyspark import StorageLevel
+
+    hist = _word_histogram(df, text_col)
+    words = hist.select(
+        F.col("__cnt"), _initial_symbols(F.col("__word")).alias("__syms")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            n = F.size("__syms")
+            pairs = words.select(
+                "__cnt",
+                F.explode(
+                    F.when(
+                        n >= 2,
+                        F.zip_with(
+                            F.slice("__syms", 1, n - 1),
+                            F.slice("__syms", 2, n - 1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("__p"),
+            )
+            best = (
+                pairs.groupBy("__p")
+                .agg(F.sum("__cnt").alias("__n"))
+                .orderBy(F.col("__n").desc(), F.col("__p.a"), F.col("__p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["__n"] < min_pair_count:
+                break
+            a, b = best[0]["__p"]["a"], best[0]["__p"]["b"]
+            merges.append((a, b))
+            nxt = words.select(
+                "__cnt", _apply_merge(F.col("__syms"), a, b).alias("__syms")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic ranked-merge encode of one pre-token (the GPT-2 bpe()
+    loop): repeatedly merge the lowest-rank adjacent pair."""
+    if not word:
+        return []
+    syms = list(word[:-1]) + [word[-1] + END_OF_WORD]
+    while len(syms) > 1:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(syms, syms[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return syms
+
+
+def make_bpe_encode_udf(merges: list[tuple[str, str]], counts_only: bool = False):
+    """Arrow encode UDF over raw text: pre-tokenize, BPE-encode each
+    word (LRU-cached — words repeat massively), return the token
+    array (or just the count). The merges list broadcasts with the
+    serialized UDF — a few hundred KB for a real vocab."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def _make_enc():
+        # built inside the worker (an lru_cache-wrapped closure is not
+        # picklable); per-batch dict cache — words repeat massively
+        import re
+
+        pat = re.compile(PRETOKEN_PATTERN)
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            r = cache.get(word)
+            if r is None:
+                r = bpe_encode_word(word, ranks)
+                cache[word] = r
+            return r
+
+        return pat, enc
+
+    if counts_only:
+
+        @F.pandas_udf("bigint")
+        def _count(texts: pd.Series) -> pd.Series:
+            pat, enc = _make_enc()
+            return texts.map(
+                lambda t: sum(len(enc(w)) for w in pat.findall(t or ""))
+            )
+
+        return _count
+
+    @F.pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        pat, enc = _make_enc()
+        return texts.map(
+            lambda t: [s for w in pat.findall(t or "") for s in enc(w)]
+        )
+
+    return _encode
