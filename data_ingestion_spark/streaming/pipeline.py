@@ -242,3 +242,59 @@ def stream_static_enrich(
     on the driver/executors as a broadcast; the stream side never
     shuffles for the join."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def run_sketch_stream(
+    stream: DataFrame,
+    value_col: str,
+    out_dir: str,
+    checkpoint: str,
+    width: int = 256,
+    depth: int = 4,
+) -> StreamingQuery:
+    """Streaming count-min maintenance: each micro-batch sketches its
+    own rows (constant-size, partial-agg bounded) and cell-wise
+    MERGES into the sketch at rest — the mergeability property is
+    exactly what makes CMS the right streaming frequency state: the
+    accumulated table never grows past depth x width rows no matter
+    how long the stream runs. foreachBatch is at-least-once, so a
+    merge must be made idempotent EXPLICITLY: the last merged
+    batch_id travels INSIDE the sketch parquet (state and marker
+    swap atomically via directory rename), and a replayed batch_id
+    is skipped instead of double-counted — an append-style sink or
+    a sidecar marker file would both re-add the delta on retry.
+    AvailableNow drains everything discoverable; the same call tails
+    a live directory with the default trigger."""
+    import os
+    import shutil
+
+    from ..functions.sketches import cms_build, cms_merge
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = cms_build(batch_df, value_col, width, depth)
+        cur_path = os.path.join(out_dir, "current")
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+            last = cur.agg(F.max("last_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replay of an already-merged batch: skip
+            merged = cms_merge(cur.drop("last_batch_id"), delta)
+        else:
+            merged = delta
+        merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))
+        tmp = os.path.join(out_dir, f"_tmp_batch_{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(out_dir, f"_old_batch_{batch_id}")
+        if os.path.exists(cur_path):
+            os.rename(cur_path, old)
+        os.rename(tmp, cur_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

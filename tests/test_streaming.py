@@ -336,3 +336,46 @@ def test_session_boundary_semantics_align(spark):
             .agg(F.max("session_id")).collect()[0][0]
         )
         assert native == want_sessions == twin, (delta, native, twin)
+
+
+def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path):
+    """Streaming CMS: the accumulated sketch after draining equals
+    the batch-built sketch CELL FOR CELL (mergeability is exact, not
+    approximate), stays constant-size, and a replayed batch_id is
+    skipped (at-least-once safety)."""
+    import os
+
+    from data_ingestion_spark.functions.sketches import cms_build
+
+    out_dir = str(tmp_path / "sketch")
+    os.makedirs(out_dir, exist_ok=True)
+    stream = SP.stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+    q = SP.run_sketch_stream(
+        stream.select("event_type"), "event_type", out_dir,
+        str(tmp_path / "ckpt_sketch"), width=64, depth=4,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "current"))
+    n_batches = got.agg(F.max("last_batch_id")).collect()[0][0]
+    assert n_batches is not None and n_batches >= 1  # multiple micro-batches ran
+    batch = cms_build(
+        spark.read.parquet(events_dir).select("event_type"), "event_type", 64, 4
+    )
+    a = {(r.depth_idx, r.bucket): r.cnt for r in got.drop("last_batch_id").collect()}
+    b = {(r.depth_idx, r.bucket): r.cnt for r in batch.collect()}
+    assert a == b
+    assert len(a) <= 64 * 4
+    # replay safety: re-running with the SAME checkpoint finds nothing
+    # new (AvailableNow), and the batch_id guard keeps state unchanged
+    q2 = SP.run_sketch_stream(
+        SP.stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+        .select("event_type"),
+        "event_type", out_dir, str(tmp_path / "ckpt_sketch"), width=64, depth=4,
+    )
+    q2.awaitTermination(120)
+    again = {
+        (r.depth_idx, r.bucket): r.cnt
+        for r in spark.read.parquet(os.path.join(out_dir, "current"))
+        .drop("last_batch_id").collect()
+    }
+    assert again == a
