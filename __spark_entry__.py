@@ -79,6 +79,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: ordered-funnel analysis (one-shuffle
     # chained conditional window-mins)
     "funnel_conversion",
+    # never-checked r10 addition: in-engine Naive Bayes corpus
+    # classifier (train+apply, exact integer-micro determinism)
+    "nb_quality_classify",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -117,7 +120,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_binary_meta",
     "multimodal_header_decode",
     "embed_near_dup_lsh",
-    "dedup_clusters",
 ]
 
 

@@ -1568,6 +1568,84 @@ _ROBOTS_ORACLE = (
 )
 
 
+_NB_ORACLE = (
+    "WITH base AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+    "lbl AS (SELECT doc_id, ws, CASE WHEN "
+    "len(list_filter(ws, x -> x = 'spark' OR x = 'query')) > "
+    "len(list_filter(ws, x -> x = 'customer' OR x = 'order')) "
+    "THEN 'a' ELSE 'b' END AS label FROM base), "
+    "tr AS (SELECT * FROM lbl WHERE doc_id % 5 <> 0), "
+    "ttok AS (SELECT label, unnest(ws) AS token FROM tr), "
+    "counts AS (SELECT label, token, count(*) AS n FROM ttok GROUP BY label, token), "
+    "voc AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM counts), "
+    "ctot AS (SELECT label, CAST(sum(n) AS DOUBLE) AS tot FROM counts GROUP BY label), "
+    "dc AS (SELECT label, count(*) AS docs FROM tr GROUP BY label), "
+    "nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM tr), "
+    "model AS (SELECT c.label, c.token, "
+    "CAST(round(ln((c.n + 1.0) / (t.tot + v.v)) * 1000000.0) AS BIGINT) AS lp "
+    "FROM counts c JOIN ctot t ON c.label = t.label, voc v), "
+    "cls AS (SELECT d.label, "
+    "CAST(round(ln(d.docs / n.nd) * 1000000.0) AS BIGINT) AS prior, "
+    "CAST(round(ln(1.0 / (t.tot + v.v)) * 1000000.0) AS BIGINT) AS unseen "
+    "FROM dc d JOIN ctot t ON d.label = t.label, voc v, nd n), "
+    "atok AS (SELECT doc_id, unnest(ws) AS token FROM lbl), "
+    "ex AS (SELECT a.doc_id, c.label, coalesce(m.lp, c.unseen) AS lp "
+    "FROM atok a CROSS JOIN cls c "
+    "LEFT JOIN model m ON m.label = c.label AND m.token = a.token), "
+    "sc AS (SELECT doc_id, label, sum(lp) AS s FROM ex GROUP BY doc_id, label), "
+    "fin AS (SELECT sc.doc_id, sc.label, sc.s + c.prior AS score, "
+    "row_number() OVER (PARTITION BY sc.doc_id "
+    "ORDER BY sc.s + c.prior DESC, sc.label) AS rn "
+    "FROM sc JOIN cls c ON c.label = sc.label) "
+    "SELECT doc_id, label AS predicted, CAST(score AS BIGINT) AS score_micros "
+    "FROM fin WHERE rn = 1"
+)
+
+
+@q("nb_quality_classify", _NB_ORACLE)
+def nb_quality_classify(spark, sf_dir):
+    """Model-based corpus filtering wholly in the engine — the
+    GPT-3/CCNet-style classifier gate (train a cheap text model on
+    labeled slices, score every document) as pure relational
+    algebra: multinomial Naive Bayes with Laplace smoothing
+    (functions/nbayes.py). Fixture labels derive from token content
+    ('spark'/'query' vs 'customer'/'order' dominance), training uses
+    the doc_id%5!=0 slice, and EVERY doc is then classified.
+    Determinism is the batch-BM25 pattern: log-probs are computed
+    once at train time and stored as integer micros, per-document
+    class scores are exact BIGINT sums, argmax ties break on class
+    name — the DuckDB oracle replicates the entire train+apply
+    pipeline and predictions hash-match bit-exactly. The model
+    table broadcasts (|vocab| x |classes| rows); 100 TB classify
+    cost is one broadcast join + one (doc, class) groupBy."""
+    from .functions.nbayes import nb_classify, nb_train
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+    )
+    def nmatch(*terms):
+        conds = None
+        for t in terms:
+            c = F.size(F.filter(ws, _term_eq_factory(t)))
+            conds = c if conds is None else conds + c
+        return conds
+
+    lbl = d.withColumn(
+        "label",
+        F.when(nmatch("spark", "query") > nmatch("customer", "order"), "a").otherwise("b"),
+    )
+    model, classes = nb_train(lbl.filter(F.col("doc_id") % 5 != 0))
+    return nb_classify(lbl, model, classes)
+
+
+def _term_eq_factory(t):
+    # factory closure (not a defaulted lambda param: PySpark treats a
+    # two-param lambda's second arg as the array index column)
+    return lambda x: x == F.lit(t)
+
+
 @q(
     "funnel_conversion",
     "WITH s0 AS (SELECT user_id, ts, event_type, "

@@ -1,0 +1,70 @@
+"""Naive Bayes classifier: textbook semantics on a tiny corpus,
+unknown-token floor, tie-break, and label recovery on a synthetic
+separable corpus."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingestion_spark.functions.nbayes import nb_classify, nb_train
+
+
+def test_nb_textbook_values_and_unknowns(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "spam spam offer", "spam"),
+            (2, "offer now spam", "spam"),
+            (3, "meeting notes agenda", "ham"),
+            (4, "notes for the meeting", "ham"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    model, classes = nb_train(train)
+    m = {(r.label, r.token): r.lp_micros for r in model.collect()}
+    c = {r.label: (r.prior_micros, r.unseen_micros) for r in classes.collect()}
+    # hand-checked value: P(spam|spam-class) = (3+1)/(6+V), V = vocab
+    vocab = len({t for (_, t) in m})
+    expect = round(math.log(4 / (6 + vocab)) * 1e6)
+    assert m[("spam", "spam")] == expect
+    assert c["spam"][0] == round(math.log(2 / 4) * 1e6)
+    # classification: an obvious spam doc and an unknown-word doc
+    test = spark.createDataFrame(
+        [(10, "spam offer spam"), (11, "agenda meeting"), (12, "zzz qqq www")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.predicted for r in nb_classify(test, model, classes).collect()}
+    assert got[10] == "spam" and got[11] == "ham"
+    # all-unknown doc: decided by priors + per-class floors, never crashes
+    assert got[12] in {"spam", "ham"}
+    # determinism
+    again = {r.doc_id: r.predicted for r in nb_classify(test, model, classes).collect()}
+    assert got == again
+
+
+def test_nb_recovers_separable_labels(spark):
+    """Trained on half of a cleanly separable corpus, NB must label
+    the held-out half correctly."""
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta alpha gamma common words here", "x"))
+        else:
+            rows.append((i, "delta epsilon delta zeta common words here", "y"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    model, classes = nb_train(df.filter(F.col("doc_id") < 100))
+    held = df.filter(F.col("doc_id") >= 100)
+    got = nb_classify(held, model, classes)
+    joined = got.join(held.select("doc_id", "label"), "doc_id")
+    assert joined.filter(F.col("predicted") != F.col("label")).count() == 0
+
+
+def test_nb_tiebreak_smallest_label(spark):
+    # two identical classes -> every doc ties -> 'a' (ascending) wins
+    train = spark.createDataFrame(
+        [(1, "w w w", "a"), (2, "w w w", "b")], "doc_id long, text string, label string"
+    )
+    model, classes = nb_train(train)
+    test = spark.createDataFrame([(9, "w w")], "doc_id long, text string")
+    assert nb_classify(test, model, classes).collect()[0].predicted == "a"

@@ -113,6 +113,7 @@ CROSS_OK = {
     "rank_bm25_batch",         # 1-row (N, avgdl) stats broadcast
     "crawl_pagerank",          # 1-row node-count broadcast builds the fixture graph
     "hybrid_rank_rrf_batch",   # 3-row query-vector broadcast + stats row
+    "nb_quality_classify",     # 2-row class table crossed into the token stream
     "hybrid_rank_rrf",         # same stats row inside the lexical half
 }
 
