@@ -82,6 +82,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: in-engine Naive Bayes corpus
     # classifier (train+apply, exact integer-micro determinism)
     "nb_quality_classify",
+    # never-checked r10 addition: token budgeting on DETECTED language
+    # (the lang-ID margin composition the r09 verdict asked for)
+    "token_budget_detected_lang",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -119,7 +122,6 @@ DRIVER_WINDOW: list[str] = [
     "text_quality_score",
     "multimodal_binary_meta",
     "multimodal_header_decode",
-    "embed_near_dup_lsh",
 ]
 
 

@@ -388,6 +388,68 @@ def lang_id_ngram(spark, sf_dir):
     )
 
 
+def _tb_detected_oracle() -> str:
+    from .functions.textops import TOKEN_PATTERN
+
+    langs = list(T.LANG_MARKERS)
+    score_cols = ", ".join(
+        f"CAST({_lang_score(lg)} AS INTEGER) AS score_{lg}" for lg in langs
+    )
+    gmax = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {gmax} THEN '{lg}'" for lg in langs
+    ) + " END"
+    arr = "list_sort([" + ", ".join(f"score_{lg}" for lg in langs) + "])"
+    n = len(langs)
+    ntok = f"len(regexp_extract_all(text, '{TOKEN_PATTERN}'))"
+    return (
+        f"WITH s AS (SELECT doc_id, text, {score_cols} FROM documents), "
+        f"det AS (SELECT doc_id, text, {case} AS detected_lang, "
+        f"{arr}[{n}] - {arr}[{n - 1}] AS margin FROM s), "
+        "conf AS (SELECT doc_id, text, detected_lang FROM det WHERE margin >= 1), "
+        f"b AS (SELECT doc_id, detected_lang, {ntok} AS n_tokens, "
+        f"sum({ntok}) OVER (PARTITION BY detected_lang ORDER BY "
+        "md5('tbl|' || CAST(doc_id AS VARCHAR)), doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+        "FROM conf) "
+        "SELECT doc_id, detected_lang, CAST(n_tokens AS INTEGER) AS n_tokens, "
+        "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM b WHERE cum_tokens <= 2000"
+    )
+
+
+@q("token_budget_detected_lang", _tb_detected_oracle())
+def token_budget_detected_lang(spark, sf_dir):
+    """The composition the lang-ID margin exists for: token-budget
+    curation per DETECTED language (not the fixture label) — detect
+    via stopword-marker argmax, keep only confident rows (margin ≥ 1
+    — priority-decided ties are not detections), then fill a 2k-token
+    budget per detected language in deterministic hash order. This
+    is the crawl-scale shape: real corpora carry no language column,
+    so the budgeting key must come from the detector. One shuffle
+    (the per-language window); detection itself is scan-side JVM
+    regexp arithmetic."""
+    from pyspark.sql import Window
+
+    from .functions import corpus as C
+    from .functions.textops import token_count
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    det = T.lang_id_scores(d, "text").filter(F.col("margin") >= 1).select(
+        "doc_id", "text", F.col("predicted_lang").alias("detected_lang")
+    )
+    w = (
+        Window.partitionBy("detected_lang")
+        .orderBy(C.hash_key(F.col("doc_id"), "tbl"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        det.withColumn("n_tokens", token_count(F.col("text")).cast("int"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "detected_lang", "n_tokens", "cum_tokens")
+    )
+
+
 @q(
     "text_quality_score",
     "WITH b AS (SELECT doc_id, length(text) AS n_chars0, "
