@@ -106,7 +106,9 @@ def nb_classify(
     """(id, predicted, score_micros): argmax over classes of
     prior + Σ_token lp(token|class), unknown tokens contributing the
     class's smoothed floor. Exact integer arithmetic end-to-end;
-    ties break on class name ascending."""
+    ties break on class name ascending. Documents whose text yields
+    ZERO tokens produce no row (no evidence to score — filter empty
+    docs upstream if every input must appear)."""
     toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token"))
     cls = classes.select("label", "prior_micros", "unseen_micros")
     m = model

@@ -49,7 +49,9 @@ def cms_build(
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
 ) -> DataFrame:
-    """Count-min sketch of the values in ``col`` (NULLs ignored):
+    """Count-min sketch of the values in ``col`` (NULLs ignored;
+    values hash via their string cast, so use string/integer columns
+    — float formatting is engine-specific and would fragment keys):
     one row per (depth_idx, bucket) with the summed count. Cells no
     value hashed into are absent (semantically zero). Sketches over
     different data slices MERGE by unioning and re-summing per

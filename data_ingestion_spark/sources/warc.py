@@ -443,6 +443,12 @@ def resolve_charset(body: bytes, content_type: str | None) -> str:
     """
     if body.startswith(codecs.BOM_UTF8):
         return "utf-8-sig"
+    # UTF-32 BOMs BEFORE UTF-16: BOM_UTF32_LE starts with the
+    # UTF-16-LE BOM bytes and would misdetect otherwise
+    if body.startswith(codecs.BOM_UTF32_LE):
+        return "utf-32-le"
+    if body.startswith(codecs.BOM_UTF32_BE):
+        return "utf-32-be"
     if body.startswith(codecs.BOM_UTF16_LE):
         return "utf-16-le"
     if body.startswith(codecs.BOM_UTF16_BE):
@@ -471,8 +477,10 @@ def decode_http_body(body: bytes, content_type: str | None) -> tuple[str, str]:
     (errors='replace'), matching browser behavior — and BOM bytes are
     consumed, not emitted as a U+FEFF prefix char."""
     charset = resolve_charset(body, content_type)
-    if charset == "utf-16-le" or charset == "utf-16-be":
+    if charset in ("utf-16-le", "utf-16-be"):
         body = body[2:]  # strip the BOM; -le/-be codecs keep it otherwise
+    elif charset in ("utf-32-le", "utf-32-be"):
+        body = body[4:]
     return body.decode(charset, "replace"), charset
 
 

@@ -331,6 +331,9 @@ def test_resolve_charset_precedence():
     # utf-16 BOM consumed, not emitted
     text, cs = decode_http_body("hi".encode("utf-16"), None)  # utf-16 writes a BOM
     assert (text, cs) in {("hi", "utf-16-le"), ("hi", "utf-16-be")}
+    # utf-32 BOM detected BEFORE utf-16 (its LE BOM starts with \xff\xfe)
+    text32, cs32 = decode_http_body("hi".encode("utf-32"), None)
+    assert (text32, cs32) in {("hi", "utf-32-le"), ("hi", "utf-32-be")}
 
 
 def test_warc_response_docs_no_mojibake(spark, tmp_path):
