@@ -140,6 +140,7 @@ def test_plan_lint_all_queries(spark):
     nested-loop join, no Python eval — unless explicitly whitelisted.
     This is the judge-facing guarantee that coverage growth can't
     quietly regress plan quality."""
+    spark.catalog.clearCache()  # same cold-plan rationale as the budget test
     bad = []
     for name, fn in entrymod.queries().items():
         if name in SKIP:
@@ -248,6 +249,11 @@ def test_shuffle_count_budget(spark):
     executed plan must not contain MORE shuffle exchanges than its
     recorded budget (broadcast exchanges excluded — see SHUFFLE_BUDGET
     note; full-registry ceilings from shuffle_budget_generated.json)."""
+    # cold-plan counts: earlier tests (parity runs the whole registry)
+    # leave persisted postings/edges cached, and Spark's cache manager
+    # substitutes InMemoryRelation into IDENTICAL subtrees of later
+    # plans — warm plans count differently than the generated budgets
+    spark.catalog.clearCache()
     over = []
     for name, budget in _full_shuffle_budget().items():
         plan = (
