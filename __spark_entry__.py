@@ -85,6 +85,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: token budgeting on DETECTED language
     # (the lang-ID margin composition the r09 verdict asked for)
     "token_budget_detected_lang",
+    # never-checked r10 addition: two-pass exact heavy hitters
+    # (CMS candidates -> exact verify; bounded aggregation state)
+    "heavy_hitters_two_pass",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -121,7 +124,6 @@ DRIVER_WINDOW: list[str] = [
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
-    "multimodal_header_decode",
 ]
 
 

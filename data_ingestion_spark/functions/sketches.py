@@ -77,6 +77,55 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("depth_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+) -> DataFrame:
+    """Exact heavy hitters via the classic two-pass sketch pipeline:
+    pass 1 builds the count-min sketch; pass 2 re-scans, estimates
+    each row's value via ``depth`` broadcast joins against the
+    constant-size sketch, keeps rows whose estimate clears the
+    threshold, and exact-counts ONLY those. CMS never
+    underestimates, so every true heavy hitter survives the filter
+    (no false negatives); the final exact count drops the false
+    positives — the result EQUALS ``GROUP BY col HAVING count >=
+    min_count``, but the aggregation hash state is bounded by the
+    candidate set instead of the full vocabulary. That bound is the
+    point at 100 TB: a naive groupBy carries vocabulary-sized state
+    per executor; this carries |heavy values| (tiny by definition —
+    few values can exceed a meaningful threshold).
+
+    Returns (``col``, n) with exact counts, heavy values only.
+    """
+    from pyspark import StorageLevel
+
+    # the sketch feeds `depth` broadcast subtrees — persist it (it is
+    # depth x width rows) so the corpus is scanned once for pass 1,
+    # not once per depth row
+    sketch = cms_build(df, col, width, depth).persist(StorageLevel.MEMORY_AND_DISK)
+    vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    est: Column | None = None
+    cur = vals
+    for j in range(depth):
+        s_j = sketch.filter(F.col("depth_idx") == j).select(
+            F.col("bucket").alias(f"__b{j}"), F.col("cnt").alias(f"__c{j}")
+        )
+        cur = cur.withColumn(f"__b{j}", _bucket(F.col("__v"), F.lit(j), width)).join(
+            F.broadcast(s_j), f"__b{j}", "left_outer"
+        )
+        cj = F.coalesce(F.col(f"__c{j}"), F.lit(0))
+        est = cj if est is None else F.least(est, cj)
+    return (
+        cur.filter(est >= min_count)
+        .groupBy(F.col("__v").alias(col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     items: DataFrame,

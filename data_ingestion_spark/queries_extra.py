@@ -1850,6 +1850,37 @@ def cms_token_freq(spark, sf_dir):
     return cms_estimate(sketch, probes)
 
 
+@q(
+    "heavy_hitters_two_pass",
+    "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+    "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0)) AS token FROM documents) "
+    "GROUP BY token HAVING count(*) >= 800",
+)
+def heavy_hitters_two_pass(spark, sf_dir):
+    """Exact heavy hitters at sketch cost: CMS pass finds candidate
+    tokens (never-underestimate ⇒ no false negatives), a second pass
+    exact-counts only rows whose value cleared the estimate filter —
+    the aggregation state is bounded by |heavy values| instead of
+    the vocabulary, the property that makes 'which tokens/URLs/
+    fingerprints exceed N occurrences in 100 TB' affordable. The
+    result provably EQUALS plain GROUP BY ... HAVING count >= N —
+    which is exactly the oracle, so the driver verifies the sketch
+    pipeline converges to exact truth."""
+    from .functions.sketches import heavy_hitters
+
+    d = _d(spark, sf_dir).select("text")
+    tokens = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token")
+    )
+    return heavy_hitters(tokens, "token", min_count=800)
+
+
 def _zorder_oracle() -> str:
     from .operators.layout import zorder_key_sql
 

@@ -40,3 +40,29 @@ def test_cms_constant_size(spark):
     big = spark.range(50_000).select(F.concat(F.lit("v"), (F.col("id") % 9999).cast("string")).alias("v"))
     sketch = cms_build(big, "v", width=128, depth=4)
     assert sketch.count() <= 128 * 4
+
+
+def test_heavy_hitters_exact_equivalence_and_bounded_candidates(spark):
+    """Two-pass result == plain groupBy-having EXACTLY (CMS has no
+    false negatives, exact pass drops false positives), including at
+    a width small enough to force collisions."""
+    rows = (
+        [("hot1",)] * 300 + [("hot2",)] * 150
+        + [(f"cold{i}",) for i in range(400)] * 2  # 400 values x2
+    )
+    df = spark.createDataFrame(rows, "v string")
+    from pyspark.sql import functions as F2
+
+    truth = {
+        r.v: r.n
+        for r in df.groupBy("v").agg(F2.count(F2.lit(1)).alias("n"))
+        .filter(F2.col("n") >= 100).collect()
+    }
+    # tiny width=16: heavy collision pressure, result must still be exact
+    from data_ingestion_spark.functions.sketches import heavy_hitters
+
+    got = {
+        r.v: r.n
+        for r in heavy_hitters(df, "v", min_count=100, width=16, depth=4).collect()
+    }
+    assert got == truth == {"hot1": 300, "hot2": 150}
