@@ -91,50 +91,50 @@ def bpe_train(
     """Learn an ordered merge list from the corpus. Stops early when
     the best remaining pair occurs fewer than ``min_pair_count``
     times. Deterministic: ties break lexicographically."""
-    from pyspark import StorageLevel
-
+    # localCheckpoint (materialize + TRUNCATE lineage) instead of
+    # persist: each merge nests another array fold into the plan, and
+    # by ~50 iterations the accumulated expression tree OOMs the
+    # driver heap just RENDERING the plan string (AQE's
+    # onUpdatePlan explain) before any data moves — measured, not
+    # hypothetical. Checkpointing per round keeps the plan O(1) per
+    # iteration; blocks are cleaned by the ContextCleaner when the
+    # previous round's DataFrame drops out of scope.
     hist = _word_histogram(df, text_col)
     words = hist.select(
         F.col("__cnt"), _initial_symbols(F.col("__word")).alias("__syms")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(n_merges):
-            n = F.size("__syms")
-            pairs = words.select(
-                "__cnt",
-                F.explode(
-                    F.when(
-                        n >= 2,
-                        F.zip_with(
-                            F.slice("__syms", 1, n - 1),
-                            F.slice("__syms", 2, n - 1),
-                            lambda x, y: F.struct(
-                                x.alias("a"), y.alias("b")
-                            ),
+    for _ in range(n_merges):
+        n = F.size("__syms")
+        pairs = words.select(
+            "__cnt",
+            F.explode(
+                F.when(
+                    n >= 2,
+                    F.zip_with(
+                        F.slice("__syms", 1, n - 1),
+                        F.slice("__syms", 2, n - 1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
                         ),
-                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-                ).alias("__p"),
-            )
-            best = (
-                pairs.groupBy("__p")
-                .agg(F.sum("__cnt").alias("__n"))
-                .orderBy(F.col("__n").desc(), F.col("__p.a"), F.col("__p.b"))
-                .limit(1)
-                .collect()
-            )
-            if not best or best[0]["__n"] < min_pair_count:
-                break
-            a, b = best[0]["__p"]["a"], best[0]["__p"]["b"]
-            merges.append((a, b))
-            nxt = words.select(
-                "__cnt", _apply_merge(F.col("__syms"), a, b).alias("__syms")
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = nxt
-    finally:
-        words.unpersist()
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("__p"),
+        )
+        best = (
+            pairs.groupBy("__p")
+            .agg(F.sum("__cnt").alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__p.a"), F.col("__p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["__n"] < min_pair_count:
+            break
+        a, b = best[0]["__p"]["a"], best[0]["__p"]["b"]
+        merges.append((a, b))
+        words = words.select(
+            "__cnt", _apply_merge(F.col("__syms"), a, b).alias("__syms")
+        ).localCheckpoint(eager=True)
     return merges
 
 
