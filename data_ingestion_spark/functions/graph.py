@@ -45,6 +45,7 @@ def pagerank_scores(
     d_num: int = 85,
     d_den: int = 100,
     materialize: bool = True,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (node, rank_micros) after ``iters``
     integer power iterations with damping ``d_num/d_den``:
@@ -57,6 +58,13 @@ def pagerank_scores(
     base term but donate nothing (documented non-redistribution).
     All arithmetic is exact BIGINT — results are bit-identical
     across engines, partitionings, and aggregation orders.
+
+    ``checkpoint_every``: for large ``iters``, truncate the unrolled
+    rank lineage every k rounds via ``localCheckpoint`` — the BPE
+    trainer measured a driver-heap OOM from merely RENDERING a plan
+    after ~50 unrolled iterations (BENCH_NOTES r10 addendum); the
+    default 5 iterations stay far under that, so checkpointing is
+    opt-in (it costs a materialization per k rounds).
     """
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -70,6 +78,7 @@ def pagerank_scores(
     base = (PAGERANK_SCALE * (d_den - d_num)) // d_den
     ranks = nodes.withColumn("__r", F.lit(PAGERANK_SCALE).cast("bigint"))
     contrib_edges = e.join(outdeg, "__src")
+    it = 0
     if materialize:
         # every iteration joins against the degree-annotated edge
         # list and the node set; without persistence the lazy plan
@@ -108,6 +117,9 @@ def pagerank_scores(
                 .alias("__r"),
             )
         )
+        it += 1
+        if checkpoint_every and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("__node").alias("node"), F.col("__r").alias("rank_micros")
     )
