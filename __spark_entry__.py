@@ -88,6 +88,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: two-pass exact heavy hitters
     # (CMS candidates -> exact verify; bounded aggregation state)
     "heavy_hitters_two_pass",
+    # never-checked r10 addition: link graph + anchor-text corpus
+    # extraction (pure JVM regexp pipeline)
+    "crawl_anchor_edges",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -123,7 +126,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_fingerprint",
     "lang_id_ngram",
     "text_quality_score",
-    "multimodal_binary_meta",
 ]
 
 

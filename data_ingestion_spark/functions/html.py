@@ -535,3 +535,41 @@ def extract_main_content_stage(df: DataFrame, html_col: str = "html") -> DataFra
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------- anchor edges
+
+#: one <a> element: href attribute + inner body (lazy, cross-line)
+ANCHOR_PATTERN = r'<a\s[^>]*href="([^"]*)"[^>]*>([\s\S]*?)</a>'
+
+
+def extract_anchor_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The LINK GRAPH with anchor text: (src, dst, anchor_text) rows
+    from raw HTML — pure JVM regexp (extract whole <a> elements,
+    explode, re-extract href + body per element, strip nested tags,
+    collapse whitespace). Two consumers at crawl scale: the edge
+    list feeds `graph.pagerank_scores` for frontier prioritization,
+    and anchor text is a training signal in its own right (link text
+    describes the TARGET page — the classic anchor-text corpus).
+    Zero Python, zero shuffles beyond the explode's row growth."""
+    m = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 0)
+    return (
+        df.select(F.col(url_col).alias("src"), F.explode(m).alias("__a"))
+        .select(
+            "src",
+            F.regexp_extract("__a", ANCHOR_PATTERN, 1).alias("dst"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract("__a", ANCHOR_PATTERN, 2),
+                        r"<[^>]*>",
+                        " ",
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("anchor_text"),
+        )
+    )

@@ -1850,6 +1850,51 @@ def cms_token_freq(spark, sf_dir):
     return cms_estimate(sketch, probes)
 
 
+_ANCHOR_SQL_PAT = '<a\\s[^>]*href="([^"]*)"[^>]*>([\\s\\S]*?)</a>'
+
+
+@q(
+    "crawl_anchor_edges",
+    "WITH pages AS (SELECT doc_id, "
+    "'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS src, "
+    "'<p>intro</p><a href=\"/d/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) "
+    "|| '\" class=\"x\">  first <b>link</b>' || chr(10) || 'text  </a>"
+    "<a id=\"k\" href=\"/d/' || CAST((doc_id * 13 + 2) % 500 AS VARCHAR) "
+    "|| '\">doc ' || CAST(doc_id AS VARCHAR) || '</a>' AS html FROM documents), "
+    f"a AS (SELECT src, unnest(regexp_extract_all(html, '{_ANCHOR_SQL_PAT}', 0)) "
+    "AS el FROM pages) "
+    f"SELECT src, regexp_extract(el, '{_ANCHOR_SQL_PAT}', 1) AS dst, "
+    f"trim(regexp_replace(regexp_replace(regexp_extract(el, '{_ANCHOR_SQL_PAT}', 2), "
+    "'<[^>]*>', ' ', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS anchor_text FROM a",
+)
+def crawl_anchor_edges(spark, sf_dir):
+    """The link graph WITH anchor text from raw HTML — pure JVM
+    regexp (whole-<a> extraction, explode, per-element href/body
+    re-extract, nested-tag strip, whitespace collapse). The edge
+    list is pagerank_scores' input; the anchor text is the classic
+    link-text corpus (link text describes the TARGET page). Fixture
+    pages carry two attribute-noisy anchors with a nested <b> and a
+    newline inside the body; the oracle replicates the extraction
+    pipeline in DuckDB. Zero Python; only the explode's row growth."""
+    from .functions.html import extract_anchor_edges
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.concat(F.lit("https://ex.com/d/"), did.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<p>intro</p><a href="/d/'),
+            ((did * 7 + 1) % 500).cast("string"),
+            F.lit('" class="x">  first <b>link</b>\ntext  </a><a id="k" href="/d/'),
+            ((did * 13 + 2) % 500).cast("string"),
+            F.lit('">doc '),
+            did.cast("string"),
+            F.lit("</a>"),
+        ).alias("html"),
+    )
+    return extract_anchor_edges(pages)
+
+
 @q(
     "heavy_hitters_two_pass",
     "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("

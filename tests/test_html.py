@@ -350,3 +350,27 @@ def test_extract_main_content_heuristics(spark):
     df = spark.createDataFrame([(1, page), (2, "<p>tiny</p>")], "doc_id long, html string")
     rows = {r.doc_id: r.main_text for r in extract_main_content_stage(df).collect()}
     assert rows[1] == article and rows[2] == ""
+
+
+def test_extract_anchor_edges(spark):
+    from data_ingestion_spark.functions.html import extract_anchor_edges
+
+    html = (
+        '<a href="/x">plain</a>'
+        '<a class="z" href="/y" id="k"><b>bold</b>  text\nwrapped</a>'
+        '<a href="/empty"></a>'
+        '<a name="no-href">not a link</a>'
+        "<a href='single-quoted'>skipped by design</a>"
+    )
+    df = spark.createDataFrame([("https://ex.com/p", html)], "url string, html string")
+    rows = extract_anchor_edges(df).collect()
+    got = {(r.dst, r.anchor_text) for r in rows}
+    assert got == {
+        ("/x", "plain"),
+        ("/y", "bold text wrapped"),   # nested tag stripped, whitespace collapsed
+        ("/empty", ""),
+    }
+    assert all(r.src == "https://ex.com/p" for r in rows)
+    # JVM-only plan (link-graph extraction must not cross into Python)
+    plan = extract_anchor_edges(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
