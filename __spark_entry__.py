@@ -91,6 +91,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: link graph + anchor-text corpus
     # extraction (pure JVM regexp pipeline)
     "crawl_anchor_edges",
+    # never-checked r10 addition: frontier-prioritization capstone
+    # (HTML -> anchor edges -> URL resolve -> integer PageRank -> top-20)
+    "crawl_rank_pipeline",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -125,7 +128,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard_capped",
     "doc_fingerprint",
     "lang_id_ngram",
-    "text_quality_score",
 ]
 
 

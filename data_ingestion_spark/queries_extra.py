@@ -1852,7 +1852,6 @@ def cms_token_freq(spark, sf_dir):
 
 _ANCHOR_SQL_PAT = '<a\\s[^>]*href="([^"]*)"[^>]*>([\\s\\S]*?)</a>'
 
-
 @q(
     "crawl_anchor_edges",
     "WITH pages AS (SELECT doc_id, "
@@ -1957,12 +1956,18 @@ def zorder_cluster_key(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iters: int = 5) -> str:
+def _pagerank_oracle(
+    iters: int = 5,
+    edges_cte: str = (
+        "n AS (SELECT count(*) AS c FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id * 7 + 13 * j.j) % n.c AS dst "
+        "FROM documents, n, (VALUES (1), (2), (3)) j(j))"
+    ),
+    select: str = "SELECT node, r AS rank_micros FROM it{last}",
+) -> str:
     base = (1_000_000 * 15) // 100
     parts = [
-        "WITH n AS (SELECT count(*) AS c FROM documents), "
-        "e AS (SELECT doc_id AS src, (doc_id * 7 + 13 * j.j) % n.c AS dst "
-        "FROM documents, n, (VALUES (1), (2), (3)) j(j)), "
+        f"WITH {edges_cte}, "
         "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
         "nodes AS (SELECT DISTINCT src AS node FROM e "
         "UNION SELECT DISTINCT dst FROM e), "
@@ -1978,9 +1983,7 @@ def _pagerank_oracle(iters: int = 5) -> str:
             f"JOIN {'r0' if t == 1 else f'it{t - 1}'} r ON r.node = e.src "
             f"GROUP BY e.dst) s ON s.node = nodes.node)"
         )
-    parts.append(
-        f" SELECT node, r AS rank_micros FROM it{iters}"
-    )
+    parts.append(" " + select.format(last=iters))
     return "".join(parts)
 
 
@@ -2015,6 +2018,70 @@ def crawl_pagerank(spark, sf_dir):
         )
     )
     return pagerank_scores(edges, iters=5)
+
+
+_RANK_EDGES_CTE = (
+    "e AS (SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS src, "
+    "'https://ex.com/d/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) AS dst "
+    "FROM documents UNION ALL "
+    "SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR), "
+    "'https://ex.com/d/' || CAST((doc_id * 13 + 2) % 500 AS VARCHAR) "
+    "FROM documents)"
+)
+
+
+@q(
+    "crawl_rank_pipeline",
+    _pagerank_oracle(
+        edges_cte=_RANK_EDGES_CTE,
+        select=(
+            "SELECT node AS url, r AS rank_micros FROM ("
+            "SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rn "
+            "FROM it{last}) WHERE rn <= 20"
+        ),
+    ),
+)
+def crawl_rank_pipeline(spark, sf_dir):
+    """The frontier-prioritization capstone, end to end in ONE plan:
+    raw HTML pages → anchor-edge extraction (JVM regexp) → relative
+    hrefs resolved against the source authority → five integer
+    PageRank rounds over the resulting URL graph → top-20 URLs to
+    fetch first. This is what replaces the reference's
+    discovery-order crawl at scale: the fetch queue is ordered by
+    link centrality computed from the crawl itself. The oracle
+    constructs the expected edge list independently from doc_id
+    arithmetic (extraction parity is crawl_anchor_edges' job) and
+    unrolls the same bit-exact integer iterations."""
+    from .functions.graph import pagerank_scores
+    from .functions.html import extract_anchor_edges
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.concat(F.lit("https://ex.com/d/"), did.cast("string")).alias("url"),
+        F.concat(
+            F.lit('<p>intro</p><a href="/d/'),
+            ((did * 7 + 1) % 500).cast("string"),
+            F.lit('" class="x">  first <b>link</b>\ntext  </a><a id="k" href="/d/'),
+            ((did * 13 + 2) % 500).cast("string"),
+            F.lit('">doc '),
+            did.cast("string"),
+            F.lit("</a>"),
+        ).alias("html"),
+    )
+    edges = extract_anchor_edges(pages).select(
+        "src",
+        F.concat(
+            F.regexp_extract("src", r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1),
+            F.col("dst"),
+        ).alias("dst"),
+    )
+    ranks = pagerank_scores(edges, iters=5)
+    return (
+        ranks.orderBy(F.col("rank_micros").desc(), F.col("node"))
+        .limit(20)
+        .select(F.col("node").alias("url"), "rank_micros")
+    )
 
 
 @q("crawl_robots_gate", _ROBOTS_ORACLE)
