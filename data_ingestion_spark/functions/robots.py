@@ -68,6 +68,59 @@ def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
     return rules
 
 
+def robots_crawl_delay_for_star(body: str) -> float | None:
+    """The ``Crawl-delay`` (seconds) of the ``User-agent: *`` group,
+    or None. Same group logic as the rule parser; a malformed number
+    is ignored (never raises)."""
+    uas: list[str] = []
+    group_has_rules = False
+    delay: float | None = None
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if group_has_rules:
+                uas = []
+                group_has_rules = False
+            uas.append(value.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            group_has_rules = True
+            if key == "crawl-delay" and "*" in uas:
+                try:
+                    d = float(value)
+                    if d >= 0:
+                        delay = d
+                except ValueError:
+                    pass
+    return delay
+
+
+def parse_robots_delays(
+    robots_df: DataFrame, host_col: str = "host", body_col: str = "robots_body"
+) -> DataFrame:
+    """(host, robots_body) → (host, delay_s) for hosts that declare a
+    ``Crawl-delay`` in their ``*`` group (others absent)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                d = robots_crawl_delay_for_star(
+                    body if isinstance(body, str) else ""
+                )
+                if d is not None:
+                    rows.append((host, float(d)))
+            yield pd.DataFrame(rows, columns=["host", "delay_s"])
+
+    return robots_df.select(host_col, body_col).mapInPandas(
+        run, "host string, delay_s double"
+    )
+
+
 def parse_robots_rules(
     robots_df: DataFrame, host_col: str = "host", body_col: str = "robots_body"
 ) -> DataFrame:
@@ -143,29 +196,53 @@ def politeness_waves(
     frontier: DataFrame,
     url_col: str = "url",
     per_host_per_wave: int = 10,
+    delays: DataFrame | None = None,
+    wave_seconds: float = 10.0,
 ) -> DataFrame:
     """Host-rate shaping: assign every frontier URL a fetch ``wave``
     so no host receives more than ``per_host_per_wave`` requests per
     wave — the scheduling half of politeness (robots_filter is the
     permission half; Crawl-delay generalizes to the wave width).
-    wave = (rank of the URL within its host − 1) // per_host_per_wave,
-    rank ordered by URL for determinism. A fetcher drains wave 0
-    across ALL hosts concurrently (maximum fleet parallelism), then
-    wave 1, … — host-level backpressure without a serial per-host
-    queue. One window over the host partition; rank state is O(1)
-    and spillable, so a single dominant host degrades to one long —
-    but never out-of-memory — task."""
+    wave = (rank of the URL within its host − 1) // cap, rank ordered
+    by URL for determinism. A fetcher drains wave 0 across ALL hosts
+    concurrently (maximum fleet parallelism), then wave 1, … —
+    host-level backpressure without a serial per-host queue. One
+    window over the host partition; rank state is O(1) and
+    spillable, so a single dominant host degrades to one long — but
+    never out-of-memory — task.
+
+    ``delays`` (from ``parse_robots_delays``) makes the cap
+    Crawl-delay-aware: if a wave takes ``wave_seconds`` of wall
+    clock, a host demanding ``delay_s`` between requests may receive
+    at most ``max(1, wave_seconds // delay_s)`` requests per wave;
+    hosts without a declared delay keep ``per_host_per_wave``. The
+    delays table is per-host (tiny) and broadcasts."""
     from pyspark.sql import Window
 
     host = F.lower(
         F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
+    tagged = frontier.withColumn("__host", host)
+    if delays is not None:
+        d = delays.select(F.col("host").alias("__host"), "delay_s")
+        tagged = tagged.join(F.broadcast(d), "__host", "left_outer").withColumn(
+            "__cap",
+            F.when(
+                F.col("delay_s").isNotNull() & (F.col("delay_s") > 0),
+                F.greatest(
+                    F.lit(1), F.floor(F.lit(wave_seconds) / F.col("delay_s"))
+                ),
+            )
+            .otherwise(F.lit(per_host_per_wave))
+            .cast("int"),
+        ).drop("delay_s")
+    else:
+        tagged = tagged.withColumn("__cap", F.lit(per_host_per_wave))
     w = Window.partitionBy("__host").orderBy(F.col(url_col))
     return (
-        frontier.withColumn("__host", host)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("wave", F.expr(f"CAST((__rn - 1) div {int(per_host_per_wave)} AS INT)"))
-        .drop("__host", "__rn")
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .withColumn("wave", F.expr("CAST((__rn - 1) div __cap AS INT)"))
+        .drop("__host", "__rn", "__cap")
     )
 
 

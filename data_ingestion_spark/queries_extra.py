@@ -1767,22 +1767,28 @@ def url_idn_host(spark, sf_dir):
 
 @q(
     "crawl_politeness_waves",
-    "WITH f AS (SELECT doc_id, "
+    "WITH f AS (SELECT doc_id, doc_id % 7 AS h, "
     "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com/d/' "
     "|| CAST(doc_id AS VARCHAR) AS url FROM documents), "
-    "r AS (SELECT doc_id, url, row_number() OVER ("
-    "PARTITION BY doc_id % 7 ORDER BY url) AS rn FROM f) "
-    "SELECT doc_id, url, CAST((rn - 1) // 10 AS INTEGER) AS wave FROM r",
+    # even hosts declare Crawl-delay: 2 -> cap floor(10/2)=5; odd
+    # hosts keep the default 10
+    "r AS (SELECT doc_id, url, "
+    "CASE WHEN h % 2 = 0 THEN 5 ELSE 10 END AS cap, "
+    "row_number() OVER (PARTITION BY h ORDER BY url) AS rn FROM f) "
+    "SELECT doc_id, url, CAST((rn - 1) // cap AS INTEGER) AS wave FROM r",
 )
 def crawl_politeness_waves(spark, sf_dir):
-    """Host-rate shaping for the fetcher: every URL gets a wave index
-    so no host sees more than 10 requests per wave (the scheduling
-    half of politeness; crawl_robots_gate is the permission half).
-    Seven fixture hosts share the frontier; the oracle replicates
-    the per-host row_number // 10 assignment. A fetcher drains wave
-    0 across all hosts in parallel, then wave 1 — host backpressure
-    with full fleet parallelism. One window exchange."""
-    from .functions.robots import politeness_waves
+    """Host-rate shaping for the fetcher, Crawl-delay-aware: every
+    URL gets a wave index so no host exceeds its per-wave request
+    cap — the default 10, or ``floor(wave_seconds / Crawl-delay)``
+    for hosts whose robots.txt declares a delay (parsed by the REAL
+    parser from inline bodies: even fixture hosts say
+    'Crawl-delay: 2', giving cap 5 at the 10 s wave width). The
+    scheduling half of politeness next to crawl_robots_gate. A
+    fetcher drains wave 0 across all hosts in parallel, then wave
+    1 — host backpressure at full fleet parallelism. One window
+    exchange; the per-host delay table broadcasts."""
+    from .functions.robots import parse_robots_delays, politeness_waves
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     frontier = d.select(
@@ -1792,7 +1798,19 @@ def crawl_politeness_waves(spark, sf_dir):
             F.lit(".ex.com/d/"), F.col("doc_id").cast("string"),
         ).alias("url"),
     )
-    return politeness_waves(frontier, per_host_per_wave=10)
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".ex.com")).alias("host"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.lit("User-agent: *\nCrawl-delay: 2\nDisallow:\n"),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+        .alias("robots_body"),
+    )
+    delays = parse_robots_delays(robots)
+    return politeness_waves(
+        frontier, per_host_per_wave=10, delays=delays, wave_seconds=10.0
+    )
 
 
 _CMS_PROBES = ["data", "spark", "the", "zzqx", "query"]

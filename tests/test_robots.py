@@ -106,3 +106,40 @@ def test_politeness_waves_cap_and_determinism(spark):
     # deterministic: same input -> same assignment
     again = politeness_waves(df, per_host_per_wave=5).collect()
     assert {r.id: r.wave for r in out} == {r.id: r.wave for r in again}
+
+
+def test_crawl_delay_parse_and_wave_cap(spark):
+    from data_ingestion_spark.functions.robots import (
+        parse_robots_delays,
+        politeness_waves,
+        robots_crawl_delay_for_star,
+    )
+
+    # parser: * group only, bot-group delay ignored, malformed ignored
+    assert robots_crawl_delay_for_star("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+    assert robots_crawl_delay_for_star("User-agent: bot\nCrawl-delay: 9\n") is None
+    assert robots_crawl_delay_for_star("User-agent: *\nCrawl-delay: nope\n") is None
+    assert robots_crawl_delay_for_star("User-agent: *\nDisallow: /x\n") is None
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 5\nDisallow:\n"),
+            ("fast.com", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_body string",
+    )
+    delays = parse_robots_delays(robots)
+    assert {r.host: r.delay_s for r in delays.collect()} == {"slow.com": 5.0}
+    rows = [(i, f"https://{'slow' if i % 2 else 'fast'}.com/p{i:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = politeness_waves(df, per_host_per_wave=10, delays=delays, wave_seconds=10.0)
+    buckets = {}
+    for r in out.collect():
+        host = r.url.split("/")[2]
+        buckets.setdefault((host, r.wave), 0)
+        buckets[(host, r.wave)] += 1
+    # slow.com: cap floor(10/5)=2 per wave; fast.com keeps 10
+    assert all(n <= 2 for (h, _), n in buckets.items() if h == "slow.com")
+    assert max(n for (h, _), n in buckets.items() if h == "slow.com") == 2
+    assert all(n <= 10 for (h, _), n in buckets.items() if h == "fast.com")
+    assert max(n for (h, _), n in buckets.items() if h == "fast.com") == 10
