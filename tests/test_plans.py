@@ -127,6 +127,7 @@ PYTHON_OK: set[str] = {
     "warc_extract",              # stdlib WARC member-walk/HTTP decode is the point
     "warc_extract_charset",      # + codecs-based charset-aware body decode
     "crawl_robots_gate",         # robots.txt parse over tiny per-host bodies
+    "crawl_politeness_waves",    # Crawl-delay parse over the same tiny bodies
     "url_idn_host",              # stdlib-idna punycode, non-ASCII slice only
     "html_main_content",         # boilerpipe block heuristic is a parser
 }
