@@ -94,6 +94,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r10 addition: frontier-prioritization capstone
     # (HTML -> anchor edges -> URL resolve -> integer PageRank -> top-20)
     "crawl_rank_pipeline",
+    # never-checked r10 addition: URL-dedup capstone (IDN -> canonical
+    # -> collapse; independent-expectation oracle)
+    "url_dedup_pipeline",
     "json_roundtrip",
     "text_stats",
     "array_explode_transform",
@@ -127,7 +130,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "doc_fingerprint",
-    "lang_id_ngram",
 ]
 
 

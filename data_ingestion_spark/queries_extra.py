@@ -1714,6 +1714,47 @@ def html_main_content(spark, sf_dir):
     return extract_main_content_stage(pages)
 
 
+@q(
+    "url_dedup_pipeline",
+    "SELECT 'https://xn--mnchen-3ya.example/Docs/' "
+    "|| CAST(doc_id // 3 AS VARCHAR) AS url, "
+    "CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY 1",
+)
+def url_dedup_pipeline(spark, sf_dir):
+    """The complete URL-dedup-key pipeline, end to end: three raw
+    spellings of the same resource — a unicode IDN host with the
+    https default port, a tracking param and a trailing slash; the
+    punycoded host bare; the punycoded host UPPERCASED with a
+    fragment — must collapse to ONE canonical key per resource
+    through idn_host_normalize (split-path punycode) → canonical_url
+    (percent/port/fragment/tracking/case normalization) → groupBy.
+    The oracle is the INDEPENDENT expectation ('every group of three
+    collapses to https://xn--mnchen-3ya.example/Docs/<gid>'), not a
+    replication of the chain — any variant the pipeline fails to
+    collapse, or any over-merge, breaks both the key and the count."""
+    from .functions.html import canonical_url, idn_host_normalize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    gid = F.expr("doc_id div 3").cast("string")
+    raw = d.select(
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("https://MÜnchen.example:443/Docs/"), gid, F.lit("/?utm_source=x")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("https://xn--mnchen-3ya.example/Docs/"), gid),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://XN--MNCHEN-3YA.EXAMPLE/Docs/"), gid, F.lit("#frag")),
+        )
+        .alias("url"),
+    )
+    canon = idn_host_normalize(raw).select(canonical_url(F.col("url")).alias("url"))
+    return canon.groupBy("url").agg(F.count(F.lit(1)).alias("n_raw"))
+
+
 #: IDN fixture hosts (mixed case to prove the codec's per-label
 #: lowercase) and their RFC 3490 punycode forms, precomputed via the
 #: stdlib codec at oracle-build time (DuckDB cannot punycode; the
