@@ -129,6 +129,7 @@ PYTHON_OK: set[str] = {
     "crawl_robots_gate",         # robots.txt parse over tiny per-host bodies
     "crawl_politeness_waves",    # Crawl-delay parse over the same tiny bodies
     "url_idn_host",              # stdlib-idna punycode, non-ASCII slice only
+    "url_dedup_pipeline",        # same punycode stage inside the capstone
     "html_main_content",         # boilerpipe block heuristic is a parser
 }
 
