@@ -40,96 +40,63 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-10 window (rotation per scripts/update_checked.py over
-    # r01..r09: all 139 registered queries now have a full-hash green
-    # driver row, so this window re-confirms the 50 STALEST greens —
-    # oldest last-checked round first; zero overlap with the r09
-    # window).  New round-10 DQs are inserted at the head as they are
-    # registered, displacing the freshest tail names.
-    # never-checked r10 addition: charset-aware WARC body decode
-    # (BOM / header / meta-sniff / probe / cp1252 fallback)
-    "warc_extract_charset",
-    # never-checked r10 addition: inverted-index batch BM25 (query
-    # table -> postings equi-join; exact integer micro-scores)
-    "rank_bm25_batch",
-    # never-checked r10 addition: robots.txt politeness gate for the
-    # crawl frontier (longest-prefix REP semantics)
-    "crawl_robots_gate",
-    # never-checked r10 addition: integer PageRank (bit-exact across
-    # engines/partitionings via BIGINT micro-units + integer div)
-    "crawl_pagerank",
-    # never-checked r10 addition: Morton/Z-order clustering key (the
-    # two-dimensional data-skipping layout operator)
-    "zorder_cluster_key",
-    # never-checked r10 addition: count-min sketch token frequency
-    # (constant-size mergeable summary; md5 buckets, exact oracle)
-    "cms_token_freq",
-    # never-checked r10 addition: per-host fetch-wave scheduling
-    # (the rate half of crawl politeness)
-    "crawl_politeness_waves",
-    # never-checked r10 addition: IDN/punycode host normalization
-    # (split-path Arrow stage; closes canonical_url's IDN limit)
-    "url_idn_host",
-    # never-checked r10 addition: batch hybrid retrieval (per-query
-    # vector + lexical top-20, grouped RRF fusion)
-    "hybrid_rank_rrf_batch",
-    # never-checked r10 addition: boilerplate removal (boilerpipe/
-    # arc90 block heuristic) for general-crawl pages
-    "html_main_content",
-    # never-checked r10 addition: ordered-funnel analysis (one-shuffle
-    # chained conditional window-mins)
-    "funnel_conversion",
-    # never-checked r10 addition: in-engine Naive Bayes corpus
-    # classifier (train+apply, exact integer-micro determinism)
-    "nb_quality_classify",
-    # never-checked r10 addition: token budgeting on DETECTED language
-    # (the lang-ID margin composition the r09 verdict asked for)
-    "token_budget_detected_lang",
-    # never-checked r10 addition: two-pass exact heavy hitters
-    # (CMS candidates -> exact verify; bounded aggregation state)
-    "heavy_hitters_two_pass",
-    # never-checked r10 addition: link graph + anchor-text corpus
-    # extraction (pure JVM regexp pipeline)
-    "crawl_anchor_edges",
-    # never-checked r10 addition: frontier-prioritization capstone
-    # (HTML -> anchor edges -> URL resolve -> integer PageRank -> top-20)
-    "crawl_rank_pipeline",
-    # never-checked r10 addition: URL-dedup capstone (IDN -> canonical
-    # -> collapse; independent-expectation oracle)
-    "url_dedup_pipeline",
-    "json_roundtrip",
-    "text_stats",
-    "array_explode_transform",
-    "date_math_funcs",
-    "join_broadcast_enrich",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "normalize_unicode",
-    "recursive_cte_closure",
-    "agg_argminmax",
-    "quality_repetition_signals",
-    "join_salted_skew",
-    "pii_scrub",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "variant_json_tolerant",
-    "window_range_frame",
-    "agg_grouping_sets",
-    "corpus_filter_pipeline",
-    "similarity_topk",
-    "similarity_topk_lsh",
-    "ann_store_probe",
-    "ann_ivf_search",
-    "embed_near_dup",
-    "rag_context_assemble",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "doc_fingerprint",
+    # -- round-11 window (rotation per scripts/update_checked.py over
+    # r01..r10: all 156 registered queries now have a full-hash green
+    # driver row — CHECKED.md reads 156/156/0 — so this window
+    # re-confirms the 50 STALEST greens, oldest last-checked round
+    # first; zero overlap with the r10 window.  New round-11 DQs are
+    # inserted at the head as they are registered, displacing the
+    # freshest tail names.
+    "lang_id_ngram",
+    "text_quality_score",
+    "multimodal_binary_meta",
+    "multimodal_header_decode",
+    "embed_near_dup_lsh",
+    "dedup_clusters",
+    "dedup_decision",
+    "join_cross_theta",
+    "join_range",
+    "join_asof",
+    "groupby_count",
+    "agg_global_count",
+    "agg_collect_list",
+    "agg_numeric_stats",
+    "agg_count_distinct",
+    "agg_rollup",
+    "delete_partition_filter",
+    "window_row_number",
+    "window_lag_frame",
+    "top_n_limit",
+    "sort_global",
+    "union_all",
+    "set_except",
+    "chunk_fixed_overlap",
+    "tpch_q15_top_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q4_priority_check",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_quantity",
+    "tpch_q22_global_sales_opportunity",
+    "array_posexplode",
+    "string_funcs_battery",
+    "streaming_stateful_first_seen",
+    "scan_orc_roundtrip",
+    "rollup_time_cascade",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q12_late_lines_by_class",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "sample_hash_deterministic",
+    "train_val_test_split",
+    "per_source_quota",
+    "pack_sequences",
+    "decontaminate_eval_overlap",
 ]
 
 
