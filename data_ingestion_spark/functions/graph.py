@@ -46,6 +46,7 @@ def pagerank_scores(
     d_den: int = 100,
     materialize: bool = True,
     checkpoint_every: int | None = None,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (node, rank_micros) after ``iters``
     integer power iterations with damping ``d_num/d_den``:
@@ -65,6 +66,15 @@ def pagerank_scores(
     after ~50 unrolled iterations (BENCH_NOTES r10 addendum); the
     default 5 iterations stay far under that, so checkpointing is
     opt-in (it costs a materialization per k rounds).
+
+    ``cache_handles``: the ``materialize`` path persists the
+    degree-annotated edge list and the node set, and cached
+    DataFrames are NOT reclaimed when they go out of scope (unlike
+    localCheckpoint blocks). Pass a list to receive the persisted
+    handles; a long-lived driver should ``.unpersist()`` each after
+    materializing the returned ranks (or periodically
+    ``spark.catalog.clearCache()``). Unpersisting merely drops the
+    cache — the returned plan stays valid via lineage.
     """
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -89,6 +99,8 @@ def pagerank_scores(
 
         contrib_edges = contrib_edges.persist(StorageLevel.MEMORY_AND_DISK)
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.extend([contrib_edges, nodes])
     for _ in range(iters):
         contrib = (
             contrib_edges.join(

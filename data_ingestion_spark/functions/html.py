@@ -418,8 +418,14 @@ def idn_host_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     def _idn(urls: pd.Series) -> pd.Series:
         return urls.map(lambda u: idn_ascii_url(u if isinstance(u, str) else ""))
 
-    keep = df.filter(~(needs & non_ascii))
-    fix = df.filter(needs & non_ascii).withColumn(url_col, _idn(F.col(url_col)))
+    # Null-safe: for a NULL url both `needs & non_ascii` and its
+    # negation evaluate to SQL NULL, which would drop the row from
+    # BOTH slices of the split-path union. coalesce(..., False)
+    # routes NULL/malformed rows down the passthrough slice, matching
+    # canonical_url's preserve-malformed-rows contract (r10 ADVICE).
+    cond = F.coalesce(needs & non_ascii, F.lit(False))
+    keep = df.filter(~cond)
+    fix = df.filter(cond).withColumn(url_col, _idn(F.col(url_col)))
     return keep.unionByName(fix)
 
 

@@ -155,11 +155,18 @@ def robots_decisions(
     rule's prefix, and the per-URL decision is one max aggregate over
     ``struct(len(prefix), allow)`` — longest rule wins, allow wins
     the tie, no match ⇒ allowed. No Python per URL; one shuffle
-    (the groupBy)."""
+    (the groupBy). Byte-identical duplicate frontier rows are
+    preserved: each row is tagged with a per-partition unique id
+    before the join so the regroup keys on the row, not its values
+    (r10 ADVICE)."""
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     path = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
-    tagged = frontier.withColumn("__host", host).withColumn("__path", path)
+    tagged = (
+        frontier.withColumn("__rowid", F.monotonically_increasing_id())
+        .withColumn("__host", host)
+        .withColumn("__path", path)
+    )
     r = rules.select(
         F.col("host").alias("__rhost"),
         F.col("rule_path").alias("__rpath"),
@@ -174,7 +181,7 @@ def robots_decisions(
         "left_outer",
     )
     decided = (
-        joined.groupBy(*[F.col(c) for c in frontier.columns], "__host", "__path")
+        joined.groupBy(F.col("__rowid"), *[F.col(c) for c in frontier.columns], "__host", "__path")
         .agg(
             F.max(
                 F.struct(

@@ -604,6 +604,7 @@ def bm25_rank_batch(
     b: float = 0.75,
     topk: int = 10,
     materialize: bool = True,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """BM25 for a query TABLE — the inverted-index form, the
     production eval/serving shape (`bm25_rank` takes one literal
@@ -636,6 +637,11 @@ def bm25_rank_batch(
     semantics; the literal form scores non-matches as 0.0).
 
     Returns (query_id, doc_id, score, rank), rank 1..topk per query.
+
+    ``cache_handles``: the ``materialize`` path persists the pruned
+    postings, and cached DataFrames are not reclaimed on GC — pass a
+    list to receive the handle and ``.unpersist()`` it after
+    materializing the result in a long-lived driver.
     """
     from pyspark.sql import Window
 
@@ -674,6 +680,8 @@ def bm25_rank_batch(
         from pyspark import StorageLevel
 
         matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.append(matched)
     # postings are unique on (term, doc): counting rows per term IS
     # document frequency — computed only for query terms, BEFORE
     # per-query expansion duplicates rows; the result is ≤|terms|

@@ -83,6 +83,7 @@ def heavy_hitters(
     min_count: int,
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact heavy hitters via the classic two-pass sketch pipeline:
     pass 1 builds the count-min sketch; pass 2 re-scans, estimates
@@ -105,7 +106,11 @@ def heavy_hitters(
     # the sketch feeds `depth` broadcast subtrees — persist it (it is
     # depth x width rows) so the corpus is scanned once for pass 1,
     # not once per depth row
+    # cached blocks are not GC-reclaimed: cache_handles receives the
+    # persisted sketch for caller-side unpersist in long-lived drivers
     sketch = cms_build(df, col, width, depth).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handles is not None:
+        cache_handles.append(sketch)
     vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
     est: Column | None = None
     cur = vals

@@ -244,6 +244,25 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def sketch_state_path(out_dir: str) -> str | None:
+    """Resolve the live sketch-state directory for a
+    ``run_sketch_stream`` sink: reads the one-line ``CURRENT``
+    manifest and returns the absolute path of the versioned state
+    directory it points at (None before the first merge commits).
+    Readers must go through this — the state directory name changes
+    every merge; only the pointer is stable."""
+    import os
+
+    manifest = os.path.join(out_dir, "CURRENT")
+    try:
+        with open(manifest, encoding="utf-8") as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(out_dir, name)
+    return path if name and os.path.exists(path) else None
+
+
 def run_sketch_stream(
     stream: DataFrame,
     value_col: str,
@@ -259,12 +278,23 @@ def run_sketch_stream(
     accumulated table never grows past depth x width rows no matter
     how long the stream runs. foreachBatch is at-least-once, so a
     merge must be made idempotent EXPLICITLY: the last merged
-    batch_id travels INSIDE the sketch parquet (state and marker
-    swap atomically via directory rename), and a replayed batch_id
-    is skipped instead of double-counted — an append-style sink or
-    a sidecar marker file would both re-add the delta on retry.
-    AvailableNow drains everything discoverable; the same call tails
-    a live directory with the default trigger."""
+    batch_id travels INSIDE the sketch parquet, and a replayed
+    batch_id is skipped instead of double-counted — an append-style
+    sink or a sidecar marker file would both re-add the delta on
+    retry.
+
+    Crash safety (r10 ADVICE): each merge writes a fresh VERSIONED
+    state directory (``state_{batch_id}``), then commits it by
+    atomically replacing the one-line ``CURRENT`` pointer manifest
+    (write-temp + ``os.replace``). There is no window in which no
+    committed state exists: a crash before the pointer swap leaves
+    ``CURRENT`` on the previous state, and the checkpoint replays the
+    failed batch against it. Read the state back via
+    ``sketch_state_path(out_dir)``. The pointer swap relies on
+    POSIX-atomic rename, so this sink targets a local / POSIX
+    filesystem; on an object store, swap the manifest for a
+    conditional-put. AvailableNow drains everything discoverable;
+    the same call tails a live directory with the default trigger."""
     import os
     import shutil
 
@@ -273,8 +303,8 @@ def run_sketch_stream(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = cms_build(batch_df, value_col, width, depth)
-        cur_path = os.path.join(out_dir, "current")
-        if os.path.exists(cur_path):
+        cur_path = sketch_state_path(out_dir)
+        if cur_path is not None:
             cur = spark.read.parquet(cur_path)
             last = cur.agg(F.max("last_batch_id")).collect()[0][0]
             if last is not None and batch_id <= last:
@@ -283,14 +313,19 @@ def run_sketch_stream(
         else:
             merged = delta
         merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))
-        tmp = os.path.join(out_dir, f"_tmp_batch_{batch_id}")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = os.path.join(out_dir, f"_old_batch_{batch_id}")
-        if os.path.exists(cur_path):
-            os.rename(cur_path, old)
-        os.rename(tmp, cur_path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        state_name = f"state_{batch_id}"
+        # overwrite handles a retry that crashed mid-write last time
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, state_name)
+        )
+        tmp_manifest = os.path.join(out_dir, f"_CURRENT_tmp_{batch_id}")
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
+            f.write(state_name)
+        os.replace(tmp_manifest, os.path.join(out_dir, "CURRENT"))
+        # committed — previous state dirs are garbage; best-effort GC
+        for name in os.listdir(out_dir):
+            if name.startswith("state_") and name != state_name:
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -51,3 +51,42 @@ def test_pagerank_dangling_and_repeatable(spark):
     assert a == b == _reference(edges, iters=3)
     # the chain end accumulates more than the start (which only gets base)
     assert a[2] > a[1] > a[0]
+
+
+def test_cache_handles_enable_caller_unpersist(spark):
+    """r10 ADVICE: persisted intermediates are not GC-reclaimed, so
+    the long-lived-driver contract is caller-side cleanup via
+    cache_handles. The handles are the actually-persisted frames,
+    unpersist() succeeds, and the returned result stays valid (and
+    identical) afterwards via lineage."""
+    from data_ingestion_spark.functions.similarity import bm25_rank_batch
+    from data_ingestion_spark.functions.sketches import heavy_hitters
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    handles: list = []
+    ranks = pagerank_scores(e, iters=2, cache_handles=handles)
+    before = {r.node: r.rank_micros for r in ranks.collect()}
+    assert len(handles) == 2 and all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert all(not h.storageLevel.useMemory for h in handles)
+    assert {r.node: r.rank_micros for r in ranks.collect()} == before
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks eat bread")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(1, "spark data")], "query_id long, query_text string")
+    h2: list = []
+    out = bm25_rank_batch(qs, docs, cache_handles=h2)
+    got = out.collect()
+    assert len(h2) == 1 and h2[0].storageLevel.useMemory
+    h2[0].unpersist()
+    assert [r.doc_id for r in got] == [1]
+
+    vals = spark.createDataFrame([("x",)] * 5 + [("y",)], "v string")
+    h3: list = []
+    hh = heavy_hitters(vals, "v", min_count=3, cache_handles=h3)
+    assert {(r.v, r.n) for r in hh.collect()} == {("x", 5)}
+    assert len(h3) == 1 and h3[0].storageLevel.useMemory
+    h3[0].unpersist()

@@ -312,6 +312,24 @@ def test_idn_host_normalize_split_path(spark):
     assert canon[0] == "https://xn--mnchen-3ya.de/a?x=1"
 
 
+def test_idn_host_normalize_preserves_null_rows(spark):
+    """r10 ADVICE: a NULL url made both split-path predicates SQL
+    NULL, dropping the row from both slices. The null-safe predicate
+    routes NULL/empty rows down the passthrough slice — row count is
+    preserved and the NULL survives as NULL."""
+    from data_ingestion_spark.functions.html import idn_host_normalize
+
+    rows = [(0, "https://MÜNCHEN.de/a"), (1, None), (2, ""), (3, "relative/path")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = idn_host_normalize(df).collect()
+    assert len(out) == 4  # nothing dropped
+    got = {r.id: r.url for r in out}
+    assert got[0] == "https://xn--mnchen-3ya.de/a"
+    assert got[1] is None
+    assert got[2] == ""
+    assert got[3] == "relative/path"
+
+
 def test_extract_main_content_heuristics(spark):
     from data_ingestion_spark.functions.html import (
         extract_main_content,

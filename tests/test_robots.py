@@ -74,6 +74,27 @@ def test_decisions_longest_prefix_allow_ties_and_default(spark):
     assert kept == {0, 2, 3, 4, 5, 7}
 
 
+def test_decisions_preserve_duplicate_frontier_rows(spark):
+    """r10 ADVICE: byte-identical duplicate frontier rows were
+    collapsed by the value-keyed regroup; the __rowid tag keys the
+    regroup on the physical row, so every input row gets its verdict."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/\n")],
+        "host string, robots_body string",
+    )
+    rules = parse_robots_rules(robots)
+    frontier = spark.createDataFrame(
+        [(1, "https://a.com/p/x")] * 3 + [(2, "https://a.com/q")],
+        "id long, url string",
+    )
+    out = robots_decisions(frontier, rules).collect()
+    assert len(out) == 4  # duplicates preserved
+    assert sorted((r.id, r.allowed) for r in out) == [
+        (1, False), (1, False), (1, False), (2, True)
+    ]
+    assert [c for c in robots_decisions(frontier, rules).columns] == ["id", "url", "allowed"]
+
+
 def test_decisions_plan_broadcasts_rules(spark):
     robots = spark.createDataFrame(
         [("a.com", "User-agent: *\nDisallow: /p/\n")],

@@ -355,7 +355,9 @@ def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path)
         str(tmp_path / "ckpt_sketch"), width=64, depth=4,
     )
     q.awaitTermination(120)
-    got = spark.read.parquet(os.path.join(out_dir, "current"))
+    state = SP.sketch_state_path(out_dir)
+    assert state is not None  # CURRENT manifest committed
+    got = spark.read.parquet(state)
     n_batches = got.agg(F.max("last_batch_id")).collect()[0][0]
     assert n_batches is not None and n_batches >= 1  # multiple micro-batches ran
     batch = cms_build(
@@ -375,7 +377,11 @@ def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path)
     q2.awaitTermination(120)
     again = {
         (r.depth_idx, r.bucket): r.cnt
-        for r in spark.read.parquet(os.path.join(out_dir, "current"))
+        for r in spark.read.parquet(SP.sketch_state_path(out_dir))
         .drop("last_batch_id").collect()
     }
     assert again == a
+    # GC: only the live versioned state dir remains after commit
+    assert [n for n in os.listdir(out_dir) if n.startswith("state_")] == [
+        os.path.basename(SP.sketch_state_path(out_dir))
+    ]
