@@ -47,6 +47,10 @@ DRIVER_WINDOW: list[str] = [
     # first; zero overlap with the r10 window.  New round-11 DQs are
     # inserted at the head as they are registered, displacing the
     # freshest tail names.
+    # never-checked r11 addition: at-rest inverted index — build the
+    # term-bucketed postings store, serve the query batch from it
+    # (partition-pruned scan, scores ≡ the inline batch path)
+    "rank_bm25_indexed",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -96,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "train_val_test_split",
     "per_source_quota",
     "pack_sequences",
-    "decontaminate_eval_overlap",
 ]
 
 

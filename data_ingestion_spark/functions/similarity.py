@@ -687,6 +687,29 @@ def bm25_rank_batch(
     # per-query expansion duplicates rows; the result is ≤|terms|
     # rows, broadcast back
     dfs = matched.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    return _bm25_score_tail(matched, dfs, stats, qterms, query_id_col, id_col, k1, b, topk)
+
+
+def _bm25_score_tail(
+    matched: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+    topk: int,
+) -> DataFrame:
+    """Shared scoring tail of the inline and at-rest batch-BM25
+    paths: expand matched postings (__t, id, __tf, __dl) per query
+    via broadcast equi-joins against df/stats/query-term tables,
+    sum exact integer micros per (query, doc), rank with id
+    tiebreak. Both paths funnel here, which is WHY
+    ``rank_bm25_indexed ≡ rank_bm25_batch`` holds by construction
+    (the driver verifies it against the same DuckDB twin)."""
+    from pyspark.sql import Window
+
     expanded = (
         matched.join(F.broadcast(dfs), "__t")
         .join(F.broadcast(qterms), "__t")
@@ -712,6 +735,157 @@ def bm25_rank_batch(
             (F.col("__micros") / F.lit(1000000.0)).alias("score"),
             "rank",
         )
+    )
+
+
+#: term-hash partition count of the at-rest lexical index — the same
+#: partition-pruning contract as AnnStore's (table, bucket) layout
+DEFAULT_INDEX_BUCKETS = 64
+
+
+def _index_bucket(term: Column, buckets: int) -> Column:
+    return F.pmod(F.xxhash64(term), F.lit(buckets)).cast("int")
+
+
+def build_postings_index(
+    docs_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_INDEX_BUCKETS,
+) -> None:
+    """Materialize the lexical index AT REST — the inverted-index
+    mirror of ``AnnStore`` (the reference's vector store IS its
+    at-rest index; reference pipeline.py P:341–349 — the lexical
+    half gets the same treatment here): tokenize and shuffle the
+    corpus ONCE at build time, then every query batch is
+    query-side-only work against the written parquet.
+
+    Layout under ``index_dir``:
+
+    - ``postings/bucket=*/`` — (term, doc_id, tf, dl), partitioned
+      by ``bucket = pmod(xxhash64(term), buckets)`` so a query
+      batch's scan prunes to the partitions its terms hash into
+      (PartitionFilters, asserted in tests/test_plans.py);
+    - ``terms/bucket=*/`` — (term, df) per-term document frequency,
+      derived from the WRITTEN postings (no second corpus pass);
+    - ``stats/`` — ONE row (n_docs, avgdl, buckets): corpus-wide
+      stats including zero-token docs, plus the bucket count the
+      reader needs to hash query terms the same way.
+
+    Build cost is one corpus tokenize + one (term, doc) shuffle +
+    a cheap stats projection; at 100 TB that is exactly the pass a
+    production engine amortizes across every batch served.
+    """
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__w"),
+    ).withColumn("dl", F.size("__w").cast("double"))
+    postings = (
+        base.select("doc_id", "dl", F.explode("__w").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", _index_bucket(F.col("term"), buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        index_dir.rstrip("/") + "/postings"
+    )
+    spark = docs_df.sparkSession
+    # df per term from the parquet just written (postings are unique
+    # on (term, doc): row count per term IS document frequency)
+    written = spark.read.parquet(index_dir.rstrip("/") + "/postings")
+    (
+        written.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_dir.rstrip("/") + "/terms")
+    )
+    (
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .withColumn("buckets", F.lit(buckets))
+        .write.mode("overwrite")
+        .parquet(index_dir.rstrip("/") + "/stats")
+    )
+
+
+def bm25_rank_batch_indexed(
+    spark,
+    queries_df: DataFrame,
+    index_dir: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """Query-time half of batch BM25 against a
+    ``build_postings_index`` store: NO corpus tokenize, NO corpus
+    shuffle — the plan reads only the postings/terms partitions the
+    query terms hash into (partition pruning on ``bucket``), then
+    runs the identical broadcast-expand + integer-micro scoring tail
+    as ``bm25_rank_batch``, so scores and ranks are equal by
+    construction. The per-batch cost is proportional to the matched
+    postings, not the corpus — index once, serve many batches.
+
+    The query-term bucket list is computed driver-side (the query
+    batch is tiny next to the corpus — same driver-side probe
+    contract as ``AnnStore.probe``) so the scan's partition filter
+    is a literal ``isin``.
+
+    Returns (query_id, doc_id, score, rank) — ``doc_id`` is the
+    index's canonical id column name.
+    """
+    root = index_dir.rstrip("/")
+    stats_row = spark.read.parquet(root + "/stats").collect()[0]
+    buckets = stats_row["buckets"]
+    stats = spark.createDataFrame(
+        [(float(stats_row["n_docs"]), float(stats_row["avgdl"]))],
+        "__n double, __avgdl double",
+    )
+    qterms = queries_df.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(query_text_col)), "[^a-z0-9]+"),
+                    lambda x: F.length(x) > 0,
+                )
+            )
+        ).alias("__t"),
+    )
+    term_set = qterms.select("__t").distinct()
+    hit_buckets = [
+        r.b
+        for r in term_set.select(
+            _index_bucket(F.col("__t"), buckets).alias("b")
+        ).distinct().collect()
+    ]
+    matched = (
+        spark.read.parquet(root + "/postings")
+        .filter(F.col("bucket").isin(hit_buckets))
+        .join(F.broadcast(term_set), F.col("term") == F.col("__t"), "leftsemi")
+        .select(
+            F.col("term").alias("__t"),
+            "doc_id",
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+    )
+    dfs = (
+        spark.read.parquet(root + "/terms")
+        .filter(F.col("bucket").isin(hit_buckets))
+        .join(F.broadcast(term_set), F.col("term") == F.col("__t"), "leftsemi")
+        .select(F.col("term").alias("__t"), F.col("df").alias("__df"))
+    )
+    return _bm25_score_tail(
+        matched, dfs, stats, qterms, query_id_col, "doc_id", k1, b, topk
     )
 
 

@@ -888,6 +888,35 @@ def rank_bm25_batch(spark, sf_dir):
     return bm25_rank_batch(qdf, d, topk=10)
 
 
+@q("rank_bm25_indexed", _bm25_batch_oracle())
+def rank_bm25_indexed(spark, sf_dir):
+    """Batch BM25 against the AT-REST inverted index — index once,
+    serve many batches (r10 verdict #2; the lexical mirror of
+    AnnStore's at-rest vector layout). ``build_postings_index``
+    writes term-bucketed postings + per-term df + corpus stats as
+    parquet; the query path reads ONLY the bucket partitions the
+    query terms hash into (partition pruning asserted in
+    tests/test_plans.py) and funnels into the same integer-micro
+    scoring tail as rank_bm25_batch, so the DuckDB twin — the full
+    from-corpus pipeline — verifies the at-rest scores equal the
+    inline ones. Same fixture queries/tokenizer mess as
+    rank_bm25_batch; top-10 per query, micros-desc, doc_id tiebreak."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .functions.similarity import bm25_rank_batch_indexed, build_postings_index
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"bm25_index_{tag}")
+    # rebuild each call (overwrite): the DQ certifies build + serve
+    # end-to-end; a production caller builds once and serves many
+    build_postings_index(d, idx)
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    return bm25_rank_batch_indexed(spark, qdf, idx, topk=10)
+
+
 _HYBRID_QTEXT = "spark vector customer merge"
 
 

@@ -111,6 +111,7 @@ CROSS_OK = {
     "quality_unigram_logprob", # 1-row corpus-total broadcast
     "rank_bm25",               # 1-row BM25 stats broadcast (N, avgdl, dfs)
     "rank_bm25_batch",         # 1-row (N, avgdl) stats broadcast
+    "rank_bm25_indexed",       # same 1-row stats broadcast, at-rest path
     "crawl_pagerank",          # 1-row node-count broadcast builds the fixture graph
     "hybrid_rank_rrf_batch",   # 3-row query-vector broadcast + stats row
     "nb_quality_classify",     # 2-row class table crossed into the token stream
@@ -507,3 +508,62 @@ def test_merge_upsert_null_safe_join_stays_hash_join(spark):
     plan = merge_upsert(cur, upd, "k")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bm25_index_prunes_term_buckets(spark, tmp_path):
+    """The at-rest lexical index claim made concrete (r10 verdict
+    #2, the BM25 mirror of the AnnStore test above): with the term
+    hash bucket as a partition key, a query batch PRUNES the
+    postings/terms scans to the buckets its terms hash into —
+    PartitionFilters in the plan, strict subset of files read — and
+    the at-rest scores equal the inline bm25_rank_batch scores
+    exactly (both funnel into the same integer-micro scoring tail)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        _index_bucket,
+        bm25_rank_batch,
+        bm25_rank_batch_indexed,
+        build_postings_index,
+    )
+    from data_ingestion_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "bm25idx")
+    build_postings_index(docs, idx, buckets=32)
+    qs = spark.createDataFrame(
+        [(1, "Spark VECTOR!"), (2, "customer, merge & order")],
+        "query_id int, query_text string",
+    )
+    out = bm25_rank_batch_indexed(spark, qs, idx, topk=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+    # measure the pruning with the same bucket filter the query path
+    # builds: the 5 normalized query terms hash into few of the 32
+    # bucket partitions, and only those files are read
+    terms = ["spark", "vector", "customer", "merge", "order"]
+    tdf = spark.createDataFrame([(t,) for t in terms], "t string")
+    hit = [
+        r.b
+        for r in tdf.select(_index_bucket(F.col("t"), 32).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    total_files = (
+        spark.read.parquet(idx + "/postings")
+        .select(F.input_file_name()).distinct().count()
+    )
+    pruned_files = (
+        spark.read.parquet(idx + "/postings")
+        .filter(F.col("bucket").isin(hit))
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert 0 < pruned_files < total_files / 2
+
+    inline = bm25_rank_batch(qs, docs, topk=10).collect()
+    at_rest = out.collect()
+    key = lambda r: (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+    assert sorted(map(key, inline)) == sorted(map(key, at_rest))
