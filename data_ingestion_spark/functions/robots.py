@@ -7,16 +7,22 @@ crawler. Any real user re-fetching `snapshot_diff`'s added/changed
 set must filter through the target hosts' robots.txt first; this
 module is that gate, engine-side.
 
-Semantics (documented, oracle-able): the Google REP prefix model,
-simplified — rules are (path-prefix, allow/disallow) taken from the
-``User-agent: *`` group(s); a rule matches a URL when the URL's path
-starts with the rule's path; the LONGEST matching rule decides, an
-allow wins a length tie, and a URL matching no rule is allowed.
-NOT implemented (documented limits): ``*`` wildcards and ``$``
-anchors inside rule paths (both rare; a matching rule containing
-``*`` is kept as a literal prefix), per-bot user-agent groups
-(we always take ``*``), and Crawl-delay scheduling (a rate concern
-for the fetcher, not a filter concern).
+Semantics (documented, oracle-able): the Google REP / RFC 9309
+model — rules are (path-pattern, allow/disallow) taken from the
+most specific matching ``User-agent`` group (longest group value
+that is a case-insensitive prefix of the crawler's product token;
+all groups with the winning value merge; fall back to ``*``). A
+pattern matches against the URL's path INCLUDING the query string;
+``*`` in a pattern matches any character run and a trailing ``$``
+anchors the match at the end (a ``$`` elsewhere is literal, per
+Google REP). The MOST SPECIFIC matching rule decides — specificity
+is the pattern's octet length — an allow wins a specificity tie,
+and a URL matching no rule is allowed. Patterns without ``*``/``$``
+take the literal-prefix fast path (plain ``startswith``, no regex;
+this is also the pinned fallback semantics for any rule the regex
+translation cannot express). Crawl-delay scheduling lives in
+``politeness_waves`` (a rate concern for the fetcher, not a filter
+concern).
 
 The 100 TB shape: robots bodies are one tiny document per HOST —
 parsing them in an Arrow-batched Python stage costs nothing next to
@@ -35,20 +41,58 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-#: parsed-rule schema: one row per (host, prefix, allow)
-RULES_SCHEMA = "host string, rule_path string, allow boolean"
+#: parsed-rule schema: one row per (host, pattern, allow, regex) —
+#: ``rule_regex`` is NULL for literal-prefix patterns (the fast
+#: path) and a start-anchored Java-compatible regex when the
+#: pattern carries ``*`` wildcards or a trailing ``$`` anchor
+RULES_SCHEMA = "host string, rule_path string, allow boolean, rule_regex string"
 
 
-def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
-    """Parse one robots.txt body into the ``User-agent: *`` group's
-    (path-prefix, allow) rules. Group logic per REP: consecutive
-    User-agent lines open a group; the first Allow/Disallow closes
-    the group's UA list; an empty ``Disallow:`` means 'allow all'
-    and contributes no rule. Comments (#) and unknown directives
-    are ignored; parsing never raises on hostile input."""
-    rules: list[tuple[str, bool]] = []
+def rule_pattern_to_regex(pattern: str) -> str | None:
+    """Translate one REP path pattern to a start-anchored regex, or
+    None when the pattern is a plain literal prefix (no ``*``, no
+    trailing ``$``) — the caller then uses ``startswith``, which is
+    both the fast path and the documented fallback semantics. Per
+    the Google REP draft: ``*`` matches any run of characters, a
+    ``$`` at the END anchors the match, a ``$`` anywhere else is a
+    literal character."""
+    import re as _re
+
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    body = pattern[:-1] if pattern.endswith("$") else pattern
+    rx = "^" + "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    if pattern.endswith("$"):
+        rx += "$"
+    return rx
+
+
+def robots_rules_for_agent(body: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse one robots.txt body into the (path-pattern, allow)
+    rules of the group that governs ``agent`` — the most specific
+    matching ``User-agent`` value wins (longest value that is a
+    case-insensitive prefix of the agent's product token, so a
+    ``graftbot-news`` crawler obeys a ``graftbot`` group), ALL
+    groups carrying the winning value merge, and ``*`` groups are
+    the fallback when no named group matches. Group logic per REP:
+    consecutive User-agent lines open a group; the first
+    Allow/Disallow closes the group's UA list; an empty
+    ``Disallow:`` means 'allow all' and contributes no rule.
+    Comments (#) and unknown directives are ignored; parsing never
+    raises on hostile input."""
+    agent_l = (agent or "*").lower()
+    # group structure: list of (ua_values, rules)
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     uas: list[str] = []
-    group_has_rules = False
+    cur_rules: list[tuple[str, bool]] = []
+    group_open = False
+
+    def close() -> None:
+        nonlocal uas, cur_rules, group_open
+        if uas:
+            groups.append((uas, cur_rules))
+        uas, cur_rules, group_open = [], [], False
+
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -57,15 +101,32 @@ def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            if group_has_rules:
-                uas = []
-                group_has_rules = False
+            if group_open:
+                close()
             uas.append(value.lower())
         elif key in ("allow", "disallow"):
-            group_has_rules = True
-            if "*" in uas and value:
-                rules.append((value, key == "allow"))
-    return rules
+            group_open = True
+            if value:
+                cur_rules.append((value, key == "allow"))
+    close()
+
+    named = [
+        (ua, rules)
+        for uas_, rules in groups
+        for ua in uas_
+        if ua != "*" and agent_l != "*" and agent_l.startswith(ua)
+    ]
+    if named:
+        best = max(len(ua) for ua, _ in named)
+        winner = {ua for ua, _ in named if len(ua) == best}
+        return [r for ua, rules in named if ua in winner for r in rules]
+    return [r for uas_, rules in groups if "*" in uas_ for r in rules]
+
+
+def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
+    """The ``User-agent: *`` group's rules (the pre-r11 surface,
+    kept as the default-agent shorthand)."""
+    return robots_rules_for_agent(body, "*")
 
 
 def robots_crawl_delay_for_star(body: str) -> float | None:
@@ -122,9 +183,15 @@ def parse_robots_delays(
 
 
 def parse_robots_rules(
-    robots_df: DataFrame, host_col: str = "host", body_col: str = "robots_body"
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_body",
+    agent: str = "*",
 ) -> DataFrame:
-    """(host, robots_body) rows → the ``RULES_SCHEMA`` rule table.
+    """(host, robots_body) rows → the ``RULES_SCHEMA`` rule table
+    for the group governing ``agent`` (most specific UA group wins,
+    ``*`` fallback). Wildcard/anchor patterns carry their translated
+    regex in ``rule_regex`` (NULL = literal prefix, the fast path).
     One Arrow-batched narrow stage; robots bodies are tiny (one per
     host) so this is never the hot path."""
 
@@ -132,11 +199,13 @@ def parse_robots_rules(
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[body_col]):
-                for path, allow in robots_rules_for_star(
-                    body if isinstance(body, str) else ""
+                for path, allow in robots_rules_for_agent(
+                    body if isinstance(body, str) else "", agent
                 ):
-                    rows.append((host, path, allow))
-            yield pd.DataFrame(rows, columns=["host", "rule_path", "allow"])
+                    rows.append((host, path, allow, rule_pattern_to_regex(path)))
+            yield pd.DataFrame(
+                rows, columns=["host", "rule_path", "allow", "rule_regex"]
+            )
 
     return robots_df.select(host_col, body_col).mapInPandas(run, RULES_SCHEMA)
 
@@ -148,36 +217,50 @@ def robots_decisions(
     broadcast_rules: bool = True,
 ) -> DataFrame:
     """Attach the robots verdict to every frontier row: frontier
-    columns + ``allowed`` boolean. Host and path come from the URL;
-    rules join host-equi (broadcast by default — pass
+    columns + ``allowed`` boolean. Host and path-with-query come
+    from the URL (REP matches patterns against the path INCLUDING
+    the query string — ``Disallow: /*?sessionid`` must bite); rules
+    join host-equi (broadcast by default — pass
     ``broadcast_rules=False`` for a crawl whose rule table outgrows
-    a broadcast), a matching rule requires the path to start with the
-    rule's prefix, and the per-URL decision is one max aggregate over
-    ``struct(len(prefix), allow)`` — longest rule wins, allow wins
-    the tie, no match ⇒ allowed. No Python per URL; one shuffle
-    (the groupBy). Byte-identical duplicate frontier rows are
-    preserved: each row is tagged with a per-partition unique id
-    before the join so the regroup keys on the row, not its values
-    (r10 ADVICE)."""
+    a broadcast). A literal rule matches by prefix (JVM
+    ``startswith``); a wildcard/anchor rule matches its translated
+    ``rule_regex`` (JVM ``rlike`` — still no Python per URL). The
+    per-URL decision is one max aggregate over
+    ``struct(len(pattern), allow)`` — most specific rule wins,
+    allow wins the tie, no match ⇒ allowed. One shuffle (the
+    groupBy). Byte-identical duplicate frontier rows are preserved:
+    each row is tagged with a per-partition unique id before the
+    join so the regroup keys on the row, not its values (r10
+    ADVICE)."""
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    path = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    path = F.when(F.length(path) > 0, path).otherwise(F.lit("/"))
+    pathq = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    pathq = (
+        F.when(F.length(pathq) == 0, F.lit("/"))
+        .when(~pathq.startswith("/"), F.concat(F.lit("/"), pathq))
+        .otherwise(pathq)
+    )
     tagged = (
         frontier.withColumn("__rowid", F.monotonically_increasing_id())
         .withColumn("__host", host)
-        .withColumn("__path", path)
+        .withColumn("__path", pathq)
     )
     r = rules.select(
         F.col("host").alias("__rhost"),
         F.col("rule_path").alias("__rpath"),
         F.col("allow").alias("__rallow"),
+        F.col("rule_regex").alias("__rregex"),
     )
     if broadcast_rules:
         r = F.broadcast(r)
+    rule_hits = (
+        F.when(
+            F.col("__rregex").isNotNull(),
+            F.regexp_like(F.col("__path"), F.col("__rregex")),
+        ).otherwise(F.col("__path").startswith(F.col("__rpath")))
+    )
     joined = tagged.join(
         r,
-        (F.col("__host") == F.col("__rhost"))
-        & F.col("__path").startswith(F.col("__rpath")),
+        (F.col("__host") == F.col("__rhost")) & rule_hits,
         "left_outer",
     )
     decided = (

@@ -1523,46 +1523,66 @@ def crawl_snapshot_diff(spark, sf_dir):
 
 
 _ROBOTS_BODIES = [
-    # k%3==0: disallow a subtree, re-allow a deeper one (longest wins)
+    # k%3==0: disallow a subtree, re-allow a deeper one (most
+    # specific wins); * group only — a named agent falls back here
     "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n",
-    # k%3==1: a bot-specific group that must be IGNORED, then the *
-    # group; comment + blank-line noise
-    "User-agent: bot\nDisallow: /\n\n# politeness\nUser-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n",
-    # k%3==2: empty Disallow == allow everything (no rules)
-    "User-agent: *\nDisallow:\n",
+    # k%3==1: named-UA selection — the DQ crawls as 'graftbot', so
+    # the graftbot group governs and the harsher * group must be
+    # IGNORED; comment + blank-line noise
+    "User-agent: graftbot\nDisallow: /tmp/\nAllow: /tmp/ok\n\n# politeness\nUser-agent: *\nDisallow: /\n",
+    # k%3==2: full-REP wildcard + anchor rules — the session-id
+    # wildcard (the classic large-site pattern), an end-anchored
+    # allow, and a short literal disallow the anchor must outrank
+    "User-agent: *\nDisallow: /*?sessionid=\nAllow: /ok$\nDisallow: /o\n",
 ]
 
-_ROBOTS_PATHS = ["/private/pub/x", "/private/x", "/tmp/okay", "/tmp/zz", "/ok"]
+_ROBOTS_PATHS = [
+    "/private/pub/x", "/private/x", "/tmp/okay", "/tmp/zz", "/ok",
+    "/page?sessionid=abc", "/okay",
+]
 
-#: expected parse of _ROBOTS_BODIES for hosts h0..h5 (k%3 rotation) —
-#: the parser itself is pinned by pytest; the oracle replicates the
-#: MATCH semantics (longest prefix, allow wins ties, no match=allow)
+#: expected parse of _ROBOTS_BODIES for hosts h0..h5 (k%3 rotation)
+#: under agent='graftbot' — the parser (group selection, wildcard →
+#: regex translation) is pinned by pytest; the oracle replicates the
+#: MATCH semantics (regex for wildcard/anchor rules, prefix for
+#: literals; most specific pattern wins, allow wins ties, no
+#: match=allow). Regexes here are the exact translations
+#: rule_pattern_to_regex emits.
 _ROBOTS_RULE_VALUES = ", ".join(
-    f"('h{k}.ex.com', '{p}', {str(a).lower()})"
+    f"('h{k}.ex.com', '{p}', {str(a).lower()}, "
+    + ("NULL" if rx is None else f"'{rx}'") + ")"
     for k in range(6)
-    for p, a in {
-        0: [("/private/", False), ("/private/pub/", True)],
-        1: [("/tmp/", False), ("/tmp/ok", True)],
-        2: [],
+    for p, a, rx in {
+        0: [("/private/", False, None), ("/private/pub/", True, None)],
+        1: [("/tmp/", False, None), ("/tmp/ok", True, None)],
+        2: [
+            ("/*?sessionid=", False, r"^/.*\?sessionid="),
+            ("/ok$", True, "^/ok$"),
+            ("/o", False, None),
+        ],
     }[k % 3]
 )
 
 _ROBOTS_ORACLE = (
     "WITH f AS (SELECT doc_id, "
     "'h' || CAST(doc_id % 6 AS VARCHAR) || '.ex.com' AS host, "
-    "CASE CAST(doc_id % 5 AS INTEGER) "
+    "CASE CAST(doc_id % 7 AS INTEGER) "
     "WHEN 0 THEN '/private/pub/x' WHEN 1 THEN '/private/x' "
-    "WHEN 2 THEN '/tmp/okay' WHEN 3 THEN '/tmp/zz' ELSE '/ok' END AS path "
+    "WHEN 2 THEN '/tmp/okay' WHEN 3 THEN '/tmp/zz' WHEN 4 THEN '/ok' "
+    "WHEN 5 THEN '/page?sessionid=abc' ELSE '/okay' END AS path "
     "FROM documents), "
-    f"r(host, rule_path, allow) AS (VALUES {_ROBOTS_RULE_VALUES}), "
+    f"r(host, rule_path, allow, rule_regex) AS (VALUES {_ROBOTS_RULE_VALUES}), "
     "j AS (SELECT f.doc_id, 'https://' || f.host || f.path AS url, "
-    # sortable match key: zero-padded prefix length + allow bit —
-    # max() picks the longest rule, allow breaking length ties
+    # sortable match key: zero-padded pattern length + allow bit —
+    # max() picks the most specific rule, allow breaking length ties
     "max(CASE WHEN r.rule_path IS NULL THEN NULL "
     "ELSE lpad(CAST(len(r.rule_path) AS VARCHAR), 4, '0') || "
     "(CASE WHEN r.allow THEN '1' ELSE '0' END) END) AS best "
     "FROM f LEFT JOIN r ON f.host = r.host "
-    "AND starts_with(f.path, r.rule_path) GROUP BY f.doc_id, f.host, f.path) "
+    "AND (CASE WHEN r.rule_regex IS NOT NULL "
+    "THEN regexp_matches(f.path, r.rule_regex) "
+    "ELSE starts_with(f.path, r.rule_path) END) "
+    "GROUP BY f.doc_id, f.host, f.path) "
     "SELECT doc_id, url, "
     "CASE WHEN best IS NULL THEN true ELSE best LIKE '%1' END AS allowed FROM j"
 )
@@ -2149,17 +2169,23 @@ def crawl_robots_gate(spark, sf_dir):
     runs between snapshot_diff's added/changed set and the re-fetch
     stage (the reference's crawl step, website-ingestion-pipeline.py
     P:166-191, has no robots gate; a general crawler needs one).
-    Six fixture hosts rotate three robots bodies (subtree disallow
-    with a deeper re-allow, a bot-specific group that must be
-    ignored plus comment noise, and an empty Disallow meaning
-    allow-all); frontier URLs rotate five paths across them. The
-    REAL parser (functions/robots.py, Arrow stage over the tiny
-    per-host bodies) produces the rule table; the decision is a
-    broadcast host-equi join + one max-of-struct aggregate — longest
-    matching prefix wins, allow wins length ties, no match allows.
-    The oracle replicates the match semantics in DuckDB from the
-    expected parse (parser pinned separately by pytest). One
-    shuffle (the per-URL groupBy)."""
+    Six fixture hosts rotate three robots bodies — a subtree
+    disallow with a deeper re-allow, a named ``graftbot`` group that
+    must GOVERN (the DQ crawls as graftbot; the harsher ``*`` group
+    in the same body must be ignored), and a full-REP body mixing a
+    ``/*?sessionid=`` wildcard, an end-anchored ``/ok$`` allow, and
+    a short literal ``/o`` disallow the anchor must outrank.
+    Frontier URLs rotate seven paths (42 host×path combos),
+    including a query-string URL the wildcard must bite. The REAL
+    parser (functions/robots.py, Arrow stage over the tiny per-host
+    bodies; group selection + wildcard→regex translation) produces
+    the rule table; the decision is a broadcast host-equi join
+    (literal rules via JVM startswith, wildcard/anchor rules via
+    JVM regexp_like) + one max-of-struct aggregate — most specific
+    pattern wins, allow wins ties, no match allows. The oracle
+    replicates the match semantics in DuckDB from the expected
+    parse (parser pinned separately by pytest). One shuffle (the
+    per-URL groupBy)."""
     from .functions.robots import parse_robots_rules, robots_decisions
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2168,11 +2194,13 @@ def crawl_robots_gate(spark, sf_dir):
         "doc_id",
         F.concat(
             F.lit("https://h"), (did % 6).cast("string"), F.lit(".ex.com"),
-            F.when(did % 5 == 0, F.lit("/private/pub/x"))
-            .when(did % 5 == 1, F.lit("/private/x"))
-            .when(did % 5 == 2, F.lit("/tmp/okay"))
-            .when(did % 5 == 3, F.lit("/tmp/zz"))
-            .otherwise(F.lit("/ok")),
+            F.when(did % 7 == 0, F.lit("/private/pub/x"))
+            .when(did % 7 == 1, F.lit("/private/x"))
+            .when(did % 7 == 2, F.lit("/tmp/okay"))
+            .when(did % 7 == 3, F.lit("/tmp/zz"))
+            .when(did % 7 == 4, F.lit("/ok"))
+            .when(did % 7 == 5, F.lit("/page?sessionid=abc"))
+            .otherwise(F.lit("/okay")),
         ).alias("url"),
     )
     hosts = spark.range(6).select(
@@ -2186,5 +2214,5 @@ def crawl_robots_gate(spark, sf_dir):
         .otherwise(F.lit(_ROBOTS_BODIES[2]))
         .alias("robots_body"),
     )
-    rules = parse_robots_rules(robots)
+    rules = parse_robots_rules(robots, agent="graftbot")
     return robots_decisions(frontier, rules)

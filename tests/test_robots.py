@@ -164,3 +164,90 @@ def test_crawl_delay_parse_and_wave_cap(spark):
     assert max(n for (h, _), n in buckets.items() if h == "slow.com") == 2
     assert all(n <= 10 for (h, _), n in buckets.items() if h == "fast.com")
     assert max(n for (h, _), n in buckets.items() if h == "fast.com") == 10
+
+
+def test_agent_group_selection_most_specific_wins():
+    """RFC 9309 / Google REP group selection: longest UA value that
+    case-insensitively prefixes the crawler token wins; all groups
+    with the winning value merge; * is the fallback."""
+    from data_ingestion_spark.functions.robots import robots_rules_for_agent
+
+    body = (
+        "User-agent: graftbot\nDisallow: /a\n\n"
+        "User-agent: graftbot-news\nDisallow: /b\n\n"
+        "User-agent: graftbot-news\nAllow: /b/ok\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # exact token: most specific group(s) merge, both same-value groups
+    assert robots_rules_for_agent(body, "graftbot-news") == [
+        ("/b", False), ("/b/ok", True)
+    ]
+    # prefix semantics: 'graftbot-video' falls to the 'graftbot' group
+    assert robots_rules_for_agent(body, "graftbot-video") == [("/a", False)]
+    # case-insensitive
+    assert robots_rules_for_agent(body, "GraftBot-NEWS") == [
+        ("/b", False), ("/b/ok", True)
+    ]
+    # unknown bot: * fallback
+    assert robots_rules_for_agent(body, "otherbot") == [("/", False)]
+    # star never matches named groups
+    assert robots_rules_for_agent(body, "*") == [("/", False)]
+
+
+def test_rule_pattern_to_regex_translation():
+    """Wildcards/anchors translate per Google REP; plain literals
+    return None (the startswith fast path AND the pinned fallback
+    semantics for rules regex can't express)."""
+    from data_ingestion_spark.functions.robots import rule_pattern_to_regex
+
+    assert rule_pattern_to_regex("/plain/prefix") is None
+    assert rule_pattern_to_regex("/*?sessionid=") == r"^/.*\?sessionid="
+    assert rule_pattern_to_regex("/ok$") == "^/ok$"
+    # $ not at the end is a literal character, not an anchor
+    assert rule_pattern_to_regex("/a$b") is None
+    assert rule_pattern_to_regex("/a$b*") == r"^/a\$b.*"
+    # regex metacharacters in the path are escaped
+    assert rule_pattern_to_regex("/p.(x)+*") == r"^/p\.\(x\)\+.*"
+
+
+def test_decisions_wildcard_anchor_and_query_matching(spark):
+    """Full-REP decisions: the wildcard bites the query string (REP
+    matches path INCLUDING query), the end anchor matches exactly,
+    a longer anchored allow outranks a shorter literal disallow,
+    and a bare-host-with-query URL normalizes to '/?...'."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /*?sessionid=\nAllow: /ok$\nDisallow: /o\n")],
+        "host string, robots_body string",
+    )
+    rules = parse_robots_rules(robots)
+    frontier = spark.createDataFrame(
+        [
+            (0, "https://a.com/page?sessionid=abc"),  # wildcard bites query
+            (1, "https://a.com/ok"),                  # anchor exact: /ok$ beats /o
+            (2, "https://a.com/okay"),                # anchor no-match; literal /o bites
+            (3, "https://a.com/page?x=1"),            # no rule matches
+            (4, "https://a.com?sessionid=1"),         # '/?sessionid=1' — wildcard bites
+        ],
+        "id long, url string",
+    )
+    got = {r.id: r.allowed for r in robots_decisions(frontier, rules).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True, 4: False}
+    # the plan stays JVM-side: regexp_like / startswith, no Python in
+    # the per-URL path (the parse stage is the only Arrow stage)
+    plan = robots_decisions(frontier, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_parse_rules_emits_regex_column_per_agent(spark):
+    """parse_robots_rules carries the translated regex (NULL for
+    literals) and selects the agent's group."""
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: graftbot\nDisallow: /t/*x$\n\nUser-agent: *\nDisallow: /\n")],
+        "host string, robots_body string",
+    )
+    rows = parse_robots_rules(robots, agent="graftbot").collect()
+    assert [(r.rule_path, r.allow, r.rule_regex) for r in rows] == [
+        ("/t/*x$", False, r"^/t/.*x$")
+    ]
+    star = parse_robots_rules(robots).collect()
+    assert [(r.rule_path, r.rule_regex) for r in star] == [("/", None)]
