@@ -102,13 +102,20 @@ def nb_classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_model: bool = True,
+    default_label: str | None = None,
 ) -> DataFrame:
     """(id, predicted, score_micros): argmax over classes of
     prior + Σ_token lp(token|class), unknown tokens contributing the
     class's smoothed floor. Exact integer arithmetic end-to-end;
-    ties break on class name ascending. Documents whose text yields
-    ZERO tokens produce no row (no evidence to score — filter empty
-    docs upstream if every input must appear)."""
+    ties break on class name ascending.
+
+    Zero-token documents (r10 verdict #6 — total-function
+    contract): by default they produce NO row (no evidence to
+    score), which a keep/drop curation gate composing this must not
+    read as 'rejected'. Pass ``default_label`` to make the function
+    total: every input id appears, and evidence-free docs get
+    ``(default_label, NULL score_micros)`` — the NULL score keeps
+    defaulted rows distinguishable from genuinely-scored ones."""
     toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token"))
     cls = classes.select("label", "prior_micros", "unseen_micros")
     m = model
@@ -136,7 +143,7 @@ def nb_classify(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__score").desc(), F.col("label").asc()
     )
-    return (
+    out = (
         scores.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
@@ -144,4 +151,15 @@ def nb_classify(
             F.col("label").alias("predicted"),
             F.col("__score").alias("score_micros"),
         )
+    )
+    if default_label is None:
+        return out
+    # total-function path: left-join the scored rows back onto the
+    # full id set; evidence-free docs surface with the default label
+    # and a NULL score (distinguishable from scored rows)
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(out, id_col, "left_outer").select(
+        id_col,
+        F.coalesce(F.col("predicted"), F.lit(default_label)).alias("predicted"),
+        "score_micros",
     )

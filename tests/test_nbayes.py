@@ -68,3 +68,32 @@ def test_nb_tiebreak_smallest_label(spark):
     model, classes = nb_train(train)
     test = spark.createDataFrame([(9, "w w")], "doc_id long, text string")
     assert nb_classify(test, model, classes).collect()[0].predicted == "a"
+
+
+def test_nb_classify_default_label_total_function(spark):
+    """r10 verdict #6: zero-token docs vanish by default (documented);
+    with default_label the function is TOTAL — every input id appears,
+    evidence-free docs carry the default and a NULL score, scored
+    rows are unchanged."""
+    train = spark.createDataFrame(
+        [(1, "alpha alpha", "a"), (2, "beta beta", "b")],
+        "doc_id long, text string, label string",
+    )
+    model, classes = nb_train(train)
+    test = spark.createDataFrame(
+        [(10, "alpha alpha"), (11, ""), (12, "...!!!"), (13, None)],
+        "doc_id long, text string",
+    )
+    # default path: only the scorable doc appears
+    bare = nb_classify(test, model, classes).collect()
+    assert [r.doc_id for r in bare] == [10]
+
+    total = {r.doc_id: r for r in nb_classify(
+        test, model, classes, default_label="keep"
+    ).collect()}
+    assert set(total) == {10, 11, 12, 13}
+    assert total[10].predicted == "a" and total[10].score_micros is not None
+    for i in (11, 12, 13):
+        assert total[i].predicted == "keep" and total[i].score_micros is None
+    # scored row identical to the bare path
+    assert total[10].score_micros == bare[0].score_micros
