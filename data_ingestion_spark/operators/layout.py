@@ -28,35 +28,64 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def zorder_key(c1: Column, c2: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` bits of two non-negative integer
-    columns into a single BIGINT Morton key: bit i of ``c1`` lands at
-    position 2i, bit i of ``c2`` at 2i+1 (c2 is the high dimension of
-    each pair). 2*bits ≤ 62 keeps the key in signed-64 range.
+def zorder_key_n(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Round-robin bit interleave over N non-negative integer
+    columns (the general Delta/Iceberg ``OPTIMIZE ZORDER BY (c1,
+    ..., cN)`` key): bit i of column j lands at position ``i*N + j``
+    — dimension j=0 holds the lowest bit of each round, matching the
+    2-column layout (c1 at 2i, c2 at 2i+1). ``N*bits ≤ 62`` keeps
+    the key in signed-64 range.
 
     Pure bitwise/additive JVM expressions (shiftright / AND /
     constant multiplies) — identical in any SQL engine, no UDF.
     """
-    if not 1 <= bits <= 31:
-        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key_n needs at least one column")
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits; "
+            "n*bits must be <= 62 to stay in signed-64 range"
+        )
     z: Column = F.lit(0).cast("bigint")
     for i in range(bits):
-        z = z + (F.shiftright(c1.cast("bigint"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
-        z = z + (F.shiftright(c2.cast("bigint"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        for j, c in enumerate(cols):
+            z = z + (
+                F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (i * n + j))
+            )
     return z.cast("bigint")
 
 
-def zorder_key_sql(c1: str, c2: str, bits: int = 16) -> str:
-    """The DuckDB/ANSI twin of `zorder_key` (oracle + documentation
-    of exactly what the JVM expression computes)."""
+def zorder_key_n_sql(cols: Sequence[str], bits: int = 16) -> str:
+    """The DuckDB/ANSI twin of `zorder_key_n` (oracle +
+    documentation of exactly what the JVM expression computes)."""
+    n = len(cols)
     terms = []
     for i in range(bits):
-        terms.append(f"(({c1} >> {i}) & 1) * {1 << (2 * i)}")
-        terms.append(f"(({c2} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        for j, c in enumerate(cols):
+            terms.append(f"(({c} >> {i}) & 1) * {1 << (i * n + j)}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_key(c1: Column, c2: Column, bits: int = 16) -> Column:
+    """Two-dimensional Morton key — ``zorder_key_n([c1, c2], bits)``
+    (bit i of ``c1`` at position 2i, of ``c2`` at 2i+1)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    return zorder_key_n([c1, c2], bits)
+
+
+def zorder_key_sql(c1: str, c2: str, bits: int = 16) -> str:
+    """The DuckDB/ANSI twin of `zorder_key`."""
+    return zorder_key_n_sql([c1, c2], bits)
 
 
 def cluster_by_zorder(
@@ -65,13 +94,16 @@ def cluster_by_zorder(
     c2: str,
     bits: int = 16,
     partitions: int | None = None,
+    *more_cols: str,
 ) -> DataFrame:
-    """Physically cluster ``df`` for two-dimensional data skipping:
-    range-partition + sort by the Morton key of (c1, c2), ready for a
-    parquet write whose row-group min/max stats prune on EITHER
-    dimension. The range exchange replaces (not adds to) the
-    repartition a bulk write performs anyway."""
-    keyed = df.withColumn("__z", zorder_key(F.col(c1), F.col(c2), bits))
+    """Physically cluster ``df`` for multi-dimensional data skipping:
+    range-partition + sort by the Morton key of (c1, c2,
+    *more_cols), ready for a parquet write whose row-group min/max
+    stats prune on ANY of the dimensions. The range exchange
+    replaces (not adds to) the repartition a bulk write performs
+    anyway."""
+    cols = [F.col(c) for c in (c1, c2, *more_cols)]
+    keyed = df.withColumn("__z", zorder_key_n(cols, bits))
     parted = (
         keyed.repartitionByRange(partitions, "__z")
         if partitions

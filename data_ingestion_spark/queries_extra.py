@@ -2005,11 +2005,18 @@ def heavy_hitters_two_pass(spark, sf_dir):
 
 
 def _zorder_oracle() -> str:
-    from .operators.layout import zorder_key_sql
+    from .operators.layout import zorder_key_n_sql
 
     return (
         "SELECT event_id, "
-        + zorder_key_sql("(user_id % 4096)", "(event_id % 4096)", bits=12)
+        + zorder_key_n_sql(
+            [
+                "(user_id % 4096)",
+                "(event_id % 4096)",
+                "(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 4096)",
+            ],
+            bits=12,
+        )
         + " AS zkey FROM events"
     )
 
@@ -2017,21 +2024,25 @@ def _zorder_oracle() -> str:
 @q("zorder_cluster_key", _zorder_oracle())
 def zorder_cluster_key(spark, sf_dir):
     """Morton (Z-order) clustering key — the layout operator behind
-    two-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER;
-    the reference writes unclustered parquet). Interleaves the low
-    12 bits of two pre-bucketed dimensions (user, event) as pure
-    JVM bit arithmetic; cluster_by_zorder range-partitions + sorts
-    by this key so parquet row-group min/max stats prune on EITHER
-    predicate. Oracle is the generated ANSI twin of the exact same
-    bit expression — zero shuffles, scan-side scalar math."""
-    from .operators.layout import zorder_key
+    multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER
+    BY takes N columns; the reference writes unclustered parquet).
+    Round-robin interleaves the low 12 bits of THREE pre-bucketed
+    dimensions (user, event, epoch-day — the host/date/size shape a
+    crawl store clusters by) as pure JVM bit arithmetic, 36 key
+    bits; cluster_by_zorder range-partitions + sorts by this key so
+    parquet row-group min/max stats prune on ANY of the predicates.
+    Oracle is the generated ANSI twin of the exact same bit
+    expression — zero shuffles, scan-side scalar math."""
+    from .operators.layout import zorder_key_n
 
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    day = F.datediff(F.col("ts"), F.lit("1970-01-01").cast("date"))
     return e.select(
         "event_id",
-        zorder_key(F.col("user_id") % 4096, F.col("event_id") % 4096, bits=12).alias(
-            "zkey"
-        ),
+        zorder_key_n(
+            [F.col("user_id") % 4096, F.col("event_id") % 4096, day % 4096],
+            bits=12,
+        ).alias("zkey"),
     )
 
 
