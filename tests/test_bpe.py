@@ -109,3 +109,46 @@ def test_encode_word_kernel():
 def test_min_pair_count_stops_training(spark):
     df = spark.createDataFrame([("a b c d e f g",)], "text string")  # all count-1 words
     assert bpe_train(df, n_merges=10, min_pair_count=2) == []
+
+
+def test_token_budget_on_learned_vocab(spark):
+    """r10 verdict #7 — honest token accounting: the budget cut that
+    token_budget_sample makes on proxy counts, composed here on REAL
+    learned-vocab BPE counts (make_bpe_encode_udf(counts_only=True)
+    over a trained merge list). The selected set is pinned against a
+    pure-Python recount of the same greedy cumulative rule — the
+    learned-merge path cannot be SQL-oracled (C9 pytest category),
+    so the recount IS the oracle."""
+    from pyspark.sql import Window
+
+    corpus = [
+        (i, ("spark shuffles data " * (i % 4 + 1)) + f"doc {i} unique tail")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(df, "text", n_merges=20)
+    counter = make_bpe_encode_udf(merges, counts_only=True)
+
+    budget = 120
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    picked = (
+        df.withColumn("n_tokens", counter(F.col("text")))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= budget)
+        .select("doc_id", "n_tokens", "cum")
+        .collect()
+    )
+
+    # pure-Python recount: same merges, same greedy cumulative cut
+    ranks = {p: i for i, p in enumerate(merges)}
+    pat = re.compile(PRETOKEN_PATTERN)
+    expected, cum = [], 0
+    for i, text in corpus:
+        n = sum(len(bpe_encode_word(wd, ranks)) for wd in pat.findall(text))
+        if cum + n > budget:
+            break
+        cum += n
+        expected.append((i, n, cum))
+    assert [(r.doc_id, r.n_tokens, r.cum) for r in picked] == expected
+    assert expected and expected[-1][2] <= budget  # the budget actually bit
+    assert len(expected) < len(corpus)             # ...and excluded something
