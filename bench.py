@@ -125,6 +125,15 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # load-average guard (r10 verdict #8): the r09 33.4 s discard and
+    # the r10 27.98 s driver artifact were both ambient contention; a
+    # 1-min load already > ~1.0 at start means another workload owns
+    # cores, so the reading self-annotates as contended instead of
+    # being adjudicated after the fact (probes catch sustained drift,
+    # not a busy neighbor — BENCH_NOTES).
+    load_avg_start = round(os.getloadavg()[0], 2)
+    contended = load_avg_start > 1.0
+
     host_probe = _host_probe()
     spark = get_spark("engine-bench")
     qs = entrymod.queries()
@@ -369,6 +378,43 @@ def main() -> None:
     assigned.unpersist()
     emb.unpersist()
 
+    # at-rest lexical index (r11): build once UNTIMED, then measure
+    # the per-batch serving cost against the inline from-corpus path —
+    # the bench evidence that a query batch over the materialized
+    # index is query-side-only work (no corpus tokenize/shuffle)
+    import tempfile
+
+    from data_ingestion_spark.functions.similarity import (
+        bm25_rank_batch,
+        bm25_rank_batch_indexed,
+        build_postings_index,
+    )
+
+    docs_bm = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    q_rows = [(1, "spark vector"), (2, "customer merge order"), (3, "table join group")]
+    qdf = spark.createDataFrame(q_rows, "query_id int, query_text string")
+    idx_dir = tempfile.mkdtemp(prefix="bench_bm25_idx_")
+    try:
+        t0 = time.perf_counter()
+        build_postings_index(docs_bm, idx_dir)
+        throughput["bm25_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        walls = {"indexed": [], "inline": []}
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bm25_rank_batch_indexed(spark, qdf, idx_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            walls["indexed"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            bm25_rank_batch(qdf, docs_bm).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls["inline"].append(time.perf_counter() - t0)
+        throughput["bm25_batch_indexed_sec"] = round(sorted(walls["indexed"])[1], 3)
+        throughput["bm25_batch_inline_sec"] = round(sorted(walls["inline"])[1], 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     # BASELINE.md ceiling, enforced not eyeballed: every headline
     # query (incl. the iterative CC ops and the e2e plan) must stay
     # under 10 s at the bench SF. Worst observed at sf0.1 is ~3.7 s
@@ -401,6 +447,8 @@ def main() -> None:
                 "sf": sf_val,
                 "gates_ok": not gate_failures,
                 "host_probe": host_probe,
+                "load_avg_start": load_avg_start,
+                "contended": contended,
             }
         )
     )

