@@ -51,6 +51,9 @@ DRIVER_WINDOW: list[str] = [
     # term-bucketed postings store, serve the query batch from it
     # (partition-pruned scan, scores ≡ the inline batch path)
     "rank_bm25_indexed",
+    # never-checked r11 addition: incremental re-crawl capstone —
+    # snapshot diff -> robots gate -> rank-ordered politeness waves
+    "incremental_recrawl_pipeline",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -99,7 +102,6 @@ DRIVER_WINDOW: list[str] = [
     "sample_hash_deterministic",
     "train_val_test_split",
     "per_source_quota",
-    "pack_sequences",
 ]
 
 

@@ -112,6 +112,7 @@ CROSS_OK = {
     "rank_bm25",               # 1-row BM25 stats broadcast (N, avgdl, dfs)
     "rank_bm25_batch",         # 1-row (N, avgdl) stats broadcast
     "rank_bm25_indexed",       # same 1-row stats broadcast, at-rest path
+    "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "crawl_pagerank",          # 1-row node-count broadcast builds the fixture graph
     "hybrid_rank_rrf_batch",   # 3-row query-vector broadcast + stats row
     "nb_quality_classify",     # 2-row class table crossed into the token stream
@@ -131,6 +132,7 @@ PYTHON_OK: set[str] = {
     "crawl_politeness_waves",    # Crawl-delay parse over the same tiny bodies
     "url_idn_host",              # stdlib-idna punycode, non-ASCII slice only
     "url_dedup_pipeline",        # same punycode stage inside the capstone
+    "incremental_recrawl_pipeline",  # robots rule+delay parse (tiny per-host bodies)
     "html_main_content",         # boilerpipe block heuristic is a parser
 }
 
