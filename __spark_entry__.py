@@ -54,6 +54,10 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: incremental re-crawl capstone —
     # snapshot diff -> robots gate -> rank-ordered politeness waves
     "incremental_recrawl_pipeline",
+    # never-checked r11 addition: index upsert ≡ rebuild (replacement
+    # + df/doclens/stats maintenance verified against the
+    # from-scratch oracle)
+    "rank_bm25_index_upsert",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -101,7 +105,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q21_waiting_supplier",
     "sample_hash_deterministic",
     "train_val_test_split",
-    "per_source_quota",
 ]
 
 

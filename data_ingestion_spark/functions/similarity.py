@@ -769,6 +769,10 @@ def build_postings_index(
       (PartitionFilters, asserted in tests/test_plans.py);
     - ``terms/bucket=*/`` — (term, df) per-term document frequency,
       derived from the WRITTEN postings (no second corpus pass);
+    - ``doclens/`` — (doc_id, dl) per-document token length,
+      INCLUDING zero-token docs — the exact-update substrate for
+      ``upsert_postings_index`` (postings alone cannot see a
+      zero-token doc, so stats could drift across upserts);
     - ``stats/`` — ONE row (n_docs, avgdl, buckets): corpus-wide
       stats including zero-token docs, plus the bucket count the
       reader needs to hash query terms the same way.
@@ -801,8 +805,13 @@ def build_postings_index(
     ).parquet(index_dir.rstrip("/") + "/postings")
     spark = docs_df.sparkSession
     # df per term from the parquet just written (postings are unique
-    # on (term, doc): row count per term IS document frequency)
-    written = spark.read.parquet(index_dir.rstrip("/") + "/postings")
+    # on (term, doc): row count per term IS document frequency).
+    # Explicit schema: an EMPTY corpus writes a partitioned dir with
+    # no data files, which schema inference cannot read — the empty
+    # index must stay servable (registry empty-input contract)
+    written = spark.read.schema(postings.schema).parquet(
+        index_dir.rstrip("/") + "/postings"
+    )
     (
         written.groupBy("bucket", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -811,8 +820,18 @@ def build_postings_index(
         .partitionBy("bucket")
         .parquet(index_dir.rstrip("/") + "/terms")
     )
+    base.select("doc_id", "dl").write.mode("overwrite").parquet(
+        index_dir.rstrip("/") + "/doclens"
+    )
+    _write_index_stats(spark, index_dir, buckets)
+
+
+def _write_index_stats(spark, index_dir: str, buckets: int) -> None:
+    """stats/ from the WRITTEN doclens table — shared by build and
+    upsert so the two paths cannot disagree on what n/avgdl mean."""
     (
-        base.agg(
+        spark.read.parquet(index_dir.rstrip("/") + "/doclens")
+        .agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
@@ -820,6 +839,112 @@ def build_postings_index(
         .write.mode("overwrite")
         .parquet(index_dir.rstrip("/") + "/stats")
     )
+
+
+def upsert_postings_index(
+    delta_docs: DataFrame,
+    src_index_dir: str,
+    dst_index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance: fold a delta corpus into an
+    existing ``build_postings_index`` store, REPLACING any doc_id
+    that reappears (the re-crawl upsert semantics), and write the
+    result as a NEW index directory — functional versioning, so a
+    crash mid-upsert leaves the source index untouched and readers
+    never see a half-written store (swap the serving pointer after,
+    exactly the sketch-stream manifest pattern).
+
+    The update provably equals a from-scratch rebuild over
+    (old corpus minus replaced ids, plus delta) — that equality IS
+    the driver oracle for ``rank_bm25_index_upsert``. Cost: the
+    delta tokenize + one anti-join shuffle of the OLD postings
+    against the (broadcastable) delta id set + the bucket-clustered
+    rewrite; the old corpus is never re-tokenized. At 100 TB the
+    anti-join is the price of exact df/stats maintenance — cheap
+    next to re-tokenizing petabytes, and the bucket layout keeps the
+    rewrite partition-parallel."""
+    spark = delta_docs.sparkSession
+    src = src_index_dir.rstrip("/")
+    buckets = int(spark.read.parquet(src + "/stats").collect()[0]["buckets"])
+    delta_base = delta_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__w"),
+    ).withColumn("dl", F.size("__w").cast("double"))
+    delta_post = (
+        delta_base.select("doc_id", "dl", F.explode("__w").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", _index_bucket(F.col("term"), buckets))
+    )
+    delta_ids = delta_base.select("doc_id").distinct()
+    src_post_schema, _ = _index_read_schemas(spark, src)
+    kept = spark.read.schema(src_post_schema).parquet(src + "/postings").join(
+        F.broadcast(delta_ids), "doc_id", "left_anti"
+    )
+    dst = dst_index_dir.rstrip("/")
+    (
+        kept.select("term", "doc_id", "tf", "dl", "bucket")
+        .unionByName(delta_post)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(dst + "/postings")
+    )
+    written = spark.read.schema(src_post_schema).parquet(dst + "/postings")
+    (
+        written.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(dst + "/terms")
+    )
+    (
+        spark.read.parquet(src + "/doclens")
+        .join(F.broadcast(delta_ids), "doc_id", "left_anti")
+        .unionByName(delta_base.select("doc_id", "dl"))
+        .write.mode("overwrite")
+        .parquet(dst + "/doclens")
+    )
+    _write_index_stats(spark, dst_index_dir, buckets)
+
+
+def _index_read_schemas(spark, root: str):
+    """Explicit read schemas for the postings/terms stores, with the
+    doc_id type taken from the (always-readable, non-partitioned)
+    doclens table — partitioned dirs written from an empty corpus
+    carry no inferable schema, and the empty index must serve."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = spark.read.parquet(root + "/doclens").schema["doc_id"].dataType
+    postings = StructType(
+        [
+            StructField("term", StringType()),
+            StructField("doc_id", id_type),
+            StructField("tf", DoubleType()),
+            StructField("dl", DoubleType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+    terms = StructType(
+        [
+            StructField("term", StringType()),
+            StructField("df", DoubleType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+    return postings, terms
 
 
 def bm25_rank_batch_indexed(
@@ -852,8 +977,11 @@ def bm25_rank_batch_indexed(
     root = index_dir.rstrip("/")
     stats_row = spark.read.parquet(root + "/stats").collect()[0]
     buckets = stats_row["buckets"]
+    # avgdl is NULL over an empty corpus (avg of no rows); 0.0 keeps
+    # the empty index servable — no postings match, so the value is
+    # never used in a score
     stats = spark.createDataFrame(
-        [(float(stats_row["n_docs"]), float(stats_row["avgdl"]))],
+        [(float(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0))],
         "__n double, __avgdl double",
     )
     qterms = queries_df.select(
@@ -874,8 +1002,9 @@ def bm25_rank_batch_indexed(
             _index_bucket(F.col("__t"), buckets).alias("b")
         ).distinct().collect()
     ]
+    post_schema, term_schema = _index_read_schemas(spark, root)
     matched = (
-        spark.read.parquet(root + "/postings")
+        spark.read.schema(post_schema).parquet(root + "/postings")
         .filter(F.col("bucket").isin(hit_buckets))
         .join(F.broadcast(term_set), F.col("term") == F.col("__t"), "leftsemi")
         .select(
@@ -886,7 +1015,7 @@ def bm25_rank_batch_indexed(
         )
     )
     dfs = (
-        spark.read.parquet(root + "/terms")
+        spark.read.schema(term_schema).parquet(root + "/terms")
         .filter(F.col("bucket").isin(hit_buckets))
         .join(F.broadcast(term_set), F.col("term") == F.col("__t"), "leftsemi")
         .select(F.col("term").alias("__t"), F.col("df").alias("__df"))

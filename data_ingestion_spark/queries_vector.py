@@ -917,6 +917,44 @@ def rank_bm25_indexed(spark, sf_dir):
     return bm25_rank_batch_indexed(spark, qdf, idx, topk=10)
 
 
+@q("rank_bm25_index_upsert", _bm25_batch_oracle())
+def rank_bm25_index_upsert(spark, sf_dir):
+    """Incremental index maintenance (r11 D-series): build the
+    at-rest lexical index over a STALE corpus generation (every 5th
+    doc carries appended noise terms — including the fixture query
+    terms, so a failed replacement provably corrupts df/tf/stats),
+    then ``upsert_postings_index`` the corrected 20% into a new
+    index version and serve the query batch from it. The oracle is
+    the from-scratch full-corpus pipeline on the TRUE text — the
+    driver therefore verifies upsert ≡ rebuild (replacement, df
+    maintenance, doclens/stats exactness) end to end."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .functions.similarity import (
+        bm25_rank_batch_indexed,
+        build_postings_index,
+        upsert_postings_index,
+    )
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" stale vector spark noise")),
+        ).otherwise(F.col("text")),
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx0 = os.path.join(tempfile.gettempdir(), f"bm25_upsert_src_{tag}")
+    idx1 = os.path.join(tempfile.gettempdir(), f"bm25_upsert_dst_{tag}")
+    build_postings_index(stale, idx0)
+    upsert_postings_index(d.filter(F.col("doc_id") % 5 == 0), idx0, idx1)
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    return bm25_rank_batch_indexed(spark, qdf, idx1, topk=10)
+
+
 _HYBRID_QTEXT = "spark vector customer merge"
 
 

@@ -113,6 +113,7 @@ CROSS_OK = {
     "rank_bm25_batch",         # 1-row (N, avgdl) stats broadcast
     "rank_bm25_indexed",       # same 1-row stats broadcast, at-rest path
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
+    "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
     "crawl_pagerank",          # 1-row node-count broadcast builds the fixture graph
     "hybrid_rank_rrf_batch",   # 3-row query-vector broadcast + stats row
     "nb_quality_classify",     # 2-row class table crossed into the token stream
@@ -569,3 +570,55 @@ def test_bm25_index_prunes_term_buckets(spark, tmp_path):
     at_rest = out.collect()
     key = lambda r: (r.query_id, r.doc_id, round(r.score, 9), r.rank)
     assert sorted(map(key, inline)) == sorted(map(key, at_rest))
+
+
+def test_bm25_index_upsert_equals_rebuild(spark, tmp_path):
+    """Upsert semantics pinned at the unit level: replaced docs'
+    postings vanish (including their contribution to df), a doc
+    replaced by a ZERO-token body stays in doclens/stats (the
+    postings-invisible case the doclens table exists for), new docs
+    append, and the upserted index equals a from-scratch build of
+    the final corpus file-for-row."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        _index_read_schemas,
+        build_postings_index,
+        upsert_postings_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    build_postings_index(v1, src, buckets=8)
+    # doc 2 -> zero tokens; doc 3 -> changed; doc 4 -> new
+    delta = spark.createDataFrame(
+        [(2, "...!!!"), (3, "alpha"), (4, "beta beta")],
+        "doc_id long, text string",
+    )
+    dst = str(tmp_path / "dst")
+    upsert_postings_index(delta, src, dst)
+
+    final = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "...!!!"), (3, "alpha"), (4, "beta beta")],
+        "doc_id long, text string",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_postings_index(final, rebuilt, buckets=8)
+
+    ps, ts = _index_read_schemas(spark, dst)
+    def rows(path, schema, cols):
+        return sorted(
+            tuple(r) for r in spark.read.schema(schema).parquet(path).select(*cols).collect()
+        )
+    assert rows(dst + "/postings", ps, ["term", "doc_id", "tf", "dl", "bucket"]) == \
+        rows(rebuilt + "/postings", ps, ["term", "doc_id", "tf", "dl", "bucket"])
+    assert rows(dst + "/terms", ts, ["term", "df", "bucket"]) == \
+        rows(rebuilt + "/terms", ts, ["term", "df", "bucket"])
+    lens = {r.doc_id: r.dl for r in spark.read.parquet(dst + "/doclens").collect()}
+    assert lens == {1: 2.0, 2: 0.0, 3: 1.0, 4: 2.0}  # zero-token doc present
+    s_new = spark.read.parquet(dst + "/stats").collect()[0]
+    s_reb = spark.read.parquet(rebuilt + "/stats").collect()[0]
+    assert (s_new.n_docs, s_new.avgdl) == (s_reb.n_docs, s_reb.avgdl) == (4.0, 1.25)
