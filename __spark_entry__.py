@@ -58,6 +58,10 @@ DRIVER_WINDOW: list[str] = [
     # + df/doclens/stats maintenance verified against the
     # from-scratch oracle)
     "rank_bm25_index_upsert",
+    # never-checked r11 addition: HyperLogLog cardinality — constant
+    # 2^p-register state, integer-exact registers, mergeable; the
+    # oracle replicates the whole register pipeline + LC branch
+    "hll_distinct_users",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -104,7 +108,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier",
     "sample_hash_deterministic",
-    "train_val_test_split",
 ]
 
 

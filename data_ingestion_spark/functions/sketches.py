@@ -159,3 +159,120 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
         .select(F.col("__item").alias(item_col), F.col("estimate").cast("bigint").alias("estimate"))
     )
+
+
+# ------------------------------------------------------- hyperloglog
+
+#: register-index bits: m = 2^p registers (p=11 -> 2048 registers,
+#: ~1.04/sqrt(m) ≈ 2.3% standard error, 2048 rows of state forever)
+DEFAULT_HLL_P = 11
+
+#: the md5-derived hash is 60 bits (15 hex chars); after p index
+#: bits, the remaining word has 60-p bits, so rho ∈ [1, 61-p]
+_HLL_HASH_BITS = 60
+
+
+def hll_build(df: DataFrame, col: str, p: int = DEFAULT_HLL_P) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) for the distinct
+    count of ``col``: (bucket, rho) with one row per NONZERO
+    register — constant-size (≤ 2^p rows) no matter the input, the
+    cardinality mirror of the count-min sketch above ("how many
+    distinct URLs/users/fingerprints in 100 TB" without a
+    full-cardinality groupBy's per-executor hash state).
+
+    Determinism, the CMS pattern: the hash is md5-derived (60 bits,
+    engine-portable, seedless); bucket = low p bits, and rho is the
+    1-based position of the least-significant set bit of the
+    remaining word (the trailing-zero geometric, statistically
+    identical to the leading-zero form) computed EXACTLY in integer
+    arithmetic — ``1 + bit_count((w & -w) - 1)`` — never through
+    float log2, whose last-ULP could mis-bin a register. An empty
+    word (probability 2^-(60-p)) saturates at rho = 61-p. Registers
+    from different shards MERGE by per-bucket max (``hll_merge``) —
+    the property that lets every shard sketch locally.
+
+    Build cost: one bounded shuffle (partial max per bucket)."""
+    m = 1 << p
+    h = F.conv(
+        F.substring(F.md5(F.col("__v").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    sat = _HLL_HASH_BITS - p + 1
+    return (
+        df.select(F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select(h.alias("__h"))
+        .select(
+            (F.col("__h") % m).cast("int").alias("bucket"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("__w") == 0, F.lit(sat))
+            .otherwise(
+                1 + F.bit_count((F.col("__w").bitwiseAND(-F.col("__w"))) - 1)
+            )
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Per-bucket max of registers built with the same ``p`` — the
+    cross-shard reduce (max is idempotent/commutative/associative,
+    so replays and re-merges are harmless)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = DEFAULT_HLL_P) -> DataFrame:
+    """ONE row (m, nonzero, inv_sum_scaled, est) from a register
+    table. The harmonic-mean denominator is computed as an EXACT
+    integer: S = Σ_registers 2^(K − rho) (empty registers contribute
+    2^K), K = 61 − p — a BIGINT sum is associative, so partitioning
+    and aggregation order cannot flap the result (the integer-micros
+    discipline). The only floats are the final scalar estimate
+    (alpha·m²·2^K / S, one fixed-order expression) and the
+    small-range linear-counting branch m·ln(m/V) when the raw
+    estimate ≤ 2.5m with V empty registers — the standard HLL
+    correction."""
+    m = 1 << p
+    k = _HLL_HASH_BITS - p + 1  # max rho; 2^(k-rho) ∈ [1, 2^k]
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.expr(f"cast(shiftleft(cast(1 as bigint), {k} - rho) as bigint)"))
+        .alias("__s_nonzero"),
+    )
+    s_total = (
+        F.coalesce(F.col("__s_nonzero"), F.lit(0))
+        + (F.lit(m) - F.col("nonzero")) * F.lit(1 << k)
+    ).cast("bigint")
+    raw = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(1 << k))
+        / F.col("inv_sum_scaled")
+    )
+    v = F.lit(m) - F.col("nonzero")
+    return (
+        agg.select(
+            F.lit(m).alias("m"),
+            F.col("nonzero").cast("bigint").alias("nonzero"),
+            s_total.alias("inv_sum_scaled"),
+        )
+        .select(
+            "m",
+            "nonzero",
+            "inv_sum_scaled",
+            F.when(
+                (raw <= 2.5 * m) & (v > 0),
+                F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))),
+            )
+            .otherwise(F.round(raw))
+            .cast("bigint")
+            .alias("est"),
+        )
+    )

@@ -2343,3 +2343,62 @@ def incremental_recrawl_pipeline(spark, sf_dir):
         order_by=[F.col("rank_micros").desc(), F.col("url")],
     )
     return waved.select("url", "status", "rank_micros", "wave")
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin of the FULL HLL register pipeline (p=11, m=2048,
+    60-bit md5 hash, trailing-zero rho in exact integer arithmetic,
+    BIGINT harmonic denominator) — registers, estimate, and bound
+    all replicate; only the final scalar ln/round are float, the
+    NB-micros precedent."""
+    m, k = 2048, 50  # p=11; K = 60 - 11 + 1... rho saturates at 50
+    return (
+        "WITH h AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) "
+        "AS BIGINT) AS h FROM (SELECT DISTINCT user_id FROM events "
+        "WHERE user_id IS NOT NULL)), "
+        f"bw AS (SELECT h % {m} AS bucket, h // {m} AS w FROM h), "
+        f"reg AS (SELECT bucket, max(CASE WHEN w = 0 THEN {k} "
+        "ELSE 1 + bit_count((w & -w) - 1) END) AS rho FROM bw GROUP BY bucket), "
+        "agg AS (SELECT count(*) AS nonzero, "
+        f"sum(CAST(1 AS BIGINT) << ({k} - rho)) AS s_nz FROM reg), "
+        f"st AS (SELECT CAST({m} AS INTEGER) AS m, CAST(nonzero AS BIGINT) AS nonzero, "
+        f"CAST(coalesce(s_nz, 0) + ({m} - nonzero) * (CAST(1 AS BIGINT) << {k}) "
+        "AS BIGINT) AS inv_sum_scaled FROM agg), "
+        f"e AS (SELECT m, nonzero, inv_sum_scaled, "
+        f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0 * "
+        f"CAST(CAST(1 AS BIGINT) << {k} AS DOUBLE) / inv_sum_scaled AS raw "
+        "FROM st), "
+        "est AS (SELECT m, nonzero, inv_sum_scaled, "
+        f"CAST(CASE WHEN raw <= 2.5 * {m} AND (m - nonzero) > 0 "
+        f"THEN round({m}.0 * ln({m}.0 / CAST(m - nonzero AS DOUBLE))) "
+        "ELSE round(raw) END AS BIGINT) AS est FROM e), "
+        "x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact FROM events "
+        "WHERE user_id IS NOT NULL) "
+        "SELECT m, nonzero, inv_sum_scaled, est, exact, "
+        "abs(est - exact) <= 0.05 * exact AS within_5pct FROM est, x"
+    )
+
+
+@q("hll_distinct_users", _hll_oracle())
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog cardinality (r11 D-series) — "how many distinct
+    users/URLs/fingerprints in 100 TB" at CONSTANT state: 2048
+    registers forever, mergeable across shards by per-bucket max
+    (pytest), vs a full-cardinality groupBy whose hash state grows
+    with the answer. Registers are exact integers end-to-end (md5
+    hash, trailing-zero rho via bit_count — never float log2; BIGINT
+    harmonic denominator, associative so partitioning cannot flap
+    it); the DuckDB oracle replicates the whole pipeline register
+    for register and the small-range linear-counting branch. Output:
+    one row (m, nonzero, inv_sum_scaled, est, exact, within_5pct) —
+    the driver verifies sketch AND accuracy bound."""
+    from .functions.sketches import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    est = hll_estimate(hll_build(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact"))
+    return est.join(F.broadcast(exact)).withColumn(
+        "within_5pct", F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")
+    )

@@ -114,6 +114,7 @@ CROSS_OK = {
     "rank_bm25_indexed",       # same 1-row stats broadcast, at-rest path
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
+    "hll_distinct_users",      # 1-row exact-count broadcast beside the estimate
     "crawl_pagerank",          # 1-row node-count broadcast builds the fixture graph
     "hybrid_rank_rrf_batch",   # 3-row query-vector broadcast + stats row
     "nb_quality_classify",     # 2-row class table crossed into the token stream

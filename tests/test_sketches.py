@@ -66,3 +66,51 @@ def test_heavy_hitters_exact_equivalence_and_bounded_candidates(spark):
         for r in heavy_hitters(df, "v", min_count=100, width=16, depth=4).collect()
     }
     assert got == truth == {"hot1": 300, "hot2": 150}
+
+
+def test_hll_merge_equals_whole_and_constant_size(spark):
+    """Shard-local sketches max-merge to the whole-corpus registers
+    (bit-identical — the cross-shard reduce), state stays <= 2^p
+    rows, and duplicates don't move a register (max is idempotent)."""
+    from data_ingestion_spark.functions.sketches import hll_build, hll_merge
+
+    df = spark.range(20000).select(F.col("id").cast("string").alias("v"))
+    whole = {(r.bucket, r.rho) for r in hll_build(df, "v", p=8).collect()}
+    a = hll_build(df.filter(F.col("id") < 12000), "v", p=8)
+    b = hll_build(df.filter(F.col("id") >= 8000), "v", p=8)  # overlapping shards
+    merged = {(r.bucket, r.rho) for r in hll_merge(a, b).collect()}
+    assert merged == whole
+    assert len(whole) <= 256
+    dup = df.union(df).union(df)
+    assert {(r.bucket, r.rho) for r in hll_build(dup, "v", p=8).collect()} == whole
+
+
+def test_hll_estimate_accuracy_and_regimes(spark):
+    """Raw-HLL regime within ~3 standard errors at 100k distinct;
+    linear-counting regime within 5% at 700; empty input estimates 0
+    (V = m, ln(1) = 0)."""
+    from data_ingestion_spark.functions.sketches import hll_build, hll_estimate
+
+    big = spark.range(100_000).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate(hll_build(big, "v")).collect()[0]
+    se = 1.04 / (2048 ** 0.5)  # ~2.3%
+    assert abs(est.est - 100_000) <= 3 * se * 100_000
+    small = spark.range(700).select(F.col("id").cast("string").alias("v"))
+    est_s = hll_estimate(hll_build(small, "v")).collect()[0]
+    assert abs(est_s.est - 700) <= 35
+    empty = spark.createDataFrame([], "v string")
+    est_e = hll_estimate(hll_build(empty, "v")).collect()[0]
+    assert est_e.est == 0 and est_e.nonzero == 0
+
+
+def test_hll_registers_partitioning_invariant(spark):
+    """The integer-exact discipline: registers and the BIGINT
+    harmonic denominator are identical under any repartitioning."""
+    from data_ingestion_spark.functions.sketches import hll_build, hll_estimate
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    r1 = hll_estimate(hll_build(df, "v")).collect()[0]
+    r2 = hll_estimate(hll_build(df.repartition(17), "v")).collect()[0]
+    assert (r1.inv_sum_scaled, r1.nonzero, r1.est) == (
+        r2.inv_sum_scaled, r2.nonzero, r2.est
+    )
