@@ -62,6 +62,9 @@ DRIVER_WINDOW: list[str] = [
     # 2^p-register state, integer-exact registers, mergeable; the
     # oracle replicates the whole register pipeline + LC branch
     "hll_distinct_users",
+    # never-checked r11 addition: bloom-filter frontier seen-set
+    # (broadcastable 63-bit-word bitmap; no false negatives)
+    "bloom_frontier_seen",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -107,7 +110,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier",
-    "sample_hash_deterministic",
 ]
 
 

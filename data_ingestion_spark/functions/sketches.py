@@ -276,3 +276,117 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_HLL_P) -> DataFrame:
             .alias("est"),
         )
     )
+
+
+# ------------------------------------------------------- bloom filter
+
+#: default filter geometry: 2^17 bits = 2048 BIGINT words;
+#: k=4 probes -> ~1% false positives at ~13k inserted keys
+DEFAULT_BLOOM_BITS = 1 << 17
+DEFAULT_BLOOM_K = 4
+
+
+def _bloom_pos(value: Column, j: Column, m_bits: int) -> Column:
+    """md5-derived bit position in [0, m_bits) for probe j — the
+    CMS bucket pattern, engine-portable and seedless."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit("|"), value.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % m_bits).cast("bigint")
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k: int = DEFAULT_BLOOM_K,
+) -> DataFrame:
+    """Bloom filter over ``col`` as a REAL bitmap in relational
+    form: (word_idx, word) rows, word = BIGINT holding 63 filter
+    bits (shift ≤ 62 keeps the word positive — ANSI engines reject
+    1<<63 on a signed 64-bit integer, and the oracle must replicate
+    the bitmap bit for bit), at most ceil(m_bits/63) rows no matter
+    the input — small enough to
+    BROADCAST, which is the whole point: "have we crawled this URL /
+    seen this fingerprint" over a 100 TB candidate stream becomes a
+    broadcast probe instead of shuffling the candidates against the
+    seen-set (the classic crawler frontier dedup, Broder &
+    Mitzenmacher's survey). Guarantee: NO false negatives ever;
+    false positives at the standard (1 - e^(-kn/m))^k rate — the
+    safe direction for a frontier (a false positive skips a
+    re-fetch, never fetches a forbidden duplicate... the candidate
+    survives exact dedup downstream anyway).
+
+    Deterministic end-to-end: md5-derived positions, bit_or word
+    aggregation (commutative/associative/idempotent — partitioning,
+    duplicates, and replays cannot change a bit). Filters from
+    different shards MERGE by per-word bit_or (``bloom_merge``).
+    Build cost: one bounded shuffle (≤ m_bits/64 groups)."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    pos = _bloom_pos(F.col("__v"), F.col("j"), m_bits)
+    return (
+        df.select(F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select("__v", j)
+        .select(pos.alias("__pos"))
+        .select(
+            F.expr("__pos div 63").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__pos % 63 as int))").alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Per-word bitwise OR of filters built with the same
+    (m_bits, k) — the cross-shard reduce; idempotent, so replays
+    and re-merges are harmless."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k: int = DEFAULT_BLOOM_K,
+) -> DataFrame:
+    """candidates + ``maybe_seen`` boolean: true iff ALL k probe
+    bits are set (the no-false-negative test). The filter table
+    broadcasts (≤ ceil(m_bits/63) rows); per candidate the probe is k
+    broadcast lookups + a count — no shuffle of the candidate
+    stream beyond the final per-row regroup, and byte-identical
+    duplicate candidates are preserved (rowid regroup, the
+    robots_decisions pattern)."""
+    tagged = candidates.withColumn("__rowid", F.monotonically_increasing_id())
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
+    pos = _bloom_pos(F.col(col), F.col("j"), m_bits)
+    probes = (
+        tagged.select("__rowid", F.col(col), j)
+        .select("__rowid", pos.alias("__pos"))
+        .select(
+            "__rowid",
+            F.expr("__pos div 63").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__pos % 63 as int))").alias("__m"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left_outer")
+        .withColumn(
+            "__hit",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__m")) != 0).cast("int"),
+        )
+        .groupBy("__rowid")
+        .agg((F.sum("__hit") == k).alias("maybe_seen"))
+    )
+    return tagged.join(hits, "__rowid").drop("__rowid")

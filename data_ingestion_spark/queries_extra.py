@@ -2402,3 +2402,58 @@ def hll_distinct_users(spark, sf_dir):
     return est.join(F.broadcast(exact)).withColumn(
         "within_5pct", F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")
     )
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of the FULL bloom pipeline: md5 positions, BIGINT
+    word bitmap via bit_or, k-hit probe — exact deterministic
+    equality (bit_or is idempotent/associative, so both engines
+    build the identical bitmap regardless of order)."""
+    mbits, k = 1 << 17, 4
+    js = ", ".join(f"({i})" for i in range(k))
+    url = "'https://ex.com/d/' || CAST(doc_id AS VARCHAR)"
+    pos = (
+        "CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || url), 1, 15) "
+        f"AS BIGINT) % {mbits}"
+    )
+    return (
+        f"WITH crawled AS (SELECT {url} AS url FROM documents WHERE doc_id % 3 <> 0), "
+        f"pos AS (SELECT {pos} AS p FROM crawled, (VALUES {js}) j(j)), "
+        "words AS (SELECT p // 63 AS word_idx, "
+        "bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word "
+        "FROM pos GROUP BY p // 63), "
+        f"cand AS (SELECT doc_id, {url} AS url FROM documents), "
+        f"cp AS (SELECT doc_id, {pos} AS p FROM cand, (VALUES {js}) j(j)), "
+        "hits AS (SELECT cp.doc_id, sum(CASE WHEN (coalesce(w.word, 0) & "
+        "(CAST(1 AS BIGINT) << CAST(cp.p % 63 AS INTEGER))) <> 0 "
+        "THEN 1 ELSE 0 END) AS h FROM cp LEFT JOIN words w "
+        "ON w.word_idx = cp.p // 63 GROUP BY cp.doc_id) "
+        f"SELECT doc_id, h = {k} AS maybe_seen, doc_id % 3 <> 0 AS truly_seen "
+        "FROM hits"
+    )
+
+
+@q("bloom_frontier_seen", _bloom_oracle())
+def bloom_frontier_seen(spark, sf_dir):
+    """Bloom-filter frontier dedup (r11 D-series) — "have we crawled
+    this URL" as a BROADCAST probe instead of shuffling the
+    candidate stream against the seen-set: the filter is a real
+    bitmap in relational form (word_idx, 63-bit BIGINT word; ≤ ⌈m/63⌉ rows
+    forever, bit_or-mergeable across shards), built over the crawled
+    2/3 of the fixture URLs and probed by the full frontier. No
+    false negatives by construction (every crawled URL's k bits are
+    set); false positives at the standard rate — the safe direction
+    for a frontier. The oracle replicates positions, bitmap, and the
+    k-hit probe exactly; truly_seen rides along so the driver pins
+    the no-false-negative direction too."""
+    from .functions.sketches import bloom_build, bloom_probe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://ex.com/d/"), did.cast("string"))
+    crawled = d.filter(did % 3 != 0).select(url.alias("url"))
+    cand = d.select("doc_id", url.alias("url"))
+    out = bloom_probe(cand, bloom_build(crawled, "url"), "url")
+    return out.select(
+        "doc_id", "maybe_seen", (did % 3 != 0).alias("truly_seen")
+    )

@@ -114,3 +114,42 @@ def test_hll_registers_partitioning_invariant(spark):
     assert (r1.inv_sum_scaled, r1.nonzero, r1.est) == (
         r2.inv_sum_scaled, r2.nonzero, r2.est
     )
+
+
+def test_bloom_no_false_negatives_merge_and_duplicates(spark):
+    """Bloom frontier dedup: every inserted key probes true (no
+    false negatives EVER — the safe direction for a crawler), false
+    positives stay near the analytic rate, overlapping shard filters
+    bit_or-merge to the whole, the bitmap stays <= ceil(m/63) words,
+    and byte-identical duplicate candidates each keep their row."""
+    from data_ingestion_spark.functions.sketches import (
+        DEFAULT_BLOOM_BITS,
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    seen = spark.range(5000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("v")
+    )
+    bf = bloom_build(seen, "v")
+    assert bf.count() <= DEFAULT_BLOOM_BITS // 63 + 1
+    cand = spark.range(10000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("v")
+    )
+    out = bloom_probe(cand, bf, "v").collect()
+    assert len(out) == 10000
+    misses = [r.v for r in out if int(r.v[1:]) < 5000 and not r.maybe_seen]
+    assert misses == []  # no false negatives
+    fp = sum(1 for r in out if int(r.v[1:]) >= 5000 and r.maybe_seen)
+    assert fp / 5000 < 0.01  # analytic ~2e-4 at this load; 1% margin
+    a = bloom_build(seen.filter(F.col("v") < "u3"), "v")
+    b = bloom_build(seen.filter(F.col("v") >= "u2"), "v")  # overlap
+    assert {(r.word_idx, r.word) for r in bloom_merge(a, b).collect()} == {
+        (r.word_idx, r.word) for r in bf.collect()
+    }
+    dup = spark.createDataFrame([("u1",)] * 3 + [("zzz",)], "v string")
+    rows = bloom_probe(dup, bf, "v").collect()
+    assert sorted((r.v, r.maybe_seen) for r in rows) == [
+        ("u1", True), ("u1", True), ("u1", True), ("zzz", False)
+    ]
