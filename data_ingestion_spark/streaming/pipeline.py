@@ -270,13 +270,21 @@ def run_sketch_stream(
     checkpoint: str,
     width: int = 256,
     depth: int = 4,
+    kind: str = "cms",
 ) -> StreamingQuery:
-    """Streaming count-min maintenance: each micro-batch sketches its
-    own rows (constant-size, partial-agg bounded) and cell-wise
-    MERGES into the sketch at rest — the mergeability property is
-    exactly what makes CMS the right streaming frequency state: the
-    accumulated table never grows past depth x width rows no matter
-    how long the stream runs. foreachBatch is at-least-once, so a
+    """Streaming sketch maintenance — one harness for all three
+    mergeable summaries (``kind``): ``"cms"`` token frequencies
+    (cell-wise sum), ``"hll"`` distinct cardinality (per-register
+    max; ``width`` reused as 2^p via the build default), ``"bloom"``
+    seen-set (per-word bit_or) — each micro-batch sketches its own
+    rows (constant-size, partial-agg bounded) and MERGES into the
+    sketch at rest. Mergeability is exactly what makes these the
+    right streaming state: the accumulated table never grows (CMS:
+    depth x width; HLL: ≤ 2^p registers; bloom: ≤ ⌈m/63⌉ words) no
+    matter how long the stream runs — and for HLL/bloom the merge is
+    additionally IDEMPOTENT, so even the batch_id replay guard below
+    is belt-and-braces rather than load-bearing. foreachBatch is
+    at-least-once, so a
     merge must be made idempotent EXPLICITLY: the last merged
     batch_id travels INSIDE the sketch parquet, and a replayed
     batch_id is skipped instead of double-counted — an append-style
@@ -298,18 +306,30 @@ def run_sketch_stream(
     import os
     import shutil
 
-    from ..functions.sketches import cms_build, cms_merge
+    from ..functions import sketches as SK
+
+    if kind == "cms":
+        build = lambda df: SK.cms_build(df, value_col, width, depth)  # noqa: E731
+        merge = SK.cms_merge
+    elif kind == "hll":
+        build = lambda df: SK.hll_build(df, value_col)  # noqa: E731
+        merge = SK.hll_merge
+    elif kind == "bloom":
+        build = lambda df: SK.bloom_build(df, value_col)  # noqa: E731
+        merge = SK.bloom_merge
+    else:
+        raise ValueError(f"unknown sketch kind: {kind!r} (cms|hll|bloom)")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        delta = cms_build(batch_df, value_col, width, depth)
+        delta = build(batch_df)
         cur_path = sketch_state_path(out_dir)
         if cur_path is not None:
             cur = spark.read.parquet(cur_path)
             last = cur.agg(F.max("last_batch_id")).collect()[0][0]
             if last is not None and batch_id <= last:
                 return  # replay of an already-merged batch: skip
-            merged = cms_merge(cur.drop("last_batch_id"), delta)
+            merged = merge(cur.drop("last_batch_id"), delta)
         else:
             merged = delta
         merged = merged.withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))

@@ -385,3 +385,38 @@ def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path)
     assert [n for n in os.listdir(out_dir) if n.startswith("state_")] == [
         os.path.basename(SP.sketch_state_path(out_dir))
     ]
+
+
+def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
+    """The generalized sketch harness (r11): streaming HLL registers
+    and bloom words after draining equal the batch-built sketches
+    row for row — max/bit_or merges are idempotent AND associative,
+    so micro-batching can't change a single register/word."""
+    import os
+
+    from data_ingestion_spark.functions.sketches import bloom_build, hll_build
+
+    for kind, builder, key in [
+        ("hll", hll_build, ("bucket", "rho")),
+        ("bloom", bloom_build, ("word_idx", "word")),
+    ]:
+        out_dir = str(tmp_path / f"sk_{kind}")
+        os.makedirs(out_dir, exist_ok=True)
+        stream = SP.stream_events_from_dir(spark, events_dir, max_files_per_trigger=1)
+        q = SP.run_sketch_stream(
+            stream.select("user_id"), "user_id", out_dir,
+            str(tmp_path / f"ckpt_{kind}"), kind=kind,
+        )
+        q.awaitTermination(120)
+        got = {
+            tuple(getattr(r, c) for c in key)
+            for r in spark.read.parquet(SP.sketch_state_path(out_dir))
+            .drop("last_batch_id").collect()
+        }
+        batch = {
+            tuple(getattr(r, c) for c in key)
+            for r in builder(
+                spark.read.parquet(events_dir).select("user_id"), "user_id"
+            ).collect()
+        }
+        assert got == batch, kind
