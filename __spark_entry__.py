@@ -65,6 +65,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: bloom-filter frontier seen-set
     # (broadcastable 63-bit-word bitmap; no false negatives)
     "bloom_frontier_seen",
+    # never-checked r11 addition: two-pass exact quantiles (bounded
+    # histogram state + pushed-down pass-2; independent sorted oracle)
+    "quantiles_two_pass",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -109,7 +112,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q16_supplier_cnt",
     "tpch_q19_discounted_revenue",
     "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
 ]
 
 

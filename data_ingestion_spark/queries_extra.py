@@ -2457,3 +2457,39 @@ def bloom_frontier_seen(spark, sf_dir):
     return out.select(
         "doc_id", "maybe_seen", (did % 3 != 0).alias("truly_seen")
     )
+
+
+def _quantiles_oracle() -> str:
+    """Independent oracle: the two-pass histogram machinery is NOT
+    replicated — the expected answer is simply the value at global
+    rank max(1, ceil(q*n)) over the sorted multiset (row_number
+    form, deterministic even with ties)."""
+    qs = [0.5, 0.9, 0.99]
+    sel = " UNION ALL ".join(
+        f"SELECT {q} AS q, (SELECT value FROM r WHERE rn = "
+        f"greatest(1, CAST(ceil({q} * (SELECT n FROM c)) AS BIGINT))) AS value"
+        for q in qs
+    )
+    return (
+        "WITH v AS (SELECT value FROM events WHERE value IS NOT NULL "
+        "AND NOT isnan(value)), "
+        "c AS (SELECT count(*) AS n FROM v), "
+        "r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v) "
+        + sel
+    )
+
+
+@q("quantiles_two_pass", _quantiles_oracle())
+def quantiles_two_pass(spark, sf_dir):
+    """Exact distributed quantiles (r11 D-series) — p50/p90/p99 of
+    the events value column via the bounded-state two-pass shape
+    (operators/quantiles.py): constant-size histogram pass, driver
+    bucket probe, pushed-down pass-2 scan of ~n/1024 rows per
+    target bucket, per-bucket row_number for the exact element. No
+    global sort, no approx error. The oracle is INDEPENDENT: it
+    sorts outright and reads the value at rank ceil(q*n) — any
+    histogram/offset bug mismatches the value."""
+    from .operators.quantiles import exact_quantiles_two_pass
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    return exact_quantiles_two_pass(ev, "value", [0.5, 0.9, 0.99])
