@@ -68,6 +68,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: two-pass exact quantiles (bounded
     # histogram state + pushed-down pass-2; independent sorted oracle)
     "quantiles_two_pass",
+    # never-checked r11 addition: retrieval eval layer — MRR /
+    # recall@10 / nDCG@10 of the batch-BM25 ranking, integer-micros
+    "retrieval_eval_metrics",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -111,7 +114,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q12_late_lines_by_class",
     "tpch_q16_supplier_cnt",
     "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
 ]
 
 

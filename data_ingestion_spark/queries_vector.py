@@ -1151,3 +1151,60 @@ def hybrid_rank_rrf_batch(spark, sf_dir):
     return rrf_fuse(
         vec_ranked, lex_ranked, "doc_id", topk=10, group_cols=("query_id",)
     )
+
+
+def _retrieval_eval_oracle() -> str:
+    from .functions.ranking_eval import _idcg_prefix_micros
+
+    idcg_vals = ", ".join(
+        f"({i + 1}, {v})" for i, v in enumerate(_idcg_prefix_micros(10))
+    )
+    return (
+        "WITH " + _bm25_batch_ctes("lexr") + ", "
+        "qr AS (SELECT q.qid AS query_id, d.doc_id FROM documents d, "
+        "(VALUES (1), (2), (3)) q(qid) WHERE d.doc_id % (7 + q.qid * 3) = 0), "
+        "top AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 10), "
+        "nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY query_id), "
+        "h AS (SELECT t.query_id, CAST(round(1000000.0 / t.rank) AS BIGINT) AS rr, "
+        "CAST(round(1000000.0 / log2(t.rank + 1.0)) AS BIGINT) AS gain "
+        "FROM top t JOIN qr ON qr.query_id = t.query_id AND qr.doc_id = t.doc_id), "
+        "pq AS (SELECT query_id, count(*) AS hits, max(rr) AS rr_micros, "
+        "sum(gain) AS dcg FROM h GROUP BY query_id), "
+        f"idcg(i, v) AS (VALUES {idcg_vals}) "
+        "SELECT n.query_id, n.n_rel, CAST(coalesce(p.hits, 0) AS BIGINT) AS hits, "
+        "CAST(coalesce(p.rr_micros, 0) AS BIGINT) AS rr_micros, "
+        "CAST(round(coalesce(p.hits, 0) * 1000000.0 / n.n_rel) AS BIGINT) "
+        "AS recall_k_micros, "
+        "CAST(round(coalesce(p.dcg, 0) * 1000000.0 / i.v) AS BIGINT) "
+        "AS ndcg_k_micros "
+        "FROM nrel n LEFT JOIN pq p ON p.query_id = n.query_id "
+        "JOIN idcg i ON i.i = least(n.n_rel, 10)"
+    )
+
+
+@q("retrieval_eval_metrics", _retrieval_eval_oracle())
+def retrieval_eval_metrics(spark, sf_dir):
+    """Retrieval eval layer (r11 D-series) — MRR / recall@10 /
+    nDCG@10 of the batch-BM25 ranking against an arithmetic
+    relevance table (rel(q, d) ⇔ d % (7+3q) = 0), computed
+    IN-ENGINE by functions/ranking_eval.py: every per-hit float term
+    micros-rounded BEFORE the per-query sum (aggregation order
+    cannot flap a value), ideal-DCG denominators are precomputed
+    integer constants shared verbatim with the oracle, and the final
+    nDCG is one integer division. The oracle rebuilds the ranking
+    from the full DuckDB BM25 twin and replicates the metric
+    arithmetic — so this DQ certifies ranking AND measurement."""
+    from .functions.ranking_eval import retrieval_metrics
+    from .functions.similarity import bm25_rank_batch
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    ranked = bm25_rank_batch(qdf, d, topk=10)
+    qids = spark.createDataFrame([(1,), (2,), (3,)], "query_id int")
+    qrels = (
+        d.select("doc_id")
+        .join(F.broadcast(qids))
+        .filter(F.col("doc_id") % (7 + F.col("query_id") * 3) == 0)
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(ranked, qrels, k=10)
