@@ -71,6 +71,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: retrieval eval layer — MRR /
     # recall@10 / nDCG@10 of the batch-BM25 ranking, integer-micros
     "retrieval_eval_metrics",
+    # never-checked r11 addition: ftfy-core mojibake repair (round-
+    # trip-gated, split-path Arrow; independent-expectation oracle)
+    "mojibake_repair",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -113,7 +116,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q9_product_profit",
     "tpch_q12_late_lines_by_class",
     "tpch_q16_supplier_cnt",
-    "tpch_q19_discounted_revenue",
 ]
 
 

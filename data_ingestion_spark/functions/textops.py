@@ -21,6 +21,7 @@ whole stage stays inside whole-stage codegen and scales linearly:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Reference constants (ingestion-pipeline.py:226-227)
@@ -485,3 +486,52 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str = "doc_id") -> 
         mode_frac("g2").alias("top_2gram_frac"),
         dup_frac("g3").alias("dup_3gram_frac"),
     )
+
+
+# --------------------------------------------------- mojibake repair
+
+def repair_mojibake_text(s: str, max_passes: int = 2) -> str:
+    """ftfy-style core repair for the classic crawl corruption:
+    UTF-8 bytes decoded as cp1252 ('café' → 'cafÃ©'). A string is
+    repaired only when its cp1252 re-encoding decodes CLEANLY as
+    UTF-8 — legitimate accented text ('À bientôt', 'café') fails
+    that round trip (0xC0/0xE9 are invalid UTF-8 leads) and passes
+    through untouched, which is the precision guarantee. Up to
+    ``max_passes`` rounds unwind doubly-encoded text. Pure ASCII
+    returns immediately; never raises."""
+    for _ in range(max_passes):
+        if not s or all(ord(c) < 0x80 for c in s):
+            return s
+        try:
+            fixed = s.encode("cp1252").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
+        if fixed == s:
+            return s
+        s = fixed
+    return s
+
+
+def repair_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Batch mojibake repair, split-path for scale (the
+    idn_host_normalize pattern): pure-ASCII rows — the overwhelming
+    majority of any cleaned corpus — never cross the Python
+    boundary; only the non-ASCII slice runs the Arrow stage, then
+    the slices union back. Null-safe: NULL/empty rows ride the
+    passthrough slice. Run this after charset decode
+    (warc.resolve_charset) — it catches the upstream corruption a
+    correct decode of ALREADY-corrupted bytes cannot undo."""
+    from pyspark.sql.types import StringType
+
+    non_ascii = F.col(text_col).rlike(r"[^\x00-\x7F]")
+    cond = F.coalesce(non_ascii, F.lit(False))
+
+    @F.pandas_udf(StringType())
+    def _fix(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: repair_mojibake_text(t) if isinstance(t, str) else t
+        )
+
+    keep = df.filter(~cond)
+    fix = df.filter(cond).withColumn(text_col, _fix(F.col(text_col)))
+    return keep.unionByName(fix)

@@ -2493,3 +2493,38 @@ def quantiles_two_pass(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("value")
     return exact_quantiles_two_pass(ev, "value", [0.5, 0.9, 0.99])
+
+
+@q(
+    "mojibake_repair",
+    # independent expectation from fixture arithmetic: every class
+    # converges to the clean ' café' suffix — class 0 because it
+    # was never broken (precision: the repair must NOT touch it),
+    # classes 1/2 because one/two decode passes unwind them
+    "SELECT doc_id, text || ' café' AS fixed_text FROM documents",
+)
+def mojibake_repair(spark, sf_dir):
+    """Mojibake repair (r11 D-series) — the cleaning step AFTER
+    charset decode (R8): a correct decode of already-corrupted bytes
+    cannot undo upstream UTF-8-as-cp1252 damage ('café' that some
+    origin served as 'cafÃ©'). Fixture: each ASCII doc gains a
+    suffix rotating clean ' café' (must pass through untouched —
+    precision), singly-encoded ' cafÃ©' (one unwind), and
+    doubly-encoded ' cafÃƒÂ©' (two unwinds). The repair is the
+    round-trip-gated ftfy core in a split-path Arrow stage (ASCII
+    rows never cross Python); the oracle is the INDEPENDENT
+    expectation — every class converges to the same clean suffix, so
+    any over- or under-repair breaks the hash."""
+    from .functions.textops import repair_mojibake
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    suffix = (
+        F.when(did % 3 == 0, F.lit(" café"))
+        .when(did % 3 == 1, F.lit(" cafÃ©"))
+        .otherwise(F.lit(" cafÃƒÂ©"))
+    )
+    broken = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return repair_mojibake(broken).select(
+        "doc_id", F.col("text").alias("fixed_text")
+    )

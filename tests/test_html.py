@@ -392,3 +392,33 @@ def test_extract_anchor_edges(spark):
     # JVM-only plan (link-graph extraction must not cross into Python)
     plan = extract_anchor_edges(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repair_mojibake_kernel_and_split_path(spark):
+    """ftfy-core repair: single/double unwind, precision on clean
+    accents and ASCII, null-safety, and the ASCII slice staying out
+    of the Arrow stage."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.textops import (
+        repair_mojibake,
+        repair_mojibake_text,
+    )
+
+    assert repair_mojibake_text("cafÃ©") == "café"            # single
+    assert repair_mojibake_text("cafÃƒÂ©") == "café"  # double
+    assert repair_mojibake_text("café") == "café"                        # precision
+    assert repair_mojibake_text("À bientôt") == "À bientôt"
+    assert repair_mojibake_text("plain ascii") == "plain ascii"
+    assert repair_mojibake_text("") == ""
+
+    rows = [(0, "plain"), (1, "cafÃ©"), (2, None), (3, "café")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = repair_mojibake(df)
+    got = {r.id: r.text for r in out.collect()}
+    assert got == {0: "plain", 1: "café", 2: None, 3: "café"}
+    # the ASCII/NULL slice is a plain filter with no Python stage
+    plan = df.filter(
+        ~F.coalesce(F.col("text").rlike(r"[^\x00-\x7F]"), F.lit(False))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan

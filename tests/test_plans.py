@@ -135,6 +135,7 @@ PYTHON_OK: set[str] = {
     "crawl_politeness_waves",    # Crawl-delay parse over the same tiny bodies
     "url_idn_host",              # stdlib-idna punycode, non-ASCII slice only
     "url_dedup_pipeline",        # same punycode stage inside the capstone
+    "mojibake_repair",           # round-trip repair, non-ASCII slice only
     "incremental_recrawl_pipeline",  # robots rule+delay parse (tiny per-host bodies)
     "html_main_content",         # boilerpipe block heuristic is a parser
 }
