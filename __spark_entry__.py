@@ -74,6 +74,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: ftfy-core mojibake repair (round-
     # trip-gated, split-path Arrow; independent-expectation oracle)
     "mojibake_repair",
+    # never-checked r11 addition: hybrid retrieval served from the
+    # AT-REST index (build + pruned serve + RRF fusion, one hash)
+    "hybrid_rank_indexed",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -115,7 +118,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q12_late_lines_by_class",
-    "tpch_q16_supplier_cnt",
 ]
 
 

@@ -1208,3 +1208,53 @@ def retrieval_eval_metrics(spark, sf_dir):
         .select("query_id", "doc_id")
     )
     return retrieval_metrics(ranked, qrels, k=10)
+
+
+@q("hybrid_rank_indexed", _hybrid_batch_oracle())
+def hybrid_rank_indexed(spark, sf_dir):
+    """The full serving stack from AT-REST artifacts (r11 D-series
+    closure): hybrid batch retrieval where the lexical half reads
+    the materialized postings index (build → partition-pruned bucket
+    scan → shared integer-micro scoring tail) instead of
+    re-tokenizing the corpus, fused with the per-query vector top-20
+    by grouped RRF exactly as hybrid_rank_rrf_batch. Because the
+    at-rest lexical path provably equals the inline one, this DQ
+    reuses the SAME DuckDB twin as the inline hybrid — the driver
+    thereby certifies index build + pruned serve + fusion end to
+    end in one hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .functions.embedding import embed_deterministic
+    from .functions.similarity import (
+        bm25_rank_batch_indexed,
+        build_postings_index,
+        cosine,
+        rrf_fuse,
+    )
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    q_emb = qdf.select(
+        "query_id", embed_deterministic(F.col("query_text"), 8).alias("qv")
+    )
+    docs_emb = d.select("doc_id", embed_deterministic(F.col("text"), 8).alias("dv"))
+    scored = docs_emb.join(F.broadcast(q_emb)).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine(F.col("dv"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    vec_ranked = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"bm25_hybrid_idx_{tag}")
+    build_postings_index(d, idx)
+    lex_ranked = bm25_rank_batch_indexed(spark, qdf, idx, topk=20)
+    return rrf_fuse(
+        vec_ranked, lex_ranked, "doc_id", topk=10, group_cols=("query_id",)
+    )

@@ -113,6 +113,7 @@ CROSS_OK = {
     "rank_bm25_batch",         # 1-row (N, avgdl) stats broadcast
     "rank_bm25_indexed",       # same 1-row stats broadcast, at-rest path
     "retrieval_eval_metrics",  # same stats row inside the ranking half
+    "hybrid_rank_indexed",     # 3-row query-vector broadcast + stats row
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
     "hll_distinct_users",      # 1-row exact-count broadcast beside the estimate
