@@ -77,6 +77,10 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: hybrid retrieval served from the
     # AT-REST index (build + pruned serve + RRF fusion, one hash)
     "hybrid_rank_indexed",
+    # never-checked r11 addition: cross-generation moved-content
+    # detection (pigeonhole-banded simhash join; all-pairs oracle
+    # proves banding completeness)
+    "recrawl_moved_content",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -117,7 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "rollup_time_cascade",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q12_late_lines_by_class",
 ]
 
 

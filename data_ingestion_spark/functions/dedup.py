@@ -568,3 +568,79 @@ def repeated_passage_spans(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_spans"))
     )
+
+
+def _hamming16(a: Column, b: Column) -> Column:
+    """Exact hamming distance between two 16-char bit strings."""
+    d: Column = F.lit(0)
+    for j in range(16):
+        d = d + F.when(
+            F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), F.lit(1)
+        ).otherwise(F.lit(0))
+    return d.cast("int")
+
+
+def moved_content_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Cross-generation moved-content detection: pages that
+    DISAPPEARED from one crawl generation and REAPPEARED under a new
+    URL with (near-)identical content — the re-crawl intelligence
+    that turns an apparent delete+add into a redirect/migration
+    signal (feeds URL canonicalization and spares a re-ingest).
+
+    Shape, 100 TB-ready: added = new∖old keys, removed = old∖new
+    keys (two anti-joins); each side gets a 16-bit SimHash; the
+    candidate join uses the PIGEONHOLE banding — the signature
+    splits into ``max_hamming + 1`` bands, and two signatures within
+    that hamming distance must agree exactly on ≥1 band — so
+    candidates come from an equi join on (band_idx, band_bits),
+    never an added×removed cross product; exact hamming then
+    verifies. Returns (new_url, old_url, hamming ≤ max_hamming).
+
+    The DQ oracle computes the NAIVE all-pairs hamming filter, so
+    the driver independently verifies the banding loses no pair
+    (pigeonhole completeness), not just that the join runs."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 16:
+        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
+    added = new.join(old.select(key), key, "left_anti").select(
+        F.col(key).alias("new_url"), simhash16(F.col(text_col)).alias("__ha")
+    )
+    removed = old.join(new.select(key), key, "left_anti").select(
+        F.col(key).alias("old_url"), simhash16(F.col(text_col)).alias("__hr")
+    )
+    # even band boundaries over the 16 bits
+    bounds = [round(i * 16 / n_bands) for i in range(n_bands + 1)]
+
+    def banded(df: DataFrame, sig: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.substring(
+                        F.col(sig), bounds[i] + 1, bounds[i + 1] - bounds[i]
+                    ).alias("band"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return df.select("*", F.explode(bands).alias("__b")).select(
+            *df.columns, F.col("__b.band_idx"), F.col("__b.band")
+        )
+
+    cand = (
+        banded(added, "__ha")
+        .join(banded(removed, "__hr"), ["band_idx", "band"])
+        .select("new_url", "__ha", "old_url", "__hr")
+        .distinct()  # a pair may agree on several bands
+    )
+    return (
+        cand.withColumn("hamming", _hamming16(F.col("__ha"), F.col("__hr")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_url", "old_url", "hamming")
+    )

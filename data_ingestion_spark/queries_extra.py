@@ -2528,3 +2528,89 @@ def mojibake_repair(spark, sf_dir):
     return repair_mojibake(broken).select(
         "doc_id", F.col("text").alias("fixed_text")
     )
+
+
+def _moved_oracle() -> str:
+    """Naive all-pairs twin: simhash every added and removed page
+    (the 16-vote md5 pipeline of _simhash_oracle) and keep pairs
+    with hamming <= 2 — deliberately IGNORING the engine's
+    pigeonhole banding, so the driver verifies the banding loses no
+    pair."""
+    hexhi = "('8','9','a','b','c','d','e','f')"
+
+    def votes(expr: str) -> str:
+        return ", ".join(
+            f"sum(CASE WHEN substr(md5('sh' || word), {j + 1}, 1) IN {hexhi} "
+            f"THEN 1 ELSE -1 END) AS v{j}"
+            for j in range(16)
+        )
+
+    bits = ", ".join(f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(16))
+    ham = " + ".join(
+        f"CASE WHEN substr(a.sh, {j + 1}, 1) <> substr(r.sh, {j + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for j in range(16)
+    )
+    return (
+        # added side: moved re-hosts (i%10=7, same text) + fresh extras
+        # (i%10=3, text with an appended tail)
+        "WITH addedt AS ("
+        "SELECT 'https://ex.com/moved/' || CAST(doc_id AS VARCHAR) AS url, text "
+        "FROM documents WHERE doc_id % 10 = 7 "
+        "UNION ALL SELECT 'https://ex.com/extra/' || CAST(doc_id AS VARCHAR), "
+        "text || ' fresh content xyz' FROM documents WHERE doc_id % 10 = 3), "
+        "removedt AS (SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS url, "
+        "text FROM documents WHERE doc_id % 10 = 7), "
+        "aw AS (SELECT url, unnest(string_split(text, ' ')) AS word FROM addedt), "
+        f"av AS (SELECT url, {votes('a')} FROM aw GROUP BY url), "
+        f"asim AS (SELECT url, concat({bits}) AS sh FROM av), "
+        "rw AS (SELECT url, unnest(string_split(text, ' ')) AS word FROM removedt), "
+        f"rv AS (SELECT url, {votes('r')} FROM rw GROUP BY url), "
+        f"rsim AS (SELECT url, concat({bits}) AS sh FROM rv) "
+        f"SELECT a.url AS new_url, r.url AS old_url, CAST({ham} AS INTEGER) AS hamming "
+        f"FROM asim a, rsim r WHERE {ham} <= 2"
+    )
+
+
+@q("recrawl_moved_content", _moved_oracle())
+def recrawl_moved_content(spark, sf_dir):
+    """Moved-content detection across crawl generations (r11
+    D-series): old gen holds every page at /d/i; in the new gen,
+    every 10th-plus-7 page DISAPPEARS from /d/i and REAPPEARS with
+    identical text at /moved/i, while every 10th-plus-3 page also
+    gains a genuinely-new /extra/i variant (appended tail — the
+    noise that must not pair unless simhash chance-collides, which
+    both engines then agree on). moved_content_pairs computes
+    added/removed via anti-joins, 16-bit simhashes, PIGEONHOLE
+    banded candidates (hamming ≤ 2 ⇒ ≥1 of 3 bands equal — never an
+    added×removed cross product) and exact hamming verify; the
+    oracle runs the naive ALL-PAIRS filter, so the hash match
+    proves banding completeness too."""
+    from .functions.dedup import moved_content_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    old_gen = d.select(
+        F.concat(F.lit("https://ex.com/d/"), did.cast("string")).alias("url"),
+        "text",
+    )
+    new_gen = (
+        d.filter(did % 10 != 7)
+        .select(
+            F.concat(F.lit("https://ex.com/d/"), did.cast("string")).alias("url"),
+            "text",
+        )
+        .unionByName(
+            d.filter(did % 10 == 7).select(
+                F.concat(F.lit("https://ex.com/moved/"), did.cast("string")).alias("url"),
+                "text",
+            )
+        )
+        .unionByName(
+            d.filter(did % 10 == 3).select(
+                F.concat(F.lit("https://ex.com/extra/"), did.cast("string")).alias("url"),
+                F.concat(F.col("text"), F.lit(" fresh content xyz")).alias("text"),
+            )
+        )
+    )
+    return moved_content_pairs(old_gen, new_gen)

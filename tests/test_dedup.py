@@ -106,3 +106,60 @@ def test_repeated_passage_spans_column_clash_raises(spark):
     df = spark.createDataFrame([(1, "x" * 80, "y")], "doc_id long, text string, __text string")
     with pytest.raises(ValueError, match="__text"):
         repeated_passage_spans(df)
+
+
+def test_moved_content_pairs_banding_complete_and_exact(spark):
+    """Pigeonhole banding finds EVERY pair a naive all-pairs hamming
+    filter finds (completeness), identical moved content scores
+    hamming 0, unrelated content does not pair, and the anti-join
+    framing keeps still-present URLs out of both sides."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.dedup import (
+        _hamming16,
+        moved_content_pairs,
+        simhash16,
+    )
+
+    texts = {
+        "a": "alpha beta gamma delta epsilon zeta eta theta",
+        "b": "totally different words about ducks and bread crumbs",
+        "c": "alpha beta gamma delta epsilon zeta eta thetaX",  # near a
+    }
+    old = spark.createDataFrame(
+        [("https://o/a", texts["a"]), ("https://o/b", texts["b"]),
+         ("https://o/keep", "kept page words here")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("https://n/a", texts["a"]),      # moved: identical
+         ("https://n/c", texts["c"]),      # near-moved variant of a
+         ("https://o/keep", "kept page words here"),  # unchanged URL
+         ("https://n/z", "fresh unrelated content entirely new")],
+        "url string, text string",
+    )
+    got = {
+        (r.new_url, r.old_url): r.hamming
+        for r in moved_content_pairs(old, new, max_hamming=3).collect()
+    }
+    assert got[("https://n/a", "https://o/a")] == 0  # identical -> 0
+    # completeness vs naive all-pairs at the same threshold
+    added = ["https://n/a", "https://n/c", "https://n/z"]
+    removed = ["https://o/a", "https://o/b"]
+    sig = {
+        r.url: r.sh
+        for r in new.unionByName(old)
+        .select("url", simhash16(F.col("text")).alias("sh")).collect()
+    }
+    naive = {
+        (a, r)
+        for a in added
+        for r in removed
+        if sum(x != y for x, y in zip(sig[a], sig[r])) <= 3
+    }
+    assert set(got) == naive
+    # kept URL appears on neither side
+    assert not any("keep" in a or "keep" in b for a, b in got)
+    # hamming kernel sanity
+    df = spark.createDataFrame([("1111000011110000", "1111000011110001")], "a string, b string")
+    assert df.select(_hamming16(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 1
