@@ -81,6 +81,9 @@ DRIVER_WINDOW: list[str] = [
     # detection (pigeonhole-banded simhash join; all-pairs oracle
     # proves banding completeness)
     "recrawl_moved_content",
+    # never-checked r11 addition: content-defined chunking (FastCDC
+    # boundary rule, pure JVM HOFs; edit-shift resistance pinned)
+    "chunk_content_defined",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -120,7 +123,6 @@ DRIVER_WINDOW: list[str] = [
     "scan_orc_roundtrip",
     "rollup_time_cascade",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 ]
 
 

@@ -535,3 +535,64 @@ def repair_mojibake(df: DataFrame, text_col: str = "text") -> DataFrame:
     keep = df.filter(~cond)
     fix = df.filter(cond).withColumn(text_col, _fix(F.col(text_col)))
     return keep.unionByName(fix)
+
+
+# ------------------------------------------- content-defined chunking
+
+def chunk_content_defined(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): cut
+    AFTER position i whenever the hash of the trailing ``window``
+    chars satisfies ``H % 2^mask_bits == 0`` — expected chunk length
+    2^mask_bits chars. The property fixed-stride chunking lacks and
+    dedup needs: an EDIT EARLY IN A DOCUMENT does not shift later
+    boundaries (they depend only on local content), so every chunk
+    after the edit keeps its fingerprint and dedups against the
+    previous generation — with ``chunk_fixed_overlap`` one inserted
+    byte re-fingerprints the whole tail.
+
+    Pure JVM higher-order functions end to end (sequence → filter →
+    transform; the hash is the portable md5-conv pattern): no
+    Python, no shuffle — a narrow scan-side map. Returns (id,
+    chunk_idx, chunk_text, chunk_md5). Docs shorter than ``window``
+    yield one whole-doc chunk; NULL text yields no rows."""
+    text = F.col(text_col)
+    ln = F.length(text)
+    win_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.substr(text, i - F.lit(window - 1), F.lit(window))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    mask = 1 << mask_bits
+    cuts = F.filter(
+        F.when(ln > window, F.sequence(F.lit(window), ln - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.pmod(win_hash(i), F.lit(mask)) == 0,
+    )
+    bounds = F.concat(
+        F.array(F.lit(0).cast("int")), cuts.cast("array<int>"), F.array(ln.cast("int"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.substr(
+            text,
+            F.element_at(bounds, j) + 1,
+            F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+        ),
+    )
+    return (
+        df.filter(text.isNotNull())
+        .select(F.col(id_col), chunks.alias("__chunks"))
+        .select(
+            id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk_text")
+        )
+        .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
+    )

@@ -2614,3 +2614,37 @@ def recrawl_moved_content(spark, sf_dir):
         )
     )
     return moved_content_pairs(old_gen, new_gen)
+
+
+_CDC_CUT = (
+    "list_filter(range(16, len(text)), i -> "
+    "CAST('0x' || substr(md5(substr(text, i - 15, 16)), 1, 15) AS BIGINT) "
+    "% 64 = 0)"
+)
+
+@q(
+    "chunk_content_defined",
+    "WITH c AS (SELECT doc_id, text, "
+    f"list_concat(list_concat([CAST(0 AS BIGINT)], {_CDC_CUT}), "
+    "[CAST(len(text) AS BIGINT)]) AS b "
+    "FROM documents WHERE text IS NOT NULL) "
+    "SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS chunk_idx, "
+    "substr(text, b[t.i] + 1, b[t.i + 1] - b[t.i]) AS chunk_text, "
+    "md5(substr(text, b[t.i] + 1, b[t.i + 1] - b[t.i])) AS chunk_md5 "
+    "FROM c, unnest(generate_series(1, len(b) - 1)) AS t(i)",
+)
+def chunk_content_defined(spark, sf_dir):
+    """Content-defined chunking (r11 D-series) — the FastCDC/rsync
+    boundary rule as pure JVM higher-order functions: cut after
+    position i when md5 of the trailing 16 chars ≡ 0 mod 64
+    (expected 64-char chunks). The dedup property fixed-stride
+    chunking lacks: boundaries depend only on LOCAL content, so an
+    edit early in a document re-fingerprints one chunk, not the
+    whole tail (pinned in pytest: 48/49 chunk hashes survive a
+    front insertion). Zero Python, zero shuffles — sequence →
+    filter → transform → posexplode over the scan; the oracle
+    replicates the boundary pipeline with DuckDB list lambdas."""
+    from .functions.textops import chunk_content_defined as cdc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc(d)

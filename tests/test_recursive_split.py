@@ -68,3 +68,49 @@ def test_kernel_no_fabricated_content_regression():
     chunks = recursive_character_split(text, chunk_size=20, chunk_overlap=0)
     for c in chunks:
         assert c.strip() in text or all(p in text for p in c.split()), c
+
+
+def test_content_defined_chunking_shift_resistance(spark):
+    """The CDC property that justifies the operator: a front edit
+    re-fingerprints ONE chunk; fixed-stride chunking re-fingerprints
+    the tail. Also: exact equality with a pure-Python replica of the
+    boundary rule, whole-doc chunk for short docs, NULL drop,
+    lossless reassembly, Python-free plan."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.textops import chunk_content_defined
+
+    random.seed(7)
+    base = " ".join(f"w{random.randint(0, 99999)}" for _ in range(400))
+    edited = "XYZ inserted at the very front. " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "short"), (4, None)], "doc_id long, text string"
+    )
+    rows = chunk_content_defined(df).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.chunk_md5))
+    for k in by:
+        by[k].sort()
+    # python replica of the boundary rule
+    def chunks_of(t, w=16, mask=64):
+        cuts = [
+            i for i in range(w, len(t))
+            if int(hashlib.md5(t[i - w:i].encode()).hexdigest()[:15], 16) % mask == 0
+        ]
+        b = [0] + cuts + [len(t)]
+        return [t[b[j]:b[j + 1]] for j in range(len(b) - 1)]
+
+    assert [c for _, c, _ in by[1]] == chunks_of(base)
+    assert "".join(c for _, c, _ in by[1]) == base          # lossless
+    assert len(by[1]) > 20                                  # ~64-char chunks
+    h1 = {h for _, _, h in by[1]}
+    h2 = {h for _, _, h in by[2]}
+    assert len(h1 & h2) >= len(h1) - 2                      # only the edited head differs
+    assert by[3] == [(0, "short", hashlib.md5(b"short").hexdigest())]
+    assert 4 not in by                                      # NULL text -> no rows
+    plan = chunk_content_defined(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
