@@ -84,6 +84,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: content-defined chunking (FastCDC
     # boundary rule, pure JVM HOFs; edit-shift resistance pinned)
     "chunk_content_defined",
+    # never-checked r11 addition: winnowing fingerprints (MOSS local-
+    # minima selection; shared-substring guarantee pinned)
+    "doc_winnow_fingerprints",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -122,7 +125,6 @@ DRIVER_WINDOW: list[str] = [
     "streaming_stateful_first_seen",
     "scan_orc_roundtrip",
     "rollup_time_cascade",
-    "tpch_q8_market_share",
 ]
 
 

@@ -596,3 +596,45 @@ def chunk_content_defined(
         )
         .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every ``k``-char gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's MINIMUM, dedupe —
+    the selected set is (a) position-shift robust and (b) carries
+    the GUARANTEE that any shared substring of length ≥ w + k - 1
+    between two documents yields ≥1 shared fingerprint (every such
+    match spans a full window on both sides, and both windows pick
+    the same minimum). Density ~2/(w+1) of all grams — a tunable
+    sketch of the document, unlike ``fingerprint_rolling``'s single
+    global min (one fingerprint) or full shingling (all of them).
+
+    Pure JVM higher-order functions (sequence → transform md5 →
+    sliding slice/array_min → array_distinct → explode), md5-based
+    so any engine replicates it bit for bit. Returns (id, fp) rows.
+    Docs shorter than ``k`` fingerprint their whole text; NULL text
+    yields no rows."""
+    text = F.col(text_col)
+    n_grams = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(text, i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    return (
+        df.filter(text.isNotNull())
+        .select(F.col(id_col), F.explode(selected).alias("fp"))
+    )

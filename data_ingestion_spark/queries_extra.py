@@ -2648,3 +2648,30 @@ def chunk_content_defined(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return cdc(d)
+
+
+@q(
+    "doc_winnow_fingerprints",
+    "WITH g AS (SELECT doc_id, list_transform("
+    "range(1, greatest(len(text) - 7, 1) + 1), "
+    "i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS grams "
+    "FROM documents WHERE text IS NOT NULL), "
+    "sel AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(grams) - 7, 1) + 1), "
+    "j -> list_min(grams[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))) AS fps "
+    "FROM g) "
+    "SELECT doc_id, unnest(fps) AS fp FROM sel",
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (r11 D-series) — the MOSS selection:
+    md5 every 8-char gram, keep each 8-window's minimum, dedupe.
+    Guarantees any shared substring ≥ 15 chars between two docs
+    shares ≥1 fingerprint at ~2/9 gram density — the principled
+    middle ground between one global min (fingerprint_rolling) and
+    full shingling. Pure JVM higher-order functions; the oracle
+    replicates grams → sliding list_min → distinct with DuckDB list
+    lambdas."""
+    from .functions.textops import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d)

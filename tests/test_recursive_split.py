@@ -114,3 +114,39 @@ def test_content_defined_chunking_shift_resistance(spark):
     assert 4 not in by                                      # NULL text -> no rows
     plan = chunk_content_defined(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing theorem, tested: any shared substring of length
+    >= w + k - 1 (= 15 here) yields >= 1 shared fingerprint; selected
+    density sits near 2/(w+1); disjoint random docs share nothing
+    (md5 collisions aside); short docs fingerprint whole-text."""
+    import random
+
+    from data_ingestion_spark.functions.textops import winnow_fingerprints
+
+    random.seed(13)
+
+    def rand_text(n):
+        return "".join(random.choice("abcdefghij") for _ in range(n))
+
+    shared = rand_text(15)  # exactly w + k - 1
+    a = rand_text(300) + shared + rand_text(300)
+    b = rand_text(280) + shared + rand_text(310)
+    c = rand_text(600)  # unrelated
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "tiny"), (5, None)], "doc_id long, text string"
+    )
+    rows = winnow_fingerprints(df, k=8, w=8).collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r.doc_id, set()).add(r.fp)
+    assert by[1] & by[2], "guaranteed shared fingerprint missing"
+    assert not (by[1] & by[3])  # disjoint content
+    # density: ~2/(w+1) of the ~600 grams, generous band
+    assert 60 <= len(by[1]) <= 220
+    assert len(by[4]) == 1  # whole-text fingerprint for short doc
+    assert 5 not in by      # NULL text -> no rows
+    # plan stays JVM-side
+    plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
