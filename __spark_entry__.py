@@ -87,6 +87,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: winnowing fingerprints (MOSS local-
     # minima selection; shared-substring guarantee pinned)
     "doc_winnow_fingerprints",
+    # never-checked r11 addition: exact phrase search from the
+    # POSITIONAL at-rest index (independent sliding-window oracle)
+    "phrase_search_indexed",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -124,7 +127,6 @@ DRIVER_WINDOW: list[str] = [
     "string_funcs_battery",
     "streaming_stateful_first_seen",
     "scan_orc_roundtrip",
-    "rollup_time_cascade",
 ]
 
 

@@ -753,6 +753,7 @@ def build_postings_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = DEFAULT_INDEX_BUCKETS,
+    positions: bool = False,
 ) -> None:
     """Materialize the lexical index AT REST — the inverted-index
     mirror of ``AnnStore`` (the reference's vector store IS its
@@ -766,7 +767,11 @@ def build_postings_index(
     - ``postings/bucket=*/`` — (term, doc_id, tf, dl), partitioned
       by ``bucket = pmod(xxhash64(term), buckets)`` so a query
       batch's scan prunes to the partitions its terms hash into
-      (PartitionFilters, asserted in tests/test_plans.py);
+      (PartitionFilters, asserted in tests/test_plans.py); with
+      ``positions=True`` each posting additionally carries ``pos``
+      — the sorted 1-based token positions — enabling exact
+      PHRASE search (``phrase_match``) at the classic positional-
+      index storage cost;
     - ``terms/bucket=*/`` — (term, df) per-term document frequency,
       derived from the WRITTEN postings (no second corpus pass);
     - ``doclens/`` — (doc_id, dl) per-document token length,
@@ -788,12 +793,7 @@ def build_postings_index(
             lambda x: F.length(x) > 0,
         ).alias("__w"),
     ).withColumn("dl", F.size("__w").cast("double"))
-    postings = (
-        base.select("doc_id", "dl", F.explode("__w").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", _index_bucket(F.col("term"), buckets))
-    )
+    postings = _postings_of(base, buckets, positions)
     # hash-cluster on bucket before the partitioned write: every
     # bucket then lives in exactly one task, so each bucket=N/ dir is
     # ONE parquet file instead of one per shuffle partition — a
@@ -823,10 +823,29 @@ def build_postings_index(
     base.select("doc_id", "dl").write.mode("overwrite").parquet(
         index_dir.rstrip("/") + "/doclens"
     )
-    _write_index_stats(spark, index_dir, buckets)
+    _write_index_stats(spark, index_dir, buckets, positions)
 
 
-def _write_index_stats(spark, index_dir: str, buckets: int) -> None:
+def _postings_of(base: DataFrame, buckets: int, positions: bool) -> DataFrame:
+    """(term, doc_id, tf, dl[, pos], bucket) from the tokenized
+    base — the shared build/upsert posting shape. Positions are
+    1-based and sort_array'd (collect_list order is partition-
+    dependent; the sort restores determinism)."""
+    exploded = base.select("doc_id", "dl", F.posexplode("__w").alias("p0", "term"))
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    ]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list(F.col("p0") + 1)).alias("pos"))
+    return exploded.groupBy("term", "doc_id").agg(*aggs).withColumn(
+        "bucket", _index_bucket(F.col("term"), buckets)
+    )
+
+
+def _write_index_stats(
+    spark, index_dir: str, buckets: int, positions: bool = False
+) -> None:
     """stats/ from the WRITTEN doclens table — shared by build and
     upsert so the two paths cannot disagree on what n/avgdl mean."""
     (
@@ -836,6 +855,7 @@ def _write_index_stats(spark, index_dir: str, buckets: int) -> None:
             F.avg("dl").alias("avgdl"),
         )
         .withColumn("buckets", F.lit(buckets))
+        .withColumn("positional", F.lit(bool(positions)))
         .write.mode("overwrite")
         .parquet(index_dir.rstrip("/") + "/stats")
     )
@@ -867,7 +887,11 @@ def upsert_postings_index(
     rewrite partition-parallel."""
     spark = delta_docs.sparkSession
     src = src_index_dir.rstrip("/")
-    buckets = int(spark.read.parquet(src + "/stats").collect()[0]["buckets"])
+    src_stats = spark.read.parquet(src + "/stats").collect()[0]
+    buckets = int(src_stats["buckets"])
+    positional = (
+        bool(src_stats["positional"]) if "positional" in src_stats.__fields__ else False
+    )
     delta_base = delta_docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
@@ -875,21 +899,17 @@ def upsert_postings_index(
             lambda x: F.length(x) > 0,
         ).alias("__w"),
     ).withColumn("dl", F.size("__w").cast("double"))
-    delta_post = (
-        delta_base.select("doc_id", "dl", F.explode("__w").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", _index_bucket(F.col("term"), buckets))
-    )
+    delta_post = _postings_of(delta_base, buckets, positional)
     delta_ids = delta_base.select("doc_id").distinct()
-    src_post_schema, _ = _index_read_schemas(spark, src)
+    src_post_schema, _ = _index_read_schemas(spark, src, positional)
     kept = spark.read.schema(src_post_schema).parquet(src + "/postings").join(
         F.broadcast(delta_ids), "doc_id", "left_anti"
     )
     dst = dst_index_dir.rstrip("/")
+    post_cols = ["term", "doc_id", "tf", "dl"] + (["pos"] if positional else []) + ["bucket"]
     (
-        kept.select("term", "doc_id", "tf", "dl", "bucket")
-        .unionByName(delta_post)
+        kept.select(*post_cols)
+        .unionByName(delta_post.select(*post_cols))
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -911,15 +931,16 @@ def upsert_postings_index(
         .write.mode("overwrite")
         .parquet(dst + "/doclens")
     )
-    _write_index_stats(spark, dst_index_dir, buckets)
+    _write_index_stats(spark, dst_index_dir, buckets, positional)
 
 
-def _index_read_schemas(spark, root: str):
+def _index_read_schemas(spark, root: str, positional: bool = False):
     """Explicit read schemas for the postings/terms stores, with the
     doc_id type taken from the (always-readable, non-partitioned)
     doclens table — partitioned dirs written from an empty corpus
     carry no inferable schema, and the empty index must serve."""
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
         IntegerType,
         StringType,
@@ -934,8 +955,9 @@ def _index_read_schemas(spark, root: str):
             StructField("doc_id", id_type),
             StructField("tf", DoubleType()),
             StructField("dl", DoubleType()),
-            StructField("bucket", IntegerType()),
         ]
+        + ([StructField("pos", ArrayType(IntegerType()))] if positional else [])
+        + [StructField("bucket", IntegerType())]
     )
     terms = StructType(
         [
@@ -977,6 +999,7 @@ def bm25_rank_batch_indexed(
     root = index_dir.rstrip("/")
     stats_row = spark.read.parquet(root + "/stats").collect()[0]
     buckets = stats_row["buckets"]
+    positional = bool(stats_row["positional"]) if "positional" in stats_row.__fields__ else False
     # avgdl is NULL over an empty corpus (avg of no rows); 0.0 keeps
     # the empty index servable — no postings match, so the value is
     # never used in a score
@@ -1002,7 +1025,7 @@ def bm25_rank_batch_indexed(
             _index_bucket(F.col("__t"), buckets).alias("b")
         ).distinct().collect()
     ]
-    post_schema, term_schema = _index_read_schemas(spark, root)
+    post_schema, term_schema = _index_read_schemas(spark, root, positional)
     matched = (
         spark.read.schema(post_schema).parquet(root + "/postings")
         .filter(F.col("bucket").isin(hit_buckets))
@@ -1082,4 +1105,84 @@ def rrf_fuse(
         fused.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= topk)
         .drop("__rn")
+    )
+
+
+def phrase_match(
+    spark,
+    queries_df: DataFrame,
+    index_dir: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Exact PHRASE search against a POSITIONAL
+    ``build_postings_index(positions=True)`` store — the classic
+    positional-index algorithm (match_phrase in the reference's ES
+    backend, engine-side): tokenize each query phrase WITH offsets,
+    fetch only the bucket partitions the phrase terms hash into,
+    and per (query, doc) intersect the offset-shifted position
+    lists — a doc matches where some position p has t1 at p, t2 at
+    p+1, … Returns (query_id, doc_id, n_hits) for docs containing
+    the full phrase ≥1 time.
+
+    Scale shape: the corpus is never scanned (pruned postings
+    reads), the per-(query, doc) work is array intersection over
+    the phrase terms' position lists, and the only shuffle is the
+    (query, doc) regroup. Duplicate phrase terms ('table table')
+    are handled naturally — the same posting joins once per offset,
+    each shifted differently."""
+    root = index_dir.rstrip("/")
+    stats_row = spark.read.parquet(root + "/stats").collect()[0]
+    if "positional" not in stats_row.__fields__ or not stats_row["positional"]:
+        raise ValueError(
+            "phrase_match needs a positional index — rebuild with "
+            "build_postings_index(positions=True)"
+        )
+    buckets = stats_row["buckets"]
+    qterms = queries_df.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(query_text_col)), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("__off", "__t"),
+    )
+    qlen = qterms.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("__qlen"))
+    term_set = qterms.select("__t").distinct()
+    hit_buckets = [
+        r.b
+        for r in term_set.select(
+            _index_bucket(F.col("__t"), buckets).alias("b")
+        ).distinct().collect()
+    ]
+    post_schema, _ = _index_read_schemas(spark, root, positional=True)
+    matched = (
+        spark.read.schema(post_schema).parquet(root + "/postings")
+        .filter(F.col("bucket").isin(hit_buckets))
+        .join(F.broadcast(qterms), F.col("term") == F.col("__t"))
+        .select(
+            query_id_col,
+            "doc_id",
+            "__off",
+            F.transform(F.col("pos"), lambda p: p - F.col("__off")).alias("__shifted"),
+        )
+    )
+    per_doc = matched.groupBy(query_id_col, "doc_id").agg(
+        F.count(F.lit(1)).alias("__nterms"),
+        F.collect_list(F.struct("__off", "__shifted")).alias("__parts"),
+    )
+    sorted_parts = F.array_sort(F.col("__parts"))
+    arrs = F.transform(sorted_parts, lambda s: s["__shifted"])
+    inter = F.aggregate(
+        F.slice(arrs, 2, 1_000_000),
+        F.element_at(arrs, 1),
+        lambda acc, a: F.array_intersect(acc, a),
+    )
+    return (
+        per_doc.join(F.broadcast(qlen), query_id_col)
+        .filter(F.col("__nterms") == F.col("__qlen"))
+        .withColumn("n_hits", F.size(inter).cast("bigint"))
+        .filter(F.col("n_hits") > 0)
+        .select(query_id_col, "doc_id", "n_hits")
     )

@@ -1258,3 +1258,62 @@ def hybrid_rank_indexed(spark, sf_dir):
     return rrf_fuse(
         vec_ranked, lex_ranked, "doc_id", topk=10, group_cols=("query_id",)
     )
+
+
+_PHRASE_QUERIES = [
+    (1, "table table"),
+    (2, "value fast"),
+    (3, "a a the"),
+    (4, "spark shuffles data"),  # expected absent — no row either side
+]
+
+
+def _phrase_oracle() -> str:
+    """INDEPENDENT oracle: no postings machinery — per query phrase,
+    scan each doc's token array with a sliding window and count the
+    positions where all phrase tokens line up."""
+    def one(qid: int, phrase: str) -> str:
+        toks = phrase.split()
+        n = len(toks)
+        cond = " AND ".join(
+            f"ws[CAST(i + {j} AS INTEGER)] = '{t}'" for j, t in enumerate(toks)
+        )
+        return (
+            f"SELECT {qid} AS query_id, doc_id, CAST(len(list_filter("
+            f"range(1, len(ws) - {n} + 2), i -> {cond})) AS BIGINT) AS n_hits "
+            "FROM w"
+        )
+
+    parts = " UNION ALL ".join(one(q, p) for q, p in _PHRASE_QUERIES)
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents) "
+        f"SELECT * FROM ({parts}) WHERE n_hits > 0"
+    )
+
+
+@q("phrase_search_indexed", _phrase_oracle())
+def phrase_search_indexed(spark, sf_dir):
+    """Exact phrase search from the POSITIONAL at-rest index (r11
+    D-series — the reference's ES backend ships match_phrase; this
+    is that capability engine-side): build_postings_index(
+    positions=True) stores sorted token positions per posting;
+    phrase_match fetches only the phrase terms' bucket partitions
+    and intersects offset-shifted position lists per (query, doc) —
+    occurrence counts included, duplicate-term phrases ('table
+    table') handled by per-offset shifting. The oracle is
+    INDEPENDENT: a sliding token-window scan per doc, no postings
+    machinery — so the hash certifies the whole positional pipeline
+    (position capture, shift, intersection, counting)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .functions.similarity import build_postings_index, phrase_match
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"phrase_index_{tag}")
+    build_postings_index(d, idx, positions=True)
+    qdf = spark.createDataFrame(_PHRASE_QUERIES, "query_id int, query_text string")
+    return phrase_match(spark, qdf, idx)

@@ -114,6 +114,7 @@ CROSS_OK = {
     "rank_bm25_indexed",       # same 1-row stats broadcast, at-rest path
     "retrieval_eval_metrics",  # same stats row inside the ranking half
     "hybrid_rank_indexed",     # 3-row query-vector broadcast + stats row
+    "phrase_search_indexed",   # broadcast qlen/qterms beside the pruned scan
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
     "hll_distinct_users",      # 1-row exact-count broadcast beside the estimate
@@ -626,3 +627,69 @@ def test_bm25_index_upsert_equals_rebuild(spark, tmp_path):
     s_new = spark.read.parquet(dst + "/stats").collect()[0]
     s_reb = spark.read.parquet(rebuilt + "/stats").collect()[0]
     assert (s_new.n_docs, s_new.avgdl) == (s_reb.n_docs, s_reb.avgdl) == (4.0, 1.25)
+
+
+def test_phrase_index_positions_and_upsert_propagation(spark, tmp_path):
+    """Positional-index contracts: phrase hits with occurrence
+    counts and duplicate-term phrases, the non-positional index
+    REFUSES phrase queries loudly, BM25 serves unchanged from a
+    positional store, and upsert propagates positions (post-upsert
+    phrase results equal a positional rebuild)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        bm25_rank_batch_indexed,
+        build_postings_index,
+        phrase_match,
+        upsert_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown shoes and a brown fox"),
+            (3, "fox brown quick"),
+            (4, "table table value"),
+            (5, "the quick brown fox and another quick brown fox here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "pidx")
+    build_postings_index(docs, idx, buckets=16, positions=True)
+    qs = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "table table"), (3, "Brown FOX!")],
+        "query_id int, query_text string",
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.n_hits) for r in phrase_match(spark, qs, idx).collect()
+    )
+    assert got == [(1, 1, 1), (1, 5, 2), (2, 4, 1), (3, 1, 1), (3, 2, 1), (3, 5, 2)]
+    # BM25 coexists on the positional store
+    assert bm25_rank_batch_indexed(spark, qs, idx, topk=3).count() > 0
+    # non-positional store refuses
+    flat = str(tmp_path / "flat")
+    build_postings_index(docs, flat, buckets=16)
+    with pytest.raises(ValueError, match="positional"):
+        phrase_match(spark, qs, flat)
+    # upsert keeps positions: replace doc 3 with a phrase hit, add doc 6
+    delta = spark.createDataFrame(
+        [(3, "now a real quick brown fox appears"), (6, "table table table")],
+        "doc_id long, text string",
+    )
+    dst = str(tmp_path / "pidx2")
+    upsert_postings_index(delta, idx, dst)
+    after = sorted(
+        (r.query_id, r.doc_id, r.n_hits) for r in phrase_match(spark, qs, dst).collect()
+    )
+    rebuilt_dir = str(tmp_path / "pidx3")
+    final = docs.filter(F.col("doc_id") < 3).unionByName(
+        docs.filter(F.col("doc_id").isin(4, 5))
+    ).unionByName(delta)
+    build_postings_index(final, rebuilt_dir, buckets=16, positions=True)
+    rebuilt = sorted(
+        (r.query_id, r.doc_id, r.n_hits)
+        for r in phrase_match(spark, qs, rebuilt_dir).collect()
+    )
+    assert after == rebuilt
+    assert (1, 3, 1) in after and (2, 6, 2) in after  # replaced + new docs hit
