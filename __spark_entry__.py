@@ -90,6 +90,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: exact phrase search from the
     # POSITIONAL at-rest index (independent sliding-window oracle)
     "phrase_search_indexed",
+    # never-checked r11 addition: proximity (slop) phrase search —
+    # chain-reachability fold over the positional index
+    "phrase_search_slop",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -126,7 +129,6 @@ DRIVER_WINDOW: list[str] = [
     "array_posexplode",
     "string_funcs_battery",
     "streaming_stateful_first_seen",
-    "scan_orc_roundtrip",
 ]
 
 

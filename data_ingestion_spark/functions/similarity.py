@@ -1114,6 +1114,7 @@ def phrase_match(
     index_dir: str,
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    slop: int = 0,
 ) -> DataFrame:
     """Exact PHRASE search against a POSITIONAL
     ``build_postings_index(positions=True)`` store — the classic
@@ -1130,7 +1131,16 @@ def phrase_match(
     the phrase terms' position lists, and the only shuffle is the
     (query, doc) regroup. Duplicate phrase terms ('table table')
     are handled naturally — the same posting joins once per offset,
-    each shifted differently."""
+    each shifted differently.
+
+    ``slop`` (the ES match_phrase dial, simplified to an exact,
+    oracle-able contract): consecutive phrase terms may be separated
+    by up to ``slop`` extra tokens, IN ORDER — slop=0 is the exact
+    phrase. Matching is a chain-reachability fold over the position
+    lists (term i's positions that continue some term i-1 chain
+    within the gap); ``n_hits`` counts the distinct END positions of
+    complete chains, which for slop=0 equals the exact phrase
+    occurrence count."""
     root = index_dir.rstrip("/")
     stats_row = spark.read.parquet(root + "/stats").collect()[0]
     if "positional" not in stats_row.__fields__ or not stats_row["positional"]:
@@ -1161,28 +1171,32 @@ def phrase_match(
         spark.read.schema(post_schema).parquet(root + "/postings")
         .filter(F.col("bucket").isin(hit_buckets))
         .join(F.broadcast(qterms), F.col("term") == F.col("__t"))
-        .select(
-            query_id_col,
-            "doc_id",
-            "__off",
-            F.transform(F.col("pos"), lambda p: p - F.col("__off")).alias("__shifted"),
-        )
+        .select(query_id_col, "doc_id", "__off", "pos")
     )
     per_doc = matched.groupBy(query_id_col, "doc_id").agg(
         F.count(F.lit(1)).alias("__nterms"),
-        F.collect_list(F.struct("__off", "__shifted")).alias("__parts"),
+        F.collect_list(F.struct("__off", "pos")).alias("__parts"),
     )
     sorted_parts = F.array_sort(F.col("__parts"))
-    arrs = F.transform(sorted_parts, lambda s: s["__shifted"])
-    inter = F.aggregate(
+    arrs = F.transform(sorted_parts, lambda s: s["pos"])
+    max_gap = 1 + slop
+    # chain-reachability fold: term i keeps the positions that extend
+    # some surviving term-(i-1) chain by 1..1+slop tokens; slop=0
+    # degenerates to the exact-phrase position intersection
+    viable = F.aggregate(
         F.slice(arrs, 2, 1_000_000),
         F.element_at(arrs, 1),
-        lambda acc, a: F.array_intersect(acc, a),
+        lambda acc, a: F.filter(
+            a,
+            lambda q: F.exists(
+                acc, lambda v: (q > v) & (q - v <= F.lit(max_gap))
+            ),
+        ),
     )
     return (
         per_doc.join(F.broadcast(qlen), query_id_col)
         .filter(F.col("__nterms") == F.col("__qlen"))
-        .withColumn("n_hits", F.size(inter).cast("bigint"))
+        .withColumn("n_hits", F.size(viable).cast("bigint"))
         .filter(F.col("n_hits") > 0)
         .select(query_id_col, "doc_id", "n_hits")
     )

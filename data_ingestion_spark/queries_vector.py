@@ -1317,3 +1317,64 @@ def phrase_search_indexed(spark, sf_dir):
     build_postings_index(d, idx, positions=True)
     qdf = spark.createDataFrame(_PHRASE_QUERIES, "query_id int, query_text string")
     return phrase_match(spark, qdf, idx)
+
+
+_SLOP_QUERIES = [(1, "table value"), (2, "key hash"), (3, "customer order")]
+_SLOP = 1
+
+
+def _phrase_slop_oracle() -> str:
+    """Chain-fold twin in DuckDB list lambdas: per query, term-1
+    positions seed the chain; each later term keeps positions that
+    extend a surviving chain by 1..1+slop tokens; hits = |final
+    viable set| — the same documented contract the engine computes
+    from the positional index."""
+    gap = 1 + _SLOP
+
+    def one(qid: int, phrase: str) -> str:
+        toks = phrase.split()
+        pos = lambda t: (  # noqa: E731
+            "list_filter(range(1, len(ws) + 1), "
+            f"i -> ws[CAST(i AS INTEGER)] = '{t}')"
+        )
+        chain = pos(toks[0])
+        for t in toks[1:]:
+            chain = (
+                f"list_filter({pos(t)}, q -> len(list_filter({chain}, "
+                f"v -> q > v AND q - v <= {gap})) > 0)"
+            )
+        return (
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"CAST(len({chain}) AS BIGINT) AS n_hits FROM w"
+        )
+
+    parts = " UNION ALL ".join(one(q, p) for q, p in _SLOP_QUERIES)
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents) "
+        f"SELECT * FROM ({parts}) WHERE n_hits > 0"
+    )
+
+
+@q("phrase_search_slop", _phrase_slop_oracle())
+def phrase_search_slop(spark, sf_dir):
+    """Proximity phrase search (slop=1, the ES match_phrase dial):
+    consecutive phrase terms may be separated by one extra token, in
+    order — served from the same positional index via the
+    chain-reachability fold (term i keeps positions extending a
+    surviving term-(i-1) chain within the gap; n_hits = distinct
+    chain end positions, = the exact phrase count at slop 0). The
+    oracle unrolls the identical fold in DuckDB list lambdas over
+    the raw token arrays — no postings machinery."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .functions.similarity import build_postings_index, phrase_match
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"phrase_index_{tag}")
+    build_postings_index(d, idx, positions=True)
+    qdf = spark.createDataFrame(_SLOP_QUERIES, "query_id int, query_text string")
+    return phrase_match(spark, qdf, idx, slop=_SLOP)

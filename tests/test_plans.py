@@ -115,6 +115,7 @@ CROSS_OK = {
     "retrieval_eval_metrics",  # same stats row inside the ranking half
     "hybrid_rank_indexed",     # 3-row query-vector broadcast + stats row
     "phrase_search_indexed",   # broadcast qlen/qterms beside the pruned scan
+    "phrase_search_slop",      # same shape, slop fold
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
     "hll_distinct_users",      # 1-row exact-count broadcast beside the estimate
@@ -693,3 +694,35 @@ def test_phrase_index_positions_and_upsert_propagation(spark, tmp_path):
     )
     assert after == rebuilt
     assert (1, 3, 1) in after and (2, 6, 2) in after  # replaced + new docs hit
+
+
+def test_phrase_slop_semantics(spark, tmp_path):
+    """slop contract: gap-1 matches appear at slop=1 but not slop=0,
+    gap-2 only at slop=2; slop=0 equals the exact-phrase counts."""
+    from data_ingestion_spark.functions.similarity import (
+        build_postings_index,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),
+            (2, "quick very brown fox"),
+            (3, "quick a b brown fox"),
+            (5, "the quick brown fox and another quick brown fox here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "slopidx")
+    build_postings_index(docs, idx, buckets=16, positions=True)
+    qs = spark.createDataFrame([(1, "quick brown fox")], "query_id int, query_text string")
+
+    def hits(slop):
+        return sorted(
+            (r.doc_id, r.n_hits)
+            for r in phrase_match(spark, qs, idx, slop=slop).collect()
+        )
+
+    assert hits(0) == [(1, 1), (5, 2)]
+    assert hits(1) == [(1, 1), (2, 1), (5, 2)]
+    assert hits(2) == [(1, 1), (2, 1), (3, 1), (5, 2)]
