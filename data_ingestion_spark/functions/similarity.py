@@ -884,7 +884,13 @@ def upsert_postings_index(
     rewrite; the old corpus is never re-tokenized. At 100 TB the
     anti-join is the price of exact df/stats maintenance — cheap
     next to re-tokenizing petabytes, and the bucket layout keeps the
-    rewrite partition-parallel."""
+    rewrite partition-parallel.
+
+    Precondition (the snapshot_diff contract): ``id_col`` unique
+    within ``delta_docs`` — a doc_id appearing twice in the delta
+    would sum its token counts into one posting and double-count in
+    doclens/stats. Dedup the delta first (latest fetch wins) when
+    re-crawl timing can produce duplicates."""
     spark = delta_docs.sparkSession
     src = src_index_dir.rstrip("/")
     src_stats = spark.read.parquet(src + "/stats").collect()[0]
