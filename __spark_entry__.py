@@ -93,6 +93,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: proximity (slop) phrase search —
     # chain-reachability fold over the positional index
     "phrase_search_slop",
+    # never-checked r11 addition: snippet/highlight extraction around
+    # the first phrase hit (independent window+slice oracle)
+    "phrase_snippets_indexed",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -128,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q22_global_sales_opportunity",
     "array_posexplode",
     "string_funcs_battery",
-    "streaming_stateful_first_seen",
 ]
 
 

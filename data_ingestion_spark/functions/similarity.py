@@ -1121,6 +1121,7 @@ def phrase_match(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     slop: int = 0,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Exact PHRASE search against a POSITIONAL
     ``build_postings_index(positions=True)`` store — the classic
@@ -1146,7 +1147,14 @@ def phrase_match(
     lists (term i's positions that continue some term i-1 chain
     within the gap); ``n_hits`` counts the distinct END positions of
     complete chains, which for slop=0 equals the exact phrase
-    occurrence count."""
+    occurrence count.
+
+    ``with_positions``: additionally emit ``first_pos`` — the
+    1-based token index where the EARLIEST match starts (at slop=0:
+    min chain end − phrase length + 1; with slop>0 the start is not
+    derivable from the end alone, so first_pos is the earliest
+    chain END) — the anchor snippet/highlight extraction needs
+    (``phrase_snippets``)."""
     root = index_dir.rstrip("/")
     stats_row = spark.read.parquet(root + "/stats").collect()[0]
     if "positional" not in stats_row.__fields__ or not stats_row["positional"]:
@@ -1199,10 +1207,79 @@ def phrase_match(
             ),
         ),
     )
-    return (
+    out = (
         per_doc.join(F.broadcast(qlen), query_id_col)
         .filter(F.col("__nterms") == F.col("__qlen"))
         .withColumn("n_hits", F.size(viable).cast("bigint"))
         .filter(F.col("n_hits") > 0)
-        .select(query_id_col, "doc_id", "n_hits")
+    )
+    if not with_positions:
+        return out.select(query_id_col, "doc_id", "n_hits")
+    first_end = F.array_min(viable)
+    first_pos = (
+        first_end - (F.col("__qlen") - 1) if slop == 0 else first_end
+    ).cast("int")
+    return out.select(
+        query_id_col, "doc_id", "n_hits", first_pos.alias("first_pos")
+    )
+
+
+def phrase_snippets(
+    spark,
+    queries_df: DataFrame,
+    index_dir: str,
+    docs_df: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 3,
+) -> DataFrame:
+    """Snippet/highlight extraction around the first phrase hit (the
+    serving feature next to match_phrase — the reference's ES
+    backend highlights; this is that shape engine-side): exact
+    ``phrase_match(with_positions=True)`` finds (doc, first_pos),
+    the hits join back to the corpus (hits are top-k-sized — the
+    join broadcasts the HIT side, never the corpus), and the
+    snippet is the token slice [first_pos − context, match end +
+    context] re-joined with single spaces. Returns (query_id,
+    doc_id, n_hits, first_pos, snippet). Token-space snippets
+    (normalized text), not raw-byte offsets — the tokenizer is the
+    same one the index was built with."""
+    hits = phrase_match(
+        spark, queries_df, index_dir, query_id_col, query_text_col,
+        slop=0, with_positions=True,
+    )
+    qlen = queries_df.select(
+        F.col(query_id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(query_text_col)), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("__qlen"),
+    )
+    toks = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__toks"),
+    )
+    start = F.greatest(F.lit(1), F.col("first_pos") - F.lit(context))
+    length = (
+        F.col("first_pos") + F.col("__qlen") - start + F.lit(context)
+    )
+    return (
+        toks.join(F.broadcast(hits), "doc_id")
+        .join(F.broadcast(qlen), query_id_col)
+        .select(
+            query_id_col,
+            "doc_id",
+            "n_hits",
+            "first_pos",
+            F.array_join(F.slice(F.col("__toks"), start, length), " ").alias(
+                "snippet"
+            ),
+        )
     )

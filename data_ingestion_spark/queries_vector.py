@@ -1378,3 +1378,57 @@ def phrase_search_slop(spark, sf_dir):
     build_postings_index(d, idx, positions=True)
     qdf = spark.createDataFrame(_SLOP_QUERIES, "query_id int, query_text string")
     return phrase_match(spark, qdf, idx, slop=_SLOP)
+
+
+def _snippet_oracle() -> str:
+    """Independent oracle: per query, the sliding token-window gives
+    hit START positions directly; the snippet is the clamped token
+    slice around the first hit, re-joined — no postings machinery,
+    no chain fold."""
+    def one(qid: int, phrase: str) -> str:
+        toks = phrase.split()
+        n = len(toks)
+        cond = " AND ".join(
+            f"ws[CAST(i + {j} AS INTEGER)] = '{t}'" for j, t in enumerate(toks)
+        )
+        return (
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"CAST(len(hits) AS BIGINT) AS n_hits, "
+            "CAST(hits[1] AS INTEGER) AS first_pos, "
+            "array_to_string(ws[CAST(greatest(1, hits[1] - 3) AS INTEGER):"
+            f"CAST(hits[1] + {n} + 2 AS INTEGER)], ' ') AS snippet "
+            f"FROM (SELECT doc_id, ws, list_filter(range(1, len(ws) - {n} + 2), "
+            f"i -> {cond}) AS hits FROM w) WHERE len(hits) > 0"
+        )
+
+    parts = " UNION ALL ".join(one(q, p) for q, p in _PHRASE_QUERIES)
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents) "
+        + parts
+    )
+
+
+@q("phrase_snippets_indexed", _snippet_oracle())
+def phrase_snippets_indexed(spark, sf_dir):
+    """Snippet/highlight extraction (r11 D-series closure of the
+    serving stack — the reference's ES backend highlights hits):
+    phrase_match(with_positions=True) anchors the earliest match
+    per (query, doc) from the POSITIONAL index, the tiny hit table
+    broadcasts back onto the corpus, and the snippet is the token
+    slice ±3 around the match. The oracle is INDEPENDENT (sliding
+    token-window start positions + clamped slice) — the hash
+    certifies hit counting, position arithmetic, clamping, and
+    snippet assembly together."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .functions.similarity import build_postings_index, phrase_snippets
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"phrase_index_{tag}")
+    build_postings_index(d, idx, positions=True)
+    qdf = spark.createDataFrame(_PHRASE_QUERIES, "query_id int, query_text string")
+    return phrase_snippets(spark, qdf, idx, d)

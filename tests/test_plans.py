@@ -116,6 +116,7 @@ CROSS_OK = {
     "hybrid_rank_indexed",     # 3-row query-vector broadcast + stats row
     "phrase_search_indexed",   # broadcast qlen/qterms beside the pruned scan
     "phrase_search_slop",      # same shape, slop fold
+    "phrase_snippets_indexed", # hit table + qlen broadcasts onto the corpus
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
     "hll_distinct_users",      # 1-row exact-count broadcast beside the estimate
@@ -726,3 +727,32 @@ def test_phrase_slop_semantics(spark, tmp_path):
     assert hits(0) == [(1, 1), (5, 2)]
     assert hits(1) == [(1, 1), (2, 1), (5, 2)]
     assert hits(2) == [(1, 1), (2, 1), (3, 1), (5, 2)]
+
+
+def test_phrase_snippets_positions_and_clamping(spark, tmp_path):
+    """with_positions anchors the earliest match; snippets clamp at
+    the document start and end; multi-hit docs snippet the FIRST."""
+    from data_ingestion_spark.functions.similarity import (
+        build_postings_index,
+        phrase_snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox at the very start"),
+            (2, "alpha beta gamma delta quick brown fox"),
+            (3, "pre quick brown fox mid words quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "snipidx")
+    build_postings_index(docs, idx, buckets=16, positions=True)
+    qs = spark.createDataFrame([(1, "quick brown fox")], "query_id int, query_text string")
+    got = {r.doc_id: r for r in phrase_snippets(spark, qs, idx, docs).collect()}
+    # start-clamped: match at pos 1, context cannot go below token 1
+    assert (got[1].first_pos, got[1].snippet) == (1, "quick brown fox at the very")
+    # end-clamped: match ends at the last token
+    assert (got[2].first_pos, got[2].snippet) == (5, "beta gamma delta quick brown fox")
+    # multi-hit: first occurrence anchors; n_hits counts both
+    assert got[3].n_hits == 2 and got[3].first_pos == 2
+    assert got[3].snippet == "pre quick brown fox mid words quick"
