@@ -67,31 +67,25 @@ def rule_pattern_to_regex(pattern: str) -> str | None:
     return rx
 
 
-def robots_rules_for_agent(body: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """Parse one robots.txt body into the (path-pattern, allow)
-    rules of the group that governs ``agent`` — the most specific
-    matching ``User-agent`` value wins (longest value that is a
-    case-insensitive prefix of the agent's product token, so a
-    ``graftbot-news`` crawler obeys a ``graftbot`` group), ALL
-    groups carrying the winning value merge, and ``*`` groups are
-    the fallback when no named group matches. Group logic per REP:
-    consecutive User-agent lines open a group; the first
-    Allow/Disallow closes the group's UA list; an empty
-    ``Disallow:`` means 'allow all' and contributes no rule.
-    Comments (#) and unknown directives are ignored; parsing never
-    raises on hostile input."""
-    agent_l = (agent or "*").lower()
-    # group structure: list of (ua_values, rules)
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _parse_groups(body: str):
+    """robots.txt → [(ua_values, rules, crawl_delay)] per group.
+    Group logic per REP: consecutive User-agent lines open a group;
+    the first Allow/Disallow/Crawl-delay closes the group's UA list;
+    an empty ``Disallow:`` means 'allow all' and contributes no
+    rule; malformed delays are ignored. Comments (#) and unknown
+    directives are ignored; parsing never raises on hostile
+    input."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     uas: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     group_open = False
 
     def close() -> None:
-        nonlocal uas, cur_rules, group_open
+        nonlocal uas, cur_rules, cur_delay, group_open
         if uas:
-            groups.append((uas, cur_rules))
-        uas, cur_rules, group_open = [], [], False
+            groups.append((uas, cur_rules, cur_delay))
+        uas, cur_rules, cur_delay, group_open = [], [], None, False
 
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -108,19 +102,59 @@ def robots_rules_for_agent(body: str, agent: str = "*") -> list[tuple[str, bool]
             group_open = True
             if value:
                 cur_rules.append((value, key == "allow"))
+        elif key == "crawl-delay":
+            group_open = True
+            try:
+                d = float(value)
+                if d >= 0:
+                    cur_delay = d
+            except ValueError:
+                pass
     close()
+    return groups
 
+
+def _select_groups(groups, agent: str):
+    """The groups that govern ``agent``: longest UA value that
+    case-insensitively prefixes the product token wins, all groups
+    carrying the winning value merge; ``*`` groups are the
+    fallback."""
+    agent_l = (agent or "*").lower()
     named = [
-        (ua, rules)
-        for uas_, rules in groups
-        for ua in uas_
+        (ua, g)
+        for g in groups
+        for ua in g[0]
         if ua != "*" and agent_l != "*" and agent_l.startswith(ua)
     ]
     if named:
         best = max(len(ua) for ua, _ in named)
-        winner = {ua for ua, _ in named if len(ua) == best}
-        return [r for ua, rules in named if ua in winner for r in rules]
-    return [r for uas_, rules in groups if "*" in uas_ for r in rules]
+        return [g for ua, g in named if len(ua) == best]
+    return [g for g in groups if "*" in g[0]]
+
+
+def robots_rules_for_agent(body: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse one robots.txt body into the (path-pattern, allow)
+    rules of the group that governs ``agent`` — the most specific
+    matching ``User-agent`` value wins (longest value that is a
+    case-insensitive prefix of the agent's product token, so a
+    ``graftbot-news`` crawler obeys a ``graftbot`` group), ALL
+    groups carrying the winning value merge, and ``*`` groups are
+    the fallback when no named group matches. See ``_parse_groups``
+    for the group grammar; parsing never raises on hostile input."""
+    return [r for g in _select_groups(_parse_groups(body), agent) for r in g[1]]
+
+
+def robots_crawl_delay_for_agent(body: str, agent: str = "*") -> float | None:
+    """The ``Crawl-delay`` (seconds) governing ``agent`` — the SAME
+    group selection as the rule parser (a named bot obeys ITS
+    group's delay, not the ``*`` group's), the last declaration
+    among the selected groups winning. None when the governing
+    group declares no delay."""
+    delay: float | None = None
+    for g in _select_groups(_parse_groups(body), agent):
+        if g[2] is not None:
+            delay = g[2]
+    return delay
 
 
 def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
@@ -130,48 +164,28 @@ def robots_rules_for_star(body: str) -> list[tuple[str, bool]]:
 
 
 def robots_crawl_delay_for_star(body: str) -> float | None:
-    """The ``Crawl-delay`` (seconds) of the ``User-agent: *`` group,
-    or None. Same group logic as the rule parser; a malformed number
-    is ignored (never raises)."""
-    uas: list[str] = []
-    group_has_rules = False
-    delay: float | None = None
-    for raw in (body or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, value = line.partition(":")
-        key = key.strip().lower()
-        value = value.strip()
-        if key == "user-agent":
-            if group_has_rules:
-                uas = []
-                group_has_rules = False
-            uas.append(value.lower())
-        elif key in ("allow", "disallow", "crawl-delay"):
-            group_has_rules = True
-            if key == "crawl-delay" and "*" in uas:
-                try:
-                    d = float(value)
-                    if d >= 0:
-                        delay = d
-                except ValueError:
-                    pass
-    return delay
+    """The ``*`` group's Crawl-delay (the pre-r11 surface, kept as
+    the default-agent shorthand)."""
+    return robots_crawl_delay_for_agent(body, "*")
 
 
 def parse_robots_delays(
-    robots_df: DataFrame, host_col: str = "host", body_col: str = "robots_body"
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_body",
+    agent: str = "*",
 ) -> DataFrame:
-    """(host, robots_body) → (host, delay_s) for hosts that declare a
-    ``Crawl-delay`` in their ``*`` group (others absent)."""
+    """(host, robots_body) → (host, delay_s) for hosts whose group
+    governing ``agent`` declares a ``Crawl-delay`` (others absent) —
+    the same most-specific-UA selection as ``parse_robots_rules``,
+    so a named bot schedules by ITS delay, not the ``*`` group's."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for host, body in zip(pdf[host_col], pdf[body_col]):
-                d = robots_crawl_delay_for_star(
-                    body if isinstance(body, str) else ""
+                d = robots_crawl_delay_for_agent(
+                    body if isinstance(body, str) else "", agent
                 )
                 if d is not None:
                     rows.append((host, float(d)))

@@ -251,3 +251,32 @@ def test_parse_rules_emits_regex_column_per_agent(spark):
     ]
     star = parse_robots_rules(robots).collect()
     assert [(r.rule_path, r.rule_regex) for r in star] == [("/", None)]
+
+
+def test_crawl_delay_agent_group_selection(spark):
+    """Crawl-delay follows the SAME group selection as rules (r11):
+    a named bot obeys its own group's delay, falls back to *, and
+    the harsher * delay never leaks into a governed bot."""
+    from data_ingestion_spark.functions.robots import (
+        parse_robots_delays,
+        robots_crawl_delay_for_agent,
+    )
+
+    body = (
+        "User-agent: graftbot\nCrawl-delay: 1\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 30\nDisallow:\n"
+    )
+    assert robots_crawl_delay_for_agent(body, "graftbot") == 1.0
+    assert robots_crawl_delay_for_agent(body, "graftbot-news") == 1.0
+    assert robots_crawl_delay_for_agent(body, "otherbot") == 30.0
+    assert robots_crawl_delay_for_agent(body, "*") == 30.0
+    # governed group with NO delay: None, not the * fallback (the
+    # named group fully replaces *)
+    body2 = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n"
+    assert robots_crawl_delay_for_agent(body2, "graftbot") is None
+
+    robots = spark.createDataFrame(
+        [("a.com", body), ("b.com", body2)], "host string, robots_body string"
+    )
+    assert {r.host: r.delay_s for r in parse_robots_delays(robots, agent="graftbot").collect()} == {"a.com": 1.0}
+    assert {r.host: r.delay_s for r in parse_robots_delays(robots).collect()} == {"a.com": 30.0, "b.com": 9.0}
