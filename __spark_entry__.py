@@ -96,6 +96,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked r11 addition: snippet/highlight extraction around
     # the first phrase hit (independent window+slice oracle)
     "phrase_snippets_indexed",
+    # never-checked r11 addition: per-group exact quantiles (the
+    # per-language curation report; window rank pick)
+    "quantiles_per_group",
     "lang_id_ngram",
     "text_quality_score",
     "multimodal_binary_meta",
@@ -130,7 +133,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q17_small_quantity",
     "tpch_q22_global_sales_opportunity",
     "array_posexplode",
-    "string_funcs_battery",
 ]
 
 

@@ -92,3 +92,41 @@ def exact_quantiles_two_pass(
         .join(F.broadcast(pair_df), ["__b", "__rn"])
         .select("q", F.col("__v").alias("value"))
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """(group, q, value) EXACT type-1 quantiles per group — the
+    curation-report shape ("p50/p99 document length PER LANGUAGE /
+    per source"). One window over the group partition (rank +
+    per-group count ride the same sort; spillable state, one
+    shuffle), then each requested q picks the element at rank
+    ``max(1, ceil(q·n_g))`` via a broadcast qs join. Groups are
+    assumed many-and-moderate (the report shape); for ONE huge
+    group use ``exact_quantiles_two_pass`` — it bounds state by the
+    histogram instead of the group sort."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    vals = df.select(F.col(group_col).alias("__g"), v.alias("__v")).filter(
+        F.col("__v").isNotNull() & ~F.isnan("__v")
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    pick = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n")))
+    return (
+        ranked.join(F.broadcast(qdf), F.col("__rn") == pick)
+        .select(
+            F.col("__g").alias(group_col),
+            "q",
+            F.col("__v").alias("value"),
+        )
+    )

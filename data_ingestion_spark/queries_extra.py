@@ -2675,3 +2675,29 @@ def doc_winnow_fingerprints(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_fingerprints(d)
+
+
+@q(
+    "quantiles_per_group",
+    "WITH v AS (SELECT lang, value FROM ("
+    "SELECT lang, CAST(length(text) AS DOUBLE) AS value FROM documents) "
+    "WHERE value IS NOT NULL AND NOT isnan(value)), "
+    "r AS (SELECT lang, value, row_number() OVER "
+    "(PARTITION BY lang ORDER BY value) AS rn, "
+    "count(*) OVER (PARTITION BY lang) AS n FROM v) "
+    "SELECT lang, q.q, value FROM r JOIN (VALUES (0.5), (0.9), (0.99)) q(q) "
+    "ON rn = greatest(1, CAST(ceil(q.q * n) AS BIGINT))",
+)
+def quantiles_per_group(spark, sf_dir):
+    """Per-group exact quantiles (r11 D-series) — p50/p90/p99 of
+    document length PER LANGUAGE, the standard curation report:
+    one window over the group partition (rank + count share the
+    sort), broadcast qs join picks the element at rank ceil(q·n_g).
+    Exact, no approx error; the oracle replicates the rank pick
+    with the same window arithmetic."""
+    from .operators.quantiles import exact_group_quantiles
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("double").alias("doc_len")
+    )
+    return exact_group_quantiles(d, "lang", "doc_len", [0.5, 0.9, 0.99])

@@ -9,7 +9,10 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from data_ingestion_spark.operators.quantiles import exact_quantiles_two_pass
+from data_ingestion_spark.operators.quantiles import (
+    exact_group_quantiles,
+    exact_quantiles_two_pass,
+)
 
 
 def _ref(values, q):
@@ -65,3 +68,26 @@ def test_pass2_scan_is_bucket_bounded(spark):
         F.least(F.lit(255), F.floor((F.col("v") - lo) / width)).cast("int") == b50
     ).count()
     assert cnt < n / 100  # one bucket holds ~n/256 of the rows
+
+
+def test_group_quantiles_match_reference_and_ties(spark):
+    """Per-group exact quantiles agree with the sorted reference per
+    group (incl. ties and a single-row group); NULL/NaN excluded;
+    invalid q raises."""
+    rows = (
+        [("a", float(x)) for x in range(100)]
+        + [("b", 5.0)] * 10
+        + [("c", 42.0)]
+        + [("a", None), ("b", float("nan"))]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.5, 0.99, 1.0]
+    got = {
+        (r.g, r.q): r.value
+        for r in exact_group_quantiles(df, "g", "v", qs).collect()
+    }
+    vals = {"a": [float(x) for x in range(100)], "b": [5.0] * 10, "c": [42.0]}
+    exp = {(g, q): _ref(v, q) for g, v in vals.items() for q in qs}
+    assert got == exp
+    with pytest.raises(ValueError, match="quantiles"):
+        exact_group_quantiles(df, "g", "v", [1.5])
