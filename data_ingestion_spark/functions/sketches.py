@@ -172,6 +172,17 @@ DEFAULT_HLL_P = 11
 _HLL_HASH_BITS = 60
 
 
+def _check_hll_p(p: int) -> None:
+    """The hardcoded alpha approximation 0.7213/(1+1.079/m) is valid
+    only for m >= 128 registers (p >= 7, Flajolet et al. §4); above
+    p = 24 the 60-bit hash leaves < 37 rho bits and 16M register rows
+    stop being "constant-size" in any useful sense. Guard both ends
+    loudly instead of returning a silently biased estimate (r11
+    ADVICE)."""
+    if not 7 <= p <= 24:
+        raise ValueError(f"hll p must be in [7, 24] (alpha approximation needs m>=128), got {p}")
+
+
 def hll_build(df: DataFrame, col: str, p: int = DEFAULT_HLL_P) -> DataFrame:
     """HyperLogLog registers (Flajolet et al. 2007) for the distinct
     count of ``col``: (bucket, rho) with one row per NONZERO
@@ -192,6 +203,7 @@ def hll_build(df: DataFrame, col: str, p: int = DEFAULT_HLL_P) -> DataFrame:
     the property that lets every shard sketch locally.
 
     Build cost: one bounded shuffle (partial max per bucket)."""
+    _check_hll_p(p)
     m = 1 << p
     h = F.conv(
         F.substring(F.md5(F.col("__v").cast("string")), 1, 15), 16, 10
@@ -240,6 +252,7 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_HLL_P) -> DataFrame:
     small-range linear-counting branch m·ln(m/V) when the raw
     estimate ≤ 2.5m with V empty registers — the standard HLL
     correction."""
+    _check_hll_p(p)
     m = 1 << p
     k = _HLL_HASH_BITS - p + 1  # max rho; 2^(k-rho) ∈ [1, 2^k]
     agg = sketch.agg(
@@ -360,33 +373,56 @@ def bloom_probe(
     col: str,
     m_bits: int = DEFAULT_BLOOM_BITS,
     k: int = DEFAULT_BLOOM_K,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """candidates + ``maybe_seen`` boolean: true iff ALL k probe
-    bits are set (the no-false-negative test). The filter table
-    broadcasts (≤ ceil(m_bits/63) rows); per candidate the probe is k
-    broadcast lookups + a count — no shuffle of the candidate
-    stream beyond the final per-row regroup, and byte-identical
-    duplicate candidates are preserved (rowid regroup, the
-    robots_decisions pattern)."""
-    tagged = candidates.withColumn("__rowid", F.monotonically_increasing_id())
-    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("j")
-    pos = _bloom_pos(F.col(col), F.col("j"), m_bits)
-    probes = (
-        tagged.select("__rowid", F.col(col), j)
-        .select("__rowid", pos.alias("__pos"))
-        .select(
-            "__rowid",
-            F.expr("__pos div 63").alias("word_idx"),
-            F.expr("shiftleft(cast(1 as bigint), cast(__pos % 63 as int))").alias("__m"),
+    bits are set (the no-false-negative test). SHUFFLE-FREE on the
+    candidate side (the ``cms_estimate``/``heavy_hitters`` pattern,
+    r11 verdict): k sequential broadcast left-joins against the
+    constant-size filter table (≤ ceil(m_bits/63) rows), one per
+    probe position, folded with AND — the candidate stream never
+    enters an exchange, which is the whole point of probing a
+    broadcastable seen-set over 100 TB of candidates. Duplicate
+    candidate rows are trivially preserved (each row is mapped
+    independently; no rowid regroup needed). A NULL candidate key
+    was never inserted (the build filters NULLs), so ``maybe_seen``
+    is FALSE for NULL keys — coalesced explicitly, never NULL
+    (r11 ADVICE: a NULL verdict silently drops the row from both
+    ``maybe_seen`` and ``~maybe_seen`` filters).
+
+    The filter feeds k broadcast subtrees, so it is persisted here
+    (the ``heavy_hitters`` sketch pattern) unless the caller already
+    persisted it — otherwise the filter BUILD (a scan of the whole
+    seen-set) would run k times. ``cache_handles`` receives the
+    persisted frame for caller-side unpersist in long-lived
+    drivers."""
+    from pyspark import StorageLevel
+
+    if bloom.storageLevel == StorageLevel.NONE:
+        bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.append(bloom)
+    cur = candidates
+    cond: Column | None = None
+    probe_cols: list[str] = []
+    for j in range(k):
+        wi, wd, mk = f"__wi{j}", f"__w{j}", f"__m{j}"
+        probe_cols += [wi, wd, mk]
+        cur = (
+            cur.withColumn("__pos", _bloom_pos(F.col(col), F.lit(j), m_bits))
+            .withColumn(wi, F.expr("__pos div 63"))
+            .withColumn(mk, F.expr("shiftleft(cast(1 as bigint), cast(__pos % 63 as int))"))
+            .drop("__pos")
+            .join(
+                F.broadcast(
+                    bloom.select(F.col("word_idx").alias(wi), F.col("word").alias(wd))
+                ),
+                wi,
+                "left_outer",
+            )
         )
-    )
-    hits = (
-        probes.join(F.broadcast(bloom), "word_idx", "left_outer")
-        .withColumn(
-            "__hit",
-            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__m")) != 0).cast("int"),
+        hit_j = F.coalesce(
+            F.coalesce(F.col(wd), F.lit(0)).bitwiseAND(F.col(mk)) != 0, F.lit(False)
         )
-        .groupBy("__rowid")
-        .agg((F.sum("__hit") == k).alias("maybe_seen"))
-    )
-    return tagged.join(hits, "__rowid").drop("__rowid")
+        cond = hit_j if cond is None else cond & hit_j
+    return cur.withColumn("maybe_seen", cond).drop(*probe_cols)

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _finite(c: Column) -> Column:
+    """NULL / NaN / ±Infinity excluded — both quantile forms share
+    one finiteness rule so they agree on the same input."""
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != float("inf"))
 
 
 def exact_quantiles_two_pass(
@@ -40,17 +46,20 @@ def exact_quantiles_two_pass(
 ) -> DataFrame:
     """(q, value) rows — ``value`` is the EXACT lower (type-1)
     quantile: the element at 1-based rank ``max(1, ceil(q*n))`` of
-    the sorted values. NULL and NaN values are excluded. An empty
-    input returns no rows."""
+    the sorted values. NULL, NaN and ±Infinity values are excluded —
+    an infinite min/max would make the histogram width infinite,
+    collapsing every finite row into bucket 0 and losing the inf rows
+    from the histogram entirely while still counting them in n (r11
+    ADVICE); order statistics over non-finite data are not
+    meaningful, so the exclusion is explicit and documented. An
+    empty input returns no rows."""
     if not qs:
         raise ValueError("qs must name at least one quantile")
     if not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
     spark = df.sparkSession
     v = F.col(col).cast("double")
-    vals = df.select(v.alias("__v")).filter(
-        F.col("__v").isNotNull() & ~F.isnan("__v")
-    )
+    vals = df.select(v.alias("__v")).filter(_finite(F.col("__v")))
     st = vals.agg(
         F.count(F.lit(1)).alias("n"), F.min("__v").alias("lo"), F.max("__v").alias("hi")
     ).collect()[0]
@@ -114,7 +123,7 @@ def exact_group_quantiles(
     spark = df.sparkSession
     v = F.col(value_col).cast("double")
     vals = df.select(F.col(group_col).alias("__g"), v.alias("__v")).filter(
-        F.col("__v").isNotNull() & ~F.isnan("__v")
+        _finite(F.col("__v"))
     )
     w = Window.partitionBy("__g").orderBy("__v")
     ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn(

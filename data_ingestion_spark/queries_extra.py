@@ -2472,7 +2472,7 @@ def _quantiles_oracle() -> str:
     )
     return (
         "WITH v AS (SELECT value FROM events WHERE value IS NOT NULL "
-        "AND NOT isnan(value)), "
+        "AND isfinite(value)), "
         "c AS (SELECT count(*) AS n FROM v), "
         "r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v) "
         + sel
@@ -2681,7 +2681,7 @@ def doc_winnow_fingerprints(spark, sf_dir):
     "quantiles_per_group",
     "WITH v AS (SELECT lang, value FROM ("
     "SELECT lang, CAST(length(text) AS DOUBLE) AS value FROM documents) "
-    "WHERE value IS NOT NULL AND NOT isnan(value)), "
+    "WHERE value IS NOT NULL AND isfinite(value)), "
     "r AS (SELECT lang, value, row_number() OVER "
     "(PARTITION BY lang ORDER BY value) AS rn, "
     "count(*) OVER (PARTITION BY lang) AS n FROM v) "

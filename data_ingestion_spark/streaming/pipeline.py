@@ -271,12 +271,20 @@ def run_sketch_stream(
     width: int = 256,
     depth: int = 4,
     kind: str = "cms",
+    p: int | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
+    retain_versions: int = 2,
 ) -> StreamingQuery:
     """Streaming sketch maintenance — one harness for all three
     mergeable summaries (``kind``): ``"cms"`` token frequencies
-    (cell-wise sum), ``"hll"`` distinct cardinality (per-register
-    max; ``width`` reused as 2^p via the build default), ``"bloom"``
-    seen-set (per-word bit_or) — each micro-batch sketches its own
+    (cell-wise sum; geometry = ``width`` x ``depth``), ``"hll"``
+    distinct cardinality (per-register max; geometry = ``p``,
+    2^p registers, library default when None), ``"bloom"``
+    seen-set (per-word bit_or; geometry = ``m_bits`` bits x ``k``
+    probes, library defaults when None — r11 ADVICE: geometry is
+    threaded through explicitly, not silently fixed to defaults
+    while ``width`` appears to apply) — each micro-batch sketches its own
     rows (constant-size, partial-agg bounded) and MERGES into the
     sketch at rest. Mergeability is exactly what makes these the
     right streaming state: the accumulated table never grows (CMS:
@@ -312,13 +320,18 @@ def run_sketch_stream(
         build = lambda df: SK.cms_build(df, value_col, width, depth)  # noqa: E731
         merge = SK.cms_merge
     elif kind == "hll":
-        build = lambda df: SK.hll_build(df, value_col)  # noqa: E731
+        hll_p = SK.DEFAULT_HLL_P if p is None else p
+        build = lambda df: SK.hll_build(df, value_col, hll_p)  # noqa: E731
         merge = SK.hll_merge
     elif kind == "bloom":
-        build = lambda df: SK.bloom_build(df, value_col)  # noqa: E731
+        bm = SK.DEFAULT_BLOOM_BITS if m_bits is None else m_bits
+        bk = SK.DEFAULT_BLOOM_K if k is None else k
+        build = lambda df: SK.bloom_build(df, value_col, bm, bk)  # noqa: E731
         merge = SK.bloom_merge
     else:
         raise ValueError(f"unknown sketch kind: {kind!r} (cms|hll|bloom)")
+    if retain_versions < 1:
+        raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -342,10 +355,21 @@ def run_sketch_stream(
         with open(tmp_manifest, "w", encoding="utf-8") as f:
             f.write(state_name)
         os.replace(tmp_manifest, os.path.join(out_dir, "CURRENT"))
-        # committed — previous state dirs are garbage; best-effort GC
-        for name in os.listdir(out_dir):
-            if name.startswith("state_") and name != state_name:
-                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        # committed — GC superseded versions, RETAINING the most
+        # recent `retain_versions` (current + predecessors): a reader
+        # that resolved sketch_state_path just before the pointer
+        # swap can still be mid-read in the previous version, so the
+        # immediately-superseded dir must survive one more merge
+        # cycle (r11 ADVICE)
+        versions = sorted(
+            (
+                int(name.removeprefix("state_")), name
+            )
+            for name in os.listdir(out_dir)
+            if name.startswith("state_") and name.removeprefix("state_").isdigit()
+        )
+        for _, name in versions[:-retain_versions]:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

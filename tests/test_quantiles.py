@@ -91,3 +91,21 @@ def test_group_quantiles_match_reference_and_ties(spark):
     assert got == exp
     with pytest.raises(ValueError, match="quantiles"):
         exact_group_quantiles(df, "g", "v", [1.5])
+
+
+def test_nonfinite_excluded_both_forms(spark):
+    """r12 (r11 ADVICE): ±Infinity is excluded alongside NULL/NaN —
+    an infinite min/max would make the histogram width infinite
+    (every finite row in bucket 0, inf rows lost from the histogram
+    but counted in n). Both quantile forms share one finiteness rule
+    and agree with the reference over the finite subset."""
+    inf = float("inf")
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(v,) for v in vals] + [(inf,), (-inf,), (float("nan"),), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.q: r.value for r in exact_quantiles_two_pass(df, "v", [0.5, 1.0]).collect()}
+    assert got == {0.5: 3.0, 1.0: 5.0}  # rank over the 5 finite rows
+
+    gdf = spark.createDataFrame([("g", r[0]) for r in rows], "g string, v double")
+    gg = {r.q: r.value for r in exact_group_quantiles(gdf, "g", "v", [0.5, 1.0]).collect()}
+    assert gg == {0.5: 3.0, 1.0: 5.0}

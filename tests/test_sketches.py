@@ -153,3 +153,50 @@ def test_bloom_no_false_negatives_merge_and_duplicates(spark):
     assert sorted((r.v, r.maybe_seen) for r in rows) == [
         ("u1", True), ("u1", True), ("u1", True), ("zzz", False)
     ]
+
+
+def test_bloom_probe_null_key_false_and_shuffle_free(spark):
+    """r12: (a) a NULL candidate key was never inserted, so its
+    verdict is FALSE — never NULL (a NULL verdict drops the row from
+    both `maybe_seen` and `~maybe_seen` filters, r11 ADVICE); (b) the
+    probe side is shuffle-free: k broadcast joins + a conjunction
+    fold, no Exchange anywhere in the probe plan (the candidate
+    stream is 100 TB; the filter is the broadcastable side)."""
+    from data_ingestion_spark.functions.sketches import bloom_build, bloom_probe
+
+    seen = spark.createDataFrame([("a",), ("b",)], "v string")
+    bf = bloom_build(seen, "v")
+    cand = spark.createDataFrame([("a",), ("nope",), (None,)], "v string")
+    out = bloom_probe(cand, bf, "v")
+    rows = {r.v: r.maybe_seen for r in out.collect()}
+    assert rows["a"] is True
+    assert rows["nope"] is False
+    assert rows[None] is False  # coalesced, not NULL
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The probe mainline is the leftmost spine of the plan: every
+    # line before the first broadcast subtree. The filter build's
+    # own bounded shuffle lives INSIDE the broadcast/cached subtrees
+    # (printed after), so the spine containing the candidate scan
+    # must be exchange-free — k BroadcastHashJoins, no regroup.
+    final = plan.split("== Initial Plan ==")[0]
+    spine = final.split("BroadcastQueryStage")[0].split("BroadcastExchange")[0]
+    assert "Exchange" not in spine, final
+    assert final.count("BroadcastHashJoin") >= 4  # k probe joins
+    # and the filter build ran ONCE: the k broadcast subtrees read
+    # the persisted relation, not k rebuilds of the seen-set scan
+    assert "InMemoryTableScan" in final
+
+
+def test_hll_p_guard(spark):
+    """r12 (r11 ADVICE): the hardcoded alpha approximation needs
+    m >= 128 — reject p outside [7, 24] loudly in build and
+    estimate instead of returning a silently biased estimate."""
+    import pytest
+
+    from data_ingestion_spark.functions.sketches import hll_build, hll_estimate
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="hll p"):
+        hll_build(df, "v", p=4)
+    with pytest.raises(ValueError, match="hll p"):
+        hll_estimate(hll_build(df, "v", p=8), p=25)

@@ -381,10 +381,18 @@ def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path)
         .drop("last_batch_id").collect()
     }
     assert again == a
-    # GC: only the live versioned state dir remains after commit
-    assert [n for n in os.listdir(out_dir) if n.startswith("state_")] == [
-        os.path.basename(SP.sketch_state_path(out_dir))
-    ]
+    # GC retention (r12, r11 ADVICE): the live dir AND its immediate
+    # predecessor survive (retain_versions=2 default) so a reader
+    # that resolved the pointer just before the swap is never pulled
+    # out from under; older versions are gone
+    state_dirs = sorted(
+        int(n.removeprefix("state_"))
+        for n in os.listdir(out_dir)
+        if n.startswith("state_")
+    )
+    assert 1 <= len(state_dirs) <= 2
+    live = os.path.basename(SP.sketch_state_path(out_dir))
+    assert live == f"state_{state_dirs[-1]}"  # pointer on the newest
 
 
 def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
@@ -396,9 +404,17 @@ def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
 
     from data_ingestion_spark.functions.sketches import bloom_build, hll_build
 
-    for kind, builder, key in [
-        ("hll", hll_build, ("bucket", "rho")),
-        ("bloom", bloom_build, ("word_idx", "word")),
+    # explicit non-default geometry (r12, r11 ADVICE): p / m_bits / k
+    # are threaded through to the builds, not silently ignored — the
+    # batch twin uses the SAME geometry and must match register/word
+    # exact (a geometry mismatch would disagree on every row)
+    for kind, batch_build, key in [
+        ("hll", lambda df: hll_build(df, "user_id", p=8), ("bucket", "rho")),
+        (
+            "bloom",
+            lambda df: bloom_build(df, "user_id", m_bits=63 * 32, k=3),
+            ("word_idx", "word"),
+        ),
     ]:
         out_dir = str(tmp_path / f"sk_{kind}")
         os.makedirs(out_dir, exist_ok=True)
@@ -406,6 +422,7 @@ def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
         q = SP.run_sketch_stream(
             stream.select("user_id"), "user_id", out_dir,
             str(tmp_path / f"ckpt_{kind}"), kind=kind,
+            p=8, m_bits=63 * 32, k=3,
         )
         q.awaitTermination(120)
         got = {
@@ -415,8 +432,8 @@ def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
         }
         batch = {
             tuple(getattr(r, c) for c in key)
-            for r in builder(
-                spark.read.parquet(events_dir).select("user_id"), "user_id"
+            for r in batch_build(
+                spark.read.parquet(events_dir).select("user_id")
             ).collect()
         }
         assert got == batch, kind
