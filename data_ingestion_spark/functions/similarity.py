@@ -410,8 +410,14 @@ class AnnStore:
         #: ANSI mode would otherwise throw an opaque
         #: INVALID_ARRAY_INDEX mid-write.
         self.min_dim = bits * n_tables
+        #: SQ8 bounds, set by write_quantized / restored by open
+        self._quant: dict | None = None
 
-    def write(self, vectors: DataFrame) -> None:
+    def _assigned(self, vectors: DataFrame) -> DataFrame:
+        """(id, vec, table, bucket) — each vector exploded into its
+        ``n_tables`` sign-bucket assignments, dimension-guarded.
+        Shared by ``write``/``upsert``/``write_quantized`` so the
+        three paths cannot disagree on what a bucket means."""
         guard = F.assert_true(
             F.size(F.col(self.vec_col)) >= self.min_dim,
             F.lit(
@@ -432,18 +438,129 @@ class AnnStore:
             )
             for t in range(self.n_tables)
         ]
+        return vectors.select(
+            self.id_col,
+            self.vec_col,
+            F.explode(F.array(*assignments)).alias("tb"),
+        ).select(self.id_col, self.vec_col, "tb.table", "tb.bucket")
+
+    def _write_meta(self, path: str, extra: dict | None = None) -> None:
+        """Self-describing store: geometry (and quantization bounds)
+        in an underscore-prefixed JSON sidecar Spark's file index
+        ignores — ``AnnStore.open`` restores a store without the
+        caller re-stating bits/n_tables (the mirror of the lexical
+        index's stats/ table)."""
+        import json
+        import os
+
+        meta = {
+            "bits": self.bits,
+            "n_tables": self.n_tables,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+        if extra:
+            meta.update(extra)
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "_ann_meta.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "_ann_meta.json"))
+
+    @classmethod
+    def open(cls, spark, path: str) -> "AnnStore":
+        """Re-open a written store from its metadata sidecar — the
+        reader needs the same geometry the writer used or every probe
+        would hash into the wrong buckets."""
+        import json
+        import os
+
+        meta_path = os.path.join(path, "_ann_meta.json")
+        try:
+            with open(meta_path, encoding="utf-8") as f:
+                meta = json.load(f)
+        except OSError as e:
+            raise FileNotFoundError(
+                f"no _ann_meta.json under {path!r} — not an AnnStore "
+                "written by AnnStore.write/upsert/write_quantized"
+            ) from e
+        store = cls(
+            spark,
+            path,
+            bits=int(meta["bits"]),
+            n_tables=int(meta["n_tables"]),
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+        )
+        store._quant = meta.get("quant")
+        return store
+
+    def write(self, vectors: DataFrame) -> None:
         (
-            vectors.select(
-                self.id_col,
-                self.vec_col,
-                F.explode(F.array(*assignments)).alias("tb"),
-            )
-            .select(self.id_col, self.vec_col, "tb.table", "tb.bucket")
+            self._assigned(vectors)
             .repartition("table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table", "bucket")
             .parquet(self.path)
         )
+        self._write_meta(self.path)
+
+    def upsert(self, delta_vectors: DataFrame, dst_path: str) -> "AnnStore":
+        """Incremental vector-index maintenance (r11 verdict #2, the
+        ``upsert_postings_index`` treatment): fold a delta into the
+        at-rest store, REPLACING any ``id_col`` that reappears (the
+        re-crawl/re-embed upsert semantics — a replaced doc must not
+        survive in ANY table's bucket, so the anti-join keys on id
+        across all ``n_tables`` pointer copies), and write the result
+        as a NEW store directory — functional versioning: a crash
+        mid-upsert leaves the source store untouched and readers
+        never see a half-written store (swap the serving pointer
+        after, the sketch-stream manifest pattern,
+        streaming/pipeline.py).
+
+        The update provably equals a from-scratch ``write`` over
+        (old vectors minus replaced ids, plus delta) — that equality
+        IS the driver oracle for ``ann_store_upsert``. Cost: the
+        delta's sign-bucketing + one anti-join of the OLD store
+        against the (broadcastable) delta id set + the clustered
+        rewrite; old vectors are never re-read from the corpus, and
+        at 100 TB a daily delta costs the delta, not a full
+        vector-store rebuild. Precondition (the snapshot_diff
+        contract, as for the lexical upsert): ``id_col`` unique
+        within ``delta_vectors`` — dedup the delta first (latest
+        fetch wins) when re-embed timing can produce duplicates.
+
+        Returns the store handle at ``dst_path`` (same geometry).
+
+        Reference anchor: the reference's ``add_documents`` is an
+        incremental append to a live vector store (pipeline.py
+        P:341–349, E:348–355; W:116–118 skip-if-exists) — this is
+        that operation with replace semantics and crash safety."""
+        if getattr(self, "_quant", None):
+            raise NotImplementedError(
+                "upsert targets the raw-float store; a quantized store's "
+                "global per-dimension bounds are frozen at write time — "
+                "re-quantize via write_quantized over the merged corpus "
+                "(bounds drift is a rebuild decision, not an append)"
+            )
+        delta_ids = delta_vectors.select(self.id_col).distinct()
+        kept = self.spark.read.parquet(self.path).join(
+            F.broadcast(delta_ids), self.id_col, "left_anti"
+        )
+        cols = [self.id_col, self.vec_col, "table", "bucket"]
+        (
+            kept.select(*cols)
+            .unionByName(self._assigned(delta_vectors).select(*cols))
+            .repartition("table", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("table", "bucket")
+            .parquet(dst_path)
+        )
+        out = AnnStore(
+            self.spark, dst_path, self.bits, self.n_tables, self.id_col, self.vec_col
+        )
+        out._write_meta(dst_path)
+        return out
 
     def _query_buckets(self, qv: list[float]) -> list[int]:
         if len(qv) < self.min_dim:
@@ -509,6 +626,169 @@ class AnnStore:
         )
         qcol = F.array(*[F.lit(float(x)) for x in qv])
         return brute_force_topk(cand, qcol, k, self.id_col, self.vec_col)
+
+    # ------------------------- SQ8 scalar quantization (r11 verdict #4)
+
+    def _quant_exprs(self, quant: dict):
+        """(encode, decode) column builders from stored bounds. SQ8:
+        per-dimension min-max into int8 — code = round((v-mn)/w·254)
+        − 127 ∈ [−127, 127], decode = mn + (code+127)·w/254, w =
+        max−mn (w = 0 ⇒ constant dimension ⇒ code 0, decode mn).
+        Fixed-order float expressions, identical on every executor."""
+        mins = quant["mins"]
+        widths = [mx - mn for mn, mx in zip(mins, quant["maxs"])]
+        mn_arr = F.array(*[F.lit(float(m)) for m in mins])
+        w_arr = F.array(*[F.lit(float(w)) for w in widths])
+
+        def enc(vec: Column) -> Column:
+            return F.transform(
+                vec,
+                lambda x, i: F.when(F.element_at(w_arr, i + 1) == 0.0, F.lit(0))
+                .otherwise(
+                    F.round(
+                        (x.cast("double") - F.element_at(mn_arr, i + 1))
+                        / F.element_at(w_arr, i + 1)
+                        * 254.0
+                    )
+                    - 127
+                )
+                .cast("tinyint"),
+            )
+
+        def dec(code: Column) -> Column:
+            return F.transform(
+                code,
+                lambda c, i: F.element_at(mn_arr, i + 1)
+                + (c.cast("double") + 127.0)
+                * F.element_at(w_arr, i + 1)
+                / 254.0,
+            )
+
+        return enc, dec
+
+    def write_quantized(self, vectors: DataFrame, raw_id_buckets: int = 64) -> None:
+        """The quantized at-rest layout (r11 verdict #4): the
+        n_tables-way-duplicated partitioned store holds SQ8 codes
+        (1 byte/component instead of 4), the raw floats are stored
+        ONCE in an id-hash-partitioned ``raw/`` sidecar for exact
+        re-scoring. At 768-dim × 10^10 rows the raw store is ~30 TB;
+        a 6-table raw AnnStore would be ~180 TB of pointer copies —
+        codes cut the duplicated side to ~45 TB and every probed
+        partition reads 4× fewer vector bytes (arithmetic in
+        SCALE.md). Bucket assignment happens on the RAW floats before
+        encoding, so the candidate set of a probe is IDENTICAL to the
+        unquantized store's — quantization error can only affect the
+        optional ``prefilter_m`` ranking dial, never bucket recall.
+
+        Layout: ``codes/table=*/bucket=*/`` (id, code),
+        ``raw/id_bucket=*/`` (id, vec), bounds in the metadata
+        sidecar. Bounds are corpus-global and frozen at write time —
+        appending vectors outside them is a rebuild decision, hence
+        ``upsert`` refuses quantized stores."""
+        spark = self.spark
+        base = vectors.select(self.id_col, self.vec_col)
+        # per-dimension min/max: one bounded shuffle (≤ dim groups),
+        # collected driver-side (2·dim doubles — the tiny collect
+        # shaping the plan, the quantiles/probe-pairs pattern)
+        bounds = (
+            base.select(F.posexplode(self.vec_col).alias("__d", "__x"))
+            .groupBy("__d")
+            .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+            .collect()
+        )
+        by_dim = {r["__d"]: (float(r.mn), float(r.mx)) for r in bounds}
+        dim = len(by_dim)
+        if dim < self.min_dim:
+            raise ValueError(
+                f"vectors have {dim} dims; bits={self.bits} x "
+                f"n_tables={self.n_tables} needs >= {self.min_dim}"
+            )
+        quant = {
+            "mins": [by_dim[d][0] for d in range(dim)],
+            "maxs": [by_dim[d][1] for d in range(dim)],
+            "dim": dim,
+            "raw_id_buckets": int(raw_id_buckets),
+        }
+        enc, _ = self._quant_exprs(quant)
+        (
+            self._assigned(base)
+            .select(self.id_col, enc(F.col(self.vec_col)).alias("code"), "table", "bucket")
+            .repartition("table", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("table", "bucket")
+            .parquet(self.path.rstrip("/") + "/codes")
+        )
+        (
+            base.withColumn(
+                "id_bucket",
+                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(raw_id_buckets)).cast("int"),
+            )
+            .repartition("id_bucket")
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(self.path.rstrip("/") + "/raw")
+        )
+        self._quant = quant
+        self._write_meta(self.path, {"quant": quant})
+
+    def probe_quantized(
+        self, qv: list[float], k: int = 5, extra_flips: int = 0,
+        prefilter_m: int | None = None,
+    ) -> DataFrame:
+        """Probe the quantized store: partition-pruned scan of the
+        code partitions (same (table, bucket) pairs as ``probe`` —
+        plan-time pruning, asserted in tests/test_plans.py) → distinct
+        candidate ids → exact re-score from the raw sidecar. The raw
+        read is itself pruned: candidate id-hash buckets are collected
+        driver-side (≤ raw_id_buckets values, a bounded probe) and the
+        sidecar scan filters to those literal partitions before the
+        broadcast id join.
+
+        ``prefilter_m`` is the I/O dial for huge buckets: rank
+        candidates by APPROX cosine over the decoded codes first and
+        re-score only the top m from raw floats. With the default
+        (None) every probed candidate is exactly re-scored, so the
+        result EQUALS ``probe`` on an unquantized store of the same
+        vectors — that equality is the ``ann_store_quantized`` driver
+        oracle; with m set, quantization error can demote a true
+        neighbor only past rank m (recall pinned in pytest)."""
+        quant = getattr(self, "_quant", None)
+        if not quant:
+            raise ValueError(
+                "probe_quantized needs a store written by write_quantized "
+                "(open it via AnnStore.open to restore bounds)"
+            )
+        pairs = self._probe_pairs(qv, extra_flips)
+        codes = self.spark.read.parquet(self.path.rstrip("/") + "/codes")
+        cond = None
+        for t, b in pairs:
+            c = (F.col("table") == t) & (F.col("bucket") == b)
+            cond = c if cond is None else (cond | c)
+        cand = codes.filter(cond).select(self.id_col, "code").distinct()
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        if prefilter_m is not None:
+            _, dec = self._quant_exprs(quant)
+            cand = (
+                cand.withColumn("__approx", cosine(dec(F.col("code")), qcol))
+                .orderBy(F.col("__approx").desc(), F.col(self.id_col))
+                .limit(int(prefilter_m))
+            )
+        cand_ids = cand.select(self.id_col)
+        nb = int(quant["raw_id_buckets"])
+        hit_buckets = [
+            r[0]
+            for r in cand_ids.select(
+                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(nb)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        raw = (
+            self.spark.read.parquet(self.path.rstrip("/") + "/raw")
+            .filter(F.col("id_bucket").isin(hit_buckets))
+            .join(F.broadcast(cand_ids), self.id_col)
+        )
+        return brute_force_topk(raw, qcol, k, self.id_col, self.vec_col)
 
 
 def bm25_rank(

@@ -133,6 +133,105 @@ def ann_store_probe(spark, sf_dir):
 
 
 @q(
+    "ann_store_upsert",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "corpus AS ("
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0 "
+    "UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, "
+    "list_transform(embedding, x -> -x) AS embedding "
+    "FROM embeddings WHERE vec_id BETWEEN 1 AND 3) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM corpus e, q WHERE ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ") ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_store_upsert(spark, sf_dir):
+    """Incremental vector-index upsert (r11 verdict #2, the lexical
+    D4 treatment applied to ``AnnStore``): build the at-rest LSH
+    store over a STALE vector generation (every 5th embedding
+    NEGATED — negation flips every sign bucket, so a failed
+    replacement provably leaves candidates in wrong partitions AND
+    wrong scores), then ``AnnStore.upsert`` folds the corrected 20%
+    PLUS three brand-new vectors (ids +10000, negated copies of
+    vec_id 1–3) into a NEW store version — functional versioning,
+    crash-safe, old vectors never re-bucketed — and the probe serves
+    from it. The oracle is the from-scratch multi-table LSH probe
+    over the TRUE merged corpus, so the driver verifies
+    upsert ≡ rebuild (replacement across all n_tables pointer
+    copies, insertion, bucket assignment) end to end."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    delta = base.filter(F.col("vec_id") % 5 == 0).unionByName(
+        base.filter(F.col("vec_id").between(1, 3)).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(tempfile.gettempdir(), f"ann_upsert_src_{tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"ann_upsert_dst_{tag}")
+    store = SIM.AnnStore(spark, src, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    store.write(stale)
+    return store.upsert(delta, dst).probe(qv, k=5)
+
+
+@q(
+    "ann_store_quantized",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings e, q WHERE e.vec_id <> 0 AND ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ") ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_store_quantized(spark, sf_dir):
+    """SQ8-quantized at-rest vectors (r11 verdict #4): the
+    n_tables-duplicated partitioned store holds int8 codes (4× fewer
+    vector bytes per probed partition), raw floats live ONCE in an
+    id-hash-partitioned sidecar for exact re-scoring. Buckets are
+    assigned from the RAW floats before encoding, so the probe's
+    candidate set is identical to the unquantized store's and the
+    exact re-score makes the result EQUAL ``AnnStore.probe`` on raw
+    vectors — hence the oracle is ``ann_store_probe``'s verbatim:
+    the driver verifies encode→store→pruned scan→raw-sidecar
+    join→re-rank returns the unquantized answer (recall parity at
+    the re-score stage; the approx ``prefilter_m`` dial is pinned
+    in pytest)."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ann_sq8_{tag}")
+    store = SIM.AnnStore(spark, path, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    store.write_quantized(e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"))
+    return store.probe_quantized(qv, k=5)
+
+
+@q(
     "ann_ivf_search",
     "WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0) "
     f"SELECT e.vec_id, {_COS} AS score FROM embeddings e, q "
