@@ -980,6 +980,7 @@ def _bm25_score_tail(
     k1: float,
     b: float,
     topk: int,
+    eligible: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail of the inline and at-rest batch-BM25
     paths: expand matched postings (__t, id, __tf, __dl) per query
@@ -987,7 +988,11 @@ def _bm25_score_tail(
     sum exact integer micros per (query, doc), rank with id
     tiebreak. Both paths funnel here, which is WHY
     ``rank_bm25_indexed ≡ rank_bm25_batch`` holds by construction
-    (the driver verifies it against the same DuckDB twin)."""
+    (the driver verifies it against the same DuckDB twin).
+    ``eligible`` (query_id, id) restricts scoring to those pairs —
+    the boolean-clause hook (``bool_search_indexed``): a semi-join
+    on the same keys the aggregation shuffles on, so it rides the
+    existing exchange."""
     from pyspark.sql import Window
 
     expanded = (
@@ -995,6 +1000,8 @@ def _bm25_score_tail(
         .join(F.broadcast(qterms), "__t")
         .join(F.broadcast(stats))
     )
+    if eligible is not None:
+        expanded = expanded.join(eligible, [query_id_col, id_col], "leftsemi")
     idf = F.log(
         (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
     )
@@ -1218,6 +1225,289 @@ def upsert_postings_index(
         .parquet(dst + "/doclens")
     )
     _write_index_stats(spark, dst_index_dir, buckets, positional)
+
+
+def index_current_path(root: str) -> str | None:
+    """Resolve the live index version under a MANAGED index root:
+    reads the one-line ``CURRENT`` manifest (the sketch-stream
+    pointer pattern, streaming/pipeline.py) and returns the absolute
+    path of the version directory it points at — None before the
+    first commit. Serving functions take a concrete index dir;
+    callers of the managed layout resolve through here so version
+    swaps are atomic under them."""
+    import os
+
+    manifest = os.path.join(root, "CURRENT")
+    try:
+        with open(manifest, encoding="utf-8") as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    path = os.path.join(root, name)
+    return path if name and os.path.exists(path) else None
+
+
+def _commit_index_version(root: str, name: str) -> None:
+    """Atomic pointer swap (write-temp + os.replace): a crash before
+    the swap leaves CURRENT on the previous version; readers never
+    see a half-written index. POSIX-atomic rename — on an object
+    store swap the manifest for a conditional-put."""
+    import os
+
+    tmp = os.path.join(root, f"_CURRENT_tmp_{name}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(name)
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+def _next_index_version(root: str) -> str:
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    nums = [
+        int(n.removeprefix("v_"))
+        for n in os.listdir(root)
+        if n.startswith("v_") and n.removeprefix("v_").isdigit()
+    ]
+    return f"v_{(max(nums) + 1 if nums else 0):06d}"
+
+
+def build_postings_index_versioned(docs_df: DataFrame, root: str, **kw) -> str:
+    """``build_postings_index`` into a fresh version directory under
+    the managed root + pointer commit. Returns the version path."""
+    import os
+
+    name = _next_index_version(root)
+    path = os.path.join(root, name)
+    build_postings_index(docs_df, path, **kw)
+    _commit_index_version(root, name)
+    return path
+
+
+def upsert_postings_index_versioned(delta_docs: DataFrame, root: str, **kw) -> str:
+    """``upsert_postings_index`` from the live version into the next
+    one + pointer commit. Old versions are NOT deleted here — they
+    are ``compact_index``'s retention decision, so an upsert is
+    never in the business of pulling a directory out from under a
+    concurrent reader."""
+    import os
+
+    src = index_current_path(root)
+    if src is None:
+        raise FileNotFoundError(f"no CURRENT index version under {root!r}")
+    name = _next_index_version(root)
+    path = os.path.join(root, name)
+    upsert_postings_index(delta_docs, src, path, **kw)
+    _commit_index_version(root, name)
+    return path
+
+
+def compact_index(
+    spark,
+    root: str,
+    retain: int = 1,
+    max_records_per_file: int = 1 << 20,
+) -> str:
+    """Compaction + vacuum for the managed index root (r11 verdict
+    #5): every ``upsert_postings_index_versioned`` leaves its source
+    version behind — after N daily upserts the root holds N dead
+    directories and the live version's files carry whatever sizes
+    the upsert shuffles produced. ``compact_index`` rewrites the
+    live version into a new one with size-targeted files (postings/
+    terms re-clustered one-task-per-bucket, huge buckets split at
+    ``max_records_per_file``; doclens bin-packed to the same
+    target), commits the pointer, then drops every version directory
+    except the ``retain`` most recent — the Delta/Iceberg
+    OPTIMIZE+VACUUM shape expressed over plain parquet. ``retain``
+    >= 1; keep 2 when concurrent readers may hold the pre-compact
+    version (the sketch-GC argument, streaming/pipeline.py).
+
+    Queries before and after are hash-identical (pytest-pinned): the
+    rewrite moves bytes, never rows. Returns the new version path."""
+    import math
+    import os
+    import shutil
+
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    src = index_current_path(root)
+    if src is None:
+        raise FileNotFoundError(f"no CURRENT index version under {root!r}")
+    stats_row = spark.read.parquet(src + "/stats").collect()[0]
+    buckets = int(stats_row["buckets"])
+    positional = (
+        bool(stats_row["positional"]) if "positional" in stats_row.__fields__ else False
+    )
+    name = _next_index_version(root)
+    dst = os.path.join(root, name)
+    post_schema, term_schema = _index_read_schemas(spark, src, positional)
+    for sub, schema in (("postings", post_schema), ("terms", term_schema)):
+        (
+            spark.read.schema(schema).parquet(f"{src}/{sub}")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("bucket")
+            .parquet(f"{dst}/{sub}")
+        )
+    n_docs = int(stats_row["n_docs"])
+    n_files = max(1, math.ceil(n_docs / max_records_per_file))
+    (
+        spark.read.parquet(src + "/doclens")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(dst + "/doclens")
+    )
+    _write_index_stats(spark, dst, buckets, positional)
+    _commit_index_version(root, name)
+    versions = sorted(
+        (int(n.removeprefix("v_")), n)
+        for n in os.listdir(root)
+        if n.startswith("v_") and n.removeprefix("v_").isdigit()
+    )
+    for _, dead in versions[:-retain]:
+        shutil.rmtree(os.path.join(root, dead), ignore_errors=True)
+    return dst
+
+
+def _clause_terms(
+    queries_df: DataFrame, query_id_col: str, clause_col: str
+) -> DataFrame:
+    """(query_id, __t) distinct from an array<string> clause column —
+    every element goes through the INDEX tokenizer (lower + non-
+    alphanumeric split, empty tokens dropped), so a caller can pass
+    raw words or whole phrases and match what the index stored. NULL
+    or empty clause arrays contribute no rows."""
+    return (
+        queries_df.select(F.col(query_id_col), F.explode(clause_col).alias("__raw"))
+        .select(
+            query_id_col,
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("__raw")), "[^a-z0-9]+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("__t"),
+        )
+        .distinct()
+    )
+
+
+def bool_search_indexed(
+    spark,
+    queries_df: DataFrame,
+    index_dir: str,
+    query_id_col: str = "query_id",
+    must_col: str = "must",
+    should_col: str = "should",
+    must_not_col: str = "must_not",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """ES-style boolean retrieval over the at-rest index (r11
+    verdict #6; the reference's search backend exposes exactly this
+    ``bool`` shape — W:121–129): per query, three ``array<string>``
+    clause columns —
+
+    - ``must``: the doc must contain EVERY must term;
+    - ``must_not``: the doc must contain NONE of these;
+    - ``should``: scoring-only when ``must`` is non-empty; when
+      ``must`` is empty the doc must match at least one should term
+      (ES ``minimum_should_match`` = 1 default for pure-should
+      queries).
+
+    Score = the same integer-micro BM25 tail as
+    ``bm25_rank_batch_indexed`` summed over the (must ∪ should)
+    terms present — "BM25 over docs matching +lang:en -site:spam"
+    becomes index-side semi/anti-joins of posting lists instead of
+    a corpus-side pre-filter. Partition pruning covers the union of
+    ALL clause terms' buckets (must_not lists must be read to know
+    what to exclude), the clause tables broadcast (a query batch is
+    tiny), and the only wide exchange is the per-(query, doc)
+    aggregation the semantics require — eligibility semi-joins ride
+    that same key. Returns (query_id, doc_id, score, rank).
+    """
+    root = index_dir.rstrip("/")
+    stats_row = spark.read.parquet(root + "/stats").collect()[0]
+    buckets = int(stats_row["buckets"])
+    positional = (
+        bool(stats_row["positional"]) if "positional" in stats_row.__fields__ else False
+    )
+    stats = spark.createDataFrame(
+        [(float(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0))],
+        "__n double, __avgdl double",
+    )
+    qmust = _clause_terms(queries_df, query_id_col, must_col)
+    qshould = _clause_terms(queries_df, query_id_col, should_col)
+    qnot = _clause_terms(queries_df, query_id_col, must_not_col)
+    qscore = qmust.unionByName(qshould).distinct()
+    all_terms = (
+        qscore.select("__t").unionByName(qnot.select("__t")).distinct()
+    )
+    hit_buckets = [
+        r.b
+        for r in all_terms.select(_index_bucket(F.col("__t"), buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    post_schema, term_schema = _index_read_schemas(spark, root, positional)
+    matched = (
+        spark.read.schema(post_schema).parquet(root + "/postings")
+        .filter(F.col("bucket").isin(hit_buckets))
+        .join(F.broadcast(all_terms), F.col("term") == F.col("__t"), "leftsemi")
+        .select(
+            F.col("term").alias("__t"),
+            "doc_id",
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+    )
+    # per-query must cardinality (0 for pure-should queries)
+    mcounts = qmust.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("__mc"))
+    qids = queries_df.select(query_id_col).distinct().join(
+        F.broadcast(mcounts), query_id_col, "left_outer"
+    ).select(query_id_col, F.coalesce(F.col("__mc"), F.lit(0)).alias("__mc"))
+    must_hits = (
+        matched.join(F.broadcast(qmust), "__t")
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.count_distinct("__t").alias("__hit_mc"))
+    )
+    elig_must = must_hits.join(F.broadcast(qids), query_id_col).filter(
+        (F.col("__mc") > 0) & (F.col("__hit_mc") == F.col("__mc"))
+    ).select(query_id_col, "doc_id")
+    should_hits = (
+        matched.join(F.broadcast(qshould), "__t")
+        .select(query_id_col, "doc_id")
+        .distinct()
+    )
+    elig_should = should_hits.join(
+        F.broadcast(qids.filter(F.col("__mc") == 0)), query_id_col, "leftsemi"
+    )
+    not_hits = (
+        matched.join(F.broadcast(qnot), "__t")
+        .select(query_id_col, "doc_id")
+        .distinct()
+    )
+    eligible = (
+        elig_must.unionByName(elig_should)
+        .join(not_hits, [query_id_col, "doc_id"], "left_anti")
+    )
+    dfs = (
+        spark.read.schema(term_schema).parquet(root + "/terms")
+        .filter(F.col("bucket").isin(hit_buckets))
+        .join(
+            F.broadcast(qscore.select("__t").distinct()),
+            F.col("term") == F.col("__t"),
+            "leftsemi",
+        )
+        .select(F.col("term").alias("__t"), F.col("df").alias("__df"))
+    )
+    return _bm25_score_tail(
+        matched, dfs, stats, qscore, query_id_col, "doc_id", k1, b, topk,
+        eligible=eligible,
+    )
 
 
 def _index_read_schemas(spark, root: str, positional: bool = False):

@@ -1016,6 +1016,137 @@ def rank_bm25_indexed(spark, sf_dir):
     return bm25_rank_batch_indexed(spark, qdf, idx, topk=10)
 
 
+#: boolean fixture clauses: (query_id, must, should, must_not) —
+#: q1 mixes all three, q2 is pure-should (minimum_should_match=1),
+#: q3 is a 2-term conjunction with no scoring extras
+_BOOL_QUERIES = [
+    (1, ["spark"], ["vector", "merge"], ["customer"]),
+    (2, [], ["table", "join"], ["spark"]),
+    (3, ["customer", "order"], [], []),
+]
+
+
+def _bool_oracle() -> str:
+    """Independent set-algebra oracle for bool_search_indexed: the
+    eligibility algebra (ALL must via count-distinct, ANY should for
+    pure-should queries, NOT EXISTS for must_not) is expressed
+    directly over the tokenized corpus — the Spark side computes it
+    from posting-list semi/anti-joins against the at-rest index, so
+    a hash match proves the index-side algebra equals the
+    from-corpus definition."""
+    vm = ", ".join(f"({i}, '{t}')" for i, m, _, _ in _BOOL_QUERIES for t in m)
+    vs = ", ".join(f"({i}, '{t}')" for i, _, s, _ in _BOOL_QUERIES for t in s)
+    vn = ", ".join(f"({i}, '{t}')" for i, _, _, x in _BOOL_QUERIES for t in x)
+    vq = ", ".join(f"({i}, {len(m)})" for i, m, _, _ in _BOOL_QUERIES)
+    return (
+        f"WITH qm(query_id, term) AS (VALUES {vm}), "
+        f"qs(query_id, term) AS (VALUES {vs}), "
+        f"qn(query_id, term) AS (VALUES {vn}), "
+        f"qi(query_id, n_must) AS (VALUES {vq}), "
+        "w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+        "base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM w), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base), "
+        "post AS (SELECT doc_id, dl, unnest(ws) AS term FROM base), "
+        "tfs AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, "
+        "min(dl) AS dl FROM post GROUP BY doc_id, term), "
+        "mh AS (SELECT q.query_id, t.doc_id, count(DISTINCT t.term) AS mc "
+        "FROM tfs t JOIN qm q ON q.term = t.term GROUP BY q.query_id, t.doc_id), "
+        "sh AS (SELECT DISTINCT q.query_id, t.doc_id FROM tfs t "
+        "JOIN qs q ON q.term = t.term), "
+        "nh AS (SELECT DISTINCT q.query_id, t.doc_id FROM tfs t "
+        "JOIN qn q ON q.term = t.term), "
+        "elig0 AS (SELECT m.query_id, m.doc_id FROM mh m JOIN qi i "
+        "ON i.query_id = m.query_id WHERE i.n_must > 0 AND m.mc = i.n_must "
+        "UNION SELECT s.query_id, s.doc_id FROM sh s JOIN qi i "
+        "ON i.query_id = s.query_id WHERE i.n_must = 0), "
+        "elig AS (SELECT * FROM elig0 e WHERE NOT EXISTS (SELECT 1 FROM nh n "
+        "WHERE n.query_id = e.query_id AND n.doc_id = e.doc_id)), "
+        "qsc AS (SELECT query_id, term FROM qm UNION "
+        "SELECT query_id, term FROM qs), "
+        "matched AS (SELECT t.*, CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) "
+        "AS df FROM tfs t WHERE term IN (SELECT DISTINCT term FROM qsc)), "
+        "contrib AS (SELECT q.query_id, m.doc_id, "
+        "CAST(round(ln((s.n - m.df + 0.5) / (m.df + 0.5) + 1.0) "
+        "* (m.tf * 2.2) / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl / s.avgdl)) "
+        "* 1000000.0) AS BIGINT) AS micro "
+        "FROM matched m JOIN qsc q ON q.term = m.term, stats s), "
+        "sc AS (SELECT c.query_id, c.doc_id, sum(micro) AS micros FROM contrib c "
+        "JOIN elig e ON e.query_id = c.query_id AND e.doc_id = c.doc_id "
+        "GROUP BY c.query_id, c.doc_id) "
+        "SELECT query_id, doc_id, micros / 1000000.0 AS score, rank FROM ("
+        "SELECT query_id, doc_id, micros, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY micros DESC, doc_id) AS INTEGER) AS rank "
+        "FROM sc) WHERE rank <= 10"
+    )
+
+
+@q("bool_search_indexed", _bool_oracle())
+def bool_search_indexed(spark, sf_dir):
+    """ES-style boolean retrieval from the at-rest index (r11
+    verdict #6, the reference backend's ``bool`` shape W:121–129):
+    must/should/must_not clause arrays per query — ALL must terms
+    via a count-distinct semi-join of posting lists, must_not via an
+    anti-join, pure-should queries need >= 1 should match — feeding
+    the shared integer-micro BM25 tail over (must ∪ should).
+    Partition pruning covers the union of every clause's term
+    buckets. The oracle computes the same algebra INDEPENDENTLY over
+    the tokenized corpus (EXISTS/NOT-EXISTS set algebra), so a hash
+    match proves posting-list semi/anti-joins ≡ the from-corpus
+    boolean definition."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .functions.similarity import bool_search_indexed as _bool
+    from .functions.similarity import build_postings_index
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"bool_index_{tag}")
+    build_postings_index(d, idx)
+    qdf = spark.createDataFrame(
+        _BOOL_QUERIES,
+        "query_id int, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    return _bool(spark, qdf, idx, topk=10)
+
+
+@q("rank_bm25_index_compacted", _bm25_batch_oracle())
+def rank_bm25_index_compacted(spark, sf_dir):
+    """Compaction + vacuum of the managed index root (r11 verdict
+    #5): versioned build over a stale 80% → versioned upsert of the
+    remaining 20% (leaving a dead version behind) → ``compact_index``
+    (size-targeted rewrite, pointer commit, dead-version GC) → serve
+    the standard query batch from the pointer. The oracle is the
+    from-scratch full-corpus pipeline, so the driver verifies that
+    OPTIMIZE+VACUUM moved bytes, never rows — and that the pointer
+    resolution serves the compacted version."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.similarity import (
+        bm25_rank_batch_indexed,
+        build_postings_index_versioned,
+        compact_index,
+        index_current_path,
+        upsert_postings_index_versioned,
+    )
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"bm25_compact_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    build_postings_index_versioned(d.filter(F.col("doc_id") % 5 != 0), root)
+    upsert_postings_index_versioned(d.filter(F.col("doc_id") % 5 == 0), root)
+    compact_index(spark, root, retain=1)
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    return bm25_rank_batch_indexed(spark, qdf, index_current_path(root), topk=10)
+
+
 @q("rank_bm25_index_upsert", _bm25_batch_oracle())
 def rank_bm25_index_upsert(spark, sf_dir):
     """Incremental index maintenance (r11 D-series): build the
