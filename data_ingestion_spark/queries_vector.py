@@ -1293,12 +1293,14 @@ def hybrid_rank_rrf(spark, sf_dir):
     return rrf_fuse(vec_ranked, lex_ranked, "doc_id", topk=10)
 
 
-def _hybrid_batch_oracle() -> str:
-    """DuckDB twin of the BATCH hybrid: the vector half replicates
+def _hybrid_batch_ctes() -> str:
+    """DuckDB twin of the BATCH hybrid as CTE fragments (no leading
+    WITH, no final SELECT): the vector half replicates
     embed_deterministic + left-associated cosine per fixture query
     (the _hybrid_oracle machinery, one q-vector row per query); the
     lexical half is the batch-BM25 CTE pipeline; fusion is a
-    two-key full outer + per-query rank cut."""
+    two-key full outer. The final CTE ``hybr`` exposes
+    (query_id, doc_id, rrf_score, rn) UNBOUNDED — callers cut rn."""
     denom = "1152921504606846975.0"
 
     def comp(text_expr: str, i: int) -> str:
@@ -1323,7 +1325,7 @@ def _hybrid_batch_oracle() -> str:
         f"+ CAST(q{i} AS DOUBLE) * CAST(q{i} AS DOUBLE)" for i in range(8)
     )
     return (
-        f"WITH emb AS (SELECT doc_id, {a_cols} FROM documents), "
+        f"emb AS (SELECT doc_id, {a_cols} FROM documents), "
         f"qv AS ({q_rows}), "
         f"vs AS (SELECT qv.query_id, emb.doc_id, round(({dot_aq}) / "
         f"(sqrt({dot_aa}) * sqrt({dot_qq})), 6) AS score FROM emb, qv), "
@@ -1338,9 +1340,15 @@ def _hybrid_batch_oracle() -> str:
         "+ coalesce(1.0/(60.0 + CAST(fb.rank AS DOUBLE)), 0.0), 6) AS rrf_score "
         "FROM fa FULL OUTER JOIN fb "
         "ON fa.query_id = fb.query_id AND fa.doc_id = fb.doc_id), "
-        "fin AS (SELECT query_id, doc_id, rrf_score, row_number() OVER ("
-        "PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused) "
-        "SELECT query_id, doc_id, rrf_score FROM fin WHERE rn <= 10"
+        "hybr AS (SELECT query_id, doc_id, rrf_score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn FROM fused)"
+    )
+
+
+def _hybrid_batch_oracle() -> str:
+    return (
+        "WITH " + _hybrid_batch_ctes()
+        + " SELECT query_id, doc_id, rrf_score FROM hybr WHERE rn <= 10"
     )
 
 
@@ -1383,17 +1391,27 @@ def hybrid_rank_rrf_batch(spark, sf_dir):
     )
 
 
-def _retrieval_eval_oracle() -> str:
+#: the arithmetic relevance table shared by every eval DQ:
+#: rel(q, d) ⇔ d % (7 + 3q) = 0, queries 1..3
+_EVAL_QRELS_SQL = (
+    "qr AS (SELECT q.qid AS query_id, d.doc_id FROM documents d, "
+    "(VALUES (1), (2), (3)) q(qid) WHERE d.doc_id % (7 + q.qid * 3) = 0)"
+)
+
+
+def _eval_tail_sql() -> str:
+    """The metric arithmetic as a SQL fragment over CTEs ``qr``
+    (query_id, doc_id relevance pairs) and ``top`` (query_id,
+    doc_id, rank) — shared by the BM25-eval and hybrid-eval oracles
+    so the measurement definition cannot fork between them. Every
+    per-hit term micros-rounded pre-sum; IDCG constants shared
+    verbatim with the engine (functions/ranking_eval.py)."""
     from .functions.ranking_eval import _idcg_prefix_micros
 
     idcg_vals = ", ".join(
         f"({i + 1}, {v})" for i, v in enumerate(_idcg_prefix_micros(10))
     )
     return (
-        "WITH " + _bm25_batch_ctes("lexr") + ", "
-        "qr AS (SELECT q.qid AS query_id, d.doc_id FROM documents d, "
-        "(VALUES (1), (2), (3)) q(qid) WHERE d.doc_id % (7 + q.qid * 3) = 0), "
-        "top AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 10), "
         "nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY query_id), "
         "h AS (SELECT t.query_id, CAST(round(1000000.0 / t.rank) AS BIGINT) AS rr, "
         "CAST(round(1000000.0 / log2(t.rank + 1.0)) AS BIGINT) AS gain "
@@ -1409,6 +1427,15 @@ def _retrieval_eval_oracle() -> str:
         "AS ndcg_k_micros "
         "FROM nrel n LEFT JOIN pq p ON p.query_id = n.query_id "
         "JOIN idcg i ON i.i = least(n.n_rel, 10)"
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    return (
+        "WITH " + _bm25_batch_ctes("lexr") + ", "
+        + _EVAL_QRELS_SQL + ", "
+        "top AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 10), "
+        + _eval_tail_sql()
     )
 
 
@@ -1488,6 +1515,47 @@ def hybrid_rank_indexed(spark, sf_dir):
     return rrf_fuse(
         vec_ranked, lex_ranked, "doc_id", topk=10, group_cols=("query_id",)
     )
+
+
+def _hybrid_eval_oracle() -> str:
+    return (
+        "WITH " + _hybrid_batch_ctes() + ", "
+        + _EVAL_QRELS_SQL + ", "
+        "top AS (SELECT query_id, doc_id, rn AS rank FROM hybr WHERE rn <= 10), "
+        + _eval_tail_sql()
+    )
+
+
+@q("hybrid_eval_metrics", _hybrid_eval_oracle())
+def hybrid_eval_metrics(spark, sf_dir):
+    """Eval-of-hybrid composition (r11 verdict #7): the at-rest
+    hybrid ranking (``hybrid_rank_indexed`` — index build → pruned
+    lexical serve → RRF fusion with the vector top-20) flows into
+    ``retrieval_metrics``, so index changes are regression-gated by
+    MRR/recall@10/nDCG@10 — a measured quality number, not just hash
+    equality of the ranking. Fused rank = row_number over
+    (rrf_score desc, doc_id) — deterministic because rrf scores are
+    6dp-rounded with id tiebreaks. Same arithmetic qrels as
+    ``retrieval_eval_metrics`` (rel(q,d) ⇔ d % (7+3q) = 0); the
+    oracle composes the full hybrid DuckDB twin with the shared
+    metric-arithmetic fragment, certifying ranking AND measurement
+    of the ENTIRE serving stack in one hash."""
+    from pyspark.sql import Window
+
+    from .functions.ranking_eval import retrieval_metrics
+
+    fused = hybrid_rank_indexed(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "doc_id")
+    ranked = fused.withColumn("rank", F.row_number().over(w))
+    qids = spark.createDataFrame([(1,), (2,), (3,)], "query_id int")
+    qrels = (
+        _d(spark, sf_dir)
+        .select("doc_id")
+        .join(F.broadcast(qids))
+        .filter(F.col("doc_id") % (7 + F.col("query_id") * 3) == 0)
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(ranked, qrels, k=10)
 
 
 _PHRASE_QUERIES = [
