@@ -40,100 +40,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-11 window (rotation per scripts/update_checked.py over
-    # r01..r10: all 156 registered queries now have a full-hash green
-    # driver row — CHECKED.md reads 156/156/0 — so this window
-    # re-confirms the 50 STALEST greens, oldest last-checked round
-    # first; zero overlap with the r10 window.  New round-11 DQs are
-    # inserted at the head as they are registered, displacing the
-    # freshest tail names.
-    # never-checked r11 addition: at-rest inverted index — build the
-    # term-bucketed postings store, serve the query batch from it
-    # (partition-pruned scan, scores ≡ the inline batch path)
-    "rank_bm25_indexed",
-    # never-checked r11 addition: incremental re-crawl capstone —
-    # snapshot diff -> robots gate -> rank-ordered politeness waves
-    "incremental_recrawl_pipeline",
-    # never-checked r11 addition: index upsert ≡ rebuild (replacement
-    # + df/doclens/stats maintenance verified against the
-    # from-scratch oracle)
-    "rank_bm25_index_upsert",
-    # never-checked r11 addition: HyperLogLog cardinality — constant
-    # 2^p-register state, integer-exact registers, mergeable; the
-    # oracle replicates the whole register pipeline + LC branch
-    "hll_distinct_users",
-    # never-checked r11 addition: bloom-filter frontier seen-set
-    # (broadcastable 63-bit-word bitmap; no false negatives)
-    "bloom_frontier_seen",
-    # never-checked r11 addition: two-pass exact quantiles (bounded
-    # histogram state + pushed-down pass-2; independent sorted oracle)
-    "quantiles_two_pass",
-    # never-checked r11 addition: retrieval eval layer — MRR /
-    # recall@10 / nDCG@10 of the batch-BM25 ranking, integer-micros
-    "retrieval_eval_metrics",
-    # never-checked r11 addition: ftfy-core mojibake repair (round-
-    # trip-gated, split-path Arrow; independent-expectation oracle)
-    "mojibake_repair",
-    # never-checked r11 addition: hybrid retrieval served from the
-    # AT-REST index (build + pruned serve + RRF fusion, one hash)
-    "hybrid_rank_indexed",
-    # never-checked r11 addition: cross-generation moved-content
-    # detection (pigeonhole-banded simhash join; all-pairs oracle
-    # proves banding completeness)
-    "recrawl_moved_content",
-    # never-checked r11 addition: content-defined chunking (FastCDC
-    # boundary rule, pure JVM HOFs; edit-shift resistance pinned)
-    "chunk_content_defined",
-    # never-checked r11 addition: winnowing fingerprints (MOSS local-
-    # minima selection; shared-substring guarantee pinned)
-    "doc_winnow_fingerprints",
-    # never-checked r11 addition: exact phrase search from the
-    # POSITIONAL at-rest index (independent sliding-window oracle)
-    "phrase_search_indexed",
-    # never-checked r11 addition: proximity (slop) phrase search —
-    # chain-reachability fold over the positional index
-    "phrase_search_slop",
-    # never-checked r11 addition: snippet/highlight extraction around
-    # the first phrase hit (independent window+slice oracle)
-    "phrase_snippets_indexed",
-    # never-checked r11 addition: per-group exact quantiles (the
-    # per-language curation report; window rank pick)
-    "quantiles_per_group",
-    "lang_id_ngram",
-    "text_quality_score",
-    "multimodal_binary_meta",
-    "multimodal_header_decode",
-    "embed_near_dup_lsh",
-    "dedup_clusters",
-    "dedup_decision",
-    "join_cross_theta",
-    "join_range",
-    "join_asof",
-    "groupby_count",
-    "agg_global_count",
-    "agg_collect_list",
-    "agg_numeric_stats",
-    "agg_count_distinct",
-    "agg_rollup",
-    "delete_partition_filter",
-    "window_row_number",
-    "window_lag_frame",
-    "top_n_limit",
-    "sort_global",
-    "union_all",
-    "set_except",
-    "chunk_fixed_overlap",
-    "tpch_q15_top_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q4_priority_check",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_quantity",
-    "tpch_q22_global_sales_opportunity",
-    "array_posexplode",
+    # -- round-12 window (rotation per scripts/update_checked.py over
+    # r01..r11: all 172 previously registered queries have a full-hash
+    # green driver row — CHECKED.md — so after the FIVE never-checked
+    # r12 DQs heading the list, this window re-confirms the 45
+    # STALEST greens, oldest last-checked round first.
+    # never-checked r12 additions:
+    #  - ann_store_upsert: AnnStore incremental upsert, oracle = the
+    #    from-scratch rebuild probe over the true merged corpus
+    #    (upsert ≡ rebuild, the lexical D4 proof shape for vectors)
+    #  - ann_store_quantized: SQ8 at-rest vectors, oracle = the
+    #    unquantized probe verbatim (recall parity at re-score)
+    #  - bool_search_indexed: ES-style boolean retrieval from the
+    #    at-rest index, independent EXISTS/NOT-EXISTS set algebra
+    #  - rank_bm25_index_compacted: compaction+vacuum of the managed
+    #    index root (build -> upsert -> compact -> serve)
+    #  - hybrid_eval_metrics: MRR/recall/nDCG of the at-rest hybrid
+    #    stack vs the composed DuckDB twin
+    "ann_store_upsert",
+    "ann_store_quantized",
+    "bool_search_indexed",
+    "rank_bm25_index_compacted",
+    "hybrid_eval_metrics",
+    "string_funcs_battery",
+    "streaming_stateful_first_seen",
+    "scan_orc_roundtrip",
+    "rollup_time_cascade",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q12_late_lines_by_class",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "sample_hash_deterministic",
+    "train_val_test_split",
+    "per_source_quota",
+    "pack_sequences",
+    "decontaminate_eval_overlap",
+    "training_export_pipeline",
+    "token_budget_sample",
+    "mix_weights_by_source",
+    "multimodal_pixel_decode",
+    "dedup_clusters_star",
+    "dedup_decision_quality",
+    "scan_parquet",
+    "scan_dim_inline",
+    "distinct_collections",
+    "filter_prefix",
+    "filter_contains",
+    "project_replace",
+    "filter_nonempty",
+    "string_concat_header",
+    "index_name_norm",
+    "map_concat_meta",
+    "agg_approx_distinct",
+    "split_markdown_headers",
+    "metadata_enrich",
+    "sessionize_batch",
+    "window_tumbling_batch",
+    "join_full_outer",
+    "set_intersect",
+    "union_distinct",
+    "agg_salted_count",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
 ]
+
 
 
 

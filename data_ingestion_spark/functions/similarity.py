@@ -1424,10 +1424,14 @@ def bool_search_indexed(
     becomes index-side semi/anti-joins of posting lists instead of
     a corpus-side pre-filter. Partition pruning covers the union of
     ALL clause terms' buckets (must_not lists must be read to know
-    what to exclude), the clause tables broadcast (a query batch is
-    tiny), and the only wide exchange is the per-(query, doc)
-    aggregation the semantics require — eligibility semi-joins ride
-    that same key. Returns (query_id, doc_id, score, rank).
+    what to exclude). The clause tables are collected ONCE
+    driver-side (a query batch is tiny — the AnnStore probe-pairs /
+    hit-buckets shaping contract) and re-enter the plan as literal
+    local relations, so the serving plan never re-runs the clause
+    tokenize/distinct per reference; the only wide exchanges are the
+    per-(query, doc) sets the semantics require — eligibility
+    semi-joins ride the aggregation key. Returns (query_id, doc_id,
+    score, rank).
     """
     root = index_dir.rstrip("/")
     stats_row = spark.read.parquet(root + "/stats").collect()[0]
@@ -1439,12 +1443,39 @@ def bool_search_indexed(
         [(float(stats_row["n_docs"]), float(stats_row["avgdl"] or 0.0))],
         "__n double, __avgdl double",
     )
-    qmust = _clause_terms(queries_df, query_id_col, must_col)
-    qshould = _clause_terms(queries_df, query_id_col, should_col)
-    qnot = _clause_terms(queries_df, query_id_col, must_not_col)
-    qscore = qmust.unionByName(qshould).distinct()
-    all_terms = (
-        qscore.select("__t").unionByName(qnot.select("__t")).distinct()
+    # one bounded driver job tokenizes all three clauses (Spark-side,
+    # so clause normalization can never diverge from the index
+    # tokenizer) and hands back literal clause tables
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    clause_rows = (
+        _clause_terms(queries_df, query_id_col, must_col)
+        .withColumn("__c", F.lit("m"))
+        .unionByName(
+            _clause_terms(queries_df, query_id_col, should_col)
+            .withColumn("__c", F.lit("s"))
+        )
+        .unionByName(
+            _clause_terms(queries_df, query_id_col, must_not_col)
+            .withColumn("__c", F.lit("n"))
+        )
+        .collect()
+    )
+    by_clause: dict[str, list[tuple]] = {"m": [], "s": [], "n": []}
+    for r in clause_rows:
+        by_clause[r["__c"]].append((r[query_id_col], r["__t"]))
+    qid_field = queries_df.schema[query_id_col]
+    pair_schema = StructType(
+        [StructField(query_id_col, qid_field.dataType), StructField("__t", StringType())]
+    )
+    qmust = spark.createDataFrame(by_clause["m"], pair_schema)
+    qshould = spark.createDataFrame(by_clause["s"], pair_schema)
+    qnot = spark.createDataFrame(by_clause["n"], pair_schema)
+    score_pairs = sorted(set(by_clause["m"]) | set(by_clause["s"]))
+    qscore = spark.createDataFrame(score_pairs, pair_schema)
+    all_term_set = sorted({t for _, t in by_clause["m"] + by_clause["s"] + by_clause["n"]})
+    all_terms = spark.createDataFrame(
+        [(t,) for t in all_term_set], StructType([StructField("__t", StringType())])
     )
     hit_buckets = [
         r.b
@@ -1464,11 +1495,20 @@ def bool_search_indexed(
             F.col("dl").alias("__dl"),
         )
     )
-    # per-query must cardinality (0 for pure-should queries)
-    mcounts = qmust.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("__mc"))
-    qids = queries_df.select(query_id_col).distinct().join(
-        F.broadcast(mcounts), query_id_col, "left_outer"
-    ).select(query_id_col, F.coalesce(F.col("__mc"), F.lit(0)).alias("__mc"))
+    # per-query must cardinality (0 for pure-should queries),
+    # computed from the already-collected clause rows; queries with
+    # no scoring clause at all can never match and are simply absent
+    from pyspark.sql.types import LongType
+
+    mc: dict = {}
+    for qid_v, _ in by_clause["m"]:
+        mc[qid_v] = mc.get(qid_v, 0) + 1
+    qids = spark.createDataFrame(
+        [(qv, mc.get(qv, 0)) for qv in sorted({q for q, _ in score_pairs})],
+        StructType(
+            [StructField(query_id_col, qid_field.dataType), StructField("__mc", LongType())]
+        ),
+    )
     must_hits = (
         matched.join(F.broadcast(qmust), "__t")
         .groupBy(query_id_col, "doc_id")
