@@ -42,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- round-12 window (rotation per scripts/update_checked.py over
     # r01..r11: all 172 previously registered queries have a full-hash
-    # green driver row — CHECKED.md — so after the FIVE never-checked
-    # r12 DQs heading the list, this window re-confirms the 45
+    # green driver row — CHECKED.md — so after the SIX never-checked
+    # r12 DQs heading the list, this window re-confirms the 44
     # STALEST greens, oldest last-checked round first.
     # never-checked r12 additions:
     #  - ann_store_upsert: AnnStore incremental upsert, oracle = the
@@ -57,11 +57,14 @@ DRIVER_WINDOW: list[str] = [
     #    index root (build -> upsert -> compact -> serve)
     #  - hybrid_eval_metrics: MRR/recall/nDCG of the at-rest hybrid
     #    stack vs the composed DuckDB twin
+    #  - ann_store_filtered_probe: filtered vector search (metadata
+    #    where-clause inside the pruned candidate set)
     "ann_store_upsert",
     "ann_store_quantized",
     "bool_search_indexed",
     "rank_bm25_index_compacted",
     "hybrid_eval_metrics",
+    "ann_store_filtered_probe",
     "string_funcs_battery",
     "streaming_stateful_first_seen",
     "scan_orc_roundtrip",
@@ -106,7 +109,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
     "tpch_q10_returns",
-    "tpch_q18_large_orders",
 ]
 
 

@@ -412,12 +412,18 @@ class AnnStore:
         self.min_dim = bits * n_tables
         #: SQ8 bounds, set by write_quantized / restored by open
         self._quant: dict | None = None
+        #: metadata columns carried in the store (filtered search)
+        self._metadata_cols: tuple[str, ...] = ()
 
-    def _assigned(self, vectors: DataFrame) -> DataFrame:
-        """(id, vec, table, bucket) — each vector exploded into its
-        ``n_tables`` sign-bucket assignments, dimension-guarded.
-        Shared by ``write``/``upsert``/``write_quantized`` so the
-        three paths cannot disagree on what a bucket means."""
+    def _assigned(
+        self, vectors: DataFrame, metadata_cols: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """(id, vec[, metadata...], table, bucket) — each vector
+        exploded into its ``n_tables`` sign-bucket assignments,
+        dimension-guarded. Shared by ``write``/``upsert``/
+        ``write_quantized`` so the three paths cannot disagree on
+        what a bucket means. ``metadata_cols`` travel with every
+        pointer copy — the filtered-search substrate."""
         guard = F.assert_true(
             F.size(F.col(self.vec_col)) >= self.min_dim,
             F.lit(
@@ -441,8 +447,9 @@ class AnnStore:
         return vectors.select(
             self.id_col,
             self.vec_col,
+            *metadata_cols,
             F.explode(F.array(*assignments)).alias("tb"),
-        ).select(self.id_col, self.vec_col, "tb.table", "tb.bucket")
+        ).select(self.id_col, self.vec_col, *metadata_cols, "tb.table", "tb.bucket")
 
     def _write_meta(self, path: str, extra: dict | None = None) -> None:
         """Self-describing store: geometry (and quantization bounds)
@@ -493,17 +500,25 @@ class AnnStore:
             vec_col=meta["vec_col"],
         )
         store._quant = meta.get("quant")
+        store._metadata_cols = tuple(meta.get("metadata_cols", ()))
         return store
 
-    def write(self, vectors: DataFrame) -> None:
+    def write(self, vectors: DataFrame, metadata_cols: tuple[str, ...] = ()) -> None:
+        """``metadata_cols`` (e.g. lang, source, label) are carried
+        into every pointer copy so a probe can filter candidates
+        INSIDE the pruned partitions (`probe(..., where=...)`) — the
+        Weaviate/ES filtered-vector-search shape the reference's
+        query side exposes. Duplicating small metadata n_tables
+        times is the same trade the pointer copies already make."""
         (
-            self._assigned(vectors)
+            self._assigned(vectors, tuple(metadata_cols))
             .repartition("table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table", "bucket")
             .parquet(self.path)
         )
-        self._write_meta(self.path)
+        self._metadata_cols = tuple(metadata_cols)
+        self._write_meta(self.path, {"metadata_cols": list(metadata_cols)})
 
     def upsert(self, delta_vectors: DataFrame, dst_path: str) -> "AnnStore":
         """Incremental vector-index maintenance (r11 verdict #2, the
@@ -547,10 +562,11 @@ class AnnStore:
         kept = self.spark.read.parquet(self.path).join(
             F.broadcast(delta_ids), self.id_col, "left_anti"
         )
-        cols = [self.id_col, self.vec_col, "table", "bucket"]
+        meta_cols = self._metadata_cols
+        cols = [self.id_col, self.vec_col, *meta_cols, "table", "bucket"]
         (
             kept.select(*cols)
-            .unionByName(self._assigned(delta_vectors).select(*cols))
+            .unionByName(self._assigned(delta_vectors, meta_cols).select(*cols))
             .repartition("table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table", "bucket")
@@ -559,7 +575,8 @@ class AnnStore:
         out = AnnStore(
             self.spark, dst_path, self.bits, self.n_tables, self.id_col, self.vec_col
         )
-        out._write_meta(dst_path)
+        out._metadata_cols = meta_cols
+        out._write_meta(dst_path, {"metadata_cols": list(meta_cols)})
         return out
 
     def _query_buckets(self, qv: list[float]) -> list[int]:
@@ -608,7 +625,13 @@ class AnnStore:
             cond = c if cond is None else (cond | c)
         return store.filter(cond)
 
-    def probe(self, qv: list[float], k: int = 5, extra_flips: int = 0) -> DataFrame:
+    def probe(
+        self,
+        qv: list[float],
+        k: int = 5,
+        extra_flips: int = 0,
+        where: Column | None = None,
+    ) -> DataFrame:
         """Pruned scan → dedup ids (a vector can match in several
         tables/flip buckets) → exact cosine re-rank.
 
@@ -618,12 +641,20 @@ class AnnStore:
         table count at half the index footprint (measured in
         BENCH_NOTES; an 8-table store duplicates every vector pointer
         8× at rest, a flip probe just reads more of the 4-table one).
+
+        ``where`` filters candidates on metadata columns carried by
+        ``write(metadata_cols=...)`` INSIDE the pruned partitions —
+        filtered vector search (the Weaviate `where` + ES knn-filter
+        shape). Post-filtering semantics: top-k among candidates that
+        both hash near the query AND pass the filter; a highly
+        selective filter lowers effective recall (fewer surviving
+        candidates per bucket) — widen ``extra_flips`` to buy it
+        back, partition reads scale with flips, not with the filter.
         """
-        cand = (
-            self.probe_candidates(qv, extra_flips)
-            .select(self.id_col, self.vec_col)
-            .distinct()
-        )
+        cand = self.probe_candidates(qv, extra_flips)
+        if where is not None:
+            cand = cand.filter(where)
+        cand = cand.select(self.id_col, self.vec_col).distinct()
         qcol = F.array(*[F.lit(float(x)) for x in qv])
         return brute_force_topk(cand, qcol, k, self.id_col, self.vec_col)
 

@@ -133,6 +133,47 @@ def ann_store_probe(spark, sf_dir):
 
 
 @q(
+    "ann_store_filtered_probe",
+    "WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.ql AND ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ") ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_store_filtered_probe(spark, sf_dir):
+    """FILTERED vector search from the at-rest store (r12; the
+    Weaviate `where`-filter + ES knn-filter shape the reference's
+    query side exposes): metadata columns ride every pointer copy
+    (`write(metadata_cols=('label',))`), so a probe filters
+    candidates INSIDE the pruned partitions — post-filter semantics,
+    top-k among bucket-near candidates passing the predicate, no
+    extra scan. The oracle is the multi-table LSH candidate set ∩
+    the label predicate + exact cosine top-5 — certifying that
+    filtering happens on the candidate set, not after the top-k
+    cut (a post-top-k filter would return fewer/different rows)."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    ql = qhead[1]
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ann_filtered_{tag}")
+    store = SIM.AnnStore(spark, path, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    store.write(
+        e.filter(F.col("vec_id") != 0).select("vec_id", "embedding", "label"),
+        metadata_cols=("label",),
+    )
+    return store.probe(qv, k=5, where=F.col("label") == ql)
+
+
+@q(
     "ann_store_upsert",
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "corpus AS ("

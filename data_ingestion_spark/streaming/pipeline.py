@@ -377,3 +377,73 @@ def run_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_index_maintenance_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+    positions: bool = False,
+) -> StreamingQuery:
+    """Continuous lexical-index maintenance (r12): a document stream
+    folds into the MANAGED postings root — the first micro-batch
+    builds version v_000000, every later batch
+    ``upsert_postings_index_versioned``s into a fresh version with
+    the atomic ``CURRENT`` pointer swap, so a concurrent reader
+    always serves a complete committed index and a crash mid-batch
+    leaves the previous version live (the sketch-stream crash-safety
+    argument, applied to the index). This is the production shape
+    the reference's pipelines imply (documents arrive continuously;
+    `add_documents` appends to a live store P:341–349) with replace
+    semantics: a doc_id reappearing in a later batch REPLACES its
+    postings/doclen — latest fetch wins.
+
+    Within one micro-batch duplicate doc_ids are collapsed by
+    ``dropDuplicates`` (arbitrary winner — order within a batch is
+    not defined; put an ordering column upstream and pre-dedup when
+    that matters). Replay safety is two-layered: a ``_last_batch_id``
+    marker in the version directory skips an already-folded batch,
+    and even a replay that slips past the marker is HARMLESS because
+    upsert-by-replacement is idempotent — re-folding the same delta
+    yields an identical index (unlike the additive CMS merge, where
+    the guard is load-bearing). Old versions accumulate by design;
+    schedule ``compact_index`` for retention (OPTIMIZE+VACUUM).
+
+    ``buckets``/``positions`` apply to the first build; later
+    upserts inherit geometry from the live version's stats."""
+    import os
+
+    from ..functions import similarity as SIM
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.dropDuplicates([id_col])
+        if delta.isEmpty():
+            return
+        cur = SIM.index_current_path(root)
+        if cur is not None:
+            try:
+                with open(os.path.join(cur, "_last_batch_id"), encoding="utf-8") as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # replay of an already-folded batch
+            except (OSError, ValueError):
+                pass
+            path = SIM.upsert_postings_index_versioned(
+                delta, root, text_col=text_col, id_col=id_col
+            )
+        else:
+            kw: dict = {"text_col": text_col, "id_col": id_col, "positions": positions}
+            if buckets is not None:
+                kw["buckets"] = buckets
+            path = SIM.build_postings_index_versioned(delta, root, **kw)
+        with open(os.path.join(path, "_last_batch_id"), "w", encoding="utf-8") as f:
+            f.write(str(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -193,3 +193,50 @@ def test_quantized_constant_dimension_and_bounds(spark, tmp_path):
     qv = [0.5] * 20
     got = st.probe_quantized(qv, k=3).collect()
     assert len(got) <= 3 and all(r.score is not None for r in got)
+
+
+def test_filtered_probe_post_filter_semantics(spark, tmp_path):
+    """r12 filtered vector search: metadata rides every pointer copy;
+    probe(where=...) filters INSIDE the pruned candidate set before
+    the re-rank — result = top-k of (bucket-near ∩ predicate), i.e.
+    filtering the unfiltered probe's CANDIDATES, never its top-k
+    output; metadata + filter survive an upsert."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding", "label")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    qv, ql = [float(x) for x in qrow.embedding], qrow.label
+    st = AnnStore(spark, str(tmp_path / "fstore"), bits=3, n_tables=6)
+    st.write(base, metadata_cols=("label",))
+
+    got = [(r.vec_id, round(r.score, 6)) for r in st.probe(qv, 5, where=F.col("label") == ql).collect()]
+    # reference: filter the candidate set by label, exact top-5
+    from data_ingestion_spark.functions.similarity import brute_force_topk
+
+    cand = (
+        st.probe_candidates(qv)
+        .filter(F.col("label") == ql)
+        .select("vec_id", "embedding")
+        .distinct()
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    exp = [(r.vec_id, round(r.score, 6)) for r in brute_force_topk(cand, qcol, 5).collect()]
+    assert got == exp and got
+
+    # differs from post-top-k filtering whenever top-5 unfiltered
+    # contains other labels (almost surely on the fixture)
+    unfiltered = [(r.vec_id, round(r.score, 6)) for r in st.probe(qv, 5).collect()]
+    assert got != unfiltered or all(
+        r.label == ql
+        for r in base.filter(F.col("vec_id").isin([v for v, _ in unfiltered])).collect()
+    )
+
+    # metadata survives upsert: replace some vectors, filter still works
+    delta = base.filter(F.col("vec_id") % 7 == 0)
+    st2 = st.upsert(delta, str(tmp_path / "fstore2"))
+    got2 = [
+        (r.vec_id, round(r.score, 6))
+        for r in st2.probe(qv, 5, where=F.col("label") == ql).collect()
+    ]
+    assert got2 == got  # delta carried identical rows -> same store
+    reopened = AnnStore.open(spark, str(tmp_path / "fstore2"))
+    assert reopened._metadata_cols == ("label",)

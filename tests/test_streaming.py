@@ -437,3 +437,92 @@ def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
             ).collect()
         }
         assert got == batch, kind
+
+
+def test_index_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
+    """r12: a document stream folds into the managed postings root —
+    first batch builds, later batches upsert with REPLACE semantics
+    (a doc_id reappearing in a later micro-batch wins), every commit
+    is an atomic pointer swap. After draining, the served index
+    equals a from-scratch build over the last-wins corpus ROW FOR
+    ROW, and a checkpoint replay folds nothing new."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        bm25_rank_batch_indexed,
+        build_postings_index,
+        index_current_path,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    os.makedirs(src_dir)
+    slices = [
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" stale marker token"))
+        ),
+        docs.filter(F.col("doc_id") % 3 == 1),
+        docs.filter(F.col("doc_id") % 3 == 0),  # true text replaces slice 0
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        sl.toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))  # deterministic arrival order
+
+    root = str(tmp_path / "idx_root")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = SP.run_index_maintenance_stream(
+        stream, root, str(tmp_path / "ckpt_idx"), buckets=16
+    )
+    q.awaitTermination(180)
+
+    live = index_current_path(root)
+    assert live is not None
+    expected_corpus = docs.filter(F.col("doc_id") % 3 != 2)  # last-wins = true text
+    ref_idx = str(tmp_path / "ref_idx")
+    build_postings_index(expected_corpus, ref_idx, buckets=16)
+
+    def rowset(idx):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.dl, r.bucket)
+            for r in spark.read.parquet(idx + "/postings").collect()
+        )
+
+    assert rowset(live) == rowset(ref_idx)  # no stale-marker postings survive
+    qdf = spark.createDataFrame(
+        [(1, "spark vector"), (2, "customer merge")],
+        "query_id int, query_text string",
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+        for r in bm25_rank_batch_indexed(spark, qdf, live).collect()
+    )
+    ref = sorted(
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank)
+        for r in bm25_rank_batch_indexed(spark, qdf, ref_idx).collect()
+    )
+    assert got == ref
+
+    # replay: same checkpoint drains nothing new — version chain and
+    # pointer unchanged
+    versions_before = sorted(n for n in os.listdir(root) if n.startswith("v_"))
+    q2 = SP.run_index_maintenance_stream(
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        str(tmp_path / "ckpt_idx"),
+        buckets=16,
+    )
+    q2.awaitTermination(180)
+    assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
+    assert index_current_path(root) == live
