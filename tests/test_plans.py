@@ -125,6 +125,9 @@ CROSS_OK = {
     "hybrid_rank_rrf_batch",   # 3-row query-vector broadcast + stats row
     "nb_quality_classify",     # 2-row class table crossed into the token stream
     "hybrid_rank_rrf",         # same stats row inside the lexical half
+    "bool_search_indexed",     # same 1-row stats broadcast, boolean path
+    "rank_bm25_index_compacted",  # same 1-row stats broadcast, compacted serve
+    "hybrid_eval_metrics",     # hybrid stats row + 3-row query vectors (eval tail)
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
