@@ -1402,6 +1402,65 @@ def compact_index(
     return dst
 
 
+def write_ann_store_versioned(
+    vectors: DataFrame, root: str, metadata_cols: tuple[str, ...] = (), **kw
+) -> AnnStore:
+    """``AnnStore.write`` into a fresh version directory under a
+    managed root + atomic CURRENT pointer commit (the lexical
+    ``build_postings_index_versioned`` mirror — the pointer helpers
+    are storage-layout-agnostic). Returns the store handle."""
+    import os
+
+    name = _next_index_version(root)
+    store = AnnStore(vectors.sparkSession, os.path.join(root, name), **kw)
+    store.write(vectors, metadata_cols=metadata_cols)
+    _commit_index_version(root, name)
+    return store
+
+
+def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
+    """``AnnStore.upsert`` from the live version into the next one +
+    pointer commit; geometry/metadata restored from the live store's
+    sidecar. Old versions are retention decisions for
+    ``vacuum_ann_store`` — an upsert never deletes."""
+    import os
+
+    src = index_current_path(root)
+    if src is None:
+        raise FileNotFoundError(f"no CURRENT store version under {root!r}")
+    name = _next_index_version(root)
+    out = AnnStore.open(delta_vectors.sparkSession, src).upsert(
+        delta_vectors, os.path.join(root, name)
+    )
+    _commit_index_version(root, name)
+    return out
+
+
+def vacuum_ann_store(root: str, retain: int = 1) -> list[str]:
+    """Drop dead AnnStore version directories, keeping the ``retain``
+    most recent (the live version is always among them — the pointer
+    names the newest). No rewrite step: AnnStore writes are already
+    one-file-per-(table, bucket) clustered, so unlike the postings
+    index there is nothing to bin-pack — retention GC is the whole
+    job. retain >= 2 protects in-flight readers holding the
+    pre-upsert version (the sketch-GC argument). Returns the deleted
+    directory names."""
+    import os
+    import shutil
+
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    versions = sorted(
+        (int(n.removeprefix("v_")), n)
+        for n in os.listdir(root)
+        if n.startswith("v_") and n.removeprefix("v_").isdigit()
+    )
+    dead = [n for _, n in versions[:-retain]]
+    for n in dead:
+        shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+    return dead
+
+
 def _clause_terms(
     queries_df: DataFrame, query_id_col: str, clause_col: str
 ) -> DataFrame:

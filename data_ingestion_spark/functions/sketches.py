@@ -291,6 +291,110 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_HLL_P) -> DataFrame:
     )
 
 
+def hll_build_grouped(
+    df: DataFrame, group_col: str, col: str, p: int = DEFAULT_HLL_P
+) -> DataFrame:
+    """Per-group HLL registers — (group, bucket, rho), at most 2^p
+    rows PER GROUP no matter how many values the group saw: the
+    curation-report cardinality shape ("distinct users per event
+    type / URLs per host / fingerprints per day") where a
+    countDistinct per group carries per-group hash state that grows
+    with the answer. Same integer-exact register arithmetic as
+    ``hll_build`` (md5 hash, trailing-zero rho via bit_count);
+    sketches from different shards merge by per-(group, bucket) max
+    (``hll_merge_grouped``). One bounded shuffle: |groups| × 2^p
+    partial-max cells."""
+    _check_hll_p(p)
+    m = 1 << p
+    sat = _HLL_HASH_BITS - p + 1
+    h = F.conv(
+        F.substring(F.md5(F.col("__v").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        df.select(F.col(group_col).alias("__g"), F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+        .select("__g", h.alias("__h"))
+        .select(
+            "__g",
+            (F.col("__h") % m).cast("int").alias("bucket"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            "__g",
+            "bucket",
+            F.when(F.col("__w") == 0, F.lit(sat))
+            .otherwise(1 + F.bit_count((F.col("__w").bitwiseAND(-F.col("__w"))) - 1))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("__g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("__g").alias(group_col), "bucket", "rho")
+    )
+
+
+def hll_merge_grouped(group_col: str, *sketches: DataFrame) -> DataFrame:
+    """Per-(group, bucket) max of grouped registers built with the
+    same ``p`` — the cross-shard reduce (idempotent)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, group_col: str, p: int = DEFAULT_HLL_P
+) -> DataFrame:
+    """One row PER GROUP (group, m, nonzero, inv_sum_scaled, est) —
+    the ``hll_estimate`` arithmetic applied group-wise: BIGINT
+    harmonic denominator per group (associative — partitioning
+    cannot flap it), raw estimate + the linear-counting small-range
+    branch. Groups absent from the sketch (no non-NULL values) are
+    absent here — no values means no estimate, not a zero."""
+    _check_hll_p(p)
+    m = 1 << p
+    k = _HLL_HASH_BITS - p + 1
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.expr(f"cast(shiftleft(cast(1 as bigint), {k} - rho) as bigint)"))
+        .alias("__s_nonzero"),
+    )
+    s_total = (
+        F.coalesce(F.col("__s_nonzero"), F.lit(0))
+        + (F.lit(m) - F.col("nonzero")) * F.lit(1 << k)
+    ).cast("bigint")
+    raw = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(1 << k))
+        / F.col("inv_sum_scaled")
+    )
+    v = F.lit(m) - F.col("nonzero")
+    return (
+        agg.select(
+            group_col,
+            F.lit(m).alias("m"),
+            F.col("nonzero").cast("bigint").alias("nonzero"),
+            s_total.alias("inv_sum_scaled"),
+        )
+        .select(
+            group_col,
+            "m",
+            "nonzero",
+            "inv_sum_scaled",
+            F.when(
+                (raw <= 2.5 * m) & (v > 0),
+                F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))),
+            )
+            .otherwise(F.round(raw))
+            .cast("bigint")
+            .alias("est"),
+        )
+    )
+
+
 # ------------------------------------------------------- bloom filter
 
 #: default filter geometry: 2^17 bits = 2048 BIGINT words;

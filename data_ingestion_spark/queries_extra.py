@@ -2404,6 +2404,67 @@ def hll_distinct_users(spark, sf_dir):
     )
 
 
+def _hll_grouped_oracle() -> str:
+    """The _hll_oracle register pipeline with a group dimension —
+    registers, per-group BIGINT denominators, LC branch, and the
+    accuracy bound all replicate per event_type."""
+    m, k = 2048, 50
+    return (
+        "WITH h AS (SELECT event_type AS g, "
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h "
+        "FROM (SELECT DISTINCT event_type, user_id FROM events "
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL)), "
+        f"bw AS (SELECT g, h % {m} AS bucket, h // {m} AS w FROM h), "
+        f"reg AS (SELECT g, bucket, max(CASE WHEN w = 0 THEN {k} "
+        "ELSE 1 + bit_count((w & -w) - 1) END) AS rho FROM bw GROUP BY g, bucket), "
+        "agg AS (SELECT g, count(*) AS nonzero, "
+        f"sum(CAST(1 AS BIGINT) << ({k} - rho)) AS s_nz FROM reg GROUP BY g), "
+        f"st AS (SELECT g, CAST({m} AS INTEGER) AS m, CAST(nonzero AS BIGINT) AS nonzero, "
+        f"CAST(coalesce(s_nz, 0) + ({m} - nonzero) * (CAST(1 AS BIGINT) << {k}) "
+        "AS BIGINT) AS inv_sum_scaled FROM agg), "
+        f"e AS (SELECT g, m, nonzero, inv_sum_scaled, "
+        f"0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0 * "
+        f"CAST(CAST(1 AS BIGINT) << {k} AS DOUBLE) / inv_sum_scaled AS raw "
+        "FROM st), "
+        "est AS (SELECT g, m, nonzero, inv_sum_scaled, "
+        f"CAST(CASE WHEN raw <= 2.5 * {m} AND (m - nonzero) > 0 "
+        f"THEN round({m}.0 * ln({m}.0 / CAST(m - nonzero AS DOUBLE))) "
+        "ELSE round(raw) END AS BIGINT) AS est FROM e) "
+        "SELECT est.g AS event_type, m, nonzero, inv_sum_scaled, est, exact, "
+        "abs(est - exact) <= 0.05 * exact AS within_5pct "
+        "FROM est JOIN (SELECT event_type AS g, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS exact FROM events "
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY event_type) x "
+        "ON x.g = est.g"
+    )
+
+
+@q("hll_distinct_users_per_type", _hll_grouped_oracle())
+def hll_distinct_users_per_type(spark, sf_dir):
+    """Per-group HyperLogLog (r12) — distinct users PER EVENT TYPE at
+    CONSTANT per-group state (≤ 2^p register rows per group,
+    mergeable across shards by per-(group, bucket) max), the
+    curation-report cardinality shape where countDistinct-per-group
+    carries answer-sized hash state. Same integer-exact register
+    discipline as hll_distinct_users; the oracle replicates the
+    grouped register pipeline + LC branch and the driver verifies
+    sketch AND per-group accuracy bound."""
+    from .functions.sketches import hll_build_grouped, hll_estimate_grouped
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_estimate_grouped(
+        hll_build_grouped(ev, "event_type", "user_id"), "event_type"
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact"))
+    )
+    return est.join(exact, "event_type").withColumn(
+        "within_5pct", F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")
+    )
+
+
 def _bloom_oracle() -> str:
     """DuckDB twin of the FULL bloom pipeline: md5 positions, BIGINT
     word bitmap via bit_or, k-hit probe — exact deterministic

@@ -240,3 +240,53 @@ def test_filtered_probe_post_filter_semantics(spark, tmp_path):
     assert got2 == got  # delta carried identical rows -> same store
     reopened = AnnStore.open(spark, str(tmp_path / "fstore2"))
     assert reopened._metadata_cols == ("label",)
+
+
+def test_ann_managed_root_versioning_and_vacuum(spark, tmp_path):
+    """r12: the managed-root lifecycle for vector stores — versioned
+    write/upsert behind the atomic CURRENT pointer, probe from the
+    pointer equals a from-scratch rebuild, vacuum drops dead
+    versions (retention-controlled) and never the live one."""
+    import os
+
+    from data_ingestion_spark.functions.similarity import (
+        index_current_path,
+        upsert_ann_store_versioned,
+        vacuum_ann_store,
+        write_ann_store_versioned,
+    )
+
+    base = _emb(spark).filter(F.col("vec_id") != 0)
+    qv = [float(x) for x in _emb(spark).filter(F.col("vec_id") == 0).head().embedding]
+    root = str(tmp_path / "ann_root")
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        upsert_ann_store_versioned(base.limit(1), str(tmp_path / "nowhere"))
+
+    write_ann_store_versioned(
+        base.withColumn("embedding", _neg("embedding")), root, bits=3, n_tables=6
+    )
+    upsert_ann_store_versioned(base.filter(F.col("vec_id") % 2 == 0), root)
+    live_store = upsert_ann_store_versioned(base.filter(F.col("vec_id") % 2 == 1), root)
+    assert index_current_path(root) == live_store.path
+    assert len([n for n in os.listdir(root) if n.startswith("v_")]) == 3
+
+    rebuild = AnnStore(spark, str(tmp_path / "rebuild"), bits=3, n_tables=6)
+    rebuild.write(base)  # both halves replaced -> fully corrected store
+    got = [(r.vec_id, round(r.score, 6)) for r in live_store.probe(qv, 5).collect()]
+    exp = [(r.vec_id, round(r.score, 6)) for r in rebuild.probe(qv, 5).collect()]
+    assert got == exp
+
+    dead = vacuum_ann_store(root, retain=2)
+    assert dead == ["v_000000"]
+    assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == [
+        "v_000001", "v_000002",
+    ]
+    dead2 = vacuum_ann_store(root, retain=1)
+    assert dead2 == ["v_000001"]
+    assert index_current_path(root) == live_store.path  # live survives
+    assert [
+        (r.vec_id, round(r.score, 6))
+        for r in AnnStore.open(spark, index_current_path(root)).probe(qv, 5).collect()
+    ] == exp
+    with pytest.raises(ValueError, match="retain"):
+        vacuum_ann_store(root, retain=0)

@@ -200,3 +200,55 @@ def test_hll_p_guard(spark):
         hll_build(df, "v", p=4)
     with pytest.raises(ValueError, match="hll p"):
         hll_estimate(hll_build(df, "v", p=8), p=25)
+
+
+def test_hll_grouped_merge_size_and_accuracy(spark):
+    """r12 per-group HLL: (a) shard sketches max-merge to the whole
+    per (group, bucket); (b) each group's register block equals the
+    single-group build (groups are independent); (c) state <= 2^p
+    rows per group; (d) per-group estimates within the LC/raw
+    regime's error on known cardinalities."""
+    from data_ingestion_spark.functions.sketches import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate_grouped,
+        hll_merge_grouped,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # per-group distinct: g0 sees 0,3,6,... -> 10k distinct each
+        F.col("id").cast("string").alias("v"),
+    )
+    whole = hll_build_grouped(df, "g", "v", p=8)
+    a = hll_build_grouped(df.filter(F.col("id") < 20_000), "g", "v", p=8)
+    b = hll_build_grouped(df.filter(F.col("id") >= 10_000), "g", "v", p=8)  # overlap
+    merged = {(r.g, r.bucket, r.rho) for r in hll_merge_grouped("g", a, b).collect()}
+    assert merged == {(r.g, r.bucket, r.rho) for r in whole.collect()}
+
+    # group independence: g='0' block == plain hll_build over g0's values
+    solo = {
+        (r.bucket, r.rho)
+        for r in hll_build(
+            df.filter(F.col("g") == "0").select("v"), "v", p=8
+        ).collect()
+    }
+    assert {
+        (r.bucket, r.rho) for r in whole.filter(F.col("g") == "0").collect()
+    } == solo
+
+    from collections import Counter
+
+    per_group = Counter(r.g for r in whole.collect())
+    assert all(n <= 256 for n in per_group.values())
+
+    est = {r.g: r.est for r in hll_estimate_grouped(whole, "g", p=8).collect()}
+    for g in ("0", "1", "2"):
+        assert abs(est[g] - 10_000) <= 0.25 * 10_000, (g, est[g])  # p=8 sigma ~6.5%
+
+    # NULL group / NULL value rows contribute nothing
+    df2 = spark.createDataFrame(
+        [("a", "x"), (None, "y"), ("a", None)], "g string, v string"
+    )
+    got = hll_build_grouped(df2, "g", "v", p=8).collect()
+    assert {r.g for r in got} == {"a"} and len(got) == 1
