@@ -42,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- round-12 window (rotation per scripts/update_checked.py over
     # r01..r11: all 172 previously registered queries have a full-hash
-    # green driver row — CHECKED.md — so after the SEVEN never-checked
-    # r12 DQs heading the list, this window re-confirms the 43
+    # green driver row — CHECKED.md — so after the EIGHT never-checked
+    # r12 DQs heading the list, this window re-confirms the 42
     # STALEST greens, oldest last-checked round first.
     # never-checked r12 additions:
     #  - ann_store_upsert: AnnStore incremental upsert, oracle = the
@@ -61,6 +61,8 @@ DRIVER_WINDOW: list[str] = [
     #    where-clause inside the pruned candidate set)
     #  - hll_distinct_users_per_type: per-group HLL (grouped register-
     #    pipeline oracle + per-group 5% accuracy bound)
+    #  - decontaminate_fuzzy: cross-corpus banded-MinHash near-dup
+    #    decontamination (bands + exact-Jaccard verify oracle)
     "ann_store_upsert",
     "ann_store_quantized",
     "bool_search_indexed",
@@ -68,6 +70,7 @@ DRIVER_WINDOW: list[str] = [
     "hybrid_eval_metrics",
     "ann_store_filtered_probe",
     "hll_distinct_users_per_type",
+    "decontaminate_fuzzy",
     "string_funcs_battery",
     "streaming_stateful_first_seen",
     "scan_orc_roundtrip",
@@ -110,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "union_distinct",
     "agg_salted_count",
     "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
 ]
 
 

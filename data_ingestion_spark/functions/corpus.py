@@ -285,6 +285,96 @@ def decontaminate_overlap(
     )
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_jaccard_micros: int = 500_000,
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """FUZZY train/eval contamination: corpus docs that are NEAR
+    duplicates of an eval doc (n-gram Jaccard ≥ threshold), found by
+    cross-corpus banded MinHash — the leakage `decontaminate_overlap`
+    misses when a benchmark item was lightly paraphrased or
+    whitespace-mangled before landing in the crawl.
+
+    Plan (the 100 TB shape): both sides get the SAME banded signature
+    table (``dedup.band_table`` — shared definition, cannot fork);
+    the eval side is tiny so its band table BROADCASTS and the
+    corpus-side pipeline never shuffles for candidate generation —
+    cost is linear in corpus shingles, never corpus × eval.
+    Candidates (any shared band) are then EXACTLY verified: shingle
+    intersections are counted only for candidate corpus docs
+    (semi-join pushdown), unions come from per-doc distinct-shingle
+    counts, and the threshold test is integer cross-multiplication
+    (``n_inter · 1e6 ≥ micros · n_union``) — no float division to
+    flap a boundary pair. Output: (doc_id, eval_id, n_inter,
+    n_union), one row per contaminated pair that shares ≥ 1 band AND
+    clears the Jaccard bar (banding is the probabilistic recall dial
+    — raise num_hashes/lower band_size for more; the DQ oracle
+    replicates bands + verify exactly, so the contract is
+    deterministic even where recall is tunable).
+
+    The candidate table feeds three subtrees (its own output gate,
+    the corpus-shingle pushdown, the pair semi-join), so it is
+    persisted here — otherwise the corpus band pipeline (the one
+    corpus-wide shuffle) would run three times. ``cache_handles``
+    receives the persisted frame for caller-side unpersist
+    (the heavy_hitters/bloom_probe contract). Candidate-bounded
+    tables are broadcast into the shingle stream — contamination
+    hits are rare by construction (an eval set is tiny), so the
+    candidate set is broadcast-sized; a degenerate corpus where
+    everything bands against the eval set should go through exact
+    dedup first (the DEFAULT_MAX_BUCKET argument)."""
+    from pyspark import StorageLevel
+
+    from .dedup import band_table, word_shingles
+
+    c_bands = band_table(corpus, text_col, id_col, shingle_n, num_hashes, band_size)
+    e_bands = band_table(eval_df, text_col, id_col, shingle_n, num_hashes, band_size)
+    cand = (
+        c_bands.join(F.broadcast(e_bands.withColumnRenamed("id", "eval_id")),
+                     ["band", "band_hash"])
+        .select(F.col("id").alias("doc_id"), "eval_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_handles is not None:
+        cache_handles.append(cand)
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    e_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    # verify only candidate docs: the broadcast semi-join prunes the
+    # corpus shingle stream to docs that banded against some eval doc
+    c_sh_cand = c_sh.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "leftsemi"
+    )
+    inter = (
+        c_sh_cand.join(F.broadcast(e_sh), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(F.broadcast(cand), ["doc_id", "eval_id"], "leftsemi")
+    )
+    c_sizes = c_sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__na"))
+    e_sizes = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("__nb"))
+    return (
+        inter.join(c_sizes, "doc_id")
+        .join(F.broadcast(e_sizes), "eval_id")
+        .withColumn("n_union", (F.col("__na") + F.col("__nb") - F.col("n_inter")).cast("bigint"))
+        .filter(F.col("n_inter") * 1_000_000 >= F.lit(min_jaccard_micros) * F.col("n_union"))
+        .select("doc_id", "eval_id", F.col("n_inter").cast("bigint").alias("n_inter"), "n_union")
+    )
+
+
 def mix_weights(df: DataFrame, part_col: str, text_col: str) -> DataFrame:
     """Mixture weighting: per-source doc/token counts, corpus share,
     and the up/down-sampling weight that equalizes the mixture

@@ -70,7 +70,7 @@ def minhash_signature(shingles: Column, num_hashes: int, seed: str = "mh") -> li
     ]
 
 
-def minhash_lsh_candidates(
+def band_table(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -78,18 +78,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """T10 near-dup: MinHash + banded LSH candidate pairs.
-
-    Signature plan: explode shingles → k md5 columns → groupBy(id)
-    with k min() aggregates. The explode shape beats k per-row array
-    transforms ~3x (each array transform re-evaluates the shingle
-    build; the exploded rows compute shingles once and the mins come
-    from map-side partial aggregation). Bands of ``band_size``
-    signature slots concat into a band hash; docs sharing any band
-    hash become candidate pairs via an equi self-join (shuffle on
-    band hash — never quadratic).
-    Output: (id_a, id_b, band) with id_a < id_b, distinct.
-    """
+    """(id, band, band_hash) — the banded-MinHash signature table of
+    a corpus (explode shingles → k md5 columns → per-id min → bands
+    of ``band_size`` slots concatenated into one md5 band hash).
+    Shared by the self-join near-dup path (``minhash_lsh_candidates``)
+    and the CROSS-corpus paths (``corpus.decontaminate_fuzzy``: the
+    eval side's band table broadcasts against the corpus side's) so
+    the band definition cannot fork between them. The explode shape
+    beats k per-row array transforms ~3x (shingles computed once;
+    mins come from map-side partial aggregation)."""
     inv = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
@@ -114,9 +111,32 @@ def minhash_lsh_candidates(
         )
         for b in range(n_bands)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """T10 near-dup: MinHash + banded LSH candidate pairs.
+
+    Signature plan: explode shingles → k md5 columns → groupBy(id)
+    with k min() aggregates. The explode shape beats k per-row array
+    transforms ~3x (each array transform re-evaluates the shingle
+    build; the exploded rows compute shingles once and the mins come
+    from map-side partial aggregation). Bands of ``band_size``
+    signature slots concat into a band hash; docs sharing any band
+    hash become candidate pairs via an equi self-join (shuffle on
+    band hash — never quadratic).
+    Output: (id_a, id_b, band) with id_a < id_b, distinct.
+    """
+    bands = band_table(df, text_col, id_col, shingle_n, num_hashes, band_size)
     # bucket-collect instead of a self-join: the signature pipeline is
     # evaluated ONCE (a self-join would recompute the whole md5/groupBy
     # lineage for each side) and buckets pair-expand locally.

@@ -116,6 +116,87 @@ def decontaminate_eval_overlap(spark, sf_dir):
     return C.decontaminate_overlap(corpus, ev, "text", "doc_id", n=3, min_overlap=3)
 
 
+def _fuzzy_decon_oracle() -> str:
+    """DuckDB twin of the full fuzzy-decontamination pipeline:
+    constructed eval set (perturbed corpus docs + unrelated docs),
+    banded MinHash on BOTH sides (the _minhash_oracle machinery),
+    band-equi candidates, exact shingle intersect/union verify with
+    the integer cross-multiplied threshold."""
+    from .queries_vector import _duck_shingles
+
+    mh = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> md5('mh|" + str(i) + "|' || s)), 'min')"
+        f" AS mh_{i}"
+        for i in range(8)
+    )
+
+    def bands(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_hash "
+            f"FROM {src}"
+            for b in range(4)
+        )
+
+    return (
+        "WITH ev AS ("
+        "SELECT doc_id + 1000000 AS id, text || ' eval suffix tail' AS text "
+        "FROM documents WHERE doc_id % 50 = 0 "
+        "UNION ALL SELECT doc_id + 2000000 AS id, "
+        "'totally unrelated benchmark item number ' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents WHERE doc_id % 97 = 0), "
+        f"csh AS (SELECT doc_id AS id, {_duck_shingles()} AS shingles FROM documents), "
+        f"esh AS (SELECT id, {_duck_shingles()} AS shingles FROM ev), "
+        f"csigs AS (SELECT id, shingles, {mh} FROM csh), "
+        f"esigs AS (SELECT id, shingles, {mh} FROM esh), "
+        f"cb AS ({bands('csigs')}), eb AS ({bands('esigs')}), "
+        "cand AS (SELECT DISTINCT cb.id AS doc_id, eb.id AS eval_id FROM cb "
+        "JOIN eb ON cb.band = eb.band AND cb.band_hash = eb.band_hash), "
+        "v AS (SELECT c.doc_id, c.eval_id, "
+        "CAST(len(list_intersect(cs.shingles, es.shingles)) AS BIGINT) AS n_inter, "
+        "CAST(len(cs.shingles) + len(es.shingles) "
+        "- len(list_intersect(cs.shingles, es.shingles)) AS BIGINT) AS n_union "
+        "FROM cand c JOIN csh cs ON cs.id = c.doc_id "
+        "JOIN esh es ON es.id = c.eval_id) "
+        "SELECT doc_id, eval_id, n_inter, n_union FROM v "
+        "WHERE n_inter * 1000000 >= 500000 * n_union"
+    )
+
+
+@q("decontaminate_fuzzy", _fuzzy_decon_oracle())
+def decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination (r12) — the leakage exact n-gram overlap
+    misses: benchmark items lightly paraphrased before landing in the
+    crawl. Constructed eval set = perturbed copies of every 50th
+    corpus doc (suffix appended — high-Jaccard near-dups that MUST be
+    caught) + unrelated synthetic items (negatives that must not).
+    Cross-corpus banded MinHash: the eval band table BROADCASTS
+    against the corpus band table (candidate generation linear in
+    corpus shingles, never corpus × eval), then exact shingle
+    intersect/union verify with the integer cross-multiplied Jaccard
+    threshold. Oracle replicates bands AND verify, so the
+    probabilistic recall dial has a deterministic contract."""
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    ev = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" eval suffix tail")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("totally unrelated benchmark item number "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    return C.decontaminate_fuzzy(d, ev, "text", "doc_id")
+
+
+
+
 @q(
     "training_export_pipeline",
     "WITH surv AS (SELECT doc_id, lang, text FROM ("

@@ -163,3 +163,46 @@ def test_moved_content_pairs_banding_complete_and_exact(spark):
     # hamming kernel sanity
     df = spark.createDataFrame([("1111000011110000", "1111000011110001")], "a string, b string")
     assert df.select(_hamming16(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 1
+
+
+def test_decontaminate_fuzzy_catches_paraphrase_not_unrelated(spark):
+    """r12 fuzzy decontamination: a suffix-perturbed copy of a corpus
+    doc is caught (near-dup leakage), an unrelated eval item is not,
+    and the integer cross-multiplied threshold matches exact Jaccard
+    arithmetic on the shingle sets. The eval band table broadcasts
+    (plan-asserted) — candidate generation is linear in corpus
+    shingles, never corpus x eval."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.corpus import decontaminate_fuzzy
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ev = spark.createDataFrame(
+        [
+            # near-dup of doc 0: its text + a short suffix
+            (9001, corpus.filter(F.col("doc_id") == 0).head().text + " tiny suffix"),
+            (9002, "completely unrelated benchmark question about nothing shared"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = decontaminate_fuzzy(corpus, ev, "text", "doc_id")
+    rows = {(r.doc_id, r.eval_id): (r.n_inter, r.n_union) for r in out.collect()}
+    assert (0, 9001) in rows
+    n_i, n_u = rows[(0, 9001)]
+    assert n_i * 1_000_000 >= 500_000 * n_u  # threshold honored
+    assert not any(e == 9002 for _, e in rows)  # unrelated never flagged
+
+    # exact jaccard cross-check for the caught pair
+    def sh(t, n=3):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    a = sh(corpus.filter(F.col("doc_id") == 0).head().text)
+    b = sh(ev.filter(F.col("doc_id") == 9001).head().text)
+    assert (n_i, n_u) == (len(a & b), len(a | b))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval side broadcasts
