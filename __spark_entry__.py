@@ -42,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- round-12 window (rotation per scripts/update_checked.py over
     # r01..r11: all 172 previously registered queries have a full-hash
-    # green driver row — CHECKED.md — so after the EIGHT never-checked
-    # r12 DQs heading the list, this window re-confirms the 42
+    # green driver row — CHECKED.md — so after the NINE never-checked
+    # r12 DQs heading the list, this window re-confirms the 41
     # STALEST greens, oldest last-checked round first.
     # never-checked r12 additions:
     #  - ann_store_upsert: AnnStore incremental upsert, oracle = the
@@ -63,6 +63,8 @@ DRIVER_WINDOW: list[str] = [
     #    pipeline oracle + per-group 5% accuracy bound)
     #  - decontaminate_fuzzy: cross-corpus banded-MinHash near-dup
     #    decontamination (bands + exact-Jaccard verify oracle)
+    #  - quality_percentile_filter: per-language exact-p25 curation
+    #    filter (exact_group_quantiles composition capstone)
     "ann_store_upsert",
     "ann_store_quantized",
     "bool_search_indexed",
@@ -71,6 +73,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_store_filtered_probe",
     "hll_distinct_users_per_type",
     "decontaminate_fuzzy",
+    "quality_percentile_filter",
     "string_funcs_battery",
     "streaming_stateful_first_seen",
     "scan_orc_roundtrip",
@@ -112,7 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "set_intersect",
     "union_distinct",
     "agg_salted_count",
-    "tpch_q3_shipping",
 ]
 
 

@@ -2738,6 +2738,60 @@ def doc_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(d)
 
 
+def _pctl_filter_oracle() -> str:
+    """Quality CTE (the text_quality_score twin) + lang, per-language
+    exact p25 threshold by window rank (type-1 quantile — the VALUE
+    at rank ceil(0.25·n), well-defined under score ties), then the
+    survivor filter."""
+    return (
+        "WITH b AS (SELECT doc_id, lang, length(text) AS n_chars0, "
+        "len(string_split(text, ' ')) AS n_words, "
+        "len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, "
+        "len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS n_stop "
+        "FROM documents), "
+        "r AS (SELECT doc_id, lang, "
+        "round(n_stop / greatest(n_words, 1), 6) AS stop_ratio, "
+        "round(n_punct / greatest(n_chars0, 1), 6) AS punct_ratio, n_words FROM b), "
+        "s AS (SELECT doc_id, lang, "
+        "round(least(1.0, n_words / 100.0) * 0.5 + least(1.0, stop_ratio * 5.0) * 0.4 "
+        "+ (1.0 - least(1.0, punct_ratio * 10.0)) * 0.1, 6) AS quality_score FROM r), "
+        "rk AS (SELECT lang, quality_score, "
+        "row_number() OVER (PARTITION BY lang ORDER BY quality_score) AS rn, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM s), "
+        "th AS (SELECT lang, quality_score AS th FROM rk "
+        "WHERE rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))) "
+        "SELECT s.doc_id, s.lang, s.quality_score, th.th AS lang_p25 "
+        "FROM s JOIN th ON th.lang = s.lang WHERE s.quality_score >= th.th"
+    )
+
+
+@q("quality_percentile_filter", _pctl_filter_oracle())
+def quality_percentile_filter(spark, sf_dir):
+    """Percentile-thresholded curation capstone (r12) — drop the
+    worst quality quartile PER LANGUAGE, the standard corpus-curation
+    move where an absolute threshold would gut low-resource
+    languages: quality scores (X-series blend, 6dp-stable) feed
+    ``exact_group_quantiles`` for each language's EXACT p25 (type-1,
+    no approx error — an approx threshold would flap survivors at
+    the boundary), the 1-row-per-language threshold table broadcasts
+    back, and survivors are an engine-stable >= filter. Composition
+    of two already-oracled operators in one plan; the oracle rebuilds
+    score + window-rank threshold + filter independently."""
+    from .functions import textops as T
+    from .operators.quantiles import exact_group_quantiles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = T.text_quality(d, "text").select("doc_id", "lang", "quality_score")
+    th = exact_group_quantiles(scored, "lang", "quality_score", [0.25]).select(
+        "lang", F.col("value").alias("lang_p25")
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .filter(F.col("quality_score") >= F.col("lang_p25"))
+        .select("doc_id", "lang", "quality_score", "lang_p25")
+    )
+
+
 @q(
     "quantiles_per_group",
     "WITH v AS (SELECT lang, value FROM ("
