@@ -118,6 +118,7 @@ CROSS_OK = {
     "phrase_search_slop",      # same shape, slop fold
     "phrase_snippets_indexed", # hit table + qlen broadcasts onto the corpus
     "quantiles_per_group",     # 3-row qs broadcast theta-joined on the rank pick
+    "quality_percentile_filter",  # 1-row qs theta-join inside the p25 threshold
     "incremental_recrawl_pipeline",  # 1-row node-count broadcast builds the graph
     "rank_bm25_index_upsert",  # 1-row stats broadcast, at-rest upsert path
     "hll_distinct_users",      # 1-row exact-count broadcast beside the estimate
