@@ -42,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- round-12 window (rotation per scripts/update_checked.py over
     # r01..r11: all 172 previously registered queries have a full-hash
-    # green driver row — CHECKED.md — so after the NINE never-checked
-    # r12 DQs heading the list, this window re-confirms the 41
+    # green driver row — CHECKED.md — so after the TEN never-checked
+    # r12 DQs heading the list, this window re-confirms the 40
     # STALEST greens, oldest last-checked round first.
     # never-checked r12 additions:
     #  - ann_store_upsert: AnnStore incremental upsert, oracle = the
@@ -65,6 +65,8 @@ DRIVER_WINDOW: list[str] = [
     #    decontamination (bands + exact-Jaccard verify oracle)
     #  - quality_percentile_filter: per-language exact-p25 curation
     #    filter (exact_group_quantiles composition capstone)
+    #  - heavy_hitters_per_lang: per-group exact two-pass heavy
+    #    hitters (grouped CMS; oracle = naive GROUP BY HAVING)
     "ann_store_upsert",
     "ann_store_quantized",
     "bool_search_indexed",
@@ -74,6 +76,7 @@ DRIVER_WINDOW: list[str] = [
     "hll_distinct_users_per_type",
     "decontaminate_fuzzy",
     "quality_percentile_filter",
+    "heavy_hitters_per_lang",
     "string_funcs_battery",
     "streaming_stateful_first_seen",
     "scan_orc_roundtrip",
@@ -114,7 +117,6 @@ DRIVER_WINDOW: list[str] = [
     "join_full_outer",
     "set_intersect",
     "union_distinct",
-    "agg_salted_count",
 ]
 
 

@@ -131,6 +131,74 @@ def heavy_hitters(
     )
 
 
+def heavy_hitters_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    min_count: int,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Exact heavy hitters PER GROUP — "the tokens appearing ≥ N
+    times within each language/host/source", the boilerplate-
+    detection report — via the two-pass sketch discipline applied
+    group-wise: pass 1 builds a PER-GROUP count-min sketch
+    ((group, depth, bucket) cells — |groups| × depth × width rows,
+    broadcastable for the moderate group counts this report shape
+    implies), pass 2 re-scans, estimates each (group, value) via
+    ``depth`` broadcast joins keyed on (group, bucket), keeps rows
+    whose estimate clears the threshold (CMS never underestimates —
+    no false negatives), and exact-counts only the survivors. The
+    result EQUALS ``GROUP BY group, col HAVING count >= min_count``
+    (the driver oracle), but the final aggregation's hash state is
+    bounded by the per-group candidate sets instead of
+    |groups| × vocabulary. For ONE group use ``heavy_hitters``.
+
+    Returns (group, ``col``, n) with exact counts."""
+    from pyspark import StorageLevel
+
+    vals = df.select(
+        F.col(group_col).alias("__g"), F.col(col).alias("__v")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("depth_idx")
+    sketch = (
+        vals.select("__g", "__v", j)
+        .select(
+            "__g",
+            "depth_idx",
+            _bucket(F.col("__v"), F.col("depth_idx"), width).alias("bucket"),
+        )
+        .groupBy("__g", "depth_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_handles is not None:
+        cache_handles.append(sketch)
+    est: Column | None = None
+    cur = vals
+    for d in range(depth):
+        s_d = sketch.filter(F.col("depth_idx") == d).select(
+            F.col("__g").alias(f"__sg{d}"),
+            F.col("bucket").alias(f"__sb{d}"),
+            F.col("cnt").alias(f"__c{d}"),
+        )
+        cur = cur.withColumn(f"__b{d}", _bucket(F.col("__v"), F.lit(d), width)).join(
+            F.broadcast(s_d),
+            (F.col("__g") == F.col(f"__sg{d}"))
+            & (F.col(f"__b{d}") == F.col(f"__sb{d}")),
+            "left_outer",
+        )
+        cd = F.coalesce(F.col(f"__c{d}"), F.lit(0))
+        est = cd if est is None else F.least(est, cd)
+    return (
+        cur.filter(est >= min_count)
+        .groupBy(F.col("__g").alias(group_col), F.col("__v").alias(col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     items: DataFrame,

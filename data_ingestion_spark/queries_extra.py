@@ -1974,6 +1974,39 @@ def crawl_anchor_edges(spark, sf_dir):
 
 
 @q(
+    "heavy_hitters_per_lang",
+    "SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM ("
+    "SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0)) AS token FROM documents) "
+    "GROUP BY lang, token HAVING count(*) >= 50",
+)
+def heavy_hitters_per_lang(spark, sf_dir):
+    """Exact heavy hitters PER GROUP (r12) — the tokens appearing >=
+    50 times WITHIN each language, the per-language boilerplate/
+    stopword report: pass 1 builds a per-group count-min sketch
+    ((group, depth, bucket) cells, broadcastable at report-scale
+    group counts), pass 2 estimates each (lang, token) via depth
+    broadcast joins keyed on (group, bucket) and exact-counts only
+    the survivors. No false negatives (CMS never underestimates), so
+    the result EQUALS the naive GROUP BY lang, token HAVING — that
+    equality IS the oracle — while the final aggregation state is
+    bounded by per-group candidates instead of |groups| x vocabulary.
+    width=64 deliberately forces collision pressure: the exact pass
+    provably drops the false positives."""
+    from .functions.sketches import heavy_hitters_grouped
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: F.length(x) > 0
+            )
+        ).alias("token"),
+    )
+    return heavy_hitters_grouped(toks, "lang", "token", 50, width=64, depth=4)
+
+
+@q(
     "heavy_hitters_two_pass",
     "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
     "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "

@@ -252,3 +252,29 @@ def test_hll_grouped_merge_size_and_accuracy(spark):
     )
     got = hll_build_grouped(df2, "g", "v", p=8).collect()
     assert {r.g for r in got} == {"a"} and len(got) == 1
+
+
+def test_heavy_hitters_grouped_exact_equivalence(spark):
+    """r12 per-group two-pass: result EQUALS the naive
+    GROUP BY (group, value) HAVING — at a width small enough to
+    force cross-group and cross-token collisions — and a value heavy
+    in one group but light in another is reported ONLY for the heavy
+    group (per-group thresholds, not global)."""
+    from data_ingestion_spark.functions.sketches import heavy_hitters_grouped
+
+    rows = (
+        [("en", "hot")] * 120 + [("de", "hot")] * 30   # heavy only in en
+        + [("de", "warm")] * 100
+        + [(g, f"c{i}") for g in ("en", "de") for i in range(150)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r.g, r.v): r.n
+        for r in heavy_hitters_grouped(df, "g", "v", 100, width=16, depth=4).collect()
+    }
+    truth = {
+        (r.g, r.v): r.n
+        for r in df.groupBy("g", "v").count().filter("count >= 100")
+        .select("g", "v", F.col("count").alias("n")).collect()
+    }
+    assert got == truth == {("en", "hot"): 120, ("de", "warm"): 100}
