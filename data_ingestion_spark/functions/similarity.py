@@ -550,7 +550,32 @@ class AnnStore:
         Reference anchor: the reference's ``add_documents`` is an
         incremental append to a live vector store (pipeline.py
         P:341–349, E:348–355; W:116–118 skip-if-exists) — this is
-        that operation with replace semantics and crash safety."""
+        that operation with replace semantics and crash safety.
+
+        Geometry/metadata are re-read from the SOURCE store's
+        ``_ann_meta.json`` sidecar when present (r12 ADVICE): a handle
+        constructed directly with ``AnnStore(...)`` over a
+        metadata-bearing or quantized store would otherwise silently
+        drop the metadata columns (``_metadata_cols`` defaults to
+        ``()``) or miss the quantized-store refusal — the at-rest
+        sidecar, not in-memory handle state, is the source of truth
+        for what the store contains."""
+        import json
+        import os
+
+        meta_path = os.path.join(self.path, "_ann_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as f:
+                disk = json.load(f)
+            if (int(disk["bits"]), int(disk["n_tables"])) != (self.bits, self.n_tables):
+                raise ValueError(
+                    f"handle geometry bits={self.bits}/n_tables={self.n_tables} "
+                    f"disagrees with the store sidecar "
+                    f"bits={disk['bits']}/n_tables={disk['n_tables']} under "
+                    f"{self.path!r} — open the store via AnnStore.open"
+                )
+            self._quant = disk.get("quant")
+            self._metadata_cols = tuple(disk.get("metadata_cols", ()))
         if getattr(self, "_quant", None):
             raise NotImplementedError(
                 "upsert targets the raw-float store; a quantized store's "
@@ -617,6 +642,16 @@ class AnnStore:
     def probe_candidates(self, qv: list[float], extra_flips: int = 0) -> DataFrame:
         """The pruned scan only — (1 + extra_flips) partitions per
         table, still resolved at plan time (PartitionFilters)."""
+        if getattr(self, "_quant", None):
+            # a quantized store's root holds codes/ + raw/ subtrees, not
+            # the flat partitioned layout — a plain read would die with an
+            # opaque partition-discovery error (r12 ADVICE: mirror
+            # probe_quantized's inverse guard, loudly)
+            raise ValueError(
+                "this store was written by write_quantized (codes/ + raw/ "
+                "layout) — probe it via probe_quantized, not "
+                "probe/probe_candidates"
+            )
         pairs = self._probe_pairs(qv, extra_flips)
         store = self.spark.read.parquet(self.path)
         cond = None
@@ -1336,7 +1371,7 @@ def upsert_postings_index_versioned(delta_docs: DataFrame, root: str, **kw) -> s
 def compact_index(
     spark,
     root: str,
-    retain: int = 1,
+    retain: int = 2,
     max_records_per_file: int = 1 << 20,
 ) -> str:
     """Compaction + vacuum for the managed index root (r11 verdict
@@ -1350,8 +1385,11 @@ def compact_index(
     target), commits the pointer, then drops every version directory
     except the ``retain`` most recent — the Delta/Iceberg
     OPTIMIZE+VACUUM shape expressed over plain parquet. ``retain``
-    >= 1; keep 2 when concurrent readers may hold the pre-compact
-    version (the sketch-GC argument, streaming/pipeline.py).
+    defaults to 2 (r12 ADVICE, matching run_sketch_stream's
+    retain_versions): a concurrent reader that resolved CURRENT just
+    before the pointer swap may still be scanning the superseded
+    version — pass retain=1 only when this process is the sole
+    reader.
 
     Queries before and after are hash-identical (pytest-pinned): the
     rewrite moves bytes, never rows. Returns the new version path."""
@@ -1391,6 +1429,13 @@ def compact_index(
         .parquet(dst + "/doclens")
     )
     _write_index_stats(spark, dst, buckets, positional)
+    # carry the stream-replay marker forward (r12 ADVICE): without it a
+    # stream restart right after compaction re-folds the last batch —
+    # harmless for content (upsert is idempotent) but it mints a
+    # spurious extra version per restart
+    marker = os.path.join(src, "_last_batch_id")
+    if os.path.exists(marker):
+        shutil.copyfile(marker, os.path.join(dst, "_last_batch_id"))
     _commit_index_version(root, name)
     versions = sorted(
         (int(n.removeprefix("v_")), n)
@@ -1436,15 +1481,17 @@ def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
     return out
 
 
-def vacuum_ann_store(root: str, retain: int = 1) -> list[str]:
+def vacuum_ann_store(root: str, retain: int = 2) -> list[str]:
     """Drop dead AnnStore version directories, keeping the ``retain``
     most recent (the live version is always among them — the pointer
     names the newest). No rewrite step: AnnStore writes are already
     one-file-per-(table, bucket) clustered, so unlike the postings
     index there is nothing to bin-pack — retention GC is the whole
-    job. retain >= 2 protects in-flight readers holding the
-    pre-upsert version (the sketch-GC argument). Returns the deleted
-    directory names."""
+    job. retain defaults to 2 (r12 ADVICE, the run_sketch_stream
+    retain_versions discipline): an in-flight reader that resolved
+    CURRENT just before an upsert's pointer swap may still hold the
+    pre-upsert version — pass retain=1 only when this process is the
+    sole reader. Returns the deleted directory names."""
     import os
     import shutil
 

@@ -562,18 +562,20 @@ def bloom_probe(
     (r11 ADVICE: a NULL verdict silently drops the row from both
     ``maybe_seen`` and ``~maybe_seen`` filters).
 
-    The filter feeds k broadcast subtrees, so it is persisted here
-    (the ``heavy_hitters`` sketch pattern) unless the caller already
-    persisted it — otherwise the filter BUILD (a scan of the whole
-    seen-set) would run k times. ``cache_handles`` receives the
-    persisted frame for caller-side unpersist in long-lived
-    drivers."""
+    The filter feeds k broadcast subtrees; persistence ownership is
+    ALWAYS the caller's (r12 ADVICE — this function never silently
+    persists the caller's frame, which would leak executor cache in
+    long-lived drivers and mutate caller cache state): either persist
+    the filter before calling, or pass ``cache_handles`` to receive
+    the persist this function performs on your behalf (unpersist the
+    handles when done). With neither, the probe is still correct but
+    the filter BUILD (a scan of the whole seen-set) runs once per
+    probe position — persist in anything hot."""
     from pyspark import StorageLevel
 
-    if bloom.storageLevel == StorageLevel.NONE:
+    if bloom.storageLevel == StorageLevel.NONE and cache_handles is not None:
         bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
-        if cache_handles is not None:
-            cache_handles.append(bloom)
+        cache_handles.append(bloom)
     cur = candidates
     cond: Column | None = None
     probe_cols: list[str] = []

@@ -2540,6 +2540,8 @@ def bloom_frontier_seen(spark, sf_dir):
     for a frontier. The oracle replicates positions, bitmap, and the
     k-hit probe exactly; truly_seen rides along so the driver pins
     the no-false-negative direction too."""
+    from pyspark import StorageLevel
+
     from .functions.sketches import bloom_build, bloom_probe
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2547,7 +2549,11 @@ def bloom_frontier_seen(spark, sf_dir):
     url = F.concat(F.lit("https://ex.com/d/"), did.cast("string"))
     crawled = d.filter(did % 3 != 0).select(url.alias("url"))
     cand = d.select("doc_id", url.alias("url"))
-    out = bloom_probe(cand, bloom_build(crawled, "url"), "url")
+    # caller-owned persist (the bloom_probe ownership contract): the
+    # filter feeds k broadcast subtrees; process-lifetime cache is the
+    # right scope for a DQ run
+    bf = bloom_build(crawled, "url").persist(StorageLevel.MEMORY_AND_DISK)
+    out = bloom_probe(cand, bf, "url")
     return out.select(
         "doc_id", "maybe_seen", (did % 3 != 0).alias("truly_seen")
     )

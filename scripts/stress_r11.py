@@ -49,7 +49,10 @@ def main() -> None:
     print(f"  est={est.est} err={err:.3%} (sigma ~2.3%)")
 
     seen = spark.range(1_000_000).select(F.col("id").cast("string").alias("v"))
-    bf = t("bloom build 1M keys", lambda: bloom_build(seen, "v", m_bits=1 << 24))
+    bf = t(
+        "bloom build 1M keys",
+        lambda: bloom_build(seen, "v", m_bits=1 << 24).persist(),
+    )
     n_words = bf.count()
     cand = spark.range(2_000_000).select(F.col("id").cast("string").alias("v"))
     hits = t(

@@ -164,10 +164,19 @@ def test_bloom_probe_null_key_false_and_shuffle_free(spark):
     stream is 100 TB; the filter is the broadcastable side)."""
     from data_ingestion_spark.functions.sketches import bloom_build, bloom_probe
 
+    from pyspark import StorageLevel
+
     seen = spark.createDataFrame([("a",), ("b",)], "v string")
     bf = bloom_build(seen, "v")
     cand = spark.createDataFrame([("a",), ("nope",), (None,)], "v string")
-    out = bloom_probe(cand, bf, "v")
+    # r12 ADVICE ownership contract: with neither a caller persist nor
+    # cache_handles, bloom_probe must NOT silently persist the caller's
+    # frame (leaked executor cache + mutated caller cache state)
+    bloom_probe(cand, bf, "v").collect()
+    assert bf.storageLevel == StorageLevel.NONE
+    # with cache_handles the persist happens and ownership transfers
+    handles: list = []
+    out = bloom_probe(cand, bf, "v", cache_handles=handles)
     rows = {r.v: r.maybe_seen for r in out.collect()}
     assert rows["a"] is True
     assert rows["nope"] is False
@@ -185,6 +194,9 @@ def test_bloom_probe_null_key_false_and_shuffle_free(spark):
     # and the filter build ran ONCE: the k broadcast subtrees read
     # the persisted relation, not k rebuilds of the seen-set scan
     assert "InMemoryTableScan" in final
+    assert len(handles) == 1  # caller-side unpersist handle
+    for h in handles:
+        h.unpersist()
 
 
 def test_hll_p_guard(spark):
