@@ -190,21 +190,23 @@ def ann_store_filtered_probe(spark, sf_dir):
     + ") ORDER BY score DESC, e.vec_id LIMIT 5",
 )
 def ann_store_upsert(spark, sf_dir):
-    """Incremental vector-index upsert (r11 verdict #2, the lexical
-    D4 treatment applied to ``AnnStore``): build the at-rest LSH
-    store over a STALE vector generation (every 5th embedding
-    NEGATED — negation flips every sign bucket, so a failed
-    replacement provably leaves candidates in wrong partitions AND
-    wrong scores), then ``AnnStore.upsert`` folds the corrected 20%
-    PLUS three brand-new vectors (ids +10000, negated copies of
-    vec_id 1–3) into a NEW store version — functional versioning,
-    crash-safe, old vectors never re-bucketed — and the probe serves
-    from it. The oracle is the from-scratch multi-table LSH probe
-    over the TRUE merged corpus, so the driver verifies
-    upsert ≡ rebuild (replacement across all n_tables pointer
-    copies, insertion, bucket assignment) end to end."""
+    """Incremental vector-index upsert, O(delta) LSM path (r12
+    verdict #1): build the versioned at-rest LSH store over a STALE
+    vector generation (every 5th embedding NEGATED — negation flips
+    every sign bucket, so a failed replacement provably leaves
+    candidates in wrong partitions AND wrong scores), then
+    ``upsert_ann_store_versioned`` folds the corrected 20% PLUS
+    three brand-new vectors (ids +10000, negated copies of vec_id
+    1–3) in as a DELTA SEGMENT — the old pointer copies are never
+    rewritten or read; the probe serves the union of segments with
+    last-wins id shadowing. The oracle is the from-scratch
+    multi-table LSH probe over the TRUE merged corpus, so the driver
+    verifies segment-upsert ≡ rebuild (replacement across all
+    n_tables pointer copies, insertion, bucket assignment) end to
+    end."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
@@ -226,11 +228,12 @@ def ann_store_upsert(spark, sf_dir):
         )
     )
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    src = os.path.join(tempfile.gettempdir(), f"ann_upsert_src_{tag}")
-    dst = os.path.join(tempfile.gettempdir(), f"ann_upsert_dst_{tag}")
-    store = SIM.AnnStore(spark, src, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
-    store.write(stale)
-    return store.upsert(delta, dst).probe(qv, k=5)
+    root = os.path.join(tempfile.gettempdir(), f"ann_upsert_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.write_ann_store_versioned(
+        stale, root, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES
+    )
+    return SIM.upsert_ann_store_versioned(delta, root).probe(qv, k=5)
 
 
 @q(
@@ -1190,23 +1193,27 @@ def rank_bm25_index_compacted(spark, sf_dir):
 
 @q("rank_bm25_index_upsert", _bm25_batch_oracle())
 def rank_bm25_index_upsert(spark, sf_dir):
-    """Incremental index maintenance (r11 D-series): build the
-    at-rest lexical index over a STALE corpus generation (every 5th
-    doc carries appended noise terms — including the fixture query
-    terms, so a failed replacement provably corrupts df/tf/stats),
-    then ``upsert_postings_index`` the corrected 20% into a new
-    index version and serve the query batch from it. The oracle is
-    the from-scratch full-corpus pipeline on the TRUE text — the
-    driver therefore verifies upsert ≡ rebuild (replacement, df
-    maintenance, doclens/stats exactness) end to end."""
+    """Incremental index maintenance, O(delta) LSM path (r12 verdict
+    #1): build the versioned index over a STALE corpus generation
+    (every 5th doc carries appended noise terms — including the
+    fixture query terms, so a failed replacement provably corrupts
+    df/tf/stats), then ``upsert_postings_index_versioned`` folds the
+    corrected 20% in as a DELTA SEGMENT — the old postings are never
+    rewritten or read; serving resolves last-wins across segments —
+    and the query batch serves from the committed pointer. The
+    oracle is the from-scratch full-corpus pipeline on the TRUE
+    text — the driver therefore verifies segment-upsert ≡ rebuild
+    (replacement shadowing, derived df, exact stats) end to end."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from .functions.similarity import (
         bm25_rank_batch_indexed,
-        build_postings_index,
-        upsert_postings_index,
+        build_postings_index_versioned,
+        index_current_path,
+        upsert_postings_index_versioned,
     )
 
     d = _d(spark, sf_dir).select("doc_id", "text")
@@ -1218,12 +1225,12 @@ def rank_bm25_index_upsert(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx0 = os.path.join(tempfile.gettempdir(), f"bm25_upsert_src_{tag}")
-    idx1 = os.path.join(tempfile.gettempdir(), f"bm25_upsert_dst_{tag}")
-    build_postings_index(stale, idx0)
-    upsert_postings_index(d.filter(F.col("doc_id") % 5 == 0), idx0, idx1)
+    root = os.path.join(tempfile.gettempdir(), f"bm25_upsert_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    build_postings_index_versioned(stale, root)
+    upsert_postings_index_versioned(d.filter(F.col("doc_id") % 5 == 0), root)
     qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
-    return bm25_rank_batch_indexed(spark, qdf, idx1, topk=10)
+    return bm25_rank_batch_indexed(spark, qdf, index_current_path(root), topk=10)
 
 
 _HYBRID_QTEXT = "spark vector customer merge"

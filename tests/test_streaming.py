@@ -450,6 +450,7 @@ def test_index_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     import time
 
     from data_ingestion_spark.functions.similarity import (
+        IndexReader,
         bm25_rank_batch_indexed,
         build_postings_index,
         index_current_path,
@@ -492,9 +493,13 @@ def test_index_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     build_postings_index(expected_corpus, ref_idx, buckets=16)
 
     def rowset(idx):
+        # IndexReader resolves both layouts: the stream's live version
+        # is an LSM manifest (union of delta segments, last-wins), the
+        # reference build is monolithic — the LOGICAL postings must be
+        # row-for-row equal
         return sorted(
             (r.term, r.doc_id, r.tf, r.dl, r.bucket)
-            for r in spark.read.parquet(idx + "/postings").collect()
+            for r in IndexReader(spark, idx).postings().collect()
         )
 
     assert rowset(live) == rowset(ref_idx)  # no stale-marker postings survive
