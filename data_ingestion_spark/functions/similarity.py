@@ -644,9 +644,21 @@ class AnnStore:
                 pairs.append((t, b ^ (1 << i)))
         return pairs
 
-    def probe_candidates(self, qv: list[float], extra_flips: int = 0) -> DataFrame:
-        """The pruned scan only — (1 + extra_flips) partitions per
-        table, still resolved at plan time (PartitionFilters)."""
+    @staticmethod
+    def _pairs_cond(pairs: list[tuple[int, int]]) -> Column:
+        """Literal (table, bucket) disjunction — plan-time values, so
+        the parquet scan partition-prunes (PartitionFilters)."""
+        cond = None
+        for t, b in pairs:
+            c = (F.col("table") == t) & (F.col("bucket") == b)
+            cond = c if cond is None else (cond | c)
+        return F.lit(False) if cond is None else cond
+
+    def _cond_scan(self, cond: Column) -> DataFrame:
+        """The at-rest rows matching a (table, bucket) predicate — the
+        single point where probes touch storage. ``SegmentedAnnStore``
+        overrides it with last-wins segment resolution, which is what
+        lets ``probe``/``probe_batch`` serve both layouts unchanged."""
         if getattr(self, "_quant", None):
             # a quantized store's root holds codes/ + raw/ subtrees, not
             # the flat partitioned layout — a plain read would die with an
@@ -657,13 +669,12 @@ class AnnStore:
                 "layout) — probe it via probe_quantized, not "
                 "probe/probe_candidates"
             )
-        pairs = self._probe_pairs(qv, extra_flips)
-        store = self.spark.read.parquet(self.path)
-        cond = None
-        for t, b in pairs:
-            c = (F.col("table") == t) & (F.col("bucket") == b)
-            cond = c if cond is None else (cond | c)
-        return store.filter(cond)
+        return self.spark.read.parquet(self.path).filter(cond)
+
+    def probe_candidates(self, qv: list[float], extra_flips: int = 0) -> DataFrame:
+        """The pruned scan only — (1 + extra_flips) partitions per
+        table, still resolved at plan time (PartitionFilters)."""
+        return self._cond_scan(self._pairs_cond(self._probe_pairs(qv, extra_flips)))
 
     def probe(
         self,
@@ -697,6 +708,156 @@ class AnnStore:
         cand = cand.select(self.id_col, self.vec_col).distinct()
         qcol = F.array(*[F.lit(float(x)) for x in qv])
         return brute_force_topk(cand, qcol, k, self.id_col, self.vec_col)
+
+    def _batch_assignments(
+        self,
+        queries_df: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        extra_flips: int,
+    ) -> DataFrame:
+        """(query_id, table, bucket) — every query's probed buckets,
+        derived ENGINE-side (the batch mirror of the driver-side
+        ``_probe_pairs``): per table the home sign bucket plus, for
+        multi-probe, the buckets reached by flipping the
+        ``extra_flips`` LOWEST-|margin| sign bits — ordered via
+        array_sort over (|component|, bit) structs, the same
+        stable-by-bit tiebreak as the driver path, so single-query
+        ``probe`` and ``probe_batch`` read identical partitions.
+        Dimension-guarded the ``_assigned`` way (assert_true threaded
+        through the vector column) — a short query vector fails loudly
+        instead of ANSI element_at throwing mid-plan."""
+        flips = max(0, min(int(extra_flips), self.bits))
+        guard = F.assert_true(
+            F.size(F.col(query_vec_col)) >= self.min_dim,
+            F.lit(
+                f"probe_batch requires query vectors with >= {self.min_dim} "
+                f"components (bits={self.bits} x n_tables={self.n_tables})"
+            ),
+        )
+        q = queries_df.withColumn(
+            query_vec_col, F.when(guard.isNull(), F.col(query_vec_col))
+        )
+        per_table = []
+        for t in range(self.n_tables):
+            home = table_sign_bucket(F.col(query_vec_col), t, self.bits)
+            buckets = F.array(home)
+            if flips > 0:
+                comps = F.slice(F.col(query_vec_col), t * self.bits + 1, self.bits)
+                ranked = F.array_sort(
+                    F.zip_with(
+                        comps,
+                        F.sequence(F.lit(0), F.lit(self.bits - 1)),
+                        lambda c, i: F.struct(
+                            F.abs(c.cast("double")).alias("a"), i.alias("i")
+                        ),
+                    )
+                )
+                buckets = F.concat(
+                    buckets,
+                    F.transform(
+                        F.slice(ranked, 1, flips),
+                        # shiftleft needs a literal shift; 2^i via pow is
+                        # exact for i < 31 (bits is validated far below that)
+                        lambda s: home.bitwiseXOR(
+                            F.pow(F.lit(2.0), s["i"].cast("double")).cast("int")
+                        ),
+                    ),
+                )
+            per_table.append(
+                F.struct(F.lit(t).alias("table"), buckets.alias("buckets"))
+            )
+        return (
+            q.select(query_id_col, F.explode(F.array(*per_table)).alias("tb"))
+            .select(
+                query_id_col,
+                F.col("tb.table").alias("table"),
+                F.explode("tb.buckets").alias("bucket"),
+            )
+            .dropDuplicates([query_id_col, "table", "bucket"])
+        )
+
+    def probe_batch(
+        self,
+        queries_df: DataFrame,
+        k: int = 5,
+        extra_flips: int = 0,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        where: Column | None = None,
+    ) -> DataFrame:
+        """Batch vector serving — N query vectors against the at-rest
+        store in ONE plan (r12 verdict #2; the ANN mirror of
+        ``bm25_rank_batch_indexed``, which serves a query TABLE where
+        ``bm25_rank`` serves a literal). ``probe`` takes one
+        ``qv: list[float]`` with driver-side bucket math, so N queries
+        cost N sequential jobs; an eval/serving batch wants one.
+
+        Plan shape: (1) per-query (table, bucket) assignments derived
+        engine-side (``_batch_assignments``); (2) the UNION of probed
+        buckets collected driver-side — bounded by n_tables × 2^bits
+        distinct pairs regardless of batch size (the same tiny-probe
+        contract as ``bm25_rank_batch_indexed``'s hit_buckets) — into
+        a literal partition filter, so the store scan still prunes at
+        plan time; (3) a broadcast join on (table, bucket) fans
+        candidates out to their queries (the query batch is tiny next
+        to the corpus); (4) per-(query, id) dedup — a vector can match
+        in several tables/flip buckets; (5) exact cosine re-rank per
+        query via one window. Serves both layouts through
+        ``_cond_scan``: monolithic stores scan one pruned parquet,
+        segmented (LSM) versions resolve last-wins across segments.
+
+        ``where`` filters candidates on carried metadata columns
+        INSIDE the pruned partitions — the same post-filter semantics
+        (and recall caveat) as ``probe(where=...)``, applied to every
+        query in the batch.
+
+        Per query the candidate set and ranking equal ``probe(qv, k,
+        extra_flips)`` exactly — that equality is the
+        ``ann_probe_batch`` driver oracle (per-query multi-table LSH
+        candidates + exact top-k) and is pinned against the
+        single-query path in pytest.
+
+        Returns (query_id, id_col, score, rank), rank 1..k per query,
+        score rounded to 6dp before ranking, id tiebreak.
+
+        Reference anchor: the reference's query utility loops
+        ``with_near_vector(...).with_limit(k)`` per query
+        (ingestion-pipeline-website-local.py Q:167–176) — this is that
+        loop as one partition-pruned Spark plan."""
+        asg = self._batch_assignments(
+            queries_df, query_id_col, query_vec_col, extra_flips
+        )
+        # bounded driver-side probe: <= n_tables * 2^bits pairs
+        pairs = [
+            (r["table"], r["bucket"])
+            for r in asg.select("table", "bucket").distinct().collect()
+        ]
+        cand = self._cond_scan(self._pairs_cond(pairs))
+        if where is not None:
+            cand = cand.filter(where)
+        cand = (
+            cand.join(F.broadcast(asg), ["table", "bucket"])
+            .select(query_id_col, self.id_col, self.vec_col)
+            .distinct()
+        )
+        scored = cand.join(
+            F.broadcast(queries_df.select(query_id_col, query_vec_col)),
+            query_id_col,
+        ).withColumn(
+            "score",
+            F.round(cosine(F.col(self.vec_col), F.col(query_vec_col)), 6),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(query_id_col, self.id_col, "score", "rank")
+        )
 
     # ------------------------- SQ8 scalar quantization (r11 verdict #4)
 
@@ -1872,16 +2033,13 @@ class SegmentedAnnStore(AnnStore):
             out = out.unionByName(nxt)
         return out
 
-    def probe_candidates(self, qv: list[float], extra_flips: int = 0) -> DataFrame:
+    def _cond_scan(self, cond) -> DataFrame:
+        # probe/probe_candidates/probe_batch all land here — the one
+        # override point that makes every read path segment-aware
         if getattr(self, "_quant", None):
             raise NotImplementedError(
                 "quantized segmented stores are probed via probe_quantized"
             )
-        pairs = self._probe_pairs(qv, extra_flips)
-        cond = None
-        for t_, b in pairs:
-            c = (F.col("table") == t_) & (F.col("bucket") == b)
-            cond = c if cond is None else (cond | c)
         return self._resolved_candidates(cond)
 
     def write(self, *a, **kw):  # pragma: no cover - guard

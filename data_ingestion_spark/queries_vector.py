@@ -174,6 +174,52 @@ def ann_store_filtered_probe(spark, sf_dir):
 
 
 @q(
+    "ann_probe_batch",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    "WHERE vec_id IN (0, 1, 2)), "
+    "c AS (SELECT q.query_id, e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM embeddings e, q WHERE e.vec_id > 2 AND ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ")) SELECT query_id, vec_id, score, rank FROM ("
+    "SELECT query_id, vec_id, score, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank "
+    "FROM c) WHERE rank <= 5",
+)
+def ann_probe_batch(spark, sf_dir):
+    """BATCH vector serving from the at-rest store (r12 verdict #2,
+    the ANN mirror of rank_bm25_indexed): a (query_id, qvec) TABLE —
+    three query vectors here — probes the AnnStore in ONE plan.
+    Buckets are derived per query ENGINE-side, the union of probed
+    (table, bucket) pairs becomes one literal partition filter
+    (bounded by n_tables × 2^bits regardless of batch size), a
+    broadcast join fans pruned candidates out to their queries, and
+    one window ranks exact cosine per query. The oracle is the
+    per-query multi-table LSH candidate set + exact top-5 with rank —
+    i.e. N independent ``ann_store_probe`` answers — so the driver
+    verifies the single-plan batch equals the per-query loop the
+    reference's query utility runs (Q:167–176)."""
+    import hashlib
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    if queries.head() is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double, rank int"
+        )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ann_batch_{tag}")
+    store = SIM.AnnStore(spark, path, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    store.write(e.filter(F.col("vec_id") > 2).select("vec_id", "embedding"))
+    return store.probe_batch(queries, k=5)
+
+
+@q(
     "ann_store_upsert",
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "corpus AS ("
