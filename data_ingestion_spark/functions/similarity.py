@@ -2243,6 +2243,15 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
             "metadata_cols": list(live._metadata_cols),
         },
     )
+    # carry the stream-replay marker into the compacted version (the
+    # compact_index discipline): a restart right after compaction
+    # would otherwise re-fold the last batch — content-idempotent,
+    # but it mints a spurious version per restart
+    import shutil as _shutil
+
+    marker = os.path.join(src, "_last_batch_id")
+    if os.path.exists(marker):
+        _shutil.copyfile(marker, os.path.join(root, name, "_last_batch_id"))
     _commit_index_version(root, name)
     _vacuum_index_root(root, retain)
     return _open_ann_version(spark, os.path.join(root, name))

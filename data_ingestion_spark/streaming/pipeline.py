@@ -447,3 +447,80 @@ def run_index_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_ann_maintenance_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 3,
+    n_tables: int = 6,
+    metadata_cols: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """Continuous VECTOR-index maintenance (r12 verdict #3) — the ANN
+    mirror of ``run_index_maintenance_stream``: an embedding stream
+    folds into the managed AnnStore root. The first micro-batch
+    builds the base segment (``write_ann_store_versioned`` with the
+    geometry/metadata given here); every later batch is an O(delta)
+    ``upsert_ann_store_versioned`` — a NEW LSM segment plus a
+    manifest naming old-segments + it, committed via the atomic
+    ``CURRENT`` pointer swap, so a concurrent prober always serves a
+    complete committed store and a crash mid-batch leaves the
+    previous version live. Replace semantics: a ``vec_id``
+    reappearing in a later batch shadows its old pointer copies in
+    EVERY table (re-embed wins) — the production shape of the
+    reference's continuous ``add_documents`` ingestion (pipeline.py
+    P:341–349) on the vector side.
+
+    Within one micro-batch duplicate ids collapse via
+    ``dropDuplicates`` (arbitrary winner — pre-dedup upstream with an
+    ordering column when it matters). Replay safety is the two-layer
+    postings-stream contract: the ``_last_batch_id`` marker in the
+    version directory skips an already-folded batch (and
+    ``compact_ann_store`` carries it forward), and a replay slipping
+    past the marker is harmless because upsert-by-replacement is
+    idempotent. Segments accumulate by design; schedule
+    ``compact_ann_store`` for retention (OPTIMIZE+VACUUM).
+
+    Geometry args apply to the FIRST build only; later upserts
+    inherit from the live version's manifest."""
+    import os
+
+    from ..functions import similarity as SIM
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.dropDuplicates([id_col])
+        if delta.isEmpty():
+            return
+        cur = SIM.index_current_path(root)
+        if cur is not None:
+            try:
+                with open(os.path.join(cur, "_last_batch_id"), encoding="utf-8") as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # replay of an already-folded batch
+            except (OSError, ValueError):
+                pass
+            handle = SIM.upsert_ann_store_versioned(delta, root)
+        else:
+            handle = SIM.write_ann_store_versioned(
+                delta,
+                root,
+                metadata_cols=metadata_cols,
+                bits=bits,
+                n_tables=n_tables,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        with open(
+            os.path.join(handle.path, "_last_batch_id"), "w", encoding="utf-8"
+        ) as f:
+            f.write(str(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

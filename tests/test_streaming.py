@@ -531,3 +531,110 @@ def test_index_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     q2.awaitTermination(180)
     assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
     assert index_current_path(root) == live
+
+
+def test_ann_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
+    """r13 (r12 verdict #3): an embedding stream folds into the
+    managed ANN root — first batch builds the base segment, later
+    batches are O(delta) LSM upserts behind atomic pointer swaps.
+    After draining, a probe of the live version equals a from-scratch
+    monolithic store over the LAST-WINS corpus; a checkpoint replay
+    folds nothing new; compaction carries the replay marker."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        SegmentedAnnStore,
+        compact_ann_store,
+        index_current_path,
+        _open_ann_version,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    src_dir = str(tmp_path / "emb_stream")
+    os.makedirs(src_dir)
+    # slice 0 ships STALE vectors for vec_id%3==0 (negated: flips every
+    # sign bucket AND every score); slice 2 re-embeds them correctly
+    slices = [
+        emb.filter(F.col("vec_id") % 3 == 0).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        ),
+        emb.filter(F.col("vec_id") % 3 == 1),
+        emb.filter(F.col("vec_id") % 3 == 0),
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        sl.toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "ann_root")
+    schema = "vec_id bigint, embedding array<float>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = SP.run_ann_maintenance_stream(
+        stream, root, str(tmp_path / "ckpt_ann"), bits=3, n_tables=6
+    )
+    q.awaitTermination(180)
+
+    live_path = index_current_path(root)
+    assert live_path is not None
+    live = _open_ann_version(spark, live_path)
+    assert isinstance(live, SegmentedAnnStore) and len(live.seg_paths) == 3
+
+    ref = AnnStore(spark, str(tmp_path / "ref"), bits=3, n_tables=6)
+    ref.write(emb.filter(F.col("vec_id") % 3 != 2))  # last-wins = true vectors
+
+    def top(store, qv):
+        return [(r.vec_id, round(r.score, 6)) for r in store.probe(qv, k=5).collect()]
+
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    for qv in qvs:
+        assert top(live, qv) == top(ref, qv)
+
+    # replay: same checkpoint mints no new version
+    versions_before = sorted(n for n in os.listdir(root) if n.startswith("v_"))
+    q2 = SP.run_ann_maintenance_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        str(tmp_path / "ckpt_ann"),
+        bits=3,
+        n_tables=6,
+    )
+    q2.awaitTermination(180)
+    assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
+    assert index_current_path(root) == live_path
+
+    # compaction folds segments, keeps answers, CARRIES the marker —
+    # so a post-compaction restart still replays nothing
+    folded = compact_ann_store(spark, root, retain=1)
+    assert len(folded.seg_paths) == 1
+    for qv in qvs:
+        assert top(folded, qv) == top(ref, qv)
+    assert os.path.exists(
+        os.path.join(index_current_path(root), "_last_batch_id")
+    )
+    versions_before = sorted(n for n in os.listdir(root) if n.startswith("v_"))
+    q3 = SP.run_ann_maintenance_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        str(tmp_path / "ckpt_ann"),
+        bits=3,
+        n_tables=6,
+    )
+    q3.awaitTermination(180)
+    assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
