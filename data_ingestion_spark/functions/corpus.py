@@ -295,6 +295,7 @@ def decontaminate_fuzzy(
     band_size: int = 2,
     min_jaccard_micros: int = 500_000,
     cache_handles: list[DataFrame] | None = None,
+    max_eval_rows: int = 1_000_000,
 ) -> DataFrame:
     """FUZZY train/eval contamination: corpus docs that are NEAR
     duplicates of an eval doc (n-gram Jaccard ≥ threshold), found by
@@ -329,11 +330,31 @@ def decontaminate_fuzzy(
     hits are rare by construction (an eval set is tiny), so the
     candidate set is broadcast-sized; a degenerate corpus where
     everything bands against the eval set should go through exact
-    dedup first (the DEFAULT_MAX_BUCKET argument)."""
+    dedup first (the DEFAULT_MAX_BUCKET argument).
+
+    The eval side must actually BE tiny: its band table, shingle
+    stream, and size table all broadcast, so a mis-call with a
+    corpus-sized "eval" frame would OOM the driver three joins deep
+    with an opaque broadcast error. ``max_eval_rows`` guards it up
+    front (the DEFAULT_MAX_BUCKET loud-refusal discipline): one
+    bounded count of ``eval_df``, and past the cap the call refuses
+    with the fix in the message — swap the sides or run banded
+    dedup (``minhash_lsh_candidates``) across the union instead."""
     from pyspark import StorageLevel
 
     from .dedup import band_table, word_shingles
 
+    n_eval = eval_df.limit(int(max_eval_rows) + 1).count()
+    if n_eval > int(max_eval_rows):
+        raise ValueError(
+            f"decontaminate_fuzzy broadcasts the EVAL side (bands, "
+            f"shingles, sizes); eval_df has > {max_eval_rows} rows — "
+            "this would OOM the driver. Pass the small benchmark set "
+            "as eval_df (swap the arguments), raise max_eval_rows "
+            "only if the driver can hold the eval shingle stream, or "
+            "use minhash_lsh_candidates over the union for "
+            "corpus-x-corpus near-dup detection"
+        )
     c_bands = band_table(corpus, text_col, id_col, shingle_n, num_hashes, band_size)
     e_bands = band_table(eval_df, text_col, id_col, shingle_n, num_hashes, band_size)
     cand = (

@@ -139,21 +139,30 @@ def heavy_hitters_grouped(
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
     cache_handles: list[DataFrame] | None = None,
+    broadcast_max_cells: int = 2_000_000,
 ) -> DataFrame:
     """Exact heavy hitters PER GROUP — "the tokens appearing ≥ N
     times within each language/host/source", the boilerplate-
     detection report — via the two-pass sketch discipline applied
     group-wise: pass 1 builds a PER-GROUP count-min sketch
-    ((group, depth, bucket) cells — |groups| × depth × width rows,
-    broadcastable for the moderate group counts this report shape
-    implies), pass 2 re-scans, estimates each (group, value) via
-    ``depth`` broadcast joins keyed on (group, bucket), keeps rows
-    whose estimate clears the threshold (CMS never underestimates —
-    no false negatives), and exact-counts only the survivors. The
+    ((group, depth, bucket) cells — at most |groups| × depth × width
+    rows), pass 2 re-scans, estimates each (group, value) via
+    ``depth`` joins keyed on (group, bucket), keeps rows whose
+    estimate clears the threshold (CMS never underestimates — no
+    false negatives), and exact-counts only the survivors. The
     result EQUALS ``GROUP BY group, col HAVING count >= min_count``
     (the driver oracle), but the final aggregation's hash state is
     bounded by the per-group candidate sets instead of
     |groups| × vocabulary. For ONE group use ``heavy_hitters``.
+
+    The per-depth sketch slices are BROADCAST while the materialized
+    sketch holds ≤ ``broadcast_max_cells`` rows (the language/source
+    report shape: dozens of groups); past that — the per-HOST report
+    over millions of hosts (r12 verdict #4) — the estimate joins
+    switch to shuffle joins keyed (group, bucket), one extra exchange
+    per depth, IDENTICAL result (both branches pytest-pinned equal).
+    The branch decision costs one count of the already-persisted
+    sketch, which pass 2 was going to materialize anyway.
 
     Returns (group, ``col``, n) with exact counts."""
     from pyspark import StorageLevel
@@ -175,6 +184,12 @@ def heavy_hitters_grouped(
     )
     if cache_handles is not None:
         cache_handles.append(sketch)
+    # one count of the persisted sketch picks the join strategy; at
+    # |groups| × depth × width cells past the driver's broadcast
+    # comfort, a broadcast here is the OOM (the per-host report over
+    # millions of hosts), so large sketches estimate via shuffle
+    # joins instead — same cells, same min, one exchange per depth
+    can_broadcast = sketch.count() <= int(broadcast_max_cells)
     est: Column | None = None
     cur = vals
     for d in range(depth):
@@ -184,7 +199,7 @@ def heavy_hitters_grouped(
             F.col("cnt").alias(f"__c{d}"),
         )
         cur = cur.withColumn(f"__b{d}", _bucket(F.col("__v"), F.lit(d), width)).join(
-            F.broadcast(s_d),
+            F.broadcast(s_d) if can_broadcast else s_d,
             (F.col("__g") == F.col(f"__sg{d}"))
             & (F.col(f"__b{d}") == F.col(f"__sb{d}")),
             "left_outer",

@@ -206,3 +206,27 @@ def test_decontaminate_fuzzy_catches_paraphrase_not_unrelated(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # eval side broadcasts
+
+
+def test_decontaminate_fuzzy_refuses_large_eval_side(spark):
+    """r13 (r12 verdict #5): the eval side broadcasts (bands,
+    shingles, sizes) — a corpus-sized "eval" frame must refuse
+    loudly up front, not OOM the driver three joins deep; a real
+    eval set under the cap still works."""
+    import pytest
+
+    from data_ingestion_spark.functions.corpus import decontaminate_fuzzy
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon doc 7")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="broadcasts the EVAL side"):
+        decontaminate_fuzzy(corpus, corpus, "text", "doc_id", max_eval_rows=10)
+    out = decontaminate_fuzzy(corpus, ev, "text", "doc_id", max_eval_rows=10)
+    # the paraphrase-identical doc 7 is found; the guard changed nothing
+    assert any(r.doc_id == 7 for r in out.collect())
