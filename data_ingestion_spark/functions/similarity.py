@@ -583,10 +583,12 @@ class AnnStore:
             self._metadata_cols = tuple(disk.get("metadata_cols", ()))
         if getattr(self, "_quant", None):
             raise NotImplementedError(
-                "upsert targets the raw-float store; a quantized store's "
-                "global per-dimension bounds are frozen at write time — "
-                "re-quantize via write_quantized over the merged corpus "
-                "(bounds drift is a rebuild decision, not an append)"
+                "a MONOLITHIC quantized store has one frozen set of "
+                "per-dimension bounds — an in-place upsert cannot carry "
+                "the delta's. Use the versioned layout "
+                "(write_ann_store_versioned(quantized=True) + "
+                "upsert_ann_store_versioned): each delta segment keeps "
+                "its OWN SQ8 bounds and decodes per segment at probe"
             )
         delta_ids = delta_vectors.select(self.id_col).distinct()
         kept = self.spark.read.parquet(self.path).join(
@@ -991,22 +993,41 @@ class AnnStore:
                 "(open it via AnnStore.open to restore bounds)"
             )
         pairs = self._probe_pairs(qv, extra_flips)
-        codes = self.spark.read.parquet(self.path.rstrip("/") + "/codes")
-        cond = None
-        for t, b in pairs:
-            c = (F.col("table") == t) & (F.col("bucket") == b)
-            cond = c if cond is None else (cond | c)
-        cand = codes.filter(cond).select(self.id_col, "code").distinct()
         qcol = F.array(*[F.lit(float(x)) for x in qv])
+        cand = self._quant_candidates(pairs)
         if prefilter_m is not None:
-            _, dec = self._quant_exprs(quant)
-            cand = (
-                cand.withColumn("__approx", cosine(dec(F.col("code")), qcol))
-                .orderBy(F.col("__approx").desc(), F.col(self.id_col))
-                .limit(int(prefilter_m))
-            )
-        cand_ids = cand.select(self.id_col)
-        nb = int(quant["raw_id_buckets"])
+            cand = self._quant_prefilter(cand, qcol, prefilter_m)
+        raw = self._raw_fetch(cand.select(self.id_col))
+        return brute_force_topk(raw, qcol, k, self.id_col, self.vec_col)
+
+    def _quant_candidates(self, pairs: list[tuple[int, int]]) -> DataFrame:
+        """Pruned (id, code) candidates from the codes/ subtree —
+        the quantized half of ``_cond_scan``, factored out so the
+        segmented layout can shadow per segment."""
+        codes = self.spark.read.parquet(self.path.rstrip("/") + "/codes")
+        return codes.filter(self._pairs_cond(pairs)).select(
+            self.id_col, "code"
+        ).distinct()
+
+    def _quant_prefilter(self, cand: DataFrame, qcol: Column, m: int) -> DataFrame:
+        """Rank candidates by APPROX cosine over the decoded codes and
+        keep the top ``m`` — decoded with THIS store's (or segment's)
+        own bounds, which is what keeps per-segment quantization
+        honest when bounds drift between generations."""
+        _, dec = self._quant_exprs(self._quant)
+        return (
+            cand.withColumn("__approx", cosine(dec(F.col("code")), qcol))
+            .orderBy(F.col("__approx").desc(), F.col(self.id_col))
+            .limit(int(m))
+            .drop("__approx")
+        )
+
+    def _raw_fetch(self, cand_ids: DataFrame) -> DataFrame:
+        """Exact-rescore rows (id, vec) for a candidate id set: the
+        raw/ sidecar scan pruned to the candidates' id-hash partitions
+        (bucket list collected driver-side — bounded by
+        raw_id_buckets) then broadcast-joined on id."""
+        nb = int(self._quant["raw_id_buckets"])
         hit_buckets = [
             r[0]
             for r in cand_ids.select(
@@ -1015,12 +1036,12 @@ class AnnStore:
             .distinct()
             .collect()
         ]
-        raw = (
+        return (
             self.spark.read.parquet(self.path.rstrip("/") + "/raw")
             .filter(F.col("id_bucket").isin(hit_buckets))
             .join(F.broadcast(cand_ids), self.id_col)
+            .select(self.id_col, self.vec_col)
         )
-        return brute_force_topk(raw, qcol, k, self.id_col, self.vec_col)
 
 
 def bm25_rank(
@@ -2010,28 +2031,15 @@ class SegmentedAnnStore(AnnStore):
 
     def _resolved_candidates(self, cond) -> DataFrame:
         cols = [self.id_col, self.vec_col, *self._metadata_cols, "table", "bucket"]
-        outs: list[DataFrame] = []
-        shadow: DataFrame | None = None
-        shadow_n = 0
-        for i in range(len(self.seg_paths) - 1, -1, -1):
-            seg = self.seg_paths[i]
-            cur = (
-                self.spark.read.parquet(_ann_seg_data_dir(seg))
+        return self._shadowed(
+            (
+                i,
+                self.spark.read.parquet(_ann_seg_data_dir(self.seg_paths[i]))
                 .filter(cond)
-                .select(*cols)
+                .select(*cols),
             )
-            if shadow is not None:
-                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
-                cur = cur.join(sh, self.id_col, "left_anti")
-            outs.append(cur)
-            if i > 0:
-                ids = self._seg_ids(seg)
-                shadow = ids if shadow is None else shadow.unionByName(ids)
-                shadow_n += self.seg_n[i]
-        out = outs[0]
-        for nxt in outs[1:]:
-            out = out.unionByName(nxt)
-        return out
+            for i in range(len(self.seg_paths) - 1, -1, -1)
+        )
 
     def _cond_scan(self, cond) -> DataFrame:
         # probe/probe_candidates/probe_batch all land here — the one
@@ -2041,6 +2049,98 @@ class SegmentedAnnStore(AnnStore):
                 "quantized segmented stores are probed via probe_quantized"
             )
         return self._resolved_candidates(cond)
+
+    def _shadowed(self, frames_newest_first) -> DataFrame:
+        """Union per-segment frames with last-wins id shadowing —
+        ``frames_newest_first`` yields (segment_index, frame) from the
+        NEWEST segment down; each older frame anti-joins the union of
+        newer segments' id sidecars (broadcast under
+        ``BROADCAST_MAX_IDS``, shuffle beyond). The one shadowing
+        implementation behind raw-float candidates, quantized
+        candidates, and compaction."""
+        outs: list[DataFrame] = []
+        shadow: DataFrame | None = None
+        shadow_n = 0
+        for i, frame in frames_newest_first:
+            cur = frame
+            if shadow is not None:
+                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
+                cur = cur.join(sh, self.id_col, "left_anti")
+            outs.append(cur)
+            if i > 0:
+                ids = self._seg_ids(self.seg_paths[i])
+                shadow = ids if shadow is None else shadow.unionByName(ids)
+                shadow_n += self.seg_n[i]
+        out = outs[0]
+        for nxt in outs[1:]:
+            out = out.unionByName(nxt)
+        return out
+
+    def probe_quantized(
+        self, qv: list[float], k: int = 5, extra_flips: int = 0,
+        prefilter_m: int | None = None,
+    ) -> DataFrame:
+        """Quantized probe across LSM segments (r12 verdict #6): each
+        segment opens with ITS OWN SQ8 bounds (per-segment sidecar),
+        candidates come from the same pruned (table, bucket) code
+        partitions per segment, newer segments' id sidecars shadow
+        older pointer copies (last-wins), and the exact re-score
+        reads each candidate's raw floats from its OWN segment's
+        raw/ sidecar. With ``prefilter_m`` unset the result EQUALS an
+        unquantized probe over the resolved corpus (exact re-score —
+        the monolithic contract, segment-proof); ``prefilter_m``
+        applies PER SEGMENT, decoded with that segment's bounds, so
+        bounds drift between generations cannot corrupt another
+        segment's approximate ranking."""
+        if not getattr(self, "_quant", None):
+            raise ValueError(
+                "this versioned store holds raw floats — probe via "
+                "probe/probe_batch, not probe_quantized"
+            )
+        pairs = self._probe_pairs(qv, extra_flips)
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+
+        def seg_raw():
+            for i in range(len(self.seg_paths) - 1, -1, -1):
+                st = AnnStore.open(
+                    self.spark, _ann_seg_data_dir(self.seg_paths[i])
+                )
+                cand = st._quant_candidates(pairs)
+                yield i, cand, st
+
+        raws: list[DataFrame] = []
+        shadow: DataFrame | None = None
+        shadow_n = 0
+        for i, cand, st in seg_raw():
+            if shadow is not None:
+                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
+                cand = cand.join(sh, self.id_col, "left_anti")
+            if prefilter_m is not None:
+                cand = st._quant_prefilter(cand, qcol, prefilter_m)
+            raws.append(st._raw_fetch(cand.select(self.id_col)))
+            if i > 0:
+                ids = self._seg_ids(self.seg_paths[i])
+                shadow = ids if shadow is None else shadow.unionByName(ids)
+                shadow_n += self.seg_n[i]
+        out = raws[0]
+        for nxt in raws[1:]:
+            out = out.unionByName(nxt)
+        return brute_force_topk(out, qcol, k, self.id_col, self.vec_col)
+
+    def _resolved_raw(self) -> DataFrame:
+        """All live (id, vec) rows of a QUANTIZED segmented store —
+        full raw-sidecar scans per segment with last-wins shadowing;
+        the compaction input (compaction is the one global
+        re-quantization point, by design)."""
+        return self._shadowed(
+            (
+                i,
+                self.spark.read.parquet(
+                    _ann_seg_data_dir(self.seg_paths[i]).rstrip("/") + "/raw"
+                ).select(self.id_col, self.vec_col),
+            )
+            for i in range(len(self.seg_paths) - 1, -1, -1)
+        )
 
     def write(self, *a, **kw):  # pragma: no cover - guard
         raise ValueError(
@@ -2065,50 +2165,81 @@ def _write_ann_segment(
     vectors: DataFrame,
     seg: str,
     metadata_cols: tuple[str, ...],
+    quantized: bool = False,
+    raw_id_buckets: int = 64,
     **kw,
 ) -> int:
     """One ANN segment: the partitioned store under ``data/`` plus the
     ``ids/`` sidecar (one row per vector — the shadow/tombstone
     substrate, the vector mirror of the postings segment's doclens).
-    Returns the segment's vector count (read back from the tiny
-    sidecar — no extra pass over the vectors)."""
+    ``quantized`` writes the segment SQ8 (codes/ + raw/ under data/)
+    with bounds computed from THIS segment's vectors alone — the
+    per-segment-bounds contract that makes quantized upsert possible
+    without global re-quantization (bounds live in the segment's own
+    ``_ann_meta.json``). Returns the segment's vector count (read
+    back from the tiny sidecar — no extra pass over the vectors)."""
     import os
 
     spark = vectors.sparkSession
     store = AnnStore(spark, os.path.join(seg, "data"), **kw)
-    store.write(vectors, metadata_cols=metadata_cols)
+    if quantized:
+        if metadata_cols:
+            raise ValueError(
+                "quantized segments do not carry metadata columns — "
+                "filtered search needs the raw-float layout"
+            )
+        store.write_quantized(vectors, raw_id_buckets=int(raw_id_buckets))
+    else:
+        store.write(vectors, metadata_cols=metadata_cols)
     ids_dir = os.path.join(seg, "ids")
     vectors.select(store.id_col).write.mode("overwrite").parquet(ids_dir)
     return spark.read.parquet(ids_dir).count()
 
 
 def write_ann_store_versioned(
-    vectors: DataFrame, root: str, metadata_cols: tuple[str, ...] = (), **kw
+    vectors: DataFrame,
+    root: str,
+    metadata_cols: tuple[str, ...] = (),
+    quantized: bool = False,
+    raw_id_buckets: int = 64,
+    **kw,
 ) -> AnnStore:
     """Write the corpus as the BASE SEGMENT of an LSM-manifest ANN
     version under the managed root + atomic CURRENT pointer commit
-    (the lexical ``build_postings_index_versioned`` mirror). Returns
-    the serving handle (a ``SegmentedAnnStore``)."""
+    (the lexical ``build_postings_index_versioned`` mirror).
+    ``quantized=True`` writes SQ8 segments — bounds are PER SEGMENT
+    (each segment's sidecar), so later upserts never re-quantize the
+    base; probe via ``probe_quantized`` on the returned handle.
+    Returns the serving handle (a ``SegmentedAnnStore``)."""
     import os
 
     spark = vectors.sparkSession
     seg_name = _next_segment_name(root)
     seg = os.path.join(root, "segments", seg_name)
-    n = _write_ann_segment(vectors, seg, tuple(metadata_cols), **kw)
+    n = _write_ann_segment(
+        vectors,
+        seg,
+        tuple(metadata_cols),
+        quantized=quantized,
+        raw_id_buckets=raw_id_buckets,
+        **kw,
+    )
     probe_handle = AnnStore.open(spark, os.path.join(seg, "data"))
     name = _next_index_version(root)
-    _write_manifest(
-        os.path.join(root, name),
-        {
-            "segments": [f"segments/{seg_name}"],
-            "seg_n": [n],
-            "bits": probe_handle.bits,
-            "n_tables": probe_handle.n_tables,
-            "id_col": probe_handle.id_col,
-            "vec_col": probe_handle.vec_col,
-            "metadata_cols": list(metadata_cols),
-        },
-    )
+    m = {
+        "segments": [f"segments/{seg_name}"],
+        "seg_n": [n],
+        "bits": probe_handle.bits,
+        "n_tables": probe_handle.n_tables,
+        "id_col": probe_handle.id_col,
+        "vec_col": probe_handle.vec_col,
+        "metadata_cols": list(metadata_cols),
+    }
+    if quantized:
+        # flag only — bounds are per segment, self-described in each
+        # segment's _ann_meta.json and restored by AnnStore.open
+        m["quant"] = {"per_segment": True}
+    _write_manifest(os.path.join(root, name), m)
     _commit_index_version(root, name)
     return _open_ann_version(spark, os.path.join(root, name))
 
@@ -2137,12 +2268,7 @@ def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
     if src is None:
         raise FileNotFoundError(f"no CURRENT store version under {root!r}")
     live = _open_ann_version(spark, src)
-    if getattr(live, "_quant", None):
-        raise NotImplementedError(
-            "upsert targets raw-float stores; a quantized store's bounds "
-            "are frozen at write time — re-quantize via write_quantized "
-            "over the merged corpus (bounds drift is a rebuild decision)"
-        )
+    quantized = bool(getattr(live, "_quant", None))
     meta_cols = tuple(live._metadata_cols)
     seg_name = _next_segment_name(root)
     seg = os.path.join(root, "segments", seg_name)
@@ -2150,6 +2276,12 @@ def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
         delta_vectors,
         seg,
         meta_cols,
+        # a quantized delta segment computes ITS OWN SQ8 bounds (and
+        # keeps them in its sidecar) — the base is never re-quantized;
+        # probe decodes each segment with the bounds it was written
+        # under, so bounds drift between generations is handled, not
+        # a rebuild trigger
+        quantized=quantized,
         bits=live.bits,
         n_tables=live.n_tables,
         id_col=live.id_col,
@@ -2162,18 +2294,18 @@ def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
         rels = [os.path.relpath(src, root)]
         seg_n = [-1]  # unknown base count: only NEWER counts gate broadcasts
     name = _next_index_version(root)
-    _write_manifest(
-        os.path.join(root, name),
-        {
-            "segments": rels + [f"segments/{seg_name}"],
-            "seg_n": seg_n + [n],
-            "bits": live.bits,
-            "n_tables": live.n_tables,
-            "id_col": live.id_col,
-            "vec_col": live.vec_col,
-            "metadata_cols": list(meta_cols),
-        },
-    )
+    m = {
+        "segments": rels + [f"segments/{seg_name}"],
+        "seg_n": seg_n + [n],
+        "bits": live.bits,
+        "n_tables": live.n_tables,
+        "id_col": live.id_col,
+        "vec_col": live.vec_col,
+        "metadata_cols": list(meta_cols),
+    }
+    if quantized:
+        m["quant"] = {"per_segment": True}
+    _write_manifest(os.path.join(root, name), m)
     _commit_index_version(root, name)
     return _open_ann_version(spark, os.path.join(root, name))
 
@@ -2205,10 +2337,48 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
             "vec_col": live.vec_col,
             "metadata_cols": list(live._metadata_cols),
         }
+        if getattr(live, "_quant", None):
+            m["quant"] = {"per_segment": True}
         live = SegmentedAnnStore(spark, src, m)
     seg_name = _next_segment_name(root)
     seg = os.path.join(root, "segments", seg_name)
     data = os.path.join(seg, "data")
+    if getattr(live, "_quant", None):
+        # quantized fold: the resolved raw vectors re-quantize ONCE,
+        # globally — compaction is the designated bounds-refresh
+        # point (upserts never re-quantize; segments drift until here)
+        n = _write_ann_segment(
+            live._resolved_raw(),
+            seg,
+            (),
+            quantized=True,
+            bits=live.bits,
+            n_tables=live.n_tables,
+            id_col=live.id_col,
+            vec_col=live.vec_col,
+        )
+        name = _next_index_version(root)
+        _write_manifest(
+            os.path.join(root, name),
+            {
+                "segments": [f"segments/{seg_name}"],
+                "seg_n": [n],
+                "bits": live.bits,
+                "n_tables": live.n_tables,
+                "id_col": live.id_col,
+                "vec_col": live.vec_col,
+                "metadata_cols": [],
+                "quant": {"per_segment": True},
+            },
+        )
+        import shutil as _shutil
+
+        marker = os.path.join(src, "_last_batch_id")
+        if os.path.exists(marker):
+            _shutil.copyfile(marker, os.path.join(root, name, "_last_batch_id"))
+        _commit_index_version(root, name)
+        _vacuum_index_root(root, retain)
+        return _open_ann_version(spark, os.path.join(root, name))
     (
         live._resolved_candidates(F.lit(True))
         .repartition("table", "bucket")

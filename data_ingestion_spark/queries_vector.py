@@ -284,29 +284,42 @@ def ann_store_upsert(spark, sf_dir):
 
 @q(
     "ann_store_quantized",
-    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "corpus AS ("
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0 "
+    "UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, "
+    "list_transform(embedding, x -> -x) AS embedding "
+    "FROM embeddings WHERE vec_id BETWEEN 1 AND 3) "
     "SELECT e.vec_id, "
     "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
     "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
-    "FROM embeddings e, q WHERE e.vec_id <> 0 AND ("
+    "FROM corpus e, q WHERE ("
     + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
     + ") ORDER BY score DESC, e.vec_id LIMIT 5",
 )
 def ann_store_quantized(spark, sf_dir):
-    """SQ8-quantized at-rest vectors (r11 verdict #4): the
-    n_tables-duplicated partitioned store holds int8 codes (4× fewer
-    vector bytes per probed partition), raw floats live ONCE in an
-    id-hash-partitioned sidecar for exact re-scoring. Buckets are
-    assigned from the RAW floats before encoding, so the probe's
-    candidate set is identical to the unquantized store's and the
-    exact re-score makes the result EQUAL ``AnnStore.probe`` on raw
-    vectors — hence the oracle is ``ann_store_probe``'s verbatim:
-    the driver verifies encode→store→pruned scan→raw-sidecar
-    join→re-rank returns the unquantized answer (recall parity at
-    the re-score stage; the approx ``prefilter_m`` dial is pinned
-    in pytest)."""
+    """SQ8-quantized at-rest vectors WITH O(delta) upsert (r11
+    verdict #4 + r12 verdict #6): the n_tables-duplicated store holds
+    int8 codes (4× fewer vector bytes per probed partition), raw
+    floats live ONCE in an id-hash-partitioned sidecar for exact
+    re-scoring — and since r13 the QUANTIZED store is maintainable:
+    the versioned base segment is built over a STALE generation
+    (every 5th vector negated), then ``upsert_ann_store_versioned``
+    folds the corrected 20% plus three new ids in as a quantized
+    DELTA SEGMENT carrying its OWN SQ8 bounds (the stale negated
+    base and the delta quantize against different ranges — per-
+    segment sidecar bounds, no global re-quantization, base codes
+    untouched). Buckets are assigned from the RAW floats before
+    encoding and the re-score is exact from each segment's raw
+    sidecar, so the probe EQUALS an unquantized probe over the TRUE
+    merged corpus — the oracle (LSH candidates + exact top-5, the
+    ``ann_store_upsert`` shape) verifies encode→segment→shadow→
+    decode-per-segment→re-rank end to end. The approx
+    ``prefilter_m`` dial under bounds drift is pinned in pytest."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
@@ -314,11 +327,26 @@ def ann_store_quantized(spark, sf_dir):
     if qhead is None:
         return spark.createDataFrame([], "vec_id bigint, score double")
     qv = [float(x) for x in qhead[0]]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    delta = base.filter(F.col("vec_id") % 5 == 0).unionByName(
+        base.filter(F.col("vec_id").between(1, 3)).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"ann_sq8_{tag}")
-    store = SIM.AnnStore(spark, path, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
-    store.write_quantized(e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"))
-    return store.probe_quantized(qv, k=5)
+    root = os.path.join(tempfile.gettempdir(), f"ann_sq8_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.write_ann_store_versioned(
+        stale, root, quantized=True, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES
+    )
+    return SIM.upsert_ann_store_versioned(delta, root).probe_quantized(qv, k=5)
 
 
 @q(

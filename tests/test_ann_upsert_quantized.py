@@ -290,3 +290,85 @@ def test_ann_managed_root_versioning_and_vacuum(spark, tmp_path):
     ] == exp
     with pytest.raises(ValueError, match="retain"):
         vacuum_ann_store(root, retain=0)
+
+
+def test_quantized_versioned_upsert_per_segment_bounds(spark, tmp_path):
+    """r13 (r12 verdict #6): a quantized store is maintainable via the
+    LSM layout — the delta segment carries its OWN SQ8 bounds (base
+    codes untouched), the probe decodes each segment with the bounds
+    it was written under, and exact re-score makes the answer equal an
+    unquantized rebuild even when delta bounds drift 15x; the approx
+    prefilter dial also ranks with per-segment bounds."""
+    import json
+    import os
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        compact_ann_store,
+        upsert_ann_store_versioned,
+        write_ann_store_versioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") >= 3)
+    # same directions (cosine-identical), 15x the magnitude: per-dim
+    # ranges of the delta segment are disjoint from the base's
+    delta = base.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(15.0))
+    )
+    root = str(tmp_path / "root")
+    write_ann_store_versioned(base, root, quantized=True, bits=3, n_tables=6)
+    live = upsert_ann_store_versioned(delta, root)
+
+    segs = sorted(os.listdir(os.path.join(root, "segments")))
+    assert len(segs) == 2
+    bounds = [
+        json.load(
+            open(os.path.join(root, "segments", s, "data", "_ann_meta.json"))
+        )["quant"]
+        for s in segs
+    ]
+    # the delta's bounds reflect the delta's range, not the base's
+    assert max(bounds[1]["maxs"]) > 5 * max(bounds[0]["maxs"])
+
+    ref = AnnStore(spark, str(tmp_path / "ref"), bits=3, n_tables=6)
+    ref.write(base.filter(F.col("vec_id") % 5 != 0).unionByName(delta))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exp = [(r.vec_id, round(r.score, 6)) for r in ref.probe(qv, k=5).collect()]
+
+    got = [(r.vec_id, round(r.score, 6)) for r in live.probe_quantized(qv, k=5).collect()]
+    assert got == exp and got
+    pref = [
+        (r.vec_id, round(r.score, 6))
+        for r in live.probe_quantized(qv, k=5, prefilter_m=10_000).collect()
+    ]
+    assert pref == exp
+
+    # compaction is the one global re-quantization point: folds to a
+    # single segment with fresh global bounds, same answers
+    folded = compact_ann_store(spark, root, retain=1)
+    assert len(folded.seg_paths) == 1 and folded._quant
+    got2 = [
+        (r.vec_id, round(r.score, 6)) for r in folded.probe_quantized(qv, k=5).collect()
+    ]
+    assert got2 == exp
+
+    # the raw-float probe paths still refuse loudly on quantized versions
+    with pytest.raises(NotImplementedError, match="probe_quantized"):
+        folded.probe(qv, k=5)
+
+
+def test_monolithic_quantized_upsert_redirects_to_versioned(spark, tmp_path):
+    """The in-place monolithic upsert cannot carry two bounds sets —
+    it must refuse with the versioned-layout redirect."""
+    from data_ingestion_spark.functions.similarity import AnnStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    st = AnnStore(spark, str(tmp_path / "q"), bits=3, n_tables=6)
+    st.write_quantized(emb)
+    with pytest.raises(NotImplementedError, match="write_ann_store_versioned"):
+        st.upsert(emb.limit(3), str(tmp_path / "q2"))
