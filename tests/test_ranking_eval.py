@@ -61,3 +61,31 @@ def test_idcg_constants_are_prefix_sums():
     assert pref[0] == 1_000_000
     assert all(b > a for a, b in zip(pref, pref[1:]))
     assert pref[1] == 1_000_000 + round(1e6 / math.log2(3))
+
+
+def test_bool_phrase_serving_quality_pinned(spark, tmp_path):
+    """r13 (r12 verdict #8): the boolean and phrase serving paths are
+    quality-gated by the same MRR/recall/nDCG harness as the hybrid
+    stack — exact pinned micros at sf0.001 (integer-deterministic
+    arithmetic, arithmetic qrels rel(q,d) <=> d % (7+3q) = 0). Any
+    index-layout change that moves a bool/phrase ranking flips these
+    numbers; BENCH_NOTES carries the sf0.1 table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from quality_metrics_bool_phrase import bool_phrase_metrics
+
+    b, p = bool_phrase_metrics(spark, "/root/testdata/sf0.001", str(tmp_path))
+    key = lambda r: (r.query_id, r.n_rel, r.hits, r.rr_micros,
+                     r.recall_k_micros, r.ndcg_k_micros)
+    assert sorted(map(key, b.collect())) == [
+        (1, 50, 2, 250000, 40000, 164220),
+        (2, 39, 2, 250000, 51282, 168152),
+        (3, 32, 0, 0, 0, 0),
+    ]
+    assert sorted(map(key, p.collect())) == [
+        (1, 50, 1, 200000, 20000, 85143),
+        (2, 39, 1, 166667, 25641, 78398),
+        (3, 32, 0, 0, 0, 0),
+        (4, 27, 0, 0, 0, 0),
+    ]
