@@ -1009,6 +1009,128 @@ class AnnStore:
             self.id_col, "code"
         ).distinct()
 
+    def _quant_candidates_batch(
+        self, asg: DataFrame, pairs: list[tuple[int, int]], query_id_col: str
+    ) -> DataFrame:
+        """(query_id, id, code) candidates for a query BATCH: the
+        pruned codes scan broadcast-joined to the per-query
+        (table, bucket) assignment table — the quantized twin of
+        ``probe_batch``'s candidate stage."""
+        codes = self.spark.read.parquet(self.path.rstrip("/") + "/codes")
+        return (
+            codes.filter(self._pairs_cond(pairs))
+            .join(F.broadcast(asg), ["table", "bucket"])
+            .select(query_id_col, self.id_col, "code")
+            .distinct()
+        )
+
+    def probe_batch_quantized(
+        self,
+        queries_df: DataFrame,
+        k: int = 5,
+        extra_flips: int = 0,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        prefilter_m: int | None = None,
+    ) -> DataFrame:
+        """Batch serving from the QUANTIZED store — the last cell of
+        the serving matrix ({single, batch} × {raw, SQ8}, both
+        layouts): N query vectors probe the codes partitions in one
+        plan (same engine-side bucket derivation and bounded
+        driver-side pair union as ``probe_batch``), candidate ids are
+        exactly re-scored from the raw sidecar, and one window ranks
+        per query. ``prefilter_m`` keeps the top m per query by
+        approx decoded cosine BEFORE the raw fetch (per segment and
+        per query on LSM stores, decoded with each segment's own
+        bounds). With it unset the result EQUALS ``probe_batch`` on
+        an unquantized store of the same vectors — the
+        ``ann_probe_batch_quantized`` driver oracle. Returns
+        (query_id, id_col, score, rank)."""
+        quant = getattr(self, "_quant", None)
+        if not quant:
+            raise ValueError(
+                "probe_batch_quantized needs a store written by "
+                "write_quantized (open via AnnStore.open)"
+            )
+        asg = self._batch_assignments(
+            queries_df, query_id_col, query_vec_col, extra_flips
+        )
+        pairs = [
+            (r["table"], r["bucket"])
+            for r in asg.select("table", "bucket").distinct().collect()
+        ]
+        cand = self._quant_candidates_batch(asg, pairs, query_id_col)
+        fetched = self._quant_batch_fetch(
+            cand, queries_df, query_id_col, query_vec_col, prefilter_m, self
+        )
+        return self._quant_batch_rank(
+            fetched, queries_df, k, query_id_col, query_vec_col
+        )
+
+    def _quant_batch_fetch(
+        self,
+        cand: DataFrame,
+        queries_df: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        prefilter_m: int | None,
+        code_store: "AnnStore",
+    ) -> DataFrame:
+        """(query_id, id, vec) exact-rescore rows for a batch
+        candidate set: optional per-query approx prefilter (decoded
+        with ``code_store``'s OWN bounds — per segment on LSM
+        stores), then the raw-sidecar fetch joined back to the
+        (query, id) pairs. ``cand``: (query_id, id, code)."""
+        from pyspark.sql import Window
+
+        if prefilter_m is not None:
+            _, dec = code_store._quant_exprs(code_store._quant)
+            qvs = queries_df.select(query_id_col, query_vec_col)
+            approx = cand.join(F.broadcast(qvs), query_id_col).withColumn(
+                "__approx", cosine(dec(F.col("code")), F.col(query_vec_col))
+            )
+            w_pre = Window.partitionBy(query_id_col).orderBy(
+                F.col("__approx").desc(), F.col(self.id_col).asc()
+            )
+            cand = (
+                approx.withColumn("__prn", F.row_number().over(w_pre))
+                .filter(F.col("__prn") <= int(prefilter_m))
+                .select(query_id_col, self.id_col, "code")
+            )
+        raw = code_store._raw_fetch(cand.select(self.id_col).distinct())
+        return (
+            cand.select(query_id_col, self.id_col).distinct().join(raw, self.id_col)
+        )
+
+    def _quant_batch_rank(
+        self,
+        fetched: DataFrame,
+        queries_df: DataFrame,
+        k: int,
+        query_id_col: str,
+        query_vec_col: str,
+    ) -> DataFrame:
+        """Global exact-cosine ranking of batch rescore rows — ONE
+        window across everything a store (or a union of segments)
+        fetched."""
+        from pyspark.sql import Window
+
+        scored = fetched.join(
+            F.broadcast(queries_df.select(query_id_col, query_vec_col)),
+            query_id_col,
+        ).withColumn(
+            "score",
+            F.round(cosine(F.col(self.vec_col), F.col(query_vec_col)), 6),
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(query_id_col, self.id_col, "score", "rank")
+        )
+
     def _quant_prefilter(self, cand: DataFrame, qcol: Column, m: int) -> DataFrame:
         """Rank candidates by APPROX cosine over the decoded codes and
         keep the top ``m`` — decoded with THIS store's (or segment's)
@@ -2126,6 +2248,61 @@ class SegmentedAnnStore(AnnStore):
         for nxt in raws[1:]:
             out = out.unionByName(nxt)
         return brute_force_topk(out, qcol, k, self.id_col, self.vec_col)
+
+    def probe_batch_quantized(
+        self,
+        queries_df: DataFrame,
+        k: int = 5,
+        extra_flips: int = 0,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+        prefilter_m: int | None = None,
+    ) -> DataFrame:
+        """Batch quantized serving across LSM segments: per segment
+        the pruned code-partition candidates fan out to their queries
+        (broadcast assignment join), newer segments' id sidecars
+        shadow older pointer copies (an id replaced for ONE query is
+        replaced for all — shadowing keys on id alone), prefilter
+        decodes with each segment's own bounds, raw rescore rows come
+        from each candidate's own segment, and ONE window ranks the
+        union per query. prefilter_m unset ⇒ equals probe_batch on an
+        unquantized rebuild (exact re-score)."""
+        if not getattr(self, "_quant", None):
+            raise ValueError(
+                "this versioned store holds raw floats — probe via "
+                "probe/probe_batch, not probe_batch_quantized"
+            )
+        asg = self._batch_assignments(
+            queries_df, query_id_col, query_vec_col, extra_flips
+        )
+        pairs = [
+            (r["table"], r["bucket"])
+            for r in asg.select("table", "bucket").distinct().collect()
+        ]
+        fetched: list[DataFrame] = []
+        shadow: DataFrame | None = None
+        shadow_n = 0
+        for i in range(len(self.seg_paths) - 1, -1, -1):
+            st = AnnStore.open(self.spark, _ann_seg_data_dir(self.seg_paths[i]))
+            cand = st._quant_candidates_batch(asg, pairs, query_id_col)
+            if shadow is not None:
+                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
+                cand = cand.join(sh, self.id_col, "left_anti")
+            fetched.append(
+                self._quant_batch_fetch(
+                    cand, queries_df, query_id_col, query_vec_col, prefilter_m, st
+                )
+            )
+            if i > 0:
+                ids = self._seg_ids(self.seg_paths[i])
+                shadow = ids if shadow is None else shadow.unionByName(ids)
+                shadow_n += self.seg_n[i]
+        out = fetched[0]
+        for nxt in fetched[1:]:
+            out = out.unionByName(nxt)
+        return self._quant_batch_rank(
+            out, queries_df, k, query_id_col, query_vec_col
+        )
 
     def _resolved_raw(self) -> DataFrame:
         """All live (id, vec) rows of a QUANTIZED segmented store —

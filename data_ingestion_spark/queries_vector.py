@@ -220,6 +220,75 @@ def ann_probe_batch(spark, sf_dir):
 
 
 @q(
+    "ann_probe_batch_quantized",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    "WHERE vec_id IN (0, 1, 2)), "
+    "corpus AS ("
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id > 2 "
+    "UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, "
+    "list_transform(embedding, x -> -x) AS embedding "
+    "FROM embeddings WHERE vec_id BETWEEN 3 AND 5), "
+    "c AS (SELECT q.query_id, e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM corpus e, q WHERE ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ")) SELECT query_id, vec_id, score, rank FROM ("
+    "SELECT query_id, vec_id, score, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank "
+    "FROM c) WHERE rank <= 5",
+)
+def ann_probe_batch_quantized(spark, sf_dir):
+    """The last cell of the vector-serving matrix ({single, batch} ×
+    {raw, SQ8} × {monolithic, LSM}): a (query_id, qvec) TABLE probes
+    the QUANTIZED versioned store — stale base segment (every 5th
+    vector negated) + corrected quantized delta segment carrying its
+    own SQ8 bounds plus three new ids — in ONE plan: engine-side
+    bucket derivation, pruned code-partition scans per segment,
+    last-wins id shadowing, exact re-score from each candidate's own
+    segment's raw sidecar, one global window per query. Exact
+    re-score makes the batch answer EQUAL per-query LSH candidates +
+    exact top-5 over the TRUE merged corpus — one oracle certifies
+    upsert, quantization, shadowing, and batch serving together."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    if queries.head() is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double, rank int"
+        )
+    base = e.filter(F.col("vec_id") > 2).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    delta = base.filter(F.col("vec_id") % 5 == 0).unionByName(
+        base.filter(F.col("vec_id").between(3, 5)).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ann_bq_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.write_ann_store_versioned(
+        stale, root, quantized=True, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES
+    )
+    return SIM.upsert_ann_store_versioned(delta, root).probe_batch_quantized(
+        queries, k=5
+    )
+
+
+@q(
     "ann_store_upsert",
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "corpus AS ("

@@ -181,3 +181,52 @@ def test_probe_batch_contracts(spark, tmp_path):
     qdf = _queries(spark, emb)
     with pytest.raises(ValueError, match="probe_quantized"):
         qstore.probe_batch(qdf, k=3)
+
+
+def test_probe_batch_quantized_matrix(spark, tmp_path):
+    """The quantized batch path on BOTH layouts: monolithic
+    write_quantized store batch-probes equal to per-query
+    probe_quantized; an LSM store with a 15x-bounds-drift delta
+    segment batch-probes equal to probe_batch on an unquantized
+    rebuild; per-segment prefilter stays exact at large m."""
+    from data_ingestion_spark.functions.similarity import (
+        upsert_ann_store_versioned,
+        write_ann_store_versioned,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    qdf = _queries(spark, emb)
+
+    # monolithic: batch == per-query loop
+    mono = AnnStore(spark, str(tmp_path / "q"), bits=3, n_tables=6)
+    mono.write_quantized(
+        emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    )
+    got = _rows(mono.probe_batch_quantized(qdf, k=5))
+    exp = []
+    for qr in qdf.collect():
+        qv = [float(x) for x in qr.qvec]
+        ranked = mono.probe_quantized(qv, k=5).collect()
+        exp.extend(
+            (qr.query_id, r.vec_id, round(r.score, 6), i + 1)
+            for i, r in enumerate(ranked)
+        )
+    assert got == sorted(exp) and got
+
+    # segmented with bounds drift: batch quantized == raw rebuild batch
+    base = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    delta = base.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(15.0))
+    )
+    root = str(tmp_path / "root")
+    write_ann_store_versioned(base, root, quantized=True, bits=3, n_tables=6)
+    live = upsert_ann_store_versioned(delta, root)
+    ref = AnnStore(spark, str(tmp_path / "ref"), bits=3, n_tables=6)
+    ref.write(base.filter(F.col("vec_id") % 5 != 0).unionByName(delta))
+    got_seg = _rows(live.probe_batch_quantized(qdf, k=5))
+    assert got_seg == _rows(ref.probe_batch(qdf, k=5)) and got_seg
+    assert _rows(live.probe_batch_quantized(qdf, k=5, prefilter_m=10_000)) == got_seg
+
+    # raw-float stores refuse the quantized batch entry points loudly
+    with pytest.raises(ValueError, match="probe_batch_quantized|write_quantized"):
+        ref.probe_batch_quantized(qdf, k=5)
