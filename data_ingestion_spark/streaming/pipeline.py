@@ -458,6 +458,7 @@ def run_ann_maintenance_stream(
     bits: int = 3,
     n_tables: int = 6,
     metadata_cols: tuple[str, ...] = (),
+    quantized: bool = False,
 ) -> StreamingQuery:
     """Continuous VECTOR-index maintenance (r12 verdict #3) — the ANN
     mirror of ``run_index_maintenance_stream``: an embedding stream
@@ -485,7 +486,13 @@ def run_ann_maintenance_stream(
     ``compact_ann_store`` for retention (OPTIMIZE+VACUUM).
 
     Geometry args apply to the FIRST build only; later upserts
-    inherit from the live version's manifest."""
+    inherit from the live version's manifest. ``quantized=True``
+    builds an SQ8 base segment; every later micro-batch lands as a
+    quantized delta segment carrying its OWN bounds (the per-segment
+    contract), so a drifting embedding stream never forces a
+    re-quantization — ``compact_ann_store`` is the bounds-refresh
+    point. Probe the live version via ``probe_quantized`` /
+    ``probe_batch_quantized``."""
     import os
 
     from ..functions import similarity as SIM
@@ -508,6 +515,7 @@ def run_ann_maintenance_stream(
                 delta,
                 root,
                 metadata_cols=metadata_cols,
+                quantized=quantized,
                 bits=bits,
                 n_tables=n_tables,
                 id_col=id_col,

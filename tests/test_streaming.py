@@ -638,3 +638,73 @@ def test_ann_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     )
     q3.awaitTermination(180)
     assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
+
+
+def test_ann_maintenance_stream_quantized(spark, tmp_path):
+    """quantized=True streams SQ8 segments: base + per-batch delta
+    segments each carrying their OWN bounds; the drained store's
+    probe_quantized equals a raw monolithic rebuild (exact re-score),
+    through batch serving too."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        index_current_path,
+        _open_ann_version,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    src_dir = str(tmp_path / "emb_stream_q")
+    os.makedirs(src_dir)
+    slices = [
+        emb.filter(F.col("vec_id") % 2 == 0),
+        # second batch drifts magnitudes 15x (cosine-identical
+        # directions): its delta segment must quantize its own range
+        emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x * F.lit(15.0)).cast("array<float>"),
+        ),
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        sl.toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "ann_root_q")
+    q = SP.run_ann_maintenance_stream(
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        str(tmp_path / "ckpt_ann_q"),
+        bits=3,
+        n_tables=6,
+        quantized=True,
+    )
+    q.awaitTermination(180)
+
+    live = _open_ann_version(spark, index_current_path(root))
+    assert live._quant and len(live.seg_paths) == 2
+    ref = AnnStore(spark, str(tmp_path / "refq"), bits=3, n_tables=6)
+    ref.write(slices[0].unionByName(slices[1]))
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    got = [(r.vec_id, round(r.score, 6)) for r in live.probe_quantized(qv, 5).collect()]
+    exp = [(r.vec_id, round(r.score, 6)) for r in ref.probe(qv, 5).collect()]
+    assert got == exp and got
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    gb = sorted(
+        (r.query_id, r.vec_id, round(r.score, 6), r.rank)
+        for r in live.probe_batch_quantized(qdf, k=5).collect()
+    )
+    eb = sorted(
+        (r.query_id, r.vec_id, round(r.score, 6), r.rank)
+        for r in ref.probe_batch(qdf, k=5).collect()
+    )
+    assert gb == eb and gb
