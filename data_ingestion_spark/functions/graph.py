@@ -135,3 +135,100 @@ def pagerank_scores(
     return ranks.select(
         F.col("__node").alias("node"), F.col("__r").alias("rank_micros")
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    materialize: bool = True,
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, public algorithm) over a
+    (src, dst) edge list → (node, hub_micros, auth_micros) — the
+    second classic crawl-centrality signal next to ``pagerank_scores``
+    (a page LINKING TO many good pages is a hub worth re-crawling for
+    frontier discovery even when nothing links to it; PageRank scores
+    it near zero).
+
+    Same exact-integer determinism discipline as PageRank: scores
+    live in BIGINT micro-units, each half-iteration is one equi-join
+    + one grouped integer sum, and the per-round L1 normalization is
+    integer — score' = (raw * 1_000_000) div Σraw — so per-node sums
+    are associative and the result is bit-identical on any engine,
+    partitioning, or aggregation order (the DuckDB oracle unrolls the
+    identical rounds). Parallel (src, dst) duplicates collapse first:
+    classic HITS is over the unweighted adjacency.
+
+        h0(v) = 1_000_000
+        a_t(v) = normL1( Σ_{u→v} h_{t-1}(u) )
+        h_t(u) = normL1( Σ_{u→v} a_t(v) )
+
+    Nodes with no in-edges get authority 0 (and vice versa), never
+    NULL. 2 shuffles per half-iteration (join + grouped sum) plus a
+    1-row total broadcast — the iterative-join pattern; edges and
+    nodes persist once and every round reuses them
+    (``cache_handles`` receives the handles, the pagerank_scores
+    contract).
+
+    Unlike PageRank (whose damping base is a literal), the L1 total
+    is DATA-DEPENDENT, so each half-round references the previous
+    scores subtree twice (grouped sum + total agg) — left lazy the
+    plan tree doubles per half-round (2^(2·iters): the driver OOMs
+    rendering it before an executor touches a row). Each half-round
+    therefore ``localCheckpoint``s its |nodes|-row result — lineage
+    truncation per round, the price of data-dependent normalization
+    in an iterative plan."""
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("__src").alias("__node"))
+        .union(e.select(F.col("__dst").alias("__node")))
+        .distinct()
+    )
+    if materialize:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handles is not None:
+            cache_handles.extend([e, nodes])
+
+    def _half(scores: DataFrame, score_col: str, from_col: str, to_col: str, out: str):
+        """One half-iteration: push ``score_col`` along ``from_col`` →
+        ``to_col`` edges, sum per target, L1-normalize to micros."""
+        raw = (
+            e.join(
+                scores.select(F.col("__node").alias(from_col), score_col), from_col
+            )
+            .groupBy(F.col(to_col).alias("__node"))
+            .agg(F.sum(score_col).alias("__raw"))
+        )
+        total = raw.agg(F.sum("__raw").alias("__s"))
+        return (
+            nodes.join(raw, "__node", "left_outer")
+            .join(F.broadcast(total))
+            .select(
+                "__node",
+                F.coalesce(
+                    F.expr("(__raw * 1000000) div __s"), F.lit(0)
+                ).cast("bigint").alias(out),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.withColumn("__h", F.lit(PAGERANK_SCALE).cast("bigint"))
+    a = None
+    for _ in range(max(1, int(iters))):
+        a = _half(h, "__h", "__src", "__dst", "__a")
+        h = _half(a, "__a", "__dst", "__src", "__h")
+    return (
+        h.join(a, "__node")
+        .select(
+            F.col("__node").alias("node"),
+            F.col("__h").alias("hub_micros"),
+            F.col("__a").alias("auth_micros"),
+        )
+    )

@@ -2604,6 +2604,106 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
     return _open_ann_version(spark, os.path.join(root, name))
 
 
+def _resolved_vectors(spark, version_dir: str) -> DataFrame:
+    """The logical (id, vec) rows a committed ANN version serves —
+    one row per live vector regardless of layout: segmented raw
+    versions read ONE table slice per segment with last-wins
+    shadowing (table 0 — every vector has a pointer copy in every
+    table, so one slice is the whole set, read without the
+    n_tables-fold duplication); segmented quantized versions read
+    the raw sidecars; monolithic versions the same, un-segmented."""
+    store = _open_ann_version(spark, version_dir)
+    if isinstance(store, SegmentedAnnStore):
+        if store._quant:
+            return store._resolved_raw()
+        return store._resolved_candidates(F.col("table") == 0).select(
+            store.id_col, store.vec_col
+        )
+    if store._quant:
+        return spark.read.parquet(store.path.rstrip("/") + "/raw").select(
+            store.id_col, store.vec_col
+        )
+    return (
+        spark.read.parquet(store.path)
+        .filter(F.col("table") == 0)
+        .select(store.id_col, store.vec_col)
+    )
+
+
+def ann_version_drift(
+    spark, root: str, from_dir: str | None = None, to_dir: str | None = None
+) -> DataFrame:
+    """Embedding-drift report between two committed versions of a
+    managed ANN root — the maintenance-observability question every
+    continuously re-embedded store needs answered: WHAT did the last
+    upsert change, and by how much? Defaults compare the previous
+    committed version against CURRENT.
+
+    Full-outer join of the two versions' logical (id, vec) sets
+    (one row per vector — no pointer-copy duplication, see
+    ``_resolved_vectors``), classified per id:
+
+    - ``added``    — only in the newer version (drift NULL);
+    - ``removed``  — only in the older (never produced by upsert,
+      which only shadows; a compaction after external tombstoning
+      could);
+    - ``replaced`` — present in both with a DIFFERENT vector;
+      ``drift_micros = round((1 − cos(old, new)) · 1e6)`` — 0 means
+      direction-identical re-embed, 2e6 a sign flip.
+
+    Unchanged ids are dropped: the report is bounded by the delta,
+    not the store. A re-embed batch whose drift distribution spikes
+    is the canonical bad-model-push signal; this is the query that
+    pages on it.
+
+    Returns (id_col, status, drift_micros)."""
+    import os
+
+    if to_dir is None:
+        to_dir = index_current_path(root)
+        if to_dir is None:
+            raise FileNotFoundError(f"no CURRENT store version under {root!r}")
+    if from_dir is None:
+        versions = sorted(
+            n
+            for n in os.listdir(root)
+            if n.startswith("v_") and os.path.isdir(os.path.join(root, n))
+        )
+        cur_name = os.path.basename(to_dir.rstrip("/"))
+        older = [n for n in versions if n < cur_name]
+        if not older:
+            raise ValueError(
+                f"{root!r} has no version older than {cur_name!r} to diff "
+                "against — pass from_dir explicitly"
+            )
+        from_dir = os.path.join(root, older[-1])
+    ref = _open_ann_version(spark, to_dir)
+    idc, vecc = ref.id_col, ref.vec_col
+    old = _resolved_vectors(spark, from_dir).select(
+        F.col(idc), F.col(vecc).alias("__old")
+    )
+    new = _resolved_vectors(spark, to_dir).select(
+        F.col(idc), F.col(vecc).alias("__new")
+    )
+    j = old.join(new, idc, "full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(F.col("__old") == F.col("__new"), F.lit("unchanged"))
+        .otherwise(F.lit("replaced"))
+    )
+    drift = F.when(
+        status == "replaced",
+        F.round(
+            (F.lit(1.0) - cosine(F.col("__old"), F.col("__new"))) * 1_000_000.0
+        ).cast("bigint"),
+    )
+    return (
+        j.select(idc, status.alias("status"), drift.alias("drift_micros"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
 def vacuum_ann_store(root: str, retain: int = 2) -> list[str]:
     """Drop dead AnnStore version directories AND segments no
     retained manifest references, keeping the ``retain`` most recent

@@ -638,3 +638,72 @@ def winnow_fingerprints(
         df.filter(text.isNotNull())
         .select(F.col(id_col), F.explode(selected).alias("fp"))
     )
+
+
+def pmi_bigrams(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    classic corpus-collocation report (Church & Hanks; "which word
+    pairs co-occur far above chance") that drives phrase mining,
+    tokenizer-merge audits, and boilerplate detection over a training
+    corpus.
+
+        PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ),
+        p(a,b) = c(ab)/N_bi,  p(a) = c(a)/N_uni
+
+    Plan: one tokenize pass; bigrams are a JVM zip_with over the
+    token array (no positional self-join); unigram and bigram counts
+    are two partial-agg shuffles; the two corpus totals reduce to
+    1-row broadcasts. Output (w1, w2, n_pair, pmi_micros) for pairs
+    with ``n_pair >= min_count`` — the count floor is standard PMI
+    practice (rare-pair PMI is noise) and what bounds the result to
+    the frequent-collocation set at any corpus size. pmi_micros =
+    round(ln(ratio)·1e6) computed from exact integer counts with a
+    fixed double expression shape, the BM25-micros cross-engine
+    discipline (oracle: same counts, same association order)."""
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__ws")
+    )
+    uni = (
+        toks.select(F.explode("__ws").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_uni = uni.agg(F.sum("__c").alias("__nu"))
+    pairs = toks.filter(F.size("__ws") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ws"), 1, F.size("__ws") - 1),
+                F.slice(F.col("__ws"), 2, F.size("__ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__p")
+    )
+    bi = (
+        pairs.select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+    )
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("__nb"))
+    ua = uni.select(F.col("__t").alias("w1"), F.col("__c").alias("__ca"))
+    ub = uni.select(F.col("__t").alias("w2"), F.col("__c").alias("__cb"))
+    ratio = (F.col("__c").cast("double") * F.col("__nu") * F.col("__nu")) / (
+        F.col("__nb").cast("double") * F.col("__ca") * F.col("__cb")
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("__c").cast("bigint").alias("n_pair"),
+            F.round(F.log(ratio) * 1_000_000.0).cast("bigint").alias("pmi_micros"),
+        )
+    )

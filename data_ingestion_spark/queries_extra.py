@@ -2855,3 +2855,112 @@ def quantiles_per_group(spark, sf_dir):
         "lang", F.length("text").cast("double").alias("doc_len")
     )
     return exact_group_quantiles(d, "lang", "doc_len", [0.5, 0.9, 0.99])
+
+
+# =====================================================================
+# r13 W-series: second crawl-centrality signal + corpus co-occurrence
+# =====================================================================
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled integer HITS twin — the _pagerank_oracle discipline:
+    same pseudo-graph, same micro-unit L1 normalization as
+    functions/graph.py::hits_scores, bit-identical by construction."""
+    parts = [
+        "WITH n AS (SELECT count(*) AS c FROM documents), "
+        "e AS (SELECT DISTINCT doc_id AS src, "
+        "(doc_id * 7 + 13 * j.j) % n.c AS dst "
+        "FROM documents, n, (VALUES (1), (2), (3)) j(j)), "
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e), "
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"
+    ]
+    for t in range(1, iters + 1):
+        prev_h = f"h{t - 1}"
+        parts.append(
+            f", ra{t} AS (SELECT e.dst AS node, sum(p.h) AS raw "
+            f"FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst)"
+            f", sa{t} AS (SELECT sum(raw) AS s FROM ra{t})"
+            f", a{t} AS (SELECT nodes.node, CAST(coalesce("
+            f"(ra{t}.raw * 1000000) // sa{t}.s, 0) AS BIGINT) AS a "
+            f"FROM nodes LEFT JOIN ra{t} ON ra{t}.node = nodes.node, sa{t})"
+            f", rh{t} AS (SELECT e.src AS node, sum(p.a) AS raw "
+            f"FROM e JOIN a{t} p ON p.node = e.dst GROUP BY e.src)"
+            f", sh{t} AS (SELECT sum(raw) AS s FROM rh{t})"
+            f", h{t} AS (SELECT nodes.node, CAST(coalesce("
+            f"(rh{t}.raw * 1000000) // sh{t}.s, 0) AS BIGINT) AS h "
+            f"FROM nodes LEFT JOIN rh{t} ON rh{t}.node = nodes.node, sh{t})"
+        )
+    parts.append(
+        f" SELECT h{iters}.node, h{iters}.h AS hub_micros, "
+        f"a{iters}.a AS auth_micros FROM h{iters} "
+        f"JOIN a{iters} ON a{iters}.node = h{iters}.node"
+    )
+    return "".join(parts)
+
+
+@q("crawl_hits_scores", _hits_oracle())
+def crawl_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (r13 W-series) — the complementary
+    crawl-centrality signal to crawl_pagerank: a hub page (links to
+    many authorities) is the frontier-DISCOVERY asset PageRank
+    underscores; CC-style crawl schedulers track both. Three exact
+    integer iterations of functions/graph.py::hits_scores over the
+    same deterministic 3-out-edges pseudo-graph as crawl_pagerank
+    (dst = (src*7 + 13j) mod |docs|, parallel edges collapsed) —
+    every score BIGINT micro-units, every L1 normalization an
+    integer division by the 1-row broadcast total, so the DuckDB
+    twin unrolling the identical rounds hash-matches bit-for-bit.
+    2 shuffles per half-round over a persisted edge list."""
+    from .functions.graph import hits_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        d.join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            "__n",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    return hits_scores(edges, iters=3)
+
+
+@q(
+    "pmi_bigram_collocations",
+    "WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+    "un AS (SELECT t, count(*) AS c FROM "
+    "(SELECT unnest(ws) AS t FROM w) GROUP BY t), "
+    "nu AS (SELECT sum(c) AS n FROM un), "
+    "pr AS (SELECT unnest(list_transform(range(1, len(ws)), "
+    "i -> struct_pack(w1 := ws[CAST(i AS INTEGER)], "
+    "w2 := ws[CAST(i + 1 AS INTEGER)]))) AS p FROM w WHERE len(ws) >= 2), "
+    "bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c FROM pr "
+    "GROUP BY p.w1, p.w2), "
+    "nb AS (SELECT sum(c) AS n FROM bi) "
+    "SELECT bi.w1, bi.w2, CAST(bi.c AS BIGINT) AS n_pair, "
+    "CAST(round(ln((CAST(bi.c AS DOUBLE) * nu.n * nu.n) / "
+    "(CAST(nb.n AS DOUBLE) * a.c * b.c)) * 1000000.0) AS BIGINT) AS pmi_micros "
+    "FROM bi JOIN un a ON a.t = bi.w1 JOIN un b ON b.t = bi.w2, nu, nb "
+    "WHERE bi.c >= 5",
+)
+def pmi_bigram_collocations(spark, sf_dir):
+    """Corpus collocation mining (r13 W-series) — PMI of adjacent
+    token pairs over the documents table, the standard phrase-mining
+    / tokenizer-merge-audit report (functions/textops.py::
+    pmi_bigrams): one tokenize pass, JVM zip_with bigrams (no
+    positional self-join), two partial-agg count shuffles, 1-row
+    broadcast totals, ln-micros from exact integer counts with the
+    BM25 cross-engine float discipline. The DuckDB twin rebuilds
+    counts AND the exact double expression shape, so the hash
+    certifies tokenization, pairing, counting, and the PMI
+    arithmetic together."""
+    from .functions.textops import pmi_bigrams
+
+    return pmi_bigrams(_d(spark, sf_dir), "text", min_count=5)

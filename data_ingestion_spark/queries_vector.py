@@ -418,6 +418,94 @@ def ann_store_quantized(spark, sf_dir):
     return SIM.upsert_ann_store_versioned(delta, root).probe_quantized(qv, k=5)
 
 
+_DRIFT_COS = (
+    "round((1 - list_cosine_similarity("
+    "list_transform(old_v, x -> CAST(x AS DOUBLE)), "
+    "list_transform(new_v, x -> CAST(x AS DOUBLE)))) * 1000000.0)"
+)
+
+
+@q(
+    "ann_version_drift",
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0), "
+    "rep5 AS (SELECT vec_id, list_transform(embedding, x -> -x) AS old_v, "
+    "embedding AS new_v FROM base WHERE vec_id % 5 = 0), "
+    "rep7 AS (SELECT vec_id, embedding AS old_v, "
+    "[-embedding[1]] || list_slice(embedding, 2, len(embedding)) AS new_v "
+    "FROM base WHERE vec_id % 7 = 0 AND vec_id % 5 <> 0), "
+    "rep AS (SELECT * FROM rep5 UNION ALL SELECT * FROM rep7) "
+    "SELECT vec_id, 'replaced' AS status, "
+    f"CAST({_DRIFT_COS} AS BIGINT) AS drift_micros FROM rep "
+    "UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, 'added' AS status, "
+    "CAST(NULL AS BIGINT) AS drift_micros FROM base WHERE vec_id BETWEEN 1 AND 3",
+)
+def ann_version_drift(spark, sf_dir):
+    """Embedding-drift report between ANN store versions (r13
+    W-series; functions/similarity.py::ann_version_drift) — the
+    maintenance-observability query a continuously re-embedded store
+    pages on: WHAT did the last upsert change and by how much. The
+    fixture folds a delta with all four change classes into a stale
+    versioned store: 20% true re-embeds over a negated stale
+    generation (sign flip ⇒ drift exactly 2e6 micros), a
+    first-component sign-flip perturbation for the %7 cohort (real
+    intermediate cosine drift), BYTE-IDENTICAL re-upserts for the
+    %11 cohort (must classify unchanged and be DROPPED — the report
+    is delta-bounded, not store-bounded), and three brand-new ids
+    (status added, NULL drift). Versions diff via one full-outer
+    join of their logical vector sets (one table slice per segment —
+    no pointer-copy duplication); the oracle reconstructs old/new
+    per cohort and the same (1−cos)·1e6 rounding."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    if e.head() is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, status string, drift_micros bigint"
+        )
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    flip_first = F.transform(
+        "embedding", lambda x, i: F.when(i == F.lit(0), -x).otherwise(x)
+    )
+    delta = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .unionByName(
+            base.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 0))
+            .withColumn("embedding", flip_first)
+        )
+        .unionByName(
+            base.filter(
+                (F.col("vec_id") % 11 == 0)
+                & (F.col("vec_id") % 5 != 0)
+                & (F.col("vec_id") % 7 != 0)
+            )
+        )
+        .unionByName(
+            base.filter(F.col("vec_id").between(1, 3)).select(
+                (F.col("vec_id") + 10000).alias("vec_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ann_drift_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.write_ann_store_versioned(
+        stale, root, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES
+    )
+    SIM.upsert_ann_store_versioned(delta, root)
+    return SIM.ann_version_drift(spark, root)
+
+
 @q(
     "ann_ivf_search",
     "WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0) "

@@ -389,3 +389,34 @@ def test_ann_legacy_monolithic_base_and_read_view_guards(spark, tmp_path):
     vacuum_ann_store(root, retain=2)
     assert os.path.isdir(legacy)
     assert index_current_path(root).endswith("v_000001")
+
+
+def test_ann_version_drift_defaults_and_quantized(spark, tmp_path):
+    """r13: drift report defaults to previous-vs-CURRENT, refuses a
+    single-version root loudly, and serves quantized roots from the
+    raw sidecars (bit-exact old/new vectors, not decoded codes)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        ann_version_drift,
+        upsert_ann_store_versioned,
+        write_ann_store_versioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "root")
+    write_ann_store_versioned(emb, root, quantized=True, bits=3, n_tables=6)
+    with pytest.raises(ValueError, match="no version older"):
+        ann_version_drift(spark, root)
+    delta = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    upsert_ann_store_versioned(delta, root)
+    rows = {r.vec_id: (r.status, r.drift_micros)
+            for r in ann_version_drift(spark, root).collect()}
+    n_delta = delta.count()
+    assert len(rows) == n_delta
+    assert all(s == "replaced" and d == 2_000_000 for s, d in rows.values())

@@ -129,6 +129,7 @@ CROSS_OK = {
     "bool_search_indexed",     # same 1-row stats broadcast, boolean path
     "rank_bm25_index_compacted",  # same 1-row stats broadcast, compacted serve
     "hybrid_eval_metrics",     # hybrid stats row + 3-row query vectors (eval tail)
+    "pmi_bigram_collocations",  # two 1-row corpus totals (N_uni, N_bi) broadcast
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
