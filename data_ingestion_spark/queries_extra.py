@@ -2965,33 +2965,3 @@ def pmi_bigram_collocations(spark, sf_dir):
 
     return pmi_bigrams(_d(spark, sf_dir), "text", min_count=5)
 
-
-@q(
-    "join_skew_salted",
-    "SELECT o.o_orderkey, c.c_name, o.o_totalprice "
-    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
-)
-def join_skew_salted(spark, sf_dir):
-    """Explicitly SALTED equi-join (r13 W-series;
-    operators/relational.py::skew_join_salted) — the manual skew
-    breaker for hot keys whose build side can't broadcast and whose
-    shuffle AQE's runtime skew-split doesn't cover: big-side rows get
-    a deterministic xxhash64 salt from a within-key-varying column
-    (o_orderkey), the medium side explodes into all salt copies, and
-    the join keys become (key, salt) — one hot key's rows spread
-    across 8 reducers instead of one. Each (big, medium) row pair
-    meets in exactly one salt bucket, so the result EQUALS the
-    unsalted join row-for-row — exactly what the plain-join oracle
-    verifies."""
-    from .operators.relational import skew_join_salted
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = skew_join_salted(
-        o.withColumnRenamed("o_custkey", "k"),
-        c.withColumnRenamed("c_custkey", "k"),
-        on="k",
-        salt_from="o_orderkey",
-        salt=8,
-    )
-    return joined.select("o_orderkey", "c_name", "o_totalprice")

@@ -1116,40 +1116,3 @@ def test_funnel_steps_semantics(spark):
     n = len(re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan))
     assert n == 1, f"funnel should be one shuffle, saw {n}"
 
-
-def test_skew_join_salted_equals_plain_join(spark):
-    """r13: the salted join is row-multiset-identical to the plain
-    join on a deliberately skewed fixture (one key owns 90% of the
-    big side), joins on (key, salt), and refuses outer shapes whose
-    semantics salting breaks."""
-    import pytest
-
-    from data_ingestion_spark.operators.relational import skew_join_salted
-
-    big = spark.range(10_000).select(
-        F.col("id").alias("row_id"),
-        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
-    )
-    med = spark.range(100).select(
-        F.col("id").alias("k"), (F.col("id") * 3).alias("payload")
-    )
-    got = skew_join_salted(big, med, on="k", salt_from="row_id", salt=8)
-    plain = big.join(med, "k")
-    a = sorted((r.k, r.row_id, r.payload) for r in got.collect())
-    b = sorted((r.k, r.row_id, r.payload) for r in plain.collect())
-    assert a == b and len(a) == 10_000
-
-    # the physical join keys carry the salt (the skew actually spreads)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "__salt" in plan
-
-    # left join: unmatched big rows survive exactly once
-    med_half = med.filter(F.col("k") < 50)
-    lg = skew_join_salted(big, med_half, on="k", salt_from="row_id", salt=8, how="left")
-    lp = big.join(med_half, "k", "left")
-    assert sorted((r.k, r.row_id, r.payload) for r in lg.collect()) == sorted(
-        (r.k, r.row_id, r.payload) for r in lp.collect()
-    )
-
-    with pytest.raises(ValueError, match="inner/left"):
-        skew_join_salted(big, med, on="k", salt_from="row_id", how="full")
