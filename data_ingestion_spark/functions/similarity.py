@@ -24,19 +24,28 @@ import warnings
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def dot_product(x: Column, y: Column) -> Column:
+    """Float64 dot product of two ARRAY<FLOAT/DOUBLE> columns —
+    zip_with products, aggregate with a DOUBLE accumulator (explicit
+    cast so the summation is float64 regardless of input width)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity over two ARRAY<FLOAT/DOUBLE> columns, all
-    JVM-side higher-order functions: zip_with for the products,
-    aggregate with a DOUBLE accumulator (explicit cast so the
-    summation is float64 regardless of input width)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    JVM-side higher-order functions. Three dot passes per call — when
+    one side is reused across many pairs (a store row scored against
+    many queries), precompute its norm once and divide
+    ``dot_product(a, b) / (norm_a * norm_b)`` instead: same doubles in
+    the same operation order, a third of the HOF work (the
+    probe_batch plan does exactly this)."""
+    return dot_product(a, b) / (
+        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    )
 
 
 def brute_force_topk(
@@ -836,27 +845,53 @@ class AnnStore:
             for r in asg.select("table", "bucket").distinct().collect()
         ]
         cand = self._cond_scan(self._pairs_cond(pairs))
+        if type(self) is AnnStore:
+            # a batch probe's bucket union approaches the whole store,
+            # and the scan's split count caps the parallelism of the
+            # entire scan→join→cosine→partial-agg stage (the cosine
+            # fan-out is the expensive part). spread_scan is
+            # conditional — a no-op at cluster scale where the scan is
+            # already thousands of splits — and safe ONLY on this
+            # scan+filter plan, hence not in the segmented override
+            # (whose _cond_scan already contains joins).
+            from ..sources.catalog import spread_scan
+
+            cand = spread_scan(cand)
         if where is not None:
             cand = cand.filter(where)
         # score MAP-SIDE (both broadcast joins are narrow), THEN dedup
         # the multi-table pointer copies by (query, id) with a partial
         # agg — a plain distinct here would drag the vector array
         # through the shuffle (measured 2x SLOWER than the per-query
-        # loop at 64 queries x 1M vectors; with the 24-byte
-        # (qid, id, score) payload the same batch is ~5x FASTER).
-        # Copies of an id carry the same score, so max() is identity.
+        # loop at 64 queries x 1M vectors). Copies of an id carry the
+        # same score, so max() is identity. Norms are hoisted out of
+        # the per-pair expression: the store-row norm computes ONCE
+        # per scanned row (before the query fan-out multiplies it),
+        # the query norm once per query in the broadcast — same
+        # doubles in cosine()'s operation order, 1/3 the HOF work on
+        # the fan-out stage.
+        qvs = queries_df.select(
+            query_id_col,
+            query_vec_col,
+            F.sqrt(
+                dot_product(F.col(query_vec_col), F.col(query_vec_col))
+            ).alias("__nq"),
+        )
         scored = (
-            cand.join(F.broadcast(asg), ["table", "bucket"])
-            .join(
-                F.broadcast(queries_df.select(query_id_col, query_vec_col)),
-                query_id_col,
+            cand.withColumn(
+                "__nv",
+                F.sqrt(dot_product(F.col(self.vec_col), F.col(self.vec_col))),
             )
+            .join(F.broadcast(asg), ["table", "bucket"])
+            .join(F.broadcast(qvs), query_id_col)
             .select(
                 query_id_col,
                 self.id_col,
-                F.round(cosine(F.col(self.vec_col), F.col(query_vec_col)), 6).alias(
-                    "score"
-                ),
+                F.round(
+                    dot_product(F.col(self.vec_col), F.col(query_vec_col))
+                    / (F.col("__nv") * F.col("__nq")),
+                    6,
+                ).alias("score"),
             )
             .groupBy(query_id_col, self.id_col)
             .agg(F.max("score").alias("score"))
@@ -1023,16 +1058,23 @@ class AnnStore:
     def _quant_candidates_batch(
         self, asg: DataFrame, pairs: list[tuple[int, int]], query_id_col: str
     ) -> DataFrame:
-        """(query_id, id, code) candidates for a query BATCH: the
-        pruned codes scan broadcast-joined to the per-query
-        (table, bucket) assignment table — the quantized twin of
-        ``probe_batch``'s candidate stage."""
+        """(query_id, id, code) candidates for a query BATCH, one row
+        per (query, id): the pruned codes scan (conditionally
+        respread — the batch bucket union approaches the whole codes
+        subtree and the split count caps the fan-out stage's
+        parallelism) broadcast-joined to the per-query (table, bucket)
+        assignments, deduped across pointer copies by a PARTIAL AGG —
+        a distinct here would shuffle the code array once per pointer
+        copy (the probe_batch lesson); copies of an id carry the same
+        code, so max() is identity."""
+        from ..sources.catalog import spread_scan
+
         codes = self.spark.read.parquet(self.path.rstrip("/") + "/codes")
+        scan = spread_scan(codes.filter(self._pairs_cond(pairs)))
         return (
-            codes.filter(self._pairs_cond(pairs))
-            .join(F.broadcast(asg), ["table", "bucket"])
-            .select(query_id_col, self.id_col, "code")
-            .distinct()
+            scan.join(F.broadcast(asg), ["table", "bucket"])
+            .groupBy(query_id_col, self.id_col)
+            .agg(F.max("code").alias("code"))
         )
 
     def probe_batch_quantized(
@@ -1108,10 +1150,17 @@ class AnnStore:
                 .filter(F.col("__prn") <= int(prefilter_m))
                 .select(query_id_col, self.id_col, "code")
             )
-        raw = code_store._raw_fetch(cand.select(self.id_col).distinct())
-        return (
-            cand.select(query_id_col, self.id_col).distinct().join(raw, self.id_col)
+        # cand arrives unique per (query, id) from _quant_candidates_batch
+        # (and prefilter preserves that); only the raw fetch needs the
+        # cross-query id dedup, and that shuffle carries bare ids. The
+        # raw-row norm computes ONCE per distinct id here, before the
+        # per-query fan-out join multiplies it (the probe_batch norm
+        # hoist).
+        raw = code_store._raw_fetch(cand.select(self.id_col).distinct()).withColumn(
+            "__nv",
+            F.sqrt(dot_product(F.col(self.vec_col), F.col(self.vec_col))),
         )
+        return cand.select(query_id_col, self.id_col).join(raw, self.id_col)
 
     def _quant_batch_rank(
         self,
@@ -1123,15 +1172,25 @@ class AnnStore:
     ) -> DataFrame:
         """Global exact-cosine ranking of batch rescore rows — ONE
         window across everything a store (or a union of segments)
-        fetched."""
+        fetched. Uses the precomputed per-id norm (``__nv``, attached
+        in ``_quant_batch_fetch``) + a per-query norm — cosine()'s
+        doubles in cosine()'s order, one dot pass per pair."""
         from pyspark.sql import Window
 
-        scored = fetched.join(
-            F.broadcast(queries_df.select(query_id_col, query_vec_col)),
+        qvs = queries_df.select(
             query_id_col,
-        ).withColumn(
+            query_vec_col,
+            F.sqrt(
+                dot_product(F.col(query_vec_col), F.col(query_vec_col))
+            ).alias("__nq"),
+        )
+        scored = fetched.join(F.broadcast(qvs), query_id_col).withColumn(
             "score",
-            F.round(cosine(F.col(self.vec_col), F.col(query_vec_col)), 6),
+            F.round(
+                dot_product(F.col(self.vec_col), F.col(query_vec_col))
+                / (F.col("__nv") * F.col("__nq")),
+                6,
+            ),
         )
         w = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(self.id_col).asc()
