@@ -40,83 +40,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-12 window (rotation per scripts/update_checked.py over
-    # r01..r11: all 172 previously registered queries have a full-hash
-    # green driver row — CHECKED.md — so after the TEN never-checked
-    # r12 DQs heading the list, this window re-confirms the 40
-    # STALEST greens, oldest last-checked round first.
-    # never-checked r12 additions:
-    #  - ann_store_upsert: AnnStore incremental upsert, oracle = the
-    #    from-scratch rebuild probe over the true merged corpus
-    #    (upsert ≡ rebuild, the lexical D4 proof shape for vectors)
-    #  - ann_store_quantized: SQ8 at-rest vectors, oracle = the
-    #    unquantized probe verbatim (recall parity at re-score)
-    #  - bool_search_indexed: ES-style boolean retrieval from the
-    #    at-rest index, independent EXISTS/NOT-EXISTS set algebra
-    #  - rank_bm25_index_compacted: compaction+vacuum of the managed
-    #    index root (build -> upsert -> compact -> serve)
-    #  - hybrid_eval_metrics: MRR/recall/nDCG of the at-rest hybrid
-    #    stack vs the composed DuckDB twin
-    #  - ann_store_filtered_probe: filtered vector search (metadata
-    #    where-clause inside the pruned candidate set)
-    #  - hll_distinct_users_per_type: per-group HLL (grouped register-
-    #    pipeline oracle + per-group 5% accuracy bound)
-    #  - decontaminate_fuzzy: cross-corpus banded-MinHash near-dup
-    #    decontamination (bands + exact-Jaccard verify oracle)
-    #  - quality_percentile_filter: per-language exact-p25 curation
-    #    filter (exact_group_quantiles composition capstone)
-    #  - heavy_hitters_per_lang: per-group exact two-pass heavy
-    #    hitters (grouped CMS; oracle = naive GROUP BY HAVING)
+    # -- round-13 window (rotation per scripts/update_checked.py over
+    # r01..r12: all 182 previously registered queries have a full-hash
+    # green driver row — CHECKED.md). Heads: the FIVE never-checked
+    # r13 DQs, then the THREE r13-REWIRED paths (ann_store_upsert /
+    # ann_store_quantized moved onto the LSM segment pipeline and
+    # rank_bm25_index_upsert onto O(delta) segments — green in r12 but
+    # materially changed since), then the 42 STALEST greens, oldest
+    # last-checked round first.
+    # never-checked r13 additions:
+    #  - crawl_hits_scores: HITS hubs/authorities, integer micro L1
+    #    rounds; oracle unrolls the identical iterations
+    #  - pmi_bigram_collocations: PMI collocation mining, ln-micros
+    #    from exact counts; oracle rebuilds counts + expression shape
+    #  - ann_probe_batch: N query vectors in ONE plan vs the at-rest
+    #    store; oracle = per-query LSH candidates + exact top-5
+    #  - ann_probe_batch_quantized: the batch x SQ8 x LSM cell (one
+    #    oracle over upsert + quantization + shadowing + serving)
+    #  - ann_version_drift: added/replaced/drift report between
+    #    store versions (4-cohort fixture oracle)
+    "crawl_hits_scores",
+    "pmi_bigram_collocations",
+    "ann_probe_batch",
+    "ann_probe_batch_quantized",
+    "ann_version_drift",
     "ann_store_upsert",
     "ann_store_quantized",
-    "bool_search_indexed",
-    "rank_bm25_index_compacted",
-    "hybrid_eval_metrics",
-    "ann_store_filtered_probe",
-    "hll_distinct_users_per_type",
-    "decontaminate_fuzzy",
-    "quality_percentile_filter",
-    "heavy_hitters_per_lang",
-    "string_funcs_battery",
-    "streaming_stateful_first_seen",
-    "scan_orc_roundtrip",
-    "rollup_time_cascade",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q12_late_lines_by_class",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "sample_hash_deterministic",
-    "train_val_test_split",
-    "per_source_quota",
-    "pack_sequences",
-    "decontaminate_eval_overlap",
-    "training_export_pipeline",
-    "token_budget_sample",
-    "mix_weights_by_source",
-    "multimodal_pixel_decode",
-    "dedup_clusters_star",
-    "dedup_decision_quality",
-    "scan_parquet",
-    "scan_dim_inline",
-    "distinct_collections",
-    "filter_prefix",
-    "filter_contains",
-    "project_replace",
-    "filter_nonempty",
-    "string_concat_header",
-    "index_name_norm",
-    "map_concat_meta",
-    "agg_approx_distinct",
-    "split_markdown_headers",
-    "metadata_enrich",
-    "sessionize_batch",
-    "window_tumbling_batch",
-    "join_full_outer",
-    "set_intersect",
-    "union_distinct",
+    "rank_bm25_index_upsert",
+    "agg_salted_count",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q7_nation_volume",
+    "session_window_native",
+    "agg_percentiles",
+    "quality_unigram_logprob",
+    "null_semantics",
+    "split_markdown_sections",
+    "streaming_tumbling_availablenow",
+    "streaming_session_availablenow",
+    "window_sliding_batch",
+    "join_range_bucketed",
+    "agg_grouped_pandas_iqr",
+    "pivot_counts",
+    "agg_cube",
+    "window_rank_navigation",
+    "zscore_grouped_pandas",
+    "corpus_report",
+    "top_words_zipf",
+    "scalar_subquery",
+    "lateral_join_topn",
+    "explode_outer_semantics",
+    "crawl_frontier",
+    "warc_extract",
+    "url_canonicalize",
+    "crawl_snapshot_diff",
+    "dedup_repeated_passages",
+    "rank_bm25",
+    "hybrid_rank_rrf",
+    "json_roundtrip",
+    "text_stats",
+    "array_explode_transform",
+    "date_math_funcs",
+    "join_broadcast_enrich",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "normalize_unicode",
 ]
 
 
