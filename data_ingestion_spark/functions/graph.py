@@ -161,9 +161,16 @@ def hits_scores(
     identical rounds). Parallel (src, dst) duplicates collapse first:
     classic HITS is over the unweighted adjacency.
 
-        h0(v) = 1_000_000
+        h0(v) = 1
         a_t(v) = normL1( Σ_{u→v} h_{t-1}(u) )
         h_t(u) = normL1( Σ_{u→v} a_t(v) )
+
+    h0 is 1, not the micro scale: normalization is invariant under
+    seed scaling ((k·raw·1e6) div (k·Σraw) ≡ (raw·1e6) div Σraw), and
+    a 1e6 seed would make round 1's ``raw·1e6`` = 1e12·indeg — int64
+    overflow (ANSI abort / silent wrap) at in-degree > ~9.2e6, i.e.
+    any crawl-scale hub page. Post-normalization rounds are safe by
+    construction: Σ scores ≈ 1e6, so every later raw ≤ ~1e6.
 
     Nodes with no in-edges get authority 0 (and vice versa), never
     NULL. 2 shuffles per half-iteration (join + grouped sum) plus a
@@ -219,7 +226,7 @@ def hits_scores(
             .localCheckpoint(eager=True)
         )
 
-    h = nodes.withColumn("__h", F.lit(PAGERANK_SCALE).cast("bigint"))
+    h = nodes.withColumn("__h", F.lit(1).cast("bigint"))
     a = None
     for _ in range(max(1, int(iters))):
         a = _half(h, "__h", "__src", "__dst", "__a")

@@ -1217,21 +1217,30 @@ class AnnStore:
     def _raw_fetch(self, cand_ids: DataFrame) -> DataFrame:
         """Exact-rescore rows (id, vec) for a candidate id set: the
         raw/ sidecar scan pruned to the candidates' id-hash partitions
-        (bucket list collected driver-side — bounded by
-        raw_id_buckets) then broadcast-joined on id."""
+        (per-bucket counts collected driver-side — bounded by
+        raw_id_buckets rows) then joined on id. The same collect that
+        prices the partition filter also sizes the join: broadcast
+        under ``BROADCAST_MAX_IDS`` candidates, shuffle join beyond —
+        a large batch's candidate union can approach the store (r13
+        review finding), and an unconditional broadcast there is the
+        driver OOM every other join in this layer guards against."""
         nb = int(self._quant["raw_id_buckets"])
-        hit_buckets = [
-            r[0]
-            for r in cand_ids.select(
-                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(nb)).cast("int").alias("b")
+        per_bucket = (
+            cand_ids.groupBy(
+                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(nb))
+                .cast("int")
+                .alias("b")
             )
-            .distinct()
+            .count()
             .collect()
-        ]
+        )
+        hit_buckets = [r["b"] for r in per_bucket]
+        n_cand = sum(r["count"] for r in per_bucket)
+        ids = F.broadcast(cand_ids) if n_cand <= BROADCAST_MAX_IDS else cand_ids
         return (
             self.spark.read.parquet(self.path.rstrip("/") + "/raw")
             .filter(F.col("id_bucket").isin(hit_buckets))
-            .join(F.broadcast(cand_ids), self.id_col)
+            .join(ids, self.id_col)
             .select(self.id_col, self.vec_col)
         )
 
@@ -2129,7 +2138,21 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
     """Manifest-aware retention GC shared by compact paths: keep the
     ``retain`` newest version directories plus every segment (or
     legacy monolithic version dir) a retained manifest references;
-    delete the rest. Returns deleted directory names."""
+    delete the rest. Returns deleted directory names.
+
+    Two crash/concurrency windows are protected explicitly (r13
+    review finding):
+
+    - the version ``CURRENT`` points at is ALWAYS kept, even when
+      newer (possibly uncommitted, crashed-mid-upsert) version dirs
+      push it out of the retain-newest window — otherwise
+      ``vacuum(retain=1)`` after such a crash deletes the only
+      committed version and the pointer dangles;
+    - a segment NEWER than anything any manifest references is an
+      in-flight writer's (the fold writes its segment before its
+      manifest) — deleting it would let the imminent commit name a
+      vanished directory. Kept until some manifest claims it (or a
+      later vacuum finds it referenced / superseded)."""
     import os
     import shutil
 
@@ -2138,7 +2161,10 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
         for n in os.listdir(root)
         if n.startswith("v_") and n.removeprefix("v_").isdigit()
     )
-    keep = [n for _, n in versions[-retain:]]
+    keep = {n for _, n in versions[-retain:]}
+    cur = index_current_path(root)
+    if cur is not None:
+        keep.add(os.path.basename(cur.rstrip("/")))
     refs: set[str] = set()
     for n in keep:
         vdir = os.path.join(root, n)
@@ -2149,8 +2175,20 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
             refs.update(
                 os.path.realpath(os.path.join(root, rel)) for rel in m["segments"]
             )
+    # the in-flight horizon: the highest segment number ANY version's
+    # manifest (kept or not) references — a segment above it was
+    # written by a fold whose manifest hasn't landed yet
+    max_ref_seg = -1
+    for _, n in versions:
+        m = _read_manifest(os.path.join(root, n))
+        for rel in (m or {}).get("segments", []):
+            base = os.path.basename(rel.rstrip("/"))
+            if base.startswith("s_") and base.removeprefix("s_").isdigit():
+                max_ref_seg = max(max_ref_seg, int(base.removeprefix("s_")))
     deleted: list[str] = []
-    for _, n in versions[:-retain]:
+    for _, n in versions:
+        if n in keep:
+            continue
         vdir = os.path.join(root, n)
         if os.path.realpath(vdir) in refs:
             continue  # a retained manifest still serves from this dir
@@ -2160,9 +2198,16 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
     if os.path.isdir(seg_root):
         for n in sorted(os.listdir(seg_root)):
             sdir = os.path.join(seg_root, n)
-            if os.path.realpath(sdir) not in refs:
-                shutil.rmtree(sdir, ignore_errors=True)
-                deleted.append(f"segments/{n}")
+            if os.path.realpath(sdir) in refs:
+                continue
+            if (
+                n.startswith("s_")
+                and n.removeprefix("s_").isdigit()
+                and int(n.removeprefix("s_")) > max_ref_seg
+            ):
+                continue  # in-flight writer's segment — not ours to GC
+            shutil.rmtree(sdir, ignore_errors=True)
+            deleted.append(f"segments/{n}")
     return deleted
 
 
@@ -2242,15 +2287,16 @@ class SegmentedAnnStore(AnnStore):
             )
         return self._resolved_candidates(cond)
 
-    def _shadowed(self, frames_newest_first) -> DataFrame:
-        """Union per-segment frames with last-wins id shadowing —
-        ``frames_newest_first`` yields (segment_index, frame) from the
-        NEWEST segment down; each older frame anti-joins the union of
-        newer segments' id sidecars (broadcast under
-        ``BROADCAST_MAX_IDS``, shuffle beyond). The one shadowing
-        implementation behind raw-float candidates, quantized
-        candidates, and compaction."""
-        outs: list[DataFrame] = []
+    def _shadow_iter(self, frames_newest_first):
+        """THE last-wins shadowing implementation (every read path —
+        raw/quantized, single/batch, compaction — routes through
+        here): ``frames_newest_first`` yields (segment_index, frame)
+        from the NEWEST segment down; each older frame is yielded
+        back anti-joined against the union of newer segments' id
+        sidecars (broadcast under ``BROADCAST_MAX_IDS``, shuffle
+        beyond), as (segment_index, shadowed_frame) — per segment, so
+        quantized probes can interleave per-segment prefilter/fetch
+        before unioning."""
         shadow: DataFrame | None = None
         shadow_n = 0
         for i, frame in frames_newest_first:
@@ -2258,11 +2304,16 @@ class SegmentedAnnStore(AnnStore):
             if shadow is not None:
                 sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
                 cur = cur.join(sh, self.id_col, "left_anti")
-            outs.append(cur)
+            yield i, cur
             if i > 0:
                 ids = self._seg_ids(self.seg_paths[i])
                 shadow = ids if shadow is None else shadow.unionByName(ids)
                 shadow_n += self.seg_n[i]
+
+    def _shadowed(self, frames_newest_first) -> DataFrame:
+        """Union of ``_shadow_iter`` — the whole resolved view in one
+        frame (raw candidates, compaction input)."""
+        outs = [f for _, f in self._shadow_iter(frames_newest_first)]
         out = outs[0]
         for nxt in outs[1:]:
             out = out.unionByName(nxt)
@@ -2291,29 +2342,18 @@ class SegmentedAnnStore(AnnStore):
             )
         pairs = self._probe_pairs(qv, extra_flips)
         qcol = F.array(*[F.lit(float(x)) for x in qv])
-
-        def seg_raw():
-            for i in range(len(self.seg_paths) - 1, -1, -1):
-                st = AnnStore.open(
-                    self.spark, _ann_seg_data_dir(self.seg_paths[i])
-                )
-                cand = st._quant_candidates(pairs)
-                yield i, cand, st
-
+        sts = {
+            i: AnnStore.open(self.spark, _ann_seg_data_dir(self.seg_paths[i]))
+            for i in range(len(self.seg_paths))
+        }
         raws: list[DataFrame] = []
-        shadow: DataFrame | None = None
-        shadow_n = 0
-        for i, cand, st in seg_raw():
-            if shadow is not None:
-                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
-                cand = cand.join(sh, self.id_col, "left_anti")
+        for i, cand in self._shadow_iter(
+            (i, sts[i]._quant_candidates(pairs))
+            for i in range(len(self.seg_paths) - 1, -1, -1)
+        ):
             if prefilter_m is not None:
-                cand = st._quant_prefilter(cand, qcol, prefilter_m)
-            raws.append(st._raw_fetch(cand.select(self.id_col)))
-            if i > 0:
-                ids = self._seg_ids(self.seg_paths[i])
-                shadow = ids if shadow is None else shadow.unionByName(ids)
-                shadow_n += self.seg_n[i]
+                cand = sts[i]._quant_prefilter(cand, qcol, prefilter_m)
+            raws.append(sts[i]._raw_fetch(cand.select(self.id_col)))
         out = raws[0]
         for nxt in raws[1:]:
             out = out.unionByName(nxt)
@@ -2349,24 +2389,19 @@ class SegmentedAnnStore(AnnStore):
             (r["table"], r["bucket"])
             for r in asg.select("table", "bucket").distinct().collect()
         ]
-        fetched: list[DataFrame] = []
-        shadow: DataFrame | None = None
-        shadow_n = 0
-        for i in range(len(self.seg_paths) - 1, -1, -1):
-            st = AnnStore.open(self.spark, _ann_seg_data_dir(self.seg_paths[i]))
-            cand = st._quant_candidates_batch(asg, pairs, query_id_col)
-            if shadow is not None:
-                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
-                cand = cand.join(sh, self.id_col, "left_anti")
-            fetched.append(
-                self._quant_batch_fetch(
-                    cand, queries_df, query_id_col, query_vec_col, prefilter_m, st
-                )
+        sts = {
+            i: AnnStore.open(self.spark, _ann_seg_data_dir(self.seg_paths[i]))
+            for i in range(len(self.seg_paths))
+        }
+        fetched = [
+            self._quant_batch_fetch(
+                cand, queries_df, query_id_col, query_vec_col, prefilter_m, sts[i]
             )
-            if i > 0:
-                ids = self._seg_ids(self.seg_paths[i])
-                shadow = ids if shadow is None else shadow.unionByName(ids)
-                shadow_n += self.seg_n[i]
+            for i, cand in self._shadow_iter(
+                (i, sts[i]._quant_candidates_batch(asg, pairs, query_id_col))
+                for i in range(len(self.seg_paths) - 1, -1, -1)
+            )
+        ]
         out = fetched[0]
         for nxt in fetched[1:]:
             out = out.unionByName(nxt)
@@ -2400,11 +2435,12 @@ class SegmentedAnnStore(AnnStore):
 
 
 def _open_ann_version(spark, version_dir: str) -> AnnStore:
-    """Open either ANN version layout: manifest → SegmentedAnnStore,
-    monolithic → plain AnnStore via its sidecar."""
-    m = _read_manifest(version_dir)
-    if m is not None:
-        return SegmentedAnnStore(spark, version_dir, m)
+    """Open either ANN version layout — exactly ``AnnStore.open``
+    (manifest → SegmentedAnnStore, sidecar → AnnStore); kept as the
+    internal name the versioned functions route through so the
+    dispatch decision lives in ONE place (r13 review: a private twin
+    with its own manifest check had already drifted from the public
+    classmethod's)."""
     return AnnStore.open(spark, version_dir)
 
 

@@ -2873,7 +2873,9 @@ def _hits_oracle(iters: int = 3) -> str:
         "FROM documents, n, (VALUES (1), (2), (3)) j(j)), "
         "nodes AS (SELECT DISTINCT src AS node FROM e "
         "UNION SELECT DISTINCT dst FROM e), "
-        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"
+        # seed 1, not 1e6: normalization is scale-invariant and the
+        # micro seed would overflow int64 at crawl-scale in-degrees
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)"
     ]
     for t in range(1, iters + 1):
         prev_h = f"h{t - 1}"

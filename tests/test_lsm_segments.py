@@ -420,3 +420,63 @@ def test_ann_version_drift_defaults_and_quantized(spark, tmp_path):
     n_delta = delta.count()
     assert len(rows) == n_delta
     assert all(s == "replaced" and d == 2_000_000 for s, d in rows.values())
+
+
+def test_vacuum_protects_current_and_inflight(spark, tmp_path):
+    """r13 review finding: (a) a crashed upsert that wrote a NEWER
+    version dir but never committed the pointer must not let
+    vacuum(retain=1) delete the version CURRENT still names; (b) a
+    segment newer than anything any manifest references (an in-flight
+    fold between its segment write and its manifest write) must
+    survive vacuum."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        _open_ann_version,
+        index_current_path,
+        upsert_ann_store_versioned,
+        vacuum_ann_store,
+        write_ann_store_versioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "root")
+    write_ann_store_versioned(emb, root, bits=3, n_tables=6)
+    upsert_ann_store_versioned(emb.filter(F.col("vec_id") % 10 == 0), root)
+    cur_before = index_current_path(root)
+
+    # (a) simulate a crash: a newer version dir with a manifest but NO
+    # pointer commit; its manifest references only an in-flight segment
+    crashed = os.path.join(root, "v_000099")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "segments": ["segments/s_000099"],
+                "seg_n": [0],
+                "bits": 3,
+                "n_tables": 6,
+                "id_col": "vec_id",
+                "vec_col": "embedding",
+                "metadata_cols": [],
+            },
+            f,
+        )
+    # (b) an in-flight segment beyond every manifest's horizon
+    inflight = os.path.join(root, "segments", "s_000123")
+    os.makedirs(inflight)
+
+    deleted = vacuum_ann_store(root, retain=1)
+    assert index_current_path(root) == cur_before
+    assert os.path.isdir(cur_before), "vacuum deleted the CURRENT version"
+    assert os.path.isdir(inflight), "vacuum GC'd an in-flight segment"
+    # the store still serves
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    assert len(_open_ann_version(spark, index_current_path(root)).probe(qv, 3).collect()) == 3
+    # and genuine dead weight (the superseded v_000000) did go
+    assert "v_000000" in deleted
