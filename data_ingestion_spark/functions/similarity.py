@@ -1545,26 +1545,39 @@ def build_postings_index(
         "bucket"
     ).parquet(index_dir.rstrip("/") + "/postings")
     spark = docs_df.sparkSession
-    # df per term from the parquet just written (postings are unique
-    # on (term, doc): row count per term IS document frequency).
-    # Explicit schema: an EMPTY corpus writes a partitioned dir with
-    # no data files, which schema inference cannot read — the empty
-    # index must stay servable (registry empty-input contract)
-    written = spark.read.schema(postings.schema).parquet(
-        index_dir.rstrip("/") + "/postings"
-    )
-    (
-        written.groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(index_dir.rstrip("/") + "/terms")
-    )
+    _write_terms_from_postings(spark, index_dir, postings.schema)
     base.select("doc_id", "dl").write.mode("overwrite").parquet(
         index_dir.rstrip("/") + "/doclens"
     )
     _write_index_stats(spark, index_dir, buckets, positions)
+
+
+def _write_terms_from_postings(
+    spark, index_dir: str, post_schema, max_records_per_file: int | None = None
+) -> None:
+    """Derive and write the terms/ table from the postings parquet
+    JUST WRITTEN — the ONE implementation behind build/upsert/compact
+    (r13 review): df per term = row count, which is document
+    frequency ONLY because postings are unique on (term, doc) even in
+    positional indexes (positions ride as an array per posting row) —
+    the invariant BM25 correctness stands on; if the posting shape
+    ever changes, this is the single place the df derivation changes
+    with it. Explicit read schema: an EMPTY corpus writes a
+    partitioned dir with no data files, which schema inference cannot
+    read — the empty index must stay servable (registry empty-input
+    contract)."""
+    written = spark.read.schema(post_schema).parquet(
+        index_dir.rstrip("/") + "/postings"
+    )
+    w = (
+        written.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy("bucket").parquet(index_dir.rstrip("/") + "/terms")
 
 
 def _postings_of(base: DataFrame, buckets: int, positions: bool) -> DataFrame:
@@ -1662,15 +1675,7 @@ def upsert_postings_index(
         .partitionBy("bucket")
         .parquet(dst + "/postings")
     )
-    written = spark.read.schema(src_post_schema).parquet(dst + "/postings")
-    (
-        written.groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(dst + "/terms")
-    )
+    _write_terms_from_postings(spark, dst, src_post_schema)
     (
         spark.read.parquet(src + "/doclens")
         .join(F.broadcast(delta_ids), "doc_id", "left_anti")
@@ -2089,15 +2094,8 @@ def compact_index(
         .parquet(seg + "/postings")
     )
     post_schema, _ = _index_read_schemas(spark, reader.seg_paths[0], positional)
-    written = spark.read.schema(post_schema).parquet(seg + "/postings")
-    (
-        written.groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("bucket")
-        .parquet(seg + "/terms")
+    _write_terms_from_postings(
+        spark, seg, post_schema, max_records_per_file=max_records_per_file
     )
     n_files = max(1, math.ceil(max(1.0, reader.n_docs) / max_records_per_file))
     (
@@ -2479,6 +2477,59 @@ def _write_ann_segment(
     return spark.read.parquet(ids_dir).count()
 
 
+def _ann_manifest(
+    segments: list[str],
+    seg_n: list[int],
+    like: AnnStore,
+    metadata_cols,
+    quantized: bool,
+) -> dict:
+    """The version-manifest dict — one builder for every writer (r13
+    review: five hand-built literals had already started drifting)."""
+    m = {
+        "segments": segments,
+        "seg_n": seg_n,
+        "bits": like.bits,
+        "n_tables": like.n_tables,
+        "id_col": like.id_col,
+        "vec_col": like.vec_col,
+        "metadata_cols": list(metadata_cols),
+    }
+    if quantized:
+        # flag only — bounds are per segment, self-described in each
+        # segment's _ann_meta.json and restored by AnnStore.open
+        m["quant"] = {"per_segment": True}
+    return m
+
+
+def _commit_ann_version(
+    spark,
+    root: str,
+    manifest: dict,
+    marker_src: str | None = None,
+    retain: int | None = None,
+) -> AnnStore:
+    """The shared commit tail: manifest write → optional
+    ``_last_batch_id`` carry (the stream-replay marker; a restart
+    right after a commit that dropped it would re-fold the last
+    batch — content-idempotent but a spurious version per restart) →
+    atomic CURRENT swap → optional retention vacuum → serving
+    handle."""
+    import os
+    import shutil
+
+    name = _next_index_version(root)
+    _write_manifest(os.path.join(root, name), manifest)
+    if marker_src is not None:
+        marker = os.path.join(marker_src, "_last_batch_id")
+        if os.path.exists(marker):
+            shutil.copyfile(marker, os.path.join(root, name, "_last_batch_id"))
+    _commit_index_version(root, name)
+    if retain is not None:
+        _vacuum_index_root(root, retain)
+    return _open_ann_version(spark, os.path.join(root, name))
+
+
 def write_ann_store_versioned(
     vectors: DataFrame,
     root: str,
@@ -2508,23 +2559,13 @@ def write_ann_store_versioned(
         **kw,
     )
     probe_handle = AnnStore.open(spark, os.path.join(seg, "data"))
-    name = _next_index_version(root)
-    m = {
-        "segments": [f"segments/{seg_name}"],
-        "seg_n": [n],
-        "bits": probe_handle.bits,
-        "n_tables": probe_handle.n_tables,
-        "id_col": probe_handle.id_col,
-        "vec_col": probe_handle.vec_col,
-        "metadata_cols": list(metadata_cols),
-    }
-    if quantized:
-        # flag only — bounds are per segment, self-described in each
-        # segment's _ann_meta.json and restored by AnnStore.open
-        m["quant"] = {"per_segment": True}
-    _write_manifest(os.path.join(root, name), m)
-    _commit_index_version(root, name)
-    return _open_ann_version(spark, os.path.join(root, name))
+    return _commit_ann_version(
+        spark,
+        root,
+        _ann_manifest(
+            [f"segments/{seg_name}"], [n], probe_handle, metadata_cols, quantized
+        ),
+    )
 
 
 def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
@@ -2576,21 +2617,13 @@ def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
     else:  # legacy monolithic version becomes the base segment
         rels = [os.path.relpath(src, root)]
         seg_n = [-1]  # unknown base count: only NEWER counts gate broadcasts
-    name = _next_index_version(root)
-    m = {
-        "segments": rels + [f"segments/{seg_name}"],
-        "seg_n": seg_n + [n],
-        "bits": live.bits,
-        "n_tables": live.n_tables,
-        "id_col": live.id_col,
-        "vec_col": live.vec_col,
-        "metadata_cols": list(meta_cols),
-    }
-    if quantized:
-        m["quant"] = {"per_segment": True}
-    _write_manifest(os.path.join(root, name), m)
-    _commit_index_version(root, name)
-    return _open_ann_version(spark, os.path.join(root, name))
+    return _commit_ann_version(
+        spark,
+        root,
+        _ann_manifest(
+            rels + [f"segments/{seg_name}"], seg_n + [n], live, meta_cols, quantized
+        ),
+    )
 
 
 def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
@@ -2611,18 +2644,17 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
         raise FileNotFoundError(f"no CURRENT store version under {root!r}")
     live = _open_ann_version(spark, src)
     if not isinstance(live, SegmentedAnnStore):
-        m = {
-            "segments": [os.path.relpath(src, root)],
-            "seg_n": [-1],
-            "bits": live.bits,
-            "n_tables": live.n_tables,
-            "id_col": live.id_col,
-            "vec_col": live.vec_col,
-            "metadata_cols": list(live._metadata_cols),
-        }
-        if getattr(live, "_quant", None):
-            m["quant"] = {"per_segment": True}
-        live = SegmentedAnnStore(spark, src, m)
+        live = SegmentedAnnStore(
+            spark,
+            src,
+            _ann_manifest(
+                [os.path.relpath(src, root)],
+                [-1],
+                live,
+                live._metadata_cols,
+                bool(getattr(live, "_quant", None)),
+            ),
+        )
     seg_name = _next_segment_name(root)
     seg = os.path.join(root, "segments", seg_name)
     data = os.path.join(seg, "data")
@@ -2640,28 +2672,13 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
             id_col=live.id_col,
             vec_col=live.vec_col,
         )
-        name = _next_index_version(root)
-        _write_manifest(
-            os.path.join(root, name),
-            {
-                "segments": [f"segments/{seg_name}"],
-                "seg_n": [n],
-                "bits": live.bits,
-                "n_tables": live.n_tables,
-                "id_col": live.id_col,
-                "vec_col": live.vec_col,
-                "metadata_cols": [],
-                "quant": {"per_segment": True},
-            },
+        return _commit_ann_version(
+            spark,
+            root,
+            _ann_manifest([f"segments/{seg_name}"], [n], live, (), True),
+            marker_src=src,
+            retain=retain,
         )
-        import shutil as _shutil
-
-        marker = os.path.join(src, "_last_batch_id")
-        if os.path.exists(marker):
-            _shutil.copyfile(marker, os.path.join(root, name, "_last_batch_id"))
-        _commit_index_version(root, name)
-        _vacuum_index_root(root, retain)
-        return _open_ann_version(spark, os.path.join(root, name))
     (
         live._resolved_candidates(F.lit(True))
         .repartition("table", "bucket")
@@ -2683,31 +2700,15 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
         .parquet(ids_dir)
     )
     n = spark.read.parquet(ids_dir).count()
-    name = _next_index_version(root)
-    _write_manifest(
-        os.path.join(root, name),
-        {
-            "segments": [f"segments/{seg_name}"],
-            "seg_n": [n],
-            "bits": live.bits,
-            "n_tables": live.n_tables,
-            "id_col": live.id_col,
-            "vec_col": live.vec_col,
-            "metadata_cols": list(live._metadata_cols),
-        },
+    return _commit_ann_version(
+        spark,
+        root,
+        _ann_manifest(
+            [f"segments/{seg_name}"], [n], live, live._metadata_cols, False
+        ),
+        marker_src=src,
+        retain=retain,
     )
-    # carry the stream-replay marker into the compacted version (the
-    # compact_index discipline): a restart right after compaction
-    # would otherwise re-fold the last batch — content-idempotent,
-    # but it mints a spurious version per restart
-    import shutil as _shutil
-
-    marker = os.path.join(src, "_last_batch_id")
-    if os.path.exists(marker):
-        _shutil.copyfile(marker, os.path.join(root, name, "_last_batch_id"))
-    _commit_index_version(root, name)
-    _vacuum_index_root(root, retain)
-    return _open_ann_version(spark, os.path.join(root, name))
 
 
 def _resolved_vectors(spark, version_dir: str) -> DataFrame:
