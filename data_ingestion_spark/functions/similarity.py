@@ -1153,14 +1153,21 @@ class AnnStore:
         # cand arrives unique per (query, id) from _quant_candidates_batch
         # (and prefilter preserves that); only the raw fetch needs the
         # cross-query id dedup, and that shuffle carries bare ids. The
-        # raw-row norm computes ONCE per distinct id here, before the
+        # candidate subtree (fan-out join + dedup agg + optional
+        # prefilter window) feeds THREE consumers — the raw fetch's
+        # driver-side bucket collect, its rescore join, and the
+        # (query, id) pairs side below — so it materializes ONCE here
+        # (r13 review finding; localCheckpoint: blocks free on GC, no
+        # unpersist ownership to thread through the probe APIs). The
+        # raw-row norm computes once per distinct id, before the
         # per-query fan-out join multiplies it (the probe_batch norm
         # hoist).
+        cand = cand.select(query_id_col, self.id_col).localCheckpoint(eager=True)
         raw = code_store._raw_fetch(cand.select(self.id_col).distinct()).withColumn(
             "__nv",
             F.sqrt(dot_product(F.col(self.vec_col), F.col(self.vec_col))),
         )
-        return cand.select(query_id_col, self.id_col).join(raw, self.id_col)
+        return cand.join(raw, self.id_col)
 
     def _quant_batch_rank(
         self,
@@ -1223,7 +1230,14 @@ class AnnStore:
         under ``BROADCAST_MAX_IDS`` candidates, shuffle join beyond —
         a large batch's candidate union can approach the store (r13
         review finding), and an unconditional broadcast there is the
-        driver OOM every other join in this layer guards against."""
+        driver OOM every other join in this layer guards against.
+
+        The collect and the join both execute ``cand_ids``'s plan —
+        expensive candidate subtrees should arrive materialized
+        (``_quant_batch_fetch`` localCheckpoints; the single-query
+        probes stay fully lazy, keeping both PartitionFilters visible
+        in the executed plan, pytest-asserted, at the cost of running
+        their one cheap pruned scan twice)."""
         nb = int(self._quant["raw_id_buckets"])
         per_bucket = (
             cand_ids.groupBy(
