@@ -1153,21 +1153,20 @@ class AnnStore:
         # cand arrives unique per (query, id) from _quant_candidates_batch
         # (and prefilter preserves that); only the raw fetch needs the
         # cross-query id dedup, and that shuffle carries bare ids. The
-        # candidate subtree (fan-out join + dedup agg + optional
-        # prefilter window) feeds THREE consumers — the raw fetch's
-        # driver-side bucket collect, its rescore join, and the
-        # (query, id) pairs side below — so it materializes ONCE here
-        # (r13 review finding; localCheckpoint: blocks free on GC, no
-        # unpersist ownership to thread through the probe APIs). The
-        # raw-row norm computes once per distinct id, before the
-        # per-query fan-out join multiplies it (the probe_batch norm
-        # hoist).
-        cand = cand.select(query_id_col, self.id_col).localCheckpoint(eager=True)
+        # candidate subtree feeds three consumers (bucket collect,
+        # rescore join, pairs side) and is deliberately left LAZY:
+        # materializing it (localCheckpoint of the ~|queries|·|cands|
+        # (qid, id) frame) was MEASURED SLOWER than recomputing —
+        # 50.0 s vs 27.2 s at 64 queries × 1M vectors — because the
+        # serial block write costs more than the pipelined re-scan
+        # (BENCH_NOTES r13). The raw-row norm computes once per
+        # distinct id, before the per-query fan-out join multiplies
+        # it (the probe_batch norm hoist).
         raw = code_store._raw_fetch(cand.select(self.id_col).distinct()).withColumn(
             "__nv",
             F.sqrt(dot_product(F.col(self.vec_col), F.col(self.vec_col))),
         )
-        return cand.join(raw, self.id_col)
+        return cand.select(query_id_col, self.id_col).join(raw, self.id_col)
 
     def _quant_batch_rank(
         self,
@@ -1233,11 +1232,11 @@ class AnnStore:
         driver OOM every other join in this layer guards against.
 
         The collect and the join both execute ``cand_ids``'s plan —
-        expensive candidate subtrees should arrive materialized
-        (``_quant_batch_fetch`` localCheckpoints; the single-query
-        probes stay fully lazy, keeping both PartitionFilters visible
-        in the executed plan, pytest-asserted, at the cost of running
-        their one cheap pruned scan twice)."""
+        deliberately: materializing the batch candidate frame via
+        localCheckpoint was MEASURED SLOWER than the duplicate lazy
+        execution (50.0 s vs 27.2 s at 64 queries × 1M vectors,
+        BENCH_NOTES r13), and laziness keeps both PartitionFilters
+        visible in the single-query executed plan (pytest-asserted)."""
         nb = int(self._quant["raw_id_buckets"])
         per_bucket = (
             cand_ids.groupBy(
