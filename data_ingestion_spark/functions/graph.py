@@ -219,8 +219,16 @@ def hits_scores(
             .join(F.broadcast(total))
             .select(
                 "__node",
+                # __s > 0 guard (r13 ADVICE): on a near-regular graph
+                # past ~1e6 nodes every share can round to 0, making
+                # the NEXT half-round's total 0 — the CASE keeps the
+                # division un-evaluated then (no ANSI divide-by-zero
+                # abort) and the scores collapse to a deterministic
+                # all-zero fixpoint instead of NULLs. Identical output
+                # whenever __s > 0, i.e. on every non-degenerate graph.
                 F.coalesce(
-                    F.expr("(__raw * 1000000) div __s"), F.lit(0)
+                    F.when(F.col("__s") > 0, F.expr("(__raw * 1000000) div __s")),
+                    F.lit(0),
                 ).cast("bigint").alias(out),
             )
             .localCheckpoint(eager=True)

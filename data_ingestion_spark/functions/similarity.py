@@ -1723,13 +1723,69 @@ def _commit_index_version(root: str, name: str) -> None:
     """Atomic pointer swap (write-temp + os.replace): a crash before
     the swap leaves CURRENT on the previous version; readers never
     see a half-written index. POSIX-atomic rename — on an object
-    store swap the manifest for a conditional-put."""
+    store swap the manifest for a conditional-put.
+
+    Also appends ``name`` to the root's ``_COMMITS`` log AFTER the
+    swap (r13 ADVICE): a version directory's existence does not prove
+    it ever served (a crashed upsert writes its manifest but never
+    swaps the pointer), and both vacuum's reader-protection window
+    and ``ann_version_drift``'s default diff base need to distinguish
+    committed versions from crash debris. Append-after-swap means a
+    crash between the two leaves the committed version missing from
+    the log — readers fall back to treating names at or below the
+    pointer as committed, so the miss is conservative, never a
+    phantom commit."""
     import os
 
     tmp = os.path.join(root, f"_CURRENT_tmp_{name}")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(name)
     os.replace(tmp, os.path.join(root, "CURRENT"))
+    with open(os.path.join(root, "_COMMITS"), "a", encoding="utf-8") as f:
+        f.write(name + "\n")
+
+
+def _committed_versions(root: str) -> list[str]:
+    """Version names that were actually SERVED (pointer-swapped), in
+    commit order. Source of truth is the ``_COMMITS`` log; for roots
+    predating it (or entries lost to the append-after-swap crash
+    window) every existing v_* directory at or below the CURRENT
+    pointer is treated as committed — conservative: commits are
+    monotonic, so nothing above the pointer can have served, while a
+    crashed-upsert dir BELOW a later commit is at worst kept/diffed
+    as if it had (the pre-log behavior, never a lost commit)."""
+    import os
+
+    existing = sorted(
+        n
+        for n in os.listdir(root)
+        if n.startswith("v_")
+        and n.removeprefix("v_").isdigit()
+        and os.path.isdir(os.path.join(root, n))
+    )
+    logged: list[str] = []
+    try:
+        with open(os.path.join(root, "_COMMITS"), encoding="utf-8") as f:
+            seen: set[str] = set()
+            for line in f:
+                n = line.strip()
+                if n and n in existing and n not in seen:
+                    seen.add(n)
+                    logged.append(n)
+    except OSError:
+        pass
+    if logged:
+        # versions older than the FIRST logged name predate the log
+        # (post-upgrade crash debris is always >= the next version
+        # after a logged commit) — treat them as committed so an
+        # upgraded root keeps its pre-log reader-protection window
+        pre = [n for n in existing if n < logged[0]]
+        return sorted(set(pre) | set(logged))  # v_%06d: name order = commit order
+    cur = index_current_path(root)
+    if cur is None:
+        return []
+    cur_name = os.path.basename(cur.rstrip("/"))
+    return [n for n in existing if n <= cur_name]
 
 
 def _next_index_version(root: str) -> str:
@@ -2145,25 +2201,82 @@ def compact_index(
     return dst
 
 
+def _live_segment_count(root: str) -> int:
+    """Segment count of the CURRENT version — 0 before the first
+    commit, 1 for a legacy monolithic version (no manifest)."""
+    cur = index_current_path(root)
+    if cur is None:
+        return 0
+    m = _read_manifest(cur)
+    return 1 if m is None else len(m["segments"])
+
+
+def maybe_compact_index(
+    spark, root: str, max_segments: int, retain: int = 2, **compact_kw
+) -> str | None:
+    """Compact the managed postings root IFF the live version's
+    segment list exceeds ``max_segments`` — the auto-compaction
+    trigger (r13 verdict #1): every upsert/maintenance-stream batch
+    appends one segment, and serve cost grows with the list
+    (k·t·(1+flips) partition reads plus k shadow anti-joins), so an
+    unbounded fold loop quietly pays the r13 O(delta) write win back
+    in read amplification. The reference's sinks get this as a
+    service guarantee (Lucene background segment merging behind
+    Elasticsearch, reference E:348–355; Weaviate compacts its own
+    LSM, P:341–349) — this is the engine-side equivalent for the
+    managed root, callable from any batch upsert loop and invoked by
+    ``run_index_maintenance_stream(max_segments=...)``.
+
+    Returns the new version path when a fold ran, None when the root
+    is already within bounds. ``retain``/``compact_kw`` pass through
+    to ``compact_index``."""
+    if max_segments < 1:
+        raise ValueError(f"max_segments must be >= 1, got {max_segments}")
+    if _live_segment_count(root) <= max_segments:
+        return None
+    return compact_index(spark, root, retain=retain, **compact_kw)
+
+
+def maybe_compact_ann_store(
+    spark, root: str, max_segments: int, retain: int = 2
+) -> AnnStore | None:
+    """ANN twin of ``maybe_compact_index``: fold the managed vector
+    root to one segment iff the live manifest names more than
+    ``max_segments`` — bounds probe-time partition reads and shadow
+    anti-join depth (and, for quantized roots, caps how long
+    per-segment SQ8 bounds drift before the global re-quantization
+    compaction performs). Returns the new serving handle when a fold
+    ran, None when within bounds."""
+    if max_segments < 1:
+        raise ValueError(f"max_segments must be >= 1, got {max_segments}")
+    if _live_segment_count(root) <= max_segments:
+        return None
+    return compact_ann_store(spark, root, retain=retain)
+
+
 def _vacuum_index_root(root: str, retain: int) -> list[str]:
     """Manifest-aware retention GC shared by compact paths: keep the
     ``retain`` newest version directories plus every segment (or
     legacy monolithic version dir) a retained manifest references;
     delete the rest. Returns deleted directory names.
 
-    Two crash/concurrency windows are protected explicitly (r13
-    review finding):
+    Three crash/concurrency windows are protected explicitly (r13
+    review finding + r13 ADVICE):
 
-    - the version ``CURRENT`` points at is ALWAYS kept, even when
-      newer (possibly uncommitted, crashed-mid-upsert) version dirs
-      push it out of the retain-newest window — otherwise
-      ``vacuum(retain=1)`` after such a crash deletes the only
-      committed version and the pointer dangles;
-    - a segment NEWER than anything any manifest references is an
-      in-flight writer's (the fold writes its segment before its
-      manifest) — deleting it would let the imminent commit name a
-      vanished directory. Kept until some manifest claims it (or a
-      later vacuum finds it referenced / superseded)."""
+    - the retain window counts COMMITTED versions only (the
+      ``_COMMITS`` log via ``_committed_versions``) — crashed-upsert
+      debris (manifest written, pointer never swapped) used to eat
+      window slots, silently shrinking the concurrent-reader
+      protection ``retain=2`` promises;
+    - the version ``CURRENT`` points at is ALWAYS kept, even when it
+      somehow falls outside that window — otherwise the pointer
+      dangles;
+    - a version dir NEWER than the CURRENT pointer is an in-flight
+      writer's (manifest lands before the pointer swap) — never
+      deleted here; once a later commit supersedes it, an
+      unreferenced stale one becomes ordinary sub-pointer debris and
+      is GC'd. Same for a segment newer than anything any manifest
+      references (the fold writes its segment before its manifest)."""
     import os
     import shutil
 
@@ -2172,10 +2285,14 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
         for n in os.listdir(root)
         if n.startswith("v_") and n.removeprefix("v_").isdigit()
     )
-    keep = {n for _, n in versions[-retain:]}
+    keep = set(_committed_versions(root)[-retain:])
     cur = index_current_path(root)
+    cur_num = -1
     if cur is not None:
-        keep.add(os.path.basename(cur.rstrip("/")))
+        cur_name = os.path.basename(cur.rstrip("/"))
+        keep.add(cur_name)
+        if cur_name.removeprefix("v_").isdigit():
+            cur_num = int(cur_name.removeprefix("v_"))
     refs: set[str] = set()
     for n in keep:
         vdir = os.path.join(root, n)
@@ -2197,9 +2314,11 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
             if base.startswith("s_") and base.removeprefix("s_").isdigit():
                 max_ref_seg = max(max_ref_seg, int(base.removeprefix("s_")))
     deleted: list[str] = []
-    for _, n in versions:
+    for num, n in versions:
         if n in keep:
             continue
+        if num > cur_num:
+            continue  # in-flight writer's version — not ours to GC
         vdir = os.path.join(root, n)
         if os.path.realpath(vdir) in refs:
             continue  # a retained manifest still serves from this dir
@@ -2270,9 +2389,17 @@ class SegmentedAnnStore(AnnStore):
             return self.spark.read.parquet(ids_dir)
         # legacy monolithic base has no sidecar; it is only ever needed
         # if it appears as a NON-oldest segment, which the write paths
-        # never produce — derive from one table's partitions if so
+        # never produce — derive from the layout's id source if so:
+        # a quantized legacy dir (codes/ + raw/) has no flat
+        # partitioned data, so table==0 partition discovery would fail
+        # opaquely there (r13 ADVICE) — its raw/ sidecar is the id set
+        data = _ann_seg_data_dir(seg)
+        if os.path.isdir(os.path.join(data, "raw")):
+            return self.spark.read.parquet(os.path.join(data, "raw")).select(
+                self.id_col
+            )
         return (
-            self.spark.read.parquet(_ann_seg_data_dir(seg))
+            self.spark.read.parquet(data)
             .filter(F.col("table") == 0)
             .select(self.id_col)
         )
@@ -2784,17 +2911,16 @@ def ann_version_drift(
         if to_dir is None:
             raise FileNotFoundError(f"no CURRENT store version under {root!r}")
     if from_dir is None:
-        versions = sorted(
-            n
-            for n in os.listdir(root)
-            if n.startswith("v_") and os.path.isdir(os.path.join(root, n))
-        )
+        # COMMITTED versions only (r13 ADVICE): the lexically-latest
+        # older dir can be a crashed upsert's (manifest written,
+        # pointer never swapped) — diffing against a version that
+        # never served reports drift nobody experienced
         cur_name = os.path.basename(to_dir.rstrip("/"))
-        older = [n for n in versions if n < cur_name]
+        older = [n for n in _committed_versions(root) if n < cur_name]
         if not older:
             raise ValueError(
-                f"{root!r} has no version older than {cur_name!r} to diff "
-                "against — pass from_dir explicitly"
+                f"{root!r} has no committed version older than {cur_name!r} "
+                "to diff against — pass from_dir explicitly"
             )
         from_dir = os.path.join(root, older[-1])
     ref = _open_ann_version(spark, to_dir)

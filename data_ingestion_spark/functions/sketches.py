@@ -591,6 +591,20 @@ def bloom_probe(
     if bloom.storageLevel == StorageLevel.NONE and cache_handles is not None:
         bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
         cache_handles.append(bloom)
+    elif bloom.storageLevel == StorageLevel.NONE and k > 1:
+        # r13 ADVICE: make the k× rebuild visible — the probe is
+        # correct either way, but an unpersisted filter re-runs the
+        # whole seen-set scan once per probe position
+        import warnings
+
+        warnings.warn(
+            f"bloom_probe: the filter DataFrame is unpersisted, so its "
+            f"build (a full seen-set scan) will run {k}x — once per probe "
+            "position. Persist it first, or pass cache_handles to receive "
+            "a persist handle.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     cur = candidates
     cond: Column | None = None
     probe_cols: list[str] = []

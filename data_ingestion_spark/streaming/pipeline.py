@@ -387,6 +387,8 @@ def run_index_maintenance_stream(
     id_col: str = "doc_id",
     buckets: int | None = None,
     positions: bool = False,
+    max_segments: int | None = None,
+    retain: int = 2,
 ) -> StreamingQuery:
     """Continuous lexical-index maintenance (r12): a document stream
     folds into the MANAGED postings root — the first micro-batch
@@ -409,8 +411,18 @@ def run_index_maintenance_stream(
     and even a replay that slips past the marker is HARMLESS because
     upsert-by-replacement is idempotent — re-folding the same delta
     yields an identical index (unlike the additive CMS merge, where
-    the guard is load-bearing). Old versions accumulate by design;
-    schedule ``compact_index`` for retention (OPTIMIZE+VACUUM).
+    the guard is load-bearing).
+
+    ``max_segments`` is the auto-compaction dial (r13 verdict #1):
+    after a batch whose upsert pushes the live manifest past the
+    bound, the SAME foreachBatch invocation folds the segment list
+    via ``compact_index`` (marker carried, retention vacuum at
+    ``retain``) — a 5-minute trigger interval otherwise mints 288
+    segments/day and serve cost grows linearly with the list. Left
+    None, segments accumulate by design and compaction is the
+    caller's schedule (the pre-r14 contract). Since the fold runs
+    inside foreachBatch, a slow compaction delays the NEXT
+    micro-batch, never a concurrent reader (versions stay atomic).
 
     ``buckets``/``positions`` apply to the first build; later
     upserts inherit geometry from the live version's stats."""
@@ -440,6 +452,13 @@ def run_index_maintenance_stream(
             path = SIM.build_postings_index_versioned(delta, root, **kw)
         with open(os.path.join(path, "_last_batch_id"), "w", encoding="utf-8") as f:
             f.write(str(batch_id))
+        if max_segments is not None:
+            # marker already written above, so the fold carries it into
+            # the compacted version — a restart right after compaction
+            # still skips this batch
+            SIM.maybe_compact_index(
+                batch_df.sparkSession, root, max_segments, retain=retain
+            )
 
     return (
         stream.writeStream.foreachBatch(fold)
@@ -459,6 +478,8 @@ def run_ann_maintenance_stream(
     n_tables: int = 6,
     metadata_cols: tuple[str, ...] = (),
     quantized: bool = False,
+    max_segments: int | None = None,
+    retain: int = 2,
 ) -> StreamingQuery:
     """Continuous VECTOR-index maintenance (r12 verdict #3) — the ANN
     mirror of ``run_index_maintenance_stream``: an embedding stream
@@ -482,8 +503,15 @@ def run_ann_maintenance_stream(
     version directory skips an already-folded batch (and
     ``compact_ann_store`` carries it forward), and a replay slipping
     past the marker is harmless because upsert-by-replacement is
-    idempotent. Segments accumulate by design; schedule
-    ``compact_ann_store`` for retention (OPTIMIZE+VACUUM).
+    idempotent. ``max_segments`` is the auto-compaction dial (r13
+    verdict #1): after a batch that pushes the live manifest past
+    the bound, the same foreachBatch invocation folds the list via
+    ``compact_ann_store`` — probe cost is k·t·(1+flips) partition
+    reads for k segments, so an unbounded fold loop pays the
+    O(delta) write win back at serve time; for quantized roots the
+    fold is also the global re-quantization (bounds-refresh) point.
+    Left None, segments accumulate by design and compaction is the
+    caller's schedule (the pre-r14 contract).
 
     Geometry args apply to the FIRST build only; later upserts
     inherit from the live version's manifest. ``quantized=True``
@@ -525,6 +553,12 @@ def run_ann_maintenance_stream(
             os.path.join(handle.path, "_last_batch_id"), "w", encoding="utf-8"
         ) as f:
             f.write(str(batch_id))
+        if max_segments is not None:
+            # marker written first → compaction's marker carry keeps
+            # replay safety across the fold
+            SIM.maybe_compact_ann_store(
+                batch_df.sparkSession, root, max_segments, retain=retain
+            )
 
     return (
         stream.writeStream.foreachBatch(fold)

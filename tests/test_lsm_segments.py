@@ -409,7 +409,7 @@ def test_ann_version_drift_defaults_and_quantized(spark, tmp_path):
     )
     root = str(tmp_path / "root")
     write_ann_store_versioned(emb, root, quantized=True, bits=3, n_tables=6)
-    with pytest.raises(ValueError, match="no version older"):
+    with pytest.raises(ValueError, match="no committed version older"):
         ann_version_drift(spark, root)
     delta = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "embedding", F.transform("embedding", lambda x: -x)
@@ -480,3 +480,65 @@ def test_vacuum_protects_current_and_inflight(spark, tmp_path):
     assert len(_open_ann_version(spark, index_current_path(root)).probe(qv, 3).collect()) == 3
     # and genuine dead weight (the superseded v_000000) did go
     assert "v_000000" in deleted
+
+
+def test_committed_only_vacuum_window_and_drift_default(spark, tmp_path):
+    """r13 ADVICE: (a) vacuum's retain window counts COMMITTED
+    versions (the _COMMITS log) — crashed-upsert debris below a later
+    commit must not eat a slot and push the reader-held pre-upsert
+    version out; (b) ann_version_drift's default from_dir skips
+    uncommitted dirs (the debris manifest here names a nonexistent
+    segment, so picking it would fail loudly)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import (
+        ann_version_drift,
+        upsert_ann_store_versioned,
+        vacuum_ann_store,
+        write_ann_store_versioned,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path / "root")
+    write_ann_store_versioned(emb, root, bits=3, n_tables=6)  # commits v_000000
+    # crash debris: manifest written, pointer never swapped
+    crashed = os.path.join(root, "v_000001")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "segments": ["segments/s_000777"],  # never written
+                "seg_n": [0],
+                "bits": 3,
+                "n_tables": 6,
+                "id_col": "vec_id",
+                "vec_col": "embedding",
+                "metadata_cols": [],
+            },
+            f,
+        )
+    delta = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    upsert_ann_store_versioned(delta, root)  # commits v_000002
+
+    # (b) default diff base is the previous COMMITTED version (v0),
+    # not the lexically-latest older dir (the debris v1, whose
+    # missing segment would make this raise)
+    rows = {r.vec_id: r.status for r in ann_version_drift(spark, root).collect()}
+    assert len(rows) == delta.count()
+    assert set(rows.values()) == {"replaced"}
+
+    # (a) retain=2 keeps both committed versions; the debris — inside
+    # the old newest-2 window — is the one deleted
+    deleted = vacuum_ann_store(root, retain=2)
+    assert os.path.isdir(os.path.join(root, "v_000000")), (
+        "crash debris ate a retain slot: the reader-held pre-upsert "
+        "version was vacuumed"
+    )
+    assert "v_000001" in deleted and not os.path.isdir(crashed)

@@ -708,3 +708,170 @@ def test_ann_maintenance_stream_quantized(spark, tmp_path):
         for r in ref.probe_batch(qdf, k=5).collect()
     )
     assert gb == eb and gb
+
+
+def test_index_maintenance_auto_compaction(spark, tmp_path):
+    """r13 verdict #1: max_segments bounds the live manifest — a
+    12-batch stream with max_segments=4 compacts inside the fold
+    whenever an upsert pushes past the bound, the drained index still
+    equals a from-scratch build ROW FOR ROW, and a checkpoint replay
+    folds nothing new (the marker survives the auto-fold)."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        IndexReader,
+        _live_segment_count,
+        build_postings_index,
+        index_current_path,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(12):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        docs.filter(F.col("doc_id") % 12 == i).toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "idx_root")
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    q = SP.run_index_maintenance_stream(
+        _stream(), root, str(tmp_path / "ckpt"), buckets=16, max_segments=4
+    )
+    q.awaitTermination(240)
+
+    # counts cycle 1,2,3,4,(5→fold→)1,...: 12 batches land on exactly 4
+    assert _live_segment_count(root) == 4
+    # no committed version ever held more than the transient max+1
+    with open(os.path.join(root, "_COMMITS"), encoding="utf-8") as f:
+        committed = [n.strip() for n in f if n.strip()]
+    from data_ingestion_spark.functions.similarity import _read_manifest
+
+    for n in committed:
+        vdir = os.path.join(root, n)
+        if not os.path.isdir(vdir):
+            continue  # vacuumed by a later fold — fine
+        m = _read_manifest(vdir)
+        assert m is None or len(m["segments"]) <= 5
+
+    live = index_current_path(root)
+    ref_idx = str(tmp_path / "ref_idx")
+    build_postings_index(docs, ref_idx, buckets=16)
+
+    def rowset(idx):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.dl, r.bucket)
+            for r in IndexReader(spark, idx).postings().collect()
+        )
+
+    assert rowset(live) == rowset(ref_idx)
+
+    versions_before = sorted(n for n in os.listdir(root) if n.startswith("v_"))
+    q2 = SP.run_index_maintenance_stream(
+        _stream(), root, str(tmp_path / "ckpt"), buckets=16, max_segments=4
+    )
+    q2.awaitTermination(240)
+    assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
+    assert index_current_path(root) == live
+
+
+def test_ann_maintenance_auto_compaction_quantized(spark, tmp_path):
+    """ANN twin: a 6-batch quantized embedding stream with
+    max_segments=2 keeps the live manifest at <=2 segments (each fold
+    is also the global re-quantization point) and the drained store
+    probes identically to a from-scratch quantized build."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        _live_segment_count,
+        _open_ann_version,
+        index_current_path,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src_dir = str(tmp_path / "emb_stream")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i in range(6):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        emb.filter(F.col("vec_id") % 6 == i).toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "ann_root")
+    q = SP.run_ann_maintenance_stream(
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        str(tmp_path / "ckpt_ann"),
+        bits=3,
+        n_tables=6,
+        quantized=True,
+        max_segments=2,
+    )
+    q.awaitTermination(240)
+    assert _live_segment_count(root) <= 2
+
+    ref = AnnStore(spark, str(tmp_path / "ref"), bits=3, n_tables=6)
+    ref.write_quantized(emb)
+    live = _open_ann_version(spark, index_current_path(root))
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+    got = [(r.vec_id, round(r.score, 6)) for r in live.probe_quantized(qv, 5).collect()]
+    want = [(r.vec_id, round(r.score, 6)) for r in ref.probe_quantized(qv, 5).collect()]
+    assert got == want
+
+
+def test_maybe_compact_batch_helpers(spark, tmp_path):
+    """Batch-side trigger: maybe_compact_* is a no-op within bounds
+    (returns None) and folds to one segment past them."""
+    from data_ingestion_spark.functions.similarity import (
+        _live_segment_count,
+        build_postings_index_versioned,
+        maybe_compact_ann_store,
+        maybe_compact_index,
+        upsert_postings_index_versioned,
+        upsert_ann_store_versioned,
+        write_ann_store_versioned,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    root = str(tmp_path / "idx")
+    build_postings_index_versioned(docs, root, buckets=8)
+    upsert_postings_index_versioned(docs.filter(F.col("doc_id") % 3 == 0), root)
+    assert maybe_compact_index(spark, root, max_segments=2) is None
+    assert _live_segment_count(root) == 2
+    upsert_postings_index_versioned(docs.filter(F.col("doc_id") % 3 == 1), root)
+    assert maybe_compact_index(spark, root, max_segments=2) is not None
+    assert _live_segment_count(root) == 1
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(200)
+    aroot = str(tmp_path / "ann")
+    write_ann_store_versioned(emb, aroot, bits=3, n_tables=4)
+    upsert_ann_store_versioned(emb.filter(F.col("vec_id") % 2 == 0), aroot)
+    assert maybe_compact_ann_store(spark, aroot, max_segments=2) is None
+    upsert_ann_store_versioned(emb.filter(F.col("vec_id") % 2 == 1), aroot)
+    handle = maybe_compact_ann_store(spark, aroot, max_segments=2)
+    assert handle is not None and _live_segment_count(aroot) == 1
