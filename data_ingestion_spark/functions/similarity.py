@@ -1880,7 +1880,14 @@ class IndexReader:
 
     Global stats (n_docs/avgdl) come from the manifest for segmented
     indexes (computed exactly at upsert time) and from stats/ for
-    monolithic ones, so BM25 scores never drift between layouts."""
+    monolithic ones, so BM25 scores never drift between layouts.
+
+    A segment flagged in the manifest's ``tombstones`` list (r13
+    verdict #2: row-level delete) holds ONLY a doclens/ id list — it
+    is never read as a data source, but its ids join every older
+    segment's shadow set, so the delete rides the exact machinery
+    replacement already uses. Compaction reads the resolved view, so
+    the fold drops both the shadowed rows and the tombstone itself."""
 
     def __init__(self, spark, index_dir: str):
         import os
@@ -1901,6 +1908,7 @@ class IndexReader:
             self.avgdl = float(stats_row["avgdl"] or 0.0)
             self.seg_paths = [root]
             self.seg_n_docs = [int(self.n_docs)]
+            self.seg_tomb = [False]
         else:
             base = os.path.dirname(root)  # the managed root
             self.buckets = int(m["buckets"])
@@ -1909,6 +1917,22 @@ class IndexReader:
             self.avgdl = float(m["avgdl"] or 0.0)
             self.seg_paths = [os.path.join(base, rel) for rel in m["segments"]]
             self.seg_n_docs = [int(x) for x in m["seg_n_docs"]]
+            self.seg_tomb = [
+                bool(x)
+                for x in m.get("tombstones", [False] * len(self.seg_paths))
+            ]
+
+    def _first_data_path(self) -> str:
+        """The oldest non-tombstone segment — the schema source (a
+        tombstone dir holds only doclens/). The base segment is always
+        a data segment (delete appends, compaction folds to data)."""
+        for p, t in zip(self.seg_paths, self.seg_tomb):
+            if not t:
+                return p
+        raise ValueError(
+            f"{self.root!r}: every segment is a tombstone — no data "
+            "segment to serve from (corrupt manifest?)"
+        )
 
     def stats_df(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -1919,29 +1943,34 @@ class IndexReader:
         """Union of ``per_seg(path)`` frames over the segment list
         with last-wins shadowing. Iterates newest → oldest so each
         shadow-union plan is built once and reused by every older
-        segment's anti-join."""
+        segment's anti-join. Tombstone segments contribute ids to the
+        shadow set but never a data frame — a deleted id is shadowed
+        WITHOUT replacement, i.e. gone."""
         k = len(self.seg_paths)
         if k == 1:
-            return per_seg(self.seg_paths[0])
+            return per_seg(self._first_data_path())
         outs: list[DataFrame] = []
         shadow: DataFrame | None = None
         shadow_n = 0
         for i in range(k - 1, -1, -1):
-            cur = per_seg(self.seg_paths[i])
-            if shadow is not None:
-                sh = (
-                    F.broadcast(shadow)
-                    if shadow_n <= BROADCAST_MAX_IDS
-                    else shadow
-                )
-                cur = cur.join(sh, "doc_id", "left_anti")
-            outs.append(cur)
+            if not self.seg_tomb[i]:
+                cur = per_seg(self.seg_paths[i])
+                if shadow is not None:
+                    sh = (
+                        F.broadcast(shadow)
+                        if shadow_n <= BROADCAST_MAX_IDS
+                        else shadow
+                    )
+                    cur = cur.join(sh, "doc_id", "left_anti")
+                outs.append(cur)
             if i > 0:
                 ids = self.spark.read.parquet(
                     self.seg_paths[i] + "/doclens"
                 ).select("doc_id")
                 shadow = ids if shadow is None else shadow.unionByName(ids)
                 shadow_n += self.seg_n_docs[i]
+        if not outs:
+            self._first_data_path()  # raises the named invariant
         out = outs[0]
         for nxt in outs[1:]:
             out = out.unionByName(nxt)
@@ -1953,7 +1982,7 @@ class IndexReader:
         the pruning filter sits UNDER the shadow anti-joins, so each
         segment scan reads only the hit partitions."""
         post_schema, _ = _index_read_schemas(
-            self.spark, self.seg_paths[0], self.positional
+            self.spark, self._first_data_path(), self.positional
         )
 
         def rd(p: str) -> DataFrame:
@@ -1983,12 +2012,9 @@ class IndexReader:
         count the document frequency — over the same pruned
         partitions the scoring scan already reads."""
         if len(self.seg_paths) == 1:
-            _, term_schema = _index_read_schemas(
-                self.spark, self.seg_paths[0], self.positional
-            )
-            df = self.spark.read.schema(term_schema).parquet(
-                self.seg_paths[0] + "/terms"
-            )
+            data = self._first_data_path()
+            _, term_schema = _index_read_schemas(self.spark, data, self.positional)
+            df = self.spark.read.schema(term_schema).parquet(data + "/terms")
             if hit_buckets is not None:
                 df = df.filter(F.col("bucket").isin(hit_buckets))
             return df.join(
@@ -2102,6 +2128,65 @@ def upsert_postings_index_versioned(
             "n_docs": int(row["n"]),
             "avgdl": float(row["a"] or 0.0),
             "seg_n_docs": reader.seg_n_docs + [n_delta],
+            "tombstones": reader.seg_tomb + [False],
+        },
+    )
+    _commit_index_version(root, name)
+    return os.path.join(root, name)
+
+
+def delete_index_ids(ids_df: DataFrame, root: str, id_col: str = "doc_id") -> str:
+    """Row-level delete for the managed postings root (r13 verdict
+    #2: takedown / GDPR / robots-revocation compliance — S10's
+    collection-level delete, reference Q:119–136, cannot remove ONE
+    document without rewriting the collection). Writes a
+    TOMBSTONE-ONLY segment: a doclens/ id list with an empty data
+    payload, flagged in the manifest's ``tombstones`` list. The
+    existing last-wins shadow machinery then hides every older copy
+    of the ids — a delete is exactly a replacement with nothing —
+    while the reader never treats the tombstone as a data source, so
+    the doomed ids vanish from bm25/bool/phrase serving AND from the
+    logical doclens (n_docs/avgdl recomputed exactly here, the upsert
+    discipline). ``compact_index`` reads the resolved view, so the
+    next fold physically drops the shadowed rows and the tombstone
+    itself. O(delete set): the live index is never rewritten; ids not
+    present in the index are harmless no-ops. Returns the new version
+    path."""
+    import os
+
+    spark = ids_df.sparkSession
+    src = index_current_path(root)
+    if src is None:
+        raise FileNotFoundError(f"no CURRENT index version under {root!r}")
+    reader = IndexReader(spark, src)
+    ids = ids_df.select(F.col(id_col).alias("doc_id")).distinct()
+    seg_name = _next_segment_name(root)
+    seg = os.path.join(root, "segments", seg_name)
+    # dl=0.0 keeps the doclens schema uniform; the column is never
+    # read (tombstones are shadow-only, skipped as data sources)
+    ids.withColumn("dl", F.lit(0.0)).write.mode("overwrite").parquet(
+        seg + "/doclens"
+    )
+    doomed = spark.read.parquet(seg + "/doclens").select("doc_id")
+    n_del = doomed.count()
+    kept = reader.doclens().join(
+        F.broadcast(doomed) if n_del <= BROADCAST_MAX_IDS else doomed,
+        "doc_id",
+        "left_anti",
+    )
+    row = kept.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
+    rels = [os.path.relpath(p, root) for p in reader.seg_paths]
+    name = _next_index_version(root)
+    _write_manifest(
+        os.path.join(root, name),
+        {
+            "segments": rels + [f"segments/{seg_name}"],
+            "buckets": reader.buckets,
+            "positional": reader.positional,
+            "n_docs": int(row["n"]),
+            "avgdl": float(row["a"] or 0.0),
+            "seg_n_docs": reader.seg_n_docs + [n_del],
+            "tombstones": reader.seg_tomb + [True],
         },
     )
     _commit_index_version(root, name)
@@ -2162,7 +2247,9 @@ def compact_index(
         .partitionBy("bucket")
         .parquet(seg + "/postings")
     )
-    post_schema, _ = _index_read_schemas(spark, reader.seg_paths[0], positional)
+    post_schema, _ = _index_read_schemas(
+        spark, reader._first_data_path(), positional
+    )
     _write_terms_from_postings(
         spark, seg, post_schema, max_records_per_file=max_records_per_file
     )
@@ -2378,6 +2465,10 @@ class SegmentedAnnStore(AnnStore):
         base = os.path.dirname(version_dir.rstrip("/"))
         self.seg_paths = [os.path.join(base, rel) for rel in manifest["segments"]]
         self.seg_n = [int(x) for x in manifest["seg_n"]]
+        self.seg_tomb = [
+            bool(x)
+            for x in manifest.get("tombstones", [False] * len(self.seg_paths))
+        ]
         self._metadata_cols = tuple(manifest.get("metadata_cols", ()))
         self._quant = manifest.get("quant")
 
@@ -2407,13 +2498,11 @@ class SegmentedAnnStore(AnnStore):
     def _resolved_candidates(self, cond) -> DataFrame:
         cols = [self.id_col, self.vec_col, *self._metadata_cols, "table", "bucket"]
         return self._shadowed(
-            (
-                i,
-                self.spark.read.parquet(_ann_seg_data_dir(self.seg_paths[i]))
-                .filter(cond)
-                .select(*cols),
+            lambda i: self.spark.read.parquet(
+                _ann_seg_data_dir(self.seg_paths[i])
             )
-            for i in range(len(self.seg_paths) - 1, -1, -1)
+            .filter(cond)
+            .select(*cols)
         )
 
     def _cond_scan(self, cond) -> DataFrame:
@@ -2425,33 +2514,46 @@ class SegmentedAnnStore(AnnStore):
             )
         return self._resolved_candidates(cond)
 
-    def _shadow_iter(self, frames_newest_first):
+    def _shadow_iter(self, per_seg):
         """THE last-wins shadowing implementation (every read path —
         raw/quantized, single/batch, compaction — routes through
-        here): ``frames_newest_first`` yields (segment_index, frame)
-        from the NEWEST segment down; each older frame is yielded
-        back anti-joined against the union of newer segments' id
-        sidecars (broadcast under ``BROADCAST_MAX_IDS``, shuffle
-        beyond), as (segment_index, shadowed_frame) — per segment, so
-        quantized probes can interleave per-segment prefilter/fetch
-        before unioning."""
+        here): ``per_seg(i)`` builds segment i's candidate frame;
+        iteration runs from the NEWEST segment down, and each older
+        frame is yielded anti-joined against the union of newer
+        segments' id sidecars (broadcast under ``BROADCAST_MAX_IDS``,
+        shuffle beyond), as (segment_index, shadowed_frame) — per
+        segment, so quantized probes can interleave per-segment
+        prefilter/fetch before unioning. A TOMBSTONE segment (r13
+        verdict #2) is never asked for a frame — it only feeds its
+        ids into the shadow set, deleting every older copy without a
+        replacement."""
         shadow: DataFrame | None = None
         shadow_n = 0
-        for i, frame in frames_newest_first:
-            cur = frame
-            if shadow is not None:
-                sh = F.broadcast(shadow) if shadow_n <= BROADCAST_MAX_IDS else shadow
-                cur = cur.join(sh, self.id_col, "left_anti")
-            yield i, cur
+        for i in range(len(self.seg_paths) - 1, -1, -1):
+            if not self.seg_tomb[i]:
+                cur = per_seg(i)
+                if shadow is not None:
+                    sh = (
+                        F.broadcast(shadow)
+                        if shadow_n <= BROADCAST_MAX_IDS
+                        else shadow
+                    )
+                    cur = cur.join(sh, self.id_col, "left_anti")
+                yield i, cur
             if i > 0:
                 ids = self._seg_ids(self.seg_paths[i])
                 shadow = ids if shadow is None else shadow.unionByName(ids)
                 shadow_n += self.seg_n[i]
 
-    def _shadowed(self, frames_newest_first) -> DataFrame:
+    def _shadowed(self, per_seg) -> DataFrame:
         """Union of ``_shadow_iter`` — the whole resolved view in one
         frame (raw candidates, compaction input)."""
-        outs = [f for _, f in self._shadow_iter(frames_newest_first)]
+        outs = [f for _, f in self._shadow_iter(per_seg)]
+        if not outs:
+            raise ValueError(
+                f"{self.path!r}: every segment is a tombstone — no data "
+                "segment to serve from (corrupt manifest?)"
+            )
         out = outs[0]
         for nxt in outs[1:]:
             out = out.unionByName(nxt)
@@ -2483,15 +2585,20 @@ class SegmentedAnnStore(AnnStore):
         sts = {
             i: AnnStore.open(self.spark, _ann_seg_data_dir(self.seg_paths[i]))
             for i in range(len(self.seg_paths))
+            if not self.seg_tomb[i]  # tombstones have no data dir
         }
         raws: list[DataFrame] = []
         for i, cand in self._shadow_iter(
-            (i, sts[i]._quant_candidates(pairs))
-            for i in range(len(self.seg_paths) - 1, -1, -1)
+            lambda i: sts[i]._quant_candidates(pairs)
         ):
             if prefilter_m is not None:
                 cand = sts[i]._quant_prefilter(cand, qcol, prefilter_m)
             raws.append(sts[i]._raw_fetch(cand.select(self.id_col)))
+        if not raws:
+            raise ValueError(
+                f"{self.path!r}: every segment is a tombstone — no data "
+                "segment to serve from (corrupt manifest?)"
+            )
         out = raws[0]
         for nxt in raws[1:]:
             out = out.unionByName(nxt)
@@ -2530,16 +2637,21 @@ class SegmentedAnnStore(AnnStore):
         sts = {
             i: AnnStore.open(self.spark, _ann_seg_data_dir(self.seg_paths[i]))
             for i in range(len(self.seg_paths))
+            if not self.seg_tomb[i]  # tombstones have no data dir
         }
         fetched = [
             self._quant_batch_fetch(
                 cand, queries_df, query_id_col, query_vec_col, prefilter_m, sts[i]
             )
             for i, cand in self._shadow_iter(
-                (i, sts[i]._quant_candidates_batch(asg, pairs, query_id_col))
-                for i in range(len(self.seg_paths) - 1, -1, -1)
+                lambda i: sts[i]._quant_candidates_batch(asg, pairs, query_id_col)
             )
         ]
+        if not fetched:
+            raise ValueError(
+                f"{self.path!r}: every segment is a tombstone — no data "
+                "segment to serve from (corrupt manifest?)"
+            )
         out = fetched[0]
         for nxt in fetched[1:]:
             out = out.unionByName(nxt)
@@ -2553,13 +2665,9 @@ class SegmentedAnnStore(AnnStore):
         the compaction input (compaction is the one global
         re-quantization point, by design)."""
         return self._shadowed(
-            (
-                i,
-                self.spark.read.parquet(
-                    _ann_seg_data_dir(self.seg_paths[i]).rstrip("/") + "/raw"
-                ).select(self.id_col, self.vec_col),
-            )
-            for i in range(len(self.seg_paths) - 1, -1, -1)
+            lambda i: self.spark.read.parquet(
+                _ann_seg_data_dir(self.seg_paths[i]).rstrip("/") + "/raw"
+            ).select(self.id_col, self.vec_col)
         )
 
     def write(self, *a, **kw):  # pragma: no cover - guard
@@ -2623,9 +2731,12 @@ def _ann_manifest(
     like: AnnStore,
     metadata_cols,
     quantized: bool,
+    tombstones: list[bool] | None = None,
 ) -> dict:
     """The version-manifest dict — one builder for every writer (r13
-    review: five hand-built literals had already started drifting)."""
+    review: five hand-built literals had already started drifting).
+    ``tombstones`` flags shadow-only segments (row-level delete);
+    omitted means all-data."""
     m = {
         "segments": segments,
         "seg_n": seg_n,
@@ -2635,6 +2746,8 @@ def _ann_manifest(
         "vec_col": like.vec_col,
         "metadata_cols": list(metadata_cols),
     }
+    if tombstones is not None and any(tombstones):
+        m["tombstones"] = [bool(x) for x in tombstones]
     if quantized:
         # flag only — bounds are per segment, self-described in each
         # segment's _ann_meta.json and restored by AnnStore.open
@@ -2754,14 +2867,69 @@ def upsert_ann_store_versioned(delta_vectors: DataFrame, root: str) -> AnnStore:
     if isinstance(live, SegmentedAnnStore):
         rels = [os.path.relpath(p, root) for p in live.seg_paths]
         seg_n = live.seg_n
+        tomb = live.seg_tomb
     else:  # legacy monolithic version becomes the base segment
         rels = [os.path.relpath(src, root)]
         seg_n = [-1]  # unknown base count: only NEWER counts gate broadcasts
+        tomb = [False]
     return _commit_ann_version(
         spark,
         root,
         _ann_manifest(
-            rels + [f"segments/{seg_name}"], seg_n + [n], live, meta_cols, quantized
+            rels + [f"segments/{seg_name}"],
+            seg_n + [n],
+            live,
+            meta_cols,
+            quantized,
+            tombstones=tomb + [False],
+        ),
+    )
+
+
+def delete_ann_ids(ids_df: DataFrame, root: str) -> AnnStore:
+    """Row-level delete for the managed ANN root (r13 verdict #2 —
+    the vector half of takedown compliance): a TOMBSTONE segment
+    holding only an ``ids/`` sidecar (no data dir), flagged in the
+    manifest. Serving's last-wins shadow machinery then anti-joins
+    the doomed ids out of every older segment — a delete is a
+    replacement with nothing — in ALL read paths (probe, batch,
+    quantized, filtered, drift: a deleted id surfaces as ``removed``
+    in ``ann_version_drift``). ``compact_ann_store`` reads the
+    resolved view, so the next fold physically drops the rows and
+    the tombstone. O(delete set); ids not in the store are harmless
+    no-ops. Returns the new serving handle."""
+    import os
+
+    spark = ids_df.sparkSession
+    src = index_current_path(root)
+    if src is None:
+        raise FileNotFoundError(f"no CURRENT store version under {root!r}")
+    live = _open_ann_version(spark, src)
+    quantized = bool(getattr(live, "_quant", None))
+    seg_name = _next_segment_name(root)
+    seg = os.path.join(root, "segments", seg_name)
+    ids_df.select(live.id_col).distinct().write.mode("overwrite").parquet(
+        os.path.join(seg, "ids")
+    )
+    n = spark.read.parquet(os.path.join(seg, "ids")).count()
+    if isinstance(live, SegmentedAnnStore):
+        rels = [os.path.relpath(p, root) for p in live.seg_paths]
+        seg_n = live.seg_n
+        tomb = live.seg_tomb
+    else:
+        rels = [os.path.relpath(src, root)]
+        seg_n = [-1]
+        tomb = [False]
+    return _commit_ann_version(
+        spark,
+        root,
+        _ann_manifest(
+            rels + [f"segments/{seg_name}"],
+            seg_n + [n],
+            live,
+            tuple(live._metadata_cols),
+            quantized,
+            tombstones=tomb + [True],
         ),
     )
 

@@ -1205,15 +1205,19 @@ _BM25_BATCH_QTERMS = [
 ]
 
 
-def _bm25_batch_ctes(final_name: str = "lexr") -> str:
+def _bm25_batch_ctes(final_name: str = "lexr", corpus_where: str = "") -> str:
     """The batch-BM25 ranking pipeline as reusable CTE fragments (no
     leading WITH, no final SELECT): ``final_name`` exposes
-    (query_id, doc_id, score, rank) unbounded — callers cut rank."""
+    (query_id, doc_id, score, rank) unbounded — callers cut rank.
+    ``corpus_where`` restricts the corpus (e.g. the row-delete DQ's
+    surviving set) — stats/df are computed over the restriction, the
+    from-scratch-build semantics."""
     values = ", ".join(f"({i}, '{t}')" for i, t in _BM25_BATCH_QTERMS)
+    where = f" WHERE {corpus_where}" if corpus_where else ""
     return (
         f"q(query_id, term) AS (VALUES {values}), "
         "w AS (SELECT doc_id, list_filter(regexp_split_to_array("
-        "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+        f"lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents{where}), "
         "base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM w), "
         "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base), "
         "post AS (SELECT doc_id, dl, unnest(ws) AS term FROM base), "
@@ -1462,6 +1466,108 @@ def rank_bm25_index_upsert(spark, sf_dir):
     upsert_postings_index_versioned(d.filter(F.col("doc_id") % 5 == 0), root)
     qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
     return bm25_rank_batch_indexed(spark, qdf, index_current_path(root), topk=10)
+
+
+@q(
+    "index_delete_ids",
+    "WITH "
+    + _bm25_batch_ctes(corpus_where="doc_id % 7 <> 0")
+    + " SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= 10",
+)
+def index_delete_ids(spark, sf_dir):
+    """Row-level delete from the managed index (r13 verdict #2 —
+    takedown/GDPR/robots-revocation; S10's collection-level delete,
+    reference Q:119–136, can only hide a single doc by rewriting the
+    collection): versioned build over a STALE generation → O(delta)
+    upsert of the corrected 20% → ``delete_index_ids`` writes a
+    TOMBSTONE-ONLY segment for every 7th doc (an id list with no data
+    payload; last-wins shadowing hides every older copy, the reader
+    never treats it as a data source) → the query batch serves from
+    the pointer. The oracle is the from-scratch pipeline over the
+    SURVIVING corpus — stats (n_docs/avgdl), derived df, and ranking
+    must all reflect the deletion exactly, so a hash match certifies
+    delete ≡ rebuild-without-the-rows across build+upsert+delete."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.similarity import (
+        bm25_rank_batch_indexed,
+        build_postings_index_versioned,
+        delete_index_ids as _del,
+        index_current_path,
+        upsert_postings_index_versioned,
+    )
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" stale vector spark noise")),
+        ).otherwise(F.col("text")),
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"bm25_delete_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    build_postings_index_versioned(stale, root)
+    upsert_postings_index_versioned(d.filter(F.col("doc_id") % 5 == 0), root)
+    _del(d.filter(F.col("doc_id") % 7 == 0).select("doc_id"), root)
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES, "query_id int, query_text string")
+    return bm25_rank_batch_indexed(spark, qdf, index_current_path(root), topk=10)
+
+
+@q(
+    "ann_delete_ids",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "corpus AS ("
+    "SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id <> 0 AND vec_id % 7 <> 0) "
+    "SELECT e.vec_id, "
+    "round(list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6) AS score "
+    "FROM corpus e, q WHERE ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ") ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_delete_ids(spark, sf_dir):
+    """Row-level delete from the managed ANN store (r13 verdict #2,
+    vector half): versioned build over a STALE generation (every 5th
+    embedding negated) → O(delta) upsert of the corrected 20% →
+    ``delete_ann_ids`` tombstones every 7th vector (an ids/ sidecar
+    with NO data dir; the shadow anti-joins hide its pointer copies
+    in every table) → probe from the pointer. The oracle is the
+    from-scratch LSH probe over the TRUE corpus minus the deleted
+    ids, so the hash certifies delete ≡ rebuild-without-the-rows
+    composed with the upsert's replacement shadowing — including
+    that a tombstone over an id the delta ALSO replaced deletes the
+    newest copy, not just the stale one."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ann_delete_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.write_ann_store_versioned(stale, root, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    SIM.upsert_ann_store_versioned(base.filter(F.col("vec_id") % 5 == 0), root)
+    return SIM.delete_ann_ids(
+        base.filter(F.col("vec_id") % 7 == 0).select("vec_id"), root
+    ).probe(qv, k=5)
 
 
 _HYBRID_QTEXT = "spark vector customer merge"
