@@ -208,3 +208,44 @@ def test_ann_delete_preserves_metadata_filtered_probe(spark, tmp_path):
         for r in ref.probe(qv, 5, where=F.col("lang") == "en").collect()
     ]
     assert got == want
+
+
+def test_index_report_counts_and_drift(spark, tmp_path):
+    """r13 verdict #7: the ops report pins exact per-segment rows /
+    kind / shadowed-id counts over a build -> upsert -> delete chain
+    (postings) and reports per-segment SQ8 bounds drift (ANN): the
+    observability that pairs with the max_segments trigger."""
+    from data_ingestion_spark.functions.similarity import index_report
+
+    d = _docs(spark).limit(100)
+    root = str(tmp_path / "idx")
+    build_postings_index_versioned(d, root, buckets=8)           # 100 docs
+    upsert_postings_index_versioned(d.filter(F.col("doc_id") < 20), root)  # replace 20
+    delete_index_ids(
+        d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).select("doc_id"),
+        root,
+    )  # delete 10, disjoint from the replaced 20
+    rep = index_report(spark, root).collect()
+    assert [(r.segment, r.kind, r.layout, r.rows, r.shadowed_ids) for r in rep] == [
+        ("segments/s_000000", "data", "postings", 100, 30),
+        ("segments/s_000001", "data", "postings", 20, 0),
+        ("segments/s_000002", "tombstone", "postings", 10, 0),
+    ]
+    assert all(r.bytes > 0 and r.bounds_drift is None for r in rep)
+
+    emb = _emb(spark).limit(300)
+    aroot = str(tmp_path / "ann")
+    write_ann_store_versioned(
+        emb.filter(F.col("vec_id") < 200), aroot, quantized=True, bits=3, n_tables=4
+    )
+    # the delta's vectors are scaled 3x -> its own SQ8 bounds differ
+    upsert_ann_store_versioned(
+        emb.filter(F.col("vec_id") >= 200).withColumn(
+            "embedding", F.transform("embedding", lambda x: x * 3.0)
+        ),
+        aroot,
+    )
+    arep = index_report(spark, aroot).collect()
+    assert [r.layout for r in arep] == ["ann_sq8", "ann_sq8"]
+    assert arep[0].bounds_drift == 0.0 and arep[1].bounds_drift > 0.5
+    assert arep[0].shadowed_ids == 0  # disjoint ids: nothing shadowed

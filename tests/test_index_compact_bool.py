@@ -195,3 +195,32 @@ def test_bool_scan_is_partition_pruned(spark, bool_idx):
         .select(F.input_file_name()).distinct().count()
     )
     assert 0 < pruned_files < total
+
+
+def test_bool_clause_rows_refusal(spark, tmp_path):
+    """r13 verdict #6: the driver-side clause-table collect refuses
+    loudly past max_clause_rows (and caps the collect itself at the
+    bound, so the refusing call never materializes the batch); the
+    same batch passes with the bound raised."""
+    import pytest
+
+    from data_ingestion_spark.functions.similarity import (
+        bool_search_indexed,
+        build_postings_index,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    idx = str(tmp_path / "idx")
+    build_postings_index(d, idx, buckets=8)
+    bq = spark.createDataFrame(
+        [(1, ["spark"], ["vector", "customer"], []), (2, ["merge"], [], ["order"])],
+        "query_id int, must array<string>, should array<string>, "
+        "must_not array<string>",
+    )
+    with pytest.raises(ValueError, match="max_clause_rows"):
+        bool_search_indexed(spark, bq, idx, max_clause_rows=2)
+    assert bool_search_indexed(spark, bq, idx).count() >= 0
