@@ -29,6 +29,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -890,3 +891,170 @@ def embed_media(df: DataFrame, dim: int = 64, strict: bool = False) -> DataFrame
         return pd.Series(out)
 
     return df.withColumn("embedding", _embed(F.col("payload")))
+
+
+LUMA_GRID_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("luma", ArrayType(IntegerType())),
+    ]
+)
+
+
+def luma_grid(
+    df: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    max_pixel_bytes: int | None = None,
+) -> DataFrame:
+    """(doc_id, payload) → (doc_id, luma array<int> of grid_w·grid_h)
+    — the perceptual-hash substrate (r13 verdict #3): REAL decode
+    (PNG/GIF/BMP/JPEG via functions/pixels.py + functions/jpeg.py),
+    nearest-neighbor downsample to the tiny grid, integer ITU-style
+    luma ((299R+587G+114B)//1000; grayscale passes through), all in
+    ONE Arrow-batched stage. Fusing decode+downsample matters at
+    100 TB: a two-stage decode_pixels → resize_pixels plan ships
+    full-resolution pixel rows (w·h·ch bytes each) between stages,
+    while this stage emits ≤ grid_w·grid_h ints per image — the heavy
+    bytes never leave the task that inflated them. The downsample
+    uses resize_pixels' exact coordinate rule (ys = y·h // grid_h),
+    so an image that is a k× nearest-neighbor upscale of another
+    lands on the SAME grid — resize invariance by construction, not
+    by tolerance. Undecodable/corrupt payloads yield NULL luma (the
+    decode_pixels NULL-row contract)."""
+    import numpy as np
+
+    from .pixels import DEFAULT_MAX_PIXEL_BYTES, decode_pixel_payload
+
+    if grid_w < 1 or grid_h < 1:
+        raise ValueError("grid dims must be >= 1")
+    cap = DEFAULT_MAX_PIXEL_BYTES if max_pixel_bytes is None else max_pixel_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                decoded = decode_pixel_payload(payload, cap, None)
+                if decoded is None:
+                    rows.append((doc_id, None))
+                    continue
+                _, w, h, ch, px = decoded
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                ys = (np.arange(grid_h) * h) // grid_h
+                xs = (np.arange(grid_w) * w) // grid_w
+                small = arr[ys][:, xs].astype(np.int64)
+                if ch >= 3:
+                    lum = (
+                        299 * small[:, :, 0]
+                        + 587 * small[:, :, 1]
+                        + 114 * small[:, :, 2]
+                    ) // 1000
+                else:
+                    lum = small[:, :, 0]
+                rows.append((doc_id, [int(v) for v in lum.ravel()]))
+            yield pd.DataFrame(rows, columns=["doc_id", "luma"])
+
+    return df.select("doc_id", "payload").mapInPandas(run, LUMA_GRID_SCHEMA)
+
+
+def _pack_bits64(bits: list) -> F.Column:
+    """Fold exactly 64 0/1 Columns into one BIGINT, bit k = bits[k].
+    Pure JVM arithmetic (shiftleft + sum); bit 63 wraps into the sign
+    bit by design — xor/bit_count downstream are sign-agnostic."""
+    if len(bits) != 64:
+        raise ValueError(f"need exactly 64 bits, got {len(bits)}")
+    out = F.lit(0).cast("bigint")
+    for k, b in enumerate(bits):
+        out = out + F.shiftleft(b.cast("bigint"), k)
+    return out
+
+
+def image_dhash64(df: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame:
+    """Difference hash over the luma grid: bit (x, y) = 1 iff
+    luma(x+1, y) > luma(x, y) — 64 bits for the default 9×8 grid.
+    The standard re-encode/resize-robust image fingerprint: gradient
+    DIRECTIONS survive format changes and nearest-neighbor scaling
+    bit-exactly (pytest-pinned), and survive mild lossy re-encoding
+    up to a small hamming distance (the banded pair join's budget).
+    Input (doc_id, payload); returns (doc_id, dhash bigint), NULL for
+    undecodable payloads. Everything after the luma stage is pure
+    column arithmetic — no Python touches the hash math."""
+    if (grid_w - 1) * grid_h != 64:
+        raise ValueError("dhash needs (grid_w - 1) * grid_h == 64")
+    g = luma_grid(df, grid_w, grid_h)
+    c = F.col("luma")
+    bits = [
+        F.when(
+            c[y * grid_w + x + 1] > c[y * grid_w + x], F.lit(1)
+        ).otherwise(F.lit(0))
+        for y in range(grid_h)
+        for x in range(grid_w - 1)
+    ]
+    return g.select(
+        "doc_id",
+        F.when(c.isNotNull(), _pack_bits64(bits)).alias("dhash"),
+    )
+
+
+def image_ahash64(df: DataFrame) -> DataFrame:
+    """Average hash over an 8×8 luma grid: bit k = 1 iff luma_k >
+    mean(luma) — coarser than dhash (loses gradient direction) but
+    the classic thumbnail fingerprint. Same contract as
+    ``image_dhash64``: (doc_id, payload) → (doc_id, ahash bigint),
+    NULL on undecodable, hash math JVM-side."""
+    g = luma_grid(df, 8, 8)
+    c = F.col("luma")
+    mean = F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x) / F.lit(64)
+    bits = [F.when(c[k] > mean, F.lit(1)).otherwise(F.lit(0)) for k in range(64)]
+    return g.select(
+        "doc_id",
+        F.when(c.isNotNull(), _pack_bits64(bits)).alias("ahash"),
+    )
+
+
+def attach_pattern_image(df: DataFrame) -> DataFrame:
+    """Deterministic image-dedup fixture (the phash DQ's synthesis
+    half, the ``attach_gradient_image`` discipline): docs form groups
+    of three (group g = doc_id // 3) sharing one
+    9×8 luma pattern P(x, y) = (g·37 + x·17 + y·53) mod 256 — content
+    a SQL oracle recomputes in closed form. Variants per group:
+
+    - doc_id % 3 == 0 → PNG, grayscale 9×8 (the original);
+    - doc_id % 3 == 1 → BMP, 24-bit r=g=b, 9×8 (lossless RE-ENCODE:
+      identical pixels, different container → identical dhash);
+    - doc_id % 3 == 2 → GIF, 18×16 2× nearest-neighbor UPSCALE with
+      the (0,0) cell perturbed by +128 mod 256 (a RESIZED near-dup:
+      the grid downsample undoes the upscale; the perturbation flips
+      exactly the dhash bits that compare against cell (0,0), so the
+      pair survives only a hamming-tolerant match, not equality).
+
+    Arrow scalar UDF; real encoders from functions/pixels.py."""
+    from .pixels import bmp_encode, gif_encode, png_encode
+
+    @F.pandas_udf(BinaryType())
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            g, v = d // 3, d % 3
+            pat = (
+                g * 37
+                + 17 * np.arange(9)[None, :]
+                + 53 * np.arange(8)[:, None]
+            ) % 256
+            if v == 2:
+                pat = pat.copy()
+                pat[0, 0] = (pat[0, 0] + 128) % 256
+            pat = pat.astype(np.uint8)
+            if v == 0:
+                out.append(png_encode(9, 8, pat.tobytes(), color_type=0))
+            elif v == 1:
+                out.append(bmp_encode(9, 8, np.repeat(pat, 3).tobytes()))
+            else:
+                up = np.repeat(np.repeat(pat, 2, axis=0), 2, axis=1)
+                out.append(gif_encode(18, 16, up.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn("payload", _synth(F.col("doc_id")))

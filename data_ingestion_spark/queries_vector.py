@@ -944,6 +944,51 @@ def multimodal_pixel_decode(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_image_phash",
+    "WITH docs AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v "
+    "FROM documents WHERE doc_id < 300), "
+    "cells AS (SELECT x.range AS x, y.range AS y FROM range(8) x, range(8) y), "
+    "bits AS (SELECT d.doc_id, c.x, c.y, "
+    "CASE WHEN ((d.g*37 + (c.x+1)*17 + c.y*53) % 256) > "
+    "(CASE WHEN d.v = 2 AND c.x = 0 AND c.y = 0 "
+    "THEN (d.g*37 + 128) % 256 "
+    "ELSE (d.g*37 + c.x*17 + c.y*53) % 256 END) "
+    "THEN 1 ELSE 0 END AS bit "
+    "FROM docs d, cells c), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming "
+    "FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2",
+)
+def dedup_image_phash(spark, sf_dir):
+    """Image near-dup dedup — the multimodal leg of the dedup mandate
+    (r13 verdict #3). Docs come in groups of three REAL images sharing
+    one 9×8 luma pattern: a grayscale PNG, a 24-bit BMP re-encode
+    (identical pixels, different container), and an 18×16 GIF 2×
+    nearest-neighbor UPSCALE with one grid cell perturbed (a resized
+    near-dup at hamming ≤ 1, not an exact dup). The engine runs the
+    full pipeline: stdlib decode (zlib/Paeth, BI_RGB, LZW) →
+    grid-luma downsample (one fused Arrow stage — full-res pixels
+    never leave the decoding task) → 64-bit dHash packed JVM-side →
+    PIGEONHOLE-banded candidate join on (band_idx, band_bits) →
+    exact bit_count(XOR) verify at max_hamming=2.
+
+    The oracle recomputes the dHash BITS arithmetically from the
+    pattern generator and takes the NAIVE all-pairs hamming filter —
+    so a hash match certifies (a) decode+luma+hash against
+    independently-derived content (a wrong-but-consistent codec pair
+    cannot satisfy it), and (b) banding completeness: every pair
+    within budget survives, including the accidental cross-group
+    near-collisions the linear pattern family produces. Engine cost
+    is Σ band-bucket², never n² — the moved_content_pairs discipline
+    on 64-bit BIGINT fingerprints."""
+    d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
+    hashes = MM.image_dhash64(MM.attach_pattern_image(d))
+    return DD.hamming64_pairs(hashes, "dhash", max_hamming=2)
+
+
 _SIGN_BUCKET_SQL = (
     "(CASE WHEN {e}.embedding[1] >= 0 THEN 1 ELSE 0 END) + "
     "(CASE WHEN {e}.embedding[2] >= 0 THEN 2 ELSE 0 END) + "
