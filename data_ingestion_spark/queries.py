@@ -433,6 +433,34 @@ def join_range(spark, sf_dir):
 
 
 @q(
+    "join_stream_interval_batch",
+    "SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, "
+    "p.user_id AS p_user FROM events p "
+    "JOIN events c ON c.user_id = p.user_id "
+    "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts "
+    "WHERE p.event_type = 'purchase' AND c.event_type = 'click'",
+)
+def join_stream_interval_batch(spark, sf_dir):
+    """ST: the stream-stream watermarked interval join's batch twin —
+    this DQ runs the EXACT streaming operator
+    (streaming/pipeline.py::stream_stream_attribution: watermarks on
+    both sides + a both-ways-bounded event-time condition, so join
+    state expires instead of buffering forever) on the batch events
+    table, where withWatermark is a defined no-op. The pytest
+    (test_stream_stream_join_matches_batch) drains the same operator
+    as a real stream and pins row-set equality against this twin, so
+    the oracle here certifies the streaming join's SEMANTICS
+    (purchase×click attribution pairs within the preceding hour),
+    and the pytest certifies the state-expiry execution matches."""
+    from .streaming.pipeline import stream_stream_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return stream_stream_attribution(e).select(
+        "p_event_id", "c_event_id", "p_user"
+    )
+
+
+@q(
     "join_asof",
     "SELECT p.event_id, p.user_id, "
     "(SELECT max(c.ts) FROM events c WHERE c.user_id = p.user_id "

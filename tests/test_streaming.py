@@ -199,16 +199,18 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    out = spark.table("ss_sink").toPandas()
+    out = spark.table("ss_sink")
     import __spark_entry__ as E
 
-    batch = E.queries()["join_range"](spark, SF_SMALL).toPandas()
-    batch_nonzero = batch[batch["n_clicks"] > 0].set_index("event_id")["n_clicks"]
-    stream_counts = out.groupby("p_event_id").size()
-    assert len(stream_counts) == len(batch_nonzero)
-    assert (
-        stream_counts.sort_index().values == batch_nonzero.sort_index().values
-    ).all()
+    # exact row-set equality against the oracle-checked batch twin
+    # (the DQ runs the SAME operator batch-mode) — stronger than the
+    # per-purchase count check it replaces (r14)
+    batch = E.queries()["join_stream_interval_batch"](spark, SF_SMALL)
+    got = sorted(
+        map(tuple, out.select("p_event_id", "c_event_id", "p_user").collect())
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
 
 
 def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
