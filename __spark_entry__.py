@@ -40,75 +40,75 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-13 window (rotation per scripts/update_checked.py over
-    # r01..r12: all 182 previously registered queries have a full-hash
-    # green driver row — CHECKED.md). Heads: the FIVE never-checked
-    # r13 DQs, then the THREE r13-REWIRED paths (ann_store_upsert /
-    # ann_store_quantized moved onto the LSM segment pipeline and
-    # rank_bm25_index_upsert onto O(delta) segments — green in r12 but
-    # materially changed since), then the 42 STALEST greens, oldest
-    # last-checked round first.
-    # never-checked r13 additions:
-    #  - crawl_hits_scores: HITS hubs/authorities, integer micro L1
-    #    rounds; oracle unrolls the identical iterations
-    #  - pmi_bigram_collocations: PMI collocation mining, ln-micros
-    #    from exact counts; oracle rebuilds counts + expression shape
-    #  - ann_probe_batch: N query vectors in ONE plan vs the at-rest
-    #    store; oracle = per-query LSH candidates + exact top-5
-    #  - ann_probe_batch_quantized: the batch x SQ8 x LSM cell (one
-    #    oracle over upsert + quantization + shadowing + serving)
-    #  - ann_version_drift: added/replaced/drift report between
-    #    store versions (4-cohort fixture oracle)
-    "crawl_hits_scores",
-    "pmi_bigram_collocations",
-    "ann_probe_batch",
-    "ann_probe_batch_quantized",
-    "ann_version_drift",
+    # -- round-14 window (rotation per scripts/update_checked.py over
+    # r01..r13: all 187 previously registered queries have a full-hash
+    # green driver row — CHECKED.md). Heads: the FOUR never-checked
+    # r14 DQs, then the 40 STALEST greens (all last checked r10 —
+    # clears the carry-over debt, nothing older than r11 remains),
+    # then SIX r14-REWIRED paths (green in r13 but materially changed
+    # since: the ANN/LSM serving layer moved onto the tombstone-aware
+    # per-seg _shadow_iter; upsert manifests carry tombstone flags;
+    # ann_version_drift's default base is now committed-only; HITS'
+    # normalization gained the total==0 CASE guard).
+    # never-checked r14 additions:
+    #  - join_stream_interval_batch: the stream-stream watermarked
+    #    interval join's batch twin (the SAME operator, batch-mode)
+    #  - dedup_image_phash: real decode → luma-grid dHash →
+    #    pigeonhole-banded hamming pairs; oracle = closed-form bits
+    #    + naive all-pairs filter
+    #  - index_delete_ids / ann_delete_ids: row-level tombstone
+    #    delete on both at-rest layouts; oracle = from-scratch
+    #    pipeline over the surviving corpus
+    "join_stream_interval_batch",
+    "dedup_image_phash",
+    "index_delete_ids",
+    "ann_delete_ids",
+    "recursive_cte_closure",
+    "agg_argminmax",
+    "quality_repetition_signals",
+    "join_salted_skew",
+    "pii_scrub",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "variant_json_tolerant",
+    "window_range_frame",
+    "agg_grouping_sets",
+    "corpus_filter_pipeline",
+    "warc_extract_charset",
+    "nb_quality_classify",
+    "funnel_conversion",
+    "html_main_content",
+    "url_dedup_pipeline",
+    "url_idn_host",
+    "crawl_politeness_waves",
+    "cms_token_freq",
+    "crawl_anchor_edges",
+    "heavy_hitters_two_pass",
+    "zorder_cluster_key",
+    "crawl_pagerank",
+    "crawl_rank_pipeline",
+    "crawl_robots_gate",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "ann_store_probe",
+    "ann_ivf_search",
+    "embed_near_dup",
+    "rag_context_assemble",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "doc_fingerprint",
+    "token_budget_detected_lang",
+    "rank_bm25_batch",
+    "hybrid_rank_rrf_batch",
     "ann_store_upsert",
     "ann_store_quantized",
     "rank_bm25_index_upsert",
-    "agg_salted_count",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returns",
-    "tpch_q18_large_orders",
-    "tpch_q7_nation_volume",
-    "session_window_native",
-    "agg_percentiles",
-    "quality_unigram_logprob",
-    "null_semantics",
-    "split_markdown_sections",
-    "streaming_tumbling_availablenow",
-    "streaming_session_availablenow",
-    "window_sliding_batch",
-    "join_range_bucketed",
-    "agg_grouped_pandas_iqr",
-    "pivot_counts",
-    "agg_cube",
-    "window_rank_navigation",
-    "zscore_grouped_pandas",
-    "corpus_report",
-    "top_words_zipf",
-    "scalar_subquery",
-    "lateral_join_topn",
-    "explode_outer_semantics",
-    "crawl_frontier",
-    "warc_extract",
-    "url_canonicalize",
-    "crawl_snapshot_diff",
-    "dedup_repeated_passages",
-    "rank_bm25",
-    "hybrid_rank_rrf",
-    "json_roundtrip",
-    "text_stats",
-    "array_explode_transform",
-    "date_math_funcs",
-    "join_broadcast_enrich",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "normalize_unicode",
+    "ann_probe_batch_quantized",
+    "ann_version_drift",
+    "crawl_hits_scores",
 ]
 
 

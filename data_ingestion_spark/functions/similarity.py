@@ -1155,13 +1155,18 @@ class AnnStore:
         # cross-query id dedup, and that shuffle carries bare ids. The
         # candidate subtree feeds three consumers (bucket collect,
         # rescore join, pairs side) and is deliberately left LAZY:
-        # materializing it (localCheckpoint of the ~|queries|·|cands|
-        # (qid, id) frame) was MEASURED SLOWER than recomputing —
-        # 50.0 s vs 27.2 s at 64 queries × 1M vectors — because the
-        # serial block write costs more than the pipelined re-scan
-        # (BENCH_NOTES r13). The raw-row norm computes once per
-        # distinct id, before the per-query fan-out join multiplies
-        # it (the probe_batch norm hoist).
+        # BOTH materialization strategies were MEASURED SLOWER than
+        # recomputing at 64 queries × 1M vectors — localCheckpoint
+        # 50.0 s vs 27.2 s lazy (BENCH_NOTES r13), and
+        # persist(MEMORY_AND_DISK) 93–144 s vs 41–44 s lazy on the
+        # same box, interleaved (BENCH_NOTES r14,
+        # scripts/bench_quant_persist.py): the fan-out frame's block
+        # write lands on the critical path of the first consumer (a
+        # driver-side collect) while the recompute it saves is a
+        # pruned scan + broadcast join that pipelines at scan speed.
+        # Do not re-"fix" without beating those numbers. The raw-row
+        # norm computes once per distinct id, before the per-query
+        # fan-out join multiplies it (the probe_batch norm hoist).
         raw = code_store._raw_fetch(cand.select(self.id_col).distinct()).withColumn(
             "__nv",
             F.sqrt(dot_product(F.col(self.vec_col), F.col(self.vec_col))),

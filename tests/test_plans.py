@@ -130,6 +130,7 @@ CROSS_OK = {
     "rank_bm25_index_compacted",  # same 1-row stats broadcast, compacted serve
     "hybrid_eval_metrics",     # hybrid stats row + 3-row query vectors (eval tail)
     "pmi_bigram_collocations",  # two 1-row corpus totals (N_uni, N_bi) broadcast
+    "index_delete_ids",        # same 1-row stats broadcast, post-delete serve
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
@@ -139,6 +140,8 @@ PYTHON_OK: set[str] = {
     "normalize_unicode",       # unicodedata NFC has no Spark builtin
     "multimodal_header_decode",  # struct-parse of binary headers is the point
     "multimodal_pixel_decode",   # stdlib PNG/GIF/BMP pixel codecs are the point
+    "dedup_image_phash",         # image synth + fused decode->luma grid stage;
+                                 # hash/banding/verify stay JVM-side
     "warc_extract",              # stdlib WARC member-walk/HTTP decode is the point
     "warc_extract_charset",      # + codecs-based charset-aware body decode
     "crawl_robots_gate",         # robots.txt parse over tiny per-host bodies
