@@ -389,6 +389,7 @@ def run_index_maintenance_stream(
     positions: bool = False,
     max_segments: int | None = None,
     retain: int = 2,
+    op_col: str | None = None,
 ) -> StreamingQuery:
     """Continuous lexical-index maintenance (r12): a document stream
     folds into the MANAGED postings root — the first micro-batch
@@ -425,14 +426,39 @@ def run_index_maintenance_stream(
     micro-batch, never a concurrent reader (versions stay atomic).
 
     ``buckets``/``positions`` apply to the first build; later
-    upserts inherit geometry from the live version's stats."""
+    upserts inherit geometry from the live version's stats.
+
+    ``op_col`` switches the fold to CDC semantics (r14): rows whose
+    ``op_col`` equals ``'delete'`` tombstone their ``id_col`` via
+    ``delete_index_ids`` (row-level delete — the takedown/
+    robots-revocation event arriving ON the same stream as content);
+    every other row upserts as before. Within one batch upserts
+    apply FIRST, deletes second, so a same-id conflict resolves to
+    DELETED — the conservative order for compliance events. Deletes
+    before the first build are no-ops (nothing exists to delete).
+    Replay safety is unchanged: the marker lands on the batch's
+    final version, and both upsert-by-replacement and
+    delete-by-tombstone are idempotent."""
     import os
 
     from ..functions import similarity as SIM
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.dropDuplicates([id_col])
-        if delta.isEmpty():
+        if op_col is not None:
+            dels = (
+                batch_df.filter(F.col(op_col) == "delete")
+                .select(id_col)
+                .dropDuplicates()
+            )
+            rows = batch_df.filter(
+                F.col(op_col).isNull() | (F.col(op_col) != "delete")
+            )
+        else:
+            dels, rows = None, batch_df
+        delta = rows.dropDuplicates([id_col])
+        has_delta = not delta.isEmpty()
+        has_dels = dels is not None and not dels.isEmpty()
+        if not has_delta and not has_dels:
             return
         cur = SIM.index_current_path(root)
         if cur is not None:
@@ -442,14 +468,23 @@ def run_index_maintenance_stream(
                         return  # replay of an already-folded batch
             except (OSError, ValueError):
                 pass
-            path = SIM.upsert_postings_index_versioned(
-                delta, root, text_col=text_col, id_col=id_col
-            )
-        else:
-            kw: dict = {"text_col": text_col, "id_col": id_col, "positions": positions}
-            if buckets is not None:
-                kw["buckets"] = buckets
-            path = SIM.build_postings_index_versioned(delta, root, **kw)
+        path = None
+        if has_delta:
+            if cur is not None:
+                path = SIM.upsert_postings_index_versioned(
+                    delta, root, text_col=text_col, id_col=id_col
+                )
+            else:
+                kw: dict = {
+                    "text_col": text_col, "id_col": id_col, "positions": positions
+                }
+                if buckets is not None:
+                    kw["buckets"] = buckets
+                path = SIM.build_postings_index_versioned(delta, root, **kw)
+        if has_dels and SIM.index_current_path(root) is not None:
+            path = SIM.delete_index_ids(dels, root, id_col=id_col)
+        if path is None:
+            return  # delete-only batch before the first build: no-op
         with open(os.path.join(path, "_last_batch_id"), "w", encoding="utf-8") as f:
             f.write(str(batch_id))
         if max_segments is not None:
@@ -480,6 +515,7 @@ def run_ann_maintenance_stream(
     quantized: bool = False,
     max_segments: int | None = None,
     retain: int = 2,
+    op_col: str | None = None,
 ) -> StreamingQuery:
     """Continuous VECTOR-index maintenance (r12 verdict #3) — the ANN
     mirror of ``run_index_maintenance_stream``: an embedding stream
@@ -520,14 +556,39 @@ def run_ann_maintenance_stream(
     contract), so a drifting embedding stream never forces a
     re-quantization — ``compact_ann_store`` is the bounds-refresh
     point. Probe the live version via ``probe_quantized`` /
-    ``probe_batch_quantized``."""
+    ``probe_batch_quantized``.
+
+    ``op_col`` switches the fold to CDC semantics (r14, the lexical
+    twin's contract): ``op_col == 'delete'`` rows tombstone their
+    ``id_col`` via ``delete_ann_ids`` (the vector column may be NULL
+    — a takedown event carries only the id); other rows upsert.
+    Upserts apply first, deletes second (a same-id conflict within
+    one batch resolves to DELETED — the conservative order for
+    compliance events); deletes before the first build are no-ops;
+    replay safety unchanged (marker on the batch's final version,
+    both ops idempotent)."""
     import os
 
     from ..functions import similarity as SIM
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.dropDuplicates([id_col])
-        if delta.isEmpty():
+        if op_col is not None:
+            dels = (
+                batch_df.filter(F.col(op_col) == "delete")
+                .select(id_col)
+                .dropDuplicates()
+            )
+            rows = batch_df.filter(
+                F.col(op_col).isNull() | (F.col(op_col) != "delete")
+            )
+        else:
+            dels, rows = None, batch_df
+        delta = rows.dropDuplicates([id_col]).select(
+            id_col, vec_col, *metadata_cols
+        )
+        has_delta = not delta.isEmpty()
+        has_dels = dels is not None and not dels.isEmpty()
+        if not has_delta and not has_dels:
             return
         cur = SIM.index_current_path(root)
         if cur is not None:
@@ -537,18 +598,25 @@ def run_ann_maintenance_stream(
                         return  # replay of an already-folded batch
             except (OSError, ValueError):
                 pass
-            handle = SIM.upsert_ann_store_versioned(delta, root)
-        else:
-            handle = SIM.write_ann_store_versioned(
-                delta,
-                root,
-                metadata_cols=metadata_cols,
-                quantized=quantized,
-                bits=bits,
-                n_tables=n_tables,
-                id_col=id_col,
-                vec_col=vec_col,
-            )
+        handle = None
+        if has_delta:
+            if cur is not None:
+                handle = SIM.upsert_ann_store_versioned(delta, root)
+            else:
+                handle = SIM.write_ann_store_versioned(
+                    delta,
+                    root,
+                    metadata_cols=metadata_cols,
+                    quantized=quantized,
+                    bits=bits,
+                    n_tables=n_tables,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+        if has_dels and SIM.index_current_path(root) is not None:
+            handle = SIM.delete_ann_ids(dels, root)
+        if handle is None:
+            return  # delete-only batch before the first build: no-op
         with open(
             os.path.join(handle.path, "_last_batch_id"), "w", encoding="utf-8"
         ) as f:

@@ -877,3 +877,160 @@ def test_maybe_compact_batch_helpers(spark, tmp_path):
     upsert_ann_store_versioned(emb.filter(F.col("vec_id") % 2 == 1), aroot)
     handle = maybe_compact_ann_store(spark, aroot, max_segments=2)
     assert handle is not None and _live_segment_count(aroot) == 1
+
+
+def test_index_maintenance_stream_cdc_deletes(spark, tmp_path):
+    """r14 CDC fold: a stream carrying op='upsert'/'delete' rows
+    folds content AND takedowns into the managed postings root —
+    drained index == from-scratch build over the surviving last-wins
+    corpus, same-id conflict within a batch resolves to DELETED,
+    replay folds nothing."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        IndexReader,
+        build_postings_index,
+        index_current_path,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(90)
+    )
+    src_dir = str(tmp_path / "cdc_stream")
+    os.makedirs(src_dir)
+    up = F.lit("upsert")
+    slices = [
+        docs.withColumn("op", up),                                   # build all 90
+        # batch 2: re-upsert 0..9 with new text AND delete 20..29;
+        # doc 5 gets BOTH an upsert and a delete -> delete wins
+        docs.filter(F.col("doc_id") < 10)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh cdc token")))
+        .withColumn("op", up)
+        .unionByName(
+            docs.filter(
+                ((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+                | (F.col("doc_id") == 5)
+            ).select("doc_id", F.lit(None).cast("string").alias("text"))
+            .withColumn("op", F.lit("delete"))
+        ),
+        # batch 3: delete-only
+        docs.filter(F.col("doc_id") == 40)
+        .select("doc_id", F.lit(None).cast("string").alias("text"))
+        .withColumn("op", F.lit("delete")),
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        # write via Spark (pandas infers INT32 for an all-NULL column)
+        tmp_out = str(tmp_path / f"__cdc_slice_{i}")
+        sl.coalesce(1).write.parquet(tmp_out)
+        import glob as _glob
+        import shutil as _shutil
+
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        _shutil.copy(_glob.glob(tmp_out + "/*.parquet")[0], p)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "root")
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    q = SP.run_index_maintenance_stream(
+        _stream(), root, str(tmp_path / "ckpt"), buckets=16, op_col="op"
+    )
+    q.awaitTermination(240)
+
+    survivors = (
+        docs.filter(F.col("doc_id") < 10)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh cdc token")))
+        .unionByName(docs.filter(F.col("doc_id") >= 10))
+        .filter(
+            ~(
+                ((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+                | F.col("doc_id").isin(5, 40)
+            )
+        )
+    )
+    ref = str(tmp_path / "ref")
+    build_postings_index(survivors, ref, buckets=16)
+    live = index_current_path(root)
+
+    def rowset(idx):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.dl, r.bucket)
+            for r in IndexReader(spark, idx).postings().collect()
+        )
+
+    assert rowset(live) == rowset(ref)
+    assert IndexReader(spark, live).n_docs == survivors.count()
+
+    versions_before = sorted(n for n in os.listdir(root) if n.startswith("v_"))
+    q2 = SP.run_index_maintenance_stream(
+        _stream(), root, str(tmp_path / "ckpt"), buckets=16, op_col="op"
+    )
+    q2.awaitTermination(240)
+    assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
+
+
+def test_ann_maintenance_stream_cdc_deletes(spark, tmp_path):
+    """ANN CDC twin: delete events carry only the id (NULL embedding);
+    drained store probes identically to a rebuild over the survivors."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        _open_ann_version,
+        index_current_path,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src_dir = str(tmp_path / "cdc_ann")
+    os.makedirs(src_dir)
+    slices = [
+        emb.withColumn("op", F.lit("upsert")),
+        emb.filter(F.col("vec_id") % 9 == 0)
+        .select("vec_id", F.lit(None).cast("array<float>").alias("embedding"))
+        .withColumn("op", F.lit("delete")),
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        tmp_out = str(tmp_path / f"__cdc_slice_{i}")
+        sl.coalesce(1).write.parquet(tmp_out)
+        import glob as _glob
+        import shutil as _shutil
+
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        _shutil.copy(_glob.glob(tmp_out + "/*.parquet")[0], p)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "root")
+    q = SP.run_ann_maintenance_stream(
+        spark.readStream.schema("vec_id bigint, embedding array<float>, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        str(tmp_path / "ckpt"),
+        bits=3,
+        n_tables=6,
+        op_col="op",
+    )
+    q.awaitTermination(240)
+
+    survivors = emb.filter(F.col("vec_id") % 9 != 0)
+    ref = AnnStore(spark, str(tmp_path / "ref"), bits=3, n_tables=6)
+    ref.write(survivors)
+    live = _open_ann_version(spark, index_current_path(root))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    got = [(r.vec_id, round(r.score, 6)) for r in live.probe(qv, 8).collect()]
+    want = [(r.vec_id, round(r.score, 6)) for r in ref.probe(qv, 8).collect()]
+    assert got == want
