@@ -735,3 +735,86 @@ def hamming64_pairs(
             "hamming",
         )
     )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_len: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level EXACT LINE dedup with keep-first semantics — the
+    C4 discipline (Raffel et al. 2020 kept one occurrence of every
+    three-sentence span; Lee et al. 2022 measure the memorization
+    cost of leaving such repeats in). ``repeated_passage_spans``
+    DETECTS cross-doc boilerplate; this operator REMOVES it: every
+    line whose trimmed length is ≥ ``min_line_len`` survives only in
+    its globally-first occurrence — first by (``id_col``, position) —
+    and is dropped from every later document. Short lines (headers,
+    bullets, blanks) never participate: removing every later blank
+    line would shred formatting for no dedup gain. Returns
+    (``id_col``, text) with each document's surviving lines rejoined
+    in original order; a document whose EVERY line was removed drops
+    out entirely (an all-boilerplate document IS a duplicate — the
+    doc-level analogue of ``exact_dedup_groups`` keeping one
+    survivor), and NULL-text documents drop with it (posexplode of a
+    null split).
+
+    100 TB shape: one ``posexplode`` (linear in corpus lines), ONE
+    hash-keyed exchange for the global first-occurrence window
+    (row_number over the md5 of the line — WindowExec spills, so a
+    million-copy boilerplate line is a big SORTED group, never an
+    in-memory buffer), one id-keyed aggregation to reassemble. No
+    joins, no driver state. The md5 key is the cross-engine choice
+    (the oracle recomputes it bit-identically); swap ``xxhash64`` for
+    production speed. Skew note: THE pathological key is the empty/
+    boilerplate line repeated across the whole corpus — min_line_len
+    keeps the empties out, and the window's sort-based exec absorbs
+    the rest (this is exactly why the plan uses row_number-over-
+    window, not a collect_list).
+
+    Reference anchor: no equivalent (the reference ingests pages
+    one-at-a-time, website-ingestion-pipeline.py:100-118); this is
+    the corpus-wide cleanup a 100 TB crawl needs before training
+    export (E8).
+    """
+    from pyspark.sql import Window
+
+    for c in ("__line", "__pos", "__rn", "__s"):
+        if c in df.columns:
+            raise ValueError(
+                f"remove_repeated_lines: input column {c} collides with a "
+                "helper column — rename it first"
+            )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "__pos", "__line"
+        ),
+    )
+    # Split path: short lines never enter the dedup window, so the
+    # hash-keyed exchange carries only dedup-eligible rows (bullets,
+    # headers and blanks are a large fraction of crawl lines).
+    is_short = F.length(F.trim(F.col("__line"))) < min_line_len
+    short = lines.filter(is_short)
+    w = Window.partitionBy(F.md5(F.col("__line"))).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept = (
+        lines.filter(~is_short)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .unionByName(short)
+    )
+    ordered = kept.select(
+        id_col,
+        F.struct(F.col("__pos"), F.col("__line")).alias("__s"),
+    )
+    return ordered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("__s")), lambda s: s["__line"]),
+            sep,
+        ).alias("text")
+    )

@@ -2160,3 +2160,90 @@ def phrase_snippets_indexed(spark, sf_dir):
     build_postings_index(d, idx, positions=True)
     qdf = spark.createDataFrame(_PHRASE_QUERIES, "query_id int, query_text string")
     return phrase_snippets(spark, qdf, idx, d)
+
+
+# =====================================================================
+# corpus-level exact line dedup (T10 family, round 14 Y-series)
+# =====================================================================
+
+_LINE_DEDUP_ORACLE = (
+    "WITH pool AS ("
+    "SELECT doc_id AS src, "
+    "'passage-' || doc_id || ': ' || substr(text, 1, 60) AS line "
+    "FROM documents WHERE doc_id < 50), "
+    "lines AS ("
+    "SELECT d.doc_id, t.j AS pos, p.line "
+    "FROM documents d CROSS JOIN range(5) t(j) "
+    "JOIN pool p ON (d.doc_id + t.j) % 50 = p.src "
+    "UNION ALL "
+    "SELECT doc_id, 5 AS pos, 'doc-' || doc_id || '-tail-unique-line' "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, 6 AS pos, '-- --' FROM documents), "
+    "ranked AS ("
+    "SELECT doc_id, pos, line, "
+    "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn "
+    "FROM lines), "
+    "kept AS (SELECT doc_id, pos, line FROM ranked "
+    "WHERE length(trim(line)) < 10 OR rn = 1) "
+    "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text "
+    "FROM kept GROUP BY doc_id"
+)
+
+
+@q("dedup_corpus_lines", _LINE_DEDUP_ORACLE)
+def dedup_corpus_lines(spark, sf_dir):
+    """T10 family, corpus-level EXACT LINE dedup with keep-first
+    semantics (the C4 discipline — Raffel et al. 2020 kept one
+    occurrence of every repeated span; ``dedup_repeated_passages``
+    DETECTS boilerplate, this REMOVES it). Fixture (mirrored in the
+    oracle): every document is rebuilt as 7 lines — five 'passage-N'
+    lines drawn from a 50-line shared pool (each pool line lands in
+    ~10% of documents, so the dedup is heavy and the keep-first
+    winner is a different document per line), one globally-unique
+    tail line (never removed — proves survivors reassemble in
+    order), and one 5-char separator line repeated in EVERY document
+    (below min_line_len=10, so the split path must keep all 500
+    copies out of the dedup window). The hash certifies the
+    first-occurrence window, the short-line split path, and ordered
+    reassembly together. Engine: one posexplode, ONE hash-keyed
+    window exchange over dedup-eligible lines only, one id-keyed
+    rebuild — no joins."""
+    d = _d(spark, sf_dir)
+    pool = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("src"),
+        F.concat(
+            F.lit("passage-"),
+            F.col("doc_id").cast("string"),
+            F.lit(": "),
+            F.substring("text", 1, 60),
+        ).alias("line"),
+    )
+    spine = d.select("doc_id").withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(4)))
+    )
+    passage_lines = spine.join(
+        F.broadcast(pool), (spine.doc_id + spine.j) % 50 == pool.src
+    ).select("doc_id", F.col("j").alias("pos"), "line")
+    tail = d.select(
+        "doc_id",
+        F.lit(5).alias("pos"),
+        F.concat(
+            F.lit("doc-"), F.col("doc_id").cast("string"), F.lit("-tail-unique-line")
+        ).alias("line"),
+    )
+    sep_line = d.select("doc_id", F.lit(6).alias("pos"), F.lit("-- --").alias("line"))
+    fixture = (
+        passage_lines.unionByName(tail)
+        .unionByName(sep_line)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return DD.remove_repeated_lines(fixture, "text", "doc_id", min_line_len=10)

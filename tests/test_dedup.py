@@ -230,3 +230,46 @@ def test_decontaminate_fuzzy_refuses_large_eval_side(spark):
     out = decontaminate_fuzzy(corpus, ev, "text", "doc_id", max_eval_rows=10)
     # the paraphrase-identical doc 7 is found; the guard changed nothing
     assert any(r.doc_id == 7 for r in out.collect())
+
+
+def test_remove_repeated_lines_keep_first_and_short_path(spark):
+    """r14 Y-series: corpus-level exact line dedup — keep-first
+    semantics, short-line exemption, ordered reassembly, and the
+    all-boilerplate-doc drop are pinned against a hand-computed
+    fixture."""
+    from data_ingestion_spark.functions.dedup import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the shared boilerplate line\nunique-to-doc-one line\n--"),
+            (2, "doc two opening line here\nthe shared boilerplate line\n--"),
+            # every long line of doc 3 is a later occurrence -> drops out
+            (3, "the shared boilerplate line"),
+            (4, "unique-to-doc-one line\ndoc four keeps this line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_lines(docs, "text", "doc_id").collect()
+    }
+    # doc 1 wins both its long lines (first occurrence by (id, pos))
+    assert out[1] == "the shared boilerplate line\nunique-to-doc-one line\n--"
+    # doc 2 loses the boilerplate, keeps its own line and the short "--"
+    assert out[2] == "doc two opening line here\n--"
+    # doc 3's only line is a repeat -> the document drops out entirely
+    assert 3 not in out
+    # doc 4 loses the line doc 1 already owns
+    assert out[4] == "doc four keeps this line"
+
+
+def test_remove_repeated_lines_column_clash_raises(spark):
+    import pytest
+
+    from data_ingestion_spark.functions.dedup import remove_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id bigint, text string, __pos string"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        remove_repeated_lines(df, "text", "doc_id")
