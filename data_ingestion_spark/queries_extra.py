@@ -2967,3 +2967,62 @@ def pmi_bigram_collocations(spark, sf_dir):
 
     return pmi_bigrams(_d(spark, sf_dir), "text", min_count=5)
 
+
+
+# =====================================================================
+# data-quality expectation gate (round 14 Y-series)
+# =====================================================================
+
+_EXPECT_ORACLE = (
+    "WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total, "
+    "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0, "
+    "CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v1, "
+    "CAST(count(o_custkey) - count(DISTINCT o_custkey) AS BIGINT) AS v2, "
+    "CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND "
+    "(o_totalprice < 0 OR o_totalprice > 300000) THEN 1 ELSE 0 END) AS BIGINT) AS v3, "
+    "CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND "
+    "NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v4, "
+    "CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND "
+    "o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS v5 "
+    "FROM orders) "
+    "SELECT 'not_null(o_custkey)' AS rule, v0 AS violations, total, v0 = 0 AS ok FROM t "
+    "UNION ALL SELECT 'unique(o_orderkey)', v1, total, v1 = 0 FROM t "
+    "UNION ALL SELECT 'unique(o_custkey)', v2, total, v2 = 0 FROM t "
+    "UNION ALL SELECT 'range(o_totalprice,0,300000)', v3, total, v3 = 0 FROM t "
+    "UNION ALL SELECT 'regex(o_orderpriority,^[1-5]-)', v4, total, v4 = 0 FROM t "
+    "UNION ALL SELECT 'accepted_values(o_orderstatus,[O,F])', v5, total, v5 = 0 FROM t "
+    "UNION ALL SELECT 'min_rows(100)', "
+    "CAST(CASE WHEN total < 100 THEN 1 ELSE 0 END AS BIGINT), total, total >= 100 FROM t "
+    "UNION ALL SELECT 'min_rows(10000000)', "
+    "CAST(CASE WHEN total < 10000000 THEN 1 ELSE 0 END AS BIGINT), total, "
+    "total >= 10000000 FROM t"
+)
+
+
+@q("dq_expectations", _EXPECT_ORACLE)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectation gate (r14 Y-series): eight
+    declarative rules over the orders fact — null check, two exact
+    uniqueness checks (one passing on the key, one failing on the
+    repeated customer fk, so the Expand-planned distinct path is
+    exercised in both verdicts), a range rule that real rows violate,
+    an anchored-regex rule, an accepted-values rule that catches the
+    'P' status, and a passing + failing min_rows pair — ALL evaluated
+    in ONE aggregation pass (`expectations.expect_report`). The hash
+    certifies violation counts, totals, and ok verdicts together."""
+    from .functions.expectations import expect_report
+
+    orders = _t(spark, sf_dir, "orders")
+    return expect_report(
+        orders,
+        [
+            {"rule": "not_null", "col": "o_custkey"},
+            {"rule": "unique", "col": "o_orderkey"},
+            {"rule": "unique", "col": "o_custkey"},
+            {"rule": "range", "col": "o_totalprice", "lo": 0, "hi": 300000},
+            {"rule": "regex", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+            {"rule": "accepted_values", "col": "o_orderstatus", "values": ["O", "F"]},
+            {"rule": "min_rows", "n": 100},
+            {"rule": "min_rows", "n": 10000000},
+        ],
+    )
