@@ -1058,3 +1058,157 @@ def attach_pattern_image(df: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("payload", _synth(F.col("doc_id")))
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("energies", ArrayType(DoubleType())),
+    ]
+)
+
+
+def audio_frame_energies(df: DataFrame, n_frames: int = 65) -> DataFrame:
+    """(doc_id, payload) → (doc_id, energies array<double> of
+    ``n_frames`` per-frame RMS values) — the audio twin of
+    ``luma_grid`` and the substrate of ``audio_fingerprint64``: REAL
+    WAV decode (header walk + ``pcm_to_float``: integer PCM, IEEE
+    float, µ-law/A-law), samples split into ``n_frames`` equal
+    windows (tail remainder trimmed), RMS per window, all in ONE
+    Arrow-batched stage. Fusing decode+framing matters exactly like
+    the image case: full-resolution sample rows never leave the
+    decoding task — the stage emits ``n_frames`` doubles per clip
+    regardless of clip length. Non-WAV / unsupported-codec / shorter-
+    than-``n_frames`` payloads yield NULL energies (the decode NULL-
+    row contract; ``hamming64_pairs`` drops them downstream)."""
+    import numpy as np
+
+    if n_frames < 2:
+        raise ValueError("n_frames must be >= 2")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_audio_header(payload)
+                if meta is None:
+                    rows.append((doc_id, None))
+                    continue
+                _, ch, rate, bits, _ = meta
+                b = bytes(payload)
+                i, data, fmt_tag = 12, b"", 1
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+                    if cid == b"fmt " and i + 10 <= len(b):
+                        fmt_tag = struct.unpack("<H", b[i + 8 : i + 10])[0]
+                    if cid == b"data":
+                        data = b[i + 8 : i + 8 + clen]
+                        break
+                    i += 8 + clen + (clen % 2)
+                samples = pcm_to_float(data, bits, fmt_tag)
+                if samples is None or len(samples) < n_frames:
+                    rows.append((doc_id, None))
+                    continue
+                arr = np.asarray(samples, dtype=np.float64)
+                m = (len(arr) // n_frames) * n_frames
+                e = np.sqrt(
+                    (arr[:m].reshape(n_frames, -1) ** 2).mean(axis=1)
+                )
+                rows.append((doc_id, [float(x) for x in e]))
+            yield pd.DataFrame(rows, columns=["doc_id", "energies"])
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_ENERGY_SCHEMA)
+
+
+def audio_fingerprint64(df: DataFrame, n_frames: int = 65) -> DataFrame:
+    """Difference hash over the per-frame energy envelope: bit j = 1
+    iff RMS(frame j+1) > RMS(frame j) — 64 bits from the default 65
+    frames. The audio leg of the near-dup mandate (image leg:
+    ``image_dhash64``): energy-delta DIRECTIONS are invariant to
+    gain changes (scaling every sample scales every RMS — comparisons
+    unchanged) and to PCM re-encoding at a different bit depth
+    (quantization error ≪ real inter-frame deltas), and survive mild
+    lossy processing up to the banded join's hamming budget. Input
+    (doc_id, payload); returns (doc_id, afp bigint), NULL for
+    undecodable/short clips. Everything after the energy stage is
+    pure column arithmetic (the ``image_dhash64`` discipline — no
+    Python touches the hash math); feed the result to
+    ``dedup.hamming64_pairs`` for banded candidate pairs."""
+    if n_frames != 65:
+        raise ValueError("audio_fingerprint64 packs 64 bits: n_frames must be 65")
+    g = audio_frame_energies(df, n_frames)
+    c = F.col("energies")
+    bits = [
+        F.when(c[j + 1] > c[j], F.lit(1)).otherwise(F.lit(0)) for j in range(64)
+    ]
+    return g.select(
+        "doc_id",
+        F.when(c.isNotNull(), _pack_bits64(bits)).alias("afp"),
+    )
+
+
+def attach_pattern_audio(df: DataFrame) -> DataFrame:
+    """Deterministic audio-dedup fixture (the ``attach_pattern_image``
+    discipline, synthesis half of the audio-fp DQ): docs form groups
+    of three (g = doc_id // 3) sharing one 65-frame amplitude pattern
+    p(g, j) = (g·37 + j·53) mod 97 — consecutive frames differ by
+    +53 or −44, so every energy comparison is decisive and a SQL
+    oracle recomputes the fingerprint BITS in closed form. Each frame
+    is 64 samples of a ±amp square wave (RMS of a constant-magnitude
+    square wave is exactly |amp|, and /128 and /32768 normalizers are
+    exact powers of two — the decoded RMS is bit-exactly the
+    amplitude). Variants per group:
+
+    - doc_id % 3 == 0 → 16-bit PCM, amp = (p+1)/100 (the original);
+    - doc_id % 3 == 1 → 8-bit PCM RE-ENCODE of the same pattern
+      (quantization error ≤ 1/254 ≪ the 0.44 minimum inter-frame
+      gap → identical fingerprint, different container);
+    - doc_id % 3 == 2 → HALF-GAIN 16-bit (gain invariance) with
+      frame 0's amplitude forced to the far side of frame 1's
+      (97 or 0 on the p scale) — flips exactly fingerprint bit 0,
+      a near-dup at hamming ≤ 1 (for groups where p(g,1) == 0 the
+      forced flip is a no-op and the variant stays an exact dup;
+      the oracle mirrors the same formula, so both engines agree).
+
+    Arrow scalar UDF; emits real RIFF/WAVE bytes."""
+
+    @F.pandas_udf(BinaryType())
+    def _synth(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            g, v = d // 3, d % 3
+            p = (g * 37 + 53 * np.arange(65)) % 97
+            if v == 2:
+                p = p.astype(np.int64).copy()
+                p[0] = 97 if p[1] > p[0] else 0
+            scale = 100.0 if v != 2 else 200.0
+            amps = (p + 1) / scale
+            bits_ps = 8 if v == 1 else 16
+            frames = []
+            for a in amps:
+                if bits_ps == 16:
+                    val = int(round(a * 32767))
+                    frame = np.empty(64, dtype="<i2")
+                    frame[0::2], frame[1::2] = val, -val
+                else:
+                    val = int(round(a * 127))
+                    frame = np.empty(64, dtype=np.uint8)
+                    frame[0::2], frame[1::2] = 128 + val, 128 - val
+                frames.append(frame.tobytes())
+            data = b"".join(frames)
+            byte_rate = 8000 * bits_ps // 8
+            fmt = struct.pack(
+                "<HHIIHH", 1, 1, 8000, byte_rate, bits_ps // 8, bits_ps
+            )
+            out.append(
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", _synth(F.col("doc_id")))

@@ -2247,3 +2247,51 @@ def dedup_corpus_lines(spark, sf_dir):
         )
     )
     return DD.remove_repeated_lines(fixture, "text", "doc_id", min_line_len=10)
+
+
+# =====================================================================
+# audio near-dup dedup (T10/T11 audio leg, round 14 Y-series)
+# =====================================================================
+
+_AUDIO_P = "((d.g*37 + {j}*53) % 97)"
+
+
+@q(
+    "dedup_audio_fp",
+    "WITH docs AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v "
+    "FROM documents WHERE doc_id < 300), "
+    "bits AS (SELECT d.doc_id, j.range AS j, "
+    "CASE WHEN d.v = 2 AND j.range = 0 THEN "
+    "(CASE WHEN " + _AUDIO_P.format(j="1") + " > "
+    "(CASE WHEN " + _AUDIO_P.format(j="1") + " > " + _AUDIO_P.format(j="0")
+    + " THEN 97 ELSE 0 END) THEN 1 ELSE 0 END) "
+    "ELSE (CASE WHEN " + _AUDIO_P.format(j="(j.range+1)") + " > "
+    + _AUDIO_P.format(j="j.range") + " THEN 1 ELSE 0 END) END AS bit "
+    "FROM docs d, range(64) j), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming "
+    "FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2",
+)
+def dedup_audio_fp(spark, sf_dir):
+    """Audio near-dup dedup — the AUDIO leg of the multimodal dedup
+    mandate (image leg landed as dedup_image_phash). Docs come in
+    groups of three REAL WAV clips sharing one 65-frame energy
+    envelope: a 16-bit PCM original, an 8-bit PCM re-encode
+    (identical envelope through quantization — container invariance),
+    and a HALF-GAIN variant with frame 0's amplitude forced across
+    frame 1's (gain invariance + exactly one flipped bit → a near-dup
+    at hamming ≤ 1, not an exact dup). Engine: real RIFF decode →
+    per-frame RMS in one fused Arrow stage (full-res samples never
+    leave the decoding task) → 64-bit energy-delta hash packed
+    JVM-side → the SAME content-agnostic pigeonhole banding as
+    images (hamming64_pairs) → exact bit_count(XOR) verify. The
+    oracle recomputes the fingerprint BITS arithmetically from the
+    amplitude generator and takes the NAIVE all-pairs hamming filter,
+    so the hash certifies decode→RMS→hash against independent
+    content AND banding completeness, cross-group near-collisions
+    included."""
+    d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
+    hashes = MM.audio_fingerprint64(MM.attach_pattern_audio(d))
+    return DD.hamming64_pairs(hashes, "afp", max_hamming=2)
