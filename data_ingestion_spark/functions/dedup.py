@@ -769,10 +769,11 @@ def remove_repeated_lines(
     joins, no driver state. The md5 key is the cross-engine choice
     (the oracle recomputes it bit-identically); swap ``xxhash64`` for
     production speed. Skew note: THE pathological key is the empty/
-    boilerplate line repeated across the whole corpus — min_line_len
-    keeps the empties out, and the window's sort-based exec absorbs
-    the rest (this is exactly why the plan uses row_number-over-
-    window, not a collect_list).
+    boilerplate line repeated across the whole corpus — short lines
+    are SALTED to singleton window keys (so the all-blanks hot
+    partition cannot form), and for long repeats the window's
+    sort-based exec spills (this is exactly why the plan uses
+    row_number-over-window, not a collect_list).
 
     Reference anchor: no equivalent (the reference ingests pages
     one-at-a-time, website-ingestion-pipeline.py:100-118); this is
@@ -793,20 +794,33 @@ def remove_repeated_lines(
             "__pos", "__line"
         ),
     )
-    # Split path: short lines never enter the dedup window, so the
-    # hash-keyed exchange carries only dedup-eligible rows (bullets,
-    # headers and blanks are a large fraction of crawl lines).
+    # ONE window pass: short lines get a SALTED singleton key (line +
+    # id + pos) so they never collide into a dedup group — the
+    # all-blank-lines hot partition cannot form — while long lines
+    # key on md5(line) alone for the global first-occurrence rank. A
+    # filter-split union would keep shorts out of the exchange
+    # entirely, but it duplicates the upstream subtree (two scans of
+    # a raw source; two EXECUTIONS of a composed pipeline) — one
+    # skew-free exchange over everything is the better 100 TB trade.
     is_short = F.length(F.trim(F.col("__line"))) < min_line_len
-    short = lines.filter(is_short)
-    w = Window.partitionBy(F.md5(F.col("__line"))).orderBy(
-        F.col(id_col).asc(), F.col("__pos").asc()
-    )
+    key = F.when(
+        is_short,
+        F.md5(
+            F.concat_ws(
+                "\x00",
+                F.col("__line"),
+                F.col(id_col).cast("string"),
+                F.col("__pos").cast("string"),
+            )
+        ),
+    ).otherwise(F.md5(F.col("__line")))
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc(), F.col("__pos").asc())
     kept = (
-        lines.filter(~is_short)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        lines.withColumn("__rn", F.row_number().over(w))
+        # the is_short OR-guard makes short-line retention independent
+        # of the (astronomically unlikely) salted-key hash collision
+        .filter((F.col("__rn") == 1) | is_short)
         .drop("__rn")
-        .unionByName(short)
     )
     ordered = kept.select(
         id_col,

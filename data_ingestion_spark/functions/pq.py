@@ -1,0 +1,395 @@
+"""IVF-PQ at-rest vector serving — the billion-vector scale path.
+
+The store family so far trades recall for pruning with multi-table
+sign-LSH (``AnnStore``: t pointer copies per vector) and cuts probed
+bytes 4x with SQ8 (``write_quantized``). IVF-PQ is the third classic
+point in that design space (Jegou et al. 2011, "Product Quantization
+for Nearest Neighbor Search" — the FAISS ``IVFxx,PQyy`` layout):
+
+- **IVF**: a coarse k-means quantizer assigns every vector to ONE
+  cell; the cell is a parquet partition key, so a probe reads
+  ``n_probe / n_cells`` of the corpus — no pointer copies at rest
+  (LSH pays t×; IVF pays 1×).
+- **PQ**: inside each cell a vector is stored as ``m`` one-byte-ish
+  codes (each subspace quantized against its own 256-centroid
+  codebook, trained on RESIDUALS vector − cell-centroid): a 64-dim
+  float32 embedding (256 B) becomes ``m=8`` smallints — 16-32x fewer
+  scanned bytes than raw, 4-8x fewer than SQ8.
+- **ADC** (asymmetric distance computation): at probe time the query
+  is never encoded — per probed cell a tiny ``m × k_pq`` table of
+  exact squared distances from the query's residual to every codeword
+  is computed DRIVER-side (numpy over a few thousand floats) and
+  broadcast; each stored code then scores with ``m`` array lookups —
+  a pure JVM higher-order expression inside whole-stage codegen, no
+  Python anywhere in the scan.
+- **Exact re-score**: the ADC top-``keep`` candidates fetch their raw
+  floats from an id-hash-partitioned sidecar (the ``write_quantized``
+  raw/ discipline) and re-rank by EXACT cosine — PQ decides what to
+  read, never what to answer.
+
+Vectors are L2-NORMALIZED before coarse assignment and encoding
+(raw floats in the sidecar stay original): on unit vectors
+``L2² = 2 − 2·cos``, so the ADC ordering is monotone in cosine and
+the L2-trained quantizers serve the engine's cosine contract.
+
+Training is a deterministic driver-side Lloyd's k-means over a
+BOUNDED sample (``max_fit_rows``, TakeOrdered by a hash of the id —
+no full sort): codebook quality needs a representative sample, not
+the corpus, and determinism (fixed spread init, fixed iteration
+count, no RNG) is what lets the correctness driver re-run a build
+and get the same store. Encoding the FULL corpus is executor-side
+vectorized numpy over Arrow batches (a 256-way argmin per subspace
+is the textbook case where a pandas UDF is the right tool).
+
+100 TB arithmetic: 10^9 × 768-dim float32 = 3 TB raw. IVF-PQ at
+m=48: 48 GB of codes + the raw sidecar only candidates ever read.
+A probe at n_cells=32768 (auto ≈ sqrt(n)), n_probe=32 scans
+~0.1 % of 48 GB ≈ 50 MB of codes, scores them with 48 JVM lookups
+each, and fetches ``keep`` raw rows. Reference anchor: the sinks the
+reference writes to run HNSW/IVF inside the service (Weaviate
+P:341-349); this is the engine-side equivalent for corpus-scale
+batch retrieval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+from .similarity import brute_force_topk
+
+DEFAULT_M = 8
+DEFAULT_PQ_K = 256
+DEFAULT_MAX_FIT_ROWS = 50_000
+DEFAULT_RAW_ID_BUCKETS = 64
+#: probe-time driver collect is bounded by ``keep`` candidate rows;
+#: refuse keeps past this so a mis-dialed caller cannot OOM the driver
+#: (the max_eval_rows message discipline).
+MAX_KEEP = 100_000
+
+
+def _lloyd(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """Deterministic Lloyd's k-means: spread init (every n/k-th row of
+    the hash-ordered sample — no RNG), fixed iteration count, empty
+    clusters keep their previous centroid. Distances via the
+    ``|x|² − 2xCᵀ + |C|²`` matmul form, never an n×k×d broadcast."""
+    n = len(X)
+    if k > n:
+        raise ValueError(f"k-means k={k} exceeds {n} fit rows")
+    C = X[np.linspace(0, n - 1, k).round().astype(int)].copy()
+    xsq = (X * X).sum(axis=1)
+    for _ in range(iters):
+        d = xsq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                C[j] = X[mask].mean(axis=0)
+    return C
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    nrm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    nrm[nrm == 0.0] = 1.0  # zero vectors pass through unscaled
+    return X / nrm
+
+
+_CODES_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("ivf_cell", IntegerType()),
+        StructField("codes", ArrayType(ShortType())),
+    ]
+)
+
+
+class IvfPqStore:
+    """Read/serve handle over a written IVF-PQ root (see module
+    docstring for the layout rationale). Directory layout::
+
+        root/_pq_meta.json   geometry (dim, m, k_pq, n_cells, ...)
+        root/quantizer/      parquet (cell, centroid) — n_cells rows
+        root/codebooks/      parquet (subspace, code, centroid)
+        root/codes/          parquet PARTITIONED BY ivf_cell (id, codes)
+        root/raw/            parquet partitioned by __rb (id, vec)
+
+    Quantizer/codebook loads are driver-side and BOUNDED
+    (n_cells + m·k_pq rows), cached on the handle.
+    """
+
+    def __init__(self, spark, root: str):
+        self.spark, self.root = spark, root.rstrip("/")
+        meta_path = os.path.join(self.root, "_pq_meta.json")
+        try:
+            with open(meta_path, encoding="utf-8") as f:
+                self.meta = json.load(f)
+        except OSError as e:
+            raise FileNotFoundError(
+                f"no _pq_meta.json under {root!r} — not an IvfPqStore "
+                "written by write_ivfpq_store"
+            ) from e
+        self._centroids: np.ndarray | None = None
+        self._codebooks: np.ndarray | None = None
+
+    # -- driver-side geometry (bounded collects) ----------------------
+    def _load_quantizers(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._centroids is None:
+            q = self.spark.read.parquet(os.path.join(self.root, "quantizer"))
+            rows = q.orderBy("cell").collect()  # n_cells rows
+            self._centroids = np.array([r.centroid for r in rows])
+            cb = self.spark.read.parquet(os.path.join(self.root, "codebooks"))
+            m, k_pq = self.meta["m"], self.meta["k_pq"]
+            ds = self.meta["dim"] // m
+            arr = np.zeros((m, k_pq, ds))
+            for r in cb.collect():  # m * k_pq rows
+                arr[r.subspace, r.code] = r.centroid
+            self._codebooks = arr
+        return self._centroids, self._codebooks
+
+    # -- serving -------------------------------------------------------
+    def adc_candidates(
+        self, qv: list[float], n_probe: int = 4, keep: int = 128
+    ) -> DataFrame:
+        """(id, adc) — the ``keep`` best stored codes by asymmetric
+        distance among the ``n_probe`` cells nearest the query.
+        Partition-pruned scan (``ivf_cell IN probed`` is a literal
+        disjunction over a partition column), broadcast LUT join,
+        scoring = m JVM array lookups per row inside codegen. Exposed
+        separately so plans (pruning) and recall are testable without
+        the raw-fetch stage."""
+        if keep > MAX_KEEP:
+            raise ValueError(
+                f"keep={keep} exceeds MAX_KEEP={MAX_KEEP} — the probe "
+                "collects keep candidate ids driver-side to price the raw "
+                "sidecar's partition filter; lower keep (or raise MAX_KEEP "
+                "deliberately)"
+            )
+        C, CB = self._load_quantizers()
+        dim, m = self.meta["dim"], self.meta["m"]
+        if len(qv) != dim:
+            raise ValueError(f"query has {len(qv)} dims, store has {dim}")
+        n_probe = min(n_probe, self.meta["n_cells"])
+        q = np.asarray(qv, dtype=np.float64)
+        nrm = np.sqrt((q * q).sum())
+        qn = q / nrm if nrm > 0 else q
+        order = (((C - qn) ** 2).sum(axis=1)).argsort(kind="stable")
+        probed = [int(c) for c in order[:n_probe]]
+        ds = dim // m
+        lut_rows = []
+        for c in probed:
+            qr = (qn - C[c]).reshape(m, ds)
+            # lut[s][j] = || qr_s - codebook[s][j] ||²  (m × k_pq floats)
+            lut = ((qr[:, None, :] - CB) ** 2).sum(axis=2)
+            lut_rows.append((c, [[float(v) for v in row] for row in lut]))
+        lut_df = self.spark.createDataFrame(
+            lut_rows, "ivf_cell int, lut array<array<double>>"
+        )
+        codes = self.spark.read.parquet(os.path.join(self.root, "codes"))
+        scored = (
+            codes.filter(F.col("ivf_cell").isin(probed))
+            .join(F.broadcast(lut_df), "ivf_cell")
+            .select(
+                "id",
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "lut",
+                        lambda c, l: F.element_at(l, c.cast("int") + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("adc"),
+            )
+        )
+        return scored.orderBy(F.col("adc").asc(), F.col("id").asc()).limit(keep)
+
+    def probe(
+        self, qv: list[float], k: int = 5, n_probe: int = 4, keep: int = 128
+    ) -> DataFrame:
+        """ADC candidates → exact cosine re-rank from the raw sidecar.
+        Returns (id_col, score) — the ``AnnStore.probe`` contract
+        (6dp-rounded score, id tiebreak). The candidate id set
+        (≤ keep rows) is collected driver-side to build the raw
+        sidecar's partition filter — same bounded-collect discipline
+        as ``AnnStore._raw_fetch``."""
+        if keep < k:
+            raise ValueError(f"keep={keep} must be >= k={k}")
+        cand = self.adc_candidates(qv, n_probe, keep)
+        ids = [r.id for r in cand.select("id").collect()]  # <= keep rows
+        if not ids:
+            return self.spark.createDataFrame(
+                [], f"{self.meta['id_col']} bigint, score double"
+            )
+        rb = self.meta["raw_id_buckets"]
+        buckets = sorted({_id_bucket(i, rb) for i in ids})
+        from .similarity import dot_product
+
+        raw = (
+            self.spark.read.parquet(os.path.join(self.root, "raw"))
+            .filter(F.col("__rb").isin(buckets))
+            .filter(F.col("id").isin(ids))
+            # zero-norm vectors have no cosine to any query — drop them
+            # here rather than trip ANSI divide-by-zero in the re-rank
+            .filter(dot_product(F.col("vec"), F.col("vec")) > 0)
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        out = brute_force_topk(raw, qcol, k, "id", "vec")
+        return out.select(
+            F.col("id").alias(self.meta["id_col"]), "score"
+        )
+
+
+def _id_bucket(i: int, buckets: int) -> int:
+    # mirror of the engine-side pmod(id, buckets) below — plain modulo
+    # on the id keeps driver and executor bucket math trivially equal
+    return int(i) % buckets
+
+
+def write_ivfpq_store(
+    vectors: DataFrame,
+    root: str,
+    n_cells: int = 16,
+    m: int = DEFAULT_M,
+    k_pq: int = DEFAULT_PQ_K,
+    max_fit_rows: int = DEFAULT_MAX_FIT_ROWS,
+    iters: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    raw_id_buckets: int = DEFAULT_RAW_ID_BUCKETS,
+) -> IvfPqStore:
+    """Train (driver-side, bounded, deterministic) + encode
+    (executor-side, Arrow-batched) + write the IVF-PQ layout.
+
+    The fit sample is the ``max_fit_rows`` smallest ``md5(id)`` rows —
+    a TakeOrdered (map-side heap, no full sort) that is deterministic
+    across runs and engines. ``n_cells`` and ``k_pq`` are capped by
+    the fit-row count with a loud error / silent-min respectively
+    (a codebook can't hold more centroids than training points).
+    """
+    spark = vectors.sparkSession
+    sample = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(max_fit_rows)
+        .collect()
+    )
+    if len(sample) < 2:
+        raise ValueError(
+            f"write_ivfpq_store: corpus has {len(sample)} row(s); "
+            "IVF-PQ needs at least 2 vectors to train"
+        )
+    X = np.array([r.vec for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m} subspaces — pick m "
+            "dividing the embedding width"
+        )
+    n_fit = len(X)
+    if n_cells > n_fit:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds the {n_fit} rows available to fit "
+            "on — lower n_cells or raise max_fit_rows"
+        )
+    k_pq = min(k_pq, n_fit)
+    Xn = _normalize(X)
+    C = _lloyd(Xn, n_cells, iters)
+    # residuals against each row's own cell
+    d = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) if n_cells * n_fit * dim <= 5e7 else None
+    if d is not None:
+        assign = d.argmin(axis=1)
+    else:
+        xsq = (Xn * Xn).sum(axis=1)
+        assign = (xsq[:, None] - 2.0 * (Xn @ C.T) + (C * C).sum(axis=1)[None, :]).argmin(axis=1)
+    R = Xn - C[assign]
+    ds = dim // m
+    CB = np.stack(
+        [_lloyd(R[:, s * ds : (s + 1) * ds], k_pq, iters) for s in range(m)]
+    )
+
+    # ---- executor-side full-corpus encode (Arrow batches) ----------
+    C_list, CB_list = C.tolist(), CB.tolist()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Ce = np.asarray(C_list)
+        CBe = np.asarray(CB_list)
+        csq = (Ce * Ce).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = _normalize(np.array(list(pdf["vec"]), dtype=np.float64))
+            cell = (
+                (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ Ce.T) + csq[None, :]
+            ).argmin(axis=1)
+            Rb = Xb - Ce[cell]
+            codes = np.empty((len(Xb), len(CBe)), dtype=np.int16)
+            for s in range(len(CBe)):
+                sub = Rb[:, s * ds : (s + 1) * ds]
+                cb = CBe[s]
+                codes[:, s] = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "ivf_cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    src = vectors.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    encoded = src.mapInPandas(encode, _CODES_SCHEMA)
+    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        os.path.join(root, "codes")
+    )
+    src.withColumn(
+        "__rb", F.pmod(F.col("id"), F.lit(raw_id_buckets)).cast("int")
+    ).write.mode("overwrite").partitionBy("__rb").parquet(
+        os.path.join(root, "raw")
+    )
+    spark.createDataFrame(
+        [(int(c), [float(v) for v in C[c]]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "quantizer"))
+    spark.createDataFrame(
+        [
+            (s, j, [float(v) for v in CB[s, j]])
+            for s in range(m)
+            for j in range(k_pq)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "codebooks"))
+    meta = {
+        "dim": int(dim),
+        "m": int(m),
+        "k_pq": int(k_pq),
+        "n_cells": int(n_cells),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "raw_id_buckets": int(raw_id_buckets),
+        "n_fit": int(n_fit),
+    }
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "_pq_meta.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "_pq_meta.json"))
+    return IvfPqStore(spark, root)

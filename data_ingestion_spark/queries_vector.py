@@ -2295,3 +2295,51 @@ def dedup_audio_fp(spark, sf_dir):
     d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
     hashes = MM.audio_fingerprint64(MM.attach_pattern_audio(d))
     return DD.hamming64_pairs(hashes, "afp", max_hamming=2)
+
+
+# =====================================================================
+# IVF-PQ serving (T8 scale path, round 14 Y-series)
+# =====================================================================
+
+
+@q(
+    "ann_ivfpq_search",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    f"SELECT e.vec_id, {_COS} AS score FROM embeddings e, q WHERE e.vec_id <> 0 "
+    "ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_ivfpq_search(spark, sf_dir):
+    """IVF-PQ end-to-end (r14 Y-series — the third at-rest ANN
+    layout after multi-table LSH and SQ8): deterministic driver-side
+    Lloyd training of the coarse quantizer + per-subspace residual
+    codebooks, Arrow-batched full-corpus encode to one cell id + m
+    smallint codes per vector, parquet partitioned by ivf_cell, probe
+    via driver-computed ADC lookup tables broadcast onto the pruned
+    code scan (scoring = m JVM array lookups inside codegen), exact
+    cosine re-rank of the ADC top-128 from the raw sidecar. The DQ
+    probes ALL cells so candidate coverage is principled and the
+    result must EQUAL brute-force top-5 — the oracle is the
+    similarity_topk brute-force SQL, certifying train→encode→ADC→
+    re-score end to end (a wrong codebook, a wrong LUT, or a wrong
+    residual would push a true neighbor out of the ADC top-128 and
+    break the hash). Partition pruning at n_probe < n_cells is
+    plan-asserted in pytest (the DQ's all-cell probe exercises
+    correctness; pruning is a plan property)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.pq import write_ivfpq_store
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    corpus = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ivfpq_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh build per run
+    store = write_ivfpq_store(corpus, root, n_cells=8, m=8)
+    return store.probe(qv, k=5, n_probe=8, keep=128)

@@ -1,0 +1,113 @@
+"""IVF-PQ at-rest serving (r14 Y-series): exactness with full probe
+coverage, plan-visible partition pruning, deterministic rebuilds,
+self-neighbor recall at n_probe=1, and the loud contracts."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_spark.functions.pq import (
+    MAX_KEEP,
+    IvfPqStore,
+    write_ivfpq_store,
+)
+from data_ingestion_spark.functions.similarity import brute_force_topk
+
+
+def _vectors(spark, n=200, dim=16):
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.sin(F.col("id") * (j + F.lit(1.37))).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    v = _vectors(spark)
+    root = tempfile.mkdtemp(prefix="pqtest_")
+    shutil.rmtree(root)
+    s = write_ivfpq_store(v, root, n_cells=4, m=4, iters=6)
+    yield s, v
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_full_probe_equals_brute_force(spark, store):
+    s, v = store
+    q = v.filter(F.col("vec_id") == 7).head().embedding
+    got = s.probe(list(q), k=5, n_probe=4, keep=64).collect()
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    want = brute_force_topk(v, qcol, 5).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+
+
+def test_self_neighbor_single_cell(spark, store):
+    """A corpus vector lands in its own cell: probing ONE cell must
+    return it at rank 1 with score 1.0."""
+    s, v = store
+    q = v.filter(F.col("vec_id") == 42).head().embedding
+    top = s.probe(list(q), k=1, n_probe=1, keep=16).head()
+    assert top.vec_id == 42 and top.score == 1.0
+
+
+def test_partition_pruning_plan(spark, store):
+    s, v = store
+    q = v.filter(F.col("vec_id") == 7).head().embedding
+    cand = s.adc_candidates(list(q), n_probe=1, keep=8)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert cand.count() == 8  # keep bound honored
+
+
+def test_deterministic_rebuild(spark, store):
+    s, v = store
+    root2 = tempfile.mkdtemp(prefix="pqtest2_")
+    shutil.rmtree(root2)
+    s2 = write_ivfpq_store(v, root2, n_cells=4, m=4, iters=6)
+    a = spark.read.parquet(s.root + "/codes").orderBy("id").collect()
+    b = spark.read.parquet(root2 + "/codes").orderBy("id").collect()
+    assert [(r.id, r.ivf_cell, list(r.codes)) for r in a] == [
+        (r.id, r.ivf_cell, list(r.codes)) for r in b
+    ]
+    shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_contracts(spark, store):
+    s, v = store
+    q = list(v.filter(F.col("vec_id") == 7).head().embedding)
+    with pytest.raises(ValueError, match="not divisible"):
+        write_ivfpq_store(v, tempfile.mkdtemp(), n_cells=4, m=5)
+    with pytest.raises(ValueError, match="exceeds the"):
+        write_ivfpq_store(v, tempfile.mkdtemp(), n_cells=1000, m=4)
+    with pytest.raises(ValueError, match="must be >= k"):
+        s.probe(q, k=10, keep=5)
+    with pytest.raises(ValueError, match="MAX_KEEP"):
+        s.adc_candidates(q, keep=MAX_KEEP + 1)
+    with pytest.raises(ValueError, match="dims"):
+        s.adc_candidates([0.0] * 3)
+    with pytest.raises(FileNotFoundError, match="_pq_meta"):
+        IvfPqStore(spark, tempfile.mkdtemp(prefix="nostore_"))
+
+
+def test_zero_vector_safe(spark):
+    v = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0]), (4, [0.5, 0.5, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = tempfile.mkdtemp(prefix="pqzero_")
+    shutil.rmtree(root)
+    s = write_ivfpq_store(v, root, n_cells=2, m=2, iters=4)
+    out = s.probe([1.0, 0.1, 0.0, 0.0], k=2, n_probe=2, keep=4).collect()
+    assert len(out) == 2 and out[0].vec_id == 2
+    shutil.rmtree(root, ignore_errors=True)
