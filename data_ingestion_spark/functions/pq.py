@@ -80,6 +80,10 @@ DEFAULT_RAW_ID_BUCKETS = 64
 #: refuse keeps past this so a mis-dialed caller cannot OOM the driver
 #: (the max_eval_rows message discipline).
 MAX_KEEP = 100_000
+#: probe_batch broadcasts one m×k_pq ADC table per (query, probed
+#: cell): 512 × 4 × 8 × 256 doubles ≈ 33 MB at default geometry —
+#: the cap keeps the broadcast bounded; split bigger batches.
+MAX_BATCH_QUERIES = 512
 
 
 def _lloyd(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
@@ -250,6 +254,164 @@ class IvfPqStore:
         out = brute_force_topk(raw, qcol, k, "id", "vec")
         return out.select(
             F.col("id").alias(self.meta["id_col"]), "score"
+        )
+
+
+    def probe_batch(
+        self,
+        queries_df: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        keep: int = 128,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batch IVF-PQ serving — N queries in ONE plan (the
+        ``AnnStore.probe_batch`` contract for the PQ layout; returns
+        (query_id, id_col, score, rank), rank 1..k per query, 6dp
+        score, id tiebreak; per query equals ``probe`` exactly —
+        pytest-pinned).
+
+        Plan shape: the query batch is collected driver-side (a
+        serving batch, bounded by ``MAX_BATCH_QUERIES`` — the per-
+        query ADC tables are what get broadcast: N·n_probe·m·k_pq
+        doubles, 33 MB at the 512-query cap with default geometry,
+        which is the reason for the cap), per-(query, cell) LUTs
+        computed in numpy, ONE partition-pruned code scan over the
+        UNION of probed cells (≤ n_cells literals regardless of batch
+        size), a broadcast fan-out join on ivf_cell, ADC scoring as m
+        JVM lookups, one window for per-query top-``keep``, then the
+        exact re-rank: the candidate frame's raw-sidecar buckets are
+        derived ENGINE-side (distinct ≤ raw_id_buckets rows — the
+        collect is bounded by a store constant, never by batch size),
+        the pruned raw scan broadcast-joins the candidates, and one
+        window ranks exact cosine per query. The candidate subtree
+        executes twice (bucket collect + join) — the measured
+        lazy-recompute trade from the batch-quantized ledger
+        (BENCH_NOTES r13/r14): it is a pruned scan + broadcast join,
+        cheaper re-run than materialized."""
+        if keep < k:
+            raise ValueError(f"keep={keep} must be >= k={k}")
+        if keep > MAX_KEEP:
+            raise ValueError(
+                f"keep={keep} exceeds MAX_KEEP={MAX_KEEP} — see probe()"
+            )
+        qid_type = queries_df.schema[query_id_col].dataType.simpleString()
+        qrows = queries_df.select(query_id_col, query_vec_col).collect()
+        if len(qrows) > MAX_BATCH_QUERIES:
+            raise ValueError(
+                f"probe_batch got {len(qrows)} queries; the per-query ADC "
+                f"tables broadcast to every task, so batches are capped at "
+                f"MAX_BATCH_QUERIES={MAX_BATCH_QUERIES} — split the batch "
+                "(or raise the cap deliberately)"
+            )
+        if not qrows:
+            return self.spark.createDataFrame(
+                [], f"{query_id_col} {qid_type}, {self.meta['id_col']} bigint, "
+                "score double, rank int"
+            )
+        C, CB = self._load_quantizers()
+        dim, m = self.meta["dim"], self.meta["m"]
+        ds = dim // m
+        n_probe = min(n_probe, self.meta["n_cells"])
+        lut_rows, probed_union = [], set()
+        for r in qrows:
+            qv = [float(x) for x in r[query_vec_col]]
+            if len(qv) != dim:
+                raise ValueError(
+                    f"query {r[query_id_col]!r} has {len(qv)} dims, "
+                    f"store has {dim}"
+                )
+            q = np.asarray(qv, dtype=np.float64)
+            nrm = np.sqrt((q * q).sum())
+            qn = q / nrm if nrm > 0 else q
+            order = (((C - qn) ** 2).sum(axis=1)).argsort(kind="stable")
+            for c in order[:n_probe]:
+                c = int(c)
+                probed_union.add(c)
+                qr = (qn - C[c]).reshape(m, ds)
+                lut = ((qr[:, None, :] - CB) ** 2).sum(axis=2)
+                lut_rows.append(
+                    (r[query_id_col], c, [[float(v) for v in row] for row in lut])
+                )
+        lut_df = self.spark.createDataFrame(
+            lut_rows, f"{query_id_col} {qid_type}, ivf_cell int, lut array<array<double>>"
+        )
+        codes = self.spark.read.parquet(os.path.join(self.root, "codes"))
+        scored = (
+            codes.filter(F.col("ivf_cell").isin(sorted(probed_union)))
+            .join(F.broadcast(lut_df), "ivf_cell")
+            .select(
+                query_id_col,
+                "id",
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "lut",
+                        lambda c, l: F.element_at(l, c.cast("int") + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("adc"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w_adc = Window.partitionBy(query_id_col).orderBy(
+            F.col("adc").asc(), F.col("id").asc()
+        )
+        cand = (
+            scored.withColumn("__rn", F.row_number().over(w_adc))
+            .filter(F.col("__rn") <= keep)
+            .select(query_id_col, "id")
+        )
+        rb = self.meta["raw_id_buckets"]
+        # bounded by the store constant raw_id_buckets, not batch size
+        buckets = [
+            r.b
+            for r in cand.select(
+                F.pmod(F.col("id"), F.lit(rb)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not buckets:
+            return self.spark.createDataFrame(
+                [], f"{query_id_col} {qid_type}, {self.meta['id_col']} bigint, "
+                "score double, rank int"
+            )
+        from .similarity import cosine, dot_product
+
+        raw = (
+            self.spark.read.parquet(os.path.join(self.root, "raw"))
+            .filter(F.col("__rb").isin(sorted(buckets)))
+            .filter(dot_product(F.col("vec"), F.col("vec")) > 0)
+        )
+        qvec_df = self.spark.createDataFrame(
+            [(r[query_id_col], [float(x) for x in r[query_vec_col]]) for r in qrows],
+            f"{query_id_col} {qid_type}, __qvec array<double>",
+        )
+        exact = (
+            raw.join(F.broadcast(cand), "id")
+            .join(F.broadcast(qvec_df), query_id_col)
+            .select(
+                query_id_col,
+                "id",
+                F.round(cosine(F.col("vec"), F.col("__qvec")), 6).alias("score"),
+            )
+        )
+        w_final = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select(
+                query_id_col,
+                F.col("id").alias(self.meta["id_col"]),
+                "score",
+                "rank",
+            )
         )
 
 

@@ -2343,3 +2343,56 @@ def ann_ivfpq_search(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)  # fresh build per run
     store = write_ivfpq_store(corpus, root, n_cells=8, m=8)
     return store.probe(qv, k=5, n_probe=8, keep=128)
+
+
+_IVFPQ_BATCH_COS = (
+    "round(list_cosine_similarity("
+    "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "list_transform(q.qv, x -> CAST(x AS DOUBLE))), 6)"
+)
+
+
+@q(
+    "ann_ivfpq_batch",
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+    "WHERE vec_id IN (0, 1, 2)), "
+    "c AS (SELECT q.query_id, e.vec_id, "
+    f"{_IVFPQ_BATCH_COS} AS score "
+    "FROM embeddings e, q WHERE e.vec_id > 2) "
+    "SELECT query_id, vec_id, score, rank FROM ("
+    "SELECT query_id, vec_id, score, CAST(row_number() OVER ("
+    "PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank "
+    "FROM c) WHERE rank <= 5",
+)
+def ann_ivfpq_batch(spark, sf_dir):
+    """BATCH IVF-PQ serving: a (query_id, qvec) TABLE probes the PQ
+    store in ONE plan — per-(query, cell) ADC tables computed driver-
+    side and broadcast, ONE partition-pruned code scan over the union
+    of probed cells, m-lookup JVM scoring, per-query ADC top-128 via
+    one window, then the exact re-rank from the raw sidecar (bucket
+    filter derived engine-side, bounded by the raw_id_buckets store
+    constant — never by batch size). All cells probed + brute-force
+    oracle with rank: the hash certifies the batch plan end to end
+    against N independent exact answers (the same coverage argument
+    as ann_ivfpq_search)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.pq import IvfPqStore, write_ivfpq_store
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    if queries.head() is None:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, score double, rank int"
+        )
+    corpus = e.filter(F.col("vec_id") > 2).select("vec_id", "embedding")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ivfpq_batch_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh build per run
+    store = write_ivfpq_store(corpus, root, n_cells=8, m=8)
+    return store.probe_batch(queries, k=5, n_probe=8, keep=128)

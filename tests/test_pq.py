@@ -111,3 +111,37 @@ def test_zero_vector_safe(spark):
     out = s.probe([1.0, 0.1, 0.0, 0.0], k=2, n_probe=2, keep=4).collect()
     assert len(out) == 2 and out[0].vec_id == 2
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_probe_batch_equals_per_query_loop(spark, store):
+    s, v = store
+    qids = [3, 11, 99]
+    rows = {r.vec_id: list(r.embedding) for r in v.filter(F.col("vec_id").isin(qids)).collect()}
+    queries = spark.createDataFrame(
+        [(i, rows[i]) for i in qids], "query_id bigint, qvec array<double>"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.score)
+        for r in s.probe_batch(queries, k=3, n_probe=2, keep=32).collect()
+    }
+    for qid in qids:
+        loop = s.probe(rows[qid], k=3, n_probe=2, keep=32).collect()
+        for rank, r in enumerate(loop, start=1):
+            assert got[(qid, rank)] == (r.vec_id, r.score)
+
+
+def test_probe_batch_contracts(spark, store):
+    s, v = store
+    big = spark.range(1000).select(
+        F.col("id").alias("query_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)), lambda j: F.lit(0.5)).alias("qvec"),
+    )
+    with pytest.raises(ValueError, match="MAX_BATCH_QUERIES"):
+        s.probe_batch(big)
+    bad_dim = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "query_id bigint, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="dims"):
+        s.probe_batch(bad_dim)
+    empty = spark.createDataFrame([], "query_id bigint, qvec array<double>")
+    assert s.probe_batch(empty).count() == 0
