@@ -42,37 +42,36 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- round-14 window (rotation per scripts/update_checked.py over
     # r01..r13: all 187 previously registered queries have a full-hash
-    # green driver row — CHECKED.md). Heads: the FOUR never-checked
-    # r14 DQs, then the 40 STALEST greens (all last checked r10 —
-    # clears the carry-over debt, nothing older than r11 remains),
-    # then SIX r14-REWIRED paths (green in r13 but materially changed
-    # since: the ANN/LSM serving layer moved onto the tombstone-aware
-    # per-seg _shadow_iter; upsert manifests carry tombstone flags;
-    # ann_version_drift's default base is now committed-only; HITS'
-    # normalization gained the total==0 CASE guard).
-    # never-checked r14 additions:
-    #  - join_stream_interval_batch: the stream-stream watermarked
-    #    interval join's batch twin (the SAME operator, batch-mode)
-    #  - dedup_image_phash: real decode → luma-grid dHash →
-    #    pigeonhole-banded hamming pairs; oracle = closed-form bits
-    #    + naive all-pairs filter
-    #  - index_delete_ids / ann_delete_ids: row-level tombstone
-    #    delete on both at-rest layouts; oracle = from-scratch
-    #    pipeline over the surviving corpus
+    # green driver row — CHECKED.md). Heads: the NINE never-checked
+    # r14 DQs (wave 1: interval-join twin, image phash, row-level
+    # tombstone deletes on both layouts; wave 2: expectation gate,
+    # corpus line dedup, audio fingerprint dedup, IVF-PQ single +
+    # batch serving), then 35 of the 40 STALEST greens (all last
+    # checked r10), then SIX r14-REWIRED paths (green r13 but
+    # materially changed this round: the ANN/LSM serving layer moved
+    # onto the tombstone-aware per-seg _shadow_iter; upsert manifests
+    # carry tombstone flags; ann_version_drift's default base is now
+    # committed-only; HITS' normalization gained the total==0 CASE
+    # guard). Five r10-stale STATIC SQL shapes (csv/jsonl roundtrips,
+    # variant JSON, range frame, grouping sets — untouched since r10,
+    # re-verified dual-scale on every pytest run via test_parity)
+    # are postponed to head the r15 window; the rewired serving paths
+    # take their slots because a driver re-green of changed code
+    # outranks a re-confirmation of unchanged code.
     "join_stream_interval_batch",
     "dedup_image_phash",
     "index_delete_ids",
     "ann_delete_ids",
+    "dq_expectations",
+    "dedup_corpus_lines",
+    "dedup_audio_fp",
+    "ann_ivfpq_search",
+    "ann_ivfpq_batch",
     "recursive_cte_closure",
     "agg_argminmax",
     "quality_repetition_signals",
     "join_salted_skew",
     "pii_scrub",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "variant_json_tolerant",
-    "window_range_frame",
-    "agg_grouping_sets",
     "corpus_filter_pipeline",
     "warc_extract_charset",
     "nb_quality_classify",
