@@ -417,3 +417,85 @@ def mix_weights(df: DataFrame, part_col: str, text_col: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round((F.lit(1.0) / k) / share, 6).alias("weight"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement —
+    Efraimidis & Spirakis 2006 (A-Res): each row draws a key
+    ``-ln(u) / w`` from a hash-derived uniform ``u`` and its weight
+    ``w``; the ``n`` SMALLEST keys are a exact weighted sample
+    without replacement. This is how a training-data pipeline
+    samples by QUALITY score (or upweights rare languages) instead
+    of uniformly — ``hash_sample`` keeps a fixed fraction uniformly,
+    ``per_source_quota`` caps counts; this picks n rows with
+    inclusion probability proportional to weight, deterministically.
+
+    ``u`` comes from md5(id|seed) (the cross-engine uniform: first 8
+    hex chars → (0,1], the ``hash_sample`` discipline), so reruns —
+    and the DuckDB oracle — draw identical keys; no RNG state, no
+    ``rand()`` non-reproducibility across retries/partitions.
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined inclusion probability).
+
+    ``by=None``: global top-n — plans as TakeOrderedAndProject (a
+    map-side heap of n per partition; no global sort). ``by=col``:
+    top-n PER GROUP via one window over (group, key) — one exchange.
+    Returns the sampled rows with a ``sample_rank`` column (1 = the
+    strongest draw).
+
+    Float note: ``ln`` follows the BM25/PMI float discipline — both
+    engines evaluate the same expression tree in float64; selection
+    boundaries are decided by key gaps astronomically wider than one
+    ulp at any real corpus size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if "__key" in df.columns or "sample_rank" in df.columns:
+        raise ValueError(
+            "weighted_sample: input column __key/sample_rank collides — "
+            "rename it first"
+        )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__key", -F.log(u) / w
+    )
+    if by is None:
+        ranked = (
+            keyed.orderBy(F.col("__key").asc(), F.col(id_col).asc())
+            .limit(n)
+            .withColumn(
+                "sample_rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("__key").asc(), F.col(id_col).asc())
+                ),
+            )
+        )
+    else:
+        ranked = keyed.withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.partitionBy(by).orderBy(
+                    F.col("__key").asc(), F.col(id_col).asc()
+                )
+            ),
+        ).filter(F.col("sample_rank") <= n)
+    return ranked.drop("__key")

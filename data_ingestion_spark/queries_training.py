@@ -287,3 +287,34 @@ def mix_weights_by_source(spark, sf_dir):
     uniform target. One aggregate to |sources| rows, window totals on
     the tiny result only."""
     return C.mix_weights(_d(spark, sf_dir), "source", "text")
+
+
+_WS_KEY = (
+    "-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 8)) "
+    "AS BIGINT) + 1.0) / 4294967297.0) / CAST(n_chars AS DOUBLE)"
+)
+
+
+@q(
+    "weighted_sample_quality",
+    "WITH keyed AS (SELECT doc_id, lang, "
+    f"{_WS_KEY} AS k "
+    "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), "
+    "r AS (SELECT doc_id, lang, "
+    "CAST(row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS INTEGER) "
+    "AS sample_rank FROM keyed) "
+    "SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20",
+)
+def weighted_sample_quality(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (r14
+    Y-series, Efraimidis-Spirakis A-Res): 20 documents PER LANGUAGE
+    with inclusion probability proportional to n_chars — the
+    quality-weighted curation draw (uniform hash_sample keeps a
+    fraction; this PICKS n by weight). Keys are -ln(u)/w with u from
+    md5(id|seed), so the oracle draws bit-identical keys and the
+    hash certifies the key arithmetic, the weight/NULL exclusions,
+    and the per-group rank window together."""
+    d = _d(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return C.weighted_sample(
+        d, "n_chars", 20, id_col="doc_id", by="lang"
+    ).select("doc_id", "lang", "sample_rank")

@@ -423,3 +423,57 @@ def test_per_source_quota_verify_guard_noop_when_guard_holds(spark):
         }
     assert got == exact
     assert not [w for w in caught if "under-returned" in str(w.message)]
+
+
+def test_weighted_sample_exact_keys_and_exclusions(spark):
+    """r14 Y-series: the selected set is exactly the n smallest
+    -ln(u)/w keys (recomputed independently in Python), non-positive
+    and NULL weights are excluded, ranks are 1..n."""
+    import hashlib
+    import math
+
+    from data_ingestion_spark.functions.corpus import weighted_sample
+
+    rows = [(i, float(i % 7 + 1)) for i in range(1, 101)]
+    rows += [(200, 0.0), (201, -3.0), (202, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = weighted_sample(df, "w", 10, id_col="doc_id").collect()
+    assert [r.sample_rank for r in sorted(out, key=lambda r: r.sample_rank)] == list(
+        range(1, 11)
+    )
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"{i}|ws".encode()).hexdigest()[:8], 16) + 1.0) / 4294967297.0
+        return -math.log(u) / w
+
+    want = sorted(((key(i, w), i) for i, w in rows[:100]))[:10]
+    assert {r.doc_id for r in out} == {i for _, i in want}
+    assert {200, 201, 202}.isdisjoint({r.doc_id for r in out})
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Heavier rows appear more often: with half the corpus at 100x
+    weight, the sample is dominated by heavy ids (deterministic,
+    not a flaky statistical assertion — fixed hash draws)."""
+    from data_ingestion_spark.functions.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(1, 401)],
+        "doc_id bigint, w double",
+    )
+    out = weighted_sample(df, "w", 40, id_col="doc_id").collect()
+    heavy = sum(1 for r in out if r.doc_id % 2 == 0)
+    assert heavy >= 30  # ~100:1 odds per slot; fixed draws make this stable
+
+
+def test_weighted_sample_contracts(spark):
+    import pytest
+
+    from data_ingestion_spark.functions.corpus import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, w double")
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample(df, "w", 0)
+    bad = spark.createDataFrame([(1, 1.0, 2)], "doc_id bigint, w double, sample_rank int")
+    with pytest.raises(ValueError, match="collides"):
+        weighted_sample(bad, "w", 1)
