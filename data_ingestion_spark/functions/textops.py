@@ -707,3 +707,36 @@ def pmi_bigrams(
             F.round(F.log(ratio) * 1_000_000.0).cast("bigint").alias("pmi_micros"),
         )
     )
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization of a string column — the canonical-form
+    pass a crawl corpus needs BEFORE any hash-keyed dedup: 'é' and
+    'e'+COMBINING ACUTE are the same text to a reader but different
+    md5 keys to ``exact_dedup_groups``/``remove_repeated_lines``, so
+    un-normalized corpora silently under-deduplicate (and BM25/
+    phrase tokenizers split tokens differently). Forms: NFC (default
+    — canonical composition, what web text should be), NFD, NFKC
+    (compatibility folding — also maps ligatures/fullwidth; the
+    aggressive choice for dedup keys), NFKD.
+
+    Arrow-batched pandas UDF — normalization tables are exactly the
+    'Python library is the point' case (Spark exposes no normalizer
+    SQL function); NULLs pass through. Oracle twin: DuckDB's
+    utf8proc-backed ``nfc_normalize`` (NFC only) — both sides
+    implement UAX #15, pinned equal on the DQ fixture.
+    """
+    from pyspark.sql.types import StringType
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm(col)

@@ -3026,3 +3026,51 @@ def dq_expectations(spark, sf_dir):
             {"rule": "min_rows", "n": 10000000},
         ],
     )
+
+
+# =====================================================================
+# unicode normalization (round 14 Y-series)
+# =====================================================================
+
+_NFC_SUFFIX_SQL = (
+    "'re' || chr(769) || 'sume' || chr(769) || ' | n a' || chr(776) "
+    "|| ' o' || chr(770) || ' u' || chr(768)"
+)
+
+
+@q(
+    "unicode_nfc_normalize",
+    "WITH fix AS (SELECT doc_id, substr(text, 1, 40) || "
+    + _NFC_SUFFIX_SQL
+    + " AS s FROM documents) "
+    "SELECT doc_id, nfc_normalize(s) AS text_nfc, "
+    "CAST(length(s) AS BIGINT) AS len_raw, "
+    "CAST(length(nfc_normalize(s)) AS BIGINT) AS len_nfc "
+    "FROM fix",
+)
+def unicode_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (r14 Y-series): the canonical-form
+    pass hash-keyed dedup needs — decomposed 'e'+COMBINING-ACUTE and
+    composed 'é' are different md5 keys until normalized, so an
+    un-normalized crawl silently under-deduplicates. The fixture
+    appends a decomposed suffix (five combining marks: acute,
+    diaeresis, circumflex, grave) to every document; the engine's
+    Arrow-batched Python unicodedata pass must agree with DuckDB's
+    utf8proc nfc_normalize BOTH on the composed text and on the
+    codepoint-count contraction (len_raw - len_nfc == 5 per row) —
+    two independent UAX #15 implementations pinned equal."""
+    from .functions.textops import unicode_normalize
+
+    d = _d(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("re\u0301sume\u0301 | n a\u0308 o\u0302 u\u0300"),
+        ).alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        unicode_normalize(F.col("s")).alias("text_nfc"),
+        F.length("s").cast("bigint").alias("len_raw"),
+        F.length(unicode_normalize(F.col("s"))).cast("bigint").alias("len_nfc"),
+    )

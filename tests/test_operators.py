@@ -1116,3 +1116,40 @@ def test_funnel_steps_semantics(spark):
     n = len(re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan))
     assert n == 1, f"funnel should be one shuffle, saw {n}"
 
+
+
+def test_unicode_normalize_forms_and_nulls(spark):
+    """r14 Y-series: NFC composes combining marks (dedup keys
+    converge), NFKC additionally folds compatibility chars
+    (ligatures/fullwidth), NFD round-trips back, NULLs pass, bad
+    form refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.textops import unicode_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "é"),          # decomposed é
+            (2, "é"),            # composed é
+            (3, "ﬁle Ａ"),  # fi-ligature + fullwidth A
+            (4, None),
+        ],
+        "id bigint, s string",
+    )
+    out = {
+        r.id: (r.nfc, r.nfkc, r.nfd)
+        for r in df.select(
+            "id",
+            unicode_normalize(F.col("s")).alias("nfc"),
+            unicode_normalize(F.col("s"), "NFKC").alias("nfkc"),
+            unicode_normalize(F.col("s"), "NFD").alias("nfd"),
+        ).collect()
+    }
+    assert out[1][0] == out[2][0] == "é"  # both compose to é
+    assert out[1][2] == out[2][2] == "é"  # both decompose
+    assert out[3][1] == "file A"  # NFKC folds; NFC does not
+    assert out[3][0] == "ﬁle Ａ"
+    assert out[4] == (None, None, None)
+    with pytest.raises(ValueError, match="unknown normalization"):
+        unicode_normalize(F.col("s"), "NFX")
