@@ -42,20 +42,23 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     # -- round-14 window (rotation per scripts/update_checked.py over
     # r01..r13: all 187 previously registered queries have a full-hash
-    # green driver row — CHECKED.md). Heads: the NINE never-checked
+    # green driver row — CHECKED.md). Heads: ALL FOURTEEN never-checked
     # r14 DQs (wave 1: interval-join twin, image phash, row-level
     # tombstone deletes on both layouts; wave 2: expectation gate,
     # corpus line dedup, audio fingerprint dedup, IVF-PQ single +
-    # batch serving), then 35 of the 40 STALEST greens (all last
-    # checked r10), then SIX r14-REWIRED paths (green r13 but
+    # batch + upsert/delete serving, weighted sampling, Unicode NFC +
+    # normalized dedup, image-cluster capstone), then 30 of the 40
+    # STALEST greens (all last checked r10), then SIX r14-REWIRED paths (green r13 but
     # materially changed this round: the ANN/LSM serving layer moved
     # onto the tombstone-aware per-seg _shadow_iter; upsert manifests
     # carry tombstone flags; ann_version_drift's default base is now
     # committed-only; HITS' normalization gained the total==0 CASE
-    # guard). Five r10-stale STATIC SQL shapes (csv/jsonl roundtrips,
-    # variant JSON, range frame, grouping sets — untouched since r10,
-    # re-verified dual-scale on every pytest run via test_parity)
-    # are postponed to head the r15 window; the rewired serving paths
+    # guard). Ten r10-stale names (csv/jsonl roundtrips, variant JSON, range
+    # frame, grouping sets, recursive CTE, doc_fingerprint,
+    # lang-token-budget, bm25/rrf batch — untouched since r10,
+    # re-verified dual-scale on every pytest run via test_parity, and
+    # each with an r11+-green family sibling) are postponed to head
+    # the r15 window; the rewired serving paths
     # take their slots because a driver re-green of changed code
     # outranks a re-confirmation of unchanged code.
     "join_stream_interval_batch",
@@ -67,7 +70,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_audio_fp",
     "ann_ivfpq_search",
     "ann_ivfpq_batch",
-    "recursive_cte_closure",
+    "ann_ivfpq_upsert",
+    "weighted_sample_quality",
+    "unicode_nfc_normalize",
+    "dedup_exact_normalized",
+    "dedup_image_clusters",
     "agg_argminmax",
     "quality_repetition_signals",
     "join_salted_skew",
@@ -98,10 +105,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
-    "doc_fingerprint",
-    "token_budget_detected_lang",
-    "rank_bm25_batch",
-    "hybrid_rank_rrf_batch",
     "ann_store_upsert",
     "ann_store_quantized",
     "rank_bm25_index_upsert",

@@ -123,16 +123,22 @@ _CODES_SCHEMA = StructType(
 
 class IvfPqStore:
     """Read/serve handle over a written IVF-PQ root (see module
-    docstring for the layout rationale). Directory layout::
+    docstring for the layout rationale). Directory layout (SEGMENTED
+    since the O(delta) maintenance landed — seg is an integer
+    partition directory, so generation order is plain ``>``)::
 
-        root/_pq_meta.json   geometry (dim, m, k_pq, n_cells, ...)
+        root/_pq_meta.json   geometry + segment/tombstone registry
         root/quantizer/      parquet (cell, centroid) — n_cells rows
         root/codebooks/      parquet (subspace, code, centroid)
-        root/codes/          parquet PARTITIONED BY ivf_cell (id, codes)
-        root/raw/            parquet partitioned by __rb (id, vec)
+        root/codes/seg=N/    parquet PARTITIONED BY ivf_cell (id, codes)
+        root/raw/seg=N/      parquet partitioned by __rb (id, vec)
+        root/ids/seg=N/      id-only shadow sidecar (delta-sized);
+                             a TOMBSTONE segment is ids/ alone
 
-    Quantizer/codebook loads are driver-side and BOUNDED
-    (n_cells + m·k_pq rows), cached on the handle.
+    Quantizers are FROZEN at build time (upserts encode deltas against
+    them; ``compact_ivfpq_store`` is the re-train point). Quantizer/
+    codebook loads are driver-side and BOUNDED (n_cells + m·k_pq
+    rows), cached on the handle.
     """
 
     def __init__(self, spark, root: str):
@@ -165,49 +171,45 @@ class IvfPqStore:
         return self._centroids, self._codebooks
 
     # -- serving -------------------------------------------------------
-    def adc_candidates(
-        self, qv: list[float], n_probe: int = 4, keep: int = 128
-    ) -> DataFrame:
-        """(id, adc) — the ``keep`` best stored codes by asymmetric
-        distance among the ``n_probe`` cells nearest the query.
-        Partition-pruned scan (``ivf_cell IN probed`` is a literal
-        disjunction over a partition column), broadcast LUT join,
-        scoring = m JVM array lookups per row inside codegen. Exposed
-        separately so plans (pruning) and recall are testable without
-        the raw-fetch stage."""
-        if keep > MAX_KEEP:
-            raise ValueError(
-                f"keep={keep} exceeds MAX_KEEP={MAX_KEEP} — the probe "
-                "collects keep candidate ids driver-side to price the raw "
-                "sidecar's partition filter; lower keep (or raise MAX_KEEP "
-                "deliberately)"
-            )
-        C, CB = self._load_quantizers()
-        dim, m = self.meta["dim"], self.meta["m"]
-        if len(qv) != dim:
-            raise ValueError(f"query has {len(qv)} dims, store has {dim}")
-        n_probe = min(n_probe, self.meta["n_cells"])
-        q = np.asarray(qv, dtype=np.float64)
-        nrm = np.sqrt((q * q).sum())
-        qn = q / nrm if nrm > 0 else q
-        order = (((C - qn) ** 2).sum(axis=1)).argsort(kind="stable")
-        probed = [int(c) for c in order[:n_probe]]
-        ds = dim // m
-        lut_rows = []
-        for c in probed:
-            qr = (qn - C[c]).reshape(m, ds)
-            # lut[s][j] = || qr_s - codebook[s][j] ||²  (m × k_pq floats)
-            lut = ((qr[:, None, :] - CB) ** 2).sum(axis=2)
-            lut_rows.append((c, [[float(v) for v in row] for row in lut]))
-        lut_df = self.spark.createDataFrame(
-            lut_rows, "ivf_cell int, lut array<array<double>>"
+    def _shadow_filter(self, scored: DataFrame) -> DataFrame:
+        """Last-wins shadowing over segmented candidates: a candidate
+        (id, seg) is dead iff ANY newer segment's ids/ sidecar lists
+        the id — replacement (newer data segment) and deletion
+        (tombstone segment: ids only, no codes, so no scan ever reads
+        it as data) fall out of the same rule, and a post-tombstone
+        re-add resurrects because its segment is newer still. The
+        shadow side is the union of NON-BASE sidecars — delta-sized
+        under the upsert contract — and broadcasts; applied BEFORE
+        the top-keep so dead rows never crowd out live candidates.
+        Single-segment stores skip the join entirely (plan identical
+        to the unsegmented layout)."""
+        segs = self.meta["segments"]
+        if len(segs) <= 1:
+            return scored
+        shadow = (
+            self.spark.read.parquet(os.path.join(self.root, "ids"))
+            .filter(F.col("seg") > min(segs))
+            .select(F.col("id").alias("__sid"), F.col("seg").alias("__sseg"))
         )
+        return scored.join(
+            F.broadcast(shadow),
+            (scored["id"] == F.col("__sid")) & (F.col("__sseg") > scored["seg"]),
+            "left_anti",
+        )
+
+    def _scored_codes(self, lut_df: DataFrame, probed: list[int], *extra_cols: str) -> DataFrame:
+        """Shadow-filtered ADC scores over the pruned code scan:
+        (..extra_cols.., id, seg, adc). The scan prunes on ivf_cell
+        (a partition column — PartitionFilters, pytest-asserted);
+        scoring is m JVM array lookups inside codegen."""
         codes = self.spark.read.parquet(os.path.join(self.root, "codes"))
         scored = (
             codes.filter(F.col("ivf_cell").isin(probed))
             .join(F.broadcast(lut_df), "ivf_cell")
             .select(
+                *extra_cols,
                 "id",
+                "seg",
                 F.aggregate(
                     F.zip_with(
                         "codes",
@@ -219,33 +221,87 @@ class IvfPqStore:
                 ).alias("adc"),
             )
         )
-        return scored.orderBy(F.col("adc").asc(), F.col("id").asc()).limit(keep)
+        return self._shadow_filter(scored)
+
+    def _query_luts(self, qn: np.ndarray, n_probe: int):
+        """(probed cells, per-cell m×k_pq ADC tables) for one
+        normalized query — numpy over a few KB, driver-side."""
+        C, CB = self._load_quantizers()
+        m = self.meta["m"]
+        ds = self.meta["dim"] // m
+        order = (((C - qn) ** 2).sum(axis=1)).argsort(kind="stable")
+        probed = [int(c) for c in order[:n_probe]]
+        luts = []
+        for c in probed:
+            qr = (qn - C[c]).reshape(m, ds)
+            # lut[s][j] = || qr_s - codebook[s][j] ||²  (m × k_pq floats)
+            lut = ((qr[:, None, :] - CB) ** 2).sum(axis=2)
+            luts.append((c, [[float(v) for v in row] for row in lut]))
+        return luts
+
+    def adc_candidates(
+        self, qv: list[float], n_probe: int = 4, keep: int = 128
+    ) -> DataFrame:
+        """(id, adc) — the ``keep`` best LIVE stored codes by
+        asymmetric distance among the ``n_probe`` cells nearest the
+        query (shadowed/deleted copies already excluded). Exposed
+        separately so plans (pruning) and recall are testable without
+        the raw-fetch stage."""
+        if keep > MAX_KEEP:
+            raise ValueError(
+                f"keep={keep} exceeds MAX_KEEP={MAX_KEEP} — the probe "
+                "collects keep candidate ids driver-side to price the raw "
+                "sidecar's partition filter; lower keep (or raise MAX_KEEP "
+                "deliberately)"
+            )
+        dim = self.meta["dim"]
+        if len(qv) != dim:
+            raise ValueError(f"query has {len(qv)} dims, store has {dim}")
+        n_probe = min(n_probe, self.meta["n_cells"])
+        q = np.asarray(qv, dtype=np.float64)
+        nrm = np.sqrt((q * q).sum())
+        qn = q / nrm if nrm > 0 else q
+        luts = self._query_luts(qn, n_probe)
+        lut_df = self.spark.createDataFrame(
+            luts, "ivf_cell int, lut array<array<double>>"
+        )
+        scored = self._scored_codes(lut_df, [c for c, _ in luts])
+        return (
+            scored.orderBy(F.col("adc").asc(), F.col("id").asc())
+            .limit(keep)
+            .select("id", "seg", "adc")
+        )
 
     def probe(
         self, qv: list[float], k: int = 5, n_probe: int = 4, keep: int = 128
     ) -> DataFrame:
         """ADC candidates → exact cosine re-rank from the raw sidecar.
         Returns (id_col, score) — the ``AnnStore.probe`` contract
-        (6dp-rounded score, id tiebreak). The candidate id set
+        (6dp-rounded score, id tiebreak). The candidate (id, seg) set
         (≤ keep rows) is collected driver-side to build the raw
         sidecar's partition filter — same bounded-collect discipline
-        as ``AnnStore._raw_fetch``."""
+        as ``AnnStore._raw_fetch``; the raw join keys on (id, seg) so
+        a replaced id's STALE raw row (older segment) can never serve
+        the re-rank."""
         if keep < k:
             raise ValueError(f"keep={keep} must be >= k={k}")
         cand = self.adc_candidates(qv, n_probe, keep)
-        ids = [r.id for r in cand.select("id").collect()]  # <= keep rows
-        if not ids:
+        pairs = [(r.id, r.seg) for r in cand.select("id", "seg").collect()]
+        if not pairs:
             return self.spark.createDataFrame(
                 [], f"{self.meta['id_col']} bigint, score double"
             )
         rb = self.meta["raw_id_buckets"]
-        buckets = sorted({_id_bucket(i, rb) for i in ids})
+        buckets = sorted({_id_bucket(i, rb) for i, _ in pairs})
         from .similarity import dot_product
 
+        cand_df = self.spark.createDataFrame(
+            pairs, "id bigint, seg int"
+        )
         raw = (
             self.spark.read.parquet(os.path.join(self.root, "raw"))
             .filter(F.col("__rb").isin(buckets))
-            .filter(F.col("id").isin(ids))
+            .join(F.broadcast(cand_df), ["id", "seg"])
             # zero-norm vectors have no cosine to any query — drop them
             # here rather than trip ANSI divide-by-zero in the re-rank
             .filter(dot_product(F.col("vec"), F.col("vec")) > 0)
@@ -310,9 +366,7 @@ class IvfPqStore:
                 [], f"{query_id_col} {qid_type}, {self.meta['id_col']} bigint, "
                 "score double, rank int"
             )
-        C, CB = self._load_quantizers()
-        dim, m = self.meta["dim"], self.meta["m"]
-        ds = dim // m
+        dim = self.meta["dim"]
         n_probe = min(n_probe, self.meta["n_cells"])
         lut_rows, probed_union = [], set()
         for r in qrows:
@@ -325,36 +379,13 @@ class IvfPqStore:
             q = np.asarray(qv, dtype=np.float64)
             nrm = np.sqrt((q * q).sum())
             qn = q / nrm if nrm > 0 else q
-            order = (((C - qn) ** 2).sum(axis=1)).argsort(kind="stable")
-            for c in order[:n_probe]:
-                c = int(c)
+            for c, lut in self._query_luts(qn, n_probe):
                 probed_union.add(c)
-                qr = (qn - C[c]).reshape(m, ds)
-                lut = ((qr[:, None, :] - CB) ** 2).sum(axis=2)
-                lut_rows.append(
-                    (r[query_id_col], c, [[float(v) for v in row] for row in lut])
-                )
+                lut_rows.append((r[query_id_col], c, lut))
         lut_df = self.spark.createDataFrame(
             lut_rows, f"{query_id_col} {qid_type}, ivf_cell int, lut array<array<double>>"
         )
-        codes = self.spark.read.parquet(os.path.join(self.root, "codes"))
-        scored = (
-            codes.filter(F.col("ivf_cell").isin(sorted(probed_union)))
-            .join(F.broadcast(lut_df), "ivf_cell")
-            .select(
-                query_id_col,
-                "id",
-                F.aggregate(
-                    F.zip_with(
-                        "codes",
-                        "lut",
-                        lambda c, l: F.element_at(l, c.cast("int") + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("adc"),
-            )
-        )
+        scored = self._scored_codes(lut_df, sorted(probed_union), query_id_col)
         from pyspark.sql import Window
 
         w_adc = Window.partitionBy(query_id_col).orderBy(
@@ -363,7 +394,7 @@ class IvfPqStore:
         cand = (
             scored.withColumn("__rn", F.row_number().over(w_adc))
             .filter(F.col("__rn") <= keep)
-            .select(query_id_col, "id")
+            .select(query_id_col, "id", "seg")
         )
         rb = self.meta["raw_id_buckets"]
         # bounded by the store constant raw_id_buckets, not batch size
@@ -392,7 +423,9 @@ class IvfPqStore:
             f"{query_id_col} {qid_type}, __qvec array<double>",
         )
         exact = (
-            raw.join(F.broadcast(cand), "id")
+            # (id, seg) keying: a replaced id's stale raw row (older
+            # segment) can never serve the re-rank
+            raw.join(F.broadcast(cand), ["id", "seg"])
             .join(F.broadcast(qvec_df), query_id_col)
             .select(
                 query_id_col,
@@ -419,6 +452,174 @@ def _id_bucket(i: int, buckets: int) -> int:
     # mirror of the engine-side pmod(id, buckets) below — plain modulo
     # on the id keeps driver and executor bucket math trivially equal
     return int(i) % buckets
+
+
+def _make_encoder(C_list: list, CB_list: list, ds: int):
+    """Arrow-batch encoder closure over FROZEN quantizers — shared by
+    the base build and every delta upsert, so the two paths cannot
+    disagree on what a code means."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Ce = np.asarray(C_list)
+        CBe = np.asarray(CB_list)
+        csq = (Ce * Ce).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = _normalize(np.array(list(pdf["vec"]), dtype=np.float64))
+            cell = (
+                (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ Ce.T) + csq[None, :]
+            ).argmin(axis=1)
+            Rb = Xb - Ce[cell]
+            codes = np.empty((len(Xb), len(CBe)), dtype=np.int16)
+            for s in range(len(CBe)):
+                sub = Rb[:, s * ds : (s + 1) * ds]
+                cb = CBe[s]
+                codes[:, s] = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "ivf_cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
+def _write_segment(
+    src: DataFrame,
+    root: str,
+    seg: int,
+    C_list: list,
+    CB_list: list,
+    ds: int,
+    raw_id_buckets: int,
+) -> None:
+    """Write one data segment: codes/seg=N (partitioned by ivf_cell),
+    raw/seg=N (partitioned by id-hash bucket), ids/seg=N (the shadow
+    sidecar — id list only, delta-sized). ``seg`` is an integer so
+    partition discovery types it and generation order is plain ``>``."""
+    encoded = src.mapInPandas(_make_encoder(C_list, CB_list, ds), _CODES_SCHEMA)
+    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        os.path.join(root, "codes", f"seg={seg}")
+    )
+    src.withColumn(
+        "__rb", F.pmod(F.col("id"), F.lit(raw_id_buckets)).cast("int")
+    ).write.mode("overwrite").partitionBy("__rb").parquet(
+        os.path.join(root, "raw", f"seg={seg}")
+    )
+    src.select("id").write.mode("overwrite").parquet(
+        os.path.join(root, "ids", f"seg={seg}")
+    )
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "_pq_meta.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "_pq_meta.json"))
+
+
+def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
+    """O(delta) IVF-PQ maintenance: encode ONLY the delta with the
+    store's FROZEN quantizers (the classic FAISS ``add`` contract —
+    coarse centroids and codebooks are fixed at build time; quality
+    for drifted deltas degrades gracefully because serving re-scores
+    exactly from raw, and ``compact_ivfpq_store`` is the designated
+    re-train point), land it as a new segment, and register it in the
+    meta. REPLACE semantics per id: the new segment's ``ids/`` sidecar
+    shadows every older copy at serve time (last-wins, the LSM
+    discipline) — no base rewrite, no global re-encode. Returns a
+    fresh handle over the grown store."""
+    spark = vectors.sparkSession
+    store = IvfPqStore(spark, root)
+    meta = store.meta
+    C, CB = store._load_quantizers()
+    ds = meta["dim"] // meta["m"]
+    seg = max(meta["segments"]) + 1
+    src = vectors.select(
+        F.col(meta["id_col"]).cast("bigint").alias("id"),
+        F.col(meta["vec_col"]).alias("vec"),
+    )
+    _write_segment(
+        src, root, seg, C.tolist(), CB.tolist(), ds, meta["raw_id_buckets"]
+    )
+    meta["segments"] = meta["segments"] + [seg]
+    _write_meta(root, meta)
+    return IvfPqStore(spark, root)
+
+
+def delete_ivfpq_ids(spark, root: str, ids_df: DataFrame) -> IvfPqStore:
+    """Row-level delete on the PQ store — a TOMBSTONE segment: an
+    ``ids/`` sidecar with NO codes and NO raw payload. Last-wins
+    shadowing then hides every older copy of the id from
+    probe/probe_batch (the tombstone itself is never a data source —
+    no codes dir exists for it, so no scan ever reads it); a later
+    upsert of the same id RESURRECTS it (its segment is newer than
+    the tombstone). O(delete set); the physical rows drop at
+    ``compact_ivfpq_store``. The takedown/GDPR path the at-rest
+    layouts all share (mirrors similarity.delete_ann_ids)."""
+    store = IvfPqStore(spark, root)
+    meta = store.meta
+    seg = max(meta["segments"]) + 1
+    ids_df.select(
+        F.col(meta["id_col"]).cast("bigint").alias("id")
+    ).write.mode("overwrite").parquet(os.path.join(root, "ids", f"seg={seg}"))
+    meta["segments"] = meta["segments"] + [seg]
+    meta["tombstones"] = meta.get("tombstones", []) + [seg]
+    _write_meta(root, meta)
+    return IvfPqStore(spark, root)
+
+
+def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfPqStore:
+    """Fold a segmented PQ store into a fresh single-segment store at
+    ``out_root`` — resolve last-wins survivors (tombstoned ids drop:
+    their latest segment has no raw row; replaced ids keep only the
+    newest copy) and RE-TRAIN quantizers on the surviving corpus (the
+    designated drift-refresh point, the analogue of the SQ8 store's
+    re-quantizing compaction). ``out_root`` must differ from ``root``:
+    the fold is a rebuild, not an in-place mutation — swap the two
+    directories (or a symlink) atomically outside if readers are
+    live; the managed CURRENT-pointer discipline lives in the
+    versioned ANN roots, and this layout deliberately stays simpler."""
+    if os.path.abspath(out_root) == os.path.abspath(root):
+        raise ValueError(
+            "compact_ivfpq_store: out_root must differ from root — the fold "
+            "rebuilds into a fresh directory (swap atomically outside)"
+        )
+    store = IvfPqStore(spark, root)
+    meta = store.meta
+    latest = (
+        spark.read.parquet(os.path.join(root, "ids"))
+        .groupBy("id")
+        .agg(F.max("seg").alias("seg"))
+    )
+    live = spark.read.parquet(os.path.join(root, "raw")).join(
+        latest, ["id", "seg"]
+    )
+    kwargs = dict(
+        n_cells=meta["n_cells"],
+        m=meta["m"],
+        k_pq=meta["k_pq"],
+        raw_id_buckets=meta["raw_id_buckets"],
+    )
+    kwargs.update(train_kwargs)
+    return write_ivfpq_store(
+        live.select(
+            F.col("id").alias(meta["id_col"]),
+            F.col("vec").alias(meta["vec_col"]),
+        ),
+        out_root,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+        **kwargs,
+    )
 
 
 def write_ivfpq_store(
@@ -484,49 +685,10 @@ def write_ivfpq_store(
     )
 
     # ---- executor-side full-corpus encode (Arrow batches) ----------
-    C_list, CB_list = C.tolist(), CB.tolist()
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Ce = np.asarray(C_list)
-        CBe = np.asarray(CB_list)
-        csq = (Ce * Ce).sum(axis=1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Xb = _normalize(np.array(list(pdf["vec"]), dtype=np.float64))
-            cell = (
-                (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ Ce.T) + csq[None, :]
-            ).argmin(axis=1)
-            Rb = Xb - Ce[cell]
-            codes = np.empty((len(Xb), len(CBe)), dtype=np.int16)
-            for s in range(len(CBe)):
-                sub = Rb[:, s * ds : (s + 1) * ds]
-                cb = CBe[s]
-                codes[:, s] = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                ).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].astype("int64"),
-                    "ivf_cell": cell.astype("int32"),
-                    "codes": list(codes),
-                }
-            )
-
     src = vectors.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    encoded = src.mapInPandas(encode, _CODES_SCHEMA)
-    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        os.path.join(root, "codes")
-    )
-    src.withColumn(
-        "__rb", F.pmod(F.col("id"), F.lit(raw_id_buckets)).cast("int")
-    ).write.mode("overwrite").partitionBy("__rb").parquet(
-        os.path.join(root, "raw")
-    )
+    _write_segment(src, root, 0, C.tolist(), CB.tolist(), ds, raw_id_buckets)
     spark.createDataFrame(
         [(int(c), [float(v) for v in C[c]]) for c in range(n_cells)],
         "cell int, centroid array<double>",
@@ -548,10 +710,8 @@ def write_ivfpq_store(
         "vec_col": vec_col,
         "raw_id_buckets": int(raw_id_buckets),
         "n_fit": int(n_fit),
+        "segments": [0],
+        "tombstones": [],
     }
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, "_pq_meta.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(root, "_pq_meta.json"))
+    _write_meta(root, meta)
     return IvfPqStore(spark, root)

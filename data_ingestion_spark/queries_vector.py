@@ -2438,3 +2438,67 @@ def dedup_image_clusters(spark, sf_dir):
     hashes = MM.image_dhash64(MM.attach_pattern_image(d))
     pairs = DD.hamming64_pairs(hashes, "dhash", max_hamming=2)
     return DD.dup_clusters_star(pairs)
+
+
+@q(
+    "ann_ivfpq_upsert",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "corpus AS ("
+    "SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id <> 0 AND vec_id NOT IN (7, 14) "
+    "UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, "
+    "list_transform(embedding, x -> -x) AS embedding "
+    "FROM embeddings WHERE vec_id BETWEEN 1 AND 3) "
+    f"SELECT e.vec_id, {_COS} AS score FROM corpus e, q "
+    "ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_ivfpq_upsert(spark, sf_dir):
+    """IVF-PQ O(delta) maintenance end to end: the base is built over
+    a STALE generation (every 5th vector negated), then ONE upsert
+    folds the corrected 20% plus three new ids in as a frozen-
+    codebook delta segment (base codes untouched), then a TOMBSTONE
+    segment deletes two ids outright. All-cell probe + generous ADC
+    keep ⇒ the serve must EQUAL brute-force top-5 over the TRUE
+    surviving corpus — the oracle certifies delta encode → last-wins
+    shadowing (stale copies AND their stale raw rows dead) →
+    tombstone exclusion → exact re-rank in one hash (the
+    ann_store_upsert discipline on the third layout)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.pq import (
+        delete_ivfpq_ids,
+        upsert_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    delta = base.filter(F.col("vec_id") % 5 == 0).unionByName(
+        base.filter(F.col("vec_id").between(1, 3)).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ivfpq_ups_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh build per run
+    write_ivfpq_store(stale, root, n_cells=8, m=8)
+    upsert_ivfpq_store(delta, root)
+    store = delete_ivfpq_ids(
+        spark, root, spark.createDataFrame([(7,), (14,)], "vec_id bigint")
+    )
+    return store.probe(qv, k=5, n_probe=8, keep=192)

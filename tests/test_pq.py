@@ -145,3 +145,103 @@ def test_probe_batch_contracts(spark, store):
         s.probe_batch(bad_dim)
     empty = spark.createDataFrame([], "query_id bigint, qvec array<double>")
     assert s.probe_batch(empty).count() == 0
+
+
+def test_upsert_replace_delete_resurrect(spark):
+    """O(delta) maintenance: a stale base is corrected by an upsert
+    (last-wins shadowing — the stale copy AND its stale raw row are
+    dead), a tombstone delete hides an id from serving, and a
+    re-upsert after the tombstone resurrects it."""
+    from data_ingestion_spark.functions.pq import (
+        delete_ivfpq_ids,
+        upsert_ivfpq_store,
+    )
+
+    v = _vectors(spark, n=120, dim=16)
+    # stale generation: negate every 4th vector
+    stale = v.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 4 == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    root = tempfile.mkdtemp(prefix="pqups_")
+    shutil.rmtree(root)
+    write_ivfpq_store(stale, root, n_cells=4, m=4, iters=6)
+    # delta: the corrected 25% plus two new ids
+    delta = v.filter(F.col("vec_id") % 4 == 0).unionByName(
+        v.filter(F.col("vec_id").isin(1, 2)).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    s = upsert_ivfpq_store(delta, root)
+    q = v.filter(F.col("vec_id") == 8).head().embedding  # a corrected id
+    got = s.probe(list(q), k=5, n_probe=4, keep=200).collect()
+    # ground truth over the TRUE merged corpus
+    merged = v.unionByName(
+        v.filter(F.col("vec_id").isin(1, 2)).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    want = brute_force_topk(merged, qcol, 5).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    assert got[0].vec_id == 8 and got[0].score == 1.0  # corrected copy serves
+
+    # delete id 8 -> vanishes from serving
+    s = delete_ivfpq_ids(spark, root, spark.createDataFrame([(8,)], "vec_id bigint"))
+    got2 = s.probe(list(q), k=5, n_probe=4, keep=200).collect()
+    assert all(r.vec_id != 8 for r in got2)
+    # resurrect with a new upsert
+    s = upsert_ivfpq_store(v.filter(F.col("vec_id") == 8), root)
+    got3 = s.probe(list(q), k=1, n_probe=4, keep=200).collect()
+    assert got3[0].vec_id == 8 and got3[0].score == 1.0
+
+    # batch serving resolves the same shadowing
+    queries = spark.createDataFrame([(77, list(q))], "query_id bigint, qvec array<double>")
+    b = s.probe_batch(queries, k=3, n_probe=4, keep=200).collect()
+    loop = s.probe(list(q), k=3, n_probe=4, keep=200).collect()
+    assert [(r.vec_id, r.score, r.rank) for r in b] == [
+        (r.vec_id, r.score, i + 1) for i, r in enumerate(loop)
+    ]
+
+
+def test_compaction_drops_dead_rows_and_equals_serving(spark):
+    from data_ingestion_spark.functions.pq import (
+        compact_ivfpq_store,
+        delete_ivfpq_ids,
+        upsert_ivfpq_store,
+    )
+    import pytest
+
+    v = _vectors(spark, n=80, dim=16)
+    root = tempfile.mkdtemp(prefix="pqcmp_")
+    shutil.rmtree(root)
+    write_ivfpq_store(v, root, n_cells=4, m=4, iters=6)
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 10).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+        root,
+    )
+    s = delete_ivfpq_ids(spark, root, spark.createDataFrame([(5,), (6,)], "vec_id bigint"))
+    with pytest.raises(ValueError, match="out_root must differ"):
+        compact_ivfpq_store(spark, root, root)
+    out = tempfile.mkdtemp(prefix="pqcmp_out_")
+    shutil.rmtree(out)
+    c = compact_ivfpq_store(spark, root, out)
+    # compacted store: single segment, survivors only
+    assert c.meta["segments"] == [0] and c.meta["tombstones"] == []
+    n_live = spark.read.parquet(out + "/ids").count()
+    assert n_live == 78  # 80 - 2 deleted; replaced ids appear once
+    q = v.filter(F.col("vec_id") == 3).head().embedding
+    a = s.probe(list(q), k=5, n_probe=4, keep=100).collect()
+    b = c.probe(list(q), k=5, n_probe=4, keep=100).collect()
+    assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
