@@ -715,3 +715,33 @@ def write_ivfpq_store(
     }
     _write_meta(root, meta)
     return IvfPqStore(spark, root)
+
+
+def maybe_compact_ivfpq_store(
+    spark, root: str, max_segments: int, **train_kwargs
+) -> bool:
+    """Auto-compaction trigger for upsert loops (the X1 dial on the
+    PQ layout): when the live segment list exceeds ``max_segments``,
+    fold into ``root + '__compact'`` and SWAP it in (rename-based —
+    the caller must be the root's only writer, which the streaming
+    fold is by contract; the versioned ANN roots own the concurrent-
+    reader story, this layout deliberately stays single-version).
+    The ``_last_batch_id`` replay marker is carried across the swap.
+    Returns True when a fold happened."""
+    import shutil
+
+    store = IvfPqStore(spark, root)
+    if len(store.meta["segments"]) <= max_segments:
+        return False
+    tmp = root.rstrip("/") + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compact_ivfpq_store(spark, root, tmp, **train_kwargs)
+    marker = os.path.join(root, "_last_batch_id")
+    if os.path.exists(marker):
+        shutil.copy(marker, os.path.join(tmp, "_last_batch_id"))
+    old = root.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old, ignore_errors=True)
+    return True

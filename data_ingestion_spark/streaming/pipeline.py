@@ -634,3 +634,109 @@ def run_ann_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_pq_maintenance_stream(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k_pq: int = 256,
+    max_fit_rows: int = 50_000,
+    max_segments: int | None = None,
+    op_col: str | None = None,
+) -> StreamingQuery:
+    """Continuous IVF-PQ maintenance — the third layout's streaming
+    fold (postings: ``run_index_maintenance_stream``; LSH/SQ8 ANN:
+    ``run_ann_maintenance_stream``). First micro-batch TRAINS and
+    builds the base (``write_ivfpq_store`` with the geometry given
+    here — the only batch that pays a k-means fit); every later batch
+    is an O(delta) frozen-codebook ``upsert_ivfpq_store`` segment —
+    replace semantics per id via last-wins shadowing. ``op_col``
+    switches to CDC semantics: ``'delete'`` rows tombstone their id
+    (``delete_ivfpq_ids``; the vector may be NULL), other rows
+    upsert; upserts apply first, deletes second (same-id conflict in
+    one batch resolves DELETED — the compliance-conservative order);
+    deletes before the first build are no-ops.
+
+    Replay safety, two layers as everywhere: a ``_last_batch_id``
+    marker in the root skips an already-folded batch, and a replay
+    slipping past it lands a duplicate segment whose rows are
+    immediately shadow-equivalent (last-wins is idempotent in
+    serve-visible state — the duplicate is wasted bytes until
+    compaction, never wrong answers).
+
+    ``max_segments`` is the auto-compaction dial (the X1 trigger on
+    this layout): past the bound the SAME foreachBatch invocation
+    folds via ``maybe_compact_ivfpq_store`` — a rename-swap rebuild
+    that also RE-TRAINS quantizers, so a drifting embedding stream
+    gets its codebook refresh exactly when read amplification forces
+    a fold anyway. The fold owns the root exclusively (foreachBatch
+    is the only writer), which is what makes the rename swap safe."""
+    import os
+
+    from ..functions import pq as PQ
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if op_col is not None:
+            dels = (
+                batch_df.filter(F.col(op_col) == "delete")
+                .select(id_col)
+                .dropDuplicates()
+            )
+            rows = batch_df.filter(
+                F.col(op_col).isNull() | (F.col(op_col) != "delete")
+            )
+        else:
+            dels, rows = None, batch_df
+        delta = rows.dropDuplicates([id_col]).select(id_col, vec_col)
+        has_delta = not delta.isEmpty()
+        has_dels = dels is not None and not dels.isEmpty()
+        if not has_delta and not has_dels:
+            return
+        spark = batch_df.sparkSession
+        built = os.path.exists(os.path.join(root, "_pq_meta.json"))
+        marker = os.path.join(root, "_last_batch_id")
+        if built:
+            try:
+                with open(marker, encoding="utf-8") as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # replay of an already-folded batch
+            except (OSError, ValueError):
+                pass
+        folded = False
+        if has_delta:
+            if built:
+                PQ.upsert_ivfpq_store(delta, root)
+            else:
+                PQ.write_ivfpq_store(
+                    delta,
+                    root,
+                    n_cells=n_cells,
+                    m=m,
+                    k_pq=k_pq,
+                    max_fit_rows=max_fit_rows,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+            folded = True
+        if has_dels and os.path.exists(os.path.join(root, "_pq_meta.json")):
+            PQ.delete_ivfpq_ids(spark, root, dels)
+            folded = True
+        if not folded:
+            return  # delete-only batch before the first build: no-op
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(str(batch_id))
+        if max_segments is not None:
+            # marker written first → the swap carries it forward
+            PQ.maybe_compact_ivfpq_store(spark, root, max_segments)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1034,3 +1034,89 @@ def test_ann_maintenance_stream_cdc_deletes(spark, tmp_path):
     got = [(r.vec_id, round(r.score, 6)) for r in live.probe(qv, 8).collect()]
     want = [(r.vec_id, round(r.score, 6)) for r in ref.probe(qv, 8).collect()]
     assert got == want
+
+
+def test_pq_maintenance_stream_last_wins_replay_and_autocompact(spark, tmp_path):
+    """r14 Y-series: an embedding stream folds into the IVF-PQ root —
+    batch 0 trains + builds the base, later batches are frozen-
+    codebook O(delta) segments, a CDC delete tombstones, and
+    max_segments triggers the rename-swap retraining fold inside the
+    same foreachBatch. Drained serve equals brute force over the
+    LAST-WINS surviving corpus; a checkpoint replay folds nothing."""
+    import json
+    import os
+    import time
+
+    from data_ingestion_spark.functions.pq import IvfPqStore
+    from data_ingestion_spark.functions.similarity import brute_force_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 120)
+    )
+    src_dir = str(tmp_path / "pq_stream")
+    os.makedirs(src_dir)
+    op = F.lit("upsert").alias("op")
+    slices = [
+        # batch 0: STALE vectors for %3==0 (negated), the build batch
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+        .select("vec_id", "embedding", op),
+        emb.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding", op),
+        # batch 2: correct re-embeds (replace) + a CDC delete of id 9
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .select("vec_id", "embedding", op)
+        .unionByName(
+            spark.createDataFrame(
+                [(9, None, "delete")],
+                "vec_id bigint, embedding array<float>, op string",
+            )
+        ),
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        sl.toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "pq_root")
+    schema = "vec_id bigint, embedding array<float>, op string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = SP.run_pq_maintenance_stream(
+        stream, root, str(tmp_path / "ckpt_pq"),
+        n_cells=4, m=4, max_segments=2, op_col="op",
+    )
+    q.awaitTermination(240)
+
+    store = IvfPqStore(spark, root)
+    # max_segments=2: batch 2 lands segments 2 (upsert) + 3 (tombstone)
+    # -> over the bound -> the same fold compacts back to ONE segment
+    assert store.meta["segments"] == [0] and store.meta["tombstones"] == []
+    # marker survived the swap
+    assert os.path.exists(os.path.join(root, "_last_batch_id"))
+
+    truth = emb.filter((F.col("vec_id") % 3 != 2) & (F.col("vec_id") != 9))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head().embedding]
+    got = store.probe(qv, k=5, n_probe=4, keep=120).collect()
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    want = brute_force_topk(truth, qcol, 5).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    assert all(r.vec_id != 9 for r in got)
+
+    # replay: same source, fresh checkpoint -> markers skip every batch
+    meta_before = json.load(open(os.path.join(root, "_pq_meta.json")))
+    q2 = SP.run_pq_maintenance_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir),
+        root, str(tmp_path / "ckpt_pq2"),
+        n_cells=4, m=4, max_segments=2, op_col="op",
+    )
+    q2.awaitTermination(240)
+    meta_after = json.load(open(os.path.join(root, "_pq_meta.json")))
+    assert meta_before == meta_after  # no new segments on replay
