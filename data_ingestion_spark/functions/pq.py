@@ -745,3 +745,56 @@ def maybe_compact_ivfpq_store(
     os.rename(tmp, root)
     shutil.rmtree(old, ignore_errors=True)
     return True
+
+
+def pq_report(spark, root: str) -> DataFrame:
+    """Operational report over a segmented IVF-PQ root — the
+    ``index_report`` observability on the third layout (pairs with
+    the ``max_segments`` auto-compaction dial): one row per segment,
+    oldest → newest, with
+
+    - ``segment``      — the integer generation;
+    - ``kind``         — 'data' or 'tombstone';
+    - ``rows``         — ids in the segment's sidecar;
+    - ``bytes``        — on-disk bytes (codes + raw + ids);
+    - ``shadowed_ids`` — how many of THIS segment's ids a newer
+      segment replaces/deletes: the dead weight a compaction would
+      reclaim (serve-time read amplification is the segment count;
+      this is the wasted fraction of it).
+
+    Driver-side shaping is bounded by the segment count; id counts
+    are Spark jobs over the tiny sidecars, never the codes."""
+    store = IvfPqStore(spark, root)
+    meta = store.meta
+    segs = sorted(meta["segments"])
+    tombs = set(meta.get("tombstones", []))
+
+    def _du(seg: int) -> int:
+        total = 0
+        for sub in ("codes", "raw", "ids"):
+            d = os.path.join(root, sub, f"seg={seg}")
+            for base, _, files in os.walk(d):
+                for f in files:
+                    total += os.path.getsize(os.path.join(base, f))
+        return total
+
+    all_ids = spark.read.parquet(os.path.join(root, "ids"))
+    rows = []
+    for seg in segs:
+        mine = all_ids.filter(F.col("seg") == seg).select("id")
+        n = mine.count()
+        newer = all_ids.filter(F.col("seg") > seg).select("id").distinct()
+        shadowed = mine.join(newer, "id", "left_semi").count()
+        rows.append(
+            (
+                int(seg),
+                "tombstone" if seg in tombs else "data",
+                int(n),
+                int(_du(seg)),
+                int(shadowed),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "segment int, kind string, rows bigint, bytes bigint, shadowed_ids bigint",
+    )

@@ -740,3 +740,35 @@ def run_pq_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_expectations_stream(
+    stream: DataFrame,
+    rules: list,
+    out_dir: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Continuous data-quality gating — ``expectations.expect_report``
+    applied per micro-batch, the audit rows appended to a parquet log
+    (one row per rule per batch, stamped with ``batch_id``). This is
+    how a live ingestion feed gets the same declarative gate the
+    batch pipeline runs before export: the log is itself a DataFrame
+    (alert on ``ok = false`` rows downstream, join batches over time
+    to see a null-fraction trend). One aggregation pass per batch —
+    the report costs one job regardless of rule count, and the
+    append is a constant-size write (rule count rows)."""
+    from ..functions.expectations import expect_report
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        expect_report(batch_df, rules).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -67,3 +67,57 @@ def test_expect_report_refusals(spark):
         expect_report(df, [])
     with pytest.raises(ValueError, match="unknown rule kind"):
         expect_report(df, [{"rule": "positive", "col": "id"}])
+
+
+def test_expectations_stream_equals_batch_twin(spark, tmp_path):
+    """r14: the streaming gate's audit log equals running
+    expect_report on each slice batch-side (the stream ≡ batch
+    discipline), one stamped row-set per micro-batch."""
+    import os
+    import time
+
+    from data_ingestion_spark.streaming import pipeline as SP
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = str(tmp_path / "exp_stream")
+    os.makedirs(src)
+    slices = [
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+    ]
+    now = time.time()
+    for i, sl in enumerate(slices):
+        p = os.path.join(src, f"s{i}.parquet")
+        sl.toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "range", "col": "o_totalprice", "lo": 0, "hi": 100000},
+        {"rule": "min_rows", "n": 10},
+    ]
+    out = str(tmp_path / "audit")
+    q = SP.run_expectations_stream(
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        rules,
+        out,
+        str(tmp_path / "ckpt_exp"),
+    )
+    q.awaitTermination(180)
+
+    audit = spark.read.parquet(out)
+    assert audit.select("batch_id").distinct().count() == 2
+    from data_ingestion_spark.functions.expectations import expect_report
+
+    got = {
+        (r.batch_id, r.rule): (r.violations, r.total, r.ok)
+        for r in audit.collect()
+    }
+    # order of file pickup follows mtime: batch i == slice i
+    for i, sl in enumerate(slices):
+        for r in expect_report(sl, rules).collect():
+            assert got[(i, r.rule)] == (r.violations, r.total, r.ok)

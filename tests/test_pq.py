@@ -245,3 +245,27 @@ def test_compaction_drops_dead_rows_and_equals_serving(spark):
     assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_pq_report_counts(spark):
+    from data_ingestion_spark.functions.pq import (
+        delete_ivfpq_ids,
+        pq_report,
+        upsert_ivfpq_store,
+    )
+
+    v = _vectors(spark, n=60, dim=16)
+    root = tempfile.mkdtemp(prefix="pqrep_")
+    shutil.rmtree(root)
+    write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
+    upsert_ivfpq_store(v.filter(F.col("vec_id") <= 10), root)  # replace 10
+    delete_ivfpq_ids(spark, root, spark.createDataFrame([(3,), (30,)], "vec_id bigint"))
+    rep = {r.segment: r for r in pq_report(spark, root).collect()}
+    assert rep[0].kind == "data" and rep[0].rows == 60
+    # base: 10 replaced by seg 1 + id 30 deleted by seg 2 (id 3 is
+    # shadowed by seg 1 already, counted once)
+    assert rep[0].shadowed_ids == 11
+    assert rep[1].kind == "data" and rep[1].rows == 10 and rep[1].shadowed_ids == 1
+    assert rep[2].kind == "tombstone" and rep[2].rows == 2 and rep[2].shadowed_ids == 0
+    assert all(r.bytes > 0 for r in rep.values())
+    shutil.rmtree(root, ignore_errors=True)
