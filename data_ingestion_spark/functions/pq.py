@@ -208,6 +208,7 @@ class IvfPqStore:
             .join(F.broadcast(lut_df), "ivf_cell")
             .select(
                 *extra_cols,
+                *self.meta.get("metadata_cols", []),
                 "id",
                 "seg",
                 F.aggregate(
@@ -240,7 +241,8 @@ class IvfPqStore:
         return luts
 
     def adc_candidates(
-        self, qv: list[float], n_probe: int = 4, keep: int = 128
+        self, qv: list[float], n_probe: int = 4, keep: int = 128,
+        where=None,
     ) -> DataFrame:
         """(id, adc) — the ``keep`` best LIVE stored codes by
         asymmetric distance among the ``n_probe`` cells nearest the
@@ -266,6 +268,11 @@ class IvfPqStore:
             luts, "ivf_cell int, lut array<array<double>>"
         )
         scored = self._scored_codes(lut_df, [c for c, _ in luts])
+        if where is not None:
+            # metadata filter INSIDE the pruned scan, before the
+            # top-keep — post-filter semantics on recall (same caveat
+            # as AnnStore.probe(where=): widen n_probe to buy it back)
+            scored = scored.filter(where)
         return (
             scored.orderBy(F.col("adc").asc(), F.col("id").asc())
             .limit(keep)
@@ -273,7 +280,8 @@ class IvfPqStore:
         )
 
     def probe(
-        self, qv: list[float], k: int = 5, n_probe: int = 4, keep: int = 128
+        self, qv: list[float], k: int = 5, n_probe: int = 4, keep: int = 128,
+        where=None,
     ) -> DataFrame:
         """ADC candidates → exact cosine re-rank from the raw sidecar.
         Returns (id_col, score) — the ``AnnStore.probe`` contract
@@ -285,7 +293,7 @@ class IvfPqStore:
         the re-rank."""
         if keep < k:
             raise ValueError(f"keep={keep} must be >= k={k}")
-        cand = self.adc_candidates(qv, n_probe, keep)
+        cand = self.adc_candidates(qv, n_probe, keep, where=where)
         pairs = [(r.id, r.seg) for r in cand.select("id", "seg").collect()]
         if not pairs:
             return self.spark.createDataFrame(
@@ -321,6 +329,7 @@ class IvfPqStore:
         keep: int = 128,
         query_id_col: str = "query_id",
         query_vec_col: str = "qvec",
+        where=None,
     ) -> DataFrame:
         """Batch IVF-PQ serving — N queries in ONE plan (the
         ``AnnStore.probe_batch`` contract for the PQ layout; returns
@@ -386,6 +395,9 @@ class IvfPqStore:
             lut_rows, f"{query_id_col} {qid_type}, ivf_cell int, lut array<array<double>>"
         )
         scored = self._scored_codes(lut_df, sorted(probed_union), query_id_col)
+        if where is not None:
+            # same post-filter semantics as probe(where=), per query
+            scored = scored.filter(where)
         from pyspark.sql import Window
 
         w_adc = Window.partitionBy(query_id_col).orderBy(
@@ -454,10 +466,13 @@ def _id_bucket(i: int, buckets: int) -> int:
     return int(i) % buckets
 
 
-def _make_encoder(C_list: list, CB_list: list, ds: int):
+def _make_encoder(C_list: list, CB_list: list, ds: int, metadata_cols=()):
     """Arrow-batch encoder closure over FROZEN quantizers — shared by
     the base build and every delta upsert, so the two paths cannot
-    disagree on what a code means."""
+    disagree on what a code means. ``metadata_cols`` pass through
+    untouched (the filtered-search substrate — they ride with the
+    codes so a ``where=`` filter applies INSIDE the pruned scan,
+    before the ADC top-keep)."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Ce = np.asarray(C_list)
@@ -480,13 +495,14 @@ def _make_encoder(C_list: list, CB_list: list, ds: int):
                     - 2.0 * (sub @ cb.T)
                     + (cb * cb).sum(axis=1)[None, :]
                 ).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].astype("int64"),
-                    "ivf_cell": cell.astype("int32"),
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "id": pdf["id"].astype("int64"),
+                "ivf_cell": cell.astype("int32"),
+                "codes": list(codes),
+            }
+            for c in metadata_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return encode
 
@@ -499,12 +515,19 @@ def _write_segment(
     CB_list: list,
     ds: int,
     raw_id_buckets: int,
+    metadata_cols=(),
 ) -> None:
     """Write one data segment: codes/seg=N (partitioned by ivf_cell),
     raw/seg=N (partitioned by id-hash bucket), ids/seg=N (the shadow
     sidecar — id list only, delta-sized). ``seg`` is an integer so
     partition discovery types it and generation order is plain ``>``."""
-    encoded = src.mapInPandas(_make_encoder(C_list, CB_list, ds), _CODES_SCHEMA)
+    schema = StructType(
+        list(_CODES_SCHEMA.fields)
+        + [src.schema[c] for c in metadata_cols]
+    )
+    encoded = src.mapInPandas(
+        _make_encoder(C_list, CB_list, ds, metadata_cols), schema
+    )
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(root, "codes", f"seg={seg}")
     )
@@ -543,12 +566,15 @@ def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
     C, CB = store._load_quantizers()
     ds = meta["dim"] // meta["m"]
     seg = max(meta["segments"]) + 1
+    mcols = tuple(meta.get("metadata_cols", ()))
     src = vectors.select(
         F.col(meta["id_col"]).cast("bigint").alias("id"),
         F.col(meta["vec_col"]).alias("vec"),
+        *mcols,
     )
     _write_segment(
-        src, root, seg, C.tolist(), CB.tolist(), ds, meta["raw_id_buckets"]
+        src, root, seg, C.tolist(), CB.tolist(), ds, meta["raw_id_buckets"],
+        metadata_cols=mcols,
     )
     meta["segments"] = meta["segments"] + [seg]
     _write_meta(root, meta)
@@ -633,6 +659,7 @@ def write_ivfpq_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     raw_id_buckets: int = DEFAULT_RAW_ID_BUCKETS,
+    metadata_cols: tuple = (),
 ) -> IvfPqStore:
     """Train (driver-side, bounded, deterministic) + encode
     (executor-side, Arrow-batched) + write the IVF-PQ layout.
@@ -686,9 +713,14 @@ def write_ivfpq_store(
 
     # ---- executor-side full-corpus encode (Arrow batches) ----------
     src = vectors.select(
-        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).alias("vec"),
+        *metadata_cols,
     )
-    _write_segment(src, root, 0, C.tolist(), CB.tolist(), ds, raw_id_buckets)
+    _write_segment(
+        src, root, 0, C.tolist(), CB.tolist(), ds, raw_id_buckets,
+        metadata_cols=metadata_cols,
+    )
     spark.createDataFrame(
         [(int(c), [float(v) for v in C[c]]) for c in range(n_cells)],
         "cell int, centroid array<double>",
@@ -712,6 +744,7 @@ def write_ivfpq_store(
         "n_fit": int(n_fit),
         "segments": [0],
         "tombstones": [],
+        "metadata_cols": list(metadata_cols),
     }
     _write_meta(root, meta)
     return IvfPqStore(spark, root)

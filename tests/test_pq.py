@@ -269,3 +269,37 @@ def test_pq_report_counts(spark):
     assert rep[2].kind == "tombstone" and rep[2].rows == 2 and rep[2].shadowed_ids == 0
     assert all(r.bytes > 0 for r in rep.values())
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_filtered_probe_and_batch(spark):
+    """Metadata filtering inside the pruned scan (the AnnStore
+    where= contract on the PQ layout): filtered probe equals brute
+    force over the filtered corpus; metadata survives upsert."""
+    from data_ingestion_spark.functions.pq import upsert_ivfpq_store
+
+    v = _vectors(spark, n=150, dim=16).withColumn(
+        "lang", F.when(F.col("vec_id") % 3 == 0, "en").otherwise("de")
+    )
+    root = tempfile.mkdtemp(prefix="pqfilt_")
+    shutil.rmtree(root)
+    write_ivfpq_store(v, root, n_cells=4, m=4, iters=4, metadata_cols=("lang",))
+    s = upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 6), root
+    )  # metadata rides the delta too
+    q = list(v.filter(F.col("vec_id") == 11).head().embedding)
+    got = s.probe(q, k=5, n_probe=4, keep=150, where=F.col("lang") == "en").collect()
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    want = brute_force_topk(v.filter(F.col("lang") == "en"), qcol, 5).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    queries = spark.createDataFrame(
+        [(1, q)], "query_id bigint, qvec array<double>"
+    )
+    b = s.probe_batch(
+        queries, k=5, n_probe=4, keep=150, where=F.col("lang") == "en"
+    ).collect()
+    assert [(r.vec_id, r.score) for r in b] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    shutil.rmtree(root, ignore_errors=True)
