@@ -651,7 +651,7 @@ def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfP
 def write_ivfpq_store(
     vectors: DataFrame,
     root: str,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     m: int = DEFAULT_M,
     k_pq: int = DEFAULT_PQ_K,
     max_fit_rows: int = DEFAULT_MAX_FIT_ROWS,
@@ -690,6 +690,25 @@ def write_ivfpq_store(
             "dividing the embedding width"
         )
     n_fit = len(X)
+    if n_cells == "auto":
+        # the IVF sqrt rule (kmeans_ivf_build's dial): n_probe cells
+        # of ~sqrt(n) rows each make probe cost grow with sqrt(corpus)
+        # — eager (one count() job) like the IVF builder, and capped
+        # by the fit rows with the same loud warning
+        n = vectors.count()
+        auto_k = max(2, int(round(n ** 0.5)))
+        n_cells = max(1, min(auto_k, n_fit))
+        if n_cells < auto_k:
+            import warnings
+
+            warnings.warn(
+                f"write_ivfpq_store: auto n_cells {auto_k} capped to "
+                f"{n_cells} by the fit-sample size — raise max_fit_rows",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if not isinstance(n_cells, int):
+        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
     if n_cells > n_fit:
         raise ValueError(
             f"n_cells={n_cells} exceeds the {n_fit} rows available to fit "

@@ -303,3 +303,18 @@ def test_filtered_probe_and_batch(spark):
         (r.vec_id, r.score) for r in want
     ]
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_auto_n_cells(spark):
+    from data_ingestion_spark.functions.pq import write_ivfpq_store as W
+
+    v = _vectors(spark, n=100, dim=16)
+    root = tempfile.mkdtemp(prefix="pqauto_")
+    shutil.rmtree(root)
+    s = W(v, root, n_cells="auto", m=4, iters=4)
+    assert s.meta["n_cells"] == 10  # round(sqrt(100))
+    import pytest
+
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        W(v, tempfile.mkdtemp(), n_cells="many", m=4)
+    shutil.rmtree(root, ignore_errors=True)
