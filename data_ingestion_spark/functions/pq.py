@@ -531,7 +531,9 @@ def _write_segment(
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(root, "codes", f"seg={seg}")
     )
-    src.withColumn(
+    # raw stays lean (id, vec): metadata lives with the codes, where
+    # the where= filter runs — and compaction recovers it from there
+    src.select("id", "vec").withColumn(
         "__rb", F.pmod(F.col("id"), F.lit(raw_id_buckets)).cast("int")
     ).write.mode("overwrite").partitionBy("__rb").parquet(
         os.path.join(root, "raw", f"seg={seg}")
@@ -621,6 +623,7 @@ def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfP
         )
     store = IvfPqStore(spark, root)
     meta = store.meta
+    mcols = list(meta.get("metadata_cols", ()))
     latest = (
         spark.read.parquet(os.path.join(root, "ids"))
         .groupBy("id")
@@ -629,17 +632,27 @@ def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfP
     live = spark.read.parquet(os.path.join(root, "raw")).join(
         latest, ["id", "seg"]
     )
+    if mcols:
+        # metadata rides the CODES segments (not the raw sidecar) —
+        # recover each survivor's metadata from its own segment so a
+        # filtered store stays filterable across the fold
+        md = spark.read.parquet(os.path.join(root, "codes")).select(
+            "id", "seg", *mcols
+        )
+        live = live.join(md, ["id", "seg"])
     kwargs = dict(
         n_cells=meta["n_cells"],
         m=meta["m"],
         k_pq=meta["k_pq"],
         raw_id_buckets=meta["raw_id_buckets"],
+        metadata_cols=tuple(mcols),
     )
     kwargs.update(train_kwargs)
     return write_ivfpq_store(
         live.select(
             F.col("id").alias(meta["id_col"]),
             F.col("vec").alias(meta["vec_col"]),
+            *mcols,
         ),
         out_root,
         id_col=meta["id_col"],

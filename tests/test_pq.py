@@ -318,3 +318,42 @@ def test_auto_n_cells(spark):
     with pytest.raises(ValueError, match="int or 'auto'"):
         W(v, tempfile.mkdtemp(), n_cells="many", m=4)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compaction_carries_metadata(spark):
+    """Self-review r14: compaction rebuilds from the raw sidecar, but
+    metadata rides the CODES segments — the fold must recover each
+    survivor's metadata from its own segment or a filtered store
+    silently stops being filterable."""
+    from data_ingestion_spark.functions.pq import (
+        compact_ivfpq_store,
+        upsert_ivfpq_store,
+        write_ivfpq_store as W,
+    )
+
+    v = _vectors(spark, n=60, dim=16).withColumn(
+        "lang", F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de")
+    )
+    root = tempfile.mkdtemp(prefix="pqcm_")
+    shutil.rmtree(root)
+    W(v, root, n_cells=4, m=4, iters=4, metadata_cols=("lang",))
+    # replace ids 1..5 flipping their language — the fold must keep
+    # the NEWEST metadata, from the delta segment
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 5).withColumn("lang", F.lit("fr")), root
+    )
+    out = tempfile.mkdtemp(prefix="pqcm_out_")
+    shutil.rmtree(out)
+    c = compact_ivfpq_store(spark, root, out)
+    assert c.meta["metadata_cols"] == ["lang"]
+    q = list(v.filter(F.col("vec_id") == 2).head().embedding)
+    got = c.probe(q, k=1, n_probe=4, keep=60, where=F.col("lang") == "fr").head()
+    assert got.vec_id == 2 and got.score == 1.0
+    # and the flipped-language rows are excluded under their OLD tag
+    en_ids = {
+        r.vec_id
+        for r in c.probe(q, k=30, n_probe=4, keep=60, where=F.col("lang") == "en").collect()
+    }
+    assert en_ids.isdisjoint({1, 2, 3, 4, 5})
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
