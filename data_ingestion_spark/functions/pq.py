@@ -573,7 +573,10 @@ def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
         F.col(meta["id_col"]).cast("bigint").alias("id"),
         F.col(meta["vec_col"]).alias("vec"),
         *mcols,
-    )
+    ).dropDuplicates(["id"])  # two same-seg copies would BOTH be live
+    # (same generation — neither shadows the other); arbitrary winner,
+    # pre-dedup upstream with an ordering column when it matters
+
     _write_segment(
         src, root, seg, C.tolist(), CB.tolist(), ds, meta["raw_id_buckets"],
         metadata_cols=mcols,
