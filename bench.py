@@ -376,6 +376,41 @@ def main() -> None:
             hits / (5 * len(qrows)), 3
         )
     assigned.unpersist()
+
+    # IVF-PQ (r14, the third at-rest layout): tracked quality for the
+    # compressed-codes path — same recall/cost dial as the kmeans IVF
+    # rows above, but candidates come from ADC over m smallint codes
+    # in partition-pruned cells with an exact raw re-rank
+    import tempfile as _tf
+
+    from data_ingestion_spark.functions.pq import write_ivfpq_store
+
+    pq_dir = _tf.mkdtemp(prefix="bench_ivfpq_")
+    shutil.rmtree(pq_dir, ignore_errors=True)
+    try:
+        t0 = time.perf_counter()
+        pq_store = write_ivfpq_store(
+            emb.select("vec_id", "embedding"), pq_dir, n_cells=16, m=8
+        )
+        throughput["ann_ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
+        hits_pq = {4: 0, 8: 0}
+        for qr in qrows:
+            qv = F.array(*[F.lit(float(x)) for x in qr.embedding])
+            exact = {r.vec_id for r in brute_force_topk(emb, qv, k=5).collect()}
+            for n_probe in hits_pq:
+                got = {
+                    r.vec_id
+                    for r in pq_store.probe(
+                        list(qr.embedding), k=5, n_probe=n_probe, keep=64
+                    ).collect()
+                }
+                hits_pq[n_probe] += len(exact & got)
+        for n_probe, hits in hits_pq.items():
+            throughput[f"ann_ivfpq{n_probe}_recall_at_5"] = round(
+                hits / (5 * len(qrows)), 3
+            )
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
     emb.unpersist()
 
     # at-rest lexical index (r11): build once UNTIMED, then measure
