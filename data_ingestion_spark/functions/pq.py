@@ -188,6 +188,9 @@ class IvfPqStore:
             return scored
         shadow = (
             self.spark.read.parquet(os.path.join(self.root, "ids"))
+            # committed-only: a crashed upsert's orphan seg dir (data
+            # written, meta never swapped) must not shadow anything
+            .filter(F.col("seg").isin(segs))
             .filter(F.col("seg") > min(segs))
             .select(F.col("id").alias("__sid"), F.col("seg").alias("__sseg"))
         )
@@ -204,7 +207,10 @@ class IvfPqStore:
         scoring is m JVM array lookups inside codegen."""
         codes = self.spark.read.parquet(os.path.join(self.root, "codes"))
         scored = (
-            codes.filter(F.col("ivf_cell").isin(probed))
+            # seg IN committed: crash-debris segment dirs are invisible
+            # (both are partition filters — the scan prunes on each)
+            codes.filter(F.col("seg").isin(self.meta["segments"]))
+            .filter(F.col("ivf_cell").isin(probed))
             .join(F.broadcast(lut_df), "ivf_cell")
             .select(
                 *extra_cols,
@@ -629,6 +635,7 @@ def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfP
     mcols = list(meta.get("metadata_cols", ()))
     latest = (
         spark.read.parquet(os.path.join(root, "ids"))
+        .filter(F.col("seg").isin(meta["segments"]))  # committed only
         .groupBy("id")
         .agg(F.max("seg").alias("seg"))
     )
@@ -846,7 +853,9 @@ def pq_report(spark, root: str) -> DataFrame:
                     total += os.path.getsize(os.path.join(base, f))
         return total
 
-    all_ids = spark.read.parquet(os.path.join(root, "ids"))
+    all_ids = spark.read.parquet(os.path.join(root, "ids")).filter(
+        F.col("seg").isin(segs)  # crash debris never counts
+    )
     rows = []
     for seg in segs:
         mine = all_ids.filter(F.col("seg") == seg).select("id")

@@ -357,3 +357,45 @@ def test_compaction_carries_metadata(spark):
     assert en_ids.isdisjoint({1, 2, 3, 4, 5})
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_orphan_segment_dirs_are_invisible(spark):
+    """Crash safety (the r13-ADVICE debris class on this layout): a
+    crashed upsert leaves seg dirs WITHOUT a meta update — those rows
+    must neither serve nor shadow nor count in the report."""
+    from data_ingestion_spark.functions.pq import (
+        IvfPqStore,
+        pq_report,
+        upsert_ivfpq_store,
+    )
+
+    v = _vectors(spark, n=50, dim=16)
+    root = tempfile.mkdtemp(prefix="pqorph_")
+    shutil.rmtree(root)
+    write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
+    s = IvfPqStore(spark, root)
+    q = list(v.filter(F.col("vec_id") == 5).head().embedding)
+    before = [(r.vec_id, r.score) for r in s.probe(q, k=5, n_probe=4, keep=50).collect()]
+
+    # simulate the crash: upsert writes everything, then meta reverts
+    import json
+    import os
+
+    meta_path = os.path.join(root, "_pq_meta.json")
+    committed = open(meta_path).read()
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 20).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+        root,
+    )
+    with open(meta_path, "w") as f:
+        f.write(committed)  # the pointer never swapped
+
+    s2 = IvfPqStore(spark, root)
+    after = [(r.vec_id, r.score) for r in s2.probe(q, k=5, n_probe=4, keep=50).collect()]
+    assert after == before  # orphan rows neither serve nor shadow
+    rep = pq_report(spark, root).collect()
+    assert [r.segment for r in rep] == [0]
+    assert rep[0].shadowed_ids == 0  # debris doesn't count as shadow
+    shutil.rmtree(root, ignore_errors=True)
