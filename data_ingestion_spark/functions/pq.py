@@ -805,6 +805,7 @@ def maybe_compact_ivfpq_store(
     Returns True when a fold happened."""
     import shutil
 
+    recover_ivfpq_root(root)
     store = IvfPqStore(spark, root)
     if len(store.meta["segments"]) <= max_segments:
         return False
@@ -820,6 +821,33 @@ def maybe_compact_ivfpq_store(
     os.rename(tmp, root)
     shutil.rmtree(old, ignore_errors=True)
     return True
+
+
+def recover_ivfpq_root(root: str) -> bool:
+    """Crash recovery for the rename swap: a crash BETWEEN the two
+    renames leaves no live root but a COMPLETE store at
+    ``root__compact`` (newest, preferred) or ``root__old`` (the
+    pre-fold store, if the crash hit before the second rename could
+    start). Called by ``maybe_compact_ivfpq_store`` and the streaming
+    fold before any decision that keys off the root's existence — a
+    missing root must mean 'never built', not 'mid-swap crash', or
+    the fold would rebuild a fresh base over recoverable data.
+    Returns True when a recovery happened."""
+    import shutil
+
+    if os.path.exists(os.path.join(root, "_pq_meta.json")):
+        return False
+    for cand in (root.rstrip("/") + "__compact", root.rstrip("/") + "__old"):
+        if os.path.exists(os.path.join(cand, "_pq_meta.json")):
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(cand, root)
+            for leftover in (
+                root.rstrip("/") + "__compact",
+                root.rstrip("/") + "__old",
+            ):
+                shutil.rmtree(leftover, ignore_errors=True)
+            return True
+    return False
 
 
 def pq_report(spark, root: str) -> DataFrame:

@@ -698,6 +698,7 @@ def run_pq_maintenance_stream(
         if not has_delta and not has_dels:
             return
         spark = batch_df.sparkSession
+        PQ.recover_ivfpq_root(root)  # mid-swap crash != never built
         built = os.path.exists(os.path.join(root, "_pq_meta.json"))
         marker = os.path.join(root, "_last_batch_id")
         if built:

@@ -399,3 +399,30 @@ def test_orphan_segment_dirs_are_invisible(spark):
     assert [r.segment for r in rep] == [0]
     assert rep[0].shadowed_ids == 0  # debris doesn't count as shadow
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_recover_root_after_mid_swap_crash(spark):
+    """A crash between the fold's two renames leaves no root but a
+    complete store beside it — recovery must prefer the newer
+    __compact and never let the stream rebuild a fresh base."""
+    import os
+
+    from data_ingestion_spark.functions.pq import (
+        IvfPqStore,
+        recover_ivfpq_root,
+    )
+
+    v = _vectors(spark, n=40, dim=16)
+    root = tempfile.mkdtemp(prefix="pqrec_")
+    shutil.rmtree(root)
+    write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
+    # simulate the crash: root renamed away, new store not yet in place
+    os.rename(root, root + "__compact")
+    assert not os.path.exists(root)
+    assert recover_ivfpq_root(root) is True
+    s = IvfPqStore(spark, root)
+    q = list(v.filter(F.col("vec_id") == 5).head().embedding)
+    assert s.probe(q, k=1, n_probe=4, keep=40).head().vec_id == 5
+    assert not os.path.exists(root + "__compact")
+    assert recover_ivfpq_root(root) is False  # healthy root: no-op
+    shutil.rmtree(root, ignore_errors=True)
