@@ -61,6 +61,17 @@ DRIVER_WINDOW: list[str] = [
     # the r15 window; the rewired serving paths
     # take their slots because a driver re-green of changed code
     # outranks a re-confirmation of unchanged code.
+    # Wave-4 additions (never checked): triangle counting, cohort
+    # retention, Markov transitions, blocked fuzzy ER. To keep the
+    # window at 50, four r10-stale names whose family sibling remains
+    # in this window moved to the r15 head: similarity_topk_lsh
+    # (sibling similarity_topk stays), dedup_exact (sibling
+    # dedup_exact_normalized stays), dedup_simhash +
+    # dedup_ngram_jaccard_capped (sibling dedup_ngram_jaccard stays).
+    "graph_triangle_count",
+    "cohort_retention_weekly",
+    "markov_transitions",
+    "er_fuzzy_blocked",
     "join_stream_interval_batch",
     "dedup_image_phash",
     "index_delete_ids",
@@ -95,16 +106,12 @@ DRIVER_WINDOW: list[str] = [
     "crawl_rank_pipeline",
     "crawl_robots_gate",
     "similarity_topk",
-    "similarity_topk_lsh",
     "ann_store_probe",
     "ann_ivf_search",
     "embed_near_dup",
     "rag_context_assemble",
-    "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
     "ann_store_upsert",
     "ann_store_quantized",
     "rank_bm25_index_upsert",

@@ -832,3 +832,73 @@ def remove_repeated_lines(
             sep,
         ).alias("text")
     )
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    block_prefix_len: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy entity resolution: every (left, right) row pair
+    whose string columns are within Levenshtein distance
+    ``max_dist``, found WITHOUT the all-pairs cross product. Output:
+    both inputs' columns plus ``dist`` (int). The record-linkage
+    primitive (same vendor spelled two ways, OCR'd titles, crawl
+    URLs with one-char typos) — the string-edit-space analogue of
+    the hamming64/minhash banding families above.
+
+    Blocking is the classic two-key scheme, and it is COMPLETE (not
+    heuristic) for pairs whose first ``block_prefix_len`` characters
+    agree:
+      - block key 1: the first ``block_prefix_len`` characters —
+        candidates must share it (edits inside the prefix are the
+        documented recall boundary: widen with a second pass on a
+        suffix or phonetic key if the workload edits prefixes);
+      - block key 2: string LENGTH, length-banded — an edit-distance
+        ≤ k pair differs in length by ≤ k, so the left side keys on
+        its own length and the right side fans out to the 2k+1
+        lengths it could match (F.explode of a k-bounded sequence —
+        a constant fan-out, NOT a data-dependent blowup).
+    Both keys fold into one equi-join key, so Catalyst plans a plain
+    shuffle hash join; the quadratic levenshtein() runs ONLY inside
+    blocks, JVM-side, as a post-join filter in the same stage. At
+    100 TB the cost is Σ|block_L|·|block_R| over (prefix, length)
+    cells — bounded by the name distribution, not n²; a hot prefix
+    cell (e.g. every row starting "ht") is diluted by the length
+    band and can be further split by raising block_prefix_len.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if block_prefix_len < 1:
+        raise ValueError(f"block_prefix_len must be >= 1, got {block_prefix_len}")
+    k = int(max_dist)
+    lkey = F.concat_ws(
+        "\x00",
+        F.substring(F.col(left_col), 1, block_prefix_len),
+        F.length(F.col(left_col)).cast("string"),
+    )
+    l = left.where(F.col(left_col).isNotNull()).withColumn("__bk", lkey)
+    r = (
+        right.where(F.col(right_col).isNotNull())
+        .withColumn(
+            "__dl", F.explode(F.expr(f"sequence(-{k}, {k})"))
+        )
+        .withColumn(
+            "__bk",
+            F.concat_ws(
+                "\x00",
+                F.substring(F.col(right_col), 1, block_prefix_len),
+                (F.length(F.col(right_col)) + F.col("__dl")).cast("string"),
+            ),
+        )
+        .drop("__dl")
+    )
+    return (
+        l.join(r, "__bk")
+        .withColumn("dist", F.levenshtein(F.col(left_col), F.col(right_col)))
+        .where(F.col("dist") <= k)
+        .drop("__bk")
+    )

@@ -444,3 +444,94 @@ def funnel_steps(
         reached = F.when(F.col(t).isNotNull(), F.lit(i + 1)).otherwise(reached)
     return out.withColumn("reached", reached.cast("int"))
 
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: (cohort_week, week_offset,
+    n_users) — of the users whose FIRST event fell in cohort_week
+    (Monday-truncated), how many were active again week_offset weeks
+    later. week_offset 0 is the cohort size itself, so
+    retention-rate = n_users / n_users@offset0 downstream. The
+    standard growth-analytics readout (complement of funnel_steps:
+    funnels measure depth within a visit, cohorts measure return
+    across weeks).
+
+    Plan — 3 shuffles, all on keys the data is already skew-safe on:
+    (1) per-user min(ts) agg keyed on user; (2) join of events back
+    to their user's cohort — keyed on user, and the agg output
+    arrives already hash-partitioned by user so AQE reuses the
+    exchange; (3) the distinct-(cohort, offset, user) + count agg.
+    A user's weekly activity collapses to ≤ 1 row per (user, week)
+    BEFORE the final count via the distinct, partial-aggregated
+    map-side. No window over the raw event stream — at 100 TB the
+    per-user agg is the cheap half and the join fans each event row
+    to exactly one output row.
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohort = F.date_trunc("week", F.col("__first_ts")).cast("date")
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    return (
+        events.select(user_col, ts_col)
+        .join(first, user_col)
+        .select(
+            F.col(user_col).alias("__u"),
+            cohort.alias("cohort_week"),
+            (F.datediff(week, cohort) / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: (from_type, to_type, n, p_micros) where p_micros is
+    the integer-micros conditional probability of to_type given
+    from_type (n * 1_000_000 // row_total — exact BIGINT arithmetic,
+    the cross-engine-hashable discipline PageRank/HITS use; the
+    floor leaves Σp ≤ 1e6 per row, ordering unaffected). The
+    session-path / next-event model behind "users who error next do
+    X" analyses and synthetic-session generators.
+
+    Plan: ONE window (lead over (user) ordered by (ts, tiebreak) —
+    the tiebreak makes the sequence deterministic under equal
+    timestamps, which cross-engine correctness requires) → pair
+    count agg → a per-from_type total via a second window over the
+    counted matrix, which is |types|² rows, not |events| — the
+    row-normalization never touches event-scale data. 2 event-scale
+    shuffles total (window + agg); the matrix-scale window is free.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(user_col, ts_col, type_col, *([tiebreak_col] if tiebreak_col else []))
+        .withColumn("__next", F.lead(type_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("__next").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Row totals BEFORE the min_count filter: p_micros stays the true
+    # conditional probability even when rare transitions are pruned
+    # from the report.
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div sum(n) over (partition by from_type)")
+        .cast("bigint")
+        .alias("p_micros"),
+    ).where(F.col("n") >= int(min_count))

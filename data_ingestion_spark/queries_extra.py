@@ -3128,3 +3128,167 @@ def dedup_exact_normalized(spark, sf_dir):
         "keep_id",
         (F.col("doc_id") == F.col("keep_id")).alias("is_survivor"),
     )
+
+
+# =====================================================================
+# round-14 wave-4 Z-series: graph structure, product analytics,
+# record linkage
+# =====================================================================
+
+
+@q(
+    "graph_triangle_count",
+    "WITH n AS (SELECT count(*) AS c FROM documents), "
+    "raw AS (SELECT DISTINCT doc_id AS s, (doc_id * 7 + 13 * j.j) % n.c AS d "
+    "FROM documents, n, (VALUES (1), (2), (3)) j(j)), "
+    "e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v "
+    "FROM raw WHERE s <> d), "
+    "t AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a "
+    "JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v), "
+    "corners AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+    "UNION ALL SELECT z FROM t) "
+    "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY node",
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle participation (round-14 Z-series) — the
+    local-clustering crawl signal separating organic neighborhoods
+    from link-farm cliques (functions/graph.py::triangle_count,
+    degree-ordered node-iterator: every triangle counted exactly
+    once at its lowest-(degree, id) corner, wedge fan-out bounded by
+    the O(sqrt(m)) oriented out-degree). Same deterministic 3-out
+    pseudo-graph as crawl_pagerank / crawl_hits_scores; the DuckDB
+    twin enumerates x<y<z corner triples over the canonical
+    undirected edge set — a different orientation of the SAME
+    triangle set, so the hash certifies undirection, orientation,
+    wedge closure, and the corner fan-out together."""
+    from .functions.graph import triangle_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        d.join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            "__n",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+@q(
+    "cohort_retention_weekly",
+    "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT e.user_id, f.cw, "
+    "CAST(datediff('day', f.cw, date_trunc('week', e.ts)) // 7 AS INTEGER) AS wo "
+    "FROM events e JOIN f ON f.user_id = e.user_id) "
+    "SELECT strftime(CAST(cw AS DATE), '%Y-%m-%d') AS cohort_week, "
+    "wo AS week_offset, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM a GROUP BY cw, wo",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort-retention matrix (round-14 Z-series) — the
+    return-rate readout funnel_conversion doesn't cover
+    (operators/relational.py::cohort_retention: per-user min-ts agg,
+    exchange-reusing join back, distinct-(cohort, offset, user)
+    count — 3 shuffles, no event-scale window). Monday-truncated
+    weeks in both engines; offsets are exact multiples of 7 days so
+    the integer division is lossless cross-engine. cohort_week rides
+    as a yyyy-MM-dd string (the repo's cross-engine date parity
+    convention — DATE surfaces as date-vs-Timestamp across the two
+    pandas bridges)."""
+    from .operators.relational import cohort_retention
+
+    out = cohort_retention(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
+
+
+@q(
+    "markov_transitions",
+    "WITH p AS (SELECT event_type AS ft, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS tt FROM events), "
+    "c AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM p "
+    "WHERE tt IS NOT NULL GROUP BY ft, tt) "
+    "SELECT ft AS from_type, tt AS to_type, n, "
+    "CAST((n * 1000000) // sum(n) OVER (PARTITION BY ft) AS BIGINT) AS p_micros "
+    "FROM c",
+)
+def markov_transitions(spark, sf_dir):
+    """First-order Markov next-event matrix (round-14 Z-series) —
+    (from, to, n, conditional-probability micros) over each user's
+    (ts, event_id)-ordered stream (operators/relational.py::
+    transition_matrix: ONE event-scale window + count agg; the
+    row normalization is a window over the |types|² matrix, free).
+    Integer-micros division keeps the hash exact cross-engine; the
+    event_id tiebreak makes equal-timestamp ordering deterministic,
+    which the oracle mirrors."""
+    from .operators.relational import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "er_fuzzy_blocked",
+    "WITH p AS (SELECT p_partkey, p_name FROM part WHERE length(p_name) >= 6), "
+    "c AS (SELECT p_partkey AS c_key, concat("
+    "substr(p_name, 1, CAST(2 + p_partkey % (length(p_name) - 2) AS INTEGER)), "
+    "substr(p_name, CAST(4 + p_partkey % (length(p_name) - 2) AS INTEGER))"
+    ") AS c_name FROM p), "
+    "m AS (SELECT c.c_key, c.c_name, p.p_partkey AS match_key, "
+    "levenshtein(c.c_name, p.p_name) AS dist FROM c JOIN p ON "
+    "substr(c.c_name, 1, 2) = substr(p.p_name, 1, 2) AND "
+    "abs(length(c.c_name) - length(p.p_name)) <= 1 "
+    "WHERE levenshtein(c.c_name, p.p_name) <= 1), "
+    "r AS (SELECT m.*, row_number() OVER (PARTITION BY c_key "
+    "ORDER BY dist, match_key) AS rn FROM m) "
+    "SELECT c_key, c_name, match_key, CAST(dist AS INTEGER) AS dist "
+    "FROM r WHERE rn = 1",
+)
+def er_fuzzy_blocked(spark, sf_dir):
+    """Blocked fuzzy entity resolution (round-14 Z-series) — the
+    record-linkage primitive in edit-distance space (functions/
+    dedup.py::fuzzy_join_blocked: (prefix, length-band) equi-join
+    blocking, JVM levenshtein verify inside blocks only — never the
+    n² cross product). Fixture: every part name (len ≥ 6) gets a
+    deterministic one-char-deletion twin (position 3 +
+    key % (len-2), so the 2-char block prefix provably survives and
+    the blocking is COMPLETE for the planted edits); each twin is
+    resolved back against the clean catalog, best match = (min dist,
+    min key). The oracle applies the IDENTICAL block + verify + pick
+    in SQL, certifying corruption, blocking completeness, the
+    levenshtein verify, and the deterministic tie-break in one
+    hash."""
+    from .functions.dedup import fuzzy_join_blocked
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").where(F.length("p_name") >= 6)
+    d_off = "p_partkey % (length(p_name) - 2)"
+    corrupt = p.select(
+        F.col("p_partkey").alias("c_key"),
+        F.expr(
+            f"concat(substr(p_name, 1, cast(2 + {d_off} as int)), "
+            f"substr(p_name, cast(4 + {d_off} as int)))"
+        ).alias("c_name"),
+    )
+    clean = p.select("p_partkey", "p_name")
+    m = fuzzy_join_blocked(corrupt, clean, "c_name", "p_name", max_dist=1)
+    w = Window.partitionBy("c_key").orderBy(F.col("dist").asc(), F.col("p_partkey").asc())
+    return (
+        m.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "c_key",
+            "c_name",
+            F.col("p_partkey").alias("match_key"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -273,3 +273,62 @@ def test_remove_repeated_lines_column_clash_raises(spark):
     )
     with pytest.raises(ValueError, match="collides"):
         remove_repeated_lines(df, "text", "doc_id")
+
+
+def test_fuzzy_join_blocked_edit_kinds(spark):
+    from data_ingestion_spark.functions.dedup import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [
+            (1, "chocolate"),   # exact
+            (2, "chocolte"),    # deletion at pos 6
+            (3, "chocolatte"),  # insertion
+            (4, "choXolate"),   # substitution past the prefix
+            (5, "Xhocolate"),   # edit INSIDE the 2-char block prefix
+            (6, "totally-different"),
+        ],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame([(7, "chocolate")], "rid long, rname string")
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in fuzzy_join_blocked(left, right, "lname", "rname", max_dist=1).collect()
+    }
+    # 5 is the documented recall boundary (prefix edit); 6 is out of range.
+    assert got == {(1, 7, 0), (2, 7, 1), (3, 7, 1), (4, 7, 1)}
+
+
+def test_fuzzy_join_blocked_length_band_and_nulls(spark):
+    from data_ingestion_spark.functions.dedup import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcdef"), (3, None)], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "abcde"), (11, None)], "rid long, rname string"
+    )
+    # dist 1 from both sides of the length band; NULLs never join.
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in fuzzy_join_blocked(left, right, "lname", "rname", max_dist=1).collect()
+    }
+    assert got == {(1, 10, 1), (2, 10, 1)}
+
+    # max_dist=2 widens the band symmetrically.
+    got2 = {
+        (r.lid, r.rid, r.dist)
+        for r in fuzzy_join_blocked(left, right, "lname", "rname", max_dist=2).collect()
+    }
+    assert got2 == {(1, 10, 1), (2, 10, 1)}
+
+
+def test_fuzzy_join_blocked_contracts(spark):
+    import pytest
+
+    from data_ingestion_spark.functions.dedup import fuzzy_join_blocked
+
+    df = spark.createDataFrame([(1, "x")], "i long, s string")
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join_blocked(df, df, "s", "s", max_dist=-1)
+    with pytest.raises(ValueError, match="block_prefix_len"):
+        fuzzy_join_blocked(df, df, "s", "s", block_prefix_len=0)

@@ -90,3 +90,49 @@ def test_cache_handles_enable_caller_unpersist(spark):
     assert {(r.v, r.n) for r in hh.collect()} == {("x", 5)}
     assert len(h3) == 1 and h3[0].storageLevel.useMemory
     h3[0].unpersist()
+
+
+def test_triangle_count_clique_and_path(spark):
+    from data_ingestion_spark.functions.graph import triangle_count
+
+    # K5: every node sits in C(4,2) = 6 triangles.
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    got = {
+        (r.node, r.n_tri)
+        for r in triangle_count(
+            spark.createDataFrame(k5, "src long, dst long")
+        ).collect()
+    }
+    assert got == {(n, 6) for n in range(5)}
+
+    # A path has no triangles -> empty result, not zeros.
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(path).count() == 0
+
+
+def test_triangle_count_collapses_direction_multiplicity_loops(spark):
+    from data_ingestion_spark.functions.graph import triangle_count
+
+    # One triangle encoded messily: reversed duplicates, a parallel
+    # edge, and a self loop must all collapse to the simple K3.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (3, 1), (1, 1)],
+        "src long, dst long",
+    )
+    got = {(r.node, r.n_tri) for r in triangle_count(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_triangle_count_hub_orientation(spark):
+    from data_ingestion_spark.functions.graph import triangle_count
+
+    # Star hub + one rim edge: exactly one triangle (hub, 1, 2); the
+    # high-degree hub must not inflate counts via unclosed wedges.
+    star = [(100, i) for i in range(1, 9)] + [(1, 2)]
+    got = {
+        (r.node, r.n_tri)
+        for r in triangle_count(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    assert got == {(100, 1), (1, 1), (2, 1)}

@@ -1153,3 +1153,76 @@ def test_unicode_normalize_forms_and_nulls(spark):
     assert out[4] == (None, None, None)
     with pytest.raises(ValueError, match="unknown normalization"):
         unicode_normalize(F.col("s"), "NFX")
+
+
+def test_cohort_retention_hand_case(spark):
+    from datetime import datetime
+
+    from data_ingestion_spark.operators.relational import cohort_retention
+
+    # Mondays: 2024-01-01, 01-08, 01-15. u1 joins wk0, returns wk2
+    # (twice in the same week -> counted once); u2 joins wk1 only.
+    rows = [
+        (1, datetime(2024, 1, 3, 10)),
+        (1, datetime(2024, 1, 16, 9)),
+        (1, datetime(2024, 1, 17, 9)),
+        (2, datetime(2024, 1, 9, 12)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_offset, r.n_users)
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0, 1),
+        ("2024-01-01", 2, 1),
+        ("2024-01-08", 0, 1),
+    }
+
+
+def test_transition_matrix_probabilities_and_tiebreak(spark):
+    from datetime import datetime
+
+    from data_ingestion_spark.operators.relational import transition_matrix
+
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    # u1: a->b->a->c ; u2: equal timestamps, event_id breaks the tie
+    # deterministically as b->a.
+    rows = [
+        (1, t, 1, "a"),
+        (1, datetime(2024, 1, 1, 0, 1), 2, "b"),
+        (1, datetime(2024, 1, 1, 0, 2), 3, "a"),
+        (1, datetime(2024, 1, 1, 0, 3), 4, "c"),
+        (2, t, 10, "b"),
+        (2, t, 11, "a"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {
+        (r.from_type, r.to_type, r.n, r.p_micros)
+        for r in transition_matrix(ev).collect()
+    }
+    assert got == {
+        ("a", "b", 1, 500000),
+        ("a", "c", 1, 500000),
+        ("b", "a", 2, 1000000),
+    }
+
+
+def test_transition_matrix_min_count_keeps_true_conditionals(spark):
+    from datetime import datetime, timedelta
+
+    from data_ingestion_spark.operators.relational import transition_matrix
+
+    t0 = datetime(2024, 1, 1)
+    seq = ["a", "b"] * 3 + ["a", "c"]  # a->b x3, b->a x3, a->c x1
+    rows = [
+        (1, t0 + timedelta(minutes=i), i, s) for i, s in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {
+        (r.from_type, r.to_type, r.n, r.p_micros)
+        for r in transition_matrix(ev, min_count=2).collect()
+    }
+    # a->c is pruned from the REPORT but still in a's denominator:
+    # p(a->b) = 3/4, not 3/3.
+    assert got == {("a", "b", 3, 750000), ("b", "a", 3, 1000000)}

@@ -131,6 +131,8 @@ CROSS_OK = {
     "hybrid_eval_metrics",     # hybrid stats row + 3-row query vectors (eval tail)
     "pmi_bigram_collocations",  # two 1-row corpus totals (N_uni, N_bi) broadcast
     "index_delete_ids",        # same 1-row stats broadcast, post-delete serve
+    "graph_triangle_count",    # 1-row node-count broadcast builds the fixture
+                               # graph (the crawl_pagerank/hits fixture shape)
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
@@ -151,6 +153,10 @@ PYTHON_OK: set[str] = {
     "mojibake_repair",           # round-trip repair, non-ASCII slice only
     "incremental_recrawl_pipeline",  # robots rule+delay parse (tiny per-host bodies)
     "html_main_content",         # boilerpipe block heuristic is a parser
+    "dedup_audio_fp",            # RIFF walk + PCM decode fused with frame-RMS;
+                                 # fingerprint pack/banding/verify stay JVM-side
+    "unicode_nfc_normalize",     # unicodedata UAX#15 has no Spark builtin
+    "dedup_exact_normalized",    # same NFC stage feeding the hash-key dedup
 }
 
 #: executes a live streaming job on call — excluded from plan lint
