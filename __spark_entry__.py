@@ -68,6 +68,10 @@ DRIVER_WINDOW: list[str] = [
     # (sibling similarity_topk stays), dedup_exact (sibling
     # dedup_exact_normalized stays), dedup_simhash +
     # dedup_ngram_jaccard_capped (sibling dedup_ngram_jaccard stays).
+    # crawl_harmonic_centrality (HyperBall) joins the wave-4 head;
+    # dedup_minhash moves to r15 (family siblings dedup_ngram_jaccard
+    # + the image/audio fingerprint dedups remain in this window).
+    "crawl_harmonic_centrality",
     "graph_triangle_count",
     "cohort_retention_weekly",
     "markov_transitions",
@@ -110,7 +114,6 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_search",
     "embed_near_dup",
     "rag_context_assemble",
-    "dedup_minhash",
     "dedup_ngram_jaccard",
     "ann_store_upsert",
     "ann_store_quantized",

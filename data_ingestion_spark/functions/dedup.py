@@ -874,6 +874,13 @@ def fuzzy_join_blocked(
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     if block_prefix_len < 1:
         raise ValueError(f"block_prefix_len must be >= 1, got {block_prefix_len}")
+    reserved = {"dist", "__bk", "__dl"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"fuzzy_join_blocked reserves column(s) {sorted(clash)}; "
+            "rename them on the input before joining"
+        )
     k = int(max_dist)
     lkey = F.concat_ws(
         "\x00",

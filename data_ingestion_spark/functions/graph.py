@@ -357,3 +357,120 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 3,
+    p: int = 11,
+    mode: str = "in",
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Approximate truncated harmonic centrality via HyperBall
+    (Boldi & Vigna, WWW'13 "In-core computation of geometric
+    centralities with HyperBall") — the algorithm behind the Common
+    Crawl harmonic-centrality rankings this module's header cites:
+
+        H(v) = Σ_{r=1..radius} (|B(v, r)| − |B(v, r−1)|) · 10⁶ div r
+
+    where |B(v, r)| is the HyperLogLog ESTIMATE of the ball of nodes
+    within distance r of v (``mode="in"``: nodes that can REACH v —
+    the link-authority direction rankings use; ``mode="out"``: nodes
+    v can reach). Output: (node, reach_est, harmonic_micros) with
+    reach_est = |B(v, radius)|.
+
+    Exact all-pairs distance is O(n·m) and the exact
+    reachable-set-per-node state is O(n²); HyperBall replaces each
+    node's set with 2^p HLL registers, and the whole iteration
+    becomes relational algebra over this module's sketch substrate
+    (functions/sketches.py): state = (node, bucket, rho) rows,
+
+        B_{r+1}(v) = B_r(v) ∪ ⋃_{(u,v)∈E} B_r(u)
+
+    is one equi-join (state ⋈ edges on the ball-owner key) + one
+    per-(node, bucket) max — union of HLL sketches IS register max,
+    so the monotone merge is a partial-aggregated shuffle, exactly
+    the pagerank iteration shape (2 shuffles × radius). Every
+    register is integer-exact md5 arithmetic (the sketches.py
+    discipline), the per-node estimate is ``hll_estimate_grouped``'s
+    fixed-order expression, and the harmonic sum is BIGINT micros —
+    the whole result is bit-deterministic under any partitioning,
+    which is what lets a SQL twin unroll it round by round.
+
+    The 100 TB shape: per-round state is ≤ |V|·2^p rows but in
+    practice |V|·min(ball, 2^p) (only nonzero registers exist as
+    rows); the join fans each edge by its head's nonzero register
+    count. p is the precision/traffic dial — Common Crawl-scale runs
+    use p=6..8 (±13–6 % on ball sizes, 64–256 registers/node);
+    the p=11 default matches ``DEFAULT_HLL_P`` for report-grade
+    accuracy on medium graphs. Estimate deltas are clamped at 0 (the
+    HLL bias-correction branch switch can wiggle a hair negative —
+    standard HyperBall practice). Per-round ``localCheckpoint``
+    truncates the lineage (the hits_scores OOM lesson); pass
+    ``cache_handles`` awareness is unnecessary — checkpoint blocks
+    are reclaimed with the session.
+    """
+    if mode not in ("in", "out"):
+        raise ValueError(f"mode must be 'in' or 'out', got {mode!r}")
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    from .sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+        hll_merge_grouped,
+    )
+
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("__eu"),
+        F.col(dst_col).cast("bigint").alias("__ev"),
+    ).where(F.col("__eu").isNotNull() & F.col("__ev").isNotNull())
+    # ball-owner key / emit key: "in"-balls grow v's set from its
+    # in-neighbors' sets (state at u flows along u→v to v)
+    head, tail = ("__eu", "__ev") if mode == "in" else ("__ev", "__eu")
+    nodes = (
+        e.select(F.col("__eu").alias("__node"))
+        .unionAll(e.select(F.col("__ev").alias("__node")))
+        .distinct()
+    )
+    state = hll_build_grouped(
+        nodes.select("__node", F.col("__node").alias("__v")), "__node", "__v", p
+    ).localCheckpoint(eager=True)
+
+    def est_of(s: DataFrame) -> DataFrame:
+        return hll_estimate_grouped(s, "__node", p).select("__node", "est")
+
+    prev = est_of(state)
+    harm = nodes.select("__node", F.lit(0).cast("bigint").alias("__h"))
+    for r in range(1, int(radius) + 1):
+        contrib = (
+            state.withColumnRenamed("__node", head)
+            .join(e, head)
+            .select(F.col(tail).alias("__node"), "bucket", "rho")
+        )
+        state = hll_merge_grouped("__node", state, contrib).localCheckpoint(
+            eager=True
+        )
+        cur = est_of(state)
+        harm = (
+            harm.join(prev.select("__node", F.col("est").alias("__pe")), "__node")
+            .join(cur.select("__node", F.col("est").alias("__ce")), "__node")
+            .select(
+                "__node",
+                (
+                    F.col("__h")
+                    + F.expr(
+                        f"(greatest(__ce - __pe, cast(0 as bigint)) * 1000000) div {r}"
+                    )
+                ).cast("bigint").alias("__h"),
+            )
+        )
+        prev = cur
+    return harm.join(
+        prev.select("__node", F.col("est").alias("reach_est")), "__node"
+    ).select(
+        F.col("__node").alias("node"),
+        "reach_est",
+        F.col("__h").alias("harmonic_micros"),
+    )

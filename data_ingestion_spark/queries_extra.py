@@ -3292,3 +3292,95 @@ def er_fuzzy_blocked(spark, sf_dir):
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def _hyperball_oracle(radius: int = 3) -> str:
+    """Unrolled DuckDB twin of the FULL HyperBall pipeline — the
+    _pagerank_oracle/_hits_oracle discipline applied to a sketch
+    algorithm: registers (the _hll_oracle idiom), the per-round
+    merge-along-edges, the group-wise estimate, and the clamped
+    integer-micros harmonic sum all replicate round by round, so the
+    hash certifies the ENTIRE approximate computation, not a
+    tolerance band around it."""
+    m, sat = 2048, 50  # p=11; rho saturates at 60-11+1
+    est = (
+        "{name} AS (SELECT node, CAST(CASE WHEN raw <= 2.5 * {m} AND "
+        "({m} - nonzero) > 0 THEN round({m}.0 * ln({m}.0 / "
+        "CAST({m} - nonzero AS DOUBLE))) ELSE round(raw) END AS BIGINT) AS est "
+        "FROM (SELECT node, nonzero, 0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * "
+        "{m}.0 * CAST(CAST(1 AS BIGINT) << {sat} AS DOUBLE) / inv AS raw "
+        "FROM (SELECT node, count(*) AS nonzero, "
+        "CAST(coalesce(sum(CAST(1 AS BIGINT) << ({sat} - rho)), 0) + "
+        "({m} - count(*)) * (CAST(1 AS BIGINT) << {sat}) AS BIGINT) AS inv "
+        "FROM {src} GROUP BY node)))"
+    )
+    parts = [
+        "WITH n AS (SELECT count(*) AS c FROM documents), "
+        "e AS (SELECT DISTINCT doc_id AS u, (doc_id * 7 + 13 * j.j) % n.c AS v "
+        "FROM documents, n, (VALUES (1), (2), (3)) j(j)), "
+        "nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e), "
+        "s0 AS (SELECT node, CAST(h % {m} AS INTEGER) AS bucket, "
+        "CAST(CASE WHEN h // {m} = 0 THEN {sat} ELSE 1 + "
+        "bit_count(((h // {m}) & -(h // {m})) - 1) END AS INTEGER) AS rho "
+        "FROM (SELECT node, CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15) "
+        "AS BIGINT) AS h FROM nodes)), ".format(m=m, sat=sat),
+        est.format(name="e0", src="s0", m=m, sat=sat),
+    ]
+    for r in range(1, radius + 1):
+        parts.append(
+            ", s{r} AS (SELECT node, bucket, max(rho) AS rho FROM ("
+            "SELECT node, bucket, rho FROM s{pr} UNION ALL "
+            "SELECT e.v AS node, s.bucket, s.rho FROM s{pr} s "
+            "JOIN e ON s.node = e.u) GROUP BY node, bucket), ".format(
+                r=r, pr=r - 1
+            )
+        )
+        parts.append(est.format(name=f"e{r}", src=f"s{r}", m=m, sat=sat))
+    terms = " + ".join(
+        f"(greatest(e{r}.est - e{r - 1}.est, CAST(0 AS BIGINT)) * 1000000) // {r}"
+        for r in range(1, radius + 1)
+    )
+    joins = " ".join(
+        f"JOIN e{r} ON e{r}.node = e0.node" for r in range(1, radius + 1)
+    )
+    parts.append(
+        f" SELECT e0.node, e{radius}.est AS reach_est, "
+        f"CAST({terms} AS BIGINT) AS harmonic_micros FROM e0 {joins}"
+    )
+    return "".join(parts)
+
+
+@q("crawl_harmonic_centrality", _hyperball_oracle())
+def crawl_harmonic_centrality(spark, sf_dir):
+    """Approximate truncated harmonic centrality via HyperBall
+    (round-14 Z-series) — THE Common Crawl frontier-ranking signal
+    (Boldi & Vigna WWW'13), closing the centrality trio this module
+    opened with PageRank and HITS (functions/graph.py::
+    harmonic_centrality): each node's reachable-ball is 2^11 HLL
+    registers from sketches.py's integer-exact md5 substrate, each
+    round is one equi-join + per-(node, bucket) max (sketch union IS
+    register max — the pagerank iteration shape), estimates are the
+    group-wise fixed-order HLL expression, and the harmonic sum is
+    clamped BIGINT micros. Because every step is deterministic
+    relational algebra, the DuckDB twin unrolls the IDENTICAL three
+    rounds — registers, merges, estimates, micros — and the hash
+    certifies the whole approximate pipeline bit-for-bit. Same
+    deterministic 3-out pseudo-graph as crawl_pagerank /
+    crawl_hits_scores, mode='in' (link-authority direction)."""
+    from .functions.graph import harmonic_centrality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("__n"))
+    edges = (
+        d.join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+            "__n",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
+        )
+    )
+    return harmonic_centrality(edges, radius=3, p=11, mode="in")

@@ -332,3 +332,6 @@ def test_fuzzy_join_blocked_contracts(spark):
         fuzzy_join_blocked(df, df, "s", "s", max_dist=-1)
     with pytest.raises(ValueError, match="block_prefix_len"):
         fuzzy_join_blocked(df, df, "s", "s", block_prefix_len=0)
+    clash = spark.createDataFrame([(1, "x", 0)], "i long, s string, dist int")
+    with pytest.raises(ValueError, match="reserves column"):
+        fuzzy_join_blocked(clash, df, "s", "s")

@@ -136,3 +136,49 @@ def test_triangle_count_hub_orientation(spark):
         ).collect()
     }
     assert got == {(100, 1), (1, 1), (2, 1)}
+
+
+def test_harmonic_centrality_path_exact_small_range(spark):
+    from data_ingestion_spark.functions.graph import harmonic_centrality
+
+    # 1->2->3->4; at p=11 the linear-counting branch is exact for
+    # tiny balls, so the approximate pipeline returns the TRUE
+    # truncated harmonic centralities: H(4) = 1/1 + 1/2 + 1/3.
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = sorted(
+        (r.node, r.reach_est, r.harmonic_micros)
+        for r in harmonic_centrality(e, radius=3, mode="in").collect()
+    )
+    assert got == [
+        (1, 1, 0),
+        (2, 2, 1_000_000),
+        (3, 3, 1_500_000),
+        (4, 4, 1_833_333),
+    ]
+    # out-mode is the mirror
+    out = {r.node: r.harmonic_micros for r in harmonic_centrality(e, mode="out").collect()}
+    assert out == {1: 1_833_333, 2: 1_500_000, 3: 1_000_000, 4: 0}
+
+
+def test_harmonic_centrality_radius_truncation_and_determinism(spark):
+    from data_ingestion_spark.functions.graph import harmonic_centrality
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    r1 = {r.node: r.harmonic_micros for r in harmonic_centrality(e, radius=1).collect()}
+    # radius 1: only direct predecessors count
+    assert r1 == {1: 0, 2: 1_000_000, 3: 1_000_000, 4: 1_000_000}
+    a = sorted(map(tuple, harmonic_centrality(e, radius=2).collect()))
+    b = sorted(map(tuple, harmonic_centrality(e, radius=2).collect()))
+    assert a == b  # bit-deterministic rebuild
+
+
+def test_harmonic_centrality_contracts(spark):
+    import pytest
+
+    from data_ingestion_spark.functions.graph import harmonic_centrality
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="mode"):
+        harmonic_centrality(e, mode="sideways")
+    with pytest.raises(ValueError, match="radius"):
+        harmonic_centrality(e, radius=0)

@@ -133,6 +133,7 @@ CROSS_OK = {
     "index_delete_ids",        # same 1-row stats broadcast, post-delete serve
     "graph_triangle_count",    # 1-row node-count broadcast builds the fixture
                                # graph (the crawl_pagerank/hits fixture shape)
+    "crawl_harmonic_centrality",  # same 1-row node-count fixture broadcast
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
