@@ -49,11 +49,40 @@ each, and fetches ``keep`` raw rows. Reference anchor: the sinks the
 reference writes to run HNSW/IVF inside the service (Weaviate
 P:341-349); this is the engine-side equivalent for corpus-scale
 batch retrieval.
+
+**Managed versioned root** (r14 verdict #1 — the reader-safety story
+the other two at-rest layouts already had): every lifecycle op
+(build, upsert, delete, compaction) lands a NEW version directory
+holding only a MANIFEST.json, then atomically swaps the root's
+``CURRENT`` pointer (``similarity._commit_index_version`` — the
+write-temp + rename + ``_COMMITS``-log discipline all three layouts
+share). Segment data stays in three parallel ``seg=N``
+Hive-partition pools so serving remains ONE partition-pruned scan::
+
+    root/CURRENT                  one-line pointer → v_NNNNNN
+    root/_COMMITS                 append-only commit log
+    root/v_NNNNNN/MANIFEST.json   geometry + quantizer gen +
+                                  committed segment list + tombstones
+    root/quantizers/q_NNNNNN/     quantizer/ + codebooks/ parquet —
+                                  FROZEN per train generation
+    root/codes/seg=N/             PARTITIONED BY ivf_cell (id, codes)
+    root/raw/seg=N/               partitioned by __rb (id, vec)
+    root/ids/seg=N/               id sidecar (tombstone = ids alone)
+
+Compaction is IN PLACE: re-train quantizers into a new generation,
+fold survivors into one fresh segment encoded against it, commit —
+a reader that resolved CURRENT just before the fold keeps serving
+its version's segments and ITS quantizer generation untouched until
+``vacuum_pq_store`` (retain >= 2 protects exactly that reader; the
+rename-swap fold and its ``recover_ivfpq_root`` crash dance are
+gone — crash debris is simply an uncommitted version/segment the
+``_COMMITS`` discipline never serves and vacuum GCs). Time-travel:
+``IvfPqStore(spark, root, version="v_000002")`` serves any retained
+committed version byte-identically (``resolve_version_dir``).
 """
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Iterator
 
@@ -70,7 +99,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .similarity import brute_force_topk
+from .similarity import (
+    _commit_index_version,
+    _committed_versions,
+    _next_index_version,
+    _read_manifest,
+    _write_manifest,
+    brute_force_topk,
+    index_current_path,
+    resolve_version_dir,
+)
 
 DEFAULT_M = 8
 DEFAULT_PQ_K = 256
@@ -122,46 +160,52 @@ _CODES_SCHEMA = StructType(
 
 
 class IvfPqStore:
-    """Read/serve handle over a written IVF-PQ root (see module
-    docstring for the layout rationale). Directory layout (SEGMENTED
-    since the O(delta) maintenance landed — seg is an integer
-    partition directory, so generation order is plain ``>``)::
+    """Read/serve handle over ONE committed version of a managed
+    IVF-PQ root (layout + lifecycle in the module docstring).
+    ``version=None`` follows the CURRENT pointer; an explicit
+    ``version="v_NNNNNN"`` is the time-travel read (committed +
+    retained versions only — vacuumed/uncommitted names refuse
+    loudly via ``resolve_version_dir``).
 
-        root/_pq_meta.json   geometry + segment/tombstone registry
-        root/quantizer/      parquet (cell, centroid) — n_cells rows
-        root/codebooks/      parquet (subspace, code, centroid)
-        root/codes/seg=N/    parquet PARTITIONED BY ivf_cell (id, codes)
-        root/raw/seg=N/      parquet partitioned by __rb (id, vec)
-        root/ids/seg=N/      id-only shadow sidecar (delta-sized);
-                             a TOMBSTONE segment is ids/ alone
-
-    Quantizers are FROZEN at build time (upserts encode deltas against
-    them; ``compact_ivfpq_store`` is the re-train point). Quantizer/
-    codebook loads are driver-side and BOUNDED (n_cells + m·k_pq
-    rows), cached on the handle.
+    The handle is pinned to its version's manifest: segment scans
+    filter ``seg IN manifest.segments`` (a partition filter — crash
+    debris and NEWER segments are invisible) and LUTs build against
+    the manifest's OWN quantizer generation, so a handle opened
+    before an in-place compaction keeps serving identical results
+    mid-fold. Quantizer/codebook loads are driver-side and BOUNDED
+    (n_cells + m·k_pq rows), cached on the handle.
     """
 
-    def __init__(self, spark, root: str):
+    def __init__(self, spark, root: str, version: str | None = None):
         self.spark, self.root = spark, root.rstrip("/")
-        meta_path = os.path.join(self.root, "_pq_meta.json")
         try:
-            with open(meta_path, encoding="utf-8") as f:
-                self.meta = json.load(f)
-        except OSError as e:
+            self.version_dir = resolve_version_dir(self.root, version)
+        except FileNotFoundError as e:
+            if version is None:
+                raise FileNotFoundError(
+                    f"no CURRENT version under {root!r} — not an IvfPqStore "
+                    "root written by write_ivfpq_store"
+                ) from e
+            raise
+        self.version = os.path.basename(self.version_dir.rstrip("/"))
+        m = _read_manifest(self.version_dir)
+        if m is None or m.get("layout") != "ivfpq":
             raise FileNotFoundError(
-                f"no _pq_meta.json under {root!r} — not an IvfPqStore "
-                "written by write_ivfpq_store"
-            ) from e
+                f"{self.version_dir!r} holds no ivfpq MANIFEST.json — "
+                f"{root!r} is not an IvfPqStore root"
+            )
+        self.meta = m
         self._centroids: np.ndarray | None = None
         self._codebooks: np.ndarray | None = None
 
     # -- driver-side geometry (bounded collects) ----------------------
     def _load_quantizers(self) -> tuple[np.ndarray, np.ndarray]:
         if self._centroids is None:
-            q = self.spark.read.parquet(os.path.join(self.root, "quantizer"))
+            qdir = os.path.join(self.root, self.meta["quantizer"])
+            q = self.spark.read.parquet(os.path.join(qdir, "quantizer"))
             rows = q.orderBy("cell").collect()  # n_cells rows
             self._centroids = np.array([r.centroid for r in rows])
-            cb = self.spark.read.parquet(os.path.join(self.root, "codebooks"))
+            cb = self.spark.read.parquet(os.path.join(qdir, "codebooks"))
             m, k_pq = self.meta["m"], self.meta["k_pq"]
             ds = self.meta["dim"] // m
             arr = np.zeros((m, k_pq, ds))
@@ -549,22 +593,158 @@ def _write_segment(
     )
 
 
-def _write_meta(root: str, meta: dict) -> None:
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, "_pq_meta.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(root, "_pq_meta.json"))
+def _next_pq_segment(root: str) -> int:
+    """Next free segment number — scans ALL THREE pools (a crashed
+    writer may have landed codes/ but not ids/), so debris numbers
+    are never reused: an uncommitted segment stays invisible (the
+    manifest filter) and becomes vacuum's to GC, never a collision."""
+    nums = [-1]
+    for sub in ("codes", "raw", "ids"):
+        d = os.path.join(root, sub)
+        if os.path.isdir(d):
+            nums.extend(
+                int(n.removeprefix("seg="))
+                for n in os.listdir(d)
+                if n.startswith("seg=") and n.removeprefix("seg=").isdigit()
+            )
+    return max(nums) + 1
+
+
+def _write_quantizer_gen(spark, root: str, C: np.ndarray, CB: np.ndarray) -> str:
+    """Persist one FROZEN quantizer generation (coarse centroids +
+    per-subspace codebooks) under ``quantizers/q_NNNNNN`` and return
+    the root-relative path the manifest records. Generations are
+    immutable: upserts encode against their version's generation,
+    compaction trains a new one — a time-travel reader of an old
+    version decodes with the generation its codes were written
+    under."""
+    gens = [-1]
+    qroot = os.path.join(root, "quantizers")
+    if os.path.isdir(qroot):
+        gens.extend(
+            int(n.removeprefix("q_"))
+            for n in os.listdir(qroot)
+            if n.startswith("q_") and n.removeprefix("q_").isdigit()
+        )
+    rel = f"quantizers/q_{max(gens) + 1:06d}"
+    n_cells, m, k_pq = len(C), CB.shape[0], CB.shape[1]
+    spark.createDataFrame(
+        [(int(c), [float(v) for v in C[c]]) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, rel, "quantizer")
+    )
+    spark.createDataFrame(
+        [
+            (s, j, [float(v) for v in CB[s, j]])
+            for s in range(m)
+            for j in range(k_pq)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, rel, "codebooks")
+    )
+    return rel
+
+
+def _commit_pq_version(spark, root: str, manifest: dict) -> IvfPqStore:
+    """The shared commit tail (the ``_commit_ann_version`` mirror):
+    manifest into a fresh version dir → atomic CURRENT swap +
+    ``_COMMITS`` append → serving handle over the new version."""
+    name = _next_index_version(root)
+    _write_manifest(os.path.join(root, name), manifest)
+    _commit_index_version(root, name)
+    return IvfPqStore(spark, root)
+
+
+def _train_pq(
+    vectors: DataFrame,
+    n_cells: int | str,
+    m: int,
+    k_pq: int,
+    max_fit_rows: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[np.ndarray, np.ndarray, int, int, int, int]:
+    """Deterministic driver-side IVF-PQ training over a BOUNDED
+    sample (the ``max_fit_rows`` smallest ``md5(id)`` rows — a
+    TakeOrdered, no full sort). Returns (coarse centroids, codebooks,
+    dim, n_fit, n_cells, k_pq) with the auto/cap rules applied —
+    shared by the base build and compaction's re-train so the two
+    cannot drift."""
+    sample = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(max_fit_rows)
+        .collect()
+    )
+    if len(sample) < 2:
+        raise ValueError(
+            f"IVF-PQ training got {len(sample)} row(s); "
+            "needs at least 2 vectors to train"
+        )
+    X = np.array([r.vec for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m} subspaces — pick m "
+            "dividing the embedding width"
+        )
+    n_fit = len(X)
+    if n_cells == "auto":
+        # the IVF sqrt rule (kmeans_ivf_build's dial): n_probe cells
+        # of ~sqrt(n) rows each make probe cost grow with sqrt(corpus)
+        # — eager (one count() job) like the IVF builder, and capped
+        # by the fit rows with the same loud warning
+        n = vectors.count()
+        auto_k = max(2, int(round(n ** 0.5)))
+        n_cells = max(1, min(auto_k, n_fit))
+        if n_cells < auto_k:
+            import warnings
+
+            warnings.warn(
+                f"IVF-PQ auto n_cells {auto_k} capped to "
+                f"{n_cells} by the fit-sample size — raise max_fit_rows",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    if not isinstance(n_cells, int):
+        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
+    if n_cells > n_fit:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds the {n_fit} rows available to fit "
+            "on — lower n_cells or raise max_fit_rows"
+        )
+    k_pq = min(k_pq, n_fit)
+    Xn = _normalize(X)
+    C = _lloyd(Xn, n_cells, iters)
+    # residuals against each row's own cell
+    if n_cells * n_fit * dim <= 5e7:
+        assign = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    else:
+        xsq = (Xn * Xn).sum(axis=1)
+        assign = (
+            xsq[:, None] - 2.0 * (Xn @ C.T) + (C * C).sum(axis=1)[None, :]
+        ).argmin(axis=1)
+    R = Xn - C[assign]
+    ds = dim // m
+    CB = np.stack(
+        [_lloyd(R[:, s * ds : (s + 1) * ds], k_pq, iters) for s in range(m)]
+    )
+    return C, CB, dim, n_fit, int(n_cells), int(k_pq)
 
 
 def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
     """O(delta) IVF-PQ maintenance: encode ONLY the delta with the
     store's FROZEN quantizers (the classic FAISS ``add`` contract —
-    coarse centroids and codebooks are fixed at build time; quality
-    for drifted deltas degrades gracefully because serving re-scores
-    exactly from raw, and ``compact_ivfpq_store`` is the designated
-    re-train point), land it as a new segment, and register it in the
-    meta. REPLACE semantics per id: the new segment's ``ids/`` sidecar
+    coarse centroids and codebooks are fixed per train generation;
+    quality for drifted deltas degrades gracefully because serving
+    re-scores exactly from raw, and ``compact_ivfpq_store`` is the
+    designated re-train point), land it as a new segment, and COMMIT
+    a new version whose manifest is the live one plus that segment
+    (atomic CURRENT swap — concurrent readers keep their version).
+    REPLACE semantics per id: the new segment's ``ids/`` sidecar
     shadows every older copy at serve time (last-wins, the LSM
     discipline) — no base rewrite, no global re-encode. Returns a
     fresh handle over the grown store."""
@@ -573,7 +753,7 @@ def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
     meta = store.meta
     C, CB = store._load_quantizers()
     ds = meta["dim"] // meta["m"]
-    seg = max(meta["segments"]) + 1
+    seg = _next_pq_segment(root)
     mcols = tuple(meta.get("metadata_cols", ()))
     src = vectors.select(
         F.col(meta["id_col"]).cast("bigint").alias("id"),
@@ -587,49 +767,58 @@ def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
         src, root, seg, C.tolist(), CB.tolist(), ds, meta["raw_id_buckets"],
         metadata_cols=mcols,
     )
-    meta["segments"] = meta["segments"] + [seg]
-    _write_meta(root, meta)
-    return IvfPqStore(spark, root)
+    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    manifest = dict(meta)
+    manifest["segments"] = list(meta["segments"]) + [seg]
+    manifest["seg_n"] = list(meta.get("seg_n", [-1] * len(meta["segments"]))) + [n]
+    return _commit_pq_version(spark, root, manifest)
 
 
 def delete_ivfpq_ids(spark, root: str, ids_df: DataFrame) -> IvfPqStore:
     """Row-level delete on the PQ store — a TOMBSTONE segment: an
-    ``ids/`` sidecar with NO codes and NO raw payload. Last-wins
-    shadowing then hides every older copy of the id from
-    probe/probe_batch (the tombstone itself is never a data source —
-    no codes dir exists for it, so no scan ever reads it); a later
-    upsert of the same id RESURRECTS it (its segment is newer than
-    the tombstone). O(delete set); the physical rows drop at
-    ``compact_ivfpq_store``. The takedown/GDPR path the at-rest
+    ``ids/`` sidecar with NO codes and NO raw payload, committed as a
+    new version. Last-wins shadowing then hides every older copy of
+    the id from probe/probe_batch (the tombstone itself is never a
+    data source — no codes dir exists for it, so no scan ever reads
+    it); a later upsert of the same id RESURRECTS it (its segment is
+    newer than the tombstone). O(delete set); the physical rows drop
+    at ``compact_ivfpq_store``. The takedown/GDPR path the at-rest
     layouts all share (mirrors similarity.delete_ann_ids)."""
     store = IvfPqStore(spark, root)
     meta = store.meta
-    seg = max(meta["segments"]) + 1
+    seg = _next_pq_segment(root)
     ids_df.select(
         F.col(meta["id_col"]).cast("bigint").alias("id")
     ).write.mode("overwrite").parquet(os.path.join(root, "ids", f"seg={seg}"))
-    meta["segments"] = meta["segments"] + [seg]
-    meta["tombstones"] = meta.get("tombstones", []) + [seg]
-    _write_meta(root, meta)
-    return IvfPqStore(spark, root)
+    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    manifest = dict(meta)
+    manifest["segments"] = list(meta["segments"]) + [seg]
+    manifest["seg_n"] = list(meta.get("seg_n", [-1] * len(meta["segments"]))) + [n]
+    manifest["tombstones"] = list(meta.get("tombstones", [])) + [seg]
+    return _commit_pq_version(spark, root, manifest)
 
 
-def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfPqStore:
-    """Fold a segmented PQ store into a fresh single-segment store at
-    ``out_root`` — resolve last-wins survivors (tombstoned ids drop:
-    their latest segment has no raw row; replaced ids keep only the
-    newest copy) and RE-TRAIN quantizers on the surviving corpus (the
-    designated drift-refresh point, the analogue of the SQ8 store's
-    re-quantizing compaction). ``out_root`` must differ from ``root``:
-    the fold is a rebuild, not an in-place mutation — swap the two
-    directories (or a symlink) atomically outside if readers are
-    live; the managed CURRENT-pointer discipline lives in the
-    versioned ANN roots, and this layout deliberately stays simpler."""
-    if os.path.abspath(out_root) == os.path.abspath(root):
-        raise ValueError(
-            "compact_ivfpq_store: out_root must differ from root — the fold "
-            "rebuilds into a fresh directory (swap atomically outside)"
-        )
+def compact_ivfpq_store(
+    spark, root: str, retain: int = 2, **train_kwargs
+) -> IvfPqStore:
+    """IN-PLACE fold of the live PQ version's segment list into ONE
+    fresh segment under a NEW quantizer generation — resolve
+    last-wins survivors (tombstoned ids drop: their latest segment
+    has no raw row; replaced ids keep only the newest copy), RE-TRAIN
+    quantizers on the surviving corpus (the designated drift-refresh
+    point, the analogue of the SQ8 store's re-quantizing compaction),
+    encode, commit a version naming only the new segment + generation,
+    then retention-vacuum.
+
+    Reader safety is the versioned-CURRENT substrate's (r14 verdict
+    #1, replacing the rename-swap fold): a reader that resolved
+    CURRENT before the fold keeps its manifest — old segments AND the
+    old quantizer generation stay on disk until ``vacuum_pq_store``
+    drops versions outside the ``retain`` window (>= 2 protects
+    exactly that reader; the serving stores the reference writes to
+    never yank a segment from under a live query — Weaviate LSM,
+    reference pipeline.py P:341-349). ``train_kwargs`` override
+    geometry (n_cells/m/k_pq/max_fit_rows/iters) for the re-train."""
     store = IvfPqStore(spark, root)
     meta = store.meta
     mcols = list(meta.get("metadata_cols", ()))
@@ -650,25 +839,45 @@ def compact_ivfpq_store(spark, root: str, out_root: str, **train_kwargs) -> IvfP
             "id", "seg", *mcols
         )
         live = live.join(md, ["id", "seg"])
-    kwargs = dict(
+    src = live.select("id", "vec", *mcols)
+    geom = dict(
         n_cells=meta["n_cells"],
         m=meta["m"],
         k_pq=meta["k_pq"],
-        raw_id_buckets=meta["raw_id_buckets"],
-        metadata_cols=tuple(mcols),
+        max_fit_rows=DEFAULT_MAX_FIT_ROWS,
+        iters=12,
     )
-    kwargs.update(train_kwargs)
-    return write_ivfpq_store(
-        live.select(
-            F.col("id").alias(meta["id_col"]),
-            F.col("vec").alias(meta["vec_col"]),
-            *mcols,
-        ),
-        out_root,
-        id_col=meta["id_col"],
-        vec_col=meta["vec_col"],
-        **kwargs,
+    geom.update(train_kwargs)
+    C, CB, dim, n_fit, n_cells, k_pq = _train_pq(
+        src, geom["n_cells"], geom["m"], geom["k_pq"],
+        geom["max_fit_rows"], geom["iters"], "id", "vec",
     )
+    qrel = _write_quantizer_gen(spark, root, C, CB)
+    seg = _next_pq_segment(root)
+    _write_segment(
+        src, root, seg, C.tolist(), CB.tolist(), dim // geom["m"],
+        meta["raw_id_buckets"], metadata_cols=tuple(mcols),
+    )
+    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    manifest = {
+        "layout": "ivfpq",
+        "dim": int(dim),
+        "m": int(geom["m"]),
+        "k_pq": int(k_pq),
+        "n_cells": int(n_cells),
+        "id_col": meta["id_col"],
+        "vec_col": meta["vec_col"],
+        "raw_id_buckets": int(meta["raw_id_buckets"]),
+        "n_fit": int(n_fit),
+        "quantizer": qrel,
+        "segments": [seg],
+        "seg_n": [int(n)],
+        "tombstones": [],
+        "metadata_cols": mcols,
+    }
+    out = _commit_pq_version(spark, root, manifest)
+    vacuum_pq_store(root, retain=retain)
+    return out
 
 
 def write_ivfpq_store(
@@ -694,88 +903,24 @@ def write_ivfpq_store(
     (a codebook can't hold more centroids than training points).
     """
     spark = vectors.sparkSession
-    sample = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
-        .limit(max_fit_rows)
-        .collect()
+    C, CB, dim, n_fit, n_cells, k_pq = _train_pq(
+        vectors, n_cells, m, k_pq, max_fit_rows, iters, id_col, vec_col
     )
-    if len(sample) < 2:
-        raise ValueError(
-            f"write_ivfpq_store: corpus has {len(sample)} row(s); "
-            "IVF-PQ needs at least 2 vectors to train"
-        )
-    X = np.array([r.vec for r in sample], dtype=np.float64)
-    dim = X.shape[1]
-    if dim % m != 0:
-        raise ValueError(
-            f"dim={dim} is not divisible by m={m} subspaces — pick m "
-            "dividing the embedding width"
-        )
-    n_fit = len(X)
-    if n_cells == "auto":
-        # the IVF sqrt rule (kmeans_ivf_build's dial): n_probe cells
-        # of ~sqrt(n) rows each make probe cost grow with sqrt(corpus)
-        # — eager (one count() job) like the IVF builder, and capped
-        # by the fit rows with the same loud warning
-        n = vectors.count()
-        auto_k = max(2, int(round(n ** 0.5)))
-        n_cells = max(1, min(auto_k, n_fit))
-        if n_cells < auto_k:
-            import warnings
-
-            warnings.warn(
-                f"write_ivfpq_store: auto n_cells {auto_k} capped to "
-                f"{n_cells} by the fit-sample size — raise max_fit_rows",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-    if not isinstance(n_cells, int):
-        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
-    if n_cells > n_fit:
-        raise ValueError(
-            f"n_cells={n_cells} exceeds the {n_fit} rows available to fit "
-            "on — lower n_cells or raise max_fit_rows"
-        )
-    k_pq = min(k_pq, n_fit)
-    Xn = _normalize(X)
-    C = _lloyd(Xn, n_cells, iters)
-    # residuals against each row's own cell
-    d = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) if n_cells * n_fit * dim <= 5e7 else None
-    if d is not None:
-        assign = d.argmin(axis=1)
-    else:
-        xsq = (Xn * Xn).sum(axis=1)
-        assign = (xsq[:, None] - 2.0 * (Xn @ C.T) + (C * C).sum(axis=1)[None, :]).argmin(axis=1)
-    R = Xn - C[assign]
-    ds = dim // m
-    CB = np.stack(
-        [_lloyd(R[:, s * ds : (s + 1) * ds], k_pq, iters) for s in range(m)]
-    )
-
     # ---- executor-side full-corpus encode (Arrow batches) ----------
     src = vectors.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).alias("vec"),
         *metadata_cols,
     )
+    qrel = _write_quantizer_gen(spark, root, C, CB)
+    seg = _next_pq_segment(root)
     _write_segment(
-        src, root, 0, C.tolist(), CB.tolist(), ds, raw_id_buckets,
+        src, root, seg, C.tolist(), CB.tolist(), dim // m, raw_id_buckets,
         metadata_cols=metadata_cols,
     )
-    spark.createDataFrame(
-        [(int(c), [float(v) for v in C[c]]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "quantizer"))
-    spark.createDataFrame(
-        [
-            (s, j, [float(v) for v in CB[s, j]])
-            for s in range(m)
-            for j in range(k_pq)
-        ],
-        "subspace int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "codebooks"))
-    meta = {
+    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    manifest = {
+        "layout": "ivfpq",
         "dim": int(dim),
         "m": int(m),
         "k_pq": int(k_pq),
@@ -784,122 +929,124 @@ def write_ivfpq_store(
         "vec_col": vec_col,
         "raw_id_buckets": int(raw_id_buckets),
         "n_fit": int(n_fit),
-        "segments": [0],
+        "quantizer": qrel,
+        "segments": [seg],
+        "seg_n": [int(n)],
         "tombstones": [],
         "metadata_cols": list(metadata_cols),
     }
-    _write_meta(root, meta)
-    return IvfPqStore(spark, root)
+    return _commit_pq_version(spark, root, manifest)
 
 
 def maybe_compact_ivfpq_store(
-    spark, root: str, max_segments: int, **train_kwargs
+    spark, root: str, max_segments: int, retain: int = 2, **train_kwargs
 ) -> bool:
     """Auto-compaction trigger for upsert loops (the X1 dial on the
     PQ layout): when the live segment list exceeds ``max_segments``,
-    fold into ``root + '__compact'`` and SWAP it in (rename-based —
-    the caller must be the root's only writer, which the streaming
-    fold is by contract; the versioned ANN roots own the concurrent-
-    reader story, this layout deliberately stays single-version).
-    The ``_last_batch_id`` replay marker is carried across the swap.
-    Returns True when a fold happened."""
-    import shutil
-
-    recover_ivfpq_root(root)
+    ``compact_ivfpq_store`` folds IN PLACE — a new committed version
+    under the same root, no rename swap, so concurrent readers are
+    safe and no crash-recovery dance exists (r14 verdict #1). The
+    root-level ``_last_batch_id`` replay marker is untouched by
+    design (the root never moves). Returns True when a fold
+    happened."""
+    if index_current_path(root) is None:
+        return False
     store = IvfPqStore(spark, root)
     if len(store.meta["segments"]) <= max_segments:
         return False
-    tmp = root.rstrip("/") + "__compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    compact_ivfpq_store(spark, root, tmp, **train_kwargs)
-    marker = os.path.join(root, "_last_batch_id")
-    if os.path.exists(marker):
-        shutil.copy(marker, os.path.join(tmp, "_last_batch_id"))
-    old = root.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(root, old)
-    os.rename(tmp, root)
-    shutil.rmtree(old, ignore_errors=True)
+    compact_ivfpq_store(spark, root, retain=retain, **train_kwargs)
     return True
 
 
-def recover_ivfpq_root(root: str) -> bool:
-    """Crash recovery for the rename swap: a crash BETWEEN the two
-    renames leaves no live root but a COMPLETE store at
-    ``root__compact`` (newest, preferred) or ``root__old`` (the
-    pre-fold store, if the crash hit before the second rename could
-    start). Called by ``maybe_compact_ivfpq_store`` and the streaming
-    fold before any decision that keys off the root's existence — a
-    missing root must mean 'never built', not 'mid-swap crash', or
-    the fold would rebuild a fresh base over recoverable data.
-    Returns True when a recovery happened."""
+def vacuum_pq_store(root: str, retain: int = 2) -> list[str]:
+    """Manifest-aware retention GC for the managed PQ root (the
+    ``vacuum_ann_store`` mirror over the seg=N pool layout): keep the
+    ``retain`` newest COMMITTED versions plus whatever CURRENT points
+    at, then delete every version dir, ``seg=N`` pool dir (codes/raw/
+    ids), and quantizer generation no retained manifest references.
+    Returns deleted names.
+
+    The same three crash/concurrency windows the shared index vacuum
+    protects: the retain window counts committed versions only
+    (crashed-commit debris never eats reader-protection slots);
+    CURRENT is always kept; and anything NEWER than what any manifest
+    references (version dirs above the pointer, segments/generations
+    above the referenced horizon) belongs to an in-flight writer and
+    is never GC'd here."""
     import shutil
 
-    if os.path.exists(os.path.join(root, "_pq_meta.json")):
-        return False
-    for cand in (root.rstrip("/") + "__compact", root.rstrip("/") + "__old"):
-        if os.path.exists(os.path.join(cand, "_pq_meta.json")):
-            shutil.rmtree(root, ignore_errors=True)
-            os.rename(cand, root)
-            for leftover in (
-                root.rstrip("/") + "__compact",
-                root.rstrip("/") + "__old",
-            ):
-                shutil.rmtree(leftover, ignore_errors=True)
-            return True
-    return False
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    versions = sorted(
+        (int(n.removeprefix("v_")), n)
+        for n in os.listdir(root)
+        if n.startswith("v_") and n.removeprefix("v_").isdigit()
+    )
+    keep = set(_committed_versions(root)[-retain:])
+    cur = index_current_path(root)
+    cur_num = -1
+    if cur is not None:
+        cur_name = os.path.basename(cur.rstrip("/"))
+        keep.add(cur_name)
+        if cur_name.removeprefix("v_").isdigit():
+            cur_num = int(cur_name.removeprefix("v_"))
+    seg_refs: set[int] = set()
+    quant_refs: set[str] = set()
+    for n in keep:
+        m = _read_manifest(os.path.join(root, n))
+        if m is not None:
+            seg_refs.update(int(s) for s in m["segments"])
+            quant_refs.add(m["quantizer"])
+    # in-flight horizons: the highest segment / generation ANY
+    # version's manifest references — anything above was written by a
+    # fold whose manifest hasn't committed yet
+    max_ref_seg, max_ref_gen = -1, -1
+    for _, n in versions:
+        m = _read_manifest(os.path.join(root, n))
+        if m is None:
+            continue
+        for s in m.get("segments", []):
+            max_ref_seg = max(max_ref_seg, int(s))
+        q = os.path.basename(m.get("quantizer", "").rstrip("/"))
+        if q.startswith("q_") and q.removeprefix("q_").isdigit():
+            max_ref_gen = max(max_ref_gen, int(q.removeprefix("q_")))
+    deleted: list[str] = []
+    for num, n in versions:
+        if n in keep or num > cur_num:
+            continue
+        shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        deleted.append(n)
+    for sub in ("codes", "raw", "ids"):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            continue
+        for n in sorted(os.listdir(d)):
+            if not (n.startswith("seg=") and n.removeprefix("seg=").isdigit()):
+                continue
+            s = int(n.removeprefix("seg="))
+            if s in seg_refs or s > max_ref_seg:
+                continue
+            shutil.rmtree(os.path.join(d, n), ignore_errors=True)
+            deleted.append(f"{sub}/{n}")
+    qroot = os.path.join(root, "quantizers")
+    if os.path.isdir(qroot):
+        for n in sorted(os.listdir(qroot)):
+            if not (n.startswith("q_") and n.removeprefix("q_").isdigit()):
+                continue
+            rel = f"quantizers/{n}"
+            if rel in quant_refs or int(n.removeprefix("q_")) > max_ref_gen:
+                continue
+            shutil.rmtree(os.path.join(qroot, n), ignore_errors=True)
+            deleted.append(rel)
+    return deleted
 
 
 def pq_report(spark, root: str) -> DataFrame:
-    """Operational report over a segmented IVF-PQ root — the
-    ``index_report`` observability on the third layout (pairs with
-    the ``max_segments`` auto-compaction dial): one row per segment,
-    oldest → newest, with
+    """Operational report over a managed IVF-PQ root — now a thin
+    alias for the unified ``similarity.index_report`` (r14 verdict
+    #1: one observability surface across all three at-rest layouts).
+    One row per segment, oldest → newest: (segment, kind, layout=
+    'ivfpq', rows, bytes, shadowed_ids, bounds_drift=NULL)."""
+    from .similarity import index_report
 
-    - ``segment``      — the integer generation;
-    - ``kind``         — 'data' or 'tombstone';
-    - ``rows``         — ids in the segment's sidecar;
-    - ``bytes``        — on-disk bytes (codes + raw + ids);
-    - ``shadowed_ids`` — how many of THIS segment's ids a newer
-      segment replaces/deletes: the dead weight a compaction would
-      reclaim (serve-time read amplification is the segment count;
-      this is the wasted fraction of it).
-
-    Driver-side shaping is bounded by the segment count; id counts
-    are Spark jobs over the tiny sidecars, never the codes."""
-    store = IvfPqStore(spark, root)
-    meta = store.meta
-    segs = sorted(meta["segments"])
-    tombs = set(meta.get("tombstones", []))
-
-    def _du(seg: int) -> int:
-        total = 0
-        for sub in ("codes", "raw", "ids"):
-            d = os.path.join(root, sub, f"seg={seg}")
-            for base, _, files in os.walk(d):
-                for f in files:
-                    total += os.path.getsize(os.path.join(base, f))
-        return total
-
-    all_ids = spark.read.parquet(os.path.join(root, "ids")).filter(
-        F.col("seg").isin(segs)  # crash debris never counts
-    )
-    rows = []
-    for seg in segs:
-        mine = all_ids.filter(F.col("seg") == seg).select("id")
-        n = mine.count()
-        newer = all_ids.filter(F.col("seg") > seg).select("id").distinct()
-        shadowed = mine.join(newer, "id", "left_semi").count()
-        rows.append(
-            (
-                int(seg),
-                "tombstone" if seg in tombs else "data",
-                int(n),
-                int(_du(seg)),
-                int(shadowed),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "segment int, kind string, rows bigint, bytes bigint, shadowed_ids bigint",
-    )
+    return index_report(spark, root)

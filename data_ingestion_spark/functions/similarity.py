@@ -484,15 +484,19 @@ class AnnStore:
         os.replace(tmp, os.path.join(path, "_ann_meta.json"))
 
     @classmethod
-    def open(cls, spark, path: str) -> "AnnStore":
+    def open(cls, spark, path: str, version: str | None = None) -> "AnnStore":
         """Re-open a written store from its metadata sidecar — the
         reader needs the same geometry the writer used or every probe
         would hash into the wrong buckets. An LSM-manifest version
         directory (the versioned-root layout) opens as a
-        ``SegmentedAnnStore`` read view."""
+        ``SegmentedAnnStore`` read view. ``version=`` treats ``path``
+        as the MANAGED ROOT and serves that committed version (the
+        time-travel read — see ``resolve_version_dir``)."""
         import json
         import os
 
+        if version is not None:
+            path = resolve_version_dir(path.rstrip("/"), version)
         m = _read_manifest(path.rstrip("/"))
         if m is not None and "bits" in m:
             return SegmentedAnnStore(spark, path.rstrip("/"), m)
@@ -1805,6 +1809,57 @@ def _next_index_version(root: str) -> str:
     return f"v_{(max(nums) + 1 if nums else 0):06d}"
 
 
+def resolve_version_dir(root: str, version: str | None = None) -> str:
+    """Resolve a managed root to ONE committed version directory —
+    the time-travel entry point shared by all three at-rest layouts
+    (``IndexReader(version=)``, ``AnnStore.open(version=)``,
+    ``IvfPqStore(version=)``).
+
+    ``version=None`` follows the CURRENT pointer (the normal read).
+    An explicit name (``"v_000002"``) serves that COMMITTED version —
+    the read-side complement of ``ann_version_drift``: retention
+    already keeps the last ``retain`` committed versions on disk, so
+    an auditor can re-run yesterday's probe against yesterday's store
+    byte-for-byte, or diff serving behavior across an upsert.
+
+    Refusals are loud and name the fix: a committed-then-vacuumed
+    version says so (and points at the ``retain=`` dial); a name that
+    never committed lists what did. Crash-debris version dirs
+    (manifest written, pointer never swapped) are NOT servable
+    history and refuse the same way."""
+    import os
+
+    if version is None:
+        p = index_current_path(root)
+        if p is None:
+            raise FileNotFoundError(f"no CURRENT version under {root!r}")
+        return p
+    committed = _committed_versions(root)  # existing dirs only
+    path = os.path.join(root, version)
+    if version in committed and os.path.isdir(path):
+        return path
+    # distinguish "vacuumed" from "never committed" via the raw log
+    # (_committed_versions filters to existing dirs)
+    logged: set[str] = set()
+    try:
+        with open(os.path.join(root, "_COMMITS"), encoding="utf-8") as f:
+            logged = {line.strip() for line in f if line.strip()}
+    except OSError:
+        pass
+    if version in logged:
+        raise FileNotFoundError(
+            f"version {version!r} of {root!r} was committed but has been "
+            "vacuumed — retention keeps only the newest versions; raise "
+            "retain= on vacuum/compact to keep deeper history. Still "
+            f"readable: {committed}"
+        )
+    raise FileNotFoundError(
+        f"{version!r} is not a committed version of {root!r} "
+        f"(an uncommitted dir is crash debris, never served history); "
+        f"committed and readable: {committed}"
+    )
+
+
 # --------------------------------------------------------- LSM segment layout
 #
 # r12 verdict #1: the versioned-root upsert used to rewrite the ENTIRE
@@ -1894,10 +1949,15 @@ class IndexReader:
     replacement already uses. Compaction reads the resolved view, so
     the fold drops both the shadowed rows and the tombstone itself."""
 
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str, *, version: str | None = None):
         import os
 
         self.spark = spark
+        if version is not None:
+            # time-travel read: index_dir is the MANAGED ROOT and we
+            # serve the named committed version (refusing vacuumed or
+            # never-committed names loudly — resolve_version_dir)
+            index_dir = resolve_version_dir(index_dir.rstrip("/"), version)
         root = index_dir.rstrip("/")
         self.root = root
         m = _read_manifest(root)
@@ -3031,7 +3091,31 @@ def _resolved_vectors(spark, version_dir: str) -> DataFrame:
     shadowing (table 0 — every vector has a pointer copy in every
     table, so one slice is the whole set, read without the
     n_tables-fold duplication); segmented quantized versions read
-    the raw sidecars; monolithic versions the same, un-segmented."""
+    the raw sidecars; monolithic versions the same, un-segmented.
+    IVF-PQ versions resolve last-wins over the raw sidecar pool
+    (a tombstoned id's latest segment has no raw row, so the inner
+    join drops it — the same survivor rule compaction folds by)."""
+    import os
+
+    m = _read_manifest(version_dir.rstrip("/"))
+    if m is not None and m.get("layout") == "ivfpq":
+        root = os.path.dirname(version_dir.rstrip("/"))
+        segs = m["segments"]
+        latest = (
+            spark.read.parquet(os.path.join(root, "ids"))
+            .filter(F.col("seg").isin(segs))
+            .groupBy("id")
+            .agg(F.max("seg").alias("seg"))
+        )
+        return (
+            spark.read.parquet(os.path.join(root, "raw"))
+            .filter(F.col("seg").isin(segs))
+            .join(latest, ["id", "seg"])
+            .select(
+                F.col("id").alias(m["id_col"]),
+                F.col("vec").alias(m["vec_col"]),
+            )
+        )
     store = _open_ann_version(spark, version_dir)
     if isinstance(store, SegmentedAnnStore):
         if store._quant:
@@ -3096,8 +3180,12 @@ def ann_version_drift(
                 "to diff against — pass from_dir explicitly"
             )
         from_dir = os.path.join(root, older[-1])
-    ref = _open_ann_version(spark, to_dir)
-    idc, vecc = ref.id_col, ref.vec_col
+    mm = _read_manifest(to_dir.rstrip("/"))
+    if mm is not None and mm.get("layout") == "ivfpq":
+        idc, vecc = mm["id_col"], mm["vec_col"]
+    else:
+        ref = _open_ann_version(spark, to_dir)
+        idc, vecc = ref.id_col, ref.vec_col
     old = _resolved_vectors(spark, from_dir).select(
         F.col(idc), F.col(vecc).alias("__old")
     )
@@ -3183,6 +3271,41 @@ def index_report(spark, root: str) -> DataFrame:
             for f in files:
                 total += os.path.getsize(os.path.join(base, f))
         return total
+
+    if m is not None and m.get("layout") == "ivfpq":
+        # the third layout (functions/pq.py): segments are seg=N
+        # Hive-partition dirs in three parallel pools (codes/raw/ids)
+        # so serving stays ONE pruned scan; rows come from the
+        # manifest's seg_n, shadow counts from the tiny ids sidecars
+        segs = [int(s) for s in m["segments"]]
+        tomb_set = {int(s) for s in m.get("tombstones", [])}
+        seg_n = [int(x) for x in m.get("seg_n", [-1] * len(segs))]
+        all_ids = spark.read.parquet(os.path.join(root, "ids")).filter(
+            F.col("seg").isin(segs)
+        )
+        shadowed = [0] * len(segs)
+        for i, s in enumerate(segs[:-1]):
+            if s in tomb_set:
+                continue
+            mine = all_ids.filter(F.col("seg") == s).select("id")
+            newer = all_ids.filter(F.col("seg") > s).select("id").distinct()
+            shadowed[i] = mine.join(newer, "id", "left_semi").count()
+        rows = [
+            (
+                f"seg={s}",
+                "tombstone" if s in tomb_set else "data",
+                "ivfpq",
+                int(n),
+                sum(
+                    _du(os.path.join(root, sub, f"seg={s}"))
+                    for sub in ("codes", "raw", "ids")
+                ),
+                int(sh),
+                None,
+            )
+            for s, n, sh in zip(segs, seg_n, shadowed)
+        ]
+        return spark.createDataFrame(rows, out_schema)
 
     is_ann = ("seg_n" in m) if m is not None else os.path.exists(
         os.path.join(src, "_ann_meta.json")

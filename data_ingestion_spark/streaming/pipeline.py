@@ -671,14 +671,16 @@ def run_pq_maintenance_stream(
 
     ``max_segments`` is the auto-compaction dial (the X1 trigger on
     this layout): past the bound the SAME foreachBatch invocation
-    folds via ``maybe_compact_ivfpq_store`` — a rename-swap rebuild
-    that also RE-TRAINS quantizers, so a drifting embedding stream
-    gets its codebook refresh exactly when read amplification forces
-    a fold anyway. The fold owns the root exclusively (foreachBatch
-    is the only writer), which is what makes the rename swap safe."""
+    folds via ``maybe_compact_ivfpq_store`` — an IN-PLACE versioned
+    commit (r14 verdict #1: atomic CURRENT swap + retention vacuum,
+    no rename, so concurrent readers of the root stay safe) that also
+    RE-TRAINS quantizers, so a drifting embedding stream gets its
+    codebook refresh exactly when read amplification forces a fold
+    anyway."""
     import os
 
     from ..functions import pq as PQ
+    from ..functions import similarity as SIM
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if op_col is not None:
@@ -698,8 +700,7 @@ def run_pq_maintenance_stream(
         if not has_delta and not has_dels:
             return
         spark = batch_df.sparkSession
-        PQ.recover_ivfpq_root(root)  # mid-swap crash != never built
-        built = os.path.exists(os.path.join(root, "_pq_meta.json"))
+        built = SIM.index_current_path(root) is not None
         marker = os.path.join(root, "_last_batch_id")
         if built:
             try:
@@ -724,7 +725,7 @@ def run_pq_maintenance_stream(
                     vec_col=vec_col,
                 )
             folded = True
-        if has_dels and os.path.exists(os.path.join(root, "_pq_meta.json")):
+        if has_dels and SIM.index_current_path(root) is not None:
             PQ.delete_ivfpq_ids(spark, root, dels)
             folded = True
         if not folded:
@@ -732,7 +733,8 @@ def run_pq_maintenance_stream(
         with open(marker, "w", encoding="utf-8") as f:
             f.write(str(batch_id))
         if max_segments is not None:
-            # marker written first → the swap carries it forward
+            # marker is root-level and the root never moves — replay
+            # safety holds across the in-place fold with no carry
             PQ.maybe_compact_ivfpq_store(spark, root, max_segments)
 
     return (

@@ -372,3 +372,39 @@ def test_monolithic_quantized_upsert_redirects_to_versioned(spark, tmp_path):
     st.write_quantized(emb)
     with pytest.raises(NotImplementedError, match="write_ann_store_versioned"):
         st.upsert(emb.limit(3), str(tmp_path / "q2"))
+
+
+def test_ann_time_travel_version_read(spark, tmp_path):
+    """r14 verdict #6 on the vector layout: ``AnnStore.open(root,
+    version=)`` serves the pre-upsert committed version identically;
+    vacuum past it refuses with the retain hint."""
+    import os
+
+    from data_ingestion_spark.functions.similarity import (
+        index_current_path,
+        upsert_ann_store_versioned,
+        vacuum_ann_store,
+        write_ann_store_versioned,
+    )
+
+    base = _emb(spark).filter(F.col("vec_id") != 0)
+    qv = [float(x) for x in _emb(spark).filter(F.col("vec_id") == 0).head().embedding]
+    root = str(tmp_path / "ann_tt")
+    s0 = write_ann_store_versioned(
+        base.withColumn("embedding", _neg("embedding")), root, bits=3, n_tables=6
+    )
+    v0 = os.path.basename(index_current_path(root).rstrip("/"))
+    before = [(r.vec_id, round(r.score, 6)) for r in s0.probe(qv, 5).collect()]
+    upsert_ann_store_versioned(base, root)
+
+    old = AnnStore.open(spark, root, version=v0)
+    got = [(r.vec_id, round(r.score, 6)) for r in old.probe(qv, 5).collect()]
+    assert got == before
+    cur = AnnStore.open(spark, index_current_path(root))
+    assert [(r.vec_id, round(r.score, 6)) for r in cur.probe(qv, 5).collect()] != before
+
+    vacuum_ann_store(root, retain=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        AnnStore.open(spark, root, version=v0)
+    with pytest.raises(FileNotFoundError, match="not a committed version"):
+        AnnStore.open(spark, root, version="v_424242")

@@ -542,3 +542,28 @@ def test_committed_only_vacuum_window_and_drift_default(spark, tmp_path):
         "version was vacuumed"
     )
     assert "v_000001" in deleted and not os.path.isdir(crashed)
+
+
+def test_index_reader_time_travel_and_refusals(spark, tmp_path):
+    """r14 verdict #6: ``IndexReader(root, version=)`` serves a prior
+    COMMITTED version byte-identically (the read-side complement of
+    the drift report); vacuumed versions refuse with the retain hint;
+    never-committed names refuse as crash debris."""
+    d = _docs(spark)
+    root = str(tmp_path / "idx_tt")
+    build_postings_index_versioned(_stale(d), root)
+    v0 = os.path.basename(index_current_path(root).rstrip("/"))
+    before = _ranked(spark, index_current_path(root))
+    upsert_postings_index_versioned(d.filter(F.col("doc_id") % 5 == 0), root)
+
+    old = IndexReader(spark, root, version=v0)
+    assert _ranked(spark, old.root) == before
+    # current differs (the stale noise terms are gone)
+    assert _ranked(spark, index_current_path(root)) != before
+
+    # drop v0 out of the retain window -> loud, named refusal
+    compact_index(spark, root, retain=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        IndexReader(spark, root, version=v0)
+    with pytest.raises(FileNotFoundError, match="not a committed version"):
+        IndexReader(spark, root, version="v_424242")

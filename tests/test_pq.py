@@ -95,7 +95,7 @@ def test_contracts(spark, store):
         s.adc_candidates(q, keep=MAX_KEEP + 1)
     with pytest.raises(ValueError, match="dims"):
         s.adc_candidates([0.0] * 3)
-    with pytest.raises(FileNotFoundError, match="_pq_meta"):
+    with pytest.raises(FileNotFoundError, match="no CURRENT"):
         IvfPqStore(spark, tempfile.mkdtemp(prefix="nostore_"))
 
 
@@ -212,12 +212,15 @@ def test_upsert_replace_delete_resurrect(spark):
 
 
 def test_compaction_drops_dead_rows_and_equals_serving(spark):
+    """IN-PLACE compaction (r14 verdict #1): fold commits a new
+    version under the SAME root; survivors only; serving identical
+    before/after; the pre-fold reader keeps serving its own version
+    (segments + quantizer generation retained until vacuum)."""
     from data_ingestion_spark.functions.pq import (
         compact_ivfpq_store,
         delete_ivfpq_ids,
         upsert_ivfpq_store,
     )
-    import pytest
 
     v = _vectors(spark, n=80, dim=16)
     root = tempfile.mkdtemp(prefix="pqcmp_")
@@ -230,21 +233,25 @@ def test_compaction_drops_dead_rows_and_equals_serving(spark):
         root,
     )
     s = delete_ivfpq_ids(spark, root, spark.createDataFrame([(5,), (6,)], "vec_id bigint"))
-    with pytest.raises(ValueError, match="out_root must differ"):
-        compact_ivfpq_store(spark, root, root)
-    out = tempfile.mkdtemp(prefix="pqcmp_out_")
-    shutil.rmtree(out)
-    c = compact_ivfpq_store(spark, root, out)
-    # compacted store: single segment, survivors only
-    assert c.meta["segments"] == [0] and c.meta["tombstones"] == []
-    n_live = spark.read.parquet(out + "/ids").count()
-    assert n_live == 78  # 80 - 2 deleted; replaced ids appear once
     q = v.filter(F.col("vec_id") == 3).head().embedding
     a = s.probe(list(q), k=5, n_probe=4, keep=100).collect()
+    c = compact_ivfpq_store(spark, root, retain=2)
+    # compacted version: ONE fresh segment, no tombstones, a NEW
+    # quantizer generation (the re-train point)
+    assert len(c.meta["segments"]) == 1 and c.meta["tombstones"] == []
+    assert c.meta["quantizer"] != s.meta["quantizer"]
+    seg = c.meta["segments"][0]
+    import os
+
+    n_live = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    assert n_live == 78  # 80 - 2 deleted; replaced ids appear once
     b = c.probe(list(q), k=5, n_probe=4, keep=100).collect()
     assert [(r.vec_id, r.score) for r in a] == [(r.vec_id, r.score) for r in b]
+    # the PRE-FOLD handle still serves identical results mid-compaction
+    # (its segments and quantizer gen survive under retain=2)
+    a2 = s.probe(list(q), k=5, n_probe=4, keep=100).collect()
+    assert [(r.vec_id, r.score) for r in a2] == [(r.vec_id, r.score) for r in a]
     shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
 
 
 def test_pq_report_counts(spark):
@@ -261,13 +268,19 @@ def test_pq_report_counts(spark):
     upsert_ivfpq_store(v.filter(F.col("vec_id") <= 10), root)  # replace 10
     delete_ivfpq_ids(spark, root, spark.createDataFrame([(3,), (30,)], "vec_id bigint"))
     rep = {r.segment: r for r in pq_report(spark, root).collect()}
-    assert rep[0].kind == "data" and rep[0].rows == 60
+    # unified index_report schema (r14 verdict #1): string segment
+    # labels, layout column, NULL bounds_drift
+    assert all(r.layout == "ivfpq" for r in rep.values())
+    assert rep["seg=0"].kind == "data" and rep["seg=0"].rows == 60
     # base: 10 replaced by seg 1 + id 30 deleted by seg 2 (id 3 is
     # shadowed by seg 1 already, counted once)
-    assert rep[0].shadowed_ids == 11
-    assert rep[1].kind == "data" and rep[1].rows == 10 and rep[1].shadowed_ids == 1
-    assert rep[2].kind == "tombstone" and rep[2].rows == 2 and rep[2].shadowed_ids == 0
+    assert rep["seg=0"].shadowed_ids == 11
+    assert rep["seg=1"].kind == "data" and rep["seg=1"].rows == 10
+    assert rep["seg=1"].shadowed_ids == 1
+    assert rep["seg=2"].kind == "tombstone" and rep["seg=2"].rows == 2
+    assert rep["seg=2"].shadowed_ids == 0
     assert all(r.bytes > 0 for r in rep.values())
+    assert all(r.bounds_drift is None for r in rep.values())
     shutil.rmtree(root, ignore_errors=True)
 
 
@@ -342,9 +355,7 @@ def test_compaction_carries_metadata(spark):
     upsert_ivfpq_store(
         v.filter(F.col("vec_id") <= 5).withColumn("lang", F.lit("fr")), root
     )
-    out = tempfile.mkdtemp(prefix="pqcm_out_")
-    shutil.rmtree(out)
-    c = compact_ivfpq_store(spark, root, out)
+    c = compact_ivfpq_store(spark, root)
     assert c.meta["metadata_cols"] == ["lang"]
     q = list(v.filter(F.col("vec_id") == 2).head().embedding)
     got = c.probe(q, k=1, n_probe=4, keep=60, where=F.col("lang") == "fr").head()
@@ -356,7 +367,6 @@ def test_compaction_carries_metadata(spark):
     }
     assert en_ids.isdisjoint({1, 2, 3, 4, 5})
     shutil.rmtree(root, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
 
 
 def test_orphan_segment_dirs_are_invisible(spark):
@@ -377,52 +387,118 @@ def test_orphan_segment_dirs_are_invisible(spark):
     q = list(v.filter(F.col("vec_id") == 5).head().embedding)
     before = [(r.vec_id, r.score) for r in s.probe(q, k=5, n_probe=4, keep=50).collect()]
 
-    # simulate the crash: upsert writes everything, then meta reverts
-    import json
+    # simulate the crash: upsert writes segment + manifest, then the
+    # CURRENT pointer swap never lands (restore pointer + commit log)
     import os
 
-    meta_path = os.path.join(root, "_pq_meta.json")
-    committed = open(meta_path).read()
+    cur_path = os.path.join(root, "CURRENT")
+    commits_path = os.path.join(root, "_COMMITS")
+    cur = open(cur_path).read()
+    commits = open(commits_path).read()
     upsert_ivfpq_store(
         v.filter(F.col("vec_id") <= 20).select(
             "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
         ),
         root,
     )
-    with open(meta_path, "w") as f:
-        f.write(committed)  # the pointer never swapped
+    with open(cur_path, "w") as f:
+        f.write(cur)  # the pointer never swapped
+    with open(commits_path, "w") as f:
+        f.write(commits)
 
     s2 = IvfPqStore(spark, root)
     after = [(r.vec_id, r.score) for r in s2.probe(q, k=5, n_probe=4, keep=50).collect()]
     assert after == before  # orphan rows neither serve nor shadow
     rep = pq_report(spark, root).collect()
-    assert [r.segment for r in rep] == [0]
+    assert [r.segment for r in rep] == ["seg=0"]
     assert rep[0].shadowed_ids == 0  # debris doesn't count as shadow
     shutil.rmtree(root, ignore_errors=True)
 
 
-def test_recover_root_after_mid_swap_crash(spark):
-    """A crash between the fold's two renames leaves no root but a
-    complete store beside it — recovery must prefer the newer
-    __compact and never let the stream rebuild a fresh base."""
+def test_time_travel_and_vacuum_refusal(spark):
+    """r14 verdict #6 on the PQ layout: an explicit ``version=``
+    serves the pre-upsert store byte-identically; vacuumed versions
+    refuse with the retain hint; never-committed names refuse as
+    crash debris."""
     import os
 
+    import pytest
+
     from data_ingestion_spark.functions.pq import (
-        IvfPqStore,
-        recover_ivfpq_root,
+        upsert_ivfpq_store,
+        vacuum_pq_store,
     )
 
-    v = _vectors(spark, n=40, dim=16)
-    root = tempfile.mkdtemp(prefix="pqrec_")
+    v = _vectors(spark, n=60, dim=16)
+    root = tempfile.mkdtemp(prefix="pqtt_")
+    shutil.rmtree(root)
+    s0 = write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
+    q = list(v.filter(F.col("vec_id") == 9).head().embedding)
+    before = [(r.vec_id, r.score) for r in s0.probe(q, k=5, n_probe=4, keep=60).collect()]
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 15).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+        root,
+    )
+    # time travel: the pre-upsert version serves pre-upsert results
+    old = IvfPqStore(spark, root, version=s0.version)
+    got = [(r.vec_id, r.score) for r in old.probe(q, k=5, n_probe=4, keep=60).collect()]
+    assert got == before
+    # CURRENT differs (id 9 was re-embedded)
+    cur = IvfPqStore(spark, root)
+    assert [
+        (r.vec_id, r.score) for r in cur.probe(q, k=5, n_probe=4, keep=60).collect()
+    ] != before
+    # vacuum past it → loud refusal naming the retain dial
+    deleted = vacuum_pq_store(root, retain=1)
+    assert s0.version in deleted
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        IvfPqStore(spark, root, version=s0.version)
+    with pytest.raises(FileNotFoundError, match="not a committed version"):
+        IvfPqStore(spark, root, version="v_999999")
+    # segments/quantizers referenced only by the vacuumed version are gone
+    assert not os.path.exists(os.path.join(root, s0.version))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pq_drift_and_unified_report(spark):
+    """r14 verdict #1 tail: ``ann_version_drift`` and the unified
+    ``index_report`` both work on managed PQ roots — drift classifies
+    added/replaced/removed across PQ commits, report rows carry
+    layout='ivfpq'."""
+    from data_ingestion_spark.functions.pq import (
+        delete_ivfpq_ids,
+        upsert_ivfpq_store,
+    )
+    from data_ingestion_spark.functions.similarity import (
+        ann_version_drift,
+        index_report,
+    )
+
+    v = _vectors(spark, n=50, dim=16)
+    root = tempfile.mkdtemp(prefix="pqdr_")
     shutil.rmtree(root)
     write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
-    # simulate the crash: root renamed away, new store not yet in place
-    os.rename(root, root + "__compact")
-    assert not os.path.exists(root)
-    assert recover_ivfpq_root(root) is True
-    s = IvfPqStore(spark, root)
-    q = list(v.filter(F.col("vec_id") == 5).head().embedding)
-    assert s.probe(q, k=1, n_probe=4, keep=40).head().vec_id == 5
-    assert not os.path.exists(root + "__compact")
-    assert recover_ivfpq_root(root) is False  # healthy root: no-op
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 3)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+        .unionByName(
+            v.filter(F.col("vec_id") == 1).select(
+                (F.col("vec_id") + 900).alias("vec_id"), "embedding"
+            )
+        ),
+        root,
+    )
+    drift = {r.vec_id: r for r in ann_version_drift(spark, root).collect()}
+    assert drift[901].status == "added" and drift[901].drift_micros is None
+    for i in (1, 2, 3):
+        assert drift[i].status == "replaced"
+        assert drift[i].drift_micros == 2_000_000  # sign flip
+    delete_ivfpq_ids(spark, root, spark.createDataFrame([(901,)], "vec_id bigint"))
+    d2 = {r.vec_id: r.status for r in ann_version_drift(spark, root).collect()}
+    assert d2 == {901: "removed"}
+    rep = index_report(spark, root).collect()
+    assert [r.layout for r in rep] == ["ivfpq"] * 3
+    assert [r.kind for r in rep] == ["data", "data", "tombstone"]
     shutil.rmtree(root, ignore_errors=True)

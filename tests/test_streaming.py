@@ -1040,10 +1040,10 @@ def test_pq_maintenance_stream_last_wins_replay_and_autocompact(spark, tmp_path)
     """r14 Y-series: an embedding stream folds into the IVF-PQ root —
     batch 0 trains + builds the base, later batches are frozen-
     codebook O(delta) segments, a CDC delete tombstones, and
-    max_segments triggers the rename-swap retraining fold inside the
-    same foreachBatch. Drained serve equals brute force over the
-    LAST-WINS surviving corpus; a checkpoint replay folds nothing."""
-    import json
+    max_segments triggers the IN-PLACE versioned retraining fold
+    inside the same foreachBatch (r15: atomic CURRENT commit, no
+    rename swap). Drained serve equals brute force over the LAST-WINS
+    surviving corpus; a checkpoint replay folds nothing."""
     import os
     import time
 
@@ -1096,8 +1096,8 @@ def test_pq_maintenance_stream_last_wins_replay_and_autocompact(spark, tmp_path)
     store = IvfPqStore(spark, root)
     # max_segments=2: batch 2 lands segments 2 (upsert) + 3 (tombstone)
     # -> over the bound -> the same fold compacts back to ONE segment
-    assert store.meta["segments"] == [0] and store.meta["tombstones"] == []
-    # marker survived the swap
+    assert len(store.meta["segments"]) == 1 and store.meta["tombstones"] == []
+    # root-level marker untouched by the in-place fold
     assert os.path.exists(os.path.join(root, "_last_batch_id"))
 
     truth = emb.filter((F.col("vec_id") % 3 != 2) & (F.col("vec_id") != 9))
@@ -1111,12 +1111,12 @@ def test_pq_maintenance_stream_last_wins_replay_and_autocompact(spark, tmp_path)
     assert all(r.vec_id != 9 for r in got)
 
     # replay: same source, fresh checkpoint -> markers skip every batch
-    meta_before = json.load(open(os.path.join(root, "_pq_meta.json")))
+    current_before = open(os.path.join(root, "CURRENT")).read()
     q2 = SP.run_pq_maintenance_stream(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir),
         root, str(tmp_path / "ckpt_pq2"),
         n_cells=4, m=4, max_segments=2, op_col="op",
     )
     q2.awaitTermination(240)
-    meta_after = json.load(open(os.path.join(root, "_pq_meta.json")))
-    assert meta_before == meta_after  # no new segments on replay
+    current_after = open(os.path.join(root, "CURRENT")).read()
+    assert current_before == current_after  # no new commits on replay
