@@ -841,6 +841,7 @@ def fuzzy_join_blocked(
     right_col: str,
     max_dist: int = 1,
     block_prefix_len: int = 2,
+    max_block_pairs: int | None = 500_000_000,
 ) -> DataFrame:
     """Blocked fuzzy entity resolution: every (left, right) row pair
     whose string columns are within Levenshtein distance
@@ -869,6 +870,18 @@ def fuzzy_join_blocked(
     cells — bounded by the name distribution, not n²; a hot prefix
     cell (e.g. every row starting "ht") is diluted by the length
     band and can be further split by raising block_prefix_len.
+
+    ``max_block_pairs`` is the hot-block guard (the max_eval_rows /
+    max_clause_rows refusal discipline on the one remaining
+    silently-quadratic surface): a bounded pre-pass — two partial
+    per-block-key count aggs + an equi-join over the (tiny) key
+    space — prices Σ|block_L|·|block_R| EXACTLY (the right side's
+    2k+1 length fan-out included, so the estimate is the true
+    levenshtein-eval count) and refuses past the cap, naming the fix.
+    Pass ``None`` to skip the pre-pass when the key distribution is
+    known-safe (the two input scans run once for the guard and once
+    for the join — the lazy-recompute trade, cheap next to the
+    quadratic blowup the guard prevents).
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -880,6 +893,18 @@ def fuzzy_join_blocked(
         raise ValueError(
             f"fuzzy_join_blocked reserves column(s) {sorted(clash)}; "
             "rename them on the input before joining"
+        )
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        # r14 ADVICE: a shared column (including left_col == right_col,
+        # the natural self-dedup call) makes the post-join levenshtein
+        # reference ambiguous and the output columns collide — refuse
+        # with the fix instead of failing downstream in analysis
+        raise ValueError(
+            f"fuzzy_join_blocked: left and right share column(s) "
+            f"{sorted(overlap)} — the joined output would be ambiguous; "
+            "alias one side first, e.g. right.select([F.col(c).alias"
+            "('r_' + c) for c in right.columns])"
         )
     k = int(max_dist)
     lkey = F.concat_ws(
@@ -903,6 +928,25 @@ def fuzzy_join_blocked(
         )
         .drop("__dl")
     )
+    if max_block_pairs is not None:
+        est_row = (
+            l.groupBy("__bk").agg(F.count(F.lit(1)).alias("__ln"))
+            .join(r.groupBy("__bk").agg(F.count(F.lit(1)).alias("__rn")), "__bk")
+            .agg(F.sum(F.col("__ln") * F.col("__rn")).alias("__pairs"))
+            .head()
+        )
+        est = int(est_row["__pairs"] or 0)
+        if est > int(max_block_pairs):
+            raise ValueError(
+                f"fuzzy_join_blocked: the blocking scheme would compare "
+                f"{est:,} candidate pairs (> max_block_pairs="
+                f"{int(max_block_pairs):,}) — the block keys are too "
+                f"coarse for this data (a hot prefix/length cell). Raise "
+                f"block_prefix_len (currently {block_prefix_len}) to split "
+                "the hot blocks, pre-filter the inputs, or raise/disable "
+                "max_block_pairs deliberately if the quadratic cost is "
+                "intended"
+            )
     return (
         l.join(r, "__bk")
         .withColumn("dist", F.levenshtein(F.col(left_col), F.col(right_col)))

@@ -526,12 +526,18 @@ def transition_matrix(
     )
     # Row totals BEFORE the min_count filter: p_micros stays the true
     # conditional probability even when rare transitions are pruned
-    # from the report.
+    # from the report. The multiply runs in DECIMAL(38,0) (r14
+    # ADVICE): a BIGINT n * 1e6 would overflow silently past ~9.2e12
+    # transitions per pair — improbable, but the module promises
+    # 100 TB arithmetic, so the promise is in the type, not a hope.
     return pairs.select(
         "from_type",
         "to_type",
         "n",
-        F.expr("(n * 1000000) div sum(n) over (partition by from_type)")
+        F.expr(
+            "(cast(n as decimal(38,0)) * 1000000)"
+            " div sum(n) over (partition by from_type)"
+        )
         .cast("bigint")
         .alias("p_micros"),
     ).where(F.col("n") >= int(min_count))

@@ -11,6 +11,19 @@ from pyspark.sql import functions as F
 from .queries import _d, _t, q
 
 
+def _materialized(df, handles):
+    """Materialize a persisted-fixture query's (small) result and
+    release the big intermediate caches (r14 ADVICE: the graph DQs'
+    MEMORY_AND_DISK persists outlived the query and compounded across
+    the suite). ``localCheckpoint(eager=True)`` computes the result
+    while the caches are hot and pins only result-sized blocks; the
+    handles then unpersist immediately instead of at session end."""
+    out = df.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
 @q(
     "session_window_native",
     "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
@@ -2140,7 +2153,10 @@ def crawl_pagerank(spark, sf_dir):
             ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
         )
     )
-    return pagerank_scores(edges, iters=5)
+    handles: list = []
+    return _materialized(
+        pagerank_scores(edges, iters=5, cache_handles=handles), handles
+    )
 
 
 _RANK_EDGES_CTE = (
@@ -2199,11 +2215,13 @@ def crawl_rank_pipeline(spark, sf_dir):
             F.col("dst"),
         ).alias("dst"),
     )
-    ranks = pagerank_scores(edges, iters=5)
-    return (
+    handles: list = []
+    ranks = pagerank_scores(edges, iters=5, cache_handles=handles)
+    return _materialized(
         ranks.orderBy(F.col("rank_micros").desc(), F.col("node"))
         .limit(20)
-        .select(F.col("node").alias("url"), "rank_micros")
+        .select(F.col("node").alias("url"), "rank_micros"),
+        handles,
     )
 
 
@@ -2365,7 +2383,8 @@ def incremental_recrawl_pipeline(spark, sf_dir):
             url_of((did * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
         )
     )
-    ranks = pagerank_scores(edges, iters=3)
+    handles: list = []
+    ranks = pagerank_scores(edges, iters=3, cache_handles=handles)
 
     queue = gated.join(ranks.withColumnRenamed("node", "url"), "url")
     waved = politeness_waves(
@@ -2375,7 +2394,9 @@ def incremental_recrawl_pipeline(spark, sf_dir):
         wave_seconds=10.0,
         order_by=[F.col("rank_micros").desc(), F.col("url")],
     )
-    return waved.select("url", "status", "rank_micros", "wave")
+    return _materialized(
+        waved.select("url", "status", "rank_micros", "wave"), handles
+    )
 
 
 def _hll_oracle() -> str:
@@ -2930,7 +2951,10 @@ def crawl_hits_scores(spark, sf_dir):
             ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
         )
     )
-    return hits_scores(edges, iters=3)
+    handles: list = []
+    return _materialized(
+        hits_scores(edges, iters=3, cache_handles=handles), handles
+    )
 
 
 @q(
@@ -3177,7 +3201,10 @@ def graph_triangle_count(spark, sf_dir):
             ((F.col("doc_id") * 7 + 13 * F.col("j")) % F.col("__n")).alias("dst"),
         )
     )
-    return triangle_count(edges)
+    handles: list = []
+    return _materialized(
+        triangle_count(edges, cache_handles=handles), handles
+    )
 
 
 @q(
