@@ -40,87 +40,79 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-14 window (rotation per scripts/update_checked.py over
-    # r01..r13: all 187 previously registered queries have a full-hash
-    # green driver row — CHECKED.md). Heads: ALL FOURTEEN never-checked
-    # r14 DQs (wave 1: interval-join twin, image phash, row-level
-    # tombstone deletes on both layouts; wave 2: expectation gate,
-    # corpus line dedup, audio fingerprint dedup, IVF-PQ single +
-    # batch + upsert/delete serving, weighted sampling, Unicode NFC +
-    # normalized dedup, image-cluster capstone), then 30 of the 40
-    # STALEST greens (all last checked r10), then SIX r14-REWIRED paths (green r13 but
-    # materially changed this round: the ANN/LSM serving layer moved
-    # onto the tombstone-aware per-seg _shadow_iter; upsert manifests
-    # carry tombstone flags; ann_version_drift's default base is now
-    # committed-only; HITS' normalization gained the total==0 CASE
-    # guard). Ten r10-stale names (csv/jsonl roundtrips, variant JSON, range
-    # frame, grouping sets, recursive CTE, doc_fingerprint,
-    # lang-token-budget, bm25/rrf batch — untouched since r10,
-    # re-verified dual-scale on every pytest run via test_parity, and
-    # each with an r11+-green family sibling) are postponed to head
-    # the r15 window; the rewired serving paths
-    # take their slots because a driver re-green of changed code
-    # outranks a re-confirmation of unchanged code.
-    # Wave-4 additions (never checked): triangle counting, cohort
-    # retention, Markov transitions, blocked fuzzy ER. To keep the
-    # window at 50, four r10-stale names whose family sibling remains
-    # in this window moved to the r15 head: similarity_topk_lsh
-    # (sibling similarity_topk stays), dedup_exact (sibling
-    # dedup_exact_normalized stays), dedup_simhash +
-    # dedup_ngram_jaccard_capped (sibling dedup_ngram_jaccard stays).
-    # crawl_harmonic_centrality (HyperBall) joins the wave-4 head;
-    # dedup_minhash moves to r15 (family siblings dedup_ngram_jaccard
-    # + the image/audio fingerprint dedups remain in this window).
-    "crawl_harmonic_centrality",
-    "graph_triangle_count",
-    "cohort_retention_weekly",
-    "markov_transitions",
-    "er_fuzzy_blocked",
-    "join_stream_interval_batch",
-    "dedup_image_phash",
-    "index_delete_ids",
-    "ann_delete_ids",
-    "dq_expectations",
-    "dedup_corpus_lines",
-    "dedup_audio_fp",
+    # -- round-15 window (rotation per scripts/update_checked.py over
+    # r01..r14: ALL 206 previously registered queries now have a
+    # full-hash green driver row — CHECKED.md shows zero never-checked
+    # for the first time). Heads, in priority order:
+    # (1) THREE never-checked r15 DQs — the versioned-lifecycle wave:
+    #     ann_time_travel (pinned-version read), ann_ivfpq_lifecycle
+    #     (in-place compaction capstone), ann_pq_version_drift (drift
+    #     on the third layout);
+    # (2) the FIFTEEN r10-stale names (r14 verdict #2 — the
+    #     twice-postponed rotation debt: csv/jsonl roundtrips, variant
+    #     JSON, range frame, grouping sets, recursive CTE, LSH top-k,
+    #     exact/minhash/simhash/capped-jaccard dedup, doc fingerprint,
+    #     lang token budget, bm25/rrf batch). After r15 no query's
+    #     last driver row predates r11;
+    # (3) TWELVE r15-REWIRED paths (green r14 but materially changed
+    #     this round: the three IVF-PQ DQs moved onto the versioned
+    #     root; ann_version_drift's resolver gained the ivfpq branch;
+    #     markov_transitions multiplies in DECIMAL(38,0);
+    #     er_fuzzy_blocked runs the hot-block pre-pass; the five
+    #     persisted-fixture graph DQs materialize + unpersist;
+    #     crawl_harmonic_centrality checkpoints its accumulator);
+    # (4) the next-stalest r11 greens from the update_checked.py
+    #     proposal fill the window to 50.
+    "ann_time_travel",
+    "ann_ivfpq_lifecycle",
+    "ann_pq_version_drift",
+    "recursive_cte_closure",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "variant_json_tolerant",
+    "window_range_frame",
+    "agg_grouping_sets",
+    "similarity_topk_lsh",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
+    "doc_fingerprint",
+    "token_budget_detected_lang",
+    "rank_bm25_batch",
+    "hybrid_rank_rrf_batch",
     "ann_ivfpq_search",
     "ann_ivfpq_batch",
     "ann_ivfpq_upsert",
-    "weighted_sample_quality",
-    "unicode_nfc_normalize",
-    "dedup_exact_normalized",
-    "dedup_image_clusters",
-    "agg_argminmax",
-    "quality_repetition_signals",
-    "join_salted_skew",
-    "pii_scrub",
-    "corpus_filter_pipeline",
-    "warc_extract_charset",
-    "nb_quality_classify",
-    "funnel_conversion",
-    "html_main_content",
-    "url_dedup_pipeline",
-    "url_idn_host",
-    "crawl_politeness_waves",
-    "cms_token_freq",
-    "crawl_anchor_edges",
-    "heavy_hitters_two_pass",
-    "zorder_cluster_key",
+    "ann_version_drift",
+    "markov_transitions",
+    "er_fuzzy_blocked",
     "crawl_pagerank",
     "crawl_rank_pipeline",
-    "crawl_robots_gate",
-    "similarity_topk",
-    "ann_store_probe",
-    "ann_ivf_search",
-    "embed_near_dup",
-    "rag_context_assemble",
-    "dedup_ngram_jaccard",
-    "ann_store_upsert",
-    "ann_store_quantized",
-    "rank_bm25_index_upsert",
-    "ann_probe_batch_quantized",
-    "ann_version_drift",
+    "crawl_politeness_waves",
     "crawl_hits_scores",
+    "graph_triangle_count",
+    "crawl_harmonic_centrality",
+    "join_cross_theta",
+    "join_range",
+    "join_asof",
+    "groupby_count",
+    "agg_global_count",
+    "agg_collect_list",
+    "agg_numeric_stats",
+    "agg_count_distinct",
+    "agg_rollup",
+    "delete_partition_filter",
+    "window_row_number",
+    "window_lag_frame",
+    "top_n_limit",
+    "sort_global",
+    "union_all",
+    "set_except",
+    "chunk_fixed_overlap",
+    "tpch_q15_top_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_share",
 ]
 
 

@@ -76,6 +76,23 @@ HEADLINE = [
 #: round (r01/r02 timed writes only).
 EAGER_CONSTRUCTION = {"dedup_clusters", "dedup_clusters_star"}
 
+#: headline_v2 (r14 verdict #5): one representative registry query per
+#: post-r11 serving family the frozen v1 membership never exercises —
+#: a plan regression in the managed-store serving layer, the graph
+#: analytics, or corpus line dedup would otherwise be invisible to the
+#: round-over-round headline number. Reported as a SEPARATE block
+#: (v1 membership untouched, round-over-round comparability intact).
+#: Every entry builds its fixture store/graph inside the callable, so
+#: construction is timed too (the EAGER_CONSTRUCTION treatment) —
+#: these numbers are build+serve, the full lifecycle cost.
+HEADLINE_V2 = [
+    "ann_probe_batch",          # LSH batch probe via managed root
+    "ann_ivfpq_search",         # IVF-PQ ADC probe + exact re-rank
+    "rank_bm25_index_compacted",  # indexed BM25 batch post-fold
+    "graph_triangle_count",     # degree-ordered triangle counting
+    "dedup_corpus_lines",       # exact line dedup (C4 rule)
+]
+
 
 def _host_probe() -> dict[str, float]:
     """Two fixed SINGLE-CORE workloads (numpy sort, pure-Python md5)
@@ -168,6 +185,19 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {
         name: round(median(ts), 3) for name, ts in samples.items()
+    }
+
+    # -- headline_v2: post-r11 serving families, build+serve timed --
+    for name in HEADLINE_V2:  # untimed warm pass (JIT, python workers)
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    samples_v2: dict[str, list[float]] = {name: [] for name in HEADLINE_V2}
+    for _ in range(3):
+        for name in HEADLINE_V2:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples_v2[name].append(time.perf_counter() - t0)
+    timings_v2: dict[str, float] = {
+        name: round(median(ts), 3) for name, ts in samples_v2.items()
     }
 
     # BASELINE.md proxy targets: end-to-end ingestion plan, and the
@@ -478,6 +508,8 @@ def main() -> None:
                 "unit": "sec",
                 "timing": "median_of_3_interleaved",
                 "queries": timings,
+                "headline_v2": timings_v2,
+                "headline_v2_total": round(sum(timings_v2.values()), 3),
                 "throughput": throughput,
                 "sf": sf_val,
                 "gates_ok": not gate_failures,

@@ -366,6 +366,7 @@ def harmonic_centrality(
     radius: int = 3,
     p: int = 11,
     mode: str = "in",
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Approximate truncated harmonic centrality via HyperBall
     (Boldi & Vigna, WWW'13 "In-core computation of geometric
@@ -413,6 +414,13 @@ def harmonic_centrality(
     join-tree depth at one round without radius extra jobs); no
     ``cache_handles`` needed — checkpoint blocks are reclaimed with
     the session (the hits_scores OOM lesson, both halves).
+
+    ``round_stats``: pass a list to receive one
+    ``(round, wall_sec, state_rows)`` tuple per completed round —
+    state_rows is a count over the just-checkpointed sketch state
+    (cached blocks, cheap), the number to read against the
+    ``|V| * 2^p`` bound when sizing p for a new graph. The count job
+    runs ONLY when the list is passed; production calls pay nothing.
     """
     if mode not in ("in", "out"):
         raise ValueError(f"mode must be 'in' or 'out', got {mode!r}")
@@ -446,6 +454,10 @@ def harmonic_centrality(
     prev = est_of(state)
     harm = nodes.select("__node", F.lit(0).cast("bigint").alias("__h"))
     for r in range(1, int(radius) + 1):
+        if round_stats is not None:
+            import time as _time
+
+            _t0 = _time.perf_counter()
         contrib = (
             state.withColumnRenamed("__node", head)
             .join(e, head)
@@ -454,6 +466,10 @@ def harmonic_centrality(
         state = hll_merge_grouped("__node", state, contrib).localCheckpoint(
             eager=True
         )
+        if round_stats is not None:
+            round_stats.append(
+                (r, _time.perf_counter() - _t0, state.count())
+            )
         cur = est_of(state)
         harm = (
             harm.join(prev.select("__node", F.col("est").alias("__pe")), "__node")

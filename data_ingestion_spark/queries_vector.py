@@ -425,8 +425,9 @@ _DRIFT_COS = (
 )
 
 
-@q(
-    "ann_version_drift",
+#: the drift fixture's expected report — shared verbatim by the LSH
+#: and IVF-PQ drift DQs (same cohorts, same (1-cos)*1e6 rounding)
+_DRIFT_ORACLE_SQL = (
     "WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0), "
     "rep5 AS (SELECT vec_id, list_transform(embedding, x -> -x) AS old_v, "
     "embedding AS new_v FROM base WHERE vec_id % 5 = 0), "
@@ -438,7 +439,13 @@ _DRIFT_COS = (
     f"CAST({_DRIFT_COS} AS BIGINT) AS drift_micros FROM rep "
     "UNION ALL "
     "SELECT vec_id + 10000 AS vec_id, 'added' AS status, "
-    "CAST(NULL AS BIGINT) AS drift_micros FROM base WHERE vec_id BETWEEN 1 AND 3",
+    "CAST(NULL AS BIGINT) AS drift_micros FROM base WHERE vec_id BETWEEN 1 AND 3"
+)
+
+
+@q(
+    "ann_version_drift",
+    _DRIFT_ORACLE_SQL,
 )
 def ann_version_drift(spark, sf_dir):
     """Embedding-drift report between ANN store versions (r13
@@ -2502,3 +2509,192 @@ def ann_ivfpq_upsert(spark, sf_dir):
         spark, root, spark.createDataFrame([(7,), (14,)], "vec_id bigint")
     )
     return store.probe(qv, k=5, n_probe=8, keep=192)
+
+
+@q(
+    "ann_time_travel",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "corpus AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0 "
+    "THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding "
+    "FROM embeddings WHERE vec_id <> 0) "
+    f"SELECT e.vec_id, {_COS} AS score FROM corpus e, q WHERE ("
+    + _multi_table_sql("e.embedding", "q.qv", bits=3, n_tables=SIM.DEFAULT_LSH_TABLES)
+    + ") ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_time_travel(spark, sf_dir):
+    """Version time-travel read on the managed ANN root (r14 verdict
+    #6; similarity.py::resolve_version_dir): the store is built over
+    a STALE generation (every 3rd vector negated), an upsert then
+    CORRECTS those vectors — and the query serves the PRE-UPSERT
+    version explicitly (``AnnStore.open(root, version=v0)``). The
+    oracle is the multi-table LSH probe over the STALE corpus, so the
+    hash certifies the pinned version ignores every newer segment:
+    the audit read that re-runs yesterday's probe against yesterday's
+    store byte-for-byte. Retention (vacuum default retain=2) is what
+    keeps v0 on disk — the read-side complement of
+    ``ann_version_drift``."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 3 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ann_tt_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.write_ann_store_versioned(
+        stale, root, bits=3, n_tables=SIM.DEFAULT_LSH_TABLES
+    )
+    v0 = os.path.basename(SIM.index_current_path(root).rstrip("/"))
+    # the correction upsert moves CURRENT past v0
+    SIM.upsert_ann_store_versioned(base.filter(F.col("vec_id") % 3 == 0), root)
+    return SIM.AnnStore.open(spark, root, version=v0).probe(qv, k=5)
+
+
+@q(
+    "ann_ivfpq_lifecycle",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+    "corpus AS ("
+    "SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id <> 0 AND vec_id NOT IN (9, 18) "
+    "UNION ALL "
+    "SELECT vec_id + 10000 AS vec_id, "
+    "list_transform(embedding, x -> -x) AS embedding "
+    "FROM embeddings WHERE vec_id BETWEEN 1 AND 3) "
+    f"SELECT e.vec_id, {_COS} AS score FROM corpus e, q "
+    "ORDER BY score DESC, e.vec_id LIMIT 5",
+)
+def ann_ivfpq_lifecycle(spark, sf_dir):
+    """The FULL IVF-PQ managed-root lifecycle in one query (r14
+    verdict #1 capstone): stale base build (every 5th vector
+    negated) -> frozen-codebook correction upsert plus three new
+    ids -> tombstone delete of two ids -> IN-PLACE COMPACTION
+    (pq.py::compact_ivfpq_store — re-trains quantizers into a new
+    generation, folds survivors to one segment, commits a new
+    version behind the atomic CURRENT pointer, retention-vacuums) ->
+    all-cell probe. The oracle is brute-force cosine top-5 over the
+    TRUE surviving corpus, so the hash certifies that the fold
+    dropped exactly the tombstoned rows and the shadowed stale
+    copies, kept the newest metadata-free survivors, and that codes
+    RE-ENCODED against the new quantizer generation still rank the
+    exact re-ranked top-5 identically — upsert ≡ delete ≡ compact ≡
+    rebuild end to end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.pq import (
+        compact_ivfpq_store,
+        delete_ivfpq_ids,
+        upsert_ivfpq_store,
+        write_ivfpq_store,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qhead = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qhead is None:
+        return spark.createDataFrame([], "vec_id bigint, score double")
+    qv = [float(x) for x in qhead[0]]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    delta = base.filter(F.col("vec_id") % 5 == 0).unionByName(
+        base.filter(F.col("vec_id").between(1, 3)).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"ivfpq_life_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh build per run
+    write_ivfpq_store(stale, root, n_cells=8, m=8)
+    upsert_ivfpq_store(delta, root)
+    delete_ivfpq_ids(
+        spark, root, spark.createDataFrame([(9,), (18,)], "vec_id bigint")
+    )
+    store = compact_ivfpq_store(spark, root)  # in place: new version
+    return store.probe(qv, k=5, n_probe=8, keep=192)
+
+
+@q(
+    "ann_pq_version_drift",
+    _DRIFT_ORACLE_SQL,
+)
+def ann_pq_version_drift(spark, sf_dir):
+    """``ann_version_drift`` on the THIRD layout (r14 verdict #1
+    tail): the identical four-cohort fixture — 20% sign-flip
+    re-embeds (drift exactly 2e6 micros), a first-component flip for
+    the %7 cohort (real intermediate drift), byte-identical %11
+    re-upserts (classified unchanged, DROPPED from the report), three
+    new ids (added, NULL drift) — folded as a frozen-codebook delta
+    into a managed IVF-PQ root, then diffed between the two committed
+    versions. The drift report resolves each version's LOGICAL
+    vectors from the raw sidecar pool with last-wins shadowing
+    (similarity.py::_resolved_vectors, ivfpq branch), so the hash
+    certifies the PQ manifest chain exposes the same
+    version-over-version semantics as the LSH layouts — one
+    observability surface across all three stores."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.pq import upsert_ivfpq_store, write_ivfpq_store
+
+    e = _t(spark, sf_dir, "embeddings")
+    if e.head() is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, status string, drift_micros bigint"
+        )
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    stale = base.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.transform("embedding", lambda x: -x)
+        ).otherwise(F.col("embedding")),
+    )
+    flip_first = F.transform(
+        "embedding", lambda x, i: F.when(i == F.lit(0), -x).otherwise(x)
+    )
+    delta = (
+        base.filter(F.col("vec_id") % 5 == 0)
+        .unionByName(
+            base.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 0))
+            .withColumn("embedding", flip_first)
+        )
+        .unionByName(
+            base.filter(
+                (F.col("vec_id") % 11 == 0)
+                & (F.col("vec_id") % 5 != 0)
+                & (F.col("vec_id") % 7 != 0)
+            )
+        )
+        .unionByName(
+            base.filter(F.col("vec_id").between(1, 3)).select(
+                (F.col("vec_id") + 10000).alias("vec_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"pq_drift_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    write_ivfpq_store(stale, root, n_cells=8, m=8)
+    upsert_ivfpq_store(delta, root)
+    return SIM.ann_version_drift(spark, root)

@@ -202,3 +202,20 @@ def test_harmonic_centrality_accumulator_plan_depth(spark):
     # and the result is still exact for the path graph
     got = {r.node: r.harmonic_micros for r in out.collect()}
     assert got[12] >= got[6] >= got[1]
+
+
+def test_harmonic_centrality_round_stats_hook(spark):
+    """round_stats receives one (round, wall, state_rows) per round,
+    monotone state growth bounded by |V| * 2^p."""
+    from data_ingestion_spark.functions.graph import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    stats: list = []
+    harmonic_centrality(e, radius=3, p=7, round_stats=stats).collect()
+    assert [r for r, _, _ in stats] == [1, 2, 3]
+    rows = [n for _, _, n in stats]
+    assert rows == sorted(rows)  # balls only grow
+    assert rows[-1] <= 8 * (1 << 7)  # |V| * 2^p bound
+    assert all(w > 0 for _, w, _ in stats)
