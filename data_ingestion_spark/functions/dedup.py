@@ -841,7 +841,7 @@ def fuzzy_join_blocked(
     right_col: str,
     max_dist: int = 1,
     block_prefix_len: int = 2,
-    max_block_pairs: int | None = 500_000_000,
+    max_block_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Blocked fuzzy entity resolution: every (left, right) row pair
     whose string columns are within Levenshtein distance
