@@ -63,9 +63,16 @@ DRIVER_WINDOW: list[str] = [
     #     crawl_harmonic_centrality checkpoints its accumulator);
     # (4) the next-stalest r11 greens from the update_checked.py
     #     proposal fill the window to 50.
+    # Wave-2 additions (never checked, join the head): temperature
+    # mixture weights + the drawn sample, and the CCNet-style bigram
+    # LM quality score; the three stalest r11 fill entries (tpch q15/
+    # q6/q14) rotate out to keep the window at 50.
     "ann_time_travel",
     "ann_ivfpq_lifecycle",
     "ann_pq_version_drift",
+    "mixture_temperature_weights",
+    "mixture_temperature_sample",
+    "quality_lm_logprob",
     "recursive_cte_closure",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
@@ -110,9 +117,6 @@ DRIVER_WINDOW: list[str] = [
     "union_all",
     "set_except",
     "chunk_fixed_overlap",
-    "tpch_q15_top_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share",
 ]
 
 

@@ -419,6 +419,47 @@ def mix_weights(df: DataFrame, part_col: str, text_col: str) -> DataFrame:
     )
 
 
+def mixture_temperature_weights(
+    df: DataFrame, part_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-smoothed mixture weights — the exponent-α domain/
+    language reweighting every multi-source LLM corpus uses (the
+    multilingual sampling exponent of XLM-R/mBERT, the per-dataset
+    mixture dials of GPT-3/Pile): a source with corpus share p_s
+    gets target share
+
+        q_s = p_s^α / Σ_t p_t^α       (α=1: natural; α=0: uniform)
+
+    and each of its ROWS a resampling weight q_s / p_s, so feeding
+    the weight to ``weighted_sample`` draws the temperature mixture
+    directly (rare sources up, dominant sources down, smoothly).
+    ``mix_weights`` is the α=0 special case with a different
+    normalization.
+
+    Output: (part_col, n_docs, share, temp_share, weight), shares and
+    weight rounded 6dp (the BM25 float discipline: fixed expression
+    shape over exact integer counts). Plan: one partial+final agg to
+    |sources| rows; window totals touch only that tiny result.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    per = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    # two window stages (a window cannot nest inside another window's
+    # argument) — both run over the |sources|-row aggregate, not data
+    staged = per.withColumn(
+        "__p", F.col("n_docs") / F.sum("n_docs").over(w)
+    ).withColumn("__pa", F.pow(F.col("__p"), F.lit(float(alpha))))
+    q = F.col("__pa") / F.sum("__pa").over(w)
+    return staged.select(
+        part_col,
+        "n_docs",
+        F.round(F.col("__p"), 6).alias("share"),
+        F.round(q, 6).alias("temp_share"),
+        F.round(q / F.col("__p"), 6).alias("weight"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -709,6 +709,112 @@ def pmi_bigrams(
     )
 
 
+def _lm_bigrams(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """(..keep_cols.., w1, w2) adjacent-token pairs under the corpus
+    tokenizer (lower + non-alphanumeric split) — a JVM zip_with over
+    the token array, no positional self-join; shared by LM training
+    and scoring so the two cannot tokenize differently."""
+    toks = df.select(
+        *keep_cols,
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__ws"),
+    )
+    return toks.filter(F.size("__ws") >= 2).select(
+        *keep_cols,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ws"), 1, F.size("__ws") - 1),
+                F.slice(F.col("__ws"), 2, F.size("__ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__p"),
+    ).select(*keep_cols, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: int = 1,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring: train an add-k
+    bigram model on a REFERENCE corpus (the curated/high-quality
+    slice), score every candidate document by its mean bigram
+    log-probability — documents whose token transitions look nothing
+    like the reference (boilerplate, lorem ipsum, gibberish, wrong
+    language) score low. This is the quality-filter stage of the
+    CCNet/CC-Net pipeline (Wenzek et al. 2020 train KenLM on
+    Wikipedia and bucket Common Crawl by perplexity); a bigram model
+    with add-k smoothing is the exact-arithmetic, engine-native
+    version of the same signal:
+
+        lp(w1, w2) = ln( (c(w1,w2) + k) / (c(w1) + k·V) )
+
+    with c(·) reference counts, V the reference unigram vocabulary,
+    k = ``k_smooth`` (unseen contexts degrade to ln(1/V), never a
+    NULL or -inf). Per-bigram NEGATIVE log prob rounds to BIGINT
+    micros BEFORE the per-document mean (integer sum div count —
+    the numerator is kept POSITIVE deliberately: Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so negative
+    integer division would hash-diverge), making the score
+    bit-deterministic under any partitioning — the PageRank/PMI
+    cross-engine discipline, not a float-sum race.
+
+    Output: (id_col, n_bigrams, nll_micros) — mean negative bigram
+    log-likelihood in micros; LOWER is more reference-like
+    (perplexity = exp(nll_micros / 1e6)); threshold or bucket
+    downstream (CCNet keeps the head/middle perplexity buckets).
+    Plan: ONE tokenize pass per side; model = two partial-agg
+    shuffles over the reference (bigram + context counts); scoring =
+    two equi-joins on token keys (left: unseen pairs/contexts
+    coalesce to 0) + one per-doc agg. V and the join sides follow
+    AQE: a Wikipedia-sized model broadcast-joins, a corpus-sized one
+    shuffles — both correct."""
+    if k_smooth < 1:
+        raise ValueError(f"k_smooth must be >= 1, got {k_smooth}")
+    ref_bi = _lm_bigrams(reference, text_col)
+    model = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cp"))
+    ctx = model.groupBy("w1").agg(F.sum("__cp").alias("__cc"))
+    vocab = (
+        reference.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("__t")
+        )
+        .agg(F.count_distinct("__t").alias("__v"))
+    )
+    doc_bi = _lm_bigrams(docs, text_col, id_col)
+    k = F.lit(int(k_smooth))
+    # -ln(p) micros: the ratio is < 1 by construction (cp <= cc and
+    # k < k·V), so negating inside keeps every term positive
+    nlp = F.round(
+        F.log(
+            (F.coalesce(F.col("__cc"), F.lit(0)) + k * F.col("__v")).cast(
+                "double"
+            )
+            / (F.coalesce(F.col("__cp"), F.lit(0)) + k).cast("double")
+        )
+        * 1_000_000.0
+    ).cast("bigint")
+    return (
+        doc_bi.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(F.broadcast(vocab))
+        .select(id_col, nlp.alias("__nlp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(__nlp) div count(1)").cast("bigint").alias("nll_micros"),
+        )
+    )
+
+
 def unicode_normalize(col: Column, form: str = "NFC") -> Column:
     """Unicode normalization of a string column — the canonical-form
     pass a crawl corpus needs BEFORE any hash-keyed dedup: 'é' and

@@ -3411,3 +3411,53 @@ def crawl_harmonic_centrality(spark, sf_dir):
         )
     )
     return harmonic_centrality(edges, radius=3, p=11, mode="in")
+
+
+_LM_TOK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> len(x) > 0)"
+)
+
+
+@q(
+    "quality_lm_logprob",
+    f"WITH tok AS (SELECT doc_id, {_LM_TOK} AS ws FROM documents), "
+    "bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM tok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    f"rtok AS (SELECT {_LM_TOK} AS ws FROM documents WHERE lang = 'en'), "
+    "rbi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM rtok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    "model AS (SELECT w1, w2, count(*) AS cp FROM rbi GROUP BY 1, 2), "
+    "ctx AS (SELECT w1, sum(cp) AS cc FROM model GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT t) AS v FROM "
+    "(SELECT unnest(ws) AS t FROM rtok)), "
+    "scored AS (SELECT b.doc_id, CAST(round(ln("
+    "(COALESCE(c.cc, 0) + 1.0 * (SELECT v FROM v)) * 1.0 / "
+    "(COALESCE(m.cp, 0) + 1)) * 1000000) AS BIGINT) AS nlp "
+    "FROM bi b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 "
+    "LEFT JOIN ctx c ON b.w1 = c.w1) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(nlp) // count(*) AS BIGINT) AS nll_micros "
+    "FROM scored GROUP BY doc_id",
+)
+def quality_lm_logprob(spark, sf_dir):
+    """CCNet-style LM quality scoring (r15; textops.py::
+    bigram_lm_score): train an add-1 bigram model on the English
+    slice (the 'curated reference' stand-in — CCNet trains KenLM on
+    Wikipedia), score EVERY document by mean negative bigram
+    log-likelihood. Non-English and gibberish documents score high
+    NLL (their transitions never appear in the reference and degrade
+    to the ln(cc + V) smoothing floor); English documents score low
+    — the perplexity-bucket quality filter of Wenzek et al. 2020 in
+    exact-arithmetic engine-native form. Per-bigram NLL rounds to
+    BIGINT micros BEFORE the mean (positive-numerator integer
+    division — truncation ≡ floor, so Spark div and DuckDB // agree)
+    and the oracle replays model training, smoothing, and scoring
+    end to end."""
+    from .functions.textops import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("text"),
+    )

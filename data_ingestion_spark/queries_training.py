@@ -318,3 +318,59 @@ def weighted_sample_quality(spark, sf_dir):
     return C.weighted_sample(
         d, "n_chars", 20, id_col="doc_id", by="lang"
     ).select("doc_id", "lang", "sample_rank")
+
+
+@q(
+    "mixture_temperature_weights",
+    "WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang), "
+    "s AS (SELECT lang, n_docs, "
+    "n_docs * 1.0 / (SELECT sum(n_docs) FROM per) AS p FROM per), "
+    "t AS (SELECT lang, n_docs, p, pow(p, 0.5) AS pa FROM s) "
+    "SELECT lang, n_docs, round(p, 6) AS share, "
+    "round(pa / (SELECT sum(pa) FROM t), 6) AS temp_share, "
+    "round((pa / (SELECT sum(pa) FROM t)) / p, 6) AS weight FROM t",
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-smoothed mixture weights (r15 — the exponent-α
+    sampling of XLM-R/mBERT, the per-dataset mixture dials of
+    GPT-3/Pile; corpus.py::mixture_temperature_weights): q_s ∝
+    p_s^0.5 lifts rare languages and damps the dominant one; the
+    weight column q_s/p_s is the per-row resampling factor
+    weighted_sample consumes. One agg to |langs| rows; the two
+    window totals run over that tiny result."""
+    return C.mixture_temperature_weights(_d(spark, sf_dir), "lang", 0.5)
+
+
+@q(
+    "mixture_temperature_sample",
+    "WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang), "
+    "s AS (SELECT lang, n_docs * 1.0 / (SELECT sum(n_docs) FROM per) AS p "
+    "FROM per), "
+    "t AS (SELECT lang, p, pow(p, 0.5) AS pa FROM s), "
+    "w AS (SELECT lang, "
+    "round((pa / (SELECT sum(pa) FROM t)) / p, 6) AS weight FROM t), "
+    "keyed AS (SELECT d.doc_id, d.lang, "
+    "-ln((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|ws'), 1, 8)) "
+    "AS BIGINT) + 1.0) / 4294967297.0) / w.weight AS k "
+    "FROM documents d JOIN w ON d.lang = w.lang), "
+    "r AS (SELECT doc_id, lang, "
+    "CAST(row_number() OVER (ORDER BY k, doc_id) AS INTEGER) AS sample_rank "
+    "FROM keyed) "
+    "SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 100",
+)
+def mixture_temperature_sample(spark, sf_dir):
+    """The temperature mixture DRAWN (r15): per-language α=0.5
+    weights joined onto documents (broadcast — |langs| rows), then
+    Efraimidis-Spirakis A-Res picks 100 docs globally with inclusion
+    probability ∝ weight. Rare languages surface at ~√-scaled rates
+    instead of their raw shares — the actual resampling step of a
+    mixture-balanced training corpus, deterministic under retries
+    (md5-derived uniforms; the oracle draws bit-identical keys, so
+    the hash certifies weights → keys → global rank in one go)."""
+    d = _d(spark, sf_dir).select("doc_id", "lang")
+    w = C.mixture_temperature_weights(d, "lang", 0.5).select("lang", "weight")
+    return C.weighted_sample(
+        d.join(F.broadcast(w), "lang"), "weight", 100, id_col="doc_id"
+    ).select("doc_id", "lang", "sample_rank")

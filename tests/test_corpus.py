@@ -477,3 +477,69 @@ def test_weighted_sample_contracts(spark):
     bad = spark.createDataFrame([(1, 1.0, 2)], "doc_id bigint, w double, sample_rank int")
     with pytest.raises(ValueError, match="collides"):
         weighted_sample(bad, "w", 1)
+
+
+def test_mixture_temperature_weights_endpoints(spark):
+    """α=1 is the natural mixture (all weights 1); α=0 flattens to
+    uniform target shares; α=0.5 sits between, preserving order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.corpus import (
+        mixture_temperature_weights,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "a" if i < 80 else ("b" if i < 95 else "c")) for i in range(100)],
+        "doc_id long, src string",
+    )
+    nat = {r.src: r for r in mixture_temperature_weights(d, "src", 1.0).collect()}
+    assert all(abs(r.weight - 1.0) < 1e-9 for r in nat.values())
+    assert nat["a"].share == 0.8 and nat["a"].temp_share == 0.8
+
+    uni = {r.src: r for r in mixture_temperature_weights(d, "src", 0.0).collect()}
+    for r in uni.values():
+        assert abs(r.temp_share - 1 / 3) < 1e-6  # uniform target
+    # rare sources upweighted, dominant downweighted
+    assert uni["c"].weight > 1.0 > uni["a"].weight
+
+    half = {r.src: r for r in mixture_temperature_weights(d, "src", 0.5).collect()}
+    assert half["a"].temp_share < nat["a"].temp_share  # damped
+    assert half["c"].temp_share > nat["c"].temp_share  # lifted
+    # target shares still a distribution
+    assert abs(sum(r.temp_share for r in half.values()) - 1.0) < 1e-5
+
+    with pytest.raises(ValueError, match="alpha"):
+        mixture_temperature_weights(d, "src", 1.5)
+
+
+def test_bigram_lm_score_hand_case_and_ordering(spark):
+    """Hand-checked add-1 bigram NLL + the quality-signal property:
+    a reference-like doc scores LOWER mean NLL than gibberish."""
+    import math
+
+    import pytest
+
+    from data_ingestion_spark.functions.textops import bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zx qv zx qv zx")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs, ref).collect()}
+    # model: c(the,cat)=2, c(cat,sat)=1, c(cat,ran)=1; c(the)=2,
+    # c(cat)=2; V=4 (the,cat,sat,ran); k=1
+    nll_the_cat = math.log((2 + 4) / (2 + 1))
+    nll_cat_sat = math.log((2 + 4) / (1 + 1))
+    exp = (round(nll_the_cat * 1e6) + round(nll_cat_sat * 1e6)) // 2
+    assert out[1].n_bigrams == 2
+    assert out[1].nll_micros == exp
+    # gibberish: every bigram unseen context -> ln((0+4)/(0+1)) = ln 4
+    assert out[2].nll_micros == round(math.log(4.0) * 1e6)
+    assert out[1].nll_micros < out[2].nll_micros
+
+    with pytest.raises(ValueError, match="k_smooth"):
+        bigram_lm_score(docs, ref, k_smooth=0)
