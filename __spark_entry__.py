@@ -96,7 +96,7 @@ DRIVER_WINDOW: list[str] = [
     "er_fuzzy_blocked",
     "crawl_pagerank",
     "crawl_rank_pipeline",
-    "crawl_politeness_waves",
+    "incremental_recrawl_pipeline",
     "crawl_hits_scores",
     "graph_triangle_count",
     "crawl_harmonic_centrality",
