@@ -419,6 +419,56 @@ def mix_weights(df: DataFrame, part_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort — the export step that turns a curated corpus into the
+    (shard, position) layout data loaders consume (epoch order =
+    read shards in id order, rows in position order). Every training
+    run wants its corpus shuffled; at 100 TB a total-order sort is a
+    full-cluster range exchange, and rand() breaks retry/AQE
+    determinism. Instead:
+
+    - ``shard_id``  = first 8 md5(id|seed) hex chars mod n_shards —
+      a uniform, engine-portable hash bucket (ONE hash exchange);
+    - ``shard_pos`` = row_number within the shard ordered by the
+      FULL md5 key (a within-partition sort after the same
+      exchange — no second shuffle).
+
+    The concatenated (shard_id, shard_pos) order is a fixed
+    pseudo-random permutation of the corpus: reproducible across
+    reruns, retries, engines, and partitionings (the hash_sample /
+    weighted_sample md5 discipline), and writable as
+    ``partitionBy(shard_id)`` without any further movement. A new
+    ``seed`` is a fresh permutation (per-epoch reshuffles).
+
+    Returns the input columns plus (shard_id int, shard_pos int).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in ("shard_id", "shard_pos", "__sk"):
+        if c in df.columns:
+            raise ValueError(
+                f"shuffle_shards: input column {c!r} collides — rename it"
+            )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+    keyed = df.withColumn("__sk", key).withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(F.substring(F.col("__sk"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(int(n_shards)),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("__sk"), F.col(id_col))
+    return keyed.withColumn(
+        "shard_pos", F.row_number().over(w)
+    ).drop("__sk")
+
+
 def mixture_temperature_weights(
     df: DataFrame, part_col: str, alpha: float = 0.5
 ) -> DataFrame:

@@ -374,3 +374,28 @@ def mixture_temperature_sample(spark, sf_dir):
     return C.weighted_sample(
         d.join(F.broadcast(w), "lang"), "weight", 100, id_col="doc_id"
     ).select("doc_id", "lang", "sample_rank")
+
+
+@q(
+    "export_shuffle_shards",
+    "WITH keyed AS (SELECT doc_id, "
+    "md5(CAST(doc_id AS VARCHAR) || '|shuf') AS sk FROM documents), "
+    "sh AS (SELECT doc_id, sk, CAST("
+    "CAST(('0x' || substr(sk, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard_id "
+    "FROM keyed) "
+    "SELECT doc_id, shard_id, CAST(row_number() OVER "
+    "(PARTITION BY shard_id ORDER BY sk, doc_id) AS INTEGER) AS shard_pos "
+    "FROM sh",
+)
+def export_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle into loader shards (r15;
+    corpus.py::shuffle_shards): md5-keyed shard assignment (one hash
+    exchange) + within-shard position (same exchange, no global
+    sort) — the export step between curation and the data loader.
+    (shard_id, shard_pos) is a fixed pseudo-random permutation,
+    reproducible across retries/engines; the oracle rebuilds the
+    identical keys, buckets, and positions, so the hash certifies
+    the whole permutation."""
+    return C.shuffle_shards(
+        _d(spark, sf_dir).select("doc_id"), 8, id_col="doc_id"
+    ).select("doc_id", "shard_id", "shard_pos")

@@ -543,3 +543,45 @@ def test_bigram_lm_score_hand_case_and_ordering(spark):
 
     with pytest.raises(ValueError, match="k_smooth"):
         bigram_lm_score(docs, ref, k_smooth=0)
+
+
+def test_shuffle_shards_permutation_and_single_exchange(spark):
+    """Every row lands exactly once; positions are contiguous
+    1..|shard|; a new seed is a different permutation; the plan pays
+    ONE shuffle (shard hash + within-shard sort share the exchange)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.corpus import shuffle_shards
+
+    d = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(d, 8).cache()
+    assert out.count() == 1000
+    assert out.select("doc_id").distinct().count() == 1000
+    per = out.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("shard_pos").alias("mx"),
+        F.min("shard_pos").alias("mn"),
+    ).collect()
+    assert len(per) == 8
+    for r in per:
+        assert r.mn == 1 and r.mx == r.n  # contiguous positions
+    a = [(r.shard_id, r.shard_pos) for r in out.orderBy("doc_id").collect()]
+    b = [
+        (r.shard_id, r.shard_pos)
+        for r in shuffle_shards(d, 8, seed="epoch2").orderBy("doc_id").collect()
+    ]
+    assert a != b  # fresh permutation per seed
+    # rerun determinism
+    c = [(r.shard_id, r.shard_pos) for r in shuffle_shards(d, 8).orderBy("doc_id").collect()]
+    assert a == c
+    out.unpersist()
+
+    plan = shuffle_shards(d, 8)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(d, 0)
+    with pytest.raises(ValueError, match="collides"):
+        shuffle_shards(d.withColumn("shard_id", F.lit(1)), 4)
