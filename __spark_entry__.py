@@ -74,6 +74,7 @@ DRIVER_WINDOW: list[str] = [
     "mixture_temperature_sample",
     "quality_lm_logprob",
     "export_shuffle_shards",
+    "index_version_drift",
     "recursive_cte_closure",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: list[str] = [
     "top_n_limit",
     "sort_global",
     "union_all",
-    "set_except",
 ]
 
 

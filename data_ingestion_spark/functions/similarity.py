@@ -3134,6 +3134,76 @@ def _resolved_vectors(spark, version_dir: str) -> DataFrame:
     )
 
 
+def index_version_drift(
+    spark, root: str, from_dir: str | None = None, to_dir: str | None = None
+) -> DataFrame:
+    """Content-drift report between two committed versions of a
+    managed POSTINGS root — the lexical twin of ``ann_version_drift``
+    (r15: drift observability now covers all three at-rest layouts):
+    WHAT did the last upsert/delete change in the serving index?
+
+    Each version's logical per-document content is summarized as an
+    order-insensitive signature — md5 over the doc's sorted
+    ``term:tf`` list (the resolved postings view, so last-wins
+    shadowing and tombstones are already applied) — and the two
+    signature sets full-outer join per doc_id:
+
+    - ``added``   — only in the newer version;
+    - ``removed`` — only in the older (row-level delete, or a
+      compaction folding external tombstones);
+    - ``changed`` — both, different signature (any term or tf moved
+      — a dl-preserving edit still flips the signature, which doclens
+      alone could not see).
+
+    Unchanged docs drop: the report is bounded by the delta. Cost is
+    one resolved-postings scan per version + two per-doc aggs — an
+    audit query priced on the index, never the corpus text.
+    Defaults diff the previous committed version against CURRENT
+    (committed-only, the ann_version_drift rule). Returns
+    (doc_id, status)."""
+    import os
+
+    if to_dir is None:
+        to_dir = index_current_path(root)
+        if to_dir is None:
+            raise FileNotFoundError(f"no CURRENT index version under {root!r}")
+    if from_dir is None:
+        cur_name = os.path.basename(to_dir.rstrip("/"))
+        older = [n for n in _committed_versions(root) if n < cur_name]
+        if not older:
+            raise ValueError(
+                f"{root!r} has no committed version older than {cur_name!r} "
+                "to diff against — pass from_dir explicitly"
+            )
+        from_dir = os.path.join(root, older[-1])
+
+    def sig(version_dir: str, alias: str) -> DataFrame:
+        posts = IndexReader(spark, version_dir).postings()
+        return (
+            posts.select(
+                "doc_id", F.concat_ws(":", "term", F.col("tf").cast("string")).alias("__e")
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.md5(
+                    F.concat_ws("|", F.sort_array(F.collect_list("__e")))
+                ).alias(alias)
+            )
+        )
+
+    j = sig(from_dir, "__old").join(sig(to_dir, "__new"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(F.col("__old") == F.col("__new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
 def ann_version_drift(
     spark, root: str, from_dir: str | None = None, to_dir: str | None = None
 ) -> DataFrame:

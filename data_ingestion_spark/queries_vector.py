@@ -2698,3 +2698,60 @@ def ann_pq_version_drift(spark, sf_dir):
     write_ivfpq_store(stale, root, n_cells=8, m=8)
     upsert_ivfpq_store(delta, root)
     return SIM.ann_version_drift(spark, root)
+
+
+@q(
+    "index_version_drift",
+    "SELECT doc_id, 'changed' AS status FROM documents WHERE doc_id % 5 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 10000 AS doc_id, 'added' AS status FROM documents "
+    "WHERE doc_id BETWEEN 1 AND 3 "
+    "UNION ALL "
+    "SELECT doc_id, 'removed' AS status FROM documents WHERE doc_id IN (1, 2)",
+)
+def index_version_drift(spark, sf_dir):
+    """Content drift between committed POSTINGS versions (r15 —
+    similarity.py::index_version_drift, the lexical twin of the two
+    vector drift DQs; all three at-rest layouts now answer 'what did
+    the last maintenance op change?'): the fixture builds the
+    versioned index over a STALE generation (every 5th doc carries
+    noise terms), then one correction upsert + three new docs, then a
+    row-level tombstone delete of two ids — and the report diffs v0
+    against CURRENT. Per-doc signatures are md5 over the sorted
+    term:tf list of the RESOLVED postings view (last-wins shadowing +
+    tombstones applied), so the hash certifies that replaced docs
+    classify changed (any tf move flips the signature — doclens
+    alone could not see a dl-preserving edit), new docs added,
+    tombstoned docs removed, and untouched docs drop from the
+    report."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if d.head() is None:
+        return spark.createDataFrame([], "doc_id bigint, status string")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" stale vector spark noise")),
+        ).otherwise(F.col("text")),
+    )
+    delta = d.filter(F.col("doc_id") % 5 == 0).unionByName(
+        d.filter(F.col("doc_id").between(1, 3)).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"idx_drift_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.build_postings_index_versioned(stale, root)
+    SIM.upsert_postings_index_versioned(delta, root)
+    SIM.delete_index_ids(
+        spark.createDataFrame([(1,), (2,)], "doc_id bigint"), root
+    )
+    return SIM.index_version_drift(
+        spark, root, from_dir=os.path.join(root, "v_000000")
+    )

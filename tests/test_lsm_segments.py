@@ -567,3 +567,35 @@ def test_index_reader_time_travel_and_refusals(spark, tmp_path):
         IndexReader(spark, root, version=v0)
     with pytest.raises(FileNotFoundError, match="not a committed version"):
         IndexReader(spark, root, version="v_424242")
+
+
+def test_index_version_drift_statuses_and_default_base(spark, tmp_path):
+    """added/changed/removed classify against the resolved postings
+    signatures; unchanged docs drop; the default base is the previous
+    COMMITTED version; no-older-version refuses."""
+    from data_ingestion_spark.functions.similarity import (
+        delete_index_ids,
+        index_version_drift,
+    )
+
+    d = _docs(spark).filter(F.col("doc_id") < 40)
+    root = str(tmp_path / "idx_drift")
+    build_postings_index_versioned(_stale(d), root)
+    with pytest.raises(ValueError, match="no committed version older"):
+        index_version_drift(spark, root)
+    upsert_postings_index_versioned(
+        d.filter(F.col("doc_id") % 5 == 0).unionByName(
+            d.filter(F.col("doc_id") == 1).select(
+                (F.col("doc_id") + 900).alias("doc_id"), "text"
+            )
+        ),
+        root,
+    )
+    got = {r.doc_id: r.status for r in index_version_drift(spark, root).collect()}
+    assert got[901] == "added"
+    assert all(got[i] == "changed" for i in range(0, 40, 5) if i in got)
+    assert set(got) == {901} | {i for i in range(0, 40, 5)}
+    delete_index_ids(spark.createDataFrame([(3,)], "doc_id bigint"), root)
+    # default base moved: upsert-version vs delete-version
+    got2 = {r.doc_id: r.status for r in index_version_drift(spark, root).collect()}
+    assert got2 == {3: "removed"}
