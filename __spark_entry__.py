@@ -75,6 +75,7 @@ DRIVER_WINDOW: list[str] = [
     "quality_lm_logprob",
     "export_shuffle_shards",
     "index_version_drift",
+    "quality_ppl_buckets",
     "recursive_cte_closure",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_frame",
     "top_n_limit",
     "sort_global",
-    "union_all",
 ]
 
 

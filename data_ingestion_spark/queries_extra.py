@@ -3461,3 +3461,55 @@ def quality_lm_logprob(spark, sf_dir):
         d.select("doc_id", "text"),
         d.filter(F.col("lang") == "en").select("text"),
     )
+
+
+@q(
+    "quality_ppl_buckets",
+    f"WITH tok AS (SELECT doc_id, {_LM_TOK} AS ws FROM documents), "
+    "bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM tok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    f"rtok AS (SELECT {_LM_TOK} AS ws FROM documents WHERE lang = 'en'), "
+    "rbi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM rtok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    "model AS (SELECT w1, w2, count(*) AS cp FROM rbi GROUP BY 1, 2), "
+    "ctx AS (SELECT w1, sum(cp) AS cc FROM model GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT t) AS v FROM "
+    "(SELECT unnest(ws) AS t FROM rtok)), "
+    "scored AS (SELECT b.doc_id, CAST(round(ln("
+    "(COALESCE(c.cc, 0) + 1.0 * (SELECT v FROM v)) * 1.0 / "
+    "(COALESCE(m.cp, 0) + 1)) * 1000000) AS BIGINT) AS nlp "
+    "FROM bi b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 "
+    "LEFT JOIN ctx c ON b.w1 = c.w1), "
+    "doc AS (SELECT doc_id, CAST(sum(nlp) // count(*) AS BIGINT) AS "
+    "nll_micros FROM scored GROUP BY doc_id) "
+    "SELECT doc_id, nll_micros, CASE ntile(3) OVER "
+    "(ORDER BY nll_micros, doc_id) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+    "ELSE 'tail' END AS bucket FROM doc",
+)
+def quality_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail perplexity split (r15 — the step
+    AFTER quality_lm_logprob in Wenzek et al. 2020: rank the corpus
+    by reference-LM perplexity and cut it into terciles; training
+    recipes keep head+middle and drop or downsample tail): one NTILE
+    window over the per-doc NLL from textops.bigram_lm_score, ordered
+    (nll_micros, doc_id) so ties split deterministically. The window
+    runs over the |docs|-row score table, not the bigram stream; at
+    100 TB you'd swap NTILE for the two-pass exact-quantile operator
+    (quantiles_two_pass) and a broadcast threshold join — same
+    semantics, no single-partition global window; documented here as
+    the scale path."""
+    from .functions.textops import bigram_lm_score
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    nll = bigram_lm_score(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("text"),
+    ).select("doc_id", "nll_micros")
+    w = Window.orderBy(F.col("nll_micros"), F.col("doc_id"))
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return nll.select("doc_id", "nll_micros", bucket.alias("bucket"))
