@@ -133,6 +133,9 @@ CROSS_OK = {
     "index_delete_ids",        # same 1-row stats broadcast, post-delete serve
     "graph_triangle_count",    # 1-row node-count broadcast builds the fixture
                                # graph (the crawl_pagerank/hits fixture shape)
+    "quality_lm_logprob",      # 1-row vocabulary-size broadcast (the
+                               # quality_unigram_logprob corpus-total shape)
+    "quality_ppl_buckets",     # same V broadcast inside the NLL subtree
     "crawl_harmonic_centrality",  # same 1-row node-count fixture broadcast
 }
 
