@@ -124,6 +124,36 @@ MAX_KEEP = 100_000
 MAX_BATCH_QUERIES = 512
 
 
+class LegacyPqRootError(RuntimeError):
+    """A pre-versioned IVF-PQ root (root-level ``_pq_meta.json``, no
+    ``CURRENT`` pointer) was handed to a writer that would silently
+    base-build a fresh store over it — dropping the old corpus from
+    serving and replaying batches past its ``_last_batch_id`` marker
+    (r15 ADVICE). Loud refusal instead of silent data loss; see
+    MIGRATION.md for the layout change."""
+
+
+def _refuse_legacy_pq_root(root: str) -> None:
+    """Refuse to treat a pre-r15 monolithic IVF-PQ root as 'never
+    built'. The r15 layout rewrite moved the store onto the managed
+    versioned-CURRENT substrate and dropped all ``_pq_meta.json``
+    handling; without this guard a writer (or the maintenance
+    stream's first batch) would base-build over the legacy data."""
+    import os as _os
+
+    if _os.path.exists(
+        _os.path.join(root, "_pq_meta.json")
+    ) and index_current_path(root) is None:
+        raise LegacyPqRootError(
+            f"{root!r} is a legacy (pre-versioned) IVF-PQ root: it has a "
+            "root-level _pq_meta.json but no CURRENT pointer. Writing "
+            "would silently base-build over the existing corpus. "
+            "Rebuild the store with write_ivfpq_store into a fresh root "
+            "(see MIGRATION.md, 'IVF-PQ managed root'), or remove "
+            "_pq_meta.json explicitly if the old data is disposable."
+        )
+
+
 def _lloyd(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
     """Deterministic Lloyd's k-means: spread init (every n/k-th row of
     the hash-ordered sample — no RNG), fixed iteration count, empty
@@ -903,6 +933,7 @@ def write_ivfpq_store(
     (a codebook can't hold more centroids than training points).
     """
     spark = vectors.sparkSession
+    _refuse_legacy_pq_root(root)
     C, CB, dim, n_fit, n_cells, k_pq = _train_pq(
         vectors, n_cells, m, k_pq, max_fit_rows, iters, id_col, vec_col
     )
@@ -969,9 +1000,10 @@ def vacuum_pq_store(root: str, retain: int = 2) -> list[str]:
     The same three crash/concurrency windows the shared index vacuum
     protects: the retain window counts committed versions only
     (crashed-commit debris never eats reader-protection slots);
-    CURRENT is always kept; and anything NEWER than what any manifest
-    references (version dirs above the pointer, segments/generations
-    above the referenced horizon) belongs to an in-flight writer and
+    CURRENT is always kept; and anything NEWER than what any
+    COMMITTED manifest references (version dirs above the pointer,
+    segments/generations above the committed horizon — which covers
+    an in-flight writer's manifest-landed-but-unswapped window too)
     is never GC'd here."""
     import shutil
 
@@ -982,7 +1014,8 @@ def vacuum_pq_store(root: str, retain: int = 2) -> list[str]:
         for n in os.listdir(root)
         if n.startswith("v_") and n.removeprefix("v_").isdigit()
     )
-    keep = set(_committed_versions(root)[-retain:])
+    committed = _committed_versions(root)
+    keep = set(committed[-retain:])
     cur = index_current_path(root)
     cur_num = -1
     if cur is not None:
@@ -997,11 +1030,16 @@ def vacuum_pq_store(root: str, retain: int = 2) -> list[str]:
         if m is not None:
             seg_refs.update(int(s) for s in m["segments"])
             quant_refs.add(m["quantizer"])
-    # in-flight horizons: the highest segment / generation ANY
-    # version's manifest references — anything above was written by a
-    # fold whose manifest hasn't committed yet
+    # in-flight horizons: the highest segment / generation any
+    # COMMITTED version's manifest references — anything above was
+    # written by a fold whose CURRENT swap hasn't landed yet.
+    # Committed only (r15 ADVICE): an in-flight writer's manifest
+    # lands before its pointer swap, so counting it would raise the
+    # horizon over its own new segment/generation and GC them inside
+    # the commit window — inverting the protection. Debris above the
+    # committed horizon survives until a later commit passes it.
     max_ref_seg, max_ref_gen = -1, -1
-    for _, n in versions:
+    for n in committed:
         m = _read_manifest(os.path.join(root, n))
         if m is None:
             continue

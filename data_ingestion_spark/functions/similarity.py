@@ -2437,7 +2437,8 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
         for n in os.listdir(root)
         if n.startswith("v_") and n.removeprefix("v_").isdigit()
     )
-    keep = set(_committed_versions(root)[-retain:])
+    committed = _committed_versions(root)
+    keep = set(committed[-retain:])
     cur = index_current_path(root)
     cur_num = -1
     if cur is not None:
@@ -2455,11 +2456,17 @@ def _vacuum_index_root(root: str, retain: int) -> list[str]:
             refs.update(
                 os.path.realpath(os.path.join(root, rel)) for rel in m["segments"]
             )
-    # the in-flight horizon: the highest segment number ANY version's
-    # manifest (kept or not) references — a segment above it was
-    # written by a fold whose manifest hasn't landed yet
+    # the in-flight horizon: the highest segment number any COMMITTED
+    # version's manifest references — a segment above it was written
+    # by a fold whose pointer swap hasn't landed yet. Committed only
+    # (r15 ADVICE): an in-flight writer's own manifest lands BEFORE
+    # its CURRENT swap; letting that manifest raise the horizon would
+    # put its brand-new segments at-or-below it and (not being in any
+    # committed keep set) GC them in the commit window — the exact
+    # inversion of the protection. Debris above the committed horizon
+    # stays until a later commit raises the horizon past it.
     max_ref_seg = -1
-    for _, n in versions:
+    for n in committed:
         m = _read_manifest(os.path.join(root, n))
         for rel in (m or {}).get("segments", []):
             base = os.path.basename(rel.rstrip("/"))

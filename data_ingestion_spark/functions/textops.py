@@ -772,7 +772,16 @@ def bigram_lm_score(
     two equi-joins on token keys (left: unseen pairs/contexts
     coalesce to 0) + one per-doc agg. V and the join sides follow
     AQE: a Wikipedia-sized model broadcast-joins, a corpus-sized one
-    shuffles — both correct."""
+    shuffles — both correct.
+
+    A degenerate reference (zero tokens ⇒ V = 0) is a LOUD error —
+    otherwise every score would be ln(0) = NULL in Spark while the
+    DuckDB oracle's ln(0) raises, silently diverging the engines
+    (r15 ADVICE). Candidate documents with fewer than 2 tokens have
+    no bigrams and are absent from the output BY DESIGN (they carry
+    no transition evidence either way) — left-join the result back
+    onto the corpus and treat NULL nll_micros as 'unscored' if the
+    pipeline must keep them."""
     if k_smooth < 1:
         raise ValueError(f"k_smooth must be >= 1, got {k_smooth}")
     ref_bi = _lm_bigrams(reference, text_col)
@@ -789,6 +798,14 @@ def bigram_lm_score(
         )
         .agg(F.count_distinct("__t").alias("__v"))
     )
+    # loud guard, not NULL scores: one 1-row job over the reference
+    # (mirrors the 'needs at least 2 vectors' training refusals)
+    if int(vocab.first()["__v"]) == 0:
+        raise ValueError(
+            "bigram_lm_score: reference corpus has an empty vocabulary "
+            "(no tokens) — every score would be ln(0); pass a non-empty "
+            "reference slice"
+        )
     doc_bi = _lm_bigrams(docs, text_col, id_col)
     k = F.lit(int(k_smooth))
     # -ln(p) micros: the ratio is < 1 by construction (cp <= cc and

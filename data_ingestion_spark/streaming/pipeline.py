@@ -700,6 +700,10 @@ def run_pq_maintenance_stream(
         if not has_delta and not has_dels:
             return
         spark = batch_df.sparkSession
+        # a pre-r15 monolithic root (_pq_meta.json, no CURRENT) must
+        # refuse loudly here, not read as 'never built' and be
+        # silently base-built over (r15 ADVICE)
+        PQ._refuse_legacy_pq_root(root)
         built = SIM.index_current_path(root) is not None
         marker = os.path.join(root, "_last_batch_id")
         if built:

@@ -408,3 +408,73 @@ def test_ann_time_travel_version_read(spark, tmp_path):
         AnnStore.open(spark, root, version=v0)
     with pytest.raises(FileNotFoundError, match="not a committed version"):
         AnnStore.open(spark, root, version="v_424242")
+
+
+def test_ann_vacuum_protects_inflight_commit_window(spark, tmp_path):
+    """r15 ADVICE (medium), ANN-layout twin of the PQ test: an upsert
+    that has landed its MANIFEST.json but not yet swapped CURRENT
+    must not have its new segment GC'd by a racing vacuum — the
+    uncommitted manifest must not raise the in-flight segment horizon
+    over its own files. Simulated by really upserting, then rewinding
+    the pointer+log one commit."""
+    import json
+    import os
+
+    from data_ingestion_spark.functions.similarity import (
+        AnnStore,
+        index_current_path,
+        upsert_ann_store_versioned,
+        vacuum_ann_store,
+        write_ann_store_versioned,
+    )
+
+    base = _emb(spark).filter(F.col("vec_id") != 0)
+    qv = [
+        float(x)
+        for x in _emb(spark).filter(F.col("vec_id") == 0).head().embedding
+    ]
+    root = str(tmp_path / "ann_win")
+    write_ann_store_versioned(
+        base.withColumn("embedding", _neg("embedding")), root, bits=3, n_tables=6
+    )
+    upsert_ann_store_versioned(base.filter(F.col("vec_id") % 2 == 0), root)
+    upsert_ann_store_versioned(base.filter(F.col("vec_id") % 2 == 1), root)
+
+    # rewind the LAST commit to the manifest-landed/pointer-unswapped state
+    with open(os.path.join(root, "_COMMITS"), encoding="utf-8") as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    inflight, prev = lines[-1], lines[-2]
+    with open(os.path.join(root, "_COMMITS"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    with open(os.path.join(root, "CURRENT"), "w", encoding="utf-8") as f:
+        f.write(prev)
+    with open(
+        os.path.join(root, inflight, "MANIFEST.json"), encoding="utf-8"
+    ) as f:
+        m = json.load(f)
+    new_segs = [
+        rel for rel in m["segments"] if os.path.basename(rel).startswith("s_")
+    ]
+    assert new_segs  # the upsert added at least one delta segment
+
+    vacuum_ann_store(root, retain=1)
+
+    assert os.path.isdir(os.path.join(root, inflight))
+    for rel in new_segs:
+        assert os.path.isdir(os.path.join(root, rel)), (
+            f"in-flight {rel} was GC'd inside the commit window"
+        )
+
+    # writer completes; the finished store equals a from-scratch rebuild
+    with open(os.path.join(root, "CURRENT"), "w", encoding="utf-8") as f:
+        f.write(inflight)
+    with open(os.path.join(root, "_COMMITS"), "a", encoding="utf-8") as f:
+        f.write(inflight + "\n")
+    rebuild = AnnStore(spark, str(tmp_path / "ann_win_rebuild"), bits=3, n_tables=6)
+    rebuild.write(base)
+    got = [
+        (r.vec_id, round(r.score, 6))
+        for r in AnnStore.open(spark, index_current_path(root)).probe(qv, 5).collect()
+    ]
+    exp = [(r.vec_id, round(r.score, 6)) for r in rebuild.probe(qv, 5).collect()]
+    assert got == exp

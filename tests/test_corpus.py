@@ -545,6 +545,28 @@ def test_bigram_lm_score_hand_case_and_ordering(spark):
         bigram_lm_score(docs, ref, k_smooth=0)
 
 
+def test_bigram_lm_score_degenerate_inputs(spark):
+    """r15 ADVICE: an empty-vocabulary reference must refuse LOUDLY
+    (otherwise every score is ln(0) = NULL in Spark while the DuckDB
+    oracle errors — silent engine divergence); sub-2-token candidate
+    docs carry no bigrams and are absent by documented design."""
+    import pytest
+
+    from data_ingestion_spark.functions.textops import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "word"), (3, "")],
+        "doc_id long, text string",
+    )
+    empty_ref = spark.createDataFrame([("",), ("   ",)], "text string")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        bigram_lm_score(docs, empty_ref)
+
+    ref = spark.createDataFrame([("the cat sat",)], "text string")
+    ids = {r.doc_id for r in bigram_lm_score(docs, ref).collect()}
+    assert ids == {1}  # 0- and 1-token docs have no bigrams to score
+
+
 def test_shuffle_shards_permutation_and_single_exchange(spark):
     """Every row lands exactly once; positions are contiguous
     1..|shard|; a new seed is a different permutation; the plan pays

@@ -502,3 +502,150 @@ def test_pq_drift_and_unified_report(spark):
     assert [r.layout for r in rep] == ["ivfpq"] * 3
     assert [r.kind for r in rep] == ["data", "data", "tombstone"]
     shutil.rmtree(root, ignore_errors=True)
+
+
+def _rollback_last_commit(root):
+    """Rewind a root to the exact mid-commit state: the newest
+    commit's MANIFEST.json is on disk but CURRENT still names the
+    previous version and _COMMITS lacks the new line — the window
+    between a writer's manifest landing and its pointer swap."""
+    import os
+
+    with open(os.path.join(root, "_COMMITS"), encoding="utf-8") as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    inflight, prev = lines[-1], lines[-2]
+    with open(os.path.join(root, "_COMMITS"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    with open(os.path.join(root, "CURRENT"), "w", encoding="utf-8") as f:
+        f.write(prev)
+    return inflight, prev
+
+
+def test_vacuum_protects_inflight_commit_window(spark):
+    """r15 ADVICE (medium): a concurrent fold that has landed its
+    MANIFEST.json but not yet swapped CURRENT must NOT have its new
+    segment or quantizer generation GC'd by a racing vacuum — the
+    uncommitted manifest must not raise the in-flight horizon over
+    its own files. Simulated by really compacting (new segment + new
+    quantizer generation) then rewinding the pointer+log one commit."""
+    import json
+    import os
+
+    from data_ingestion_spark.functions.pq import (
+        compact_ivfpq_store,
+        upsert_ivfpq_store,
+        vacuum_pq_store,
+    )
+
+    v = _vectors(spark, n=60, dim=16)
+    root = tempfile.mkdtemp(prefix="pqwin_")
+    shutil.rmtree(root)
+    write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 10).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+        root,
+    )
+    compact_ivfpq_store(spark, root, retain=3, iters=4)
+    inflight, prev = _rollback_last_commit(root)
+    with open(
+        os.path.join(root, inflight, "MANIFEST.json"), encoding="utf-8"
+    ) as f:
+        m = json.load(f)
+    new_segs = [int(s) for s in m["segments"]]
+    new_q = m["quantizer"]
+
+    vacuum_pq_store(root, retain=1)
+
+    # the in-flight writer's version dir, segment pools, and quantizer
+    # generation all survive the race
+    assert os.path.isdir(os.path.join(root, inflight))
+    for s in new_segs:
+        for sub in ("codes", "raw", "ids"):
+            assert os.path.isdir(os.path.join(root, sub, f"seg={s}")), (
+                f"in-flight {sub}/seg={s} was GC'd inside the commit window"
+            )
+    assert os.path.isdir(os.path.join(root, new_q))
+
+    # writer completes its commit; the store serves the folded corpus
+    with open(os.path.join(root, "CURRENT"), "w", encoding="utf-8") as f:
+        f.write(inflight)
+    with open(os.path.join(root, "_COMMITS"), "a", encoding="utf-8") as f:
+        f.write(inflight + "\n")
+    s = IvfPqStore(spark, root)
+    q = list(v.filter(F.col("vec_id") == 42).head().embedding)
+    top = s.probe(q, k=1, n_probe=4, keep=60).head()
+    assert top.vec_id == 42 and top.score == 1.0
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vacuum_retention_across_two_folds_pinned_reader(spark):
+    """r15 verdict #7: a reader pinned at v0 survives the FIRST fold's
+    retain=2 vacuum byte-identically (v0 still in the window), and
+    after a SECOND fold pushes v0 out of the window a fresh pinned
+    open refuses with the vacuumed/retain message — the retention
+    contract, exercised across three writers."""
+    import pytest
+
+    from data_ingestion_spark.functions.pq import (
+        compact_ivfpq_store,
+        upsert_ivfpq_store,
+    )
+
+    v = _vectors(spark, n=60, dim=16)
+    root = tempfile.mkdtemp(prefix="pq3w_")
+    shutil.rmtree(root)
+    s0 = write_ivfpq_store(v, root, n_cells=4, m=4, iters=4)
+    q = list(v.filter(F.col("vec_id") == 7).head().embedding)
+    want = [
+        (r.vec_id, r.score)
+        for r in s0.probe(q, k=5, n_probe=4, keep=60).collect()
+    ]
+    pinned = IvfPqStore(spark, root, version=s0.version)
+
+    upsert_ivfpq_store(
+        v.filter(F.col("vec_id") <= 10).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+        root,
+    )
+    compact_ivfpq_store(spark, root, retain=2, iters=4)  # fold #1 + vacuum
+    got = [
+        (r.vec_id, r.score)
+        for r in pinned.probe(q, k=5, n_probe=4, keep=60).collect()
+    ]
+    assert got == want  # v0 inside retain=2: byte-identical service
+
+    compact_ivfpq_store(spark, root, retain=2, iters=4)  # fold #2 + vacuum
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        IvfPqStore(spark, root, version=s0.version)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_legacy_pq_root_refuses_loudly(spark, tmp_path):
+    """r15 ADVICE (medium): a pre-versioned root (root-level
+    _pq_meta.json, no CURRENT) must refuse writes with a named
+    migration error instead of being silently base-built over."""
+    import json
+    import os
+
+    import pytest
+
+    from data_ingestion_spark.functions.pq import (
+        LegacyPqRootError,
+        write_ivfpq_store,
+    )
+
+    root = str(tmp_path / "legacy_pq")
+    os.makedirs(root)
+    with open(os.path.join(root, "_pq_meta.json"), "w", encoding="utf-8") as f:
+        json.dump({"dim": 16, "m": 4}, f)
+    with open(os.path.join(root, "_last_batch_id"), "w", encoding="utf-8") as f:
+        f.write("7")
+    v = _vectors(spark, n=20, dim=16)
+    with pytest.raises(LegacyPqRootError, match="MIGRATION"):
+        write_ivfpq_store(v, root, n_cells=2, m=4, iters=2)
+    # the legacy data was not touched
+    assert os.path.exists(os.path.join(root, "_pq_meta.json"))
+    assert not os.path.exists(os.path.join(root, "CURRENT"))

@@ -1120,3 +1120,40 @@ def test_pq_maintenance_stream_last_wins_replay_and_autocompact(spark, tmp_path)
     q2.awaitTermination(240)
     current_after = open(os.path.join(root, "CURRENT")).read()
     assert current_before == current_after  # no new commits on replay
+
+
+def test_pq_maintenance_stream_refuses_legacy_root(spark, tmp_path):
+    """r15 ADVICE (medium): a pre-versioned IVF-PQ root (_pq_meta.json
+    on disk, no CURRENT) must fail the maintenance stream LOUDLY with
+    the migration error — not read as 'never built' and silently
+    base-build a fresh store over the legacy corpus."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    legacy = str(tmp_path / "legacy_root")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "_pq_meta.json"), "w", encoding="utf-8") as f:
+        json.dump({"dim": 8, "m": 4}, f)
+
+    src_dir = str(tmp_path / "legacy_src")
+    os.makedirs(src_dir)
+    spark.range(1, 30).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.sin(F.col("id") * (j + F.lit(1.3))).cast("float"),
+        ).alias("embedding"),
+    ).toPandas().to_parquet(os.path.join(src_dir, "b0.parquet"), index=False)
+
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).parquet(src_dir)
+    q = SP.run_pq_maintenance_stream(
+        stream, legacy, str(tmp_path / "ckpt_legacy"), n_cells=2, m=4
+    )
+    with pytest.raises(StreamingQueryException, match="legacy"):
+        q.awaitTermination(240)
+    # nothing was built over the legacy root
+    assert not os.path.exists(os.path.join(legacy, "CURRENT"))
