@@ -139,3 +139,143 @@ def exact_group_quantiles(
             F.col("__v").alias("value"),
         )
     )
+
+
+def exact_rank_select(
+    df: DataFrame,
+    value_col: str,
+    ranks: list[int],
+    tiebreak_col: str,
+    buckets: int = 1024,
+) -> dict[int, tuple]:
+    """The exact element at each 1-based global rank of
+    ``ORDER BY (value_col, tiebreak_col)`` — WITHOUT a global sort.
+    Returns ``{rank: (value, tiebreak)}`` with the ORIGINAL column
+    types (no double round-trip on bigint values).
+
+    Same two-pass discipline as ``exact_quantiles_two_pass``, extended
+    to a composite key: pass 1 reduces the corpus to a constant-size
+    value histogram; the driver maps each requested global rank to
+    (bucket, rank-within-bucket); pass 2 re-scans only the target
+    buckets and a PER-BUCKET ``row_number`` ordered by the full
+    composite key picks the element. Bucketing is a function of the
+    value alone, so equal values always share a bucket and the
+    within-bucket composite order IS the global order restricted to
+    that bucket — the tiebreak column never has to be histogrammed.
+    Driver state: ≤ ``buckets`` histogram cells + ``len(ranks)``
+    boundary rows. Degenerate all-equal values collapse to one bucket
+    (pass 2 then sorts only ties — the unavoidable worst case)."""
+    if not ranks:
+        raise ValueError("ranks must name at least one rank")
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(value_col).alias("__v"), F.col(tiebreak_col).alias("__t")
+    ).filter(F.col("__v").isNotNull())
+    st = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = st["n"], st["lo"], st["hi"]
+    if not all(1 <= k <= n for k in ranks):
+        raise ValueError(f"ranks must be within [1, {n}], got {ranks}")
+    lo_d, hi_d = float(lo), float(hi)
+    if lo_d == hi_d:
+        bucket_of = F.lit(0).cast("int")
+        width = None
+    else:
+        width = (hi_d - lo_d) / buckets
+        bucket_of = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col("__v").cast("double") - lo_d) / width),
+            ),
+        ).cast("int")
+    hist = {
+        r.b: r.cnt
+        for r in vals.select(bucket_of.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    pairs: list[tuple[int, int, int]] = []
+    for k in sorted(set(ranks)):
+        below = 0
+        for b in range(buckets):
+            cnt = hist.get(b, 0)
+            if below + cnt >= k:
+                pairs.append((b, k - below, k))
+                break
+            below += cnt
+    pair_df = spark.createDataFrame(pairs, "__b int, __rn int, __k long")
+    target = sorted({b for b, _, _ in pairs})
+    w = Window.partitionBy("__b").orderBy("__v", "__t")
+    out = (
+        vals.withColumn("__b", bucket_of)
+        .filter(F.col("__b").isin(target))
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(pair_df), ["__b", "__rn"])
+        .select("__k", "__v", "__t")
+        .collect()
+    )
+    return {int(r["__k"]): (r["__v"], r["__t"]) for r in out}
+
+
+def ntile_buckets(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int,
+    labels: list[str] | None = None,
+    buckets: int = 1024,
+) -> DataFrame:
+    """``NTILE(n_tiles) OVER (ORDER BY value_col, tiebreak_col)`` —
+    with the SAME row-to-tile assignment as the window function, but
+    no single-partition global sort (the r15 scale-killer: an
+    unpartitioned window makes one task sort the whole table).
+
+    NTILE over N rows gives tile i the boundary rank
+    ``i·(N div b) + min(i, N mod b)`` (the first ``N mod b`` tiles get
+    one extra row). With a UNIQUE tiebreak the assignment is a pure
+    function of each row's composite key vs the b-1 boundary
+    ELEMENTS — so: count, ``exact_rank_select`` the boundaries (two
+    bounded passes), broadcast the b-1 pairs, bucket with a CASE.
+    Three scans + a constant-size exchange instead of a global sort;
+    output adds a ``bucket`` column (1-based tile, or ``labels[i]``).
+    Requires the tiebreak to be unique (else assignment at a
+    boundary tie is ambiguous in BOTH forms)."""
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    if labels is not None and len(labels) != n_tiles:
+        raise ValueError(f"need {n_tiles} labels, got {len(labels)}")
+    n = df.count()
+    if n == 0:
+        typ = "string" if labels is not None else "int"
+        return df.withColumn("bucket", F.lit(None).cast(typ))
+    base, rem = divmod(n, n_tiles)
+    # dedupe equal boundary ranks keeping the SMALLEST tile: when
+    # n < n_tiles the trailing tiles are empty and a boundary element
+    # belongs to the first tile whose range ends on it (NTILE fills
+    # front-to-back)
+    bound_tiles: list[tuple[int, int]] = []
+    seen: set[int] = set()
+    for i in range(1, n_tiles):
+        r = i * base + min(i, rem)
+        if r >= 1 and r not in seen:
+            seen.add(r)
+            bound_tiles.append((r, i))
+    picked = exact_rank_select(
+        df, value_col, [r for r, _ in bound_tiles], tiebreak_col, buckets
+    )
+    v, t = F.col(value_col), F.col(tiebreak_col)
+    expr = None
+    for r, i in bound_tiles:
+        bv, bt = picked[r]
+        le = (v < F.lit(bv)) | ((v == F.lit(bv)) & (t <= F.lit(bt)))
+        lab = labels[i - 1] if labels is not None else i
+        expr = F.when(le, lab) if expr is None else expr.when(le, lab)
+    last = labels[-1] if labels is not None else n_tiles
+    # empty leading tiles (n < n_tiles) produce no boundary rank >= 1;
+    # rows beyond the last boundary take the final tile, matching NTILE
+    return df.withColumn("bucket", expr.otherwise(last))

@@ -3490,26 +3490,30 @@ def quality_ppl_buckets(spark, sf_dir):
     """CCNet's head/middle/tail perplexity split (r15 — the step
     AFTER quality_lm_logprob in Wenzek et al. 2020: rank the corpus
     by reference-LM perplexity and cut it into terciles; training
-    recipes keep head+middle and drop or downsample tail): one NTILE
-    window over the per-doc NLL from textops.bigram_lm_score, ordered
-    (nll_micros, doc_id) so ties split deterministically. The window
-    runs over the |docs|-row score table, not the bigram stream; at
-    100 TB you'd swap NTILE for the two-pass exact-quantile operator
-    (quantiles_two_pass) and a broadcast threshold join — same
-    semantics, no single-partition global window; documented here as
-    the scale path."""
+    recipes keep head+middle and drop or downsample tail).
+
+    r16 (r15 verdict #2): the tercile cut is now SCALE-SAFE by
+    default — ``operators.quantiles.ntile_buckets`` computes the two
+    boundary ELEMENTS at NTILE's exact ranks (ceil-split of N) via
+    the two-pass bounded-histogram rank select and buckets every row
+    with a broadcast CASE; row-for-row identical to
+    ``NTILE(3) OVER (ORDER BY nll_micros, doc_id)`` (the unique
+    doc_id tiebreak makes the assignment a pure function of the
+    composite key — pinned in tests/test_quantiles.py), but the plan
+    has NO unpartitioned window: the only window runs per histogram
+    bucket. The score table persists across the count/boundary/bucket
+    passes and releases via the graph DQs' localCheckpoint pattern.
+    The DuckDB oracle keeps the literal ``ntile(3)`` spelling — the
+    equivalence IS the claim being checked."""
     from .functions.textops import bigram_lm_score
-    from pyspark.sql import Window
+    from .operators.quantiles import ntile_buckets
 
     d = _t(spark, sf_dir, "documents")
     nll = bigram_lm_score(
         d.select("doc_id", "text"),
         d.filter(F.col("lang") == "en").select("text"),
-    ).select("doc_id", "nll_micros")
-    w = Window.orderBy(F.col("nll_micros"), F.col("doc_id"))
-    bucket = (
-        F.when(F.ntile(3).over(w) == 1, "head")
-        .when(F.ntile(3).over(w) == 2, "middle")
-        .otherwise("tail")
-    )
-    return nll.select("doc_id", "nll_micros", bucket.alias("bucket"))
+    ).select("doc_id", "nll_micros").persist()
+    out = ntile_buckets(
+        nll, "nll_micros", "doc_id", 3, labels=["head", "middle", "tail"]
+    ).select("doc_id", "nll_micros", "bucket")
+    return _materialized(out, [nll])

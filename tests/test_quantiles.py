@@ -109,3 +109,79 @@ def test_nonfinite_excluded_both_forms(spark):
     gdf = spark.createDataFrame([("g", r[0]) for r in rows], "g string, v double")
     gg = {r.q: r.value for r in exact_group_quantiles(gdf, "g", "v", [0.5, 1.0]).collect()}
     assert gg == {0.5: 3.0, 1.0: 5.0}
+
+
+def test_exact_rank_select_equals_sorted_reference(spark):
+    """The composite-key rank select (r16) picks exactly the sorted
+    (value, tiebreak) element at each rank — across ties, negatives,
+    and the all-equal single-bucket degenerate."""
+    from data_ingestion_spark.operators.quantiles import exact_rank_select
+
+    cases = [
+        [((i * 37) % 11, i) for i in range(1, 201)],   # heavy ties
+        [(-(i % 5), i) for i in range(1, 50)],         # negative ties
+        [(7, i) for i in range(1, 30)],                # all values equal
+        [(i, 1000 - i) for i in range(1, 20)],         # unique values
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "v long, tid long")
+        ref = sorted(rows)
+        ranks = [1, len(rows) // 3 or 1, len(rows) // 2 or 1, len(rows)]
+        got = exact_rank_select(df, "v", ranks, "tid", buckets=8)
+        for k in ranks:
+            assert got[k] == ref[k - 1], (rows[:5], k)
+
+    df = spark.createDataFrame([(1, 1)], "v long, tid long")
+    with pytest.raises(ValueError, match="ranks"):
+        exact_rank_select(df, "v", [2], "tid")
+    with pytest.raises(ValueError, match="ranks"):
+        exact_rank_select(df, "v", [], "tid")
+
+
+def test_ntile_buckets_equals_window_ntile(spark):
+    """r15 verdict #2: the broadcast-threshold tercile cut is
+    row-for-row identical to NTILE(b) OVER (ORDER BY v, tid) for
+    ragged N (including N < b), heavy ties, and b != 3 — and its
+    RETURNED plan contains no window at all (the only window the
+    construction runs is per-histogram-bucket)."""
+    from pyspark.sql import Window
+
+    from data_ingestion_spark.operators.quantiles import ntile_buckets
+
+    w = Window.orderBy("v", "tid")
+    for n in (1, 2, 3, 4, 5, 7, 10, 11, 12, 100):
+        for b in (2, 3, 5):
+            df = spark.createDataFrame(
+                [(((i * 13) % 4), i) for i in range(1, n + 1)],
+                "v long, tid long",
+            )
+            got = {
+                r.tid: r.bucket
+                for r in ntile_buckets(df, "v", "tid", b, buckets=8).collect()
+            }
+            want = {
+                r.tid: r.t
+                for r in df.select("tid", F.ntile(b).over(w).alias("t")).collect()
+            }
+            assert got == want, (n, b)
+
+    # labeled form used by quality_ppl_buckets
+    df = spark.createDataFrame(
+        [((i % 6), i) for i in range(1, 32)], "v long, tid long"
+    )
+    lab = ntile_buckets(
+        df, "v", "tid", 3, labels=["head", "middle", "tail"], buckets=8
+    )
+    assert "Window" not in lab._jdf.queryExecution().executedPlan().toString()
+    got = {r.tid: r.bucket for r in lab.collect()}
+    names = {1: "head", 2: "middle", 3: "tail"}
+    want = {
+        r.tid: names[r.t]
+        for r in df.select("tid", F.ntile(3).over(w).alias("t")).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_buckets(df, "v", "tid", 1)
+    with pytest.raises(ValueError, match="labels"):
+        ntile_buckets(df, "v", "tid", 3, labels=["a"])
