@@ -40,33 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-15 window (rotation per scripts/update_checked.py over
-    # r01..r14: ALL 206 previously registered queries now have a
-    # full-hash green driver row — CHECKED.md shows zero never-checked
-    # for the first time). Heads, in priority order:
-    # (1) THREE never-checked r15 DQs — the versioned-lifecycle wave:
-    #     ann_time_travel (pinned-version read), ann_ivfpq_lifecycle
-    #     (in-place compaction capstone), ann_pq_version_drift (drift
-    #     on the third layout);
-    # (2) the FIFTEEN r10-stale names (r14 verdict #2 — the
-    #     twice-postponed rotation debt: csv/jsonl roundtrips, variant
-    #     JSON, range frame, grouping sets, recursive CTE, LSH top-k,
-    #     exact/minhash/simhash/capped-jaccard dedup, doc fingerprint,
-    #     lang token budget, bm25/rrf batch). After r15 no query's
-    #     last driver row predates r11;
-    # (3) TWELVE r15-REWIRED paths (green r14 but materially changed
-    #     this round: the three IVF-PQ DQs moved onto the versioned
-    #     root; ann_version_drift's resolver gained the ivfpq branch;
-    #     markov_transitions multiplies in DECIMAL(38,0);
-    #     er_fuzzy_blocked runs the hot-block pre-pass; the five
-    #     persisted-fixture graph DQs materialize + unpersist;
-    #     crawl_harmonic_centrality checkpoints its accumulator);
-    # (4) the next-stalest r11 greens from the update_checked.py
-    #     proposal fill the window to 50.
-    # Wave-2 additions (never checked, join the head): temperature
-    # mixture weights + the drawn sample, and the CCNet-style bigram
-    # LM quality score; the three stalest r11 fill entries (tpch q15/
-    # q6/q14) rotate out to keep the window at 50.
+    # -- round-16 window. No CORRECTNESS_r15.json was ever produced
+    # (the correctness driver did not run in r15), so the NINE r15
+    # DQs keep the head unchanged and in the same order — banking
+    # their first contract-grade green row is r15 verdict #1. Then,
+    # in priority order:
+    # (1) the THREE new r16 DQs (never checked): trigram
+    #     stupid-backoff LM scoring, the five-stage curation-export
+    #     capstone, and the postings-layout time-travel read through
+    #     a compaction;
+    # (2) the FIFTEEN stalest rows, all last green r11 (r15 verdict
+    #     #8: the retrieval/phrase/eval family + the r11 D-series);
+    # (3) the r01->r11 core-relational fills (joins/aggs/windows/
+    #     sets/tpch) — next-stalest per scripts/update_checked.py —
+    #     to 50. After r16's artifact no row's last green predates
+    #     r12 except the r11 fills that didn't fit (tpch q13/q17/q22,
+    #     posexplode, lang/text/multimodal r03 family — next round's
+    #     rotation debt, listed in CHECKED.md).
     "ann_time_travel",
     "ann_ivfpq_lifecycle",
     "ann_pq_version_drift",
@@ -76,33 +66,27 @@ DRIVER_WINDOW: list[str] = [
     "export_shuffle_shards",
     "index_version_drift",
     "quality_ppl_buckets",
-    "recursive_cte_closure",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "variant_json_tolerant",
-    "window_range_frame",
-    "agg_grouping_sets",
-    "similarity_topk_lsh",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_capped",
-    "doc_fingerprint",
-    "token_budget_detected_lang",
-    "rank_bm25_batch",
-    "hybrid_rank_rrf_batch",
-    "ann_ivfpq_search",
-    "ann_ivfpq_batch",
-    "ann_ivfpq_upsert",
-    "ann_version_drift",
-    "markov_transitions",
-    "er_fuzzy_blocked",
-    "crawl_pagerank",
-    "crawl_rank_pipeline",
+    # (1) new r16 coverage
+    "quality_lm_logprob_trigram",
+    "curation_export_pipeline",
+    "index_time_travel",
+    # (2) stalest r11 rows (r15 verdict #8)
     "incremental_recrawl_pipeline",
-    "crawl_hits_scores",
-    "graph_triangle_count",
-    "crawl_harmonic_centrality",
+    "rank_bm25_indexed",
+    "retrieval_eval_metrics",
+    "hybrid_rank_indexed",
+    "phrase_search_indexed",
+    "phrase_search_slop",
+    "phrase_snippets_indexed",
+    "hll_distinct_users",
+    "bloom_frontier_seen",
+    "quantiles_two_pass",
+    "mojibake_repair",
+    "recrawl_moved_content",
+    "chunk_content_defined",
+    "doc_winnow_fingerprints",
+    "quantiles_per_group",
+    # (3) r01->r11 core-relational fills
     "join_cross_theta",
     "join_range",
     "join_asof",
@@ -117,6 +101,15 @@ DRIVER_WINDOW: list[str] = [
     "window_lag_frame",
     "top_n_limit",
     "sort_global",
+    "union_all",
+    "set_except",
+    "chunk_fixed_overlap",
+    "tpch_q15_top_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q4_priority_check",
 ]
 
 

@@ -832,6 +832,158 @@ def bigram_lm_score(
     )
 
 
+def _lm_trigrams(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """(..keep_cols.., w1, w2, w3) adjacent-token triples under the
+    shared corpus tokenizer — element_at over an index sequence (the
+    two-array zip_with shape doesn't extend to three), still one JVM
+    expression per row, no positional self-join."""
+    toks = df.select(
+        *keep_cols,
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__ws"),
+    )
+    return (
+        toks.filter(F.size("__ws") >= 3)
+        .select(
+            *keep_cols,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__ws"), i).alias("w1"),
+                        F.element_at(F.col("__ws"), i + 1).alias("w2"),
+                        F.element_at(F.col("__ws"), i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(
+            *keep_cols,
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.w2").alias("w2"),
+            F.col("__p.w3").alias("w3"),
+        )
+    )
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram stupid-backoff LM quality scoring (r15 verdict #3 —
+    the sharper CCNet signal: Wenzek et al. use a 5-gram KenLM;
+    add-k bigrams saturate on short-range structure, a trigram with
+    backoff separates reference-like word ORDER from merely
+    reference-like word CHOICE). Stupid backoff (Brants et al. 2007,
+    'Large Language Models in Machine Translation'):
+
+        S(w3|w1,w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+                    = 0.4 · c(w2w3)/c(w2)        elif c(w2w3) > 0
+                    = 0.16 · (c(w3)+1)/(N+V)     else (add-1 floor)
+
+    — no normalization (it's a score, not a probability), which is
+    exactly what makes it expressible as pure count-table joins: one
+    more count table + one more left join per order, the same
+    integer-micros discipline as ``bigram_lm_score``. Every tier's
+    ratio is ≤ 1 by construction (contexts sum their continuations;
+    the unigram floor is add-1 over the token total), so the NEGATIVE
+    log stays positive and rounds to BIGINT micros BEFORE the
+    per-document mean — positive-numerator integer division,
+    truncation ≡ floor, Spark ``div`` ≡ DuckDB ``//``. The 0.4/0.16
+    constants are double LITERALS on both engines (0.4·0.4 ≠ 0.16 in
+    IEEE — spelling them identically is what keeps the hash equal).
+
+    Output: (id_col, n_trigrams, nll_micros); lower = more
+    reference-like. Documents with fewer than 3 tokens are absent by
+    design (no trigram evidence — the ``bigram_lm_score`` contract).
+    Plan: model = three partial-agg count shuffles over the reference
+    (trigram, bigram, unigram) + one 1-row (N, V) stats broadcast;
+    scoring = five equi-joins that AQE broadcasts when the reference
+    is Wikipedia-sized; one per-doc agg. A degenerate reference
+    (V = 0) refuses loudly, mirroring ``bigram_lm_score``."""
+    ref_tok = reference.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("__t")
+    )
+    st = ref_tok.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("__t").alias("v")
+    ).first()
+    n_tok, v_tok = int(st["n"]), int(st["v"])
+    if v_tok == 0:
+        raise ValueError(
+            "trigram_lm_score: reference corpus has an empty vocabulary "
+            "(no tokens) — every backoff tier would divide by zero; pass "
+            "a non-empty reference slice"
+        )
+    tri = _lm_trigrams(reference, text_col).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("__tcp")
+    )
+    tctx = tri.groupBy("w1", "w2").agg(F.sum("__tcp").alias("__tcc"))
+    big = _lm_bigrams(reference, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__bcp")
+    )
+    bctx = big.groupBy("w1").agg(F.sum("__bcp").alias("__bcc"))
+    uni = ref_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__ucp"))
+
+    doc_tri = _lm_trigrams(docs, text_col, id_col)
+    nlp = F.round(
+        F.when(
+            F.col("__tcp").isNotNull(),
+            F.log(F.col("__tcc").cast("double") / F.col("__tcp")),
+        )
+        .when(
+            F.col("__bcp").isNotNull(),
+            F.log(
+                F.col("__bcc").cast("double") / (F.lit(0.4) * F.col("__bcp"))
+            ),
+        )
+        .otherwise(
+            F.log(
+                F.lit(float(n_tok + v_tok))
+                / (F.lit(0.16) * (F.coalesce(F.col("__ucp"), F.lit(0)) + 1))
+            )
+        )
+        * 1_000_000.0
+    ).cast("bigint")
+    return (
+        doc_tri.join(tri, ["w1", "w2", "w3"], "left")
+        .join(tctx, ["w1", "w2"], "left")
+        .join(
+            big.select(
+                F.col("w1").alias("__b1"),
+                F.col("w2").alias("__b2"),
+                "__bcp",
+            ),
+            (F.col("w2") == F.col("__b1")) & (F.col("w3") == F.col("__b2")),
+            "left",
+        )
+        .join(
+            bctx.select(F.col("w1").alias("__c1"), "__bcc"),
+            F.col("w2") == F.col("__c1"),
+            "left",
+        )
+        .join(
+            uni.select(F.col("__t").alias("__u3"), "__ucp"),
+            F.col("w3") == F.col("__u3"),
+            "left",
+        )
+        .select(id_col, nlp.alias("__nlp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.expr("sum(__nlp) div count(1)").cast("bigint").alias("nll_micros"),
+        )
+    )
+
+
 def unicode_normalize(col: Column, form: str = "NFC") -> Column:
     """Unicode normalization of a string column — the canonical-form
     pass a crawl corpus needs BEFORE any hash-keyed dedup: 'é' and

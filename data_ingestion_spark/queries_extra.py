@@ -3464,6 +3464,63 @@ def quality_lm_logprob(spark, sf_dir):
 
 
 @q(
+    "quality_lm_logprob_trigram",
+    f"WITH tok AS (SELECT doc_id, {_LM_TOK} AS ws FROM documents), "
+    "dtri AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3 "
+    "FROM tok, unnest(generate_series(1, len(ws) - 2)) AS t(i) "
+    "WHERE len(ws) >= 3), "
+    f"rtok AS (SELECT {_LM_TOK} AS ws FROM documents WHERE lang = 'en'), "
+    "rtri AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3 "
+    "FROM rtok, unnest(generate_series(1, len(ws) - 2)) AS t(i) "
+    "WHERE len(ws) >= 3), "
+    "rbi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM rtok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    "runi AS (SELECT unnest(ws) AS t FROM rtok), "
+    "tm AS (SELECT w1, w2, w3, count(*) AS tcp FROM rtri GROUP BY 1, 2, 3), "
+    "tctx AS (SELECT w1, w2, sum(tcp) AS tcc FROM tm GROUP BY 1, 2), "
+    "bm AS (SELECT w1, w2, count(*) AS bcp FROM rbi GROUP BY 1, 2), "
+    "bctx AS (SELECT w1, sum(bcp) AS bcc FROM bm GROUP BY 1), "
+    "um AS (SELECT t, count(*) AS ucp FROM runi GROUP BY 1), "
+    "s AS (SELECT count(*) AS n, count(DISTINCT t) AS v FROM runi), "
+    "scored AS (SELECT d.doc_id, CAST(round(CASE "
+    "WHEN tm.tcp IS NOT NULL THEN ln(tctx.tcc * 1.0 / tm.tcp) "
+    "WHEN bm.bcp IS NOT NULL THEN ln(bctx.bcc * 1.0 / (0.4 * bm.bcp)) "
+    "ELSE ln((s.n + s.v) * 1.0 / (0.16 * (COALESCE(um.ucp, 0) + 1))) "
+    "END * 1000000) AS BIGINT) AS nlp FROM dtri d "
+    "LEFT JOIN tm ON d.w1 = tm.w1 AND d.w2 = tm.w2 AND d.w3 = tm.w3 "
+    "LEFT JOIN tctx ON d.w1 = tctx.w1 AND d.w2 = tctx.w2 "
+    "LEFT JOIN bm ON d.w2 = bm.w1 AND d.w3 = bm.w2 "
+    "LEFT JOIN bctx ON d.w2 = bctx.w1 "
+    "LEFT JOIN um ON d.w3 = um.t "
+    "CROSS JOIN s) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+    "CAST(sum(nlp) // count(*) AS BIGINT) AS nll_micros "
+    "FROM scored GROUP BY doc_id",
+)
+def quality_lm_logprob_trigram(spark, sf_dir):
+    """Trigram stupid-backoff LM quality scoring (r15 verdict #3;
+    textops.py::trigram_lm_score): the order-3 sharpening of
+    ``quality_lm_logprob`` — CCNet's filter is a 5-gram KenLM, and a
+    backoff trigram separates reference-like word ORDER from merely
+    reference-like word CHOICE where the add-k bigram saturates.
+    Stupid backoff (Brants et al. 2007) is count-table joins all the
+    way down — seen trigram ⇒ c(w123)/c(w12); else 0.4·c(w23)/c(w2);
+    else the add-1 unigram floor 0.16·(c(w3)+1)/(N+V) — so the oracle
+    replays training and all three tiers end to end. Per-trigram NLL
+    rounds to BIGINT micros BEFORE the mean (positive numerator:
+    every tier's ratio ≤ 1, so the negated log is positive and Spark
+    ``div`` ≡ DuckDB ``//``); backoff constants are double literals
+    spelled identically on both engines."""
+    from .functions.textops import trigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return trigram_lm_score(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("text"),
+    )
+
+
+@q(
     "quality_ppl_buckets",
     f"WITH tok AS (SELECT doc_id, {_LM_TOK} AS ws FROM documents), "
     "bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM tok, "

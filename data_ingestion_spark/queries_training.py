@@ -399,3 +399,111 @@ def export_shuffle_shards(spark, sf_dir):
     return C.shuffle_shards(
         _d(spark, sf_dir).select("doc_id"), 8, id_col="doc_id"
     ).select("doc_id", "shard_id", "shard_pos")
+
+
+_CE_LM_TOK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> len(x) > 0)"
+)
+
+
+@q(
+    "curation_export_pipeline",
+    # stage 1 — CCNet LM scoring (the quality_lm_logprob arithmetic)
+    f"WITH tok AS (SELECT doc_id, {_CE_LM_TOK} AS ws FROM documents), "
+    "bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM tok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    f"rtok AS (SELECT {_CE_LM_TOK} AS ws FROM documents WHERE lang = 'en'), "
+    "rbi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM rtok, "
+    "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+    "model AS (SELECT w1, w2, count(*) AS cp FROM rbi GROUP BY 1, 2), "
+    "ctx AS (SELECT w1, sum(cp) AS cc FROM model GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT t) AS v FROM "
+    "(SELECT unnest(ws) AS t FROM rtok)), "
+    "scored AS (SELECT b.doc_id, CAST(round(ln("
+    "(COALESCE(c.cc, 0) + 1.0 * (SELECT v FROM v)) * 1.0 / "
+    "(COALESCE(m.cp, 0) + 1)) * 1000000) AS BIGINT) AS nlp "
+    "FROM bi b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 "
+    "LEFT JOIN ctx c ON b.w1 = c.w1), "
+    "doc AS (SELECT doc_id, CAST(sum(nlp) // count(*) AS BIGINT) AS "
+    "nll_micros FROM scored GROUP BY doc_id), "
+    # stage 2 — perplexity terciles, drop the tail
+    "b2 AS (SELECT doc_id, CASE ntile(3) OVER (ORDER BY nll_micros, doc_id) "
+    "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket "
+    "FROM doc), "
+    "kept AS (SELECT b2.doc_id, b2.bucket, d.lang FROM b2 "
+    "JOIN documents d ON b2.doc_id = d.doc_id WHERE b2.bucket != 'tail'), "
+    # stage 3 — temperature mixture weights over the KEPT slice
+    "per AS (SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang), "
+    "s AS (SELECT lang, n_docs * 1.0 / (SELECT sum(n_docs) FROM per) AS p "
+    "FROM per), "
+    "t2 AS (SELECT lang, p, pow(p, 0.5) AS pa FROM s), "
+    "w AS (SELECT lang, round((pa / (SELECT sum(pa) FROM t2)) / p, 6) "
+    "AS weight FROM t2), "
+    # stage 4 — A-Res weighted draw of 200
+    "keyed AS (SELECT k.doc_id, k.lang, k.bucket, "
+    "-ln((CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || '|ws'), 1, 8)) "
+    "AS BIGINT) + 1.0) / 4294967297.0) / w.weight AS ak "
+    "FROM kept k JOIN w ON k.lang = w.lang), "
+    "r AS (SELECT doc_id, lang, bucket, CAST(row_number() OVER "
+    "(ORDER BY ak, doc_id) AS INTEGER) AS sample_rank FROM keyed), "
+    "pick AS (SELECT * FROM r WHERE sample_rank <= 200), "
+    # stage 5 — deterministic loader-shard shuffle
+    "sk AS (SELECT doc_id, lang, bucket, sample_rank, "
+    "md5(CAST(doc_id AS VARCHAR) || '|shuf') AS skey FROM pick) "
+    "SELECT doc_id, lang, bucket, sample_rank, "
+    "CAST(CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % 4 AS INTEGER) "
+    "AS shard_id, CAST(row_number() OVER (PARTITION BY "
+    "CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % 4 "
+    "ORDER BY skey, doc_id) AS INTEGER) AS shard_pos FROM sk",
+)
+def curation_export_pipeline(spark, sf_dir):
+    """The end-to-end curation-export capstone (r15 verdict #4) —
+    the five r15 pieces composed the way a training-data pipeline
+    actually runs them, one flow, every stage oracle-replayed:
+
+      1. score   — ``bigram_lm_score`` against the English reference
+                   (CCNet perplexity filtering, integer micros);
+      2. bucket  — scale-safe terciles (``ntile_buckets``: two-pass
+                   boundary elements + broadcast CASE, NO global-sort
+                   window), DROP the tail bucket;
+      3. weight  — ``mixture_temperature_weights`` (α=0.5) over the
+                   kept slice, |langs|-row broadcast;
+      4. draw    — ``weighted_sample`` A-Res top-200 (TakeOrdered,
+                   md5 uniforms — deterministic under retries);
+      5. shard   — ``shuffle_shards`` into 4 loader shards (ONE hash
+                   exchange carries both shard id and position).
+
+    The score table persists across the bucket passes and releases
+    via the localCheckpoint fixture pattern; downstream of it the
+    whole flow is ONE lazy plan whose exchanges the shuffle budget
+    pins — the proof the pieces compose without a barrier explosion.
+    Output: (doc_id, lang, bucket, sample_rank, shard_id, shard_pos).
+    """
+    from .functions.textops import bigram_lm_score
+    from .operators.quantiles import ntile_buckets
+    from .queries_extra import _materialized
+
+    d = _d(spark, sf_dir)
+    nll = bigram_lm_score(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("text"),
+    ).select("doc_id", "nll_micros").persist()
+    bucketed = ntile_buckets(
+        nll, "nll_micros", "doc_id", 3, labels=["head", "middle", "tail"]
+    )
+    kept = (
+        bucketed.filter(F.col("bucket") != "tail")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "bucket")
+    )
+    w = C.mixture_temperature_weights(kept, "lang", 0.5).select("lang", "weight")
+    sampled = C.weighted_sample(
+        kept.join(F.broadcast(w), "lang"), "weight", 200, id_col="doc_id"
+    )
+    out = C.shuffle_shards(
+        sampled.select("doc_id", "lang", "bucket", "sample_rank"),
+        4,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "bucket", "sample_rank", "shard_id", "shard_pos")
+    return _materialized(out, [nll])

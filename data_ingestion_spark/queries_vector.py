@@ -2755,3 +2755,58 @@ def index_version_drift(spark, sf_dir):
     return SIM.index_version_drift(
         spark, root, from_dir=os.path.join(root, "v_000000")
     )
+
+
+@q(
+    "index_time_travel",
+    "WITH staledocs AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    "THEN text || ' stale vector spark noise' ELSE text END AS text "
+    "FROM documents), "
+    + _bm25_batch_ctes().replace("FROM documents", "FROM staledocs")
+    + " SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= 10",
+)
+def index_time_travel(spark, sf_dir):
+    """Version time-travel read on the managed POSTINGS root (r15
+    verdict #6 — ``ann_time_travel`` covered the LSH layout; this
+    closes the read-side audit story on the lexical layout, THROUGH a
+    compaction): the index is built over a STALE generation (every
+    5th doc carries appended noise terms — including the fixture
+    query terms, so serving the wrong version provably flips
+    rankings), an upsert folds the corrections in as a delta segment,
+    ``compact_index`` then rewrites the live version into one folded
+    segment — and the query batch serves the PRE-UPSERT version
+    explicitly (``resolve_version_dir(root, v0)``). The oracle is the
+    from-scratch BM25 pipeline over the STALE corpus, so the hash
+    certifies the pinned version ignores both the delta segment and
+    the fold: yesterday's ranking against yesterday's index,
+    byte-for-byte. Compaction vacuums with ``retain=3`` here because
+    the chain is build→upsert→fold and the audit read pins the
+    OLDEST of the three — the retention dial priced explicitly
+    (default retain=2 keeps one version of history; deeper audits pay
+    for deeper retention)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" stale vector spark noise")),
+        ).otherwise(F.col("text")),
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"idx_tt_root_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    SIM.build_postings_index_versioned(stale, root)
+    v0 = os.path.basename(SIM.index_current_path(root).rstrip("/"))
+    SIM.upsert_postings_index_versioned(d.filter(F.col("doc_id") % 5 == 0), root)
+    SIM.compact_index(spark, root, retain=3)
+    qdf = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "query_id int, query_text string"
+    )
+    return SIM.bm25_rank_batch_indexed(
+        spark, qdf, SIM.resolve_version_dir(root, v0), topk=10
+    )

@@ -607,3 +607,48 @@ def test_shuffle_shards_permutation_and_single_exchange(spark):
         shuffle_shards(d, 0)
     with pytest.raises(ValueError, match="collides"):
         shuffle_shards(d.withColumn("shard_id", F.lit(1)), 4)
+
+
+def test_trigram_lm_score_all_three_backoff_tiers(spark):
+    """Hand-checked stupid backoff (r15 verdict #3): a seen trigram
+    scores c(w123)/c(w12); an unseen trigram with a seen (w2,w3)
+    bigram backs off to 0.4-discounted bigram; a fully unseen
+    continuation hits the add-1 unigram floor — plus the ordering
+    property and the empty-reference refusal."""
+    import math
+
+    import pytest
+
+    from data_ingestion_spark.functions.textops import trigram_lm_score
+
+    ref = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),        # tier 1: seen trigram
+            (2, "the cat jumped"),     # tier 3: unseen w3 entirely
+            (3, "sat the cat sat"),    # tiers 2 then 1
+            (4, "zx qv zx qv"),        # gibberish: unigram floor twice
+            (5, "so short"),           # < 3 tokens: absent by design
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trigram_lm_score(docs, ref).collect()}
+    # model: tm (the,cat,sat)=1, (the,cat,ran)=1; tctx (the,cat)=2;
+    # bm (the,cat)=2, (cat,sat)=1, (cat,ran)=1; bctx the=2, cat=2;
+    # N=6 tokens, V=4
+    assert out[1].n_trigrams == 1
+    assert out[1].nll_micros == round(math.log(2.0 / 1.0) * 1e6)
+    assert out[2].nll_micros == round(math.log(10.0 / (0.16 * 1)) * 1e6)
+    t_sat_the_cat = round(math.log(2.0 / (0.4 * 2)) * 1e6)  # bigram tier
+    t_the_cat_sat = round(math.log(2.0 / 1.0) * 1e6)        # trigram tier
+    assert out[3].n_trigrams == 2
+    assert out[3].nll_micros == (t_sat_the_cat + t_the_cat_sat) // 2
+    # quality ordering: reference-like < unseen-tail < gibberish-floor
+    assert out[1].nll_micros < out[3].nll_micros < out[4].nll_micros
+    assert 5 not in out
+
+    empty_ref = spark.createDataFrame([("",)], "text string")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        trigram_lm_score(docs, empty_ref)

@@ -137,6 +137,7 @@ CROSS_OK = {
                                # quality_unigram_logprob corpus-total shape)
     "quality_ppl_buckets",     # same V broadcast inside the NLL subtree
     "crawl_harmonic_centrality",  # same 1-row node-count fixture broadcast
+    "index_time_travel",       # 1-row BM25 stats broadcast, pinned-version serve
 }
 
 #: queries that intentionally cross the Python boundary (Arrow stages)
