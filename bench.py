@@ -187,17 +187,40 @@ def main() -> None:
         name: round(median(ts), 3) for name, ts in samples.items()
     }
 
-    # -- headline_v2: post-r11 serving families, build+serve timed --
+    # -- headline_v2: post-r11 serving families, build and serve
+    # timed SEPARATELY (r15 verdict #5: 11.7 s of ann_ivfpq_search's
+    # 13 s was k-means build — a 2x serve regression would vanish in
+    # build variance under a single lifecycle number). These callables
+    # construct their fixture store/graph EAGERLY inside the call and
+    # return the serving plan lazily, so the call is the BUILD phase
+    # and the noop write is the SERVE phase; `headline_v2` stays the
+    # per-name build+serve sum (round-over-round comparable with the
+    # pre-split lifecycle numbers, same samples).
     for name in HEADLINE_V2:  # untimed warm pass (JIT, python workers)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    samples_v2: dict[str, list[float]] = {name: [] for name in HEADLINE_V2}
+    samples_v2b: dict[str, list[float]] = {name: [] for name in HEADLINE_V2}
+    samples_v2s: dict[str, list[float]] = {name: [] for name in HEADLINE_V2}
     for _ in range(3):
         for name in HEADLINE_V2:
             t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples_v2[name].append(time.perf_counter() - t0)
+            df_v2 = qs[name](spark, SF_DIR)
+            t1 = time.perf_counter()
+            df_v2.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            samples_v2b[name].append(t1 - t0)
+            samples_v2s[name].append(t2 - t1)
+    timings_v2b: dict[str, float] = {
+        name: round(median(ts), 3) for name, ts in samples_v2b.items()
+    }
+    timings_v2s: dict[str, float] = {
+        name: round(median(ts), 3) for name, ts in samples_v2s.items()
+    }
     timings_v2: dict[str, float] = {
-        name: round(median(ts), 3) for name, ts in samples_v2.items()
+        name: round(
+            median(b + s for b, s in zip(samples_v2b[name], samples_v2s[name])),
+            3,
+        )
+        for name in HEADLINE_V2
     }
 
     # BASELINE.md proxy targets: end-to-end ingestion plan, and the
@@ -510,6 +533,8 @@ def main() -> None:
                 "queries": timings,
                 "headline_v2": timings_v2,
                 "headline_v2_total": round(sum(timings_v2.values()), 3),
+                "headline_v2_build": timings_v2b,
+                "headline_v2_serve": timings_v2s,
                 "throughput": throughput,
                 "sf": sf_val,
                 "gates_ok": not gate_failures,
