@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark.sql import functions as F
 
-from data_ingestion_spark.functions.textops import bigram_lm_score
+from data_ingestion_spark.functions.textops import (
+    bigram_lm_score,
+    trigram_lm_score,
+)
 from data_ingestion_spark.session import get_spark
 
 
@@ -60,6 +63,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--n-ref", type=int, default=100_000)
+    ap.add_argument(
+        "--order",
+        choices=("bigram", "trigram"),
+        default="bigram",
+        help="score with the add-k bigram or the stupid-backoff trigram "
+        "(r16 — one more count table + joins; same micros discipline)",
+    )
     args = ap.parse_args()
     spark = get_spark("stress-lm", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,7 +81,8 @@ def main() -> None:
         )
     )
     t0 = time.time()
-    scored = bigram_lm_score(docs, ref)
+    scorer = bigram_lm_score if args.order == "bigram" else trigram_lm_score
+    scored = scorer(docs, ref)
     agg = (
         scored.select(
             F.when(F.col("doc_id") < args.n_docs, "ref_like")
@@ -91,7 +102,7 @@ def main() -> None:
     wall = round(time.time() - t0, 1)
     rows = {r.cohort: r for r in agg}
     rec = {
-        "case": "bigram_lm_1m",
+        "case": f"{args.order}_lm_1m",
         "n_docs": args.n_docs,
         "n_ref": args.n_ref,
         "wall_sec": wall,
