@@ -70,6 +70,8 @@ DRIVER_WINDOW: list[str] = [
     "quality_lm_logprob_trigram",
     "curation_export_pipeline",
     "index_time_travel",
+    "mixture_epoch_plan",
+    "dedup_incremental_novelty",
     # (2) stalest r11 rows (r15 verdict #8)
     "incremental_recrawl_pipeline",
     "rank_bm25_indexed",
@@ -108,8 +110,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_share",
     "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q4_priority_check",
 ]
 
 

@@ -510,6 +510,83 @@ def mixture_temperature_weights(
     )
 
 
+def mixture_epoch_plan(
+    df: DataFrame,
+    part_col: str,
+    tokens_col,
+    token_budget: int,
+    alpha: float = 0.5,
+    max_epochs: int | None = None,
+) -> DataFrame:
+    """Token-budgeted mixture plan — the data-constrained scaling
+    arithmetic (Muennighoff et al. 2023: when the token budget
+    exceeds a source's supply you REPEAT it, and repeating past ~4
+    epochs stops helping; the per-dataset epoch tables of
+    GPT-3/Pile): given per-source token supply and a temperature-α
+    target mixture, how many tokens does each source contribute to a
+    ``token_budget`` run, and how many EPOCHS of that source is
+    that?
+
+        p_s      = T_s / ΣT                 (token share, not doc share)
+        q_s      ∝ p_s^α                    (the mixture_temperature_weights dial)
+        target_s = round(q_s · B)
+        alloc_s  = min(target_s, max_epochs · T_s)   (the repeat cap)
+        epochs_s = alloc_s / T_s            (micros — >1e6 ⇒ source repeats)
+
+    ``capped`` marks sources whose ask exceeded the repeat cap — the
+    signal to either raise α (flatten less) or accept a smaller run;
+    the capped surplus is NOT redistributed (the iterative
+    refill is a planning loop, not an operator — run the plan, read
+    the report, re-dial). Epochs are INTEGER MICROS (positive
+    numerator div), so the plan is bit-deterministic cross-engine.
+    Sources with zero tokens are excluded — they have nothing to
+    sample and would divide the epoch count by zero. Plan: one
+    partial-agg shuffle to |sources| rows; the two window totals run
+    over that tiny aggregate (the mixture_temperature_weights
+    shape)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    if max_epochs is not None and max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    tok = tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    per = df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).cast("bigint").alias("tokens"),
+    ).filter(F.col("tokens") > 0)
+    w = Window.partitionBy()
+    staged = per.withColumn(
+        "__p", F.col("tokens") / F.sum("tokens").over(w)
+    ).withColumn("__pa", F.pow(F.col("__p"), F.lit(float(alpha))))
+    q6 = F.round(F.col("__pa") / F.sum("__pa").over(w), 6)
+    planned = staged.withColumn(
+        "target_tokens",
+        F.round(q6 * F.lit(int(token_budget))).cast("bigint"),
+    )
+    if max_epochs is not None:
+        alloc = F.least(
+            F.col("target_tokens"), F.lit(int(max_epochs)) * F.col("tokens")
+        )
+    else:
+        alloc = F.col("target_tokens")
+    return (
+        planned.withColumn("__alloc", alloc.cast("bigint"))
+        .select(
+            part_col,
+            "n_docs",
+            "tokens",
+            F.round(F.col("__p"), 6).alias("share"),
+            q6.alias("temp_share"),
+            "target_tokens",
+            F.expr("(__alloc * 1000000) div tokens")
+            .cast("bigint")
+            .alias("epochs_micros"),
+            (F.col("__alloc") < F.col("target_tokens")).alias("capped"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

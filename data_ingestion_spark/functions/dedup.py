@@ -116,6 +116,52 @@ def band_table(
     ).select("id", "bb.band", "bb.band_hash")
 
 
+def novelty_gate(
+    new_df: DataFrame,
+    at_rest_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental-crawl novelty filter (r16): admit only NEW
+    documents that are neither EXACT copies nor banded-MinHash
+    near-dup candidates of the AT-REST corpus — the recrawl-append
+    path that prices dedup by the DELTA instead of re-pairing the
+    whole corpus with itself on every crawl (at 100 TB the at-rest
+    self-join is the thing you must never re-run):
+
+    ONE tier: ``band_table(delta) ⋉ band_table(at-rest)`` — a
+    band-hash SEMI-join, Σ|delta_bucket|·|rest_bucket| (the
+    ``decontaminate_fuzzy`` cross-corpus shape), then one
+    delta-bounded anti-join drops the collided ids. A separate exact
+    md5 tier would be REDUNDANT, not stricter: identical text has an
+    identical MinHash signature, so an exact copy collides on EVERY
+    band and the near tier catches it by construction — one tier
+    keeps the delta subtree evaluated once instead of three times
+    (the plan-exchange audit that killed the two-tier draft).
+
+    ``band_table`` is shared with the self-dedup family, so the gate
+    and the batch dedup cannot disagree on what 'duplicate' means.
+    Batch-INTERNAL duplicates are deliberately not collapsed here —
+    run ``exact_dedup_groups`` / ``minhash_lsh_candidates`` on the
+    admitted delta afterwards (the production chain order). Returns
+    the admitted NEW rows with their original columns."""
+    nb = band_table(
+        new_df, text_col, id_col, shingle_n, num_hashes, band_size
+    )
+    rb = band_table(
+        at_rest_df, text_col, id_col, shingle_n, num_hashes, band_size
+    )
+    collided = (
+        nb.join(rb, ["band", "band_hash"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(collided, id_col, "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,

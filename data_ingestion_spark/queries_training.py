@@ -507,3 +507,48 @@ def curation_export_pipeline(spark, sf_dir):
         id_col="doc_id",
     ).select("doc_id", "lang", "bucket", "sample_rank", "shard_id", "shard_pos")
     return _materialized(out, [nll])
+
+
+@q(
+    "mixture_epoch_plan",
+    f"WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum({_NTOK}) AS BIGINT) AS tokens FROM documents "
+    "GROUP BY source), "
+    "nz AS (SELECT * FROM per WHERE tokens > 0), "
+    "s AS (SELECT source, n_docs, tokens, "
+    "tokens * 1.0 / (SELECT sum(tokens) FROM nz) AS p FROM nz), "
+    "t AS (SELECT source, n_docs, tokens, p, pow(p, 0.5) AS pa FROM s), "
+    "qq AS (SELECT source, n_docs, tokens, round(p, 6) AS share, "
+    "round(pa / (SELECT sum(pa) FROM t), 6) AS temp_share FROM t), "
+    "pl AS (SELECT *, CAST(round(temp_share * 10000000) AS BIGINT) "
+    "AS target_tokens FROM qq), "
+    "al AS (SELECT *, LEAST(target_tokens, 4 * tokens) AS alloc FROM pl) "
+    "SELECT source, n_docs, tokens, share, temp_share, target_tokens, "
+    "CAST((alloc * 1000000) // tokens AS BIGINT) AS epochs_micros, "
+    "alloc < target_tokens AS capped FROM al",
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Token-budgeted mixture plan (r16; corpus.py::
+    mixture_epoch_plan — the data-constrained scaling arithmetic of
+    Muennighoff et al. 2023): per-source token supply → α=0.5
+    temperature target shares → each source's token allocation for a
+    10M-token run, capped at 4 epochs of its supply (the 'repeating
+    data stops helping' dial), with the per-source EPOCH count in
+    integer micros (>1e6 ⇒ the source repeats). The answer to 'if I
+    train X tokens with this mixture, how many times do I see each
+    source, and which asks are unsatisfiable?' — the planning
+    report that pairs with mixture_temperature_weights (shares) and
+    weighted_sample (the draw). Token shares (not doc shares) drive
+    the mixture; epochs are positive-numerator integer division, so
+    the plan hashes identically cross-engine."""
+    from .functions.textops import token_count
+
+    d = _d(spark, sf_dir)
+    return C.mixture_epoch_plan(
+        d.select("source", token_count(F.col("text")).alias("__tok")),
+        "source",
+        "__tok",
+        10_000_000,
+        alpha=0.5,
+        max_epochs=4,
+    )

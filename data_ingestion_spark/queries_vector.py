@@ -2810,3 +2810,80 @@ def index_time_travel(spark, sf_dir):
     return SIM.bm25_rank_batch_indexed(
         spark, qdf, SIM.resolve_version_dir(root, v0), topk=10
     )
+
+
+def _duck_bands_ctes(suffix: str, src: str, num_hashes: int = 8, band_size: int = 2) -> str:
+    """``sh_<s>/sigs_<s>/bands_<s>`` CTE fragments (no leading WITH)
+    building the banded-MinHash table over ``src`` — a CTE exposing
+    (id, text) — with the exact ``band_table`` arithmetic, so the
+    cross-corpus oracles share one band definition with the
+    self-join one (``_minhash_oracle``)."""
+    mh = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> md5('mh|"
+        + str(i)
+        + "|' || s)), 'min')"
+        f" AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"mh_{b * band_size + j}" for j in range(band_size)
+        )
+        + f") AS band_hash FROM sigs_{suffix}"
+        for b in range(n_bands)
+    )
+    return (
+        f"sh_{suffix} AS (SELECT id, {_duck_shingles()} AS shingles "
+        f"FROM {src}), "
+        f"sigs_{suffix} AS (SELECT id, {mh} FROM sh_{suffix}), "
+        f"bands_{suffix} AS ({bands})"
+    )
+
+
+@q(
+    "dedup_incremental_novelty",
+    "WITH newd AS ("
+    "SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 30000 AS id, text || ' qq' AS text "
+    "FROM documents WHERE doc_id % 7 = 2 "
+    "UNION ALL SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0), "
+    "rest AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0), "
+    + _duck_bands_ctes("n", "newd")
+    + ", "
+    + _duck_bands_ctes("r", "rest")
+    + ", coll AS (SELECT DISTINCT bn.id FROM bands_n bn JOIN bands_r br "
+    "ON bn.band = br.band AND bn.band_hash = br.band_hash) "
+    "SELECT id AS doc_id FROM newd WHERE NOT EXISTS "
+    "(SELECT 1 FROM coll c WHERE c.id = newd.id)",
+)
+def dedup_incremental_novelty(spark, sf_dir):
+    """Incremental-crawl novelty gate (r16; dedup.py::novelty_gate):
+    dedup a NEW crawl batch against the AT-REST corpus generation
+    WITHOUT re-pairing the corpus with itself — exact tier is one
+    band_table(delta) ⋉ band_table(rest) (the decontaminate_fuzzy
+    cross-corpus shape) plus one delta-bounded anti-join; exact
+    copies need no separate tier (identical text ⇒ identical
+    signature ⇒ every band collides). Everything is priced by the
+    delta. The fixture plants both drop cohorts: every
+    7th doc re-enters as an EXACT copy (new id, same text) and every
+    7th+1 as a NEAR-dup (same text + a trailing token — most
+    shingles shared, so its bands collide with the at-rest
+    original), alongside the genuinely new slice; the oracle replays
+    fingerprints, signatures, bands, and both anti-joins, so the
+    hash certifies exactly which documents a recrawl admits."""
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 == 1)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 2).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+            )
+        )
+        .unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    )
+    rest = d.filter(F.col("doc_id") % 3 != 0)
+    return DD.novelty_gate(new, rest, "text", "doc_id").select("doc_id")

@@ -652,3 +652,51 @@ def test_trigram_lm_score_all_three_backoff_tiers(spark):
     empty_ref = spark.createDataFrame([("",)], "text string")
     with pytest.raises(ValueError, match="empty vocabulary"):
         trigram_lm_score(docs, empty_ref)
+
+
+def test_mixture_epoch_plan_math_and_contracts(spark):
+    """Hand-checked data-constrained plan (r16): token shares drive
+    the mixture, the epoch count is alloc/supply in integer micros,
+    and the 4-epoch cap marks (not redistributes) unsatisfiable
+    asks; zero-token sources are excluded."""
+    import pytest
+
+    rows = [
+        ("big", 900),   # dominant supply
+        ("small", 100), # rare: temperature lifts its ask past 4 epochs
+        ("empty", 0),   # excluded
+    ]
+    df = spark.createDataFrame(
+        [(s, t) for s, t in rows], "source string, tok long"
+    )
+    out = {
+        r.source: r
+        for r in C.mixture_epoch_plan(
+            df, "source", "tok", 2_000, alpha=0.0, max_epochs=4
+        ).collect()
+    }
+    assert set(out) == {"big", "small"}
+    # alpha=0: uniform target -> each gets 1000 tokens asked
+    assert out["big"].target_tokens == 1000
+    assert out["small"].target_tokens == 1000
+    # small supplies 100 -> ask is 10 epochs, capped at 4 (400 tokens)
+    assert out["small"].capped and out["small"].epochs_micros == 4_000_000
+    # big: 1000/900 epochs, uncapped
+    assert not out["big"].capped
+    assert out["big"].epochs_micros == (1000 * 1_000_000) // 900
+    # alpha=1: natural shares -> epochs equal across sources (2e3/1e3)
+    nat = {
+        r.source: r
+        for r in C.mixture_epoch_plan(
+            df, "source", "tok", 2_000, alpha=1.0
+        ).collect()
+    }
+    assert nat["big"].epochs_micros == nat["small"].epochs_micros == 2_000_000
+    assert not any(r.capped for r in nat.values())
+
+    with pytest.raises(ValueError, match="alpha"):
+        C.mixture_epoch_plan(df, "source", "tok", 10_000, alpha=2.0)
+    with pytest.raises(ValueError, match="token_budget"):
+        C.mixture_epoch_plan(df, "source", "tok", 0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        C.mixture_epoch_plan(df, "source", "tok", 10, max_epochs=0)

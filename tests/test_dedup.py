@@ -377,3 +377,36 @@ def test_fuzzy_join_blocked_overlap_refusal_and_hot_block_guard(spark):
     assert fuzzy_join_blocked(
         left, right, "lname", "rname", max_dist=0, max_block_pairs=None
     ).count() == 500
+
+
+def test_novelty_gate_planted_cohorts(spark):
+    """r16 incremental novelty gate: exact re-entries drop at the
+    fingerprint tier, tail-edited near-dups drop at the band tier,
+    genuinely new text survives — and batch-internal duplicates
+    pass through by documented design (self-dedup runs after)."""
+    from data_ingestion_spark.functions.dedup import novelty_gate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rest = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                      # exact copy of at-rest 1
+            (101, base + " tail"),            # near-dup of at-rest 1
+            (102, "totally different words nothing shared here at all ok"),
+            (103, "totally different words nothing shared here at all ok"),
+            # ^ batch-internal dup of 102: BOTH survive (gate is vs
+            #   at-rest only)
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id for r in novelty_gate(new, rest, "text", "doc_id").collect()
+    )
+    assert got == [102, 103]
+
+    # empty at-rest: everything is novel
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert novelty_gate(new, empty, "text", "doc_id").count() == 4
