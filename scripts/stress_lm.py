@@ -70,6 +70,12 @@ def main() -> None:
         help="score with the add-k bigram or the stupid-backoff trigram "
         "(r16 — one more count table + joins; same micros discipline)",
     )
+    ap.add_argument(
+        "--buckets",
+        action="store_true",
+        help="also time the r16 scale-safe tercile cut (ntile_buckets) "
+        "over the scored table and check cohort purity",
+    )
     args = ap.parse_args()
     spark = get_spark("stress-lm", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -113,6 +119,36 @@ def main() -> None:
         # the best gibberish doc
         "separated": rows["ref_like"].max_nll < rows["gibberish"].min_nll,
     }
+    if args.buckets:
+        # the CCNet tercile cut at scale, on the r16 scale-safe path
+        # (ntile_buckets: bounded histogram + boundary elements +
+        # broadcast CASE — no unpartitioned window). Correctness
+        # check rides the cohort structure: the gibberish half scores
+        # strictly above the reference half, so 'tail' must be 100%
+        # gibberish and 'head' 100% reference-like.
+        from data_ingestion_spark.operators.quantiles import ntile_buckets
+
+        nll = scorer(docs, ref).select("doc_id", "nll_micros").persist()
+        t1 = time.time()
+        bucketed = ntile_buckets(
+            nll, "nll_micros", "doc_id", 3, labels=["head", "middle", "tail"]
+        )
+        mix = {
+            (r.bucket, r.cohort): r.n
+            for r in bucketed.select(
+                "bucket",
+                F.when(F.col("doc_id") < args.n_docs, "ref_like")
+                .otherwise("gibberish")
+                .alias("cohort"),
+            )
+            .groupBy("bucket", "cohort")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        nll.unpersist()
+        rec["buckets_wall_sec"] = round(time.time() - t1, 1)
+        rec["head_pure_ref"] = ("head", "gibberish") not in mix
+        rec["tail_pure_gibberish"] = ("tail", "ref_like") not in mix
     print(json.dumps(rec), flush=True)
     spark.stop()
 
