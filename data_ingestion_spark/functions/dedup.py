@@ -162,6 +162,154 @@ def novelty_gate(
     return new_df.join(collided, id_col, "left_anti")
 
 
+def write_band_store(
+    df: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> str:
+    """Materialize a corpus generation's banded-MinHash table under a
+    MANAGED VERSIONED ROOT — the at-rest half of the novelty gate
+    (r16, the SCALE.md posture made real): at 100 TB the at-rest
+    corpus's signatures are built ONCE per generation and served to
+    every crawl, so the recurring gate cost is delta-only — the
+    at-rest side is a parquet scan of pre-computed (id, band,
+    band_hash) rows, not a re-shingle of the whole corpus.
+
+    Same substrate as the postings/ANN/PQ roots (MANIFEST.json
+    version dirs, atomic CURRENT swap, ``_COMMITS`` log): segments
+    live under ``segments/s_N``, the manifest records the BANDING
+    PARAMETERS (shingle_n/num_hashes/band_size) so a reader can never
+    gate with a mismatched band definition, retention vacuum is
+    ``similarity._vacuum_index_root`` (exposed as
+    ``vacuum_band_store``), and ``resolve_version_dir`` gives version
+    pinning for free. Append-only by design: generations accumulate
+    via ``upsert_band_store``; content UPDATES need the corpus-level
+    delete/tombstone story (the postings layout's), not this store —
+    documented, not silently mis-served. Returns the committed
+    version path."""
+    from .similarity import (
+        _commit_index_version,
+        _next_index_version,
+        _next_segment_name,
+        _write_manifest,
+    )
+    import os
+
+    seg = _next_segment_name(root)
+    band_table(df, text_col, id_col, shingle_n, num_hashes, band_size).write.parquet(
+        os.path.join(root, "segments", seg)
+    )
+    name = _next_index_version(root)
+    vdir = os.path.join(root, name)
+    _write_manifest(
+        vdir,
+        {
+            "layout": "bands",
+            "segments": [f"segments/{seg}"],
+            "shingle_n": int(shingle_n),
+            "num_hashes": int(num_hashes),
+            "band_size": int(band_size),
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+    )
+    _commit_index_version(root, name)
+    return vdir
+
+
+def _band_store_manifest(root: str, version: str | None = None) -> tuple[str, dict]:
+    from .similarity import _read_manifest, resolve_version_dir
+
+    src = resolve_version_dir(root, version)
+    m = _read_manifest(src)
+    if m is None or m.get("layout") != "bands":
+        raise ValueError(
+            f"{root!r} is not a band store (manifest layout="
+            f"{None if m is None else m.get('layout')!r}); build one with "
+            "write_band_store"
+        )
+    return src, m
+
+
+def upsert_band_store(df: DataFrame, root: str) -> str:
+    """O(delta) generation append: band the ADMITTED delta with the
+    STORE'S OWN parameters (the manifest is the single source of the
+    band definition — a caller cannot fork it), write it as a new
+    segment, commit a version naming old + new segments. The crawl
+    loop is gate → admit → upsert-admitted → next crawl gates against
+    the union. Refuses loudly on a root that was never built."""
+    from .similarity import (
+        _commit_index_version,
+        _next_index_version,
+        _next_segment_name,
+        _write_manifest,
+    )
+    import os
+
+    _, m = _band_store_manifest(root)
+    seg = _next_segment_name(root)
+    band_table(
+        df, m["text_col"], m["id_col"], m["shingle_n"], m["num_hashes"],
+        m["band_size"],
+    ).write.parquet(os.path.join(root, "segments", seg))
+    name = _next_index_version(root)
+    vdir = os.path.join(root, name)
+    _write_manifest(
+        vdir, {**m, "segments": [*m["segments"], f"segments/{seg}"]}
+    )
+    _commit_index_version(root, name)
+    return vdir
+
+
+def vacuum_band_store(root: str, retain: int = 2) -> list[str]:
+    """Retention GC for band-store roots — the shared manifest-aware
+    vacuum (committed-only horizons, CURRENT always kept, in-flight
+    writers protected)."""
+    from .similarity import _vacuum_index_root
+
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    return _vacuum_index_root(root, retain)
+
+
+def novelty_gate_indexed(
+    new_df: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: str | None = None,
+) -> DataFrame:
+    """The novelty gate served from an AT-REST band store: band the
+    delta with the store's manifest parameters, semi-join the
+    pre-computed at-rest bands (a parquet scan — the at-rest corpus
+    text is never touched, let alone re-shingled), anti-join the
+    collided ids. ``version=`` pins a generation (audit reads: which
+    docs would LAST week's corpus have admitted?). Result ≡
+    ``novelty_gate(new_df, at_rest_corpus)`` by construction — the
+    store just materializes the at-rest half (pytest-pinned)."""
+    import os
+
+    spark = new_df.sparkSession
+    src, m = _band_store_manifest(root, version)
+    rest_bands = spark.read.parquet(
+        *[os.path.join(root, rel) for rel in m["segments"]]
+    )
+    nb = band_table(
+        new_df, text_col, id_col, m["shingle_n"], m["num_hashes"],
+        m["band_size"],
+    )
+    collided = (
+        nb.join(rest_bands, ["band", "band_hash"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .dropDuplicates()
+    )
+    return new_df.join(collided, id_col, "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,

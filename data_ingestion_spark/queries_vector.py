@@ -2887,3 +2887,58 @@ def dedup_incremental_novelty(spark, sf_dir):
     )
     rest = d.filter(F.col("doc_id") % 3 != 0)
     return DD.novelty_gate(new, rest, "text", "doc_id").select("doc_id")
+
+
+@q(
+    "dedup_novelty_indexed",
+    "WITH newd AS ("
+    "SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 30000 AS id, text || ' qq' AS text "
+    "FROM documents WHERE doc_id % 7 = 2 "
+    "UNION ALL SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0), "
+    "rest AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0), "
+    + _duck_bands_ctes("n", "newd")
+    + ", "
+    + _duck_bands_ctes("r", "rest")
+    + ", coll AS (SELECT DISTINCT bn.id FROM bands_n bn JOIN bands_r br "
+    "ON bn.band = br.band AND bn.band_hash = br.band_hash) "
+    "SELECT id AS doc_id FROM newd WHERE NOT EXISTS "
+    "(SELECT 1 FROM coll c WHERE c.id = newd.id)",
+)
+def dedup_novelty_indexed(spark, sf_dir):
+    """The novelty gate served from the AT-REST band store (r16;
+    dedup.py::write_band_store/upsert_band_store/
+    novelty_gate_indexed — the managed-root treatment for crawl
+    fingerprints): generation 1 of the at-rest corpus is built into
+    the store, generation 2 appends via an O(delta) upsert (new
+    segment + manifest behind the atomic CURRENT swap — the
+    postings/ANN/PQ substrate), and the crawl delta gates against
+    the pre-computed bands — the at-rest TEXT is never re-shingled
+    at crawl time, which is the whole point at 100 TB (signatures
+    build once per generation, serve every crawl). The oracle is
+    the INLINE gate over the union corpus, so the hash certifies
+    store-build + upsert + serve ≡ the from-scratch gate — the
+    upsert ≡ rebuild discipline on the fingerprint layout."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 == 1)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 2).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+            )
+        )
+        .unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"band_store_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    DD.write_band_store(d.filter(F.col("doc_id") % 3 == 1), root)
+    DD.upsert_band_store(d.filter(F.col("doc_id") % 3 == 2), root)
+    return DD.novelty_gate_indexed(new, root).select("doc_id")

@@ -410,3 +410,85 @@ def test_novelty_gate_planted_cohorts(spark):
     # empty at-rest: everything is novel
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert novelty_gate(new, empty, "text", "doc_id").count() == 4
+
+
+def test_band_store_lifecycle(spark, tmp_path):
+    """r16 at-rest band store: indexed gate ≡ inline gate, O(delta)
+    upsert folds a new generation in, version pinning serves the
+    pre-upsert generation, vacuum honors retention, and non-band
+    roots refuse loudly."""
+    import pytest
+
+    from data_ingestion_spark.functions.dedup import (
+        novelty_gate,
+        novelty_gate_indexed,
+        upsert_band_store,
+        vacuum_band_store,
+        write_band_store,
+    )
+    from data_ingestion_spark.functions.similarity import index_current_path
+
+    g1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    g2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of g1
+            (101, "one two three four five six seven eight nine ok"),  # near g2
+            (102, "totally fresh words never seen in any generation"),
+        ],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "band_root")
+    write_band_store(g1, root)
+    v0 = index_current_path(root)
+    upsert_band_store(g2, root)
+
+    got = sorted(
+        r.doc_id for r in novelty_gate_indexed(new, root).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in novelty_gate(new, g1.unionByName(g2), "text", "doc_id").collect()
+    )
+    assert got == want == [102]  # store-served ≡ inline, both tiers bite
+
+    # pinned at v0: g2's bands are invisible -> 101 is admitted
+    import os
+
+    v0_name = os.path.basename(v0.rstrip("/"))
+    pinned = sorted(
+        r.doc_id
+        for r in novelty_gate_indexed(new, root, version=v0_name).collect()
+    )
+    assert pinned == [101, 102]
+
+    # vacuum retention: retain=1 drops v0; the pinned read then refuses
+    vacuum_band_store(root, retain=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        novelty_gate_indexed(new, root, version=v0_name)
+    # live pointer still serves
+    assert sorted(
+        r.doc_id for r in novelty_gate_indexed(new, root).collect()
+    ) == [102]
+
+    # refusals: never-built root; non-band (postings) root
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        novelty_gate_indexed(new, str(tmp_path / "nowhere"))
+    from data_ingestion_spark.functions.similarity import (
+        build_postings_index_versioned,
+    )
+
+    proot = str(tmp_path / "postings_root")
+    build_postings_index_versioned(g1, proot)
+    with pytest.raises(ValueError, match="not a band store"):
+        novelty_gate_indexed(new, proot)
+    with pytest.raises(ValueError, match="not a band store"):
+        upsert_band_store(g2, proot)
+    with pytest.raises(ValueError, match="retain"):
+        vacuum_band_store(root, retain=0)
