@@ -779,3 +779,85 @@ def run_expectations_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_novelty_stream(
+    stream: DataFrame,
+    root: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> StreamingQuery:
+    """Continuous incremental-crawl dedup — the band store's
+    streaming fold (r16; the fourth managed layout joins the
+    maintenance-stream family beside postings/ANN/PQ): each
+    micro-batch of crawled documents gates against the AT-REST band
+    store (``novelty_gate_indexed`` — pre-computed signatures, the
+    at-rest text never re-shingled), the ADMITTED rows append to
+    ``out_dir`` (the curation pipeline's input), and their bands fold
+    into the store as an O(delta) segment (``upsert_band_store``) so
+    the NEXT batch gates against them too. The first batch bootstraps
+    the store (everything is novel against an empty generation; the
+    ``shingle_n/num_hashes/band_size`` given here are recorded in the
+    manifest and every later batch uses the manifest's values).
+
+    Replay safety, two layers — with a twist that makes this fold
+    SELF-HEALING: the root-level ``_last_batch_id`` marker skips an
+    already-folded batch, and a replay that slips past the marker
+    admits NOTHING — the batch's own fingerprints are at rest from
+    the first run, so every document collides with itself and the
+    output/store stay byte-identical (the gate is its own
+    idempotence proof; no duplicate output rows, no extra version).
+
+    Batch-INTERNAL duplicates are not collapsed here (the
+    ``novelty_gate`` contract — run the self-dedup family on the
+    admitted corpus downstream)."""
+    import os
+
+    from ..functions import dedup as DD
+    from ..functions import similarity as SIM
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        built = SIM.index_current_path(root) is not None
+        marker = os.path.join(root, "_last_batch_id")
+        if built:
+            try:
+                with open(marker, encoding="utf-8") as f:
+                    if batch_id <= int(f.read().strip()):
+                        return  # replay of an already-folded batch
+            except (OSError, ValueError):
+                pass
+        if built:
+            # materialize the gate once — isEmpty/output-write/band
+            # upsert would otherwise each re-run the band joins
+            admitted = DD.novelty_gate_indexed(
+                batch_df, root, text_col=text_col, id_col=id_col
+            ).localCheckpoint(eager=True)
+            if admitted.isEmpty():
+                with open(marker, "w", encoding="utf-8") as f:
+                    f.write(str(batch_id))
+                return
+            admitted.write.mode("append").parquet(out_dir)
+            DD.upsert_band_store(admitted, root)
+        else:
+            batch_df.write.mode("append").parquet(out_dir)
+            DD.write_band_store(
+                batch_df, root, text_col=text_col, id_col=id_col,
+                shingle_n=shingle_n, num_hashes=num_hashes,
+                band_size=band_size,
+            )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(str(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1157,3 +1157,79 @@ def test_pq_maintenance_stream_refuses_legacy_root(spark, tmp_path):
         q.awaitTermination(240)
     # nothing was built over the legacy root
     assert not os.path.exists(os.path.join(legacy, "CURRENT"))
+
+
+def test_novelty_stream_cross_batch_and_replay(spark, tmp_path):
+    """r16 band-store streaming fold: batch 0 bootstraps the store,
+    later batches gate against everything ADMITTED so far (copies and
+    near-dups of batch-0 docs AND of batch-1 admits both drop), the
+    admitted output equals the sequential batch gate-loop, and a full
+    replay admits nothing (self-healing: the batch's own fingerprints
+    are at rest from the first run)."""
+    import os
+    import time
+
+    from data_ingestion_spark.functions.similarity import index_current_path
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+    t_c = "red orange yellow green blue indigo violet cyan magenta white"
+    t_d = "monday tuesday wednesday thursday friday saturday sunday always never maybe"
+    slices = [
+        [(1, t_a), (2, t_b)],                       # batch 0: bootstrap
+        [(10, t_a), (11, t_b + " tail"), (3, t_c)],  # copy A, near B, novel C
+        [(12, t_c), (4, t_d)],                       # copy of batch-1 ADMIT, novel D
+    ]
+    src_dir = str(tmp_path / "nov_src")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i, rows in enumerate(slices):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string").toPandas().to_parquet(
+            p, index=False
+        )
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "nov_root")
+    out_dir = str(tmp_path / "nov_out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = SP.run_novelty_stream(stream, root, out_dir, str(tmp_path / "nov_ck"))
+    q.awaitTermination(240)
+
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert admitted == [1, 2, 3, 4]  # copies/near-dups dropped cross-batch
+
+    # sequential batch-loop twin produces the identical admit set
+    from data_ingestion_spark.functions.dedup import novelty_gate
+
+    at_rest = spark.createDataFrame([], "doc_id long, text string")
+    loop_admitted: list[int] = []
+    for rows in slices:
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        adm = batch if at_rest.isEmpty() else novelty_gate(
+            batch, at_rest, "text", "doc_id"
+        )
+        loop_admitted += [r.doc_id for r in adm.collect()]
+        at_rest = at_rest.unionByName(adm)
+    assert sorted(loop_admitted) == admitted
+
+    # replay (fresh checkpoint, same source): nothing new admitted,
+    # no new store version committed
+    current_before = open(os.path.join(root, "CURRENT")).read()
+    n_before = spark.read.parquet(out_dir).count()
+    q2 = SP.run_novelty_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        root,
+        out_dir,
+        str(tmp_path / "nov_ck2"),
+    )
+    q2.awaitTermination(240)
+    assert spark.read.parquet(out_dir).count() == n_before
+    assert open(os.path.join(root, "CURRENT")).read() == current_before
+    assert index_current_path(root) is not None
