@@ -91,6 +91,7 @@ HEADLINE_V2 = [
     "rank_bm25_index_compacted",  # indexed BM25 batch post-fold
     "graph_triangle_count",     # degree-ordered triangle counting
     "dedup_corpus_lines",       # exact line dedup (C4 rule)
+    "dedup_novelty_indexed",    # r16: band-store build+upsert / gated serve
 ]
 
 
