@@ -73,6 +73,7 @@ DRIVER_WINDOW: list[str] = [
     "mixture_epoch_plan",
     "dedup_incremental_novelty",
     "dedup_novelty_indexed",
+    "dedup_novelty_time_travel",
     # (2) stalest r11 rows (r15 verdict #8)
     "incremental_recrawl_pipeline",
     "rank_bm25_indexed",
@@ -109,7 +110,6 @@ DRIVER_WINDOW: list[str] = [
     "chunk_fixed_overlap",
     "tpch_q15_top_supplier",
     "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share",
 ]
 
 

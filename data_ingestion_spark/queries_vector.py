@@ -2942,3 +2942,58 @@ def dedup_novelty_indexed(spark, sf_dir):
     DD.write_band_store(d.filter(F.col("doc_id") % 3 == 1), root)
     DD.upsert_band_store(d.filter(F.col("doc_id") % 3 == 2), root)
     return DD.novelty_gate_indexed(new, root).select("doc_id")
+
+
+@q(
+    "dedup_novelty_time_travel",
+    "WITH newd AS ("
+    "SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 30000 AS id, text || ' qq' AS text "
+    "FROM documents WHERE doc_id % 7 = 2 "
+    "UNION ALL SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0), "
+    "rest AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 1), "
+    + _duck_bands_ctes("n", "newd")
+    + ", "
+    + _duck_bands_ctes("r", "rest")
+    + ", coll AS (SELECT DISTINCT bn.id FROM bands_n bn JOIN bands_r br "
+    "ON bn.band = br.band AND bn.band_hash = br.band_hash) "
+    "SELECT id AS doc_id FROM newd WHERE NOT EXISTS "
+    "(SELECT 1 FROM coll c WHERE c.id = newd.id)",
+)
+def dedup_novelty_time_travel(spark, sf_dir):
+    """Version time-travel on the BAND STORE (r16 — the fourth
+    layout's pinned read, completing the audit story
+    ann_time_travel/index_time_travel opened on the other three):
+    the store is built over generation 1 (doc_id % 3 = 1), an upsert
+    folds generation 2 in (% 3 = 2) — and the gate serves the
+    PINNED pre-upsert version, answering 'which documents would
+    LAST generation's corpus have admitted?'. The oracle gates
+    against generation 1 ONLY, so the hash certifies the pinned
+    read ignores the upserted segment entirely: same fixture as
+    dedup_novelty_indexed, different expected admit set (generation
+    2's near-collisions are invisible at v0). Retention (vacuum
+    retain >= 2) is what keeps v0 on disk."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 == 1)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 2).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+            )
+        )
+        .unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"band_tt_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    DD.write_band_store(d.filter(F.col("doc_id") % 3 == 1), root)
+    v0 = os.path.basename(SIM.index_current_path(root).rstrip("/"))
+    DD.upsert_band_store(d.filter(F.col("doc_id") % 3 == 2), root)
+    return DD.novelty_gate_indexed(new, root, version=v0).select("doc_id")
