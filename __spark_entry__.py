@@ -40,76 +40,68 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-16 window. No CORRECTNESS_r15.json was ever produced
-    # (the correctness driver did not run in r15), so the NINE r15
-    # DQs keep the head unchanged and in the same order — banking
-    # their first contract-grade green row is r15 verdict #1. Then,
-    # in priority order:
-    # (1) the THREE new r16 DQs (never checked): trigram
-    #     stupid-backoff LM scoring, the five-stage curation-export
-    #     capstone, and the postings-layout time-travel read through
-    #     a compaction;
-    # (2) the FIFTEEN stalest rows, all last green r11 (r15 verdict
-    #     #8: the retrieval/phrase/eval family + the r11 D-series);
-    # (3) the r01->r11 core-relational fills (joins/aggs/windows/
-    #     sets/tpch) — next-stalest per scripts/update_checked.py —
-    #     to 50. After r16's artifact no row's last green predates
-    #     r12 except the r11 fills that didn't fit (tpch q13/q17/q22,
-    #     posexplode, lang/text/multimodal r03 family — next round's
-    #     rotation debt, listed in CHECKED.md).
-    "ann_time_travel",
-    "ann_ivfpq_lifecycle",
-    "ann_pq_version_drift",
-    "mixture_temperature_weights",
-    "mixture_temperature_sample",
-    "quality_lm_logprob",
-    "export_shuffle_shards",
-    "index_version_drift",
-    "quality_ppl_buckets",
-    # (1) new r16 coverage
-    "quality_lm_logprob_trigram",
-    "curation_export_pipeline",
-    "index_time_travel",
-    "mixture_epoch_plan",
-    "dedup_incremental_novelty",
-    "dedup_novelty_indexed",
-    "dedup_novelty_time_travel",
-    # (2) stalest r11 rows (r15 verdict #8)
-    "incremental_recrawl_pipeline",
-    "rank_bm25_indexed",
-    "retrieval_eval_metrics",
-    "hybrid_rank_indexed",
-    "phrase_search_indexed",
-    "phrase_search_slop",
-    "phrase_snippets_indexed",
-    "hll_distinct_users",
-    "bloom_frontier_seen",
-    "quantiles_two_pass",
-    "mojibake_repair",
-    "recrawl_moved_content",
-    "chunk_content_defined",
-    "doc_winnow_fingerprints",
-    "quantiles_per_group",
-    # (3) r01->r11 core-relational fills
-    "join_cross_theta",
-    "join_range",
-    "join_asof",
-    "groupby_count",
-    "agg_global_count",
-    "agg_collect_list",
-    "agg_numeric_stats",
-    "agg_count_distinct",
-    "agg_rollup",
-    "delete_partition_filter",
-    "window_row_number",
-    "window_lag_frame",
-    "top_n_limit",
-    "sort_global",
-    "union_all",
-    "set_except",
-    "chunk_fixed_overlap",
-    "tpch_q15_top_supplier",
-    "tpch_q6_forecast_revenue",
+    # -- round-17 window (r16 verdict #1: rotate the 30 stale
+    # r10/r11 rows in; plus the THREE new r17 DQs). Order:
+    # (1) never-checked r17 coverage: band-store tombstone deletes,
+    #     the post-compaction gate, and the six-stage curation
+    #     capstone with the decontamination stage;
+    # (2) the 30 rows whose last green is r10/r11 (tpch stragglers,
+    #     the r03 dedup/lang/text/multimodal family, csv/jsonl/
+    #     variant scans, window_range_frame, grouping_sets, batch
+    #     BM25/RRF) — the full rotation debt named in r16's verdict;
+    # (3) next-stalest r12 rows per scripts/update_checked.py to 50.
+    "dedup_novelty_delete",
+    "dedup_novelty_compacted",
+    "curation_export_pipeline_v2",
+    # (2) the 30 stale r10/r11 rows
+    "recursive_cte_closure",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "variant_json_tolerant",
+    "window_range_frame",
+    "agg_grouping_sets",
+    "similarity_topk_lsh",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
+    "doc_fingerprint",
+    "token_budget_detected_lang",
+    "rank_bm25_batch",
+    "hybrid_rank_rrf_batch",
+    "tpch_q14_promo_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q4_priority_check",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_quantity",
+    "tpch_q22_global_sales_opportunity",
+    "array_posexplode",
+    "lang_id_ngram",
+    "text_quality_score",
+    "multimodal_binary_meta",
+    "multimodal_header_decode",
+    "embed_near_dup_lsh",
+    "dedup_clusters",
+    "dedup_decision",
+    # (3) next-stalest r12 backfill
+    "scan_parquet",
+    "scan_dim_inline",
+    "distinct_collections",
+    "filter_prefix",
+    "filter_contains",
+    "project_replace",
+    "filter_nonempty",
+    "string_concat_header",
+    "index_name_norm",
+    "map_concat_meta",
+    "agg_approx_distinct",
+    "split_markdown_headers",
+    "metadata_enrich",
+    "sessionize_batch",
+    "window_tumbling_batch",
+    "join_full_outer",
+    "set_intersect",
 ]
 
 

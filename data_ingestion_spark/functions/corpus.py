@@ -579,7 +579,13 @@ def mixture_epoch_plan(
             F.round(F.col("__p"), 6).alias("share"),
             q6.alias("temp_share"),
             "target_tokens",
-            F.expr("(__alloc * 1000000) div tokens")
+            # DECIMAL(38,0) for the ×1e6 blow-up (r16 ADVICE): a
+            # trillion-token alloc (>~9.2e12) would overflow 2^63 in
+            # the bigint multiply; 38 digits hold 9.2e18·1e6 with room
+            # (the markov_transitions precedent)
+            F.expr(
+                "(cast(__alloc as decimal(38,0)) * 1000000) div tokens"
+            )
             .cast("bigint")
             .alias("epochs_micros"),
             (F.col("__alloc") < F.col("target_tokens")).alias("capped"),

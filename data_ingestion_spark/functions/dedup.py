@@ -186,23 +186,41 @@ def write_band_store(
     gate with a mismatched band definition, retention vacuum is
     ``similarity._vacuum_index_root`` (exposed as
     ``vacuum_band_store``), and ``resolve_version_dir`` gives version
-    pinning for free. Append-only by design: generations accumulate
-    via ``upsert_band_store``; content UPDATES need the corpus-level
-    delete/tombstone story (the postings layout's), not this store —
-    documented, not silently mis-served. Returns the committed
-    version path."""
+    pinning for free. Generations accumulate via
+    ``upsert_band_store``; takedowns retire their fingerprints via
+    ``delete_band_ids`` (tombstone segments, r17), and
+    ``compact_band_store`` folds the segment list back to one.
+
+    BUILD-ONLY (r16 ADVICE): on a root that already has a committed
+    CURRENT this refuses loudly instead of silently committing a
+    manifest that names ONLY the new segment — which would drop every
+    prior generation from serving, the same silent-base-build hazard
+    ``LegacyPqRootError`` guards on the IVF-PQ root. Use
+    ``upsert_band_store`` to append a generation, or point a rebuild
+    at a fresh root. Returns the committed version path."""
     from .similarity import (
         _commit_index_version,
         _next_index_version,
         _next_segment_name,
         _write_manifest,
+        index_current_path,
     )
     import os
 
+    if index_current_path(root) is not None:
+        raise ValueError(
+            f"band store at {root!r} already has a committed CURRENT "
+            "version; write_band_store would silently drop every prior "
+            "generation from serving. Append this generation with "
+            "upsert_band_store(df, root), or build the rebuild into a "
+            "fresh root and swap paths."
+        )
     seg = _next_segment_name(root)
+    seg_path = os.path.join(root, "segments", seg)
     band_table(df, text_col, id_col, shingle_n, num_hashes, band_size).write.parquet(
-        os.path.join(root, "segments", seg)
+        seg_path
     )
+    n_rows = df.sparkSession.read.parquet(seg_path).count()
     name = _next_index_version(root)
     vdir = os.path.join(root, name)
     _write_manifest(
@@ -210,6 +228,8 @@ def write_band_store(
         {
             "layout": "bands",
             "segments": [f"segments/{seg}"],
+            "tombstones": [False],
+            "seg_rows": [int(n_rows)],
             "shingle_n": int(shingle_n),
             "num_hashes": int(num_hashes),
             "band_size": int(band_size),
@@ -235,13 +255,23 @@ def _band_store_manifest(root: str, version: str | None = None) -> tuple[str, di
     return src, m
 
 
-def upsert_band_store(df: DataFrame, root: str) -> str:
-    """O(delta) generation append: band the ADMITTED delta with the
-    STORE'S OWN parameters (the manifest is the single source of the
-    band definition — a caller cannot fork it), write it as a new
-    segment, commit a version naming old + new segments. The crawl
-    loop is gate → admit → upsert-admitted → next crawl gates against
-    the union. Refuses loudly on a root that was never built."""
+def _band_seg_meta(m: dict) -> tuple[list[str], list[bool], list[int]]:
+    """Segment list + per-segment tombstone flags and recorded row
+    counts, defaulting the keys r16 manifests predate (all-data,
+    unknown counts)."""
+    segs = list(m["segments"])
+    tombs = [bool(t) for t in m.get("tombstones", [False] * len(segs))]
+    rows = [int(r) for r in m.get("seg_rows", [-1] * len(segs))]
+    return segs, tombs, rows
+
+
+def _append_band_segment(
+    df_rows: DataFrame, root: str, m: dict, tombstone: bool
+) -> str:
+    """Shared append path for upsert/delete: write ``df_rows`` as the
+    next segment, commit a version whose manifest extends the
+    parallel segments/tombstones/seg_rows lists. Returns the new
+    version path."""
     from .similarity import (
         _commit_index_version,
         _next_index_version,
@@ -250,19 +280,175 @@ def upsert_band_store(df: DataFrame, root: str) -> str:
     )
     import os
 
-    _, m = _band_store_manifest(root)
     seg = _next_segment_name(root)
-    band_table(
-        df, m["text_col"], m["id_col"], m["shingle_n"], m["num_hashes"],
-        m["band_size"],
-    ).write.parquet(os.path.join(root, "segments", seg))
+    seg_path = os.path.join(root, "segments", seg)
+    df_rows.write.parquet(seg_path)
+    n_rows = df_rows.sparkSession.read.parquet(seg_path).count()
+    segs, tombs, rows = _band_seg_meta(m)
     name = _next_index_version(root)
     vdir = os.path.join(root, name)
     _write_manifest(
-        vdir, {**m, "segments": [*m["segments"], f"segments/{seg}"]}
+        vdir,
+        {
+            **m,
+            "segments": [*segs, f"segments/{seg}"],
+            "tombstones": [*tombs, bool(tombstone)],
+            "seg_rows": [*rows, int(n_rows)],
+        },
     )
     _commit_index_version(root, name)
     return vdir
+
+
+def upsert_band_store(df: DataFrame, root: str) -> str:
+    """O(delta) generation append: band the ADMITTED delta with the
+    STORE'S OWN parameters (the manifest is the single source of the
+    band definition — a caller cannot fork it), write it as a new
+    segment, commit a version naming old + new segments. The crawl
+    loop is gate → admit → upsert-admitted → next crawl gates against
+    the union. Refuses loudly on a root that was never built.
+
+    Last-wins across segments (r17): a doc re-banded here AFTER a
+    ``delete_band_ids`` tombstone re-enters serving — its newer
+    segment shadows the tombstone, the resurrect path for re-cleared
+    content."""
+    _, m = _band_store_manifest(root)
+    return _append_band_segment(
+        band_table(
+            df, m["text_col"], m["id_col"], m["shingle_n"], m["num_hashes"],
+            m["band_size"],
+        ),
+        root,
+        m,
+        tombstone=False,
+    )
+
+
+def delete_band_ids(ids_df: DataFrame, root: str, id_col: str | None = None) -> str:
+    """Row-level delete on the band store (r16 verdict #3 — the
+    §2.18 X2 tombstone treatment on the fourth managed layout): a
+    takedown at the corpus layer must be able to retire its
+    FINGERPRINTS too, or the novelty gate refuses legitimately
+    re-cleared content forever (an identical resubmission collides
+    with the dead doc's at-rest bands). Writes a TOMBSTONE-ONLY
+    segment — a distinct id list, flagged in the manifest's
+    ``tombstones`` — and the last-wins shadow rule hides every older
+    band row of those ids from serving; ``compact_band_store``
+    physically drops the shadowed rows and the tombstone itself at
+    the next fold. O(delete set): no live segment is rewritten; ids
+    not in the store are harmless no-ops. A later
+    ``upsert_band_store`` that re-bands a deleted id shadows the
+    tombstone (resurrect-then-redelete works, pytest-pinned).
+    ``id_col`` defaults to the manifest's. Returns the new version
+    path."""
+    _, m = _band_store_manifest(root)
+    col = id_col or m["id_col"]
+    return _append_band_segment(
+        ids_df.select(F.col(col).alias("id")).distinct(), root, m, tombstone=True
+    )
+
+
+def _band_live_rows(spark, root: str, m: dict) -> DataFrame:
+    """The store's LIVE (id, band, band_hash) rows under last-wins
+    segment shadowing: a data segment's rows are dead iff ANY newer
+    segment names the id (a tombstone deletes it; a newer data
+    segment re-bands it). Fast path: a manifest with no tombstone
+    has nothing to shadow — band rows are append-only novel ids, and
+    even a re-banded duplicate contributes identical rows — so the
+    whole store is ONE multi-path parquet scan (the r16 serve plan).
+    With tombstones the anti-join depth is the segment count, which
+    ``maybe_compact_band_store`` bounds."""
+    import os
+
+    segs, tombs, _ = _band_seg_meta(m)
+    paths = [os.path.join(root, rel) for rel in segs]
+    if not any(tombs):
+        return spark.read.parquet(*paths)
+    id_frames = [spark.read.parquet(p).select("id") for p in paths]
+    live: DataFrame | None = None
+    for i, (p, t) in enumerate(zip(paths, tombs)):
+        if t:
+            continue
+        cur = spark.read.parquet(p)
+        newer = id_frames[i + 1:]
+        if newer:
+            nid = newer[0]
+            for x in newer[1:]:
+                nid = nid.unionByName(x)
+            cur = cur.join(nid.dropDuplicates(), "id", "left_anti")
+        live = cur if live is None else live.unionByName(cur)
+    assert live is not None  # segments[0] is always a data segment
+    return live
+
+
+def compact_band_store(spark, root: str, retain: int = 2) -> str:
+    """Segment fold + vacuum for the band store (r16 verdict #2 —
+    the X1 auto-compaction treatment on the fourth layout): every
+    ``upsert_band_store``/tombstone appends a segment, the
+    maintenance stream one per micro-batch, and gate cost grows with
+    the list (k partition reads; with tombstones, k shadow
+    anti-joins). Rewrites the shadow-RESOLVED live rows as ONE
+    clustered segment (repartitioned on (band, band_hash) — the
+    gate's join key — with size-capped files), commits a manifest
+    naming just that segment, then retention-vacuums old versions
+    (``retain`` ≥ 2 protects a concurrent gate that resolved CURRENT
+    just before the swap). Tombstoned ids vanish physically here.
+    Gates before and after are row-identical (pytest-pinned); the
+    root-level ``_last_batch_id`` stream marker lives outside the
+    version dirs, so replay protection survives the fold. Returns
+    the new version path."""
+    from .similarity import (
+        _commit_index_version,
+        _next_index_version,
+        _next_segment_name,
+        _vacuum_index_root,
+        _write_manifest,
+    )
+    import os
+
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    _, m = _band_store_manifest(root)
+    seg = _next_segment_name(root)
+    seg_path = os.path.join(root, "segments", seg)
+    (
+        _band_live_rows(spark, root, m)
+        .repartition("band", "band_hash")
+        .write.option("maxRecordsPerFile", 1 << 20)
+        .parquet(seg_path)
+    )
+    n_rows = spark.read.parquet(seg_path).count()
+    name = _next_index_version(root)
+    vdir = os.path.join(root, name)
+    _write_manifest(
+        vdir,
+        {
+            **m,
+            "segments": [f"segments/{seg}"],
+            "tombstones": [False],
+            "seg_rows": [int(n_rows)],
+        },
+    )
+    _commit_index_version(root, name)
+    _vacuum_index_root(root, retain)
+    return vdir
+
+
+def maybe_compact_band_store(
+    spark, root: str, max_segments: int, retain: int = 2
+) -> str | None:
+    """Band-store twin of ``maybe_compact_index``: fold iff the live
+    manifest names more than ``max_segments`` segments — the
+    auto-compaction trigger ``run_novelty_stream(max_segments=...)``
+    wires into its foreachBatch. Returns the new version path when a
+    fold ran, None when within bounds."""
+    from .similarity import _live_segment_count
+
+    if max_segments < 1:
+        raise ValueError(f"max_segments must be >= 1, got {max_segments}")
+    if _live_segment_count(root) <= max_segments:
+        return None
+    return compact_band_store(spark, root, retain=retain)
 
 
 def vacuum_band_store(root: str, retain: int = 2) -> list[str]:
@@ -290,14 +476,14 @@ def novelty_gate_indexed(
     collided ids. ``version=`` pins a generation (audit reads: which
     docs would LAST week's corpus have admitted?). Result ≡
     ``novelty_gate(new_df, at_rest_corpus)`` by construction — the
-    store just materializes the at-rest half (pytest-pinned)."""
-    import os
-
+    store just materializes the at-rest half (pytest-pinned). The
+    at-rest side is the shadow-RESOLVED live row set (r17): tombstoned
+    ids (``delete_band_ids``) are invisible, and with no tombstone in
+    the manifest the resolution collapses to the r16 single
+    multi-path scan."""
     spark = new_df.sparkSession
     src, m = _band_store_manifest(root, version)
-    rest_bands = spark.read.parquet(
-        *[os.path.join(root, rel) for rel in m["segments"]]
-    )
+    rest_bands = _band_live_rows(spark, root, m)
     nb = band_table(
         new_df, text_col, id_col, m["shingle_n"], m["num_hashes"],
         m["band_size"],

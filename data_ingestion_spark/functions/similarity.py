@@ -3384,6 +3384,41 @@ def index_report(spark, root: str) -> DataFrame:
         ]
         return spark.createDataFrame(rows, out_schema)
 
+    if m is not None and m.get("layout") == "bands":
+        # the fourth layout (functions/dedup.py band store): flat
+        # (id, band, band_hash) segments + id-list tombstones; rows
+        # come from the manifest's seg_rows (r17 manifests record
+        # them; -1 falls back to a count over the segment), shadowed
+        # = this data segment's distinct ids named by ANY newer
+        # segment (tombstoned or re-banded) — the dead weight
+        # compact_band_store would drop
+        from .dedup import _band_seg_meta
+
+        segs_b, tombs_b, rows_b = _band_seg_meta(m)
+        paths_b = [os.path.join(root, rel) for rel in segs_b]
+        id_frames = [spark.read.parquet(p).select("id") for p in paths_b]
+        rows = []
+        for i, (rel, p, t) in enumerate(zip(segs_b, paths_b, tombs_b)):
+            n = rows_b[i]
+            if n < 0:
+                n = spark.read.parquet(p).count()
+            sh = 0
+            if not t and i + 1 < len(paths_b):
+                newer = id_frames[i + 1]
+                for x in id_frames[i + 2:]:
+                    newer = newer.unionByName(x)
+                sh = (
+                    id_frames[i]
+                    .dropDuplicates()
+                    .join(newer.dropDuplicates(), "id", "left_semi")
+                    .count()
+                )
+            rows.append(
+                (rel, "tombstone" if t else "data", "bands", int(n),
+                 _du(p), int(sh), None)
+            )
+        return spark.createDataFrame(rows, out_schema)
+
     is_ann = ("seg_n" in m) if m is not None else os.path.exists(
         os.path.join(src, "_ann_meta.json")
     )

@@ -244,12 +244,28 @@ def ntile_buckets(
     Three scans + a constant-size exchange instead of a global sort;
     output adds a ``bucket`` column (1-based tile, or ``labels[i]``).
     Requires the tiebreak to be unique (else assignment at a
-    boundary tie is ambiguous in BOTH forms)."""
+    boundary tie is ambiguous in BOTH forms) and ``value_col`` to be
+    NULL-free — window NTILE sorts NULLs FIRST into tile 1 while the
+    boundary CASE would dump them in the LAST tile (every comparison
+    fails), so rather than silently diverge this refuses loudly (r16
+    ADVICE); filter or coalesce NULL scores upstream."""
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
     if labels is not None and len(labels) != n_tiles:
         raise ValueError(f"need {n_tiles} labels, got {len(labels)}")
-    n = df.count()
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(value_col).isNull(), 1)).alias("n_null"),
+    ).collect()[0]
+    n = int(counts["n"])
+    if int(counts["n_null"]) > 0:
+        raise ValueError(
+            f"ntile_buckets: value_col {value_col!r} has "
+            f"{int(counts['n_null'])} NULL rows — NTILE sorts NULLs first "
+            "(tile 1) but the boundary CASE would bucket them last; filter "
+            "or coalesce the NULLs upstream to keep the assignment "
+            "well-defined"
+        )
     if n == 0:
         typ = "string" if labels is not None else "int"
         return df.withColumn("bucket", F.lit(None).cast(typ))

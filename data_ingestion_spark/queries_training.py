@@ -509,6 +509,188 @@ def curation_export_pipeline(spark, sf_dir):
     return _materialized(out, [nll])
 
 
+def _capstone_v2_oracle() -> str:
+    """DuckDB twin of the six-stage curation capstone: the v1 stages
+    with FUZZY DECONTAMINATION inserted between bucket-keep and
+    mixture weighting — banded MinHash candidates of the kept slice
+    against the constructed eval set, exact shingle verify, anti-join
+    (the _fuzzy_decon_oracle machinery, corpus side restricted to the
+    kept docs)."""
+    from .queries_vector import _duck_shingles
+
+    mh = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> md5('mh|" + str(i) + "|' || s)), 'min')"
+        f" AS mh_{i}"
+        for i in range(8)
+    )
+
+    def bands(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_hash "
+            f"FROM {src}"
+            for b in range(4)
+        )
+
+    return (
+        # stage 1 — CCNet LM scoring
+        f"WITH tok AS (SELECT doc_id, {_CE_LM_TOK} AS ws FROM documents), "
+        "bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM tok, "
+        "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+        f"rtok AS (SELECT {_CE_LM_TOK} AS ws FROM documents WHERE lang = 'en'), "
+        "rbi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM rtok, "
+        "unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 2), "
+        "model AS (SELECT w1, w2, count(*) AS cp FROM rbi GROUP BY 1, 2), "
+        "ctx AS (SELECT w1, sum(cp) AS cc FROM model GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT t) AS v FROM "
+        "(SELECT unnest(ws) AS t FROM rtok)), "
+        "scored AS (SELECT b.doc_id, CAST(round(ln("
+        "(COALESCE(c.cc, 0) + 1.0 * (SELECT v FROM v)) * 1.0 / "
+        "(COALESCE(m.cp, 0) + 1)) * 1000000) AS BIGINT) AS nlp "
+        "FROM bi b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 "
+        "LEFT JOIN ctx c ON b.w1 = c.w1), "
+        "doc AS (SELECT doc_id, CAST(sum(nlp) // count(*) AS BIGINT) AS "
+        "nll_micros FROM scored GROUP BY doc_id), "
+        # stage 2 — perplexity terciles, drop the tail
+        "b2 AS (SELECT doc_id, CASE ntile(3) OVER (ORDER BY nll_micros, doc_id) "
+        "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM doc), "
+        "kept AS (SELECT b2.doc_id, b2.bucket, d.lang FROM b2 "
+        "JOIN documents d ON b2.doc_id = d.doc_id WHERE b2.bucket != 'tail'), "
+        # stage 3 — fuzzy decontamination of the kept slice
+        "ev AS (SELECT doc_id + 1000000 AS id, text || ' eval suffix tail' "
+        "AS text FROM documents WHERE doc_id % 50 = 0 "
+        "UNION ALL SELECT doc_id + 2000000 AS id, "
+        "'totally unrelated benchmark item number ' || CAST(doc_id AS VARCHAR) "
+        "AS text FROM documents WHERE doc_id % 97 = 0), "
+        f"csh AS (SELECT d.doc_id AS id, {_duck_shingles('d.text')} AS shingles "
+        "FROM documents d JOIN kept k ON d.doc_id = k.doc_id), "
+        f"esh AS (SELECT id, {_duck_shingles()} AS shingles FROM ev), "
+        f"csigs AS (SELECT id, shingles, {mh} FROM csh), "
+        f"esigs AS (SELECT id, shingles, {mh} FROM esh), "
+        f"cb AS ({bands('csigs')}), eb AS ({bands('esigs')}), "
+        "cand AS (SELECT DISTINCT cb.id AS doc_id, eb.id AS eval_id FROM cb "
+        "JOIN eb ON cb.band = eb.band AND cb.band_hash = eb.band_hash), "
+        "vv AS (SELECT c.doc_id, "
+        "len(list_intersect(cs.shingles, es.shingles)) AS n_inter, "
+        "len(cs.shingles) + len(es.shingles) "
+        "- len(list_intersect(cs.shingles, es.shingles)) AS n_union "
+        "FROM cand c JOIN csh cs ON cs.id = c.doc_id "
+        "JOIN esh es ON es.id = c.eval_id), "
+        "contam AS (SELECT DISTINCT doc_id FROM vv "
+        "WHERE n_inter * 1000000 >= 500000 * n_union), "
+        "kept2 AS (SELECT * FROM kept WHERE NOT EXISTS "
+        "(SELECT 1 FROM contam c WHERE c.doc_id = kept.doc_id)), "
+        # stage 4 — temperature mixture weights over the CLEAN slice
+        "per AS (SELECT lang, count(*) AS n_docs FROM kept2 GROUP BY lang), "
+        "s AS (SELECT lang, n_docs * 1.0 / (SELECT sum(n_docs) FROM per) AS p "
+        "FROM per), "
+        "t2 AS (SELECT lang, p, pow(p, 0.5) AS pa FROM s), "
+        "w AS (SELECT lang, round((pa / (SELECT sum(pa) FROM t2)) / p, 6) "
+        "AS weight FROM t2), "
+        # stage 5 — A-Res weighted draw of 200
+        "keyed AS (SELECT k.doc_id, k.lang, k.bucket, "
+        "-ln((CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR) || '|ws'), 1, 8)) "
+        "AS BIGINT) + 1.0) / 4294967297.0) / w.weight AS ak "
+        "FROM kept2 k JOIN w ON k.lang = w.lang), "
+        "r AS (SELECT doc_id, lang, bucket, CAST(row_number() OVER "
+        "(ORDER BY ak, doc_id) AS INTEGER) AS sample_rank FROM keyed), "
+        "pick AS (SELECT * FROM r WHERE sample_rank <= 200), "
+        # stage 6 — deterministic loader-shard shuffle
+        "sk AS (SELECT doc_id, lang, bucket, sample_rank, "
+        "md5(CAST(doc_id AS VARCHAR) || '|shuf') AS skey FROM pick) "
+        "SELECT doc_id, lang, bucket, sample_rank, "
+        "CAST(CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % 4 AS INTEGER) "
+        "AS shard_id, CAST(row_number() OVER (PARTITION BY "
+        "CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % 4 "
+        "ORDER BY skey, doc_id) AS INTEGER) AS shard_pos FROM sk"
+    )
+
+
+@q("curation_export_pipeline_v2", _capstone_v2_oracle())
+def curation_export_pipeline_v2(spark, sf_dir):
+    """The curation-export capstone with the DECONTAMINATION stage
+    wired in (r16 verdict #5) — six stages, every one replayed in ONE
+    DuckDB oracle:
+
+      1. score   — ``bigram_lm_score`` vs the English reference;
+      2. bucket  — scale-safe terciles (``ntile_buckets``), DROP tail;
+      3. decon   — ``decontaminate_fuzzy`` (V10) anti-joins the kept
+                   slice against a constructed eval set (the
+                   decontaminate_fuzzy DQ fixture: perturbed copies of
+                   every 50th doc + unrelated negatives) — banded
+                   MinHash candidates, exact shingle verify, corpus
+                   side RESTRICTED to the kept docs (semi-join
+                   pushdown: the tail bucket is never shingled);
+      4. weight  — ``mixture_temperature_weights`` (α=0.5) over the
+                   CLEAN slice;
+      5. draw    — ``weighted_sample`` A-Res top-200;
+      6. shard   — ``shuffle_shards`` into 4 loader shards.
+
+    The band_table definition is SHARED between the decon stage and
+    the novelty gate (dedup.band_table), so what 'contaminated'
+    means here is exactly what 'duplicate' means at the crawl gate.
+    Output: (doc_id, lang, bucket, sample_rank, shard_id, shard_pos).
+    """
+    from .functions.textops import bigram_lm_score
+    from .operators.quantiles import ntile_buckets
+    from .queries_extra import _materialized
+
+    d = _d(spark, sf_dir)
+    nll = bigram_lm_score(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("text"),
+    ).select("doc_id", "nll_micros").persist()
+    bucketed = ntile_buckets(
+        nll, "nll_micros", "doc_id", 3, labels=["head", "middle", "tail"]
+    )
+    kept = (
+        bucketed.filter(F.col("bucket") != "tail")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "bucket")
+    )
+    ev = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" eval suffix tail")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("totally unrelated benchmark item number "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    handles: list = []
+    contam = (
+        C.decontaminate_fuzzy(
+            d.select("doc_id", "text").join(
+                kept.select("doc_id"), "doc_id", "left_semi"
+            ),
+            ev,
+            "text",
+            "doc_id",
+            cache_handles=handles,
+        )
+        .select("doc_id")
+        .dropDuplicates()
+    )
+    clean = kept.join(contam, "doc_id", "left_anti")
+    w = C.mixture_temperature_weights(clean, "lang", 0.5).select("lang", "weight")
+    sampled = C.weighted_sample(
+        clean.join(F.broadcast(w), "lang"), "weight", 200, id_col="doc_id"
+    )
+    out = C.shuffle_shards(
+        sampled.select("doc_id", "lang", "bucket", "sample_rank"),
+        4,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "bucket", "sample_rank", "shard_id", "shard_pos")
+    return _materialized(out, [nll, *handles])
+
+
 @q(
     "mixture_epoch_plan",
     f"WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -2997,3 +2997,122 @@ def dedup_novelty_time_travel(spark, sf_dir):
     v0 = os.path.basename(SIM.index_current_path(root).rstrip("/"))
     DD.upsert_band_store(d.filter(F.col("doc_id") % 3 == 2), root)
     return DD.novelty_gate_indexed(new, root, version=v0).select("doc_id")
+
+
+@q(
+    "dedup_novelty_delete",
+    "WITH newd AS ("
+    "SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 30000 AS id, text || ' qq' AS text "
+    "FROM documents WHERE doc_id % 7 = 2 "
+    "UNION ALL SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0), "
+    "rest AS (SELECT doc_id AS id, text FROM documents "
+    "WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0), "
+    + _duck_bands_ctes("n", "newd")
+    + ", "
+    + _duck_bands_ctes("r", "rest")
+    + ", coll AS (SELECT DISTINCT bn.id FROM bands_n bn JOIN bands_r br "
+    "ON bn.band = br.band AND bn.band_hash = br.band_hash) "
+    "SELECT id AS doc_id FROM newd WHERE NOT EXISTS "
+    "(SELECT 1 FROM coll c WHERE c.id = newd.id)",
+)
+def dedup_novelty_delete(spark, sf_dir):
+    """Tombstone deletes on the band store (r17; dedup.py::
+    delete_band_ids — the §2.18 X2 row-level-delete treatment on the
+    fourth managed layout): a takedown at the corpus layer retires
+    its FINGERPRINTS too, so re-cleared content is no longer refused
+    forever by the novelty gate. Store = generation 1 (% 3 = 1) +
+    generation 2 upsert (% 3 = 2), then every at-rest doc with
+    doc_id % 5 = 0 is tombstoned (an O(delete-set) id segment — no
+    live segment rewritten) and the crawl delta gates against the
+    shadow-RESOLVED live bands. The oracle gates against the at-rest
+    corpus MINUS the deleted docs, so the hash certifies the
+    tombstones hide exactly those fingerprints: resubmitted copies
+    of deleted docs ADMIT, everything else gates as before."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 == 1)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 2).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+            )
+        )
+        .unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"band_del_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    DD.write_band_store(d.filter(F.col("doc_id") % 3 == 1), root)
+    DD.upsert_band_store(d.filter(F.col("doc_id") % 3 == 2), root)
+    DD.delete_band_ids(
+        d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id"),
+        root,
+    )
+    return DD.novelty_gate_indexed(new, root).select("doc_id")
+
+
+@q(
+    "dedup_novelty_compacted",
+    "WITH newd AS ("
+    "SELECT doc_id + 20000 AS id, text FROM documents WHERE doc_id % 7 = 1 "
+    "UNION ALL SELECT doc_id + 30000 AS id, text || ' qq' AS text "
+    "FROM documents WHERE doc_id % 7 = 2 "
+    "UNION ALL SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0), "
+    "rest AS (SELECT doc_id AS id, text FROM documents "
+    "WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0), "
+    + _duck_bands_ctes("n", "newd")
+    + ", "
+    + _duck_bands_ctes("r", "rest")
+    + ", coll AS (SELECT DISTINCT bn.id FROM bands_n bn JOIN bands_r br "
+    "ON bn.band = br.band AND bn.band_hash = br.band_hash) "
+    "SELECT id AS doc_id FROM newd WHERE NOT EXISTS "
+    "(SELECT 1 FROM coll c WHERE c.id = newd.id)",
+)
+def dedup_novelty_compacted(spark, sf_dir):
+    """The band store's full lifecycle served POST-FOLD (r17;
+    dedup.py::compact_band_store — the rank_bm25_index_compacted
+    treatment on the fourth layout): build → upsert → tombstone
+    delete → COMPACT (shadow-resolved live rows rewritten as ONE
+    (band, band_hash)-clustered segment; tombstoned fingerprints
+    physically dropped; old versions retention-vacuumed) → gate.
+    Same fixture and oracle as dedup_novelty_delete, so the hash
+    certifies the fold moved bytes, never rows: serve-time segment
+    reads and shadow anti-joins reset to one and zero while the
+    admit set is bit-identical."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = _d(spark, sf_dir).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 7 == 1)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 2).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+            )
+        )
+        .unionByName(d.filter(F.col("doc_id") % 3 == 0))
+    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"band_cmp_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh version chain per run
+    DD.write_band_store(d.filter(F.col("doc_id") % 3 == 1), root)
+    DD.upsert_band_store(d.filter(F.col("doc_id") % 3 == 2), root)
+    DD.delete_band_ids(
+        d.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id"),
+        root,
+    )
+    DD.compact_band_store(spark, root, retain=2)
+    return DD.novelty_gate_indexed(new, root).select("doc_id")

@@ -791,27 +791,38 @@ def run_novelty_stream(
     shingle_n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_segments: int | None = None,
 ) -> StreamingQuery:
     """Continuous incremental-crawl dedup — the band store's
     streaming fold (r16; the fourth managed layout joins the
     maintenance-stream family beside postings/ANN/PQ): each
     micro-batch of crawled documents gates against the AT-REST band
     store (``novelty_gate_indexed`` — pre-computed signatures, the
-    at-rest text never re-shingled), the ADMITTED rows append to
+    at-rest text never re-shingled), the ADMITTED rows land in
     ``out_dir`` (the curation pipeline's input), and their bands fold
     into the store as an O(delta) segment (``upsert_band_store``) so
     the NEXT batch gates against them too. The first batch bootstraps
     the store (everything is novel against an empty generation; the
     ``shingle_n/num_hashes/band_size`` given here are recorded in the
     manifest and every later batch uses the manifest's values).
+    ``max_segments=`` bounds read amplification (r16 verdict #2): the
+    fold appends one segment per batch, so after each upsert the
+    foreachBatch runs ``maybe_compact_band_store`` — the
+    ``run_index_maintenance_stream(max_segments=...)`` discipline on
+    the fourth layout.
 
-    Replay safety, two layers — with a twist that makes this fold
-    SELF-HEALING: the root-level ``_last_batch_id`` marker skips an
-    already-folded batch, and a replay that slips past the marker
-    admits NOTHING — the batch's own fingerprints are at rest from
-    the first run, so every document collides with itself and the
-    output/store stay byte-identical (the gate is its own
-    idempotence proof; no duplicate output rows, no extra version).
+    Replay safety, three layers (r16 ADVICE made the output sink
+    idempotent): the root-level ``_last_batch_id`` marker skips an
+    already-folded batch; the output lands as
+    ``out_dir/batch_id=N/`` with mode=overwrite (the standard
+    foreachBatch exactly-once pattern — a replayed batch OVERWRITES
+    its own partition instead of appending duplicates, closing the
+    crash window between the output write and the store fold); and a
+    replay that slips past both admits NOTHING — the batch's own
+    fingerprints are at rest from the first run, so every document
+    collides with itself (the gate is its own idempotence proof).
+    Readers see a ``batch_id`` partition column on ``out_dir`` —
+    crawl-batch lineage for free.
 
     Batch-INTERNAL duplicates are not collapsed here (the
     ``novelty_gate`` contract — run the self-dedup family on the
@@ -826,6 +837,7 @@ def run_novelty_stream(
             return
         built = SIM.index_current_path(root) is not None
         marker = os.path.join(root, "_last_batch_id")
+        batch_out = os.path.join(out_dir, f"batch_id={batch_id}")
         if built:
             try:
                 with open(marker, encoding="utf-8") as f:
@@ -843,14 +855,18 @@ def run_novelty_stream(
                 with open(marker, "w", encoding="utf-8") as f:
                     f.write(str(batch_id))
                 return
-            admitted.write.mode("append").parquet(out_dir)
+            admitted.write.mode("overwrite").parquet(batch_out)
             DD.upsert_band_store(admitted, root)
         else:
-            batch_df.write.mode("append").parquet(out_dir)
+            batch_df.write.mode("overwrite").parquet(batch_out)
             DD.write_band_store(
                 batch_df, root, text_col=text_col, id_col=id_col,
                 shingle_n=shingle_n, num_hashes=num_hashes,
                 band_size=band_size,
+            )
+        if max_segments is not None:
+            DD.maybe_compact_band_store(
+                batch_df.sparkSession, root, max_segments
             )
         with open(marker, "w", encoding="utf-8") as f:
             f.write(str(batch_id))

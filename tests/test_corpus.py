@@ -700,3 +700,25 @@ def test_mixture_epoch_plan_math_and_contracts(spark):
         C.mixture_epoch_plan(df, "source", "tok", 0)
     with pytest.raises(ValueError, match="max_epochs"):
         C.mixture_epoch_plan(df, "source", "tok", 10, max_epochs=0)
+
+
+def test_mixture_epoch_plan_trillion_token_no_overflow(spark):
+    """r16 ADVICE: epochs_micros must survive a trillion-token-scale
+    allocation — (alloc * 1e6) overflows 2^63 for alloc > ~9.2e12, so
+    the multiply runs in DECIMAL(38,0). 9e15 tokens alloc at 4 epochs
+    of a 9e15-token source = exactly 1.111111 epochs of supply vs the
+    1e16 ask."""
+    df = spark.createDataFrame(
+        [("big", 9_000_000_000_000_000), ("tiny", 10)],
+        "source string, tok long",
+    )
+    rows = {
+        r["source"]: r
+        for r in C.mixture_epoch_plan(
+            df, "source", "tok", 10_000_000_000_000_000, alpha=0.5, max_epochs=4
+        ).collect()
+    }
+    # share ~ 1.0 -> target ~ 1e16, alloc = min(1e16, 4*9e15) = 1e16
+    # epochs = 1e16 * 1e6 div 9e15 = 1111111 (would overflow in bigint)
+    assert rows["big"]["epochs_micros"] == 1_111_111
+    assert not rows["big"]["capped"]

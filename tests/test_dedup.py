@@ -492,3 +492,159 @@ def test_band_store_lifecycle(spark, tmp_path):
         upsert_band_store(g2, proot)
     with pytest.raises(ValueError, match="retain"):
         vacuum_band_store(root, retain=0)
+
+
+def _distinct_texts(n, seed=7):
+    """n mutually-dissimilar texts (no shared 3-shingles across ids),
+    so band collisions in these tests come only from planted copies."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = "zq xv yw uu ab cd ef gh ij kl mn op qr st".split()
+    return {
+        i: " ".join(
+            rng.choice(vocab) + str(rng.randint(0, 99999)) for _ in range(12)
+        )
+        for i in range(1, n + 1)
+    }
+
+
+def test_band_store_delete_resurrect_redelete(spark, tmp_path):
+    """r17 tombstones on the band store (r16 verdict #3): a takedown
+    retires its fingerprints, so an identical resubmission is
+    admitted again; a later upsert re-banding the content shadows the
+    tombstone (resurrect); a redelete retires it once more. Build
+    refusal on an already-committed root (r16 ADVICE) rides along."""
+    import pytest
+
+    from data_ingestion_spark.functions.dedup import (
+        delete_band_ids,
+        novelty_gate_indexed,
+        upsert_band_store,
+        write_band_store,
+    )
+
+    texts = _distinct_texts(20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    root = str(tmp_path / "band_del_root")
+    write_band_store(docs.filter("doc_id <= 10"), root)
+    with pytest.raises(ValueError, match="upsert_band_store"):
+        write_band_store(docs.filter("doc_id <= 10"), root)
+    upsert_band_store(docs.filter("doc_id > 10"), root)
+
+    new = spark.createDataFrame(
+        [(103, texts[3]), (115, texts[15]), (99, "brand new text qq zz pp")],
+        "doc_id long, text string",
+    )
+
+    def admitted():
+        return sorted(
+            r.doc_id for r in novelty_gate_indexed(new, root).collect()
+        )
+
+    assert admitted() == [99]  # both resubmissions collide at rest
+
+    # delete doc 3's fingerprints -> its identical resubmission enters
+    delete_band_ids(spark.createDataFrame([(3,)], "doc_id long"), root)
+    assert admitted() == [99, 103]
+
+    # resurrect: the re-cleared content is upserted back (as 103) and
+    # the same text is refused again
+    upsert_band_store(new.filter("doc_id = 103"), root)
+    assert admitted() == [99]
+
+    # redelete both copies -> admitted once more; deleting an id the
+    # store never saw is a harmless no-op
+    delete_band_ids(
+        spark.createDataFrame([(3,), (103,), (424242,)], "doc_id long"), root
+    )
+    assert admitted() == [99, 103]
+
+
+def test_band_store_compact_and_report(spark, tmp_path):
+    """r17 compaction on the band store (r16 verdict #2/#4): the fold
+    resolves tombstone shadowing into ONE segment (gate row-identical
+    before/after; dead bands physically dropped), maybe_compact
+    triggers only past max_segments, and index_report's bands branch
+    shows exact per-segment kind/rows/shadowed counts in the uniform
+    five-layout schema."""
+    import os
+
+    from data_ingestion_spark.functions.dedup import (
+        band_table,
+        compact_band_store,
+        delete_band_ids,
+        maybe_compact_band_store,
+        novelty_gate_indexed,
+        upsert_band_store,
+        write_band_store,
+    )
+    from data_ingestion_spark.functions.similarity import (
+        _read_manifest,
+        index_current_path,
+        index_report,
+    )
+
+    texts = _distinct_texts(20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    root = str(tmp_path / "band_cmp_root")
+    write_band_store(docs.filter("doc_id <= 10"), root)       # s_0: 10 docs
+    upsert_band_store(docs.filter("doc_id > 10"), root)       # s_1: 10 docs
+    delete_band_ids(
+        spark.createDataFrame([(3,), (15,)], "doc_id long"), root
+    )                                                         # s_2: 2 ids
+
+    # report: exact rows (4 bands/doc), kinds, shadowed counts
+    rep = {
+        r.segment: r
+        for r in index_report(spark, root).collect()
+    }
+    assert set(rep) == {
+        "segments/s_000000", "segments/s_000001", "segments/s_000002",
+    }
+    assert [rep[f"segments/s_{i:06d}"].kind for i in range(3)] == [
+        "data", "data", "tombstone",
+    ]
+    assert all(r.layout == "bands" for r in rep.values())
+    assert rep["segments/s_000000"].rows == 40
+    assert rep["segments/s_000001"].rows == 40
+    assert rep["segments/s_000002"].rows == 2
+    # one id of each data segment is tombstoned by the newer s_2
+    assert rep["segments/s_000000"].shadowed_ids == 1
+    assert rep["segments/s_000001"].shadowed_ids == 1
+    assert rep["segments/s_000002"].shadowed_ids == 0
+
+    new = spark.createDataFrame(
+        [(103, texts[3]), (115, texts[15]), (104, texts[4]),
+         (99, "brand new text qq zz pp")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        r.doc_id for r in novelty_gate_indexed(new, root).collect()
+    )
+    assert before == [99, 103, 115]  # deleted ids re-enter, 104 refused
+
+    # within bounds -> no-op; past bounds -> fold
+    assert maybe_compact_band_store(spark, root, max_segments=3) is None
+    assert maybe_compact_band_store(spark, root, max_segments=2) is not None
+    m = _read_manifest(index_current_path(root))
+    assert len(m["segments"]) == 1 and m["tombstones"] == [False]
+    # gate row-identical across the fold
+    assert sorted(
+        r.doc_id for r in novelty_gate_indexed(new, root).collect()
+    ) == before
+    # tombstoned ids physically gone; folded rows = 18 docs x 4 bands
+    folded = spark.read.parquet(os.path.join(root, m["segments"][0]))
+    assert folded.count() == 72 == m["seg_rows"][0]
+    live_ids = {r.id for r in folded.select("id").distinct().collect()}
+    assert 3 not in live_ids and 15 not in live_ids and 4 in live_ids
+    # folded segment rows ≡ band_table over the surviving corpus
+    expect = band_table(
+        docs.filter("doc_id NOT IN (3, 15)"), "text", "doc_id", 3, 8, 2
+    )
+    assert folded.exceptAll(expect).count() == 0
+    assert expect.exceptAll(folded).count() == 0

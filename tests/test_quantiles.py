@@ -185,3 +185,18 @@ def test_ntile_buckets_equals_window_ntile(spark):
         ntile_buckets(df, "v", "tid", 1)
     with pytest.raises(ValueError, match="labels"):
         ntile_buckets(df, "v", "tid", 3, labels=["a"])
+
+
+def test_ntile_buckets_refuses_null_values(spark):
+    """r16 ADVICE: window NTILE sorts NULLs FIRST (tile 1) while the
+    boundary CASE would dump them in the LAST tile — the operator
+    refuses loudly instead of silently diverging from its contract."""
+    from data_ingestion_spark.operators.quantiles import ntile_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (4, 2.0)], "tid long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ntile_buckets(df, "v", "tid", 2)
+    # NULL-free input is unaffected
+    assert ntile_buckets(df.filter("v IS NOT NULL"), "v", "tid", 3).count() == 3

@@ -1233,3 +1233,118 @@ def test_novelty_stream_cross_batch_and_replay(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
     assert open(os.path.join(root, "CURRENT")).read() == current_before
     assert index_current_path(root) is not None
+
+
+def test_novelty_stream_max_segments_and_idempotent_output(spark, tmp_path):
+    """r17: (1) max_segments= keeps the band store's segment list
+    bounded across a 12-batch stream while the admitted set stays ≡
+    the sequential gate loop, and replay across the fold is a no-op;
+    (2) the output sink is idempotent per batch (r16 ADVICE) — a
+    crash between the output write and the store fold re-admits the
+    batch into the SAME batch_id partition with overwrite, so no
+    duplicate rows survive."""
+    import os
+    import shutil
+    import time
+
+    from data_ingestion_spark.functions.dedup import novelty_gate
+    from data_ingestion_spark.functions.similarity import (
+        _read_manifest,
+        index_current_path,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vocab = "zq xv yw uu ab cd ef gh ij kl mn op qr st".split()
+
+    def fresh_text():
+        return " ".join(
+            rng.choice(vocab) + str(rng.randint(0, 99999)) for _ in range(12)
+        )
+
+    # 12 batches: each has one novel doc; odd batches also replay a
+    # copy of an earlier admit (must drop cross-batch, even after the
+    # store has been folded in between)
+    texts = {i: fresh_text() for i in range(12)}
+    slices = []
+    for i in range(12):
+        rows = [(100 + i, texts[i])]
+        if i % 2 == 1:
+            rows.append((200 + i, texts[i - 1]))  # copy of last admit
+        slices.append(rows)
+
+    src_dir = str(tmp_path / "novms_src")
+    os.makedirs(src_dir)
+    now = time.time()
+    for i, rows in enumerate(slices):
+        p = os.path.join(src_dir, f"slice_{i}.parquet")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "novms_root")
+    out_dir = str(tmp_path / "novms_out")
+
+    def start(ck):
+        return SP.run_novelty_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir),
+            root,
+            out_dir,
+            str(tmp_path / ck),
+            max_segments=4,
+        )
+
+    q = start("novms_ck")
+    q.awaitTermination(240)
+
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert admitted == sorted(100 + i for i in range(12))
+
+    # segment list bounded by the auto-compaction trigger
+    m = _read_manifest(index_current_path(root))
+    assert len(m["segments"]) <= 4
+
+    # ≡ the sequential gate loop over the same batches
+    at_rest = spark.createDataFrame([], "doc_id long, text string")
+    loop_admitted = []
+    for rows in slices:
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        adm = batch if at_rest.isEmpty() else novelty_gate(
+            batch, at_rest, "text", "doc_id"
+        )
+        loop_admitted += [r.doc_id for r in adm.collect()]
+        at_rest = at_rest.unionByName(adm)
+    assert sorted(loop_admitted) == admitted
+
+    # replay across the fold: no new rows, no new version
+    current_before = open(os.path.join(root, "CURRENT")).read()
+    q2 = start("novms_ck2")
+    q2.awaitTermination(240)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == admitted
+    assert open(os.path.join(root, "CURRENT")).read() == current_before
+
+    # crash window between output write and store fold (r16 ADVICE):
+    # simulate output-written-but-store-never-folded by wiping the
+    # store and marker, keeping out_dir. The rerun re-admits every
+    # batch and OVERWRITES its own batch_id partition — row counts
+    # must not double.
+    n_rows = spark.read.parquet(out_dir).count()
+    parts_before = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("batch_id=")
+    )
+    shutil.rmtree(root)
+    q3 = start("novms_ck3")
+    q3.awaitTermination(240)
+    assert spark.read.parquet(out_dir).count() == n_rows
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    ) == admitted
+    assert sorted(
+        d for d in os.listdir(out_dir) if d.startswith("batch_id=")
+    ) == parts_before
