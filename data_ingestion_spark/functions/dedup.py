@@ -220,7 +220,9 @@ def write_band_store(
     band_table(df, text_col, id_col, shingle_n, num_hashes, band_size).write.parquet(
         seg_path
     )
-    n_rows = df.sparkSession.read.parquet(seg_path).count()
+    from .similarity import _parquet_rows
+
+    n_rows = _parquet_rows(seg_path)
     name = _next_index_version(root)
     vdir = os.path.join(root, name)
     _write_manifest(
@@ -283,7 +285,9 @@ def _append_band_segment(
     seg = _next_segment_name(root)
     seg_path = os.path.join(root, "segments", seg)
     df_rows.write.parquet(seg_path)
-    n_rows = df_rows.sparkSession.read.parquet(seg_path).count()
+    from .similarity import _parquet_rows
+
+    n_rows = _parquet_rows(seg_path)
     segs, tombs, rows = _band_seg_meta(m)
     name = _next_index_version(root)
     vdir = os.path.join(root, name)
@@ -417,7 +421,9 @@ def compact_band_store(spark, root: str, retain: int = 2) -> str:
         .write.option("maxRecordsPerFile", 1 << 20)
         .parquet(seg_path)
     )
-    n_rows = spark.read.parquet(seg_path).count()
+    from .similarity import _parquet_rows
+
+    n_rows = _parquet_rows(seg_path)
     name = _next_index_version(root)
     vdir = os.path.join(root, name)
     _write_manifest(

@@ -103,6 +103,7 @@ from .similarity import (
     _commit_index_version,
     _committed_versions,
     _next_index_version,
+    _parquet_rows,
     _read_manifest,
     _write_manifest,
     brute_force_topk,
@@ -158,19 +159,42 @@ def _lloyd(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
     """Deterministic Lloyd's k-means: spread init (every n/k-th row of
     the hash-ordered sample — no RNG), fixed iteration count, empty
     clusters keep their previous centroid. Distances via the
-    ``|x|² − 2xCᵀ + |C|²`` matmul form, never an n×k×d broadcast."""
+    ``|x|² − 2xCᵀ + |C|²`` matmul form, never an n×k×d broadcast.
+
+    The update step is a vectorized scatter-add (d+1 ``bincount``
+    passes per iteration) instead of a per-cluster masked mean: the
+    loop form was O(n·k) per iteration in Python masking alone and
+    measured 5.3 s of the 13 s sf0.1 IVF-PQ build for the m=8
+    codebooks (r17 §1 profile); the bincount form is O(n·d) at C
+    speed. Summation order per cluster is the sample's row order —
+    still fully deterministic for fixed input, which is the contract
+    the stores rely on (rebuild-determinism is pytest-pinned;
+    serving exactness never depends on centroid ulps because probes
+    re-rank exactly from raw)."""
     n = len(X)
     if k > n:
         raise ValueError(f"k-means k={k} exceeds {n} fit rows")
     C = X[np.linspace(0, n - 1, k).round().astype(int)].copy()
     xsq = (X * X).sum(axis=1)
     for _ in range(iters):
-        d = xsq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        # in-place accumulation: one n×k buffer instead of three
+        # broadcast temporaries (measured 20.6 ms → 3.1 ms per
+        # iteration at n=2000, k=256, d=8 — the codebook geometry)
+        d = X @ np.ascontiguousarray(C.T)
+        d *= -2.0
+        d += (C * C).sum(axis=1)[None, :]
+        d += xsq[:, None]
         assign = d.argmin(axis=1)
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                C[j] = X[mask].mean(axis=0)
+        sums = np.stack(
+            [
+                np.bincount(assign, weights=X[:, dd], minlength=k)
+                for dd in range(X.shape[1])
+            ],
+            axis=1,
+        )
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
     return C
 
 
@@ -230,17 +254,38 @@ class IvfPqStore:
 
     # -- driver-side geometry (bounded collects) ----------------------
     def _load_quantizers(self) -> tuple[np.ndarray, np.ndarray]:
+        """Driver-side pyarrow reads of the (bounded: n_cells +
+        m·k_pq rows) quantizer generation — two Spark collect jobs
+        per handle became zero (r17 guide §1: every probe paid them
+        before its first real job). Values are the same parquet
+        pages either way."""
         if self._centroids is None:
+            import pyarrow.parquet as _paq
+
             qdir = os.path.join(self.root, self.meta["quantizer"])
-            q = self.spark.read.parquet(os.path.join(qdir, "quantizer"))
-            rows = q.orderBy("cell").collect()  # n_cells rows
-            self._centroids = np.array([r.centroid for r in rows])
-            cb = self.spark.read.parquet(os.path.join(qdir, "codebooks"))
+
+            def _tbl(sub: str) -> list[dict]:
+                rows: list[dict] = []
+                for dirpath, _dirs, files in os.walk(os.path.join(qdir, sub)):
+                    for fn in sorted(files):
+                        if fn.endswith(".parquet"):
+                            rows.extend(
+                                _paq.ParquetFile(os.path.join(dirpath, fn))
+                                .read()
+                                .to_pylist()
+                            )
+                if not rows:
+                    raise FileNotFoundError(f"no parquet under {qdir}/{sub}")
+                return rows
+
+            q = _tbl("quantizer")
+            q.sort(key=lambda r: r["cell"])
+            self._centroids = np.array([r["centroid"] for r in q])
             m, k_pq = self.meta["m"], self.meta["k_pq"]
             ds = self.meta["dim"] // m
             arr = np.zeros((m, k_pq, ds))
-            for r in cb.collect():  # m * k_pq rows
-                arr[r.subspace, r.code] = r.centroid
+            for r in _tbl("codebooks"):  # m * k_pq rows
+                arr[r["subspace"], r["code"]] = r["centroid"]
             self._codebooks = arr
         return self._centroids, self._codebooks
 
@@ -558,23 +603,28 @@ def _make_encoder(C_list: list, CB_list: list, ds: int, metadata_cols=()):
         Ce = np.asarray(C_list)
         CBe = np.asarray(CB_list)
         csq = (Ce * Ce).sum(axis=1)
+        CeT = np.ascontiguousarray(Ce.T)
+        CBeT = [np.ascontiguousarray(CBe[s].T) for s in range(len(CBe))]
+        cbsq = [(CBe[s] * CBe[s]).sum(axis=1) for s in range(len(CBe))]
         for pdf in batches:
             if not len(pdf):
                 continue
             Xb = _normalize(np.array(list(pdf["vec"]), dtype=np.float64))
-            cell = (
-                (Xb * Xb).sum(axis=1)[:, None] - 2.0 * (Xb @ Ce.T) + csq[None, :]
-            ).argmin(axis=1)
+            # in-place distance accumulation (the _lloyd treatment):
+            # |x|² is constant per row so it never changes the argmin
+            # and is dropped from the cell/code assignment buffers
+            dc = Xb @ CeT
+            dc *= -2.0
+            dc += csq[None, :]
+            cell = dc.argmin(axis=1)
             Rb = Xb - Ce[cell]
             codes = np.empty((len(Xb), len(CBe)), dtype=np.int16)
             for s in range(len(CBe)):
                 sub = Rb[:, s * ds : (s + 1) * ds]
-                cb = CBe[s]
-                codes[:, s] = (
-                    (sub * sub).sum(axis=1)[:, None]
-                    - 2.0 * (sub @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                ).argmin(axis=1)
+                dd = sub @ CBeT[s]
+                dd *= -2.0
+                dd += cbsq[s][None, :]
+                codes[:, s] = dd.argmin(axis=1)
             out = {
                 "id": pdf["id"].astype("int64"),
                 "ivf_cell": cell.astype("int32"),
@@ -608,19 +658,52 @@ def _write_segment(
     encoded = src.mapInPandas(
         _make_encoder(C_list, CB_list, ds, metadata_cols), schema
     )
-    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        os.path.join(root, "codes", f"seg={seg}")
-    )
+
+    # the three pool writes are INDEPENDENT jobs over the same source
+    # scan — submit them from a small thread pool so each job's tail
+    # back-fills the others' idle cores (guide §2.6) instead of
+    # serializing three sub-second-tail jobs; r17 §1 profiling showed
+    # the segment write phase was job-latency-bound, not byte-bound.
+    def _w_codes() -> None:
+        # cluster codes by cell before the partitioned write (same
+        # rationale as _w_raw: one task per cell dir, parallel file
+        # creation, never tasks×cells files)
+        n_cells = len(C_list)
+        encoded.repartition(n_cells, "ivf_cell").write.mode(
+            "overwrite"
+        ).option("maxRecordsPerFile", 8_000_000).partitionBy(
+            "ivf_cell"
+        ).parquet(os.path.join(root, "codes", f"seg={seg}"))
+
     # raw stays lean (id, vec): metadata lives with the codes, where
     # the where= filter runs — and compaction recovers it from there
-    src.select("id", "vec").withColumn(
-        "__rb", F.pmod(F.col("id"), F.lit(raw_id_buckets)).cast("int")
-    ).write.mode("overwrite").partitionBy("__rb").parquet(
-        os.path.join(root, "raw", f"seg={seg}")
-    )
-    src.select("id").write.mode("overwrite").parquet(
-        os.path.join(root, "ids", f"seg={seg}")
-    )
+    def _w_raw() -> None:
+        # pin the repartition width to the bucket count: without it the
+        # source's task layout decides, which either writes every
+        # bucket's file from ONE task serially (small inputs after AQE
+        # coalescing — measured 3.5-5.6 s of the sf0.1 build) or
+        # sprays tasks × buckets small files (large inputs). One task
+        # per bucket creates the 64 dirs in parallel and keeps exactly
+        # one file per bucket per segment; in-bucket file sizing at
+        # scale is the maxRecordsPerFile rollover.
+        src.select("id", "vec").withColumn(
+            "__rb", F.pmod(F.col("id"), F.lit(raw_id_buckets)).cast("int")
+        ).repartition(raw_id_buckets, "__rb").write.mode(
+            "overwrite"
+        ).option("maxRecordsPerFile", 4_000_000).partitionBy("__rb").parquet(
+            os.path.join(root, "raw", f"seg={seg}")
+        )
+
+    def _w_ids() -> None:
+        src.select("id").write.mode("overwrite").parquet(
+            os.path.join(root, "ids", f"seg={seg}")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(w) for w in (_w_codes, _w_raw, _w_ids)]:
+            fut.result()
 
 
 def _next_pq_segment(root: str) -> int:
@@ -658,22 +741,45 @@ def _write_quantizer_gen(spark, root: str, C: np.ndarray, CB: np.ndarray) -> str
         )
     rel = f"quantizers/q_{max(gens) + 1:06d}"
     n_cells, m, k_pq = len(C), CB.shape[0], CB.shape[1]
-    spark.createDataFrame(
-        [(int(c), [float(v) for v in C[c]]) for c in range(n_cells)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(root, rel, "quantizer")
+    # the generation is DRIVER data (bounded: n_cells + m·k_pq rows)
+    # and its only reader is the driver-side ``_load_quantizers`` —
+    # write it with pyarrow directly instead of two createDataFrame +
+    # coalesce(1) Spark jobs (r17 guide §1/§5: the quantizer write
+    # was two of the build's ~10 driver-serialized jobs).
+    import pyarrow as _pa
+    import pyarrow.parquet as _paq
+
+    qt = _pa.table(
+        {
+            "cell": _pa.array(range(n_cells), _pa.int32()),
+            "centroid": _pa.array(
+                [[float(v) for v in C[c]] for c in range(n_cells)],
+                _pa.list_(_pa.float64()),
+            ),
+        }
     )
-    spark.createDataFrame(
-        [
-            (s, j, [float(v) for v in CB[s, j]])
-            for s in range(m)
-            for j in range(k_pq)
-        ],
-        "subspace int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(root, rel, "codebooks")
+    cbt = _pa.table(
+        {
+            "subspace": _pa.array(
+                [s for s in range(m) for _ in range(k_pq)], _pa.int32()
+            ),
+            "code": _pa.array(
+                [j for _ in range(m) for j in range(k_pq)], _pa.int32()
+            ),
+            "centroid": _pa.array(
+                [
+                    [float(v) for v in CB[s, j]]
+                    for s in range(m)
+                    for j in range(k_pq)
+                ],
+                _pa.list_(_pa.float64()),
+            ),
+        }
     )
+    for sub, tbl in (("quantizer", qt), ("codebooks", cbt)):
+        d = os.path.join(root, rel, sub)
+        os.makedirs(d, exist_ok=True)
+        _paq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
     return rel
 
 
@@ -703,18 +809,22 @@ def _train_pq(
     dim, n_fit, n_cells, k_pq) with the auto/cap rules applied —
     shared by the base build and compaction's re-train so the two
     cannot drift."""
+    # Arrow collect (toPandas) instead of a pickled-row collect: the
+    # sample is bounded but wide (max_fit_rows × dim doubles) and the
+    # Arrow path moves it in columnar batches (guide §6 "Arrow for
+    # driver transfers"; measured ~2x on the sf0.1 sample leg)
     sample = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .orderBy(F.md5(F.col("id").cast("string")).asc(), F.col("id").asc())
         .limit(max_fit_rows)
-        .collect()
+        .toPandas()
     )
     if len(sample) < 2:
         raise ValueError(
             f"IVF-PQ training got {len(sample)} row(s); "
             "needs at least 2 vectors to train"
         )
-    X = np.array([r.vec for r in sample], dtype=np.float64)
+    X = np.array(list(sample["vec"]), dtype=np.float64)
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(
@@ -749,14 +859,13 @@ def _train_pq(
     k_pq = min(k_pq, n_fit)
     Xn = _normalize(X)
     C = _lloyd(Xn, n_cells, iters)
-    # residuals against each row's own cell
-    if n_cells * n_fit * dim <= 5e7:
-        assign = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    else:
-        xsq = (Xn * Xn).sum(axis=1)
-        assign = (
-            xsq[:, None] - 2.0 * (Xn @ C.T) + (C * C).sum(axis=1)[None, :]
-        ).argmin(axis=1)
+    # residuals against each row's own cell — in-place matmul-form
+    # distances (the _lloyd treatment; |x|² is row-constant and
+    # dropped from the argmin buffer), never an n×k×d broadcast
+    da = Xn @ np.ascontiguousarray(C.T)
+    da *= -2.0
+    da += (C * C).sum(axis=1)[None, :]
+    assign = da.argmin(axis=1)
     R = Xn - C[assign]
     ds = dim // m
     CB = np.stack(
@@ -797,7 +906,7 @@ def upsert_ivfpq_store(vectors: DataFrame, root: str) -> IvfPqStore:
         src, root, seg, C.tolist(), CB.tolist(), ds, meta["raw_id_buckets"],
         metadata_cols=mcols,
     )
-    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    n = _parquet_rows(os.path.join(root, "ids", f"seg={seg}"))
     manifest = dict(meta)
     manifest["segments"] = list(meta["segments"]) + [seg]
     manifest["seg_n"] = list(meta.get("seg_n", [-1] * len(meta["segments"]))) + [n]
@@ -820,7 +929,7 @@ def delete_ivfpq_ids(spark, root: str, ids_df: DataFrame) -> IvfPqStore:
     ids_df.select(
         F.col(meta["id_col"]).cast("bigint").alias("id")
     ).write.mode("overwrite").parquet(os.path.join(root, "ids", f"seg={seg}"))
-    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    n = _parquet_rows(os.path.join(root, "ids", f"seg={seg}"))
     manifest = dict(meta)
     manifest["segments"] = list(meta["segments"]) + [seg]
     manifest["seg_n"] = list(meta.get("seg_n", [-1] * len(meta["segments"]))) + [n]
@@ -888,7 +997,7 @@ def compact_ivfpq_store(
         src, root, seg, C.tolist(), CB.tolist(), dim // geom["m"],
         meta["raw_id_buckets"], metadata_cols=tuple(mcols),
     )
-    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    n = _parquet_rows(os.path.join(root, "ids", f"seg={seg}"))
     manifest = {
         "layout": "ivfpq",
         "dim": int(dim),
@@ -949,7 +1058,7 @@ def write_ivfpq_store(
         src, root, seg, C.tolist(), CB.tolist(), dim // m, raw_id_buckets,
         metadata_cols=metadata_cols,
     )
-    n = spark.read.parquet(os.path.join(root, "ids", f"seg={seg}")).count()
+    n = _parquet_rows(os.path.join(root, "ids", f"seg={seg}"))
     manifest = {
         "layout": "ivfpq",
         "dim": int(dim),

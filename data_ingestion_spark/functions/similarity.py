@@ -530,7 +530,7 @@ class AnnStore:
         times is the same trade the pointer copies already make."""
         (
             self._assigned(vectors, tuple(metadata_cols))
-            .repartition("table", "bucket")
+            .repartition(self.n_tables << self.bits, "table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table", "bucket")
             .parquet(self.path)
@@ -612,7 +612,7 @@ class AnnStore:
         (
             kept.select(*cols)
             .unionByName(self._assigned(delta_vectors, meta_cols).select(*cols))
-            .repartition("table", "bucket")
+            .repartition(self.n_tables << self.bits, "table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table", "bucket")
             .parquet(dst_path)
@@ -997,7 +997,7 @@ class AnnStore:
         (
             self._assigned(base)
             .select(self.id_col, enc(F.col(self.vec_col)).alias("code"), "table", "bucket")
-            .repartition("table", "bucket")
+            .repartition(self.n_tables << self.bits, "table", "bucket")
             .write.mode("overwrite")
             .partitionBy("table", "bucket")
             .parquet(self.path.rstrip("/") + "/codes")
@@ -1483,8 +1483,18 @@ def _bm25_score_tail(
     )
     denom = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
     micro = F.round(idf * (F.col("__tf") * (k1 + 1.0)) / denom * 1e6).cast("bigint")
-    scores = expanded.groupBy(query_id_col, id_col).agg(
-        F.sum(micro).alias("__micros")
+    # ONE exchange for agg + window (r17 guide §2.4): hash-partition
+    # by query_id up front — HashPartitioning(query_id) satisfies the
+    # groupBy(query_id, id)'s ClusteredDistribution (subset rule) AND
+    # the window's partitionBy(query_id), so neither inserts its own
+    # exchange. Before: groupBy shuffled on (query_id, id), then the
+    # window re-shuffled on query_id — two full exchanges of the
+    # expanded postings. Per-query fan-in to one partition is already
+    # the window's requirement, so this adds no new skew exposure.
+    scores = (
+        expanded.repartition(query_id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(micro).alias("__micros"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__micros").desc(), F.col(id_col)
@@ -1557,25 +1567,47 @@ def build_postings_index(
         ).alias("__w"),
     ).withColumn("dl", F.size("__w").cast("double"))
     postings = _postings_of(base, buckets, positions)
-    # hash-cluster on bucket before the partitioned write: every
-    # bucket then lives in exactly one task, so each bucket=N/ dir is
-    # ONE parquet file instead of one per shuffle partition — a
-    # pruned query batch opens ~|hit buckets| files, not 32x that
-    # (measured 2.4 s -> 0.9 s per batch at sf0.1). One extra
-    # build-time exchange, amortized over every batch served.
-    postings.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(index_dir.rstrip("/") + "/postings")
     spark = docs_df.sparkSession
-    _write_terms_from_postings(spark, index_dir, postings.schema)
-    base.select("doc_id", "dl").write.mode("overwrite").parquet(
-        index_dir.rstrip("/") + "/doclens"
-    )
-    _write_index_stats(spark, index_dir, buckets, positions)
+
+    # two independent job CHAINS — [postings → terms] and
+    # [doclens → stats] — overlapped from a thread pool (guide §2.6):
+    # the doclens tokenize pass runs while the postings shuffle's
+    # tail drains, and stats' one-row aggregate hides entirely. Same
+    # four artifacts, same bytes; only the wall-clock serialization
+    # of four driver-submitted jobs goes away.
+    def _chain_postings() -> None:
+        # hash-cluster on bucket before the partitioned write: every
+        # bucket then lives in exactly one task, so each bucket=N/ dir
+        # is ONE parquet file instead of one per shuffle partition — a
+        # pruned query batch opens ~|hit buckets| files, not 32x that
+        # (measured 2.4 s -> 0.9 s per batch at sf0.1). One extra
+        # build-time exchange, amortized over every batch served.
+        postings.repartition(buckets, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(index_dir.rstrip("/") + "/postings")
+        _write_terms_from_postings(
+            spark, index_dir, postings.schema, buckets=buckets
+        )
+
+    def _chain_doclens() -> None:
+        base.select("doc_id", "dl").write.mode("overwrite").parquet(
+            index_dir.rstrip("/") + "/doclens"
+        )
+        _write_index_stats(spark, index_dir, buckets, positions)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(c) for c in (_chain_postings, _chain_doclens)]:
+            fut.result()
 
 
 def _write_terms_from_postings(
-    spark, index_dir: str, post_schema, max_records_per_file: int | None = None
+    spark,
+    index_dir: str,
+    post_schema,
+    max_records_per_file: int | None = None,
+    buckets: int = DEFAULT_INDEX_BUCKETS,
 ) -> None:
     """Derive and write the terms/ table from the postings parquet
     JUST WRITTEN — the ONE implementation behind build/upsert/compact
@@ -1594,7 +1626,7 @@ def _write_terms_from_postings(
     w = (
         written.groupBy("bucket", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("df"))
-        .repartition("bucket")
+        .repartition(buckets, "bucket")
         .write.mode("overwrite")
     )
     if max_records_per_file is not None:
@@ -1669,11 +1701,9 @@ def upsert_postings_index(
     re-crawl timing can produce duplicates."""
     spark = delta_docs.sparkSession
     src = src_index_dir.rstrip("/")
-    src_stats = spark.read.parquet(src + "/stats").collect()[0]
+    src_stats = _stats_local(src + "/stats")
     buckets = int(src_stats["buckets"])
-    positional = (
-        bool(src_stats["positional"]) if "positional" in src_stats.__fields__ else False
-    )
+    positional = bool(src_stats.get("positional", False))
     delta_base = delta_docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
@@ -1689,23 +1719,35 @@ def upsert_postings_index(
     )
     dst = dst_index_dir.rstrip("/")
     post_cols = ["term", "doc_id", "tf", "dl"] + (["pos"] if positional else []) + ["bucket"]
-    (
-        kept.select(*post_cols)
-        .unionByName(delta_post.select(*post_cols))
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(dst + "/postings")
-    )
-    _write_terms_from_postings(spark, dst, src_post_schema)
-    (
-        spark.read.parquet(src + "/doclens")
-        .join(F.broadcast(delta_ids), "doc_id", "left_anti")
-        .unionByName(delta_base.select("doc_id", "dl"))
-        .write.mode("overwrite")
-        .parquet(dst + "/doclens")
-    )
-    _write_index_stats(spark, dst_index_dir, buckets, positional)
+
+    # same two independent chains as build_postings_index, overlapped
+    # (guide §2.6): [postings fold → terms] and [doclens fold → stats]
+    def _chain_postings() -> None:
+        (
+            kept.select(*post_cols)
+            .unionByName(delta_post.select(*post_cols))
+            .repartition(buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dst + "/postings")
+        )
+        _write_terms_from_postings(spark, dst, src_post_schema, buckets=buckets)
+
+    def _chain_doclens() -> None:
+        (
+            spark.read.parquet(src + "/doclens")
+            .join(F.broadcast(delta_ids), "doc_id", "left_anti")
+            .unionByName(delta_base.select("doc_id", "dl"))
+            .write.mode("overwrite")
+            .parquet(dst + "/doclens")
+        )
+        _write_index_stats(spark, dst_index_dir, buckets, positional)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(c) for c in (_chain_postings, _chain_doclens)]:
+            fut.result()
 
 
 def index_current_path(root: str) -> str | None:
@@ -1919,6 +1961,54 @@ def _next_segment_name(root: str) -> str:
     return f"s_{(max(nums) + 1 if nums else 0):06d}"
 
 
+def _stats_local(stats_dir: str) -> dict:
+    """The ONE-ROW stats/ table read driver-side with pyarrow instead
+    of a ``spark.read.parquet(...).collect()`` job (r17 guide §1/§5:
+    an indexed serve paid a whole Spark job just to learn buckets/
+    avgdl before planning; so did every versioned build/upsert/compact
+    commit). Both readers decode the same parquet pages, so the
+    values are bit-identical. Same POSIX-root assumption as
+    ``_parquet_rows``."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    for dirpath, _dirs, files in os.walk(stats_dir):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                t = _pq.ParquetFile(os.path.join(dirpath, fn)).read()
+                if t.num_rows:
+                    return {
+                        c: t.column(c)[0].as_py() for c in t.column_names
+                    }
+    raise FileNotFoundError(f"no stats rows under {stats_dir!r}")
+
+
+def _parquet_rows(path: str) -> int:
+    """EXACT row count of a just-written parquet dir from the file
+    footers — a driver-side metadata read, replacing the
+    ``spark.read.parquet(p).count()`` job every store commit used to
+    pay after its segment write (r17 guide §1/§5: one fewer full
+    Spark job per build/upsert/delete/compact on all four managed
+    layouts). Footer ``num_rows`` is authoritative parquet metadata,
+    so the count is identical to the scan's; the store layer already
+    requires a POSIX-visible root (``os.listdir`` in
+    ``_next_segment_name``/vacuum/commit), so a local footer walk
+    introduces no new deployment assumption."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += _pq.ParquetFile(
+                    os.path.join(dirpath, fn)
+                ).metadata.num_rows
+    return total
+
+
 class IndexReader:
     """THE read layer for the at-rest lexical index — every serving
     function (``bm25_rank_batch_indexed``, ``bool_search_indexed``,
@@ -1962,13 +2052,9 @@ class IndexReader:
         self.root = root
         m = _read_manifest(root)
         if m is None:
-            stats_row = spark.read.parquet(root + "/stats").collect()[0]
+            stats_row = _stats_local(root + "/stats")
             self.buckets = int(stats_row["buckets"])
-            self.positional = (
-                bool(stats_row["positional"])
-                if "positional" in stats_row.__fields__
-                else False
-            )
+            self.positional = bool(stats_row.get("positional", False))
             self.n_docs = float(stats_row["n_docs"])
             self.avgdl = float(stats_row["avgdl"] or 0.0)
             self.seg_paths = [root]
@@ -2104,7 +2190,7 @@ def build_postings_index_versioned(docs_df: DataFrame, root: str, **kw) -> str:
     seg_name = _next_segment_name(root)
     seg = os.path.join(root, "segments", seg_name)
     build_postings_index(docs_df, seg, **kw)
-    st = spark.read.parquet(seg + "/stats").collect()[0]
+    st = _stats_local(seg + "/stats")
     name = _next_index_version(root)
     _write_manifest(
         os.path.join(root, name),
@@ -2165,7 +2251,7 @@ def upsert_postings_index_versioned(
         buckets=reader.buckets,
         positions=reader.positional,
     )
-    st = spark.read.parquet(seg + "/stats").collect()[0]
+    st = _stats_local(seg + "/stats")
     n_delta = int(st["n_docs"])
     # exact global stats: (old logical doclens minus replaced ids) ∪
     # delta doclens, aggregated — the same count/avg the rebuild's
@@ -2306,7 +2392,7 @@ def compact_index(
     seg = os.path.join(root, "segments", seg_name)
     (
         reader.postings()
-        .repartition("bucket")
+        .repartition(buckets, "bucket")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("bucket")
@@ -2316,7 +2402,8 @@ def compact_index(
         spark, reader._first_data_path(), positional
     )
     _write_terms_from_postings(
-        spark, seg, post_schema, max_records_per_file=max_records_per_file
+        spark, seg, post_schema, max_records_per_file=max_records_per_file,
+        buckets=buckets,
     )
     n_files = max(1, math.ceil(max(1.0, reader.n_docs) / max_records_per_file))
     (
@@ -2327,7 +2414,7 @@ def compact_index(
         .parquet(seg + "/doclens")
     )
     _write_index_stats(spark, seg, buckets, positional)
-    st = spark.read.parquet(seg + "/stats").collect()[0]
+    st = _stats_local(seg + "/stats")
     name = _next_index_version(root)
     dst = os.path.join(root, name)
     _write_manifest(
@@ -2794,7 +2881,7 @@ def _write_ann_segment(
         store.write(vectors, metadata_cols=metadata_cols)
     ids_dir = os.path.join(seg, "ids")
     vectors.select(store.id_col).write.mode("overwrite").parquet(ids_dir)
-    return spark.read.parquet(ids_dir).count()
+    return _parquet_rows(ids_dir)
 
 
 def _ann_manifest(
@@ -2983,7 +3070,7 @@ def delete_ann_ids(ids_df: DataFrame, root: str) -> AnnStore:
     ids_df.select(live.id_col).distinct().write.mode("overwrite").parquet(
         os.path.join(seg, "ids")
     )
-    n = spark.read.parquet(os.path.join(seg, "ids")).count()
+    n = _parquet_rows(os.path.join(seg, "ids"))
     if isinstance(live, SegmentedAnnStore):
         rels = [os.path.relpath(p, root) for p in live.seg_paths]
         seg_n = live.seg_n
@@ -3061,7 +3148,7 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
         )
     (
         live._resolved_candidates(F.lit(True))
-        .repartition("table", "bucket")
+        .repartition(live.n_tables << live.bits, "table", "bucket")
         .write.mode("overwrite")
         .partitionBy("table", "bucket")
         .parquet(data)
@@ -3079,7 +3166,7 @@ def compact_ann_store(spark, root: str, retain: int = 2) -> AnnStore:
         .write.mode("overwrite")
         .parquet(ids_dir)
     )
-    n = spark.read.parquet(ids_dir).count()
+    n = _parquet_rows(ids_dir)
     return _commit_ann_version(
         spark,
         root,
