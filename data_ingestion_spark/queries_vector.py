@@ -2225,23 +2225,39 @@ def dedup_corpus_lines(spark, sf_dir):
             F.substring("text", 1, 60),
         ).alias("line"),
     )
+    # ONE documents pass for all seven fixture lines (r17 guide §2.3/
+    # §2.4): the previous three-branch union re-scanned + re-spread the
+    # corpus once per line kind (3 RoundRobin exchanges feeding the
+    # same groupBy). One spine explode over pos 0..6 + one broadcast
+    # left join builds the identical row set: pos<=4 keeps only pool
+    # matches (src IS NOT NULL replicates the old INNER join exactly,
+    # including a matched pool row whose line is NULL), pos 5/6 are
+    # projections. Row-for-row the old fixture — parity-pinned.
     spine = d.select("doc_id").withColumn(
-        "j", F.explode(F.sequence(F.lit(0), F.lit(4)))
+        "pos", F.explode(F.sequence(F.lit(0), F.lit(6)))
     )
-    passage_lines = spine.join(
-        F.broadcast(pool), (spine.doc_id + spine.j) % 50 == pool.src
-    ).select("doc_id", F.col("j").alias("pos"), "line")
-    tail = d.select(
-        "doc_id",
-        F.lit(5).alias("pos"),
-        F.concat(
-            F.lit("doc-"), F.col("doc_id").cast("string"), F.lit("-tail-unique-line")
-        ).alias("line"),
+    joined = spine.join(
+        F.broadcast(pool),
+        (spine.pos <= 4) & ((spine.doc_id + spine.pos) % 50 == pool.src),
+        "left",
     )
-    sep_line = d.select("doc_id", F.lit(6).alias("pos"), F.lit("-- --").alias("line"))
     fixture = (
-        passage_lines.unionByName(tail)
-        .unionByName(sep_line)
+        joined.filter((F.col("pos") >= 5) | F.col("src").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("pos") <= 4, F.col("line"))
+            .when(
+                F.col("pos") == 5,
+                F.concat(
+                    F.lit("doc-"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("-tail-unique-line"),
+                ),
+            )
+            .otherwise(F.lit("-- --"))
+            .alias("line"),
+        )
         .groupBy("doc_id")
         .agg(
             F.array_join(
