@@ -2403,30 +2403,47 @@ def compact_index(
     buckets, positional = reader.buckets, reader.positional
     seg_name = _next_segment_name(root)
     seg = os.path.join(root, "segments", seg_name)
-    (
-        reader.postings()
-        .repartition(buckets, "bucket")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("bucket")
-        .parquet(seg + "/postings")
-    )
-    post_schema, _ = _index_read_schemas(
-        spark, reader._first_data_path(), positional
-    )
-    _write_terms_from_postings(
-        spark, seg, post_schema, max_records_per_file=max_records_per_file,
-        buckets=buckets,
-    )
-    n_files = max(1, math.ceil(max(1.0, reader.n_docs) / max_records_per_file))
-    (
-        reader.doclens()
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(seg + "/doclens")
-    )
-    _write_index_stats(spark, seg, buckets, positional)
+
+    # the same two independent job chains as build/upsert, overlapped
+    # (r17 guide §2.6): [postings fold → terms] and [doclens fold →
+    # stats] share no artifacts, so the doclens rewrite back-fills the
+    # postings fold's straggler tail instead of waiting for it — the
+    # fold was the last store mutation still serializing its chains.
+    def _chain_postings() -> None:
+        (
+            reader.postings()
+            .repartition(buckets, "bucket")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("bucket")
+            .parquet(seg + "/postings")
+        )
+        post_schema, _ = _index_read_schemas(
+            spark, reader._first_data_path(), positional
+        )
+        _write_terms_from_postings(
+            spark, seg, post_schema, max_records_per_file=max_records_per_file,
+            buckets=buckets,
+        )
+
+    def _chain_doclens() -> None:
+        n_files = max(
+            1, math.ceil(max(1.0, reader.n_docs) / max_records_per_file)
+        )
+        (
+            reader.doclens()
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(seg + "/doclens")
+        )
+        _write_index_stats(spark, seg, buckets, positional)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(c) for c in (_chain_postings, _chain_doclens)]:
+            fut.result()
     st = _stats_local(seg + "/stats")
     name = _next_index_version(root)
     dst = os.path.join(root, name)
