@@ -580,17 +580,26 @@ def chunk_content_defined(
     bounds = F.concat(
         F.array(F.lit(0).cast("int")), cuts.cast("array<int>"), F.array(ln.cast("int"))
     )
+    # the chunks lambda references ``bounds`` (which contains the full
+    # ~len(text)-element boundary-hash filter) — as an interpreted HOF
+    # capture it would re-run that md5 pass once per chunk element
+    # plus once for size() (the winnow_fingerprints trap, ~7x the
+    # necessary hashing; r17 triage sweep). Materialize bounds as a
+    # column so the boundary pass runs once per row.
+    with_bounds = df.filter(text.isNotNull()).select(
+        F.col(id_col), text.alias("__cdc_text"), bounds.alias("__bounds")
+    )
+    barr = F.col("__bounds")
     chunks = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
+        F.sequence(F.lit(1), F.size(barr) - 1),
         lambda j: F.substr(
-            text,
-            F.element_at(bounds, j) + 1,
-            F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+            F.col("__cdc_text"),
+            F.element_at(barr, j) + 1,
+            F.element_at(barr, j + 1) - F.element_at(barr, j),
         ),
     )
     return (
-        df.filter(text.isNotNull())
-        .select(F.col(id_col), chunks.alias("__chunks"))
+        with_bounds.select(F.col(id_col), chunks.alias("__chunks"))
         .select(
             id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk_text")
         )
@@ -627,17 +636,26 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.md5(F.substring(text, i, F.lit(k))),
     )
-    n_windows = F.greatest(F.size(grams) - F.lit(w - 1), F.lit(1))
+    # HOF lambdas run INTERPRETED with no common-subexpression
+    # elimination: a lambda that captures the ``grams`` expression
+    # re-evaluates ALL ~n gram md5s per window element, making the
+    # selection accidentally O(n²) in md5 calls (r17 triage sweep:
+    # 848 s single-task at sf0.1 — 170 ms/doc over ~290-char texts).
+    # Materializing grams as a real column first binds the lambda to
+    # an attribute, so the md5 pass runs once per row: same rows,
+    # same hashes, linear work.
+    with_grams = df.filter(text.isNotNull()).select(
+        F.col(id_col), grams.alias("__grams")
+    )
+    garr = F.col("__grams")
+    n_windows = F.greatest(F.size(garr) - F.lit(w - 1), F.lit(1))
     selected = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(grams, j, w)),
+            lambda j: F.array_min(F.slice(garr, j, w)),
         )
     )
-    return (
-        df.filter(text.isNotNull())
-        .select(F.col(id_col), F.explode(selected).alias("fp"))
-    )
+    return with_grams.select(F.col(id_col), F.explode(selected).alias("fp"))
 
 
 def pmi_bigrams(

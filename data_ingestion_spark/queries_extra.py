@@ -2709,7 +2709,11 @@ def recrawl_moved_content(spark, sf_dir):
     proves banding completeness too."""
     from .functions.dedup import moved_content_pairs
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _d, not _t (r17 triage sweep, 7.8 s): both generations' simhash
+    # passes (16 md5-vote aggregates per doc) run before the first
+    # shuffle — single-task on the local one-split file without the
+    # conditional respread.
+    d = _d(spark, sf_dir).select("doc_id", "text")
     did = F.col("doc_id")
     old_gen = d.select(
         F.concat(F.lit("https://ex.com/d/"), did.cast("string")).alias("url"),
@@ -2762,12 +2766,18 @@ def chunk_content_defined(spark, sf_dir):
     chunking lacks: boundaries depend only on LOCAL content, so an
     edit early in a document re-fingerprints one chunk, not the
     whole tail (pinned in pytest: 48/49 chunk hashes survive a
-    front insertion). Zero Python, zero shuffles — sequence →
-    filter → transform → posexplode over the scan; the oracle
+    front insertion). Zero Python — sequence → filter → transform →
+    posexplode over the scan (the only exchange is the conditional
+    input respread, identity at cluster scale); the oracle
     replicates the boundary pipeline with DuckDB list lambdas."""
     from .functions.textops import chunk_content_defined as cdc
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _d, not _t (r17 triage sweep): the boundary-hash HOFs evaluate
+    # ~len(text) interpreted md5 expressions per doc, all BEFORE any
+    # shuffle — on the local single-split file that ran in ONE task
+    # (73.7 s at sf0.1). spread_scan restores scan-stage parallelism
+    # and is the identity at cluster scale (guide §2.5 input skew).
+    d = _d(spark, sf_dir).select("doc_id", "text")
     return cdc(d)
 
 
@@ -2794,7 +2804,11 @@ def doc_winnow_fingerprints(spark, sf_dir):
     lambdas."""
     from .functions.textops import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _d, not _t: same single-task trap as chunk_content_defined but
+    # worse — per doc, ~n grams hash PLUS ~n sliding array_min(8)
+    # windows, all interpreted HOF lambdas before any shuffle (the
+    # r17 triage sweep clocked the un-spread shape in the minutes).
+    d = _d(spark, sf_dir).select("doc_id", "text")
     return winnow_fingerprints(d)
 
 
@@ -2840,7 +2854,10 @@ def quality_percentile_filter(spark, sf_dir):
     from .functions import textops as T
     from .operators.quantiles import exact_group_quantiles
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # _d, not _t (r17 triage sweep, 9.6 s): the per-doc regex battery
+    # runs pre-shuffle and is referenced by both the threshold probe
+    # and the survivor join — single-task twice without the respread.
+    d = _d(spark, sf_dir).select("doc_id", "lang", "text")
     scored = T.text_quality(d, "text").select("doc_id", "lang", "quality_score")
     th = exact_group_quantiles(scored, "lang", "quality_score", [0.25]).select(
         "lang", F.col("value").alias("lang_p25")
@@ -3295,9 +3312,13 @@ def er_fuzzy_blocked(spark, sf_dir):
     levenshtein verify, and the deterministic tie-break in one
     hash."""
     from .functions.dedup import fuzzy_join_blocked
-    from pyspark.sql import Window
+    from .sources.catalog import spread_scan
 
-    p = _t(spark, sf_dir, "part").where(F.length("p_name") >= 6)
+    # spread_scan (r17 triage sweep, 40 s isolated): the probe side of
+    # the block join is the bare one-split part scan and the length
+    # fan-out side broadcasts, so the WHOLE 32M-pair block expansion +
+    # levenshtein verify ran in ONE task. Identity at cluster scale.
+    p = spread_scan(_t(spark, sf_dir, "part")).where(F.length("p_name") >= 6)
     d_off = "p_partkey % (length(p_name) - 2)"
     corrupt = p.select(
         F.col("p_partkey").alias("c_key"),
@@ -3308,15 +3329,30 @@ def er_fuzzy_blocked(spark, sf_dir):
     )
     clean = p.select("p_partkey", "p_name")
     m = fuzzy_join_blocked(corrupt, clean, "c_name", "p_name", max_dist=1)
-    w = Window.partitionBy("c_key").orderBy(F.col("dist").asc(), F.col("p_partkey").asc())
+    # best-match pick as a partial-aggregatable min(struct) instead of
+    # a row_number window (r17 guide §2.3 "aggregate before you
+    # shuffle"): the TPCH name vocabulary makes the verified pair set
+    # ~6.3M rows at sf0.1, and the window shuffled + sorted ALL of
+    # them; lexicographic min(struct(dist, match_key)) is exactly the
+    # (dist ASC, match_key ASC) rank-1 row and map-side partial agg
+    # cuts the exchange to one row per (c_key, partition). c_name is
+    # functionally determined by c_key (one corrupt row per key), so
+    # grouping on both keeps it without changing the groups.
     return (
-        m.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        m.groupBy("c_key", "c_name")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist").cast("int").alias("dist"),
+                    F.col("p_partkey").alias("match_key"),
+                )
+            ).alias("__best")
+        )
         .select(
             "c_key",
             "c_name",
-            F.col("p_partkey").alias("match_key"),
-            F.col("dist").cast("int").alias("dist"),
+            F.col("__best.match_key").alias("match_key"),
+            F.col("__best.dist").alias("dist"),
         )
     )
 

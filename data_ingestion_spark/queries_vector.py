@@ -992,7 +992,14 @@ def dedup_image_phash(spark, sf_dir):
     is Σ band-bucket², never n² — the moved_content_pairs discipline
     on 64-bit BIGINT fingerprints."""
     d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
-    hashes = MM.image_dhash64(MM.attach_pattern_image(d))
+    # checkpoint the (bounded: 300 x 16-byte) hash table before the
+    # banded self-join: hamming64_pairs references its input on BOTH
+    # join sides, and the rename-project above each side defeats
+    # exchange reuse — without this the full stdlib PNG/BMP/GIF
+    # decode + luma + dHash pipeline runs TWICE (r17 guide §2.4;
+    # the production analogue is fingerprints served at rest, the
+    # band-store discipline).
+    hashes = MM.image_dhash64(MM.attach_pattern_image(d)).localCheckpoint()
     return DD.hamming64_pairs(hashes, "dhash", max_hamming=2)
 
 
@@ -2316,7 +2323,9 @@ def dedup_audio_fp(spark, sf_dir):
     content AND banding completeness, cross-group near-collisions
     included."""
     d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
-    hashes = MM.audio_fingerprint64(MM.attach_pattern_audio(d))
+    # bounded-hash checkpoint before the banded self-join — the
+    # dedup_image_phash rationale: one WAV decode pass, not two.
+    hashes = MM.audio_fingerprint64(MM.attach_pattern_audio(d)).localCheckpoint()
     return DD.hamming64_pairs(hashes, "afp", max_hamming=2)
 
 
@@ -2458,7 +2467,10 @@ def dedup_image_clusters(spark, sf_dir):
     against a diameter-unbounded ground truth, end to end from
     pixels."""
     d = _d(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
-    hashes = MM.image_dhash64(MM.attach_pattern_image(d))
+    # bounded-hash checkpoint — one decode pass feeds both self-join
+    # sides (the dedup_image_phash rationale); dup_clusters_star then
+    # checkpoints the pair set itself before iterating.
+    hashes = MM.image_dhash64(MM.attach_pattern_image(d)).localCheckpoint()
     pairs = DD.hamming64_pairs(hashes, "dhash", max_hamming=2)
     return DD.dup_clusters_star(pairs)
 
