@@ -155,19 +155,31 @@ def _host_probe() -> dict[str, float]:
         ms.append(time.perf_counter() - t0)
     from multiprocessing import Pool
 
-    _md5_block(0)  # warm (page-in; also the single-wall reference run)
-    t0 = time.perf_counter()
-    _md5_block(0)
-    single = time.perf_counter() - t0
+    # r18 (r17 ADVICE): median-of-3 for BOTH the single reference wall
+    # and the 16-way parallel wall — the single-shot reference was
+    # exposed to exactly the bursty variance the median-of-7 above
+    # exists for. The pool stays at 16 workers so the metric keys mean
+    # the same thing across rounds; the host's core count is recorded
+    # alongside so a reading from a different machine class is
+    # interpretable (16-way scaling on an 8-core host tops out at 50%).
+    _md5_block(0)  # warm: page-in
+    singles = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _md5_block(0)
+        singles.append(time.perf_counter() - t0)
     with Pool(16) as pool:
         pool.map(_md5_block, range(16))  # warm the workers
-        t0 = time.perf_counter()
-        pool.map(_md5_block, range(16))
-        par16 = time.perf_counter() - t0
+        pars = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pool.map(_md5_block, range(16))
+            pars.append(time.perf_counter() - t0)
     return {
         "np_sort_2m_median7_sec": round(median(ts), 4),
         "py_md5_100k_median7_sec": round(median(ms), 4),
-        "md5_par16_scaling_pct": round(single / par16 * 100.0, 1),
+        "md5_par16_scaling_pct": round(median(singles) / median(pars) * 100.0, 1),
+        "host_cpus": float(os.cpu_count() or 0),
     }
 
 
@@ -185,7 +197,26 @@ def main() -> None:
     load_avg_start = round(os.getloadavg()[0], 2)
     contended = load_avg_start > 1.0
 
+    # r18 (r17 verdict #6): the r17 32-core driver artifact ran at 40%
+    # 16-way scaling efficiency (hypervisor multi-core throttling) and
+    # could not anchor the next round's comparison. Retry the probe a
+    # few times so a TRANSIENT throttle window doesn't stamp the whole
+    # artifact; if the box stays below the clean band, self-annotate
+    # (`multicore_throttled`) and fold into `contended` — the same
+    # honest-annotation treatment the load-average guard gives busy
+    # neighbors. 60% is the floor below which r17 adjudicated suite
+    # numbers as incomparable (27-40% readings vs 79% clean).
     host_probe = _host_probe()
+    probe_attempts = 1
+    while host_probe["md5_par16_scaling_pct"] < 60.0 and probe_attempts < 3:
+        time.sleep(15.0)
+        retry = _host_probe()
+        probe_attempts += 1
+        if retry["md5_par16_scaling_pct"] > host_probe["md5_par16_scaling_pct"]:
+            host_probe = retry
+    host_probe["probe_attempts"] = float(probe_attempts)
+    multicore_throttled = host_probe["md5_par16_scaling_pct"] < 60.0
+    contended = contended or multicore_throttled
     spark = get_spark("engine-bench")
     qs = entrymod.queries()
 
@@ -575,6 +606,7 @@ def main() -> None:
                 "host_probe": host_probe,
                 "load_avg_start": load_avg_start,
                 "contended": contended,
+                "multicore_throttled": multicore_throttled,
             }
         )
     )

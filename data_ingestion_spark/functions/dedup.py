@@ -759,60 +759,85 @@ def dup_clusters_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     Edges are kept canonical (a < b); the fixpoint is a forest of
     stars rooted at each component's min. Convergence is detected by
     an order-independent edge-set signature (count + bit_xor of
-    xxhash64) staying fixed across a full round — one scan, no
-    set-difference anti-join.
+    xxhash64) staying fixed across a full round — observed on the
+    rows of the round's own checkpoint job (``Dataset.observe``), so
+    it costs no extra scan or job.
+
+    r18 job-count cut (guide §1.2/§2.4): each half-round's
+    groupBy(min) + join-back pair is expressed as ONE window
+    (min over partitionBy(key)) — identical algebra (the join
+    attached the group min to every row of the key; the window does
+    exactly that in a single pass), so a round is one linear plan
+    [sym → window(a) → window(b) → distinct → checkpoint] instead of
+    two checkpointed join trees plus a signature scan: 3 jobs/round
+    → 1, and sym is shuffled once instead of feeding a groupBy and a
+    join separately. Window state is the per-key row group
+    (spill-safe WindowExec buffer) — the same per-key fan-in the
+    join's reduce side already had, so no new skew exposure.
     """
-    edges = (
+    from pyspark.sql import Observation, Window
+
+    def _sig_metrics(obs: "Observation", df: DataFrame) -> DataFrame:
+        return df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64('cc', a, b))").alias("x"),
+        )
+
+    obs0 = Observation()
+    edges = _sig_metrics(
+        obs0,
         pairs.select(
             F.least(F.col("id_a"), F.col("id_b")).alias("a"),
             F.greatest(F.col("id_a"), F.col("id_b")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    if not edges.head(1):
+        .distinct(),
+    ).localCheckpoint()
+    m0 = obs0.get
+    if m0["n"] == 0:
         return edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
 
-    def signature(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64('cc', a, b))").alias("x"),
-        ).head()
-        return (row.n, row.x)
-
-    sig = signature(edges)
+    sig = (m0["n"], m0["x"])
+    lw = Window.partitionBy("a")
+    sw = Window.partitionBy("b")
     for _ in range(max_iters):
-        # -- large-star: symmetric view, min per node, larger neighbors
+        # -- large-star: symmetric view; per node a, m = least(min
+        # neighbor, a); re-attach every LARGER neighbor b > a to m.
+        # The b > a filter sits ABOVE the window (not pushable — it
+        # references a non-partition column), so mn is the min over
+        # the FULL neighborhood, exactly the old groupBy's input.
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-        m = F.least(F.col("mn"), F.col("a"))
         # NO intra-round distinct here: |large| <= |sym| = 2|edges|
-        # with or without it (re-attachment maps rows 1:1), so the
-        # dedup shuffle bought nothing structural — the small-star
-        # groupBy/join tolerate duplicate edges (min is idempotent)
-        # and the END-of-round distinct still bounds cross-round
-        # growth. Measured at 1M nodes: dropping it is 21% faster on
-        # the clique-heavy shape, 6% on deep chains, identical output.
+        # with or without it (re-attachment maps rows 1:1) and the
+        # small-star min is idempotent under duplicate edges; the
+        # END-of-round distinct still bounds cross-round growth.
         large = (
-            sym.join(mins, "a")
+            sym.withColumn("mn", F.min("b").over(lw))
             .filter(F.col("b") > F.col("a"))
-            .select(m.alias("a"), F.col("b"))  # m <= a < b: canonical, no loops
-            .localCheckpoint()
+            # least(mn, a) <= a < b: canonical, no loops
+            .select(F.least("mn", "a").alias("a"), F.col("b"))
         )
-        # -- small-star: per larger endpoint b, attach b and all its
-        # smaller neighbors to the min smaller neighbor
-        mins_s = large.groupBy("b").agg(F.min("a").alias("mn"))
-        attach_small = (
-            large.join(mins_s, "b")
-            .filter(F.col("a") != F.col("mn"))
-            .select(F.col("mn").alias("a"), F.col("a").alias("b"))  # mn < a
-        )
-        attach_center = mins_s.select(F.col("mn").alias("a"), F.col("b"))
-        edges = attach_small.unionByName(attach_center).distinct().localCheckpoint()
-        new_sig = signature(edges)
+        # -- small-star: per larger endpoint b with min smaller
+        # neighbor mn, attach b and all its smaller neighbors to mn.
+        # Per row (a, b): the min row (a == mn) emits the center edge
+        # (mn, b) — every group has one, duplicates collapse in the
+        # distinct — and every other row emits its attachment
+        # (mn, a); the union of those IS attach_small ∪ attach_center
+        # of the join form, as sets.
+        small = large.withColumn("mn", F.min("a").over(sw))
+        new_edges = small.select(
+            F.col("mn").alias("na"),
+            F.when(F.col("a") == F.col("mn"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("nb"),
+        ).select(F.col("na").alias("a"), F.col("nb").alias("b")).distinct()
+        obs = Observation()
+        edges = _sig_metrics(obs, new_edges).localCheckpoint()
+        m = obs.get
+        new_sig = (m["n"], m["x"])
         if new_sig == sig:
             break
         sig = new_sig
@@ -879,15 +904,20 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         )
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iters - 1):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        # carry the did-anything-change flag through the label pass so
-        # the convergence check is a filter over the already-checkpointed
-        # result — not a third join+shuffle per round
+        # carry the did-anything-change flag through the label pass and
+        # OBSERVE its sum on the checkpoint job itself (r18): the
+        # convergence check costs no separate Spark job per round —
+        # previously a filter+limit+count job over the checkpointed
+        # result, now a CollectMetrics node on the same materialization.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -902,9 +932,10 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                 F.col("new_label").alias("label"),
                 (F.col("new_label") != F.col("old_label")).alias("chg"),
             )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             .localCheckpoint()
         )
-        changed = new_labels.filter("chg").limit(1).count()
+        changed = obs.get["n_chg"] or 0
         labels = new_labels.select("node", "label")
         if changed == 0:
             break

@@ -83,10 +83,7 @@ def test_parity_sf0001(spark, duck_small, name):
     _compare(name, spdf, dpdf)
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("name", QUERIES)
-def test_parity_sf001(spark, name):
-    """The actual driver scale (sf0.01)."""
+def _parity_sf001(spark, name):
     fn = entrymod.queries()[name]
     spdf = fn(spark, SF_ORACLE).toPandas()
     if name not in ORACLES:
@@ -98,6 +95,38 @@ def test_parity_sf001(spark, name):
     finally:
         con.close()
     _compare(name, spdf, dpdf)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", QUERIES)
+def test_parity_sf001(spark, name):
+    """The actual driver scale (sf0.01) — FULL registry sweep.
+
+    Marked slow: the dual-scale sweep outgrew the external driver's
+    verify budget in r17; the default run covers sf0.001 for all
+    queries plus sf0.01 for this round's changed queries below.
+    Builders run the full sweep at end of round with `pytest -m ""`.
+    """
+    _parity_sf001(spark, name)
+
+
+#: Queries whose implementation changed in the CURRENT optimization
+#: round: these keep driver-scale (sf0.01) parity in the DEFAULT
+#: test run so every behavior-touching change is oracle-checked at
+#: the driver's scale on every pytest invocation, not just in the
+#: end-of-round full sweep.
+CHANGED_THIS_ROUND = [
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_decision",
+    "dedup_decision_quality",
+]
+
+
+@pytest.mark.parametrize("name", sorted(set(CHANGED_THIS_ROUND)))
+def test_parity_sf001_changed(spark, name):
+    """sf0.01 parity for this round's changed queries (always runs)."""
+    _parity_sf001(spark, name)
 
 
 def test_entry_smoke(spark):
