@@ -40,68 +40,74 @@ def entry(spark: SparkSession) -> DataFrame:
 #: LLM-pipeline mandate).  Everything else follows in registration
 #: order, so the driver window = exactly this list.
 DRIVER_WINDOW: list[str] = [
-    # -- round-17 window (r16 verdict #1: rotate the 30 stale
-    # r10/r11 rows in; plus the THREE new r17 DQs). Order:
-    # (1) never-checked r17 coverage: band-store tombstone deletes,
-    #     the post-compaction gate, and the six-stage curation
-    #     capstone with the decontamination stage;
-    # (2) the 30 rows whose last green is r10/r11 (tpch stragglers,
-    #     the r03 dedup/lang/text/multimodal family, csv/jsonl/
-    #     variant scans, window_range_frame, grouping_sets, batch
-    #     BM25/RRF) — the full rotation debt named in r16's verdict;
+    # -- round-18 window (r17 verdict #3 + this round's changes).
+    # Order:
+    # (1) the r17-changed queries whose post-change oracle rows were
+    #     builder-claimed only (the r17 window rotation predated the
+    #     changes): the item-12 sweep fixes and the store-serving
+    #     representatives the verdict names;
+    # (2) every query an r18 optimization touches: the CC-loop
+    #     window rewrite (818992e), the BM25/bool/phrase/hybrid index
+    #     family (int-narrowed tf/dl/df + the eligible-path agg
+    #     keying + footer-walk reads), the IVF-PQ family (quantizer
+    #     gen write/read), the band-store novelty family
+    #     (_parquet_rows), agg_numeric_stats (respread) and the
+    #     ngram-jaccard pair (size-through-struct rewrite);
     # (3) next-stalest r12 rows per scripts/update_checked.py to 50.
+    # (1) r17-changed, driver-unbanked
+    "er_fuzzy_blocked",
+    "doc_winnow_fingerprints",
+    "chunk_content_defined",
+    "recrawl_moved_content",
+    "quality_percentile_filter",
+    "dedup_image_phash",
+    "dedup_audio_fp",
+    "dedup_image_clusters",
+    "dedup_corpus_lines",
+    "rank_bm25_indexed",
+    "index_time_travel",
+    # (2) r18-changed: CC loop (one-window half-rounds + observed
+    # convergence), lexical index family, IVF-PQ, novelty band store
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_decision",
+    "dedup_decision_quality",
+    "agg_numeric_stats",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "bool_search_indexed",
+    "rank_bm25",
+    "rank_bm25_batch",
+    "rank_bm25_index_upsert",
+    "rank_bm25_index_compacted",
+    "index_version_drift",
+    "index_delete_ids",
+    "phrase_search_indexed",
+    "phrase_search_slop",
+    "phrase_snippets_indexed",
+    "hybrid_rank_indexed",
+    "hybrid_rank_rrf",
+    "hybrid_rank_rrf_batch",
+    "hybrid_eval_metrics",
+    "ann_ivfpq_search",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_lifecycle",
+    "ann_ivfpq_upsert",
+    "ann_pq_version_drift",
+    "ann_time_travel",
+    "ann_version_drift",
+    "ann_store_filtered_probe",
+    "dedup_novelty_indexed",
+    "dedup_novelty_time_travel",
     "dedup_novelty_delete",
     "dedup_novelty_compacted",
-    "curation_export_pipeline_v2",
-    # (2) the 30 stale r10/r11 rows
-    "recursive_cte_closure",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "variant_json_tolerant",
-    "window_range_frame",
-    "agg_grouping_sets",
-    "similarity_topk_lsh",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_capped",
-    "doc_fingerprint",
-    "token_budget_detected_lang",
-    "rank_bm25_batch",
-    "hybrid_rank_rrf_batch",
-    "tpch_q14_promo_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q4_priority_check",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_quantity",
-    "tpch_q22_global_sales_opportunity",
-    "array_posexplode",
-    "lang_id_ngram",
-    "text_quality_score",
-    "multimodal_binary_meta",
-    "multimodal_header_decode",
-    "embed_near_dup_lsh",
-    "dedup_clusters",
-    "dedup_decision",
+    "dedup_incremental_novelty",
     # (3) next-stalest r12 backfill
-    "scan_parquet",
-    "scan_dim_inline",
-    "distinct_collections",
-    "filter_prefix",
-    "filter_contains",
-    "project_replace",
-    "filter_nonempty",
-    "string_concat_header",
-    "index_name_norm",
-    "map_concat_meta",
-    "agg_approx_distinct",
-    "split_markdown_headers",
-    "metadata_enrich",
-    "sessionize_batch",
-    "window_tumbling_batch",
-    "join_full_outer",
-    "set_intersect",
+    "union_distinct",
+    "string_funcs_battery",
+    "streaming_stateful_first_seen",
+    "scan_orc_roundtrip",
+    "decontaminate_fuzzy",
 ]
 
 

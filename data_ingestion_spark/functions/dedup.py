@@ -695,8 +695,21 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("sz"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    # r18 (guide §2.3/§2.4): the shingle-set SIZE rides each posting
+    # row as a struct field instead of living in a separate ``sizes``
+    # table — the old shape evaluated the (split → transform →
+    # array_distinct) shingle expression over the WHOLE corpus a
+    # second time just to learn |A|, then paid two joins to re-attach
+    # it to the pairs. Packing (id, sz) into one struct keeps
+    # ``_bucket_pairs``'s sorted-collect ordering (structs compare
+    # lexicographically and ``id`` leads, so pair orientation
+    # id_a < id_b is unchanged). Cost:
+    # +4 bytes per posting row through the one bucket exchange; win:
+    # one corpus shingle pass and two joins gone.
+    inv = sh.select(
+        F.struct(F.col("id"), F.size("sh").alias("sz")).alias("id_sz"),
+        F.explode("sh").alias("s"),
+    )
     # inverted-index bucket expansion (see _bucket_pairs): one pass
     # over inv instead of a recompute-both-sides self-join.
     # ``max_doc_freq`` drops ubiquitous shingles before pairing — a
@@ -708,22 +721,26 @@ def ngram_jaccard_pairs(
     # pre-pass or anti-join shuffle. Capping changes the intersection
     # counts (documented approximation; both the capped and uncapped
     # forms are oracle-checked as separate DQs).
+    # grouping by the WHOLE (id, sz) struct pair ≡ grouping by
+    # (id_a, id_b): sz is a function of id, so no group splits/merges
     inter = (
-        _bucket_pairs(inv, ["s"], "id", max_bucket=max_doc_freq)
+        _bucket_pairs(inv, ["s"], "id_sz", max_bucket=max_doc_freq)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
-            ),
+        .select(
+            F.col("id_a.id").alias("id_a"),
+            F.col("id_b.id").alias("id_b"),
+            F.col("id_a.sz").alias("sz_a"),
+            F.col("id_b.sz").alias("sz_b"),
+            "n_inter",
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    out = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+        ),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "jaccard")
 
 

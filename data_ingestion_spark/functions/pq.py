@@ -260,20 +260,15 @@ class IvfPqStore:
         before its first real job). Values are the same parquet
         pages either way."""
         if self._centroids is None:
-            import pyarrow.parquet as _paq
+            from .similarity import _local_dataset
 
             qdir = os.path.join(self.root, self.meta["quantizer"])
 
             def _tbl(sub: str) -> list[dict]:
-                rows: list[dict] = []
-                for dirpath, _dirs, files in os.walk(os.path.join(qdir, sub)):
-                    for fn in sorted(files):
-                        if fn.endswith(".parquet"):
-                            rows.extend(
-                                _paq.ParquetFile(os.path.join(dirpath, fn))
-                                .read()
-                                .to_pylist()
-                            )
+                # pyarrow.dataset: skips `_`/`.`-prefixed paths like
+                # Spark's file index and parallelizes footer reads
+                # (r17 verdict #9 / ADVICE — see _local_dataset)
+                rows = _local_dataset(os.path.join(qdir, sub)).to_table().to_pylist()
                 if not rows:
                     raise FileNotFoundError(f"no parquet under {qdir}/{sub}")
                 return rows
@@ -776,10 +771,22 @@ def _write_quantizer_gen(spark, root: str, C: np.ndarray, CB: np.ndarray) -> str
             ),
         }
     )
+    # write-temp + rename so re-entry keeps mode('overwrite') semantics
+    # (r17 ADVICE: makedirs(exist_ok=True) into an existing gen dir
+    # would leave stale sibling files a recursive reader could see as
+    # duplicate rows; the rename also makes the generation's
+    # appearance atomic, matching the manifest/CURRENT discipline)
+    import shutil as _sh
+
+    gen_dir = os.path.join(root, rel)
+    tmp_dir = gen_dir + ".inprogress"
+    _sh.rmtree(tmp_dir, ignore_errors=True)
     for sub, tbl in (("quantizer", qt), ("codebooks", cbt)):
-        d = os.path.join(root, rel, sub)
-        os.makedirs(d, exist_ok=True)
+        d = os.path.join(tmp_dir, sub)
+        os.makedirs(d)
         _paq.write_table(tbl, os.path.join(d, "part-00000.parquet"))
+    _sh.rmtree(gen_dir, ignore_errors=True)
+    os.rename(tmp_dir, gen_dir)
     return rel
 
 

@@ -535,7 +535,24 @@ def agg_numeric_stats(spark, sf_dir):
     def dsum(c):
         return F.sum(c.cast("decimal(18,6)"))
 
-    li = _t(spark, sf_dir, "lineitem")
+    # r18 (guide §2.5 input skew): the synthetic lineitem file is ONE
+    # row group, so the ENTIRE partial aggregation (five decimal sums
+    # per row) ran in a single task (~2 s at sf0.1 while its agg peers
+    # sat at 0.3-0.6 s; the c8-vs-c32 scaling ratio of 0.99 is the
+    # single-task fingerprint). Project the 5 needed columns, then
+    # conditional respread — identity at cluster scale where the scan
+    # is already parallel (catalog.spread_scan). Decimal sums and
+    # min/max/count are partitioning-order independent, so the result
+    # is bit-identical.
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(dsum(F.col("l_quantity")), 2).cast("double").alias("sum_qty"),

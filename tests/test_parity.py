@@ -116,10 +116,42 @@ def test_parity_sf001(spark, name):
 #: the driver's scale on every pytest invocation, not just in the
 #: end-of-round full sweep.
 CHANGED_THIS_ROUND = [
+    # CC loop: one-window half-rounds + observed convergence (818992e)
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_decision",
     "dedup_decision_quality",
+    # r18: single-split respread + early projection
+    "agg_numeric_stats",
+    # r18: shingle-set size rides the posting struct (one corpus pass)
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    # r18: lexical index tf/dl/df int-narrowed; eligible-path agg
+    # keyed on (query_id, id) again; store metadata via pyarrow.dataset
+    "bool_search_indexed",
+    "rank_bm25",
+    "rank_bm25_batch",
+    "rank_bm25_indexed",
+    "rank_bm25_index_upsert",
+    "rank_bm25_index_compacted",
+    "index_time_travel",
+    "index_version_drift",
+    "index_delete_ids",
+    "phrase_search_indexed",
+    "phrase_search_slop",
+    "phrase_snippets_indexed",
+    "hybrid_rank_indexed",
+    "hybrid_rank_rrf_batch",
+    "hybrid_eval_metrics",
+    # r18: IVF-PQ quantizer generation write/read (atomic rename +
+    # pyarrow.dataset) and ANN/band-store commit row counts
+    "ann_ivfpq_search",
+    "ann_ivfpq_lifecycle",
+    "ann_pq_version_drift",
+    "ann_time_travel",
+    "dedup_novelty_indexed",
+    "dedup_novelty_delete",
+    "dedup_novelty_compacted",
 ]
 
 

@@ -209,7 +209,9 @@ def test_plan_lint_all_queries(spark):
 #: the final label-extraction plan; rollup_time_cascade's static 6
 #: dedups to 3 grains at runtime via AQE stage reuse.
 SHUFFLE_BUDGET = {
-    "agg_numeric_stats": 1,
+    "agg_numeric_stats": 2,  # r18: +1 spread_scan respread of the
+    # single-split scan (identity at cluster scale); the decimal
+    # partial agg no longer runs on ONE task
     "join_inner_equi": 1,      # +2 broadcast
     "join_left_outer": 1,      # +1 broadcast
     "join_range": 1,           # +1 broadcast
@@ -221,8 +223,10 @@ SHUFFLE_BUDGET = {
     "text_stats": 1,
     "text_quality_score": 1,
     "dedup_minhash": 4,  # r07: no-op pair distinct removed (was 5)
-    "dedup_ngram_jaccard": 6,  # +2 broadcast
-    "dedup_ngram_jaccard_capped": 6,
+    "dedup_ngram_jaccard": 4,  # r18: size rides the posting struct —
+    # second shingle pass + 2 size joins gone (was 6 +2 broadcast);
+    # remaining: _d respread, inv groupBy, bucket spread, pair agg
+    "dedup_ngram_jaccard_capped": 4,
     "similarity_topk": 0,      # TakeOrdered + broadcast query vec
     "similarity_topk_lsh": 0,
     "agg_rollup": 1,
