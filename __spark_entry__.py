@@ -102,11 +102,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_novelty_delete",
     "dedup_novelty_compacted",
     "dedup_incremental_novelty",
+    "ann_store_quantized",
+    "ann_probe_batch_quantized",
+    "ann_store_upsert",
     # (3) next-stalest r12 backfill
-    "union_distinct",
-    "string_funcs_battery",
     "streaming_stateful_first_seen",
-    "scan_orc_roundtrip",
     "decontaminate_fuzzy",
 ]
 

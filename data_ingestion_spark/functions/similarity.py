@@ -1007,24 +1007,41 @@ class AnnStore:
             "raw_id_buckets": int(raw_id_buckets),
         }
         enc, _ = self._quant_exprs(quant)
-        (
-            self._assigned(base)
-            .select(self.id_col, enc(F.col(self.vec_col)).alias("code"), "table", "bucket")
-            .repartition(self.n_tables << self.bits, "table", "bucket")
-            .write.mode("overwrite")
-            .partitionBy("table", "bucket")
-            .parquet(self.path.rstrip("/") + "/codes")
-        )
-        (
-            base.withColumn(
-                "id_bucket",
-                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(raw_id_buckets)).cast("int"),
+
+        # the codes and raw writes are INDEPENDENT jobs over the same
+        # source — overlap them from a small pool (r18, guide §2.6:
+        # the r17 IVF-PQ segment-write treatment applied to the SQ8
+        # layout; the raw sidecar's tail back-fills the codes write's
+        # stragglers instead of waiting for them)
+        def _write_codes() -> None:
+            (
+                self._assigned(base)
+                .select(
+                    self.id_col, enc(F.col(self.vec_col)).alias("code"), "table", "bucket"
+                )
+                .repartition(self.n_tables << self.bits, "table", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("table", "bucket")
+                .parquet(self.path.rstrip("/") + "/codes")
             )
-            .repartition("id_bucket")
-            .write.mode("overwrite")
-            .partitionBy("id_bucket")
-            .parquet(self.path.rstrip("/") + "/raw")
-        )
+
+        def _write_raw() -> None:
+            (
+                base.withColumn(
+                    "id_bucket",
+                    F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(raw_id_buckets)).cast("int"),
+                )
+                .repartition("id_bucket")
+                .write.mode("overwrite")
+                .partitionBy("id_bucket")
+                .parquet(self.path.rstrip("/") + "/raw")
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(c) for c in (_write_codes, _write_raw)]:
+                fut.result()
         self._quant = quant
         self._write_meta(self.path, {"quant": quant})
 
@@ -2937,17 +2954,30 @@ def _write_ann_segment(
 
     spark = vectors.sparkSession
     store = AnnStore(spark, os.path.join(seg, "data"), **kw)
-    if quantized:
-        if metadata_cols:
-            raise ValueError(
-                "quantized segments do not carry metadata columns — "
-                "filtered search needs the raw-float layout"
-            )
-        store.write_quantized(vectors, raw_id_buckets=int(raw_id_buckets))
-    else:
-        store.write(vectors, metadata_cols=metadata_cols)
+    if quantized and metadata_cols:
+        raise ValueError(
+            "quantized segments do not carry metadata columns — "
+            "filtered search needs the raw-float layout"
+        )
     ids_dir = os.path.join(seg, "ids")
-    vectors.select(store.id_col).write.mode("overwrite").parquet(ids_dir)
+
+    # data store and ids sidecar are independent writes over the same
+    # source — overlap them (r18 guide §2.6, same pool discipline as
+    # the index build chains)
+    def _write_data() -> None:
+        if quantized:
+            store.write_quantized(vectors, raw_id_buckets=int(raw_id_buckets))
+        else:
+            store.write(vectors, metadata_cols=metadata_cols)
+
+    def _write_ids() -> None:
+        vectors.select(store.id_col).write.mode("overwrite").parquet(ids_dir)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(c) for c in (_write_data, _write_ids)]:
+            fut.result()
     return _parquet_rows(ids_dir)
 
 

@@ -149,6 +149,10 @@ CHANGED_THIS_ROUND = [
     "ann_ivfpq_lifecycle",
     "ann_pq_version_drift",
     "ann_time_travel",
+    # r18: SQ8 codes/raw writes + segment data/ids writes overlapped
+    "ann_store_quantized",
+    "ann_probe_batch_quantized",
+    "ann_store_upsert",
     "dedup_novelty_indexed",
     "dedup_novelty_delete",
     "dedup_novelty_compacted",
