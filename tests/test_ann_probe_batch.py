@@ -29,6 +29,7 @@ def _queries(spark, emb, n=3):
     )
 
 
+@pytest.mark.slow
 def test_probe_batch_equals_per_query_probe(spark, tmp_path):
     """The contract: one plan, N answers — each identical to the
     single-query driver-side path, home buckets and multi-probe."""
@@ -53,6 +54,7 @@ def test_probe_batch_equals_per_query_probe(spark, tmp_path):
         assert got == exp and got
 
 
+@pytest.mark.slow
 def test_probe_batch_engine_buckets_match_driver_pairs(spark, tmp_path):
     """_batch_assignments (engine-side sign tests + lowest-margin
     flips) must reproduce _probe_pairs (driver-side) per query —
@@ -71,6 +73,7 @@ def test_probe_batch_engine_buckets_match_driver_pairs(spark, tmp_path):
             assert got[qr.query_id] == set(store._probe_pairs(qv, flips))
 
 
+@pytest.mark.slow
 def test_probe_batch_stays_partition_pruned(spark, tmp_path):
     """The union-of-buckets filter is literal at plan time: the scan
     carries PartitionFilters and reads a strict subset of files,
@@ -102,6 +105,7 @@ def test_probe_batch_stays_partition_pruned(spark, tmp_path):
     assert 0 < probed < total
 
 
+@pytest.mark.slow
 def test_probe_batch_serves_segmented_store(spark, tmp_path):
     """The LSM layout serves batches too: versioned base + delta
     segment (20% of ids re-embedded NEGATED + 2 new ids) must answer
@@ -134,6 +138,7 @@ def test_probe_batch_serves_segmented_store(spark, tmp_path):
     assert _rows(live.probe_batch(qdf, k=5)) == _rows(mono.probe_batch(qdf, k=5))
 
 
+@pytest.mark.slow
 def test_probe_batch_filtered_matches_single_query_where(spark, tmp_path):
     """where= applies INSIDE the pruned candidates per query — the
     batch mirror of probe(where=...)'s post-filter semantics."""
@@ -183,6 +188,7 @@ def test_probe_batch_contracts(spark, tmp_path):
         qstore.probe_batch(qdf, k=3)
 
 
+@pytest.mark.slow
 def test_probe_batch_quantized_matrix(spark, tmp_path):
     """The quantized batch path on BOTH layouts: monolithic
     write_quantized store batch-probes equal to per-query

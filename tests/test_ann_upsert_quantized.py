@@ -49,6 +49,7 @@ def stores(spark, tmp_path):
     return s0, delta, merged, qv
 
 
+@pytest.mark.slow
 def test_upsert_equals_rebuild_rowset_and_probe(spark, stores, tmp_path):
     """The D4 proof shape: the upserted store's (id, table, bucket,
     vec) rowset EQUALS a from-scratch write over (old − replaced ids
@@ -114,6 +115,7 @@ def test_open_restores_geometry_and_upsert_is_versioned(spark, stores, tmp_path)
         AnnStore.open(spark, str(tmp_path / "nowhere"))
 
 
+@pytest.mark.slow
 def test_quantized_probe_exact_at_rescore_and_schema(spark, tmp_path):
     """SQ8: (a) default probe (re-score all) EQUALS the raw store's
     probe — bucket assignment happens on raw floats, re-score reads
@@ -292,6 +294,7 @@ def test_ann_managed_root_versioning_and_vacuum(spark, tmp_path):
         vacuum_ann_store(root, retain=0)
 
 
+@pytest.mark.slow
 def test_quantized_versioned_upsert_per_segment_bounds(spark, tmp_path):
     """r13 (r12 verdict #6): a quantized store is maintainable via the
     LSM layout — the delta segment carries its OWN SQ8 bounds (base
@@ -410,6 +413,7 @@ def test_ann_time_travel_version_read(spark, tmp_path):
         AnnStore.open(spark, root, version="v_424242")
 
 
+@pytest.mark.slow
 def test_ann_vacuum_protects_inflight_commit_window(spark, tmp_path):
     """r15 ADVICE (medium), ANN-layout twin of the PQ test: an upsert
     that has landed its MANIFEST.json but not yet swapped CURRENT

@@ -6,6 +6,8 @@ invariants, and the broadcast side of the decontamination join."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from tests.conftest import SF_SMALL, SF_ORACLE
@@ -513,6 +515,7 @@ def test_mixture_temperature_weights_endpoints(spark):
         mixture_temperature_weights(d, "src", 1.5)
 
 
+@pytest.mark.slow
 def test_bigram_lm_score_hand_case_and_ordering(spark):
     """Hand-checked add-1 bigram NLL + the quality-signal property:
     a reference-like doc scores LOWER mean NLL than gibberish."""

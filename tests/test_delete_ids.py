@@ -69,6 +69,7 @@ def _ranked(spark, idx, topk=10):
     )
 
 
+@pytest.mark.slow
 def test_index_delete_ids_all_serving_paths_and_compaction(spark, tmp_path):
     d = _docs(spark)
     doomed = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
@@ -128,6 +129,7 @@ def test_index_delete_ids_all_serving_paths_and_compaction(spark, tmp_path):
     assert not doomed_ids & {r.doc_id for r in folded.doclens().collect()}
 
 
+@pytest.mark.slow
 def test_ann_delete_ids_raw_and_quantized(spark, tmp_path):
     emb = _emb(spark)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]

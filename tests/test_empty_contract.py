@@ -43,6 +43,7 @@ def empty_sf_dir(spark, tmp_path_factory):
     return dst
 
 
+@pytest.mark.slow
 def test_registry_empty_input_contract(spark, empty_sf_dir):
     failures = []
     for name, fn in sorted(entry.queries().items()):

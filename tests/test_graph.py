@@ -3,6 +3,8 @@ ranking sanity, and dangling behavior."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_ingestion_spark.functions.graph import PAGERANK_SCALE, pagerank_scores
 
 
@@ -21,6 +23,7 @@ def _reference(edges, iters=5, d_num=85, d_den=100):
     return r
 
 
+@pytest.mark.slow
 def test_pagerank_matches_python_reference_exactly(spark):
     """Bit-exact vs the reference loop — the determinism claim is
     EXACT integer equality, not approximate agreement."""
@@ -53,6 +56,7 @@ def test_pagerank_dangling_and_repeatable(spark):
     assert a[2] > a[1] > a[0]
 
 
+@pytest.mark.slow
 def test_cache_handles_enable_caller_unpersist(spark):
     """r10 ADVICE: persisted intermediates are not GC-reclaimed, so
     the long-lived-driver contract is caller-side cleanup via
@@ -138,6 +142,7 @@ def test_triangle_count_hub_orientation(spark):
     assert got == {(100, 1), (1, 1), (2, 1)}
 
 
+@pytest.mark.slow
 def test_harmonic_centrality_path_exact_small_range(spark):
     from data_ingestion_spark.functions.graph import harmonic_centrality
 
@@ -184,6 +189,7 @@ def test_harmonic_centrality_contracts(spark):
         harmonic_centrality(e, radius=0)
 
 
+@pytest.mark.slow
 def test_harmonic_centrality_accumulator_plan_depth(spark):
     """r14 verdict #7: the per-round lazy localCheckpoint on the
     harmonic accumulator caps the optimized-plan size at one round —

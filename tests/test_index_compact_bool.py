@@ -43,6 +43,7 @@ def _ranked(spark, idx, topk=10):
     )
 
 
+@pytest.mark.slow
 def test_compact_preserves_queries_and_vacuums(spark, tmp_path):
     """After build + 2 upserts the root holds 3 versions; compact
     rewrites the live one, commits the pointer, and drops every dead
@@ -62,6 +63,7 @@ def test_compact_preserves_queries_and_vacuums(spark, tmp_path):
     assert _ranked(spark, index_current_path(root)) == before
 
 
+@pytest.mark.slow
 def test_compact_retain_two_and_size_target(spark, tmp_path):
     """retain=2 keeps the pre-compact version for in-flight readers;
     a tiny max_records_per_file provably splits files (every written

@@ -108,6 +108,7 @@ def test_upsert_is_o_delta_and_equals_rebuild(spark, tmp_path):
     assert rdr.avgdl == pytest.approx(mono_rdr.avgdl, rel=1e-12)
 
 
+@pytest.mark.slow
 def test_multi_segment_bool_phrase_and_new_docs(spark, tmp_path):
     """Two stacked deltas (one replacement wave, one brand-new docs):
     boolean retrieval and positional phrase search over the segmented
@@ -204,6 +205,7 @@ def test_compact_folds_segments_and_manifest_aware_vacuum(spark, tmp_path):
     assert _ranked(spark, index_current_path(root)) == before
 
 
+@pytest.mark.slow
 def test_legacy_monolithic_version_becomes_base_segment(spark, tmp_path):
     """Backward compatibility: a root whose CURRENT is a pre-LSM
     monolithic version directory upserts into a manifest that
@@ -230,6 +232,7 @@ def test_legacy_monolithic_version_becomes_base_segment(spark, tmp_path):
     assert not os.path.isdir(legacy)  # nothing references it anymore
 
 
+@pytest.mark.slow
 def test_empty_corpus_versioned_index_serves(spark, tmp_path):
     """The empty-input contract holds through the manifest layout:
     build over an empty corpus commits a servable version (0 rows, no
@@ -254,6 +257,7 @@ def _neg(c):
     return F.transform(c, lambda x: -x)
 
 
+@pytest.mark.slow
 def test_ann_upsert_is_o_delta_and_equals_rebuild(spark, tmp_path):
     """Vector mirror of the core LSM contract: after a versioned
     write + upsert, the base segment's files are untouched (the
@@ -317,6 +321,7 @@ def test_ann_upsert_is_o_delta_and_equals_rebuild(spark, tmp_path):
     assert p5(A.open(spark, index_current_path(root))) == p5(mono)
 
 
+@pytest.mark.slow
 def test_ann_compact_folds_and_vacuums(spark, tmp_path):
     """compact_ann_store folds the segment chain into ONE segment
     without re-hashing (probe identical), resets anti-join depth, and
@@ -350,6 +355,7 @@ def test_ann_compact_folds_and_vacuums(spark, tmp_path):
     assert index_current_path(root).endswith("v_000003")
 
 
+@pytest.mark.slow
 def test_ann_legacy_monolithic_base_and_read_view_guards(spark, tmp_path):
     """A pre-LSM monolithic ANN version upserts into a manifest that
     references it as the base segment (geometry/metadata restored
@@ -391,6 +397,7 @@ def test_ann_legacy_monolithic_base_and_read_view_guards(spark, tmp_path):
     assert index_current_path(root).endswith("v_000001")
 
 
+@pytest.mark.slow
 def test_ann_version_drift_defaults_and_quantized(spark, tmp_path):
     """r13: drift report defaults to previous-vs-CURRENT, refuses a
     single-version root loudly, and serves quantized roots from the
@@ -422,6 +429,7 @@ def test_ann_version_drift_defaults_and_quantized(spark, tmp_path):
     assert all(s == "replaced" and d == 2_000_000 for s, d in rows.values())
 
 
+@pytest.mark.slow
 def test_vacuum_protects_current_and_inflight(spark, tmp_path):
     """r13 review finding: (a) a crashed upsert that wrote a NEWER
     version dir but never committed the pointer must not let

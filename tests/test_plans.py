@@ -168,17 +168,34 @@ PYTHON_OK: set[str] = {
 SKIP = {"streaming_tumbling_availablenow", "streaming_session_availablenow"}
 
 
-def test_plan_lint_all_queries(spark):
+@pytest.fixture(scope="module")
+def cold_plans(spark):
+    """ONE cold construction pass over the registry (registry order,
+    cache cleared first — the exact procedure of
+    scripts/gen_shuffle_budget.py), shared by the two full-registry
+    gates below. Construction dominates their cost (lifecycle queries
+    build their fixture stores eagerly at plan time) and is identical
+    in both, so building the executed-plan strings once halves the
+    wall of the default test run's most expensive file (r18, measured
+    490 s + 314 s for two passes under load)."""
+    spark.catalog.clearCache()
+    plans: dict[str, str] = {}
+    for name, fn in entrymod.queries().items():
+        if name in SKIP:
+            continue
+        plans[name] = (
+            fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        )
+    return plans
+
+
+def test_plan_lint_all_queries(cold_plans):
     """Every registered query: no cartesian product, no accidental
     nested-loop join, no Python eval — unless explicitly whitelisted.
     This is the judge-facing guarantee that coverage growth can't
     quietly regress plan quality."""
-    spark.catalog.clearCache()  # same cold-plan rationale as the budget test
     bad = []
-    for name, fn in entrymod.queries().items():
-        if name in SKIP:
-            continue
-        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in cold_plans.items():
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
@@ -281,25 +298,17 @@ def test_shuffle_budget_covers_registry():
     )
 
 
-def test_shuffle_count_budget(spark):
+def test_shuffle_count_budget(cold_plans):
     """Shuffle-shape regression guard: every registered query's
     executed plan must not contain MORE shuffle exchanges than its
     recorded budget (broadcast exchanges excluded — see SHUFFLE_BUDGET
-    note; full-registry ceilings from shuffle_budget_generated.json)."""
-    # cold-plan counts: earlier tests (parity runs the whole registry)
-    # leave persisted postings/edges cached, and Spark's cache manager
-    # substitutes InMemoryRelation into IDENTICAL subtrees of later
-    # plans — warm plans count differently than the generated budgets
-    spark.catalog.clearCache()
+    note; full-registry ceilings from shuffle_budget_generated.json).
+    Plans come from the shared cold_plans fixture: cache cleared, then
+    constructed in registry order — the generator's own procedure, so
+    the counts compare like-for-like."""
     over = []
     for name, budget in _full_shuffle_budget().items():
-        plan = (
-            entrymod.queries()[name](spark, SF_SMALL)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        n = len(_SHUFFLE_EXCHANGE.findall(plan))
+        n = len(_SHUFFLE_EXCHANGE.findall(cold_plans[name]))
         if n > budget:
             over.append((name, n, budget))
     assert not over, f"queries over their shuffle budget (got > budget): {over}"

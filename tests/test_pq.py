@@ -69,6 +69,7 @@ def test_partition_pruning_plan(spark, store):
     assert cand.count() == 8  # keep bound honored
 
 
+@pytest.mark.slow
 def test_deterministic_rebuild(spark, store):
     s, v = store
     root2 = tempfile.mkdtemp(prefix="pqtest2_")
@@ -99,6 +100,7 @@ def test_contracts(spark, store):
         IvfPqStore(spark, tempfile.mkdtemp(prefix="nostore_"))
 
 
+@pytest.mark.slow
 def test_zero_vector_safe(spark):
     v = spark.createDataFrame(
         [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
@@ -113,6 +115,7 @@ def test_zero_vector_safe(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_probe_batch_equals_per_query_loop(spark, store):
     s, v = store
     qids = [3, 11, 99]
@@ -147,6 +150,7 @@ def test_probe_batch_contracts(spark, store):
     assert s.probe_batch(empty).count() == 0
 
 
+@pytest.mark.slow
 def test_upsert_replace_delete_resurrect(spark):
     """O(delta) maintenance: a stale base is corrected by an upsert
     (last-wins shadowing — the stale copy AND its stale raw row are
@@ -211,6 +215,7 @@ def test_upsert_replace_delete_resurrect(spark):
     ]
 
 
+@pytest.mark.slow
 def test_compaction_drops_dead_rows_and_equals_serving(spark):
     """IN-PLACE compaction (r14 verdict #1): fold commits a new
     version under the SAME root; survivors only; serving identical
@@ -254,6 +259,7 @@ def test_compaction_drops_dead_rows_and_equals_serving(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_pq_report_counts(spark):
     from data_ingestion_spark.functions.pq import (
         delete_ivfpq_ids,
@@ -333,6 +339,7 @@ def test_auto_n_cells(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_compaction_carries_metadata(spark):
     """Self-review r14: compaction rebuilds from the raw sidecar, but
     metadata rides the CODES segments — the fold must recover each
@@ -580,6 +587,7 @@ def test_vacuum_protects_inflight_commit_window(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_vacuum_retention_across_two_folds_pinned_reader(spark):
     """r15 verdict #7: a reader pinned at v0 survives the FIRST fold's
     retain=2 vacuum byte-identically (v0 still in the window), and

@@ -138,6 +138,7 @@ def test_exact_rank_select_equals_sorted_reference(spark):
         exact_rank_select(df, "v", [], "tid")
 
 
+@pytest.mark.slow
 def test_ntile_buckets_equals_window_ntile(spark):
     """r15 verdict #2: the broadcast-threshold tercile cut is
     row-for-row identical to NTILE(b) OVER (ORDER BY v, tid) for

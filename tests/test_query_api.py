@@ -33,6 +33,7 @@ def test_catalog_surface(engine):
     assert s1 == s2
 
 
+@pytest.mark.slow
 def test_similarity_and_rag(engine):
     col = engine.list_collections()[0]
     hits = engine.similarity_search(col, "spark filter join", k=3).collect()

@@ -340,6 +340,7 @@ def test_session_boundary_semantics_align(spark):
         assert native == want_sessions == twin, (delta, native, twin)
 
 
+@pytest.mark.slow
 def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path):
     """Streaming CMS: the accumulated sketch after draining equals
     the batch-built sketch CELL FOR CELL (mergeability is exact, not
@@ -397,6 +398,7 @@ def test_sketch_stream_equals_batch_and_replay_safe(spark, events_dir, tmp_path)
     assert live == f"state_{state_dirs[-1]}"  # pointer on the newest
 
 
+@pytest.mark.slow
 def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
     """The generalized sketch harness (r11): streaming HLL registers
     and bloom words after draining equal the batch-built sketches
@@ -441,6 +443,7 @@ def test_hll_and_bloom_streams_equal_batch(spark, events_dir, tmp_path):
         assert got == batch, kind
 
 
+@pytest.mark.slow
 def test_index_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     """r12: a document stream folds into the managed postings root —
     first batch builds, later batches upsert with REPLACE semantics
@@ -535,6 +538,7 @@ def test_index_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     assert index_current_path(root) == live
 
 
+@pytest.mark.slow
 def test_ann_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     """r13 (r12 verdict #3): an embedding stream folds into the
     managed ANN root — first batch builds the base segment, later
@@ -642,6 +646,7 @@ def test_ann_maintenance_stream_last_wins_and_replay_safe(spark, tmp_path):
     assert sorted(n for n in os.listdir(root) if n.startswith("v_")) == versions_before
 
 
+@pytest.mark.slow
 def test_ann_maintenance_stream_quantized(spark, tmp_path):
     """quantized=True streams SQ8 segments: base + per-batch delta
     segments each carrying their OWN bounds; the drained store's
@@ -712,6 +717,7 @@ def test_ann_maintenance_stream_quantized(spark, tmp_path):
     assert gb == eb and gb
 
 
+@pytest.mark.slow
 def test_index_maintenance_auto_compaction(spark, tmp_path):
     """r13 verdict #1: max_segments bounds the live manifest — a
     12-batch stream with max_segments=4 compacts inside the fold
@@ -790,6 +796,7 @@ def test_index_maintenance_auto_compaction(spark, tmp_path):
     assert index_current_path(root) == live
 
 
+@pytest.mark.slow
 def test_ann_maintenance_auto_compaction_quantized(spark, tmp_path):
     """ANN twin: a 6-batch quantized embedding stream with
     max_segments=2 keeps the live manifest at <=2 segments (each fold
@@ -840,6 +847,7 @@ def test_ann_maintenance_auto_compaction_quantized(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_maybe_compact_batch_helpers(spark, tmp_path):
     """Batch-side trigger: maybe_compact_* is a no-op within bounds
     (returns None) and folds to one segment past them."""
@@ -879,6 +887,7 @@ def test_maybe_compact_batch_helpers(spark, tmp_path):
     assert handle is not None and _live_segment_count(aroot) == 1
 
 
+@pytest.mark.slow
 def test_index_maintenance_stream_cdc_deletes(spark, tmp_path):
     """r14 CDC fold: a stream carrying op='upsert'/'delete' rows
     folds content AND takedowns into the managed postings root —
@@ -1036,6 +1045,7 @@ def test_ann_maintenance_stream_cdc_deletes(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_pq_maintenance_stream_last_wins_replay_and_autocompact(spark, tmp_path):
     """r14 Y-series: an embedding stream folds into the IVF-PQ root —
     batch 0 trains + builds the base, later batches are frozen-
@@ -1235,6 +1245,7 @@ def test_novelty_stream_cross_batch_and_replay(spark, tmp_path):
     assert index_current_path(root) is not None
 
 
+@pytest.mark.slow
 def test_novelty_stream_max_segments_and_idempotent_output(spark, tmp_path):
     """r17: (1) max_segments= keeps the band store's segment list
     bounded across a 12-batch stream while the admitted set stays ≡
