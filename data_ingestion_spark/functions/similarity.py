@@ -2386,7 +2386,11 @@ def delete_index_ids(ids_df: DataFrame, root: str, id_col: str = "doc_id") -> st
         seg + "/doclens"
     )
     doomed = spark.read.parquet(seg + "/doclens").select("doc_id")
-    n_del = doomed.count()
+    # footer-metadata count of the tombstone just written (the r17
+    # _parquet_rows store-commit treatment, guide §1/§5) — the ids are
+    # distinct by construction, so file row count == |delete set|; the
+    # old ``doomed.count()`` was one full Spark job per delete
+    n_del = _parquet_rows(seg + "/doclens")
     kept = reader.doclens().join(
         F.broadcast(doomed) if n_del <= BROADCAST_MAX_IDS else doomed,
         "doc_id",
@@ -3488,6 +3492,49 @@ def vacuum_ann_store(root: str, retain: int = 2) -> list[str]:
     return _vacuum_index_root(root, retain)
 
 
+def _shadow_counts(
+    pairs_df: DataFrame,
+    positions: list[int],
+    tomb_positions: set[int],
+) -> list[int]:
+    """Shadowed-id counts for every segment in ONE Spark job (r18,
+    guide §1.2): for each position p, |{distinct ids in p that also
+    appear at any position > p}|. Replaces index_report's per-segment
+    join+count loops — O(segments) jobs, each joining against a
+    re-built (and growing) union of newer segments — with a single
+    pass: per-id position SET (collect_set dedups the band stores'
+    per-band id repeats) → explode every position below the set's max
+    → count per position. No self-join, two shuffle stages total.
+    Tombstone positions report 0 (they are delete markers, never
+    counted as shadowable data) and the newest position is 0 by
+    construction, exactly the loop semantics. Skips the job entirely
+    when no non-tombstone older segment exists (the loops ran no job
+    there either)."""
+    countable = [
+        p for p in positions[:-1] if p not in tomb_positions
+    ] if positions else []
+    if not countable:
+        return [0] * len(positions)
+    rows = (
+        pairs_df.groupBy("__id")
+        .agg(F.collect_set("__pos").alias("__ps"))
+        .select(
+            F.explode(
+                F.filter(
+                    "__ps", lambda p: p < F.array_max(F.col("__ps"))
+                )
+            ).alias("__pos")
+        )
+        .groupBy("__pos")
+        .count()
+        .collect()
+    )
+    by_pos = {int(r["__pos"]): int(r["count"]) for r in rows}
+    return [
+        0 if p in tomb_positions else by_pos.get(p, 0) for p in positions
+    ]
+
+
 def index_report(spark, root: str) -> DataFrame:
     """Operational report over a managed root's CURRENT version — the
     observability that tells an operator WHEN to compact (pairs with
@@ -3544,13 +3591,16 @@ def index_report(spark, root: str) -> DataFrame:
         all_ids = spark.read.parquet(os.path.join(root, "ids")).filter(
             F.col("seg").isin(segs)
         )
-        shadowed = [0] * len(segs)
-        for i, s in enumerate(segs[:-1]):
-            if s in tomb_set:
-                continue
-            mine = all_ids.filter(F.col("seg") == s).select("id")
-            newer = all_ids.filter(F.col("seg") > s).select("id").distinct()
-            shadowed[i] = mine.join(newer, "id", "left_semi").count()
+        # one aggregation job for every segment's shadowed-id count
+        # (was one join+count job per older segment — r18)
+        shadowed = _shadow_counts(
+            all_ids.select(
+                F.col("seg").cast("long").alias("__pos"),
+                F.col("id").alias("__id"),
+            ),
+            segs,
+            tomb_set,
+        )
         rows = [
             (
                 f"seg={s}",
@@ -3581,25 +3631,30 @@ def index_report(spark, root: str) -> DataFrame:
         segs_b, tombs_b, rows_b = _band_seg_meta(m)
         paths_b = [os.path.join(root, rel) for rel in segs_b]
         id_frames = [spark.read.parquet(p).select("id") for p in paths_b]
+        # one aggregation job for every segment's shadowed-id count
+        # (was one union+join+count job per data segment, the union
+        # re-built and growing per step — r18); band segments repeat
+        # an id per band, so the helper's distinct-pairs pass IS the
+        # old per-side dropDuplicates
+        pairs = None
+        for i, fr in enumerate(id_frames):
+            tagged = fr.select(
+                F.lit(i).cast("long").alias("__pos"), F.col("id").alias("__id")
+            )
+            pairs = tagged if pairs is None else pairs.unionByName(tagged)
+        shadowed_b = _shadow_counts(
+            pairs,
+            list(range(len(paths_b))),
+            {i for i, t in enumerate(tombs_b) if t},
+        )
         rows = []
         for i, (rel, p, t) in enumerate(zip(segs_b, paths_b, tombs_b)):
             n = rows_b[i]
             if n < 0:
                 n = spark.read.parquet(p).count()
-            sh = 0
-            if not t and i + 1 < len(paths_b):
-                newer = id_frames[i + 1]
-                for x in id_frames[i + 2:]:
-                    newer = newer.unionByName(x)
-                sh = (
-                    id_frames[i]
-                    .dropDuplicates()
-                    .join(newer.dropDuplicates(), "id", "left_semi")
-                    .count()
-                )
             rows.append(
                 (rel, "tombstone" if t else "data", "bands", int(n),
-                 _du(p), int(sh), None)
+                 _du(p), int(shadowed_b[i]), None)
             )
         return spark.createDataFrame(rows, out_schema)
 
@@ -3658,16 +3713,22 @@ def index_report(spark, root: str) -> DataFrame:
                             )
             drift.append(b)
 
-    # shadowed-id counts: walk newest → oldest accumulating the same
-    # shadow union serving uses; one count job per older segment
-    shadowed = [0] * len(paths)
-    shadow = None
-    for i in range(len(paths) - 1, -1, -1):
-        if shadow is not None and not tombs[i]:
-            shadowed[i] = seg_ids(paths[i]).join(shadow, id_key, "left_semi").count()
-        if i > 0:
-            ids = seg_ids(paths[i])
-            shadow = ids if shadow is None else shadow.unionByName(ids)
+    # shadowed-id counts: the same shadow-union semantics serving
+    # uses, computed for every segment in ONE aggregation job (was
+    # one count job per older segment, each joining a growing
+    # accumulated union — r18)
+    pairs = None
+    for i, p in enumerate(paths):
+        tagged = seg_ids(p).select(
+            F.lit(i).cast("long").alias("__pos"),
+            F.col(id_key).alias("__id"),
+        )
+        pairs = tagged if pairs is None else pairs.unionByName(tagged)
+    shadowed = _shadow_counts(
+        pairs,
+        list(range(len(paths))),
+        {i for i, t in enumerate(tombs) if t},
+    )
     rows = [
         (
             os.path.relpath(p, root),

@@ -102,3 +102,34 @@ def test_quantizer_gen_atomic_and_clean(tmp_path):
     files = os.listdir(os.path.join(root, rel3, "quantizer"))
     assert files == ["part-00000.parquet"]
     assert not os.path.exists(stale_tmp)
+
+
+def test_shadow_counts_one_pass_semantics(spark):
+    """_shadow_counts (r18): the single-aggregation replacement for
+    index_report's per-segment join+count loops must reproduce the
+    loop semantics exactly — per-position DISTINCT ids (band stores
+    repeat an id once per band), 'shadowed' means any strictly newer
+    position holds the id (tombstones included as shadowers), the
+    newest position and tombstone positions report 0."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.similarity import _shadow_counts
+
+    rows = [
+        # pos 0: ids 1,2,3 (id 1 repeated band-style -> counted once)
+        (0, 1), (0, 1), (0, 2), (0, 3),
+        # pos 1: ids 2,4 -> id 2 shadows pos 0's copy
+        (1, 2), (1, 4),
+        # pos 2 (tombstone): ids 1,4 -> shadows pos 0's 1 and pos 1's 4
+        (2, 1), (2, 4),
+        # pos 3 (newest): id 5 only
+        (3, 5),
+    ]
+    pairs = spark.createDataFrame(rows, "__pos long, __id long")
+    got = _shadow_counts(pairs, [0, 1, 2, 3], {2})
+    # pos 0: ids 1 (by tomb at 2) + 2 (by pos 1) = 2; pos 1: id 4 (by
+    # tomb at 2) = 1; pos 2 tombstone -> 0 by definition; pos 3 newest -> 0
+    assert got == [2, 1, 0, 0]
+    # no non-tombstone older segment -> no Spark job, all zeros
+    assert _shadow_counts(pairs, [7], set()) == [0]
+    assert _shadow_counts(pairs, [0, 1], {0}) == [0, 0]
