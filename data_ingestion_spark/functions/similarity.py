@@ -3622,7 +3622,7 @@ def index_report(spark, root: str) -> DataFrame:
         # the fourth layout (functions/dedup.py band store): flat
         # (id, band, band_hash) segments + id-list tombstones; rows
         # come from the manifest's seg_rows (r17 manifests record
-        # them; -1 falls back to a count over the segment), shadowed
+        # them; -1 falls back to a footer-metadata count), shadowed
         # = this data segment's distinct ids named by ANY newer
         # segment (tombstoned or re-banded) — the dead weight
         # compact_band_store would drop
@@ -3651,7 +3651,9 @@ def index_report(spark, root: str) -> DataFrame:
         for i, (rel, p, t) in enumerate(zip(segs_b, paths_b, tombs_b)):
             n = rows_b[i]
             if n < 0:
-                n = spark.read.parquet(p).count()
+                # legacy manifest without seg_rows: parquet footer
+                # metadata, not a Spark count job (r18, guide §1/§5)
+                n = _parquet_rows(p)
             rows.append(
                 (rel, "tombstone" if t else "data", "bands", int(n),
                  _du(p), int(shadowed_b[i]), None)

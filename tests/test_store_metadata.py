@@ -133,3 +133,34 @@ def test_shadow_counts_one_pass_semantics(spark):
     # no non-tombstone older segment -> no Spark job, all zeros
     assert _shadow_counts(pairs, [7], set()) == [0]
     assert _shadow_counts(pairs, [0, 1], {0}) == [0, 0]
+
+
+def test_band_report_legacy_rows_fallback_uses_footers(spark, tmp_path):
+    """index_report on a pre-r17 band-store manifest (no seg_rows):
+    the -1 fallback must report exact per-segment rows — now read
+    from parquet footer metadata instead of a count job (r18)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_spark.functions.dedup import write_band_store
+    from data_ingestion_spark.functions.similarity import (
+        index_current_path,
+        index_report,
+    )
+
+    docs = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("band text payload "), F.col("id")).alias("text"),
+    )
+    root = str(tmp_path / "bands")
+    write_band_store(docs, root)
+    cur = index_current_path(root)
+    mpath = os.path.join(cur, "MANIFEST.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    recorded = m.pop("seg_rows")  # age the manifest to the r16 shape
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    rep = index_report(spark, root).collect()
+    assert [r.rows for r in rep] == [int(n) for n in recorded]
