@@ -582,6 +582,12 @@ def main() -> None:
         if t >= 10.0
     )
 
+    # END-of-run probe (r18): the start probe cannot see a hypervisor
+    # window closing MID-run (r18 measured identical code swinging 3×
+    # between bench sections minutes apart). One reading, no retries —
+    # it annotates, it does not gate; times nothing in the suite.
+    host_probe_end = _host_probe()
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -604,6 +610,7 @@ def main() -> None:
                 "sf": sf_val,
                 "gates_ok": not gate_failures,
                 "host_probe": host_probe,
+                "host_probe_end": host_probe_end,
                 "load_avg_start": load_avg_start,
                 "contended": contended,
                 "multicore_throttled": multicore_throttled,
